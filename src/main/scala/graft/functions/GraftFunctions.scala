@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the operators.
+  *
+  * Everything here composes codegen'd built-in functions (or the native
+  * [[CosineSimilarity]] expression) — no Scala UDFs, so each builder
+  * stays inside WholeStageCodegen and Catalyst can push/prune around it.
+  */
+object GraftFunctions {
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns (native expression). */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftShim.column(
+      CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (stable math across engines). */
+  def asDoubleArray(c: Column): Column = c.cast("array<double>")
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a text column.
+    * `array_distinct` keeps set semantics for Jaccard.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(0), count - 1, lit(1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  /** One 64-bit MinHash component: min over shingles of xxhash64(seed, s). */
+  def minhashComponent(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+
+  /** LSH band keys from a minhash signature array: one 64-bit hash per
+    * band of `rowsPerBand` signature components.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1))): _*)
+    }: _*)
+
+  /** 64-bit SimHash from a token array: majority vote per bit over
+    * xxhash64 of each token. Pure higher-order-function composition —
+    * runs distributed, one pass over tokens per document.
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Stopword profiles per language for the n-gram/stopword language-ID
+    * heuristic (public-knowledge closed-class words).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "中"))
+
+  /** (bestLang, score) struct: stopword-hit ratio per language profile. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val total = greatest(size(toks), lit(1)).cast("double")
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (size(filter(toks, t => t.isin(words.map(w => w: Any): _*))) / total).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.sources.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational core q01–q20: the query surface a warehouse-grade ETL
+  * engine must serve (SURVEY.md §2). All plans are declarative — filters
+  * and projections reach the parquet scan, small dimensions are
+  * broadcast explicitly, aggregates combine map-side. Every query
+  * carries a deterministic ORDER BY matching its DuckDB oracle, and
+  * float aggregates are rounded + aliased identically on both sides.
+  */
+object Relational {
+
+  /** q01: grouped multi-aggregate pricing summary (map-side partial agg). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02: predicate + projection pushdown — scan reads 6 of 11 columns. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03: 3-way join + agg + top-k. Customer dim is broadcast (small
+    * relative to fact); top-k plans as TakeOrderedAndProject — no
+    * global sort of the aggregate.
+    */
+  def q03TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q04: existence semi-join + count by priority. */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** q05: star join (5 dims + fact) with all small dims broadcast; only
+    * the two facts shuffle, on their join keys.
+    */
+  def q05NationVolume(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** q06: scan-filter-aggregate to a single row (fully pushed filter). */
+  def q06RevenueFilter(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** q07: ranking window per partition key, keep top 2 orders/customer. */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk", "o_orderkey")
+  }
+
+  /** q08: distinct aggregation (expands to two-phase partial agg). */
+  def q08DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** q09: global top-k — plans as TakeOrderedAndProject, not a full sort. */
+  def q09SortLimit(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** q10: WHERE EXISTS as a left-semi join. */
+  def q10SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q11: WHERE NOT EXISTS as a left-anti join. */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q12: set union of heterogeneous sources aligned by name. */
+  def q12UnionAll(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).filter(col("o_totalprice") > 450000)
+      .select(lit("order").as("src"), col("o_orderkey").as("id"),
+        round(col("o_totalprice"), 2).as("amount"))
+      .unionByName(
+        events(spark, dir).filter(col("value") > 190)
+          .select(lit("event").as("src"), col("event_id").as("id"),
+            round(col("value"), 2).as("amount")))
+      .orderBy("src", "id")
+
+  /** q13: conditional aggregation (CASE WHEN inside agg). */
+  def q13CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority").startsWith("1"), 1).otherwise(0)).as("n_urgent"),
+        sum(when(col("o_orderpriority").startsWith("5"), 1).otherwise(0)).as("n_low"),
+        round(avg(when(col("o_orderpriority").startsWith("1"), col("o_totalprice"))), 2)
+          .as("avg_urgent_price"))
+      .orderBy("o_orderstatus")
+
+  /** q14: date-part extraction + agg. */
+  def q14DateParts(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_year", "o_quarter")
+
+  /** q15: string function suite over part. */
+  def q15StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** q16: null-safe extraction/casting (try semantics, no ANSI faults). */
+  def q16NullSafe(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        expr("try_cast(regexp_extract(props, '[0-9]+', 0) as int)").as("k"),
+        coalesce(nullif(col("value"), lit(0.0)), lit(-1.0)).as("safe_value"))
+      .orderBy("event_id")
+
+  /** q17: decorrelated per-group-average join (TPC-H Q17 shape): the
+    * per-part average is aggregated once and broadcast back — no
+    * correlated re-scan per row.
+    */
+  def q17AvgJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val partAvg = li.groupBy("l_partkey")
+      .agg(avg("l_quantity").as("avg_qty"))
+    li.join(broadcast(partAvg), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** q18: post-aggregation filter (HAVING). */
+  def q18GroupHaving(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  /** q19: hierarchical subtotals via ROLLUP. */
+  def q19Rollup(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q20: pivot long→wide with a fixed value list (single-pass agg;
+    * empty cells coalesced to 0 to match SQL `count FILTER`).
+    */
+  def q20PivotEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .count()
+      .select(col("day") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the engine's table surface.
+  *
+  * The reference's `extract()` is a directory listing of input files
+  * (reference: case_1/NormalETL.py:8-10); here extraction is a parquet
+  * scan, so predicate pushdown / column pruning reach the file reader
+  * and a directory of part-files parallelizes for free.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos-long and
+    * convert to a µs timestamp with integer arithmetic (a double division
+    * would lose precision above 2^53 ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's native Catalyst expressions and the public
+  * Column API. `ExpressionUtils` is private[sql] in Spark 4.x classic, so
+  * the (tiny) conversion surface is re-exported from this package — the
+  * same pattern extension libraries use to mint Columns from custom
+  * expressions.
+  */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
