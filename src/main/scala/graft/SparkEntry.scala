@@ -36,7 +36,31 @@ object SparkEntry {
     "q17_avg_join" -> Relational.q17AvgJoin _,
     "q18_group_having" -> Relational.q18GroupHaving _,
     "q19_rollup" -> Relational.q19Rollup _,
-    "q20_pivot_events" -> Relational.q20PivotEvents _)
+    "q20_pivot_events" -> Relational.q20PivotEvents _,
+    "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
+    "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
+    "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
+    "etl04_dim_enrich" -> Etl.etl04DimEnrich _,
+    "etl05_incremental_merge" -> Etl.etl05IncrementalMerge _,
+    "etl06_validity_split" -> Etl.etl06ValiditySplit _,
+    "etl07_multi_file_ingest" -> Etl.etl07MultiFileIngest _,
+    "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
+    "text02_quality_score" -> TextAnalysis.text02QualityScore _,
+    "text03_langid" -> TextAnalysis.text03LangId _,
+    "text04_fingerprint" -> TextAnalysis.text04Fingerprint _,
+    "text05_word_freq" -> TextAnalysis.text05WordFreq _,
+    "dedup01_exact" -> Dedup.dedup01Exact _,
+    "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
+    "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
+    "dedup04_simhash" -> Dedup.dedup04Simhash _,
+    "dedup05_embedding_cosine" -> Dedup.dedup05EmbeddingCosine _,
+    "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
+    "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
+    "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
+    "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
+    "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
+    "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
+    "stream02_sessionize" -> Sessions.stream02Sessionize _)
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -88,7 +112,7 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""",
     "q07_window_rank" ->
-      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              rank() OVER (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -166,5 +190,143 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
          count(*) FILTER (WHERE event_type = 'signup') AS signup,
          count(*) FILTER (WHERE event_type = 'view') AS view
-         FROM events GROUP BY day ORDER BY day""")
+         FROM events GROUP BY day ORDER BY day""",
+    "etl01_select_rename_cast" ->
+      """SELECT event_id AS record_id, event_type AS activity_type,
+         user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,
+         round(value, 2) AS quantity_raw
+         FROM events ORDER BY record_id""",
+    "etl02_datetime_normalize" ->
+      """SELECT event_id,
+         CAST(substring(strftime(ts, '%Y-%m-%d %H:%M:%S'), 1, 10) AS DATE) AS posting_date,
+         substring(strftime(ts, '%Y-%m-%d %H:%M:%S'), 12, 8) AS posting_time,
+         TRY_CAST(event_type AS TIMESTAMP) AS bad_parse,
+         substring(event_type, 1, greatest(length(event_type) - 3, 0)) AS type_code
+         FROM events ORDER BY event_id""",
+    "etl03_master_upsert" ->
+      """WITH existing AS (
+           SELECT event_type, dense_rank() OVER (ORDER BY event_type) AS master_id
+           FROM (SELECT DISTINCT event_type FROM events WHERE event_id < 5)),
+         mx AS (SELECT coalesce(max(master_id), 0) AS max_id FROM existing),
+         fresh AS (
+           SELECT event_type, dense_rank() OVER (ORDER BY event_type) AS rk
+           FROM (SELECT DISTINCT event_type FROM events
+                 WHERE event_type NOT IN (SELECT event_type FROM existing)))
+         SELECT master_id, event_type, is_new FROM (
+           SELECT master_id, event_type, false AS is_new FROM existing
+           UNION ALL
+           SELECT mx.max_id + rk, event_type, true FROM fresh, mx)
+         ORDER BY master_id""",
+    "etl04_dim_enrich" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, c_name, n_name, r_name
+         FROM lineitem
+         LEFT JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "etl05_incremental_merge" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+         round(value, 2) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "etl06_validity_split" ->
+      """SELECT event_id,
+         (value BETWEEN 0.0 AND 190.0) AND props LIKE '{%' AS is_valid,
+         CASE WHEN NOT (value BETWEEN 0.0 AND 190.0) THEN 'value_out_of_range'
+              WHEN props NOT LIKE '{%' THEN 'malformed_props'
+              ELSE 'ok' END AS reject_reason
+         FROM events ORDER BY event_id""",
+    "etl07_multi_file_ingest" ->
+      """SELECT 'events.parquet' AS source_file, count(*) AS n_rows,
+         min(event_id) AS min_id, max(event_id) AS max_id FROM events""",
+    "text01_tokenize_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars_text,
+         round(length(replace(text, ' ', '')) /
+           CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "text02_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id,
+           CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS stop,
+           CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) AS short,
+           len(toks) AS ntok FROM t)
+         SELECT doc_id, round(stop / n, 4) AS stop_ratio,
+           round(short / n, 4) AS short_ratio,
+           round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * (1.0 - stop / n), 4) AS quality_score
+         FROM c ORDER BY doc_id""",
+    "text04_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "text05_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "dedup01_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+         min(doc_id) AS keeper_id, count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY keeper_id""",
+    "dedup02_ngram_jaccard" -> ngramJaccardSql,
+    "dedup03_minhash_lsh" -> ngramJaccardSql,
+    "dedup05_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS ida, b.vec_id AS idb,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+         ORDER BY ida, idb""",
+    "sim01_bruteforce_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 4) AS cos
+               FROM q, e WHERE vec_id <> q_id),
+         r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "mm01_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+         3 AS channels FROM documents ORDER BY doc_id""",
+    "mm02_frame_sample" ->
+      """SELECT doc_id, unnest(range(0, (n_chars % 120) + 1, 10)) AS frame_ts
+         FROM documents ORDER BY doc_id, frame_ts""",
+    "stream01_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream02_sessionize" ->
+      """SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (
+           SELECT user_id, event_id,
+             sum(CASE WHEN prev_s IS NULL
+                   OR CAST(epoch(ts) AS BIGINT) - prev_s > 1800
+                 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM (SELECT user_id, event_id, ts,
+                   lag(CAST(epoch(ts) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY event_id) AS prev_s
+                 FROM events)) ORDER BY user_id, event_id""")
+
+  /** dedup02 and dedup03 share one oracle: dedup03's LSH at t=0.8 has
+    * recall ≈ 1-5e-8, so its verified output equals the exact pair set.
+    */
+  private val ngramJaccardSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w),
+       sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT da, db, round(j, 4) AS jaccard FROM (
+         SELECT da, db, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+         FROM pairs JOIN sizes ca ON pairs.da = ca.doc_id
+         JOIN sizes cb ON pairs.db = cb.doc_id)
+       WHERE j >= 0.8 ORDER BY da, db"""
 }

@@ -27,10 +27,14 @@ object GraftFunctions {
     */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(0), count - 1, lit(1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    val count = size(toks) - (n - 1)
+    // sequence(0, count-1) faults when count <= 0, so short docs get
+    // an explicit empty set.
+    when(count > 0,
+      array_distinct(
+        transform(sequence(lit(0), count - 1, lit(1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** One 64-bit MinHash component: min over shingles of xxhash64(seed, s). */

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication surface dedup01–dedup05 over `documents` /
+  * `embeddings` (SURVEY.md §2). The scale story: exact dedup is a hash
+  * aggregate; near-dup avoids the O(n²) pair space via LSH banding
+  * (MinHash for Jaccard, chunk-pigeonhole for SimHash) so candidate
+  * generation is an equi-join; exact verification touches only the
+  * candidates.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val JaccardThreshold = 0.8
+  val NumHashes = 128
+  val Bands = 32 // 32 bands × 4 rows: P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8
+
+  /** Distinct word-shingle per (doc_id, shingle) pairs. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), ShingleSize)).as("s"))
+
+  /** Exact Jaccard for a pair set (expects columns da, db). */
+  private def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("doc_id", "da").withColumnRenamed("s", "k"), Seq("da"))
+      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("s", "k"), Seq("db", "k"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), Seq("db"))
+      .select(col("da"), col("db"),
+        (col("inter") / (col("ca") + col("cb") - col("inter"))).as("jaccard"))
+  }
+
+  /** dedup01: exact dedup via content fingerprint — a single hash
+    * aggregate, the cheapest possible dedup at any scale.
+    */
+  def dedup01Exact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keeper_id")
+
+  /** dedup02: exact pairwise n-gram Jaccard ≥ t via shingle equi-join.
+    * Correct but O(candidate pairs); kept as the semantic ground truth.
+    * At 100 TB use dedup03 — same output, LSH-pruned pair space.
+    */
+  def dedup02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), Seq("db"))
+      .withColumn("jaccard", col("inter") / (col("ca") + col("cb") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** MinHash signatures: one row per doc, ARRAY<BIGINT> of NumHashes
+    * min-hashes. One shuffle (the groupBy); the 128 hash functions are
+    * codegen'd xxhash64 calls evaluated per shingle row.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket. The pair space
+    * collapses from O(n²) to an equi-join on (band, bucket-hash).
+    */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+        posexplode(lshBands(col("sig"), Bands, NumHashes / Bands)).as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** dedup03: MinHash + LSH near-dup detection with exact verification
+    * of candidates. Output is identical to dedup02 (recall ≈ 1-5e-8 at
+    * t=0.8) but the shingle join only ever sees LSH candidates.
+    */
+  def dedup03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+    val cands = lshCandidates(minhashSignatures(sh))
+    exactJaccard(sh, cands)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** dedup04: SimHash near-dup pairs (hamming ≤ 3). Candidates via the
+    * pigeonhole principle: split the 64-bit hash into 4×16-bit chunks —
+    * any pair within hamming 3 shares at least one identical chunk, so
+    * candidate generation is an equi-join on (chunk_idx, chunk_value).
+    */
+  def dedup04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val MaxHamming = 3
+    val sim = documents(spark, dir)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+    val chunks = sim.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("sh"), k * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("da", "db")
+  }
+
+  /** Embedding vectors as ARRAY<DOUBLE> (stable cross-engine math). */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), asDoubleArray(col("embedding")).as("v"))
+
+  /** dedup05: embedding-cosine near-dup pairs ≥ t via the native
+    * codegen cosine expression. Pairwise here (the verification
+    * semantics); the scale path for candidate generation is the
+    * random-hyperplane bucketing in [[Similarity.sim02LshAnn]].
+    */
+  def dedup05EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        cosineSim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
+      .orderBy("ida", "idb")
+  }
+}

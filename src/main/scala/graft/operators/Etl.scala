@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.sources.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ETL surface etl01–etl07: the reference pipeline re-expressed as
+  * declarative Spark plans (SURVEY.md §2). The reference parallelizes by
+  * hand — thread pools over files and 1000-row chunks
+  * (reference: case_2/MultithreadETL.py:121-152); here every step is a
+  * DataFrame transform, so partitioning IS the concurrency and the same
+  * plan runs unchanged on a 1000-executor cluster.
+  */
+object Etl {
+
+  /** etl01: projection + rename + typed cast in ONE projection node.
+    * Reference: case_1/NormalETL.py:13-31 — selects `needed_column`,
+    * renames to `database_column`, then casts column-by-column in a
+    * Python loop. Truncating float→int semantics preserved.
+    */
+  def etl01SelectRenameCast(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id").as("record_id"),
+        col("event_type").as("activity_type"),
+        col("user_id").as("user_ref"),
+        col("value").cast("int").as("quantity_int"),
+        round(col("value"), 2).as("quantity_raw"))
+      .orderBy("record_id")
+
+  /** etl02: string→date/time normalization with errors→null.
+    * Reference: case_2/Normal.py:166-192 — pandas `to_datetime(...,
+    * errors='coerce')` per column plus `str[:-3]` surgery. Here the
+    * whole normalization is codegen'd expressions; malformed input
+    * yields null via try_* (no job-killing ANSI faults, no UDFs).
+    */
+  def etl02DatetimeNormalize(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("raw", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .select(
+        col("event_id"),
+        to_date(substring(col("raw"), 1, 10)).as("posting_date"),
+        substring(col("raw"), 12, 8).as("posting_time"),
+        expr("try_to_timestamp(event_type)").as("bad_parse"),
+        expr("substring(event_type, 1, greatest(length(event_type) - 3, 0))")
+          .as("type_code"))
+      .orderBy("event_id")
+
+  /** etl03: master-table upsert — assign surrogate keys to unseen
+    * dimension values. Reference: case_2/Normal.py:53-79
+    * (`update_master_table`: read master, anti-filter new values, dedup,
+    * append, re-read). Here: anti-join for novelty + dense_rank offset by
+    * the current max key — one shuffle of the (tiny) dimension, and the
+    * fact table is never re-scanned. The single-partition window is safe
+    * because it only ever sees the dimension's distinct values.
+    */
+  def etl03MasterUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val wAlpha = Window.orderBy("event_type")
+    val existing = ev.filter(col("event_id") < 5)
+      .select("event_type").distinct()
+      .withColumn("master_id", dense_rank().over(wAlpha).cast("bigint"))
+      .withColumn("is_new", lit(false))
+    val maxId = existing.agg(coalesce(max("master_id"), lit(0L)).as("max_id"))
+    val incoming = ev.select("event_type").distinct()
+    val fresh = incoming
+      .join(existing.select("event_type"), Seq("event_type"), "left_anti")
+      .withColumn("rk", dense_rank().over(wAlpha).cast("bigint"))
+      .crossJoin(broadcast(maxId))
+      .select(
+        (col("max_id") + col("rk")).as("master_id"),
+        col("event_type"), lit(true).as("is_new"))
+    existing.select("master_id", "event_type", "is_new")
+      .unionByName(fresh)
+      .orderBy("master_id")
+  }
+
+  /** etl04: fact enrichment against a chain of master dimensions.
+    * Reference: case_2/Normal.py:225-230 — four sequential pandas
+    * merges, each materializing the whole frame. Here all dims are
+    * broadcast, so the fact streams through one stage with zero fact
+    * shuffles (only orders↔lineitem co-shuffle on the order key).
+    */
+  def etl04DimEnrich(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"), "left")
+      .select("l_orderkey", "l_linenumber", "o_custkey", "c_name", "n_name", "r_name")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** etl05: incremental merge (upsert) = latest record per key.
+    * Reference: case_2/Normal.py:265-275 — temp table + SQL MERGE.
+    * Here: one window per key ordered by the monotone event id; at
+    * cluster scale this is a single hash shuffle on the merge key.
+    */
+  def etl05IncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** etl06: validity split. The reference hard-crashes on malformed rows
+    * (`astype(int)`, case_1/NormalETL.py:29-30); a 100 TB pipeline must
+    * instead flag-and-quarantine in a single pass — one scan, no
+    * double-read of the fact.
+    */
+  def etl06ValiditySplit(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("is_valid",
+        col("value").between(0.0, 190.0) && col("props").startsWith("{"))
+      .select(
+        col("event_id"), col("is_valid"),
+        when(!col("value").between(0.0, 190.0), "value_out_of_range")
+          .when(!col("props").startsWith("{"), "malformed_props")
+          .otherwise("ok").as("reject_reason"))
+      .orderBy("event_id")
+
+  /** etl07: multi-file ingest with lineage. Reference:
+    * case_1/NormalETL.py:8-10 — `os.listdir` + per-file loop. A parquet
+    * directory scan parallelizes across files/row-groups by itself;
+    * `input_file_name` keeps the per-file lineage the reference tracked
+    * via its result-file bookkeeping.
+    */
+  def etl07MultiFileIngest(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("source_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .groupBy("source_file")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("source_file")
+}

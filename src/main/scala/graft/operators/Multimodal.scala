@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing mm01–mm03 (SURVEY.md §2): image/audio/video as
+  * opaque BINARY columns with typed metadata. The container has no codec
+  * libraries, so the decode step is STUBBED behind
+  * [[MultimodalStub.decodeImage]] with a deterministic fake — the
+  * Spark-side plumbing (schema, binary handling, batched mapPartitions,
+  * partitioning) is real and oracle-checked where expressible.
+  */
+object Multimodal {
+
+  /** mm01: binary column + typed metadata extraction. Media bytes are
+    * simulated as the UTF-8 encoding of the document text (deterministic
+    * in both engines); the metadata derivation is pure column math so it
+    * runs codegen'd against real media bytes unchanged.
+    */
+  def mm01BinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("media")).as("n_bytes"),
+        (octet_length(col("media")) % 640).as("fake_width"),
+        (octet_length(col("media")) % 480).as("fake_height"),
+        lit(3).as("channels"))
+      .orderBy("doc_id")
+
+  /** mm02: frame/window sampling over media duration — the distributed
+    * explode pattern for video frame extraction (one output row per
+    * sampled frame, computed on executors, never on the driver).
+    */
+  def mm02FrameSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("duration_s", col("n_chars") % 120)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("duration_s"), lit(10L))).as("frame_ts"))
+      .orderBy("doc_id", "frame_ts")
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** mm03: batched feature extraction over binary media via
+    * mapPartitions — the plumbing a real (GPU/codec) featurizer needs:
+    * partition-local batching, no driver involvement, stable schema.
+    * The featurizer itself is [[MultimodalStub.fakeFeatures]].
+    */
+  def mm03FeatureStub(spark: SparkSession, dir: String): DataFrame = {
+    val withMedia = documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    withMedia.mapPartitions { rows =>
+      // Real featurizers (image decode, mel spectrogram, …) want batches;
+      // grouped() preserves that shape without materializing the partition.
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          Row(r.getAs[Long]("doc_id"), bytes.length,
+            MultimodalStub.fakeFeatures(bytes))
+        }
+      }
+    }(enc).orderBy("doc_id")
+  }
+}
+
+/** Decode stubs — the clearly-marked seam where real codecs plug in. */
+object MultimodalStub {
+  val BatchSize = 64
+
+  /** Real implementation would decode image bytes (JPEG/PNG) to
+    * (width, height, pixels). Not available in this container.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    ??? // intentional stub: requires a codec library (e.g. javax.imageio at cluster deploy)
+
+  /** Deterministic fake 8-dim feature vector from media bytes (stands in
+    * for an embedding model / DSP transform; same shape and scale).
+    */
+  def fakeFeatures(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) += (bytes(i) & 0xFF) / 255.0
+      i += 1
+    }
+    out.map(x => math.round(x * 10000.0) / 10000.0)
+  }
+}

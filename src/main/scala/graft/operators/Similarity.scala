@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search sim01–sim02 over `embeddings` (SURVEY.md §2).
+  *
+  * sim01 is the exact baseline: broadcast the (small) query set against
+  * the corpus — the corpus is scanned once, never shuffled, and top-k
+  * is a per-query window. sim02 is the scale path: random-hyperplane
+  * LSH turns candidate generation into an equi-join on bucket
+  * signatures; recall vs sim01 is asserted in the spec.
+  */
+object Similarity {
+
+  val TopK = 10
+  private val NumQueryVectors = 5
+
+  /** sim01: exact brute-force top-k cosine neighbors for each query
+    * vector. Ranking is done on the 4-dp-rounded score (with the vec id
+    * as tiebreaker) so ordering is stable across engines.
+    */
+  def sim01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Random-hyperplane signature: `planes` pseudo-random hyperplanes are
+    * derived per (plane, dim) from xxhash64 — deterministic, no driver-side
+    * randomness, no data movement. Sign pattern per plane → one int bucket.
+    */
+  def hyperplaneBucket(v: org.apache.spark.sql.Column, planes: Int, dims: Int): org.apache.spark.sql.Column = {
+    // plane_p · v = Σ_d coef(p,d) * v[d], coef ∈ {-1,+1} from xxhash64(p,d)
+    val signs = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, transform(sequence(lit(0), lit(dims - 1)),
+          d => when(xxhash64(lit(p), d).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
+          (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    signs.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** sim02: LSH-bucketed approximate nearest neighbors with multi-probe.
+    * Vectors hash to one of 2^planes buckets; each query probes its own
+    * bucket plus every bucket at hamming distance 1 (flip one plane's
+    * sign — the classic multi-probe trick: the nearest misses are
+    * exactly the vectors that fell on the other side of one hyperplane).
+    * The corpus join is bucket-local instead of all-pairs: with p planes
+    * the scan fraction is (p+1)/2^p of the corpus, so tune p to the
+    * corpus size at deploy scale. Recall vs the exact sim01 is measured
+    * in the spec.
+    */
+  def sim02LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val Planes = 4
+    val Dims = 64
+    val e = Dedup.vectors(spark, dir)
+      .withColumn("bucket", hyperplaneBucket(col("v"), Planes, Dims))
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .withColumn("probe", explode(array(
+        col("bucket") +: (0 until Planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(queries), col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis surface text01–text05 over `documents` (SURVEY.md §2):
+  * the per-document statistics an LLM-training-data pipeline computes at
+  * corpus scale. Everything is built from codegen'd string/array
+  * functions — per-document work, embarrassingly parallel, no shuffles
+  * except the explicit corpus-level aggregations.
+  */
+object TextAnalysis {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** text01: tokenization + token/char counts. */
+  def text01TokenizeCount(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_text"),
+        round(length(regexp_replace(col("text"), " ", "")) /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** text02: quality scoring — stopword ratio, short-token ratio, and a
+    * composite score. Mirrors the length/stopword heuristics used for
+    * pre-training corpus filtering.
+    */
+  def text02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val stopRatio =
+      size(filter(toks, t => t.isin(stopwords.map(w => w: Any): _*))) / nTok
+    val shortRatio = size(filter(toks, t => length(t) <= 2)) / nTok
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(shortRatio, 4).as("short_ratio"),
+        round(least(size(toks).cast("double") / 50.0, lit(1.0)) *
+          (lit(1.0) - stopRatio), 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** text03: language ID via stopword-profile scoring (rows-only check;
+    * accuracy asserted in the spec on hand-built samples).
+    */
+  def text03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val lid = langId(col("text"))
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        lid.getField("lang").as("pred_lang"),
+        round(lid.getField("score"), 4).as("lang_score"))
+      .orderBy("doc_id")
+  }
+
+  /** text04: document fingerprint — md5 of whitespace-normalized,
+    * lowercased text (the exact-dedup key).
+    */
+  def text04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** text05: corpus-level term frequency, top 20. Two-phase aggregate:
+    * partial counts map-side, one shuffle on the word, then top-k as
+    * TakeOrderedAndProject (no global sort).
+    */
+  def text05WordFreq(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+}
