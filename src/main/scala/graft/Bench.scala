@@ -1,24 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total",...}. A failing query is
+  * recorded under "errors" (and costs its elapsed time) instead of being
+  * silently swallowed.
+  */
 object Bench {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.build(GraftSession.cpusFromEnv, "graft-bench")
+    // Warm the JVM/codegen paths once so the first timed query doesn't
+    // absorb session+classloading cost (standard bench hygiene).
+    SparkEntry.queries.get("q06_revenue_filter")
+      .foreach(fn => fn(spark, sfDir).count())
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors ::= name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

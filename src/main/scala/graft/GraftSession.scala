@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session builder for the engine (SURVEY.md §4).
+  *
+  * Centralizes every config the operators rely on, so loaders and
+  * operators stay side-effect-free:
+  *   - AQE on (runtime shuffle coalescing + skew-join splitting — the
+  *     100 TB posture: no hard-coded partition counts in operators).
+  *   - `spark.sql.shuffle.partitions` sized to the local core count
+  *     (at cluster scale AQE re-coalesces from this initial value).
+  *   - UTC session timezone (oracle comparisons are tz-stable).
+  *   - `spark.sql.legacy.parquet.nanosAsLong` — `events.ts` is parquet
+  *     TIMESTAMP(NANOS), which Spark's vectorized reader otherwise
+  *     rejects; set once here at build time, not inside table loaders
+  *     (see [[graft.sources.Tables.events]]).
+  *   - [[GraftExtensions]] registered, so `cosine_sim` is callable from
+  *     SQL as well as the Column API.
+  */
+object GraftSession {
+
+  /** Configs that must also apply when someone builds their own session
+    * (e.g. a test harness): applied via builder below.
+    */
+  val requiredConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+
+  /** Build (or get) the canonical local session. `cpus` sizes both the
+    * local master threads and the initial shuffle partition count.
+    */
+  def build(cpus: Int, appName: String = "graft"): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(GraftExtensions.inject)
+    requiredConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def cpusFromEnv: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+}

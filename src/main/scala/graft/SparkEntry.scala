@@ -301,14 +301,18 @@ object SparkEntry {
          count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "stream02_sessionize" ->
+      // floor(epoch(ts)) on the oracle side matches Spark's
+      // unix_timestamp() truncation exactly (a bare BIGINT cast would
+      // round-to-nearest and can flip a gap straddling the 1800 s
+      // boundary on sub-second timestamps).
       """SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (
            SELECT user_id, event_id,
              sum(CASE WHEN prev_s IS NULL
-                   OR CAST(epoch(ts) AS BIGINT) - prev_s > 1800
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - prev_s > 1800
                  THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM (SELECT user_id, event_id, ts,
-                   lag(CAST(epoch(ts) AS BIGINT)) OVER (
+                   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY event_id) AS prev_s
                  FROM events)) ORDER BY user_id, event_id""")
 

@@ -41,15 +41,18 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_s"), lit(10L))).as("frame_ts"))
       .orderBy("doc_id", "frame_ts")
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", IntegerType),
-    StructField("feature", ArrayType(DoubleType))))
+  private val featureSchema = StructType(
+    StructField("doc_id", LongType) +:
+      StructField("n_bytes", IntegerType) +:
+      (0 until MultimodalStub.FeatureDim).map(i =>
+        StructField(s"f$i", DoubleType)))
 
   /** mm03: batched feature extraction over binary media via
     * mapPartitions — the plumbing a real (GPU/codec) featurizer needs:
     * partition-local batching, no driver involvement, stable schema.
-    * The featurizer itself is [[MultimodalStub.fakeFeatures]].
+    * The featurizer itself is [[MultimodalStub.fakeFeatures]]; the
+    * feature vector is emitted as flat scalar columns (f0..f7) so the
+    * result is sortable/hashable by any downstream comparator.
     */
   def mm03FeatureStub(spark: SparkSession, dir: String): DataFrame = {
     val withMedia = documents(spark, dir)
@@ -62,8 +65,8 @@ object Multimodal {
       rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]]("media")
-          Row(r.getAs[Long]("doc_id"), bytes.length,
-            MultimodalStub.fakeFeatures(bytes))
+          val feats = MultimodalStub.fakeFeatures(bytes)
+          Row.fromSeq(r.getAs[Long]("doc_id") +: bytes.length +: feats.toSeq)
         }
       }
     }(enc).orderBy("doc_id")
@@ -73,6 +76,7 @@ object Multimodal {
 /** Decode stubs — the clearly-marked seam where real codecs plug in. */
 object MultimodalStub {
   val BatchSize = 64
+  val FeatureDim = 8
 
   /** Real implementation would decode image bytes (JPEG/PNG) to
     * (width, height, pixels). Not available in this container.
@@ -80,14 +84,15 @@ object MultimodalStub {
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
     ??? // intentional stub: requires a codec library (e.g. javax.imageio at cluster deploy)
 
-  /** Deterministic fake 8-dim feature vector from media bytes (stands in
-    * for an embedding model / DSP transform; same shape and scale).
+  /** Deterministic fake FeatureDim-dim feature vector from media bytes
+    * (stands in for an embedding model / DSP transform; same shape and
+    * scale).
     */
   def fakeFeatures(bytes: Array[Byte]): Array[Double] = {
-    val out = new Array[Double](8)
+    val out = new Array[Double](FeatureDim)
     var i = 0
     while (i < bytes.length) {
-      out(i % 8) += (bytes(i) & 0xFF) / 255.0
+      out(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0
       i += 1
     }
     out.map(x => math.round(x * 10000.0) / 10000.0)

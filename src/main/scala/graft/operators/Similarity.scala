@@ -70,10 +70,11 @@ object Similarity {
     val e = Dedup.vectors(spark, dir)
       .withColumn("bucket", hyperplaneBucket(col("v"), Planes, Dims))
     val queries = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
       .withColumn("probe", explode(array(
-        col("bucket") +: (0 until Planes).map(p =>
-          col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        col("qb") +: (0 until Planes).map(p =>
+          col("qb").bitwiseXOR(lit(1L << p))): _*)))
+      .select("q_id", "qv", "probe") // drop qb: the corpus side owns `bucket`
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(queries), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("q_id"))

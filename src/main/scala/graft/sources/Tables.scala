@@ -21,12 +21,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos-long and
-    * convert to a µs timestamp with integer arithmetic (a double division
-    * would lose precision above 2^53 ns).
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). The session must be built
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    * [[graft.GraftSession]] — this loader is side-effect-free); the
+    * nanos-long is converted to a µs timestamp with integer arithmetic
+    * (a double division would lose precision above 2^53 ns).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries TIMESTAMP(NANOS): build the session via " +
+        "graft.GraftSession (sets spark.sql.legacy.parquet.nanosAsLong=true)")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
