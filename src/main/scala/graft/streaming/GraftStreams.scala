@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+
+/** Structured Streaming surface (SURVEY.md §2 stream01/stream02).
+  *
+  * The reference's file-watch polling loop (reference:
+  * case_2/Normal.py:283-327) re-expressed as incremental event-time
+  * pipelines: `readStream` file sources feed the same transforms,
+  * watermarks bound state, and sessionization is explicit keyed state in
+  * `flatMapGroupsWithState` instead of a driver-side bookkeeping dict.
+  *
+  * Each pipeline is a pure DataFrame→DataFrame function, so it runs
+  * identically over a `readStream` source in production and a
+  * `MemoryStream` in the specs; the batch twins in
+  * [[graft.operators.Sessions]] are the oracle-checked definitions of
+  * the same semantics.
+  */
+object GraftStreams {
+
+  /** stream01 (incremental): tumbling 1-hour event-time window counts +
+    * sums per event type. The watermark bounds window state at scale —
+    * late data beyond 2 hours is dropped instead of growing state
+    * forever (the reference's polling loop has no such bound: its
+    * processed-file dict grows monotonically).
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** One event on the sessionization stream: `ts_sec` is floor-epoch
+    * seconds (matches `unix_timestamp` truncation in the batch twin).
+    */
+  case class SessionEvent(user_id: Long, event_id: Long, ts_sec: Long)
+
+  /** Keyed session state: where the last-seen event left off. */
+  case class SessionState(lastTsSec: Long, lastSessionId: Long)
+
+  case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
+
+  val SessionGapSec = 1800L
+
+  /** Per-user incremental session assignment. Events within a micro-batch
+    * group arrive unordered — sort by event_id (the batch twin's ordering
+    * key) before walking; state carries (lastTs, lastSessionId) across
+    * batches so session ids keep counting monotonically per user.
+    */
+  def assignSessions(
+      key: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[SessionAssignment] = {
+    val sorted = events.toSeq.sortBy(_.event_id)
+    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+    val out = sorted.map { e =>
+      val isNew = st.lastTsSec == Long.MinValue || e.ts_sec - st.lastTsSec > SessionGapSec
+      val sid = if (isNew) st.lastSessionId + 1 else st.lastSessionId
+      st = SessionState(e.ts_sec, sid)
+      SessionAssignment(key, e.event_id, sid)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** stream02 (incremental): 30-min-gap sessionization via
+    * flatMapGroupsWithState — keyed state per user, shuffled once on
+    * user_id, no driver involvement. Matches
+    * [[graft.operators.Sessions.stream02Sessionize]] batch-for-batch
+    * when events arrive in event order.
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionAssignment] = {
+    implicit val stateEnc: Encoder[SessionState] = ExpressionEncoder()
+    implicit val outEnc: Encoder[SessionAssignment] = ExpressionEncoder()
+    implicit val longEnc: Encoder[Long] = ExpressionEncoder()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        assignSessions)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("dedup03 (MinHash+LSH) finds exactly the dedup02 (exact) pair set") {
+    val exact = Dedup.dedup02NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.dedup03MinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, "LSH-verified pairs must equal the exact pair set at t=0.8")
+    assert(exact.nonEmpty, "test data should contain at least one near-dup pair")
+  }
+
+  test("simhash: identical token arrays hash identically (hamming 0)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words appear in this sentence here"))
+      .toDF("id", "text")
+      .select(col("id"), simhash64(tokens(col("text"))).as("sh"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == rows(2L))
+    assert(java.lang.Long.bitCount(rows(1L) ^ rows(3L)) > 3,
+      "unrelated docs should differ in more than 3 bits")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+      .toDF("id", "text")
+      .select(col("id"), simhash64(tokens(col("text"))).as("sh"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(rows(1L) ^ rows(2L)) <= 16,
+      "one-token edit should flip few simhash bits")
+  }
+
+  test("dedup04 output pairs all satisfy hamming <= 3 and da < db") {
+    val rows = Dedup.dedup04Simhash(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(2) <= 3))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("dedup04 candidate generation is exhaustive for hamming <= 3 (pigeonhole)") {
+    // All-pairs ground truth on the sf0.001 corpus vs the chunk-join path.
+    val sim = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+    val exact = sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        hamming64(col("a.sh"), col("b.sh")).cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bucketed = Dedup.dedup04Simhash(spark, sf)
+      .select(col("da"), col("db"), col("hamming").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bucketed == exact)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet // (q_id, vec_id)
+
+  test("sim02 (LSH ANN) recall vs sim01 (exact) is usable") {
+    val exact = pairs(Similarity.sim01BruteForceTopK(spark, sf))
+    val approx = pairs(Similarity.sim02LshAnn(spark, sf))
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"sim02 recall@${Similarity.TopK} = $recall%.3f")
+    assert(recall >= 0.3,
+      f"multi-probe LSH should recover a usable fraction of exact " +
+        f"neighbors, got $recall%.3f")
+  }
+
+  test("sim02 scores are exact cosines (no approximation in scoring)") {
+    // Every (q_id, vec_id, cos) sim02 returns must appear in the exact
+    // all-pairs scores: LSH only prunes candidates, never perturbs math.
+    val exactScores = Similarity.sim01BruteForceTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = Similarity.sim02LshAnn(spark, sf).collect()
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactScores.get(key).foreach { exp =>
+        assert(r.getDouble(3) == exp, s"score mismatch for $key")
+      }
+    }
+  }
+
+  test("sim02 ranks are dense and start at 1 per query") {
+    val byQ = Similarity.sim02LshAnn(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted).toMap
+    byQ.foreach { case (q, rks) =>
+      assert(rks.head == 1, s"query $q ranks must start at 1")
+      assert(rks.zip(rks.tail).forall { case (a, b) => b == a + 1 },
+        s"query $q ranks must be dense")
+    }
+  }
+}
