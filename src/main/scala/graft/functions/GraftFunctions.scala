@@ -22,11 +22,14 @@ object GraftFunctions {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles of a text column.
-    * `array_distinct` keeps set semantics for Jaccard.
+  /** Distinct word n-gram shingles from an already-tokenized column.
+    * `array_distinct` keeps set semantics for Jaccard. Taking the token
+    * ARRAY (not the raw text) matters for throughput: expressions inside
+    * a Generate/transform get no common-subexpression elimination, so a
+    * text-typed version would re-split the string for every element_at —
+    * 3n evaluations of split() per document instead of one projection.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     // sequence(0, count-1) faults when count <= 0, so short docs get
     // an explicit empty set.
@@ -36,6 +39,13 @@ object GraftFunctions {
           i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles of a text column (convenience form —
+    * project [[tokens]] into a column first on hot paths, see
+    * [[shinglesFromTokens]]).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** One 64-bit MinHash component: min over shingles of xxhash64(seed, s). */
   def minhashComponent(shingles: Column, seed: Int): Column =

@@ -19,10 +19,18 @@ object Dedup {
   val NumHashes = 128
   val Bands = 32 // 32 bands × 4 rows: P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8
 
-  /** Distinct word-shingle per (doc_id, shingle) pairs. */
+  /** Distinct word-shingle per (doc_id, shingle) pairs, persisted:
+    * every consumer (signature build, candidate join, exact verify,
+    * size counts) branches from this frame, and without a persist each
+    * branch would re-scan the parquet and re-shingle. MEMORY_AND_DISK so
+    * a 100 TB corpus spills instead of OOMing.
+    */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), explode(wordShingles(col("text"), ShingleSize)).as("s"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), ShingleSize)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact Jaccard for a pair set (expects columns da, db). */
   private def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
@@ -69,12 +77,18 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, ARRAY<BIGINT> of NumHashes
-    * min-hashes. One shuffle (the groupBy); the 128 hash functions are
-    * codegen'd xxhash64 calls evaluated per shingle row.
+    * min-hashes. One shuffle (the groupBy). The shingle STRING is hashed
+    * exactly once (`xxhash64(s)`); the NumHashes component hashes are
+    * derived from that 64-bit value with seeded long-hashing — hashing a
+    * fixed-width long is ~an order of magnitude cheaper than re-hashing
+    * the string 128×, and seeded re-hashes of a 64-bit universal hash
+    * stay pairwise-independent enough for MinHash (the dedup03 spec
+    * pins recall by asserting equality with the exact pair set).
     */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy("doc_id")
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+    sh.select(col("doc_id"), xxhash64(col("s")).as("h0"))
+      .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -105,6 +119,29 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Per-document 64-bit SimHash as a DataFrame: tokens are exploded and
+    * the per-bit majority vote runs as ONE codegen'd hash aggregate with
+    * 64 sum columns. Semantically identical to
+    * [[graft.functions.GraftFunctions.simhash64]] (the column form, used
+    * for small/spec-scale data) but ~an order of magnitude faster at
+    * corpus scale: higher-order-function lambdas are interpreted per
+    * element, while this shape stays inside WholeStageCodegen and gets
+    * map-side partial aggregation before the doc_id shuffle.
+    */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
+    val h = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    h.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sh"))
+  }
+
   /** dedup04: SimHash near-dup pairs (hamming ≤ 3). Candidates via the
     * pigeonhole principle: split the 64-bit hash into 4×16-bit chunks —
     * any pair within hamming 3 shares at least one identical chunk, so
@@ -112,8 +149,7 @@ object Dedup {
     */
   def dedup04Simhash(spark: SparkSession, dir: String): DataFrame = {
     val MaxHamming = 3
-    val sim = documents(spark, dir)
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+    val sim = simhashDocs(spark, dir)
     val chunks = sim.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sh"), k * 16).bitwiseAND(0xFFFFL)): _*))

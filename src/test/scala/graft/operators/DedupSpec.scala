@@ -41,6 +41,15 @@ class DedupSpec extends SparkSpec {
       "one-token edit should flip few simhash bits")
   }
 
+  test("simhashDocs (codegen agg) equals simhash64 (column HOF) per document") {
+    val viaAgg = Dedup.simhashDocs(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaHof)
+  }
+
   test("dedup04 output pairs all satisfy hamming <= 3 and da < db") {
     val rows = Dedup.dedup04Simhash(spark, sf).collect()
     assert(rows.forall(r => r.getInt(2) <= 3))
