@@ -37,6 +37,11 @@ object SparkEntry {
     "q18_group_having" -> Relational.q18GroupHaving _,
     "q19_rollup" -> Relational.q19Rollup _,
     "q20_pivot_events" -> Relational.q20PivotEvents _,
+    "q21_percentiles" -> Relational.q21Percentiles _,
+    "q22_set_ops" -> Relational.q22SetOps _,
+    "q23_json_extract" -> Relational.q23JsonExtract _,
+    "q24_asof_join" -> Relational.q24AsofJoin _,
+    "q25_range_join" -> Relational.q25RangeJoin _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -44,18 +49,25 @@ object SparkEntry {
     "etl05_incremental_merge" -> Etl.etl05IncrementalMerge _,
     "etl06_validity_split" -> Etl.etl06ValiditySplit _,
     "etl07_multi_file_ingest" -> Etl.etl07MultiFileIngest _,
+    "etl08_scd2" -> Etl.etl08Scd2 _,
+    "etl09_csv_roundtrip" -> Etl.etl09CsvRoundtrip _,
+    "etl10_partitioned_sink" -> Etl.etl10PartitionedSink _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
     "text04_fingerprint" -> TextAnalysis.text04Fingerprint _,
     "text05_word_freq" -> TextAnalysis.text05WordFreq _,
+    "text06_pii_redact" -> TextAnalysis.text06PiiRedact _,
+    "text07_bigrams" -> TextAnalysis.text07Bigrams _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
     "dedup04_simhash" -> Dedup.dedup04Simhash _,
     "dedup05_embedding_cosine" -> Dedup.dedup05EmbeddingCosine _,
+    "dedup06_cluster" -> Dedup.dedup06Cluster _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
+    "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -191,6 +203,35 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'signup') AS signup,
          count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY day ORDER BY day""",
+    "q21_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+         round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+         round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q22_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    "q23_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q24_asof_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.event_id < p.event_id
+         ORDER BY purchase_id""",
+    "q25_range_join" ->
+      """SELECT lo, count(*) AS n, round(avg(value), 4) AS avg_value
+         FROM events JOIN (SELECT unnest(range(0, 200, 10)) AS lo) b
+           ON value >= lo AND value < lo + 10
+         GROUP BY lo ORDER BY lo""",
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,
@@ -241,6 +282,27 @@ object SparkEntry {
     "etl07_multi_file_ingest" ->
       """SELECT 'events.parquet' AS source_file, count(*) AS n_rows,
          min(event_id) AS min_id, max(event_id) AS max_id FROM events""",
+    "etl08_scd2" ->
+      """WITH ch AS (
+           SELECT user_id, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+           FROM events),
+         v AS (
+           SELECT user_id, event_id AS valid_from, event_type,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_from,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS version
+           FROM ch WHERE prev_type IS NULL OR event_type <> prev_type)
+         SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from, coalesce(next_from - 1, 9223372036854775807) AS valid_to
+         FROM v ORDER BY user_id, version""",
+    "etl09_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(round(value, 2)), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "etl10_partitioned_sink" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_year ORDER BY o_year""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,
@@ -265,12 +327,50 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "text06_pii_redact" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+         md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+         FROM documents ORDER BY doc_id""",
+    "text07_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY keeper_id""",
     "dedup02_ngram_jaccard" -> ngramJaccardSql,
     "dedup03_minhash_lsh" -> ngramJaccardSql,
+    "dedup06_cluster" ->
+      // Connected components over the same verified pair set: min
+      // reachable doc_id via a recursive min-label propagation (UNION
+      // dedups states, so the recursion terminates at the fixpoint).
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w),
+         sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         good AS (SELECT da, db FROM (
+           SELECT da, db, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+           FROM pairs JOIN sizes ca ON pairs.da = ca.doc_id
+           JOIN sizes cb ON pairs.db = cb.doc_id) WHERE j >= 0.8),
+         edges AS (SELECT da AS src, db AS dst FROM good
+                   UNION SELECT db, da FROM good),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         cc AS (
+           SELECT id, id AS label FROM nodes
+           UNION
+           SELECT e.src AS id, least(cc.label, e.src) AS label
+           FROM cc JOIN edges e ON cc.id = e.dst)
+         SELECT id AS doc_id, min(label) AS cluster_id
+         FROM cc GROUP BY id ORDER BY doc_id""",
     "dedup05_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -164,6 +164,50 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** dedup06: duplicate-cluster assignment — connected components over
+    * the verified near-dup pair graph (dedup03's output), cluster id =
+    * min doc_id reachable. Iterative min-label propagation: each round
+    * is one join + one min-aggregate, both distributed; the driver only
+    * sees a scalar convergence count per round (no data collected).
+    * Rounds needed = graph diameter — near-dup components are shallow
+    * (dup clusters are quasi-cliques), so this converges in a handful of
+    * rounds even at corpus scale; at 100 TB checkpoint `labels` every
+    * few rounds to cut lineage.
+    */
+  def dedup06Cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedup03MinhashLsh(spark, dir)
+      .select(col("da"), col("db"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 50) {
+      // Every node's new label: min over its own and its neighbours'.
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("label") < col("old")).count()
+      val prev = labels
+      labels = next.select("id", "label")
+      prev.unpersist()
+      round += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding vectors as ARRAY<DOUBLE> (stable cross-engine math). */
   def vectors(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)

@@ -141,4 +141,61 @@ object Etl {
         min("event_id").as("min_id"),
         max("event_id").as("max_id"))
       .orderBy("source_file")
+
+  /** etl08: SCD type-2 dimension history — each change of a user's
+    * event_type becomes a version with [valid_from, valid_to] bounds.
+    * The change-detection lag and the valid_to lead share one window
+    * partitioning, so the whole history builds in a single shuffle on
+    * user_id. The reference's master-table upsert (case_2/Normal.py:53-79)
+    * only keeps latest state; SCD2 is its audit-preserving big sibling.
+    */
+  def etl08Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    events(spark, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("next_from", lead("event_id", 1).over(byUser))
+      .select(
+        col("user_id"), col("version").cast("long").as("version"),
+        col("event_type"), col("event_id").as("valid_from"),
+        coalesce(col("next_from") - 1, lit(Long.MaxValue)).as("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
+  /** etl09: CSV round-trip — the reference's load step appends to CSV
+    * (case_1/NormalETL.py:34-37). Write a typed extract as CSV, read it
+    * back with an explicit schema (never inferSchema at scale: that's a
+    * full extra pass), and aggregate; equality with the direct-on-parquet
+    * oracle proves the sink/source pair is lossless for these types.
+    */
+  def etl09CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl09_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** etl10: partitioned sink — write orders hive-partitioned by order
+    * year (the layout that makes a 100 TB table prunable: a year
+    * predicate then reads 1/Nth of the files), read back, and prove the
+    * partition column round-trips. Partition pruning on the re-read is
+    * visible in the scan's PartitionFilters.
+    */
+  def etl10PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl10_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_year")
+  }
 }

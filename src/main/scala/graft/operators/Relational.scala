@@ -222,4 +222,79 @@ object Relational {
       .count()
       .select(col("day") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy("day")
+
+  /** q21: exact interpolated percentiles per group. `percentile` (not
+    * percentile_approx) — sorts per group inside the aggregate, matching
+    * DuckDB's quantile_cont; use the approx form instead when a 100 TB
+    * group can't buffer (then the oracle comparison becomes banded).
+    */
+  def q21Percentiles(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy("o_orderstatus")
+
+  /** q22: set algebra — INTERSECT / EXCEPT plan as hash-dedup'd
+    * left-semi / left-anti joins on the grouped key sets.
+    */
+  def q22SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def custOfYear(y: Int) = orders(spark, dir)
+      .filter(year(col("o_orderdate")) === y)
+      .select("o_custkey")
+    custOfYear(1996)
+      .intersect(custOfYear(1997))
+      .except(custOfYear(1998))
+      .orderBy("o_custkey")
+  }
+
+  /** q23: semi-structured extraction — get_json_object stays codegen'd
+    * and prunes to the single referenced path (no full JSON parse tree
+    * materialized per row).
+    */
+  def q23JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q24: as-of join — for each purchase, the latest prior click of the
+    * same user. Spark-first realization: the union-piggyback pattern —
+    * tag both streams, union, and carry the last click id forward with
+    * one window over (user_id, event_id). ONE shuffle of the union
+    * instead of a join + per-key pair explosion; this is the shape that
+    * survives 100 TB (an inequality join would be a cartesian per user).
+    */
+  def q24AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("click_id"))
+      .orderBy("purchase_id")
+  }
+
+  /** q25: range (banded non-equi) join — the band table is tiny, so the
+    * plan is a BroadcastNestedLoopJoin: the fact streams once past the
+    * broadcast bands, never shuffles.
+    */
+  def q25RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 20).select((col("id") * 10).as("lo"))
+    events(spark, dir)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("lo") + 10)
+      .groupBy("lo")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("lo")
+  }
 }

@@ -85,4 +85,51 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
   }
+
+  /** sim03: IVF-style ANN. A small coarse-quantizer codebook (here: a
+    * deterministic sample of the corpus standing in for k-means
+    * centroids — swap in real trained centroids at deploy) partitions
+    * the corpus into cells; each vector is assigned to its
+    * nearest-centroid cell ONCE (broadcast codebook, argmax per row, no
+    * shuffle), and a query searches only its `NProbe` closest cells.
+    * Corpus scan fraction ≈ NProbe/NumCentroids; at 100 TB the
+    * cell-assigned corpus is written bucketed by cell so a query touches
+    * only those buckets. Recall vs exact sim01 is asserted in the spec.
+    */
+  def sim03IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val NumCentroids = 16
+    val NProbe = 4
+    val e = Dedup.vectors(spark, dir)
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // Cell assignment: argmax over the broadcast codebook via one
+    // window on (vec_id) — 16 scored rows per vector, top-1 kept.
+    val scored = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("cid"),
+        cosineSim(col("v"), col("cv")).as("cscore"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cid"))
+    val assigned = scored
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    // Query probes: its NProbe nearest cells.
+    val probes = e.filter(col("vec_id") < NumQueryVectors)
+      .join(broadcast(centroids), lit(true))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"),
+        cosineSim(col("v"), col("cv")).as("cscore"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cscore").desc, col("cid"))))
+      .filter(col("crk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("cid").as("probe_cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
 }

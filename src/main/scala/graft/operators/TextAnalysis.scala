@@ -84,4 +84,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(20)
+
+  /** text06: PII-style redaction — digit runs replaced by a placeholder,
+    * count of redactions kept for audit. Pure codegen regex per document
+    * (embarrassingly parallel); the md5 keeps the oracle compare cheap
+    * without shipping full redacted text around.
+    */
+  def text06PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"))).as("n_numbers"),
+        md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** text07: corpus top-k bigram frequency — like text05 but over
+    * 2-gram shingles (all occurrences, not per-doc distinct), the
+    * n-gram statistics a tokenizer-training / contamination-check
+    * pipeline computes. Two-phase agg after the explode; top-k is
+    * TakeOrderedAndProject.
+    */
+  def text07Bigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks) - 1
+    documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(when(n > 0,
+        transform(sequence(lit(0), n - 1, lit(1)),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
 }

@@ -18,6 +18,17 @@ class SimilaritySpec extends SparkSpec {
         f"neighbors, got $recall%.3f")
   }
 
+  test("sim03 (IVF ANN) recall vs sim01 (exact) is usable") {
+    val exact = pairs(Similarity.sim01BruteForceTopK(spark, sf))
+    val approx = pairs(Similarity.sim03IvfAnn(spark, sf))
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"sim03 recall@${Similarity.TopK} = $recall%.3f")
+    assert(recall >= 0.3,
+      f"IVF with nprobe=4/16 cells should recover a usable fraction " +
+        f"of exact neighbors, got $recall%.3f")
+  }
+
   test("sim02 scores are exact cosines (no approximation in scoring)") {
     // Every (q_id, vec_id, cos) sim02 returns must appear in the exact
     // all-pairs scores: LSH only prunes candidates, never perturbs math.
