@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, L2Distance}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,14 @@ object GraftExtensions {
         require(children.size == 2,
           s"cosine_sim takes exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"l2_distance takes exactly 2 arguments, got ${children.size}")
+        L2Distance(children.head, children(1))
       }))
   }
 }

@@ -68,6 +68,7 @@ object SparkEntry {
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
+    "sim04_l2_topk" -> Similarity.sim04L2TopK _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -386,6 +387,15 @@ object SparkEntry {
          r AS (SELECT q_id, vec_id, cos, row_number() OVER (
                  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "sim04_l2_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id, round(list_distance(qv, v), 4) AS dist
+               FROM q, e WHERE vec_id <> q_id),
+         r AS (SELECT q_id, vec_id, dist, row_number() OVER (
+                 PARTITION BY q_id ORDER BY dist, vec_id) AS rk FROM s)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, dist FROM r
          WHERE rk <= 10 ORDER BY q_id, rk""",
     "mm01_binary_meta" ->
       """SELECT doc_id,

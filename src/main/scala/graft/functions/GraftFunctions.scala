@@ -16,6 +16,11 @@ object GraftFunctions {
     GraftShim.column(
       CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Euclidean distance of two ARRAY<DOUBLE> columns (native expression). */
+  def l2Distance(a: Column, b: Column): Column =
+    GraftShim.column(
+      L2Distance(GraftShim.expression(a), GraftShim.expression(b)))
+
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (stable math across engines). */
   def asDoubleArray(c: Column): Column = c.cast("array<double>")
 

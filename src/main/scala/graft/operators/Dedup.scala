@@ -178,8 +178,16 @@ object Dedup {
     val pairs = dedup03MinhashLsh(spark, dir)
       .select(col("da"), col("db"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The pair graph is orders of magnitude smaller than the corpus
+    // (LSH + verification already pruned it); size the loop's
+    // partitioning to the edge count, not the corpus default — at 256
+    // edges a 32-partition shuffle per round is pure scheduler overhead,
+    // at 10^9 edges this still spreads ~1M edges per partition.
+    val nEdges = pairs.count() * 2
+    val nParts = math.max(1, (nEdges / 1000000L).toInt)
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
+      .repartition(nParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

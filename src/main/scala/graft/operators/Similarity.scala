@@ -86,6 +86,25 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim04: exact top-k EUCLIDEAN neighbors — the metric twin of sim01
+    * using the native codegen [[graft.functions.L2Distance]] expression.
+    * Same scale shape: corpus scanned once against broadcast queries,
+    * per-query window top-k, no corpus shuffle.
+    */
+  def sim04L2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Distance(col("qv"), col("v")), 4).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "dist")
+      .orderBy("q_id", "rk")
+  }
+
   /** sim03: IVF-style ANN. A small coarse-quantizer codebook (here: a
     * deterministic sample of the corpus standing in for k-means
     * centroids — swap in real trained centroids at deploy) partitions

@@ -83,4 +83,42 @@ object GraftStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         assignSessions)
   }
+
+  /** One document on the dedup stream (fingerprint precomputed upstream,
+    * e.g. by [[graft.operators.TextAnalysis.text04Fingerprint]]'s
+    * normalized-md5 column logic).
+    */
+  case class DocArrival(doc_id: Long, fingerprint: String)
+
+  /** Streaming dedup verdict: `keeper_id` is the first doc seen with
+    * this fingerprint; a row is a duplicate iff doc_id != keeper_id.
+    */
+  case class DedupVerdict(doc_id: Long, fingerprint: String, keeper_id: Long)
+
+  /** stream03 (incremental): exact dedup over an unbounded document
+    * stream — the streaming twin of
+    * [[graft.operators.Dedup.dedup01Exact]]. Keyed state per
+    * fingerprint holds only the keeper id (O(distinct fingerprints)
+    * state, the minimum any exact dedup must hold); arrival order
+    * within a batch is normalized to doc_id order so the keeper is
+    * deterministic.
+    */
+  def streamingExactDedup(docs: Dataset[DocArrival]): Dataset[DedupVerdict] = {
+    implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
+    implicit val outEnc: Encoder[DedupVerdict] = ExpressionEncoder()
+    implicit val strEnc: Encoder[String] = ExpressionEncoder()
+    docs
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, arrivals: Iterator[DocArrival], state: GroupState[Long]) =>
+          val sorted = arrivals.toSeq.sortBy(_.doc_id)
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val out = sorted.map { d =>
+            if (d.doc_id < keeper) keeper = d.doc_id
+            DedupVerdict(d.doc_id, fp, keeper)
+          }
+          state.update(keeper)
+          out.iterator
+      }
+  }
 }

@@ -64,6 +64,39 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup equals batch dedup01 keeper assignment") {
+    import spark.implicits._
+    val batch = graft.operators.Dedup.dedup01Exact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // fingerprint -> keeper
+
+    val arrivals = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .as[GraftStreams.DocArrival].collect().sortBy(_.doc_id)
+
+    // Split into two micro-batches to exercise cross-batch state.
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.DocArrival](spark)
+    val q = GraftStreams.streamingExactDedup(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // Every verdict's keeper must match the batch keeper for that
+    // fingerprint (stream delivered in doc_id order).
+    streamed.foreach { case (fp, keeper) =>
+      assert(batch(fp) == keeper, s"fingerprint $fp")
+    }
+    assert(streamed.length == arrivals.length)
+  }
+
   test("sessionize keeps numbering across micro-batches (stateful resume)") {
     import spark.implicits._
     // Two events 31 min apart split into separate micro-batches: the
