@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan contracts: the scale promises SURVEY.md §5 makes are
+  * asserted here against the actual executed plans, so a refactor that
+  * silently drops a pushdown or inflates a broadcast join into a
+  * shuffle (or worse, a cartesian product) fails the build — not the
+  * 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter is pushed to the parquet scan and columns are pruned") {
+    val plan = finalPlan(Relational.q02FilterProject(spark, sf))
+    assert(plan.contains("PushedFilters: ["), "scan must carry pushed filters")
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate predicate must reach the scan")
+    assert(!plan.contains("l_comment"),
+      "unused columns must not survive into the scan (column pruning)")
+  }
+
+  test("q05: star join broadcasts every small dimension") {
+    val plan = finalPlan(Relational.q05NationVolume(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4,
+      s"customer/supplier/nation/region must broadcast, saw $broadcasts")
+  }
+
+  test("etl04: fact enrichment is broadcast joins, no fact shuffle per dim") {
+    val plan = finalPlan(Etl.etl04DimEnrich(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3,
+      s"dimension joins must broadcast, saw $broadcasts")
+  }
+
+  test("q09: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = finalPlan(Relational.q09SortLimit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q03: top-k after aggregation is TakeOrderedAndProject") {
+    val plan = finalPlan(Relational.q03TopRevenue(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q25: banded range join is a broadcast nested loop, bands built once") {
+    val plan = finalPlan(Relational.q25RangeJoin(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no operator plans a CartesianProduct") {
+    // Self-joins here are either equi-joins on derived keys (LSH bands,
+    // simhash chunks, shingles) or broadcast nested loops with a
+    // condition — never an unconstrained cartesian shuffle product.
+    val audited = Seq(
+      Dedup.dedup02NgramJaccard(spark, sf),
+      Dedup.dedup03MinhashLsh(spark, sf),
+      Dedup.dedup04Simhash(spark, sf),
+      Similarity.sim02LshAnn(spark, sf),
+      Similarity.sim03IvfAnn(spark, sf))
+    audited.foreach { df =>
+      val plan = finalPlan(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"found CartesianProduct in:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
+    val plan = finalPlan(Relational.q01PricingSummary(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      "aggregate must combine map-side")
+  }
+
+  test("whole-stage codegen covers the hot scan->filter->project paths") {
+    val plan = finalPlan(Relational.q02FilterProject(spark, sf))
+    // Codegen'd stages print as "*(n) Operator" in the plan string.
+    assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
+      "scan->filter->project must run inside whole-stage codegen")
+  }
+}
