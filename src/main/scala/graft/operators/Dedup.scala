@@ -113,10 +113,15 @@ object Dedup {
   def dedup03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir)
     val cands = lshCandidates(minhashSignatures(sh))
-    exactJaccard(sh, cands)
+    // The verified pair set is tiny (near-dup pairs only) and feeds
+    // downstream consumers (dedup06's clustering): persist it so any
+    // plan containing this subtree gets a cache hit instead of
+    // re-running the LSH + verification pipeline.
+    val verified = exactJaccard(sh, cands)
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("da", "db")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.orderBy("da", "db")
   }
 
   /** Per-document 64-bit SimHash as a DataFrame: tokens are exploded and
