@@ -69,6 +69,10 @@ object SparkEntry {
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
     "sim04_l2_topk" -> Similarity.sim04L2TopK _,
+    "cur01_hash_sample" -> Curation.cur01HashSample _,
+    "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
+    "cur03_contamination" -> Curation.cur03Contamination _,
+    "cur04_quality_filter" -> Curation.cur04QualityFilter _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -388,6 +392,43 @@ object SparkEntry {
                  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    "cur01_hash_sample" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+         ORDER BY doc_id""",
+    "cur02_corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         round(CAST(sum(n_chars) AS DOUBLE) /
+           (SELECT sum(n_chars) FROM documents), 6) AS char_share
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "cur03_contamination" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM d),
+         train AS (SELECT doc_id AS train_id, s FROM sh WHERE source <> 'src0'),
+         bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE source = 'src0'),
+         ts AS (SELECT train_id, count(*) AS n_shingles FROM train GROUP BY 1),
+         ov AS (SELECT train_id, bench_id, count(*) AS overlap
+                FROM train JOIN bench USING (s) GROUP BY 1, 2)
+         SELECT train_id, max_contamination FROM (
+           SELECT train_id,
+             max(round(CAST(overlap AS DOUBLE) / n_shingles, 4)) AS max_contamination
+           FROM ov JOIN ts USING (train_id) GROUP BY 1)
+         WHERE max_contamination >= 0.5 ORDER BY train_id""",
+    "cur04_quality_filter" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+           string_split(text, ' ') AS toks FROM documents),
+         f AS (SELECT source,
+           (n_chars >= 100 AND len(toks) >= 20 AND
+            CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+              / greatest(len(toks), 1) >= 0.02) AS keep
+           FROM t)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate
+         FROM f GROUP BY source ORDER BY source""",
     "sim04_l2_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -21,6 +21,14 @@ object GraftFunctions {
     GraftShim.column(
       L2Distance(GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** SimHash aggregate over a BIGINT token-hash column (native
+    * TypedImperativeAggregate — 64-counter vote buffer, map-side
+    * partial aggregation).
+    */
+  def simhashAgg(tokenHash: Column): Column =
+    GraftShim.column(
+      SimHashAgg(GraftShim.expression(tokenHash)).toAggregateExpression())
+
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (stable math across engines). */
   def asDoubleArray(c: Column): Column = c.cast("array<double>")
 

@@ -125,27 +125,20 @@ object Dedup {
   }
 
   /** Per-document 64-bit SimHash as a DataFrame: tokens are exploded and
-    * the per-bit majority vote runs as ONE codegen'd hash aggregate with
-    * 64 sum columns. Semantically identical to
+    * the per-bit majority vote runs inside ONE native aggregate
+    * ([[graft.functions.SimHashAgg]], a TypedImperativeAggregate with a
+    * 64-counter vote buffer — partial votes combine map-side before the
+    * doc_id shuffle). Semantically identical to
     * [[graft.functions.GraftFunctions.simhash64]] (the column form, used
     * for small/spec-scale data) but ~an order of magnitude faster at
     * corpus scale: higher-order-function lambdas are interpreted per
-    * element, while this shape stays inside WholeStageCodegen and gets
-    * map-side partial aggregation before the doc_id shuffle.
+    * array element and get no partial aggregation.
     */
-  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
-    val h = documents(spark, dir)
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    h.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, c) => a.bitwiseOR(c)).as("sh"))
-  }
+      .groupBy("doc_id")
+      .agg(simhashAgg(xxhash64(col("t"))).as("sh"))
 
   /** dedup04: SimHash near-dup pairs (hamming ≤ 3). Candidates via the
     * pigeonhole principle: split the 64-bit hash into 4×16-bit chunks —
