@@ -162,30 +162,68 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Edge count below which the whole pair graph is handled by one
+    * executor partition. 50M edges ≈ 800 MB of (long, long) — trivially
+    * within executor memory; the verified near-dup pair set of even a
+    * 100 TB corpus rarely approaches this because LSH + exact
+    * verification already shrank it to true duplicates only.
+    */
+  val UnionFindMaxEdges = 50000000L
+
   /** dedup06: duplicate-cluster assignment — connected components over
     * the verified near-dup pair graph (dedup03's output), cluster id =
-    * min doc_id reachable. Iterative min-label propagation: each round
-    * is one join + one min-aggregate, both distributed; the driver only
-    * sees a scalar convergence count per round (no data collected).
-    * Rounds needed = graph diameter — near-dup components are shallow
-    * (dup clusters are quasi-cliques), so this converges in a handful of
-    * rounds even at corpus scale; at 100 TB checkpoint `labels` every
-    * few rounds to cut lineage.
+    * min doc_id reachable.
+    *
+    * Hybrid execution, chosen by measured edge count:
+    *  - Small graph (the normal case): path-compressed union-find
+    *    inside ONE `mapPartitions` task — executor-side, no driver
+    *    collect, one narrow job.
+    *  - Huge graph: distributed min-label propagation — each round one
+    *    join + min-aggregate; the driver only sees a scalar convergence
+    *    count. Rounds = component diameter (dup clusters are
+    *    quasi-cliques, so a handful).
     */
   def dedup06Cluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedup03MinhashLsh(spark, dir)
       .select(col("da"), col("db"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The pair graph is orders of magnitude smaller than the corpus
-    // (LSH + verification already pruned it); size the loop's
-    // partitioning to the edge count, not the corpus default — at 256
-    // edges a 32-partition shuffle per round is pure scheduler overhead,
-    // at 10^9 edges this still spreads ~1M edges per partition.
-    val nEdges = pairs.count() * 2
-    val nParts = math.max(1, (nEdges / 1000000L).toInt)
+    val nEdges = pairs.count()
+    if (nEdges <= UnionFindMaxEdges) unionFindClusters(spark, pairs)
+    else propagateClusters(pairs)
+  }
+
+  /** Single-partition path-compressed union-find (small pair graphs).
+    * Union by min root ⇒ every component's root is its min doc_id.
+    */
+  private[operators] def unionFindClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toArray.map(k => (k, find(k))).iterator
+    }.toDF("doc_id", "cluster_id").orderBy("doc_id")
+  }
+
+  /** Distributed min-label propagation (huge pair graphs); at true
+    * 100 TB scale checkpoint `labels` every few rounds to cut lineage.
+    */
+  private[operators] def propagateClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
-      .repartition(nParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

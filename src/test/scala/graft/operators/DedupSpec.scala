@@ -41,6 +41,20 @@ class DedupSpec extends SparkSpec {
       "one-token edit should flip few simhash bits")
   }
 
+  test("dedup06 union-find path equals distributed label-propagation path") {
+    val pairs = Dedup.dedup03MinhashLsh(spark, sf).select(col("da"), col("db"))
+    val viaUf = Dedup.unionFindClusters(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.propagateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf == viaProp)
+    assert(viaUf.nonEmpty)
+    // Cluster ids are min-reachable doc ids: every id must map to a
+    // label <= itself, and every label must itself be a member doc.
+    viaUf.foreach { case (id, lbl) => assert(lbl <= id) }
+    assert(viaUf.values.toSet.subsetOf(viaUf.keySet))
+  }
+
   test("simhashDocs (codegen agg) equals simhash64 (column HOF) per document") {
     val viaAgg = Dedup.simhashDocs(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
