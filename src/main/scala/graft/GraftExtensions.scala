@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

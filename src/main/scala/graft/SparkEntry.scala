@@ -42,6 +42,7 @@ object SparkEntry {
     "q23_json_extract" -> Relational.q23JsonExtract _,
     "q24_asof_join" -> Relational.q24AsofJoin _,
     "q25_range_join" -> Relational.q25RangeJoin _,
+    "q26_topk_custom" -> Relational.q26TopkCustom _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -237,6 +238,13 @@ object SparkEntry {
          FROM events JOIN (SELECT unnest(range(0, 200, 10)) AS lo) b
            ON value >= lo AND value < lo + 10
          GROUP BY lo ORDER BY lo""",
+    "q26_topk_custom" ->
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 2
+         ORDER BY o_custkey, rk""",
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,

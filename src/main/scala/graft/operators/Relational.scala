@@ -284,6 +284,21 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** q26: per-key top-k through the custom [[graft.plans.TopKPerKey]]
+    * operator — bounded heap per key (O(n log k), no per-partition
+    * sort) instead of window row_number's full sort. Output contract is
+    * identical to the window form, which is exactly what the oracle
+    * checks.
+    */
+  def q26TopkCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+        orders(spark, dir),
+        keyCols = Seq("o_custkey"),
+        orderCols = Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 2)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+
   /** q25: range (banded non-equi) join — the band table is tiny, so the
     * plan is a BroadcastNestedLoopJoin: the fact streams once past the
     * broadcast bands, never shuffles.

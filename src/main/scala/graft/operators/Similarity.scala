@@ -21,18 +21,23 @@ object Similarity {
 
   /** sim01: exact brute-force top-k cosine neighbors for each query
     * vector. Ranking is done on the 4-dp-rounded score (with the vec id
-    * as tiebreaker) so ordering is stable across engines.
+    * as tiebreaker) so ordering is stable across engines. Top-k runs
+    * through the custom [[graft.plans.TopKPerKey]] operator — a bounded
+    * heap per query instead of a full per-partition window sort (at
+    * corpus scale the scored stream is |corpus| × |queries| rows; only
+    * k per query are ever buffered).
     */
   def sim01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
     val queries = e.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosineSim(col("qv"), col("v")), 4).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+    graft.plans.TopKPerKey(scored,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("cos", true), ("vec_id", false)),
+        k = TopK)
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
   }

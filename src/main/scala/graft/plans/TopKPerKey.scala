@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Custom whole-operator: per-key top-k with dense 1-based ranks.
+  *
+  * Spark expresses "top k per key" as a window `row_number` + filter,
+  * which SORTS every key's full partition — O(n log n) per partition
+  * and the sort materializes all rows. This operator keeps a bounded
+  * heap of k rows per key: O(n log k) time, O(keys·k) memory, a single
+  * pass, no sort buffer. Same output contract as
+  * `row_number().over(partitionBy(keys).orderBy(order)) <= k`.
+  *
+  * The full (c)-tier extension shape: logical node ([[TopKPerKeyPlan]])
+  * → planner strategy ([[GraftStrategy]], registered through
+  * `graft.GraftExtensions`) → physical operator ([[TopKPerKeyExec]]),
+  * which declares `ClusteredDistribution(keys)` so the planner inserts
+  * (and AQE tunes) the one required shuffle.
+  */
+case class TopKPerKeyPlan(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan)
+    extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val outAttrs = output
+    child.execute().mapPartitions({ iter =>
+      val ord = GenerateOrdering.generate(sortOrder, childOutput)
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // Max-heap under `ord`: head is the WORST retained row, so a new
+      // row only displaces it when strictly better.
+      val heaps = scala.collection.mutable.AnyRefMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          new scala.collection.mutable.PriorityQueue[InternalRow]()(ord))
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      heaps.valuesIterator.flatMap { heap =>
+        // dequeueAll yields worst-first; reverse for rank 1 = best.
+        val best = heap.dequeueAll.reverse
+        best.iterator.zipWithIndex.map { case (r, i) =>
+          outProj(joined(r, new GenericInternalRow(Array[Any](i + 1))))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to its physical operator. */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing constructor. */
+object TopKPerKey {
+  import org.apache.spark.sql.{DataFrame, GraftShim}
+
+  /** Top `k` rows per `keyCols` group under `orderCols`
+    * ((name, descending) pairs — include tiebreaker columns for a
+    * deterministic result), with a 1-based `rankCol` appended.
+    * Equivalent to `row_number` over the same window, minus the sort.
+    */
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int,
+      rankCol: String = "rk"): DataFrame = {
+    val analyzed = GraftShim.logicalPlan(df)
+    def resolve(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val keys = keyCols.map(resolve)
+    val order = orderCols.map { case (name, desc) =>
+      val a = resolve(name)
+      if (desc) SortOrder(a, org.apache.spark.sql.catalyst.expressions.Descending)
+      else SortOrder(a, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    val rankAttr = AttributeReference(rankCol, IntegerType, nullable = false)()
+    GraftShim.ofRows(df.sparkSession,
+      TopKPerKeyPlan(keys, order, k, rankAttr, analyzed))
+  }
+}

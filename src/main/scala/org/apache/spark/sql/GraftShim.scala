@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (classic.Dataset.ofRows is
+    * private[sql]).
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
