@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output must pass through unprefixed — the bench driver
 // parses Bench's single JSON stdout line, and sbt's default logger
 // would wrap it as "[info] {...}".
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
