@@ -43,6 +43,9 @@ object SparkEntry {
     "q24_asof_join" -> Relational.q24AsofJoin _,
     "q25_range_join" -> Relational.q25RangeJoin _,
     "q26_topk_custom" -> Relational.q26TopkCustom _,
+    "q27_cumulative" -> Relational.q27Cumulative _,
+    "q28_cube" -> Relational.q28Cube _,
+    "q29_lag_delta" -> Relational.q29LagDelta _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -245,6 +248,27 @@ object SparkEntry {
                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 2
          ORDER BY o_custkey, rk""",
+    "q27_cumulative" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+         FROM orders WHERE o_custkey < 100
+         ORDER BY o_custkey, order_seq""",
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q29_lag_delta" ->
+      """SELECT user_id, count(*) AS n_deltas,
+         round(avg(delta), 4) AS avg_delta, round(max(delta), 2) AS max_delta
+         FROM (SELECT user_id, value - lag(value) OVER (
+                 PARTITION BY user_id ORDER BY event_id) AS delta
+               FROM events)
+         WHERE delta IS NOT NULL GROUP BY user_id ORDER BY user_id""",
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,

@@ -299,6 +299,48 @@ object Relational {
       .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rk")
 
+  /** q27: running cumulative aggregate per key — one window shuffle on
+    * the key, incremental frame (no re-scan per row).
+    */
+  def q27Cumulative(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"),
+        row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+          .as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** q28: CUBE — all grouping-set combinations in one pass (Expand +
+    * single aggregate, not 4 separate scans).
+    */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q29: lag deltas — per-user event-value time series differencing,
+    * one window shuffle, then an ordinary aggregate over the diffs.
+    */
+  def q29LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("value") - lag("value", 1).over(w)).as("delta"))
+      .filter(col("delta").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        round(avg("delta"), 4).as("avg_delta"),
+        round(max("delta"), 2).as("max_delta"))
+      .orderBy("user_id")
+  }
+
   /** q25: range (banded non-equi) join — the band table is tiny, so the
     * plan is a BroadcastNestedLoopJoin: the fact streams once past the
     * broadcast bands, never shuffles.

@@ -84,6 +84,32 @@ object GraftStreams {
         assignSessions)
   }
 
+  /** stream04 (incremental): stream-stream interval join — purchase →
+    * click attribution within a 1-hour lookback. Both sides carry
+    * watermarks, and the join condition bounds the click's event time
+    * relative to the purchase's, so each side's buffered state is
+    * dropped once the watermark passes the interval (bounded state — the
+    * requirement for an unbounded stream-stream join). Inner join:
+    * unattributed purchases are intentionally excluded (the left-outer
+    * variant emits them when the watermark closes the interval).
+    */
+  def attribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_value"))
+  }
+
   /** One document on the dedup stream (fingerprint precomputed upstream,
     * e.g. by [[graft.operators.TextAnalysis.text04Fingerprint]]'s
     * normalized-md5 column logic).

@@ -64,6 +64,45 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join (attribution) equals the batch join") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"))
+    val batch = {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("purchase_value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      p.join(c, col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(batch.nonEmpty, "test data should contain attributable purchases")
+
+    val rows = ev.as[(Long, Long, Timestamp, Double, String)].collect()
+    val pStream = MemoryStream[(Long, Long, Timestamp, Double)](spark)
+    val cStream = MemoryStream[(Long, Long, Timestamp, Double)](spark)
+    val q = GraftStreams.attribution(
+        pStream.toDF().toDF("event_id", "user_id", "ts", "value"),
+        cStream.toDF().toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attribution_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      pStream.addData(rows.filter(_._5 == "purchase").map(r => (r._1, r._2, r._3, r._4)).toIndexedSeq)
+      cStream.addData(rows.filter(_._5 == "click").map(r => (r._1, r._2, r._3, r._4)).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("attribution_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup equals batch dedup01 keeper assignment") {
     import spark.implicits._
     val batch = graft.operators.Dedup.dedup01Exact(spark, sf).collect()
@@ -95,6 +134,42 @@ class GraftStreamsSpec extends SparkSpec {
       assert(batch(fp) == keeper, s"fingerprint $fp")
     }
     assert(streamed.length == arrivals.length)
+  }
+
+  test("sessionize recovers keyed state from checkpoint across query restarts") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = MemoryStream[GraftStreams.SessionEvent](spark)
+    def start() = GraftStreams.sessionize(stream.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[GraftStreams.SessionAssignment], _: Long) =>
+          batch.collect().foreach(a => results.add(a.event_id -> a.session_id))
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      stream.addData(GraftStreams.SessionEvent(9L, 1L, 1000L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Restart from the same checkpoint: the 31-min-later event must get
+    // session 2 — only possible if q2 recovered q1's state (a fresh
+    // query would assign session 1).
+    val q2 = start()
+    try {
+      stream.addData(GraftStreams.SessionEvent(9L, 2L, 1000L + 1860L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = results.toArray(Array.empty[(Long, Long)]).toMap
+    assert(got(2L) == 2L,
+      s"restarted query must continue from checkpointed state, got $got")
   }
 
   test("sessionize keeps numbering across micro-batches (stateful resume)") {
