@@ -479,6 +479,29 @@ object SparkEntry {
     "mm02_frame_sample" ->
       """SELECT doc_id, unnest(range(0, (n_chars % 120) + 1, 10)) AS frame_ts
          FROM documents ORDER BY doc_id, frame_ts""",
+    "mm03_feature_stub" ->
+      // The deterministic fake featurizer (sum of byte/255 per dim =
+      // byte_index % 8) is replayed in SQL by hex-decoding the UTF-8
+      // bytes — so even the stubbed multimodal path is value-checked,
+      // not just row-counted.
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+         bytes AS (SELECT doc_id, CAST(i AS INT) AS i,
+             ('0x' || substr(h, CAST(2*i+1 AS INT), 2))::INT AS v
+           FROM b, unnest(range(0, length(h)//2)) AS t(i)),
+         f AS (SELECT doc_id, i % 8 AS dim, round(sum(v / 255.0), 4) AS fv
+               FROM bytes GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(length(h)//2 AS INT) AS n_bytes FROM b)
+         SELECT n.doc_id, n.n_bytes,
+           coalesce(max(CASE WHEN dim = 0 THEN fv END), 0.0) AS f0,
+           coalesce(max(CASE WHEN dim = 1 THEN fv END), 0.0) AS f1,
+           coalesce(max(CASE WHEN dim = 2 THEN fv END), 0.0) AS f2,
+           coalesce(max(CASE WHEN dim = 3 THEN fv END), 0.0) AS f3,
+           coalesce(max(CASE WHEN dim = 4 THEN fv END), 0.0) AS f4,
+           coalesce(max(CASE WHEN dim = 5 THEN fv END), 0.0) AS f5,
+           coalesce(max(CASE WHEN dim = 6 THEN fv END), 0.0) AS f6,
+           coalesce(max(CASE WHEN dim = 7 THEN fv END), 0.0) AS f7
+         FROM n LEFT JOIN f ON n.doc_id = f.doc_id
+         GROUP BY n.doc_id, n.n_bytes ORDER BY n.doc_id""",
     "stream01_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value
