@@ -357,6 +357,21 @@ object SparkEntry {
            round(short / n, 4) AS short_ratio,
            round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * (1.0 - stop / n), 4) AS quality_score
          FROM c ORDER BY doc_id""",
+    "text03_langid" ->
+      // The stopword-profile scorer replayed in SQL: struct comparison
+      // (score, then lang) is lexicographic in both engines, so the
+      // argmax tie-break is identical.
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         s AS (SELECT doc_id,
+           [struct_pack(score := len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'de'),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'en'),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'es'),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','ce'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'fr'),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','他','这','中'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'zh')
+           ] AS scored FROM t),
+         m AS (SELECT doc_id, list_sort(scored)[-1] AS best FROM s)
+         SELECT doc_id, best.lang AS pred_lang, round(best.score, 4) AS lang_score
+         FROM m ORDER BY doc_id""",
     "text04_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
          FROM documents ORDER BY doc_id""",
