@@ -5,7 +5,7 @@ import graft.sources.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** Deduplication surface dedup01–dedup05 over `documents` /
+/** Deduplication surface dedup01–dedup06 over `documents` /
   * `embeddings` (SURVEY.md §2). The scale story: exact dedup is a hash
   * aggregate; near-dup avoids the O(n²) pair space via LSH banding
   * (MinHash for Jaccard, chunk-pigeonhole for SimHash) so candidate

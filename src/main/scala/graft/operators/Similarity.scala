@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Similarity search sim01–sim02 over `embeddings` (SURVEY.md §2).
+/** Similarity search sim01–sim04 over `embeddings` (SURVEY.md §2).
   *
   * sim01 is the exact baseline: broadcast the (small) query set against
   * the corpus — the corpus is scanned once, never shuffled, and top-k

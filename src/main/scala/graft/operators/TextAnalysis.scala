@@ -5,7 +5,7 @@ import graft.sources.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Text-analysis surface text01–text05 over `documents` (SURVEY.md §2):
+/** Text-analysis surface text01–text07 over `documents` (SURVEY.md §2):
   * the per-document statistics an LLM-training-data pipeline computes at
   * corpus scale. Everything is built from codegen'd string/array
   * functions — per-document work, embarrassingly parallel, no shuffles
@@ -49,8 +49,9 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** text03: language ID via stopword-profile scoring (rows-only check;
-    * accuracy asserted in the spec on hand-built samples).
+  /** text03: language ID via stopword-profile scoring. Value-checked
+    * against a DuckDB replay of the scorer; accuracy additionally
+    * asserted in the spec on hand-built samples.
     */
   def text03LangId(spark: SparkSession, dir: String): DataFrame = {
     val lid = langId(col("text"))
