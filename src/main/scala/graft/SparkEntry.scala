@@ -63,6 +63,7 @@ object SparkEntry {
     "text05_word_freq" -> TextAnalysis.text05WordFreq _,
     "text06_pii_redact" -> TextAnalysis.text06PiiRedact _,
     "text07_bigrams" -> TextAnalysis.text07Bigrams _,
+    "text08_bpe_tokens" -> TextAnalysis.text08BpeTokens _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -390,6 +391,15 @@ object SparkEntry {
              i -> toks[i] || ' ' || toks[i+1])) AS bigram
            FROM (SELECT string_split(text, ' ') AS toks FROM documents))
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "text08_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_bpe_tokens,
+         CAST(len(list_filter(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'),
+           x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS n_word_tokens,
+         CAST(len(list_filter(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'),
+           x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num_tokens,
+         round(length(text) / CAST(greatest(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 1) AS DOUBLE), 4) AS chars_per_token
+         FROM documents ORDER BY doc_id""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs

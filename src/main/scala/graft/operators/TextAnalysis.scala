@@ -99,6 +99,28 @@ object TextAnalysis {
         md5(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("redacted_md5"))
       .orderBy("doc_id")
 
+  /** text08: BPE-style pretokenization counts — the GPT-2-family
+    * pretokenizer shape (contractions / letter runs / digit runs /
+    * punctuation runs, space-prefixed) restricted to a regex subset
+    * that parses identically under Java regex and RE2, so the count is
+    * engine-portable. This is the token statistic an LLM-data pipeline
+    * budgets with; whitespace counts (text01) undercount code/punct-
+    * heavy text.
+    */
+  def text08BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val BpePattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+    val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_bpe_tokens"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).as("n_word_tokens"),
+        size(filter(toks, t => t.rlike("^ ?[0-9]+$"))).as("n_num_tokens"),
+        round(length(col("text")) /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** text07: corpus top-k bigram frequency — like text05 but over
     * 2-gram shingles (all occurrences, not per-doc distinct), the
     * n-gram statistics a tokenizer-training / contamination-check
