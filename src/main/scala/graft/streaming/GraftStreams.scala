@@ -21,6 +21,30 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
   */
 object GraftStreams {
 
+  /** Schema of the `events` stream (file sources must declare schemas —
+    * inference would race the writer and cost an extra listing pass).
+    */
+  val EventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+
+  /** File-watch source — the reference's polling loop
+    * (reference: case_2/Normal.py:283-327) as a declarative stream:
+    * Spark tracks processed files in the checkpoint (the reference
+    * keeps a driver-side dict), `maxFilesPerTrigger` is the
+    * batch-completion pacing, and late/duplicate files are handled by
+    * the engine instead of hand-rolled bookkeeping.
+    */
+  def eventFileStream(
+      spark: org.apache.spark.sql.SparkSession,
+      watchDir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(watchDir)
+
   /** stream01 (incremental): tumbling 1-hour event-time window counts +
     * sums per event type. The watermark bounds window state at scale —
     * late data beyond 2 hours is dropped instead of growing state

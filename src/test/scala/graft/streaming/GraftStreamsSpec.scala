@@ -64,6 +64,29 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("file-watch source: tumbling agg over a directory equals batch") {
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_watch").toString
+    // Simulate the reference's arriving-files directory: 3 parquet parts.
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3)
+      .write.mode("overwrite").parquet(watchDir)
+    val batchRows = Sessions.stream01TumblingAgg(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val q = GraftStreams.tumblingAgg(
+        GraftStreams.eventFileStream(spark, watchDir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("file_tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("file_tumbling_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batchRows)
+  }
+
   test("stream-stream interval join (attribution) equals the batch join") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
