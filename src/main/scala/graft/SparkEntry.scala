@@ -46,6 +46,7 @@ object SparkEntry {
     "q27_cumulative" -> Relational.q27Cumulative _,
     "q28_cube" -> Relational.q28Cube _,
     "q29_lag_delta" -> Relational.q29LagDelta _,
+    "q30_approx_stats" -> Relational.q30ApproxStats _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,

@@ -89,6 +89,28 @@ object GraftFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Salted equi-join for skewed keys: the fact side gets a
+    * deterministic salt derived from a high-cardinality discriminator
+    * column, the (small) dim side is exploded `salt`× so every
+    * (key, salt) bucket finds its match. A hot key's rows then spread
+    * over `salt` reducers instead of one. Use when a specific key set
+    * is known-skewed and AQE's runtime skew splitting isn't enough
+    * (e.g. the skew is in a broadcast-ineligible mid-size dim).
+    */
+  def saltedJoin(
+      fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      key: String,
+      discriminator: String,
+      salt: Int): org.apache.spark.sql.DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(discriminator)), lit(salt)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1), lit(1)).cast("array<int>")))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Stopword profiles per language for the n-gram/stopword language-ID
     * heuristic (public-knowledge closed-class words).
     */

@@ -341,6 +341,24 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q30: sketch-based approximate statistics — HyperLogLog++ distinct
+    * counts and quantile sketches. At 100 TB exact countDistinct
+    * re-shuffles every distinct value; the sketches are fixed-size,
+    * merge map-side, and answer within guaranteed error. Exact twins
+    * are emitted alongside so the accuracy contract is spec-asserted
+    * (rows-only for the driver: sketch internals differ per engine).
+    */
+  def q30ApproxStats(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct("o_custkey").as("approx_customers"),
+        countDistinct("o_custkey").as("exact_customers"),
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2)
+          .as("approx_median"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"))
+      .orderBy("o_orderstatus")
+
   /** q25: range (banded non-equi) join — the band table is tiny, so the
     * plan is a BroadcastNestedLoopJoin: the fact streams once past the
     * broadcast bands, never shuffles.
