@@ -47,6 +47,7 @@ object SparkEntry {
     "q28_cube" -> Relational.q28Cube _,
     "q29_lag_delta" -> Relational.q29LagDelta _,
     "q30_approx_stats" -> Relational.q30ApproxStats _,
+    "q31_window_suite" -> Relational.q31WindowSuite _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -271,6 +272,19 @@ object SparkEntry {
                  PARTITION BY user_id ORDER BY event_id) AS delta
                FROM events)
          WHERE delta IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "q31_window_suite" ->
+      """SELECT o_orderstatus, o_orderkey,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         first_value(o_orderkey) OVER wf AS cheapest_order,
+         last_value(o_orderkey) OVER wf AS priciest_order
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey),
+                wf AS (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderstatus, o_orderkey""",
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,

@@ -341,6 +341,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q31: the remaining analytic-window family in one query — ntile
+    * quartiles, percent_rank, and first/last value over an explicit
+    * frame. All share one window partitioning, so Catalyst plans a
+    * single sort+shuffle for the four functions.
+    */
+  def q31WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first("o_orderkey").over(wFrame).as("cheapest_order"),
+        last("o_orderkey").over(wFrame).as("priciest_order"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   /** q30: sketch-based approximate statistics — HyperLogLog++ distinct
     * counts and quantile sketches. At 100 TB exact countDistinct
     * re-shuffles every distinct value; the sketches are fixed-size,

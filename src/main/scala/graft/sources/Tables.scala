@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 
 /** Typed loaders for the engine's table surface.
   *
@@ -37,4 +37,40 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- typed surface ----------------------------------------------------
+  // Dataset[T] views for the tables whose rows flow through typed logic
+  // (streaming state functions, mapPartitions featurizers). Encoders are
+  // resolved once here; operators on the hot relational path stay
+  // DataFrame (Catalyst sees through columns, not lambdas).
+
+  /** `events` row (ts as µs timestamp after the nanos conversion). */
+  case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** `documents` row. */
+  case class Document(
+      doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+  /** `embeddings` row. */
+  case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
+
+  def eventsDs(s: SparkSession, d: String): Dataset[Event] = {
+    implicit val enc: Encoder[Event] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    events(s, d).as[Event]
+  }
+
+  def documentsDs(s: SparkSession, d: String): Dataset[Document] = {
+    implicit val enc: Encoder[Document] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    documents(s, d).as[Document]
+  }
+
+  def embeddingsDs(s: SparkSession, d: String): Dataset[Embedding] = {
+    implicit val enc: Encoder[Embedding] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    embeddings(s, d).as[Embedding]
+  }
 }
