@@ -58,6 +58,8 @@ object SparkEntry {
     "etl08_scd2" -> Etl.etl08Scd2 _,
     "etl09_csv_roundtrip" -> Etl.etl09CsvRoundtrip _,
     "etl10_partitioned_sink" -> Etl.etl10PartitionedSink _,
+    "etl11_json_roundtrip" -> Etl.etl11JsonRoundtrip _,
+    "etl12_orc_roundtrip" -> Etl.etl12OrcRoundtrip _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -356,6 +358,15 @@ object SparkEntry {
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
          count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY o_year ORDER BY o_year""",
+    "etl11_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(round(value, 2)), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "etl12_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(sum(round(o_totalprice, 2)), 2) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

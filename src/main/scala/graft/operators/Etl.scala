@@ -182,6 +182,43 @@ object Etl {
       .orderBy("event_type")
   }
 
+  /** etl11: JSON-lines round-trip — the interchange format half the
+    * upstream world emits. Same contract as etl09: write, re-read with
+    * an explicit schema, aggregate; equality with the direct-on-parquet
+    * oracle proves losslessness for these types.
+    */
+  def etl11JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl11_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** etl12: ORC round-trip — the other columnar container; writer and
+    * reader exercise a fully different serde stack than parquet, same
+    * aggregate-equality contract.
+    */
+  def etl12OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl12_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the
