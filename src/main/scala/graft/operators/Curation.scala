@@ -53,9 +53,6 @@ object Curation {
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         explode(shinglesFromTokens(col("toks"), 3)).as("s"))
-      // Both corpus branches (train/bench) and the size count read this
-      // frame — persist instead of re-scanning + re-shingling per branch.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = docs.filter(col("source") =!= "src0")
       .select(col("doc_id").as("train_id"), col("s"))
     val bench = docs.filter(col("source") === "src0")

@@ -113,20 +113,11 @@ object Dedup {
   def dedup03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir)
     val cands = lshCandidates(minhashSignatures(sh))
-    // Exact verification only needs the shingles of candidate docs —
-    // semi-join-prune the shingle frame before the (otherwise
-    // full-corpus) da/db joins. Candidates are a vanishing fraction of
-    // the corpus, so this turns two corpus-wide shuffles into joins of
-    // a few thousand rows.
-    val candDocs = cands.select(col("da").as("doc_id"))
-      .union(cands.select(col("db").as("doc_id")))
-      .distinct()
-    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     // The verified pair set is tiny (near-dup pairs only) and feeds
     // downstream consumers (dedup06's clustering): persist it so any
     // plan containing this subtree gets a cache hit instead of
     // re-running the LSH + verification pipeline.
-    val verified = exactJaccard(shCand, cands)
+    val verified = exactJaccard(sh, cands)
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
