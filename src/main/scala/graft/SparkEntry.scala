@@ -60,6 +60,7 @@ object SparkEntry {
     "etl10_partitioned_sink" -> Etl.etl10PartitionedSink _,
     "etl11_json_roundtrip" -> Etl.etl11JsonRoundtrip _,
     "etl12_orc_roundtrip" -> Etl.etl12OrcRoundtrip _,
+    "etl13_bucketed_join" -> Etl.etl13BucketedJoin _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -367,6 +368,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
          round(sum(round(o_totalprice, 2)), 2) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "etl13_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

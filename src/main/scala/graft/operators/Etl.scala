@@ -219,6 +219,39 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** etl13: bucketed co-located join — both fact tables are written
+    * bucketed (+ sorted) on the join key, so the join needs NO exchange
+    * at read time: each bucket pair joins locally. This is the
+    * pre-shuffle trade every warehouse makes for its hottest join key
+    * at 100 TB — pay the shuffle once at write, never again per query.
+    * The bucketed-scan join plan (no Exchange below the join) is
+    * asserted in PlanAuditSpec.
+    */
+  def etl13BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl13_$suffix"
+    val ordersTable = s"g_orders_b_$suffix"
+    val lineitemTable = s"g_lineitem_b_$suffix"
+    if (!spark.catalog.tableExists(ordersTable)) {
+      orders(spark, dir).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ordersTable)
+      lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(lineitemTable)
+    }
+    spark.table(ordersTable)
+      .join(spark.table(lineitemTable), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the

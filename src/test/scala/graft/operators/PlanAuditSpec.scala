@@ -72,6 +72,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("etl13: bucketed tables join without shuffling the join keys") {
+    val df = Etl.etl13BucketedJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Bucket layout means the join key columns are never exchanged —
+    // the join is either bucket-local sort-merge or (if AQE finds one
+    // side small) broadcast; the only shuffles left belong to the
+    // aggregation/sort above the join.
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join keys must not be re-shuffled:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
     val plan = finalPlan(Relational.q01PricingSummary(spark, sf))
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
