@@ -69,6 +69,7 @@ object SparkEntry {
     "text06_pii_redact" -> TextAnalysis.text06PiiRedact _,
     "text07_bigrams" -> TextAnalysis.text07Bigrams _,
     "text08_bpe_tokens" -> TextAnalysis.text08BpeTokens _,
+    "text09_winnow_fingerprint" -> TextAnalysis.text09WinnowFingerprint _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -432,6 +433,19 @@ object SparkEntry {
            x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num_tokens,
          round(length(text) / CAST(greatest(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 1) AS DOUBLE), 4) AS chars_per_token
          FROM documents ORDER BY doc_id""",
+    "text09_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+           greatest(length(text) - 8 + 1, 0) AS n_grams FROM documents),
+         h AS (SELECT doc_id, n_grams,
+           list_transform(range(1, n_grams + 1),
+             i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))::BIGINT) AS hs
+           FROM t),
+         w AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(n_grams - 4 + 1, 0) + 1),
+             j -> list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
+           FROM h)
+         SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM w
+         ORDER BY doc_id, fingerprint""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs

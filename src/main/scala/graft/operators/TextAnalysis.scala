@@ -121,6 +121,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text09: winnowing document fingerprints (the MOSS scheme): hash
+    * every K-char-gram, then keep the minimum hash of each sliding
+    * window of W grams — a position-robust fingerprint set that
+    * guarantees any shared substring of length ≥ K+W-1 yields a shared
+    * fingerprint. The k-gram hash is md5-derived (engine-portable,
+    * recomputed per gram inside codegen rather than rolled — columnar
+    * batches share no state across rows; output is identical to a
+    * rolled Rabin-Karp selection).
+    */
+  def text09WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val W = 4
+    val nGrams = greatest(length(col("text")) - (K - 1), lit(0))
+    val grams = when(nGrams > 0,
+      transform(sequence(lit(1), nGrams, lit(1)),
+        i => conv(substring(md5(col("text").substr(i, lit(K))), 1, 8), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val nWindows = greatest(nGrams - (W - 1), lit(0))
+    documents(spark, dir)
+      .select(col("doc_id"), grams.as("hs"), nWindows.as("nw"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(col("nw") > 0,
+          transform(sequence(lit(1), col("nw"), lit(1)),
+            j => array_min(slice(col("hs"), j, lit(W)))))
+          .otherwise(array().cast("array<long>")))).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
   /** text07: corpus top-k bigram frequency — like text05 but over
     * 2-gram shingles (all occurrences, not per-doc distinct), the
     * n-gram statistics a tokenizer-training / contamination-check
