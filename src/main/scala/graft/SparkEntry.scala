@@ -61,6 +61,7 @@ object SparkEntry {
     "etl11_json_roundtrip" -> Etl.etl11JsonRoundtrip _,
     "etl12_orc_roundtrip" -> Etl.etl12OrcRoundtrip _,
     "etl13_bucketed_join" -> Etl.etl13BucketedJoin _,
+    "etl14_reconcile" -> Etl.etl14Reconcile _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -374,6 +375,23 @@ object SparkEntry {
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "etl14_reconcile" ->
+      """WITH ev AS (SELECT event_id, round(value, 2) AS value FROM events),
+         o AS (SELECT event_id, value AS old_value FROM ev WHERE event_id % 7 <> 0),
+         n AS (SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN round(value + 1.5, 2)
+                  ELSE value END AS new_value
+           FROM ev WHERE event_id % 5 <> 0),
+         j AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             old_value, new_value,
+             CASE WHEN old_value IS NULL THEN 'added'
+                  WHEN new_value IS NULL THEN 'removed'
+                  WHEN old_value <> new_value THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+         SELECT status, count(*) AS n,
+           round(sum(coalesce(new_value, old_value)), 2) AS total_value
+         FROM j GROUP BY status ORDER BY status""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

@@ -252,6 +252,34 @@ object Etl {
       .orderBy("o_orderstatus")
   }
 
+  /** etl14: snapshot reconciliation — FULL OUTER join of two dataset
+    * versions classified into added / removed / changed / unchanged,
+    * the audit step between any two incremental loads. One co-shuffled
+    * join on the key, classification is pure column logic. (Snapshots
+    * are deterministically derived from `events` so the op is
+    * oracle-checkable: "old" drops event_id % 7 == 0, "new" drops
+    * % 5 == 0 and bumps value where % 3 == 0.)
+    */
+  def etl14Reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), round(col("value"), 2).as("value"))
+    val oldSnap = ev.filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id"), col("value").as("old_value"))
+    val newSnap = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 3 === 0, round(col("value") + 1.5, 2))
+          .otherwise(col("value")).as("new_value"))
+    oldSnap.join(newSnap, Seq("event_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_value").isNull, "added")
+          .when(col("new_value").isNull, "removed")
+          .when(col("old_value") =!= col("new_value"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("new_value"), col("old_value"))), 2).as("total_value"))
+      .orderBy("status")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the
