@@ -86,6 +86,27 @@ class TopKPerKeySpec extends SparkSpec {
     assert(df.collect().forall(_.getInt(df.columns.indexOf("rk")) == 1))
   }
 
+  test("TopKPerKey equals sort-and-take on randomized data (ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200 + trial * 137
+      // Small value domain forces heavy ties — the ordering's tiebreaker
+      // (id) must keep results deterministic.
+      val data = (0 until n).map(i =>
+        (rnd.nextInt(7).toLong, i.toLong, rnd.nextInt(5).toDouble))
+      val df = data.toDF("k", "id", "score")
+      val expected = data.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(4).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1, r._2) }
+      }.toSet
+      val got = TopKPerKey(df, Seq("k"), Seq(("score", true), ("id", false)), 4)
+        .select("k", "rk", "id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial (n=$n)")
+    }
+  }
+
   test("TopKPerKey rejects unknown columns and non-positive k") {
     intercept[IllegalArgumentException] {
       TopKPerKey(Tables.region(spark, sf), Seq("nope"), Seq(("r_name", false)), 1)
