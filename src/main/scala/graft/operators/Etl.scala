@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** ETL surface etl01–etl10: the reference pipeline re-expressed as
+/** ETL surface etl01–etl14: the reference pipeline re-expressed as
   * declarative Spark plans (SURVEY.md §2). The reference parallelizes by
   * hand — thread pools over files and 1000-row chunks
   * (reference: case_2/MultithreadETL.py:121-152); here every step is a

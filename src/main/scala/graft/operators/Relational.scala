@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Relational core q01–q29: the query surface a warehouse-grade ETL
+/** Relational core q01–q31: the query surface a warehouse-grade ETL
   * engine must serve (SURVEY.md §2). All plans are declarative — filters
   * and projections reach the parquet scan, small dimensions are
   * broadcast explicitly, aggregates combine map-side. Every query

@@ -5,7 +5,7 @@ import graft.sources.Tables._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Text-analysis surface text01–text07 over `documents` (SURVEY.md §2):
+/** Text-analysis surface text01–text09 over `documents` (SURVEY.md §2):
   * the per-document statistics an LLM-training-data pipeline computes at
   * corpus scale. Everything is built from codegen'd string/array
   * functions — per-document work, embarrassingly parallel, no shuffles
