@@ -62,6 +62,7 @@ object SparkEntry {
     "etl12_orc_roundtrip" -> Etl.etl12OrcRoundtrip _,
     "etl13_bucketed_join" -> Etl.etl13BucketedJoin _,
     "etl14_reconcile" -> Etl.etl14Reconcile _,
+    "etl15_expectations" -> Etl.etl15Expectations _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -392,6 +393,25 @@ object SparkEntry {
          SELECT status, count(*) AS n,
            round(sum(coalesce(new_value, old_value)), 2) AS total_value
          FROM j GROUP BY status ORDER BY status""",
+    "etl15_expectations" ->
+      """SELECT check_name, n_violations, n_checked, n_violations = 0 AS passed FROM (
+           SELECT 'event_id_unique' AS check_name,
+             count(*) - count(DISTINCT event_id) AS n_violations,
+             count(*) AS n_checked FROM events
+           UNION ALL
+           SELECT 'ts_not_null',
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM events
+           UNION ALL
+           SELECT 'value_in_range',
+             CAST(sum(CASE WHEN value NOT BETWEEN 0.0 AND 200.0 THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM events
+           UNION ALL
+           SELECT 'orders_custkey_fk',
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM orders))
+         ORDER BY check_name""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

@@ -280,6 +280,44 @@ object Etl {
       .orderBy("status")
   }
 
+  /** etl15: declarative data-quality expectations — the dbt-test /
+    * expectation-suite audit an ETL engine runs after every load:
+    * uniqueness, null rate, range conformance, and referential
+    * integrity, each reported as (check, violations, checked). Each
+    * check is one aggregate (or one anti-join count); none re-scans
+    * another check's work.
+    */
+  def etl15Expectations(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val uniq = ev.agg(
+      lit("event_id_unique").as("check_name"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+    val nn = ev.agg(
+      lit("ts_not_null").as("check_name"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+    val range = ev.agg(
+      lit("value_in_range").as("check_name"),
+      sum(when(!col("value").between(0.0, 200.0), 1L).otherwise(0L)).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+    val orphans = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(
+        lit("orders_custkey_fk").as("check_name"),
+        count(lit(1)).as("n_violations"),
+        lit(null).cast("long").as("n_checked"))
+      .select(col("check_name"), col("n_violations"),
+        coalesce(col("n_checked"), lit(0L)).as("n_checked"))
+    val total = orders(spark, dir).agg(
+      lit("orders_custkey_fk").as("check2"), count(lit(1)).as("total"))
+    val fk = orphans.join(total, col("check_name") === col("check2"))
+      .select(col("check_name"), col("n_violations"), col("total").as("n_checked"))
+    uniq.unionByName(nn).unionByName(range).unionByName(fk)
+      .withColumn("passed", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the
