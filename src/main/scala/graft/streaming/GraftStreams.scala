@@ -134,6 +134,30 @@ object GraftStreams {
         col("purchase_value"))
   }
 
+  /** Left-outer variant of [[attribution]]: unattributed purchases ARE
+    * emitted — but only once the watermark passes the end of their
+    * lookback interval (the engine can't know "no click will come"
+    * until event time has provably moved past the window). Same bounded
+    * state; the outer rows carry a null click_id.
+    */
+  def attributionLeftOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_value"))
+  }
+
   /** One document on the dedup stream (fingerprint precomputed upstream,
     * e.g. by [[graft.operators.TextAnalysis.text04Fingerprint]]'s
     * normalized-md5 column logic).

@@ -126,6 +126,38 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer attribution emits unattributed purchases after watermark closure") {
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val pStream = MemoryStream[(Long, Long, Timestamp, Double)](spark)
+    val cStream = MemoryStream[(Long, Long, Timestamp, Double)](spark)
+    val q = GraftStreams.attributionLeftOuter(
+        pStream.toDF().toDF("event_id", "user_id", "ts", "value"),
+        cStream.toDF().toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click 100s before the purchase (attributable);
+      // user 2: purchase with no click at all.
+      cStream.addData((10L, 1L, ts(900), 0.0))
+      pStream.addData((20L, 1L, ts(1000), 5.0), (21L, 2L, ts(1000), 7.0))
+      q.processAllAvailable()
+      // Watermarks only move with new data: push both streams far past
+      // the interval so the engine can close user 2's window.
+      val far = ts(1000 + 12 * 3600)
+      cStream.addData((98L, 99L, far, 0.0))
+      pStream.addData((99L, 99L, far, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("attr_outer_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((20L, 10L)), s"user 1 purchase must attribute, got $rows")
+    assert(rows.contains((21L, -1L)),
+      s"user 2 purchase must emit with null click after closure, got $rows")
+  }
+
   test("streaming exact dedup equals batch dedup01 keeper assignment") {
     import spark.implicits._
     val batch = graft.operators.Dedup.dedup01Exact(spark, sf).collect()
