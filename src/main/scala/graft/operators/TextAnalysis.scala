@@ -133,20 +133,26 @@ object TextAnalysis {
   def text09WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val K = 8
     val W = 4
+    // Explode gram positions and hash per ROW (whole-stage codegen'd
+    // md5) rather than inside a transform() lambda — higher-order
+    // function bodies are interpreted per element, measured 2× slower.
+    // The sliding-window min is then one window over (doc_id, i).
     val nGrams = greatest(length(col("text")) - (K - 1), lit(0))
-    val grams = when(nGrams > 0,
-      transform(sequence(lit(1), nGrams, lit(1)),
-        i => conv(substring(md5(col("text").substr(i, lit(K))), 1, 8), 16, 10)
-          .cast("long")))
-      .otherwise(array().cast("array<long>"))
-    val nWindows = greatest(nGrams - (W - 1), lit(0))
-    documents(spark, dir)
-      .select(col("doc_id"), grams.as("hs"), nWindows.as("nw"))
-      .select(col("doc_id"), explode(array_distinct(
-        when(col("nw") > 0,
-          transform(sequence(lit(1), col("nw"), lit(1)),
-            j => array_min(slice(col("hs"), j, lit(W)))))
-          .otherwise(array().cast("array<long>")))).as("fingerprint"))
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), col("text"), nGrams.as("ng"))
+      .filter(col("ng") > 0)
+      .select(col("doc_id"), col("ng"),
+        explode(sequence(lit(1), col("ng"), lit(1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("ng"), col("i"),
+        conv(substring(md5(col("text").substr(col("i"), lit(K))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i").rowsBetween(0, W - 1)
+    grams
+      .withColumn("fingerprint", min("h").over(w))
+      .filter(col("i") <= col("ng") - (W - 1))
+      .select("doc_id", "fingerprint").distinct()
       .orderBy("doc_id", "fingerprint")
   }
 
