@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    val fps = TextAnalysis.text09WinnowFingerprint(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // The corpus contains near-duplicate pairs (dedup02 finds them at
+    // jaccard >= 0.8); every such pair must share winnowed fingerprints
+    // — that's the detection guarantee the scheme exists for.
+    val nearDups = Dedup.dedup02NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (a, b) =>
+      assert((fps(a) intersect fps(b)).nonEmpty,
+        s"near-dup pair ($a,$b) must share winnowed fingerprints")
+    }
+    // And unrelated docs should NOT be all-overlapping: spot-check that
+    // fingerprints discriminate.
+    val ids = fps.keys.toSeq.sorted.take(10)
+    val overlaps = for (x <- ids; y <- ids if x < y)
+      yield (fps(x) intersect fps(y)).size.toDouble / fps(x).size
+    assert(overlaps.count(_ < 0.5) > overlaps.size / 2,
+      "most unrelated doc pairs should share few fingerprints")
+  }
+
   test("langid identifies hand-built samples per stopword profile") {
     import spark.implicits._
     val samples = Seq(
