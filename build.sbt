@@ -15,6 +15,10 @@ run / fork := true
 // parses Bench's single JSON stdout line, and sbt's default logger
 // would wrap it as "[info] {...}".
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The bench harness keeps only the tail of the output and parses its
+// last line as JSON: sbt's "[success] Total time ..." trailer would
+// shadow Bench's JSON line, so suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

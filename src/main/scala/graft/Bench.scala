@@ -29,12 +29,30 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness that reads this line keeps only the LAST ~2000 chars of
+    // output, so the line must stay comfortably below that: query keys are
+    // shortened to their unique id prefix (q01_pricing_summary -> q01) and
+    // seconds are rounded to ms. Full-name timings are also written to
+    // /tmp/graft_bench_full.json for local analysis.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+    val errJson = errors.map { case (k, v) => "\"" + shortId(k) + "\":\"" + esc(v).take(60) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val fullJson = {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+    }
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Print AFTER spark.stop() so no executor/log line can land behind it:
+    // this must be the process's final stdout line.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
