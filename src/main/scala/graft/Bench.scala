@@ -50,6 +50,7 @@ object Bench {
         java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    GraftCache.release()
     spark.stop()
     // Print AFTER spark.stop() so no executor/log line can land behind it:
     // this must be the process's final stdout line.

@@ -19,18 +19,21 @@ object Dedup {
   val NumHashes = 128
   val Bands = 32 // 32 bands × 4 rows: P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8
 
-  /** Distinct word-shingle per (doc_id, shingle) pairs, persisted:
-    * every consumer (signature build, candidate join, exact verify,
-    * size counts) branches from this frame, and without a persist each
-    * branch would re-scan the parquet and re-shingle. MEMORY_AND_DISK so
-    * a 100 TB corpus spills instead of OOMing.
+  /** Distinct word-shingle per (doc_id, shingle) pairs, persisted via
+    * [[graft.GraftCache]]: every consumer (signature build, candidate
+    * join, exact verify, size counts — across dedup02/03/06) branches
+    * from ONE shared persisted copy per (session, dir), and the session
+    * can drop it with `GraftCache.release()`. MEMORY_AND_DISK so a
+    * 100 TB corpus spills instead of OOMing.
     */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(shinglesFromTokens(col("toks"), ShingleSize)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.GraftCache.getOrPersist(
+      s"dedup.shingles:$dir:${System.identityHashCode(spark)}") {
+      documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(col("toks"), ShingleSize)).as("s"))
+    }
 
   /** Exact Jaccard for a pair set (expects columns da, db). */
   private def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
@@ -112,15 +115,16 @@ object Dedup {
     */
   def dedup03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir)
-    val cands = lshCandidates(minhashSignatures(sh))
     // The verified pair set is tiny (near-dup pairs only) and feeds
-    // downstream consumers (dedup06's clustering): persist it so any
-    // plan containing this subtree gets a cache hit instead of
-    // re-running the LSH + verification pipeline.
-    val verified = exactJaccard(sh, cands)
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // downstream consumers (dedup06's clustering): persist it — through
+    // the registry, so repeated dedup03/dedup06 calls share one pinned
+    // copy and the session can release it.
+    val verified = graft.GraftCache.getOrPersist(
+      s"dedup.verified:$dir:${System.identityHashCode(spark)}") {
+      exactJaccard(sh, lshCandidates(minhashSignatures(sh)))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+    }
     verified.orderBy("da", "db")
   }
 
@@ -184,9 +188,10 @@ object Dedup {
     *    quasi-cliques, so a handful).
     */
   def dedup06Cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedup03MinhashLsh(spark, dir)
-      .select(col("da"), col("db"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No persist of its own: the projection reads dedup03's registered
+    // verified-pair cache, so both consumers (the count and the
+    // clustering scan) are cache hits already.
+    val pairs = dedup03MinhashLsh(spark, dir).select(col("da"), col("db"))
     val nEdges = pairs.count()
     if (nEdges <= UnionFindMaxEdges) unionFindClusters(spark, pairs)
     else propagateClusters(pairs)
@@ -218,19 +223,36 @@ object Dedup {
     }.toDF("doc_id", "cluster_id").orderBy("doc_id")
   }
 
+  /** Hard round cap for [[propagateClusters]]. Rounds track component
+    * diameter and duplicate clusters are quasi-cliques (diameter ≲ 3),
+    * so hitting this cap means the input is not a near-dup pair graph —
+    * fail loudly rather than return un-converged (wrong) cluster ids.
+    */
+  val PropagateMaxRounds = 50
+
   /** Distributed min-label propagation (huge pair graphs); at true
     * 100 TB scale checkpoint `labels` every few rounds to cut lineage.
+    *
+    * Persist discipline: only the CURRENT round's frame stays pinned —
+    * `pinned` always refers to the frame that `.persist()` was called
+    * on (unpersisting a projection of it would be a plan-matching no-op
+    * and would leak one pinned frame per round). `edges` is released on
+    * exit, and the surviving labels frame is registered in
+    * [[graft.GraftCache]] so the session can drop it once consumed.
     */
-  private[operators] def propagateClusters(pairs: DataFrame): DataFrame = {
+  private[operators] def propagateClusters(
+      pairs: DataFrame,
+      maxRounds: Int = PropagateMaxRounds): DataFrame = {
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var pinned = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = pinned
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < 50) {
+    while (changed > 0 && round < maxRounds) {
       // Every node's new label: min over its own and its neighbours'.
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -242,11 +264,21 @@ object Dedup {
           col("label").as("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("label") < col("old")).count()
-      val prev = labels
+      pinned.unpersist(blocking = false)
+      pinned = next
       labels = next.select("id", "label")
-      prev.unpersist()
       round += 1
     }
+    edges.unpersist(blocking = false)
+    if (changed > 0) {
+      pinned.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"propagateClusters did not converge after $maxRounds rounds " +
+          s"($changed labels still changing): input is not a near-dup pair " +
+          "graph (diameter should be ≲ 3)")
+    }
+    graft.GraftCache.register(
+      s"dedup.propagate.labels:${System.identityHashCode(pairs)}", pinned)
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

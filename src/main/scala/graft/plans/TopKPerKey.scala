@@ -69,9 +69,15 @@ case class TopKPerKeyExec(
       val heaps = scala.collection.mutable.AnyRefMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
+        // Probe with the REUSED projected row first; copy the key only
+        // when inserting a new heap — a per-row UnsafeRow copy here
+        // would undo part of the bounded-heap win.
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new scala.collection.mutable.PriorityQueue[InternalRow]()(ord))
+        var heap = heaps.getOrNull(key)
+        if (heap == null) {
+          heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+          heaps.update(key.copy(), heap)
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

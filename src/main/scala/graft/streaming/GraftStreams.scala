@@ -164,8 +164,11 @@ object GraftStreams {
     */
   case class DocArrival(doc_id: Long, fingerprint: String)
 
-  /** Streaming dedup verdict: `keeper_id` is the first doc seen with
-    * this fingerprint; a row is a duplicate iff doc_id != keeper_id.
+  /** Streaming dedup verdict: `keeper_id` is the FIRST doc seen with
+    * this fingerprint (min doc_id within the first micro-batch that
+    * carried it, which makes the choice deterministic under unordered
+    * within-batch delivery); a row is a duplicate iff
+    * doc_id != keeper_id.
     */
   case class DedupVerdict(doc_id: Long, fingerprint: String, keeper_id: Long)
 
@@ -173,9 +176,14 @@ object GraftStreams {
     * stream — the streaming twin of
     * [[graft.operators.Dedup.dedup01Exact]]. Keyed state per
     * fingerprint holds only the keeper id (O(distinct fingerprints)
-    * state, the minimum any exact dedup must hold); arrival order
-    * within a batch is normalized to doc_id order so the keeper is
-    * deterministic.
+    * state, the minimum any exact dedup must hold).
+    *
+    * TRUE first-seen semantics: once a keeper is committed it is never
+    * lowered, so verdicts for one fingerprint are mutually consistent
+    * across micro-batches (an append-mode sink can never retract the
+    * earlier ones). When arrivals are doc_id-ordered this coincides
+    * with batch dedup01's global-min keeper; under out-of-order arrival
+    * it stays prefix-consistent instead of silently diverging.
     */
   def streamingExactDedup(docs: Dataset[DocArrival]): Dataset[DedupVerdict] = {
     implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
@@ -186,13 +194,9 @@ object GraftStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (fp: String, arrivals: Iterator[DocArrival], state: GroupState[Long]) =>
           val sorted = arrivals.toSeq.sortBy(_.doc_id)
-          var keeper = state.getOption.getOrElse(Long.MaxValue)
-          val out = sorted.map { d =>
-            if (d.doc_id < keeper) keeper = d.doc_id
-            DedupVerdict(d.doc_id, fp, keeper)
-          }
-          state.update(keeper)
-          out.iterator
+          val keeper = state.getOption.getOrElse(sorted.head.doc_id)
+          if (!state.exists) state.update(keeper)
+          sorted.iterator.map(d => DedupVerdict(d.doc_id, fp, keeper))
       }
   }
 }

@@ -55,6 +55,25 @@ class DedupSpec extends SparkSpec {
     assert(viaUf.values.toSet.subsetOf(viaUf.keySet))
   }
 
+  test("propagateClusters converges on a chain graph (diameter = rounds)") {
+    import spark.implicits._
+    // Path 0-1-2-...-7: worst case for min-label propagation (the min
+    // label travels one hop per round), all nodes end in cluster 0.
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Dedup.propagateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 7L).map(_ -> 0L).toMap)
+  }
+
+  test("propagateClusters fails loudly instead of returning un-converged ids") {
+    import spark.implicits._
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Dedup.propagateClusters(chain, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("simhashDocs (codegen agg) equals simhash64 (column HOF) per document") {
     val viaAgg = Dedup.simhashDocs(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

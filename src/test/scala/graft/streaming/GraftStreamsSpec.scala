@@ -191,6 +191,26 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed.length == arrivals.length)
   }
 
+  test("streaming dedup keeper is stable when a smaller doc_id arrives late") {
+    import spark.implicits._
+    val stream = MemoryStream[GraftStreams.DocArrival](spark)
+    val q = GraftStreams.streamingExactDedup(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(GraftStreams.DocArrival(5L, "fp"))
+      q.processAllAvailable()
+      stream.addData(GraftStreams.DocArrival(3L, "fp"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("dedup_late_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // First-seen semantics: doc 5 was committed as keeper in batch 1;
+    // the late-arriving smaller doc 3 must NOT become its own keeper
+    // (that would contradict the already-emitted verdict for doc 5).
+    assert(verdicts == Map(5L -> 5L, 3L -> 5L))
+  }
+
   test("sessionize recovers keyed state from checkpoint across query restarts") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
