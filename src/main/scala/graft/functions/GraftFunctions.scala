@@ -21,6 +21,13 @@ object GraftFunctions {
     GraftShim.column(
       L2Distance(GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Winnowing (MOSS) fingerprint set of a STRING column as
+    * ARRAY<BIGINT> (native expression — one per-document pass, no
+    * explode/window shuffle).
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftShim.column(WinnowFingerprints(GraftShim.expression(text), k, w))
+
   /** SimHash aggregate over a BIGINT token-hash column (native
     * TypedImperativeAggregate — 64-counter vote buffer, map-side
     * partial aggregation).

@@ -125,34 +125,23 @@ object TextAnalysis {
     * every K-char-gram, then keep the minimum hash of each sliding
     * window of W grams — a position-robust fingerprint set that
     * guarantees any shared substring of length ≥ K+W-1 yields a shared
-    * fingerprint. The k-gram hash is md5-derived (engine-portable,
-    * recomputed per gram inside codegen rather than rolled — columnar
-    * batches share no state across rows; output is identical to a
-    * rolled Rabin-Karp selection).
+    * fingerprint. The k-gram hash is md5-derived (engine-portable —
+    * DuckDB replays it verbatim).
+    *
+    * Winnowing is per-document work, so the whole selection runs inside
+    * the native [[graft.functions.WinnowFingerprints]] expression: one
+    * pass per document in the scan stage. The declarative twin (explode
+    * every gram position → window min → distinct) computes the same set
+    * but materializes one row per corpus CHARACTER and shuffles twice —
+    * measured 4–6× slower at sf0.1; it survives as the spec oracle in
+    * TextAnalysisSpec.
     */
   def text09WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val K = 8
     val W = 4
-    // Explode gram positions and hash per ROW (whole-stage codegen'd
-    // md5) rather than inside a transform() lambda — higher-order
-    // function bodies are interpreted per element, measured 2× slower.
-    // The sliding-window min is then one window over (doc_id, i).
-    val nGrams = greatest(length(col("text")) - (K - 1), lit(0))
-    val grams = documents(spark, dir)
-      .select(col("doc_id"), col("text"), nGrams.as("ng"))
-      .filter(col("ng") > 0)
-      .select(col("doc_id"), col("ng"),
-        explode(sequence(lit(1), col("ng"), lit(1))).as("i"),
-        col("text"))
-      .select(col("doc_id"), col("ng"), col("i"),
-        conv(substring(md5(col("text").substr(col("i"), lit(K))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("i").rowsBetween(0, W - 1)
-    grams
-      .withColumn("fingerprint", min("h").over(w))
-      .filter(col("i") <= col("ng") - (W - 1))
-      .select("doc_id", "fingerprint").distinct()
+    documents(spark, dir)
+      .select(col("doc_id"),
+        explode(winnowFingerprints(col("text"), K, W)).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
   }
 

@@ -6,6 +6,67 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("winnow expression equals the declarative explode+window+distinct twin") {
+    val K = 8
+    val W = 4
+    // The declarative formulation text09 used to run: one row per gram
+    // position, window min, distinct. Kept here as the semantic oracle
+    // for the native expression.
+    val nGrams = greatest(length(col("text")) - (K - 1), lit(0))
+    val grams = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), nGrams.as("ng"))
+      .filter(col("ng") > 0)
+      .select(col("doc_id"), col("ng"),
+        explode(sequence(lit(1), col("ng"), lit(1))).as("i"), col("text"))
+      .select(col("doc_id"), col("ng"), col("i"),
+        conv(substring(md5(col("text").substr(col("i"), lit(K))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i").rowsBetween(0, W - 1)
+    val declarative = grams
+      .withColumn("fingerprint", min("h").over(w))
+      .filter(col("i") <= col("ng") - (W - 1))
+      .select("doc_id", "fingerprint").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = TextAnalysis.text09WinnowFingerprint(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
+  test("winnow expression edge cases: short text empty, non-ASCII handled") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "tiny"),                      // < K chars: no gram at all
+      (2L, "exactly11ch"),               // ng = 4 = W: exactly one window
+      (3L, "caffé latté with ünïcode — multibyte chars beyond ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), winnowFingerprints(col("text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L).isEmpty)
+    assert(df(2L).length == 1)
+    // Non-ASCII path must agree with the md5-over-UTF8-substring contract.
+    val viaSql = Seq((3L, "caffé latté with ünïcode — multibyte chars beyond ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").substr(lit(1), lit(8))), 1, 8), 16, 10)
+          .cast("long").as("h1"))
+      .collect().head.getLong(1)
+    val first8GramMin = df(3L)
+    assert(first8GramMin.nonEmpty)
+    // h1 is the hash of gram 1; the fingerprint set must contain the min
+    // of SOME window, all of which are gram hashes — so h1 may or may
+    // not be selected, but every fingerprint must be a valid gram hash.
+    val allGramHashes = Seq((3L, "caffé latté with ünïcode — multibyte chars beyond ascii"))
+      .toDF("doc_id", "text")
+      .select(explode(sequence(lit(1), length(col("text")) - 7)).as("i"), col("text"))
+      .select(conv(substring(md5(col("text").substr(col("i"), lit(8))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(first8GramMin.toSet.subsetOf(allGramHashes))
+    assert(allGramHashes.contains(viaSql))
+  }
+
   test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
     val fps = TextAnalysis.text09WinnowFingerprint(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
