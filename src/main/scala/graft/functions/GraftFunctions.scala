@@ -36,6 +36,15 @@ object GraftFunctions {
     GraftShim.column(
       SimHashAgg(GraftShim.expression(tokenHash)).toAggregateExpression())
 
+  /** MinHash signature aggregate over a BIGINT shingle-hash column
+    * (native TypedImperativeAggregate — all components derived in one
+    * JVM loop per row, map-side partial min-merge).
+    */
+  def minhashAgg(shingleHash: Column, numHashes: Int): Column =
+    GraftShim.column(
+      MinHashAgg(GraftShim.expression(shingleHash), numHashes)
+        .toAggregateExpression())
+
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (stable math across engines). */
   def asDoubleArray(c: Column): Column = c.cast("array<double>")
 

@@ -81,20 +81,19 @@ object Dedup {
 
   /** MinHash signatures: one row per doc, ARRAY<BIGINT> of NumHashes
     * min-hashes. One shuffle (the groupBy). The shingle STRING is hashed
-    * exactly once (`xxhash64(s)`); the NumHashes component hashes are
-    * derived from that 64-bit value with seeded long-hashing — hashing a
-    * fixed-width long is ~an order of magnitude cheaper than re-hashing
-    * the string 128×, and seeded re-hashes of a 64-bit universal hash
-    * stay pairwise-independent enough for MinHash (the dedup03 spec
-    * pins recall by asserting equality with the exact pair set).
+    * exactly once (`xxhash64(s)`); the NumHashes component hashes derive
+    * from that 64-bit value inside ONE native aggregate
+    * ([[graft.functions.MinHashAgg]] — splitmix64 re-mixes in a tight
+    * JVM loop, partial buffers min-merged map-side). The expression
+    * formulation (128 separate `min(xxhash64(seed, h0))` columns) pays
+    * one aggregate-update path per component per row — measured ~3×
+    * slower. Recall is unchanged: the dedup03 spec pins output equality
+    * with the exact pair set.
     */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+  def minhashSignatures(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), xxhash64(col("s")).as("h0"))
       .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      .agg(minhashAgg(col("h0"), NumHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band bucket. The pair space
     * collapses from O(n²) to an equi-join on (band, bucket-hash).
