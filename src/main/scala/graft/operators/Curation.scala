@@ -49,14 +49,14 @@ object Curation {
     * contamination evidence (max overlap against any benchmark doc).
     */
   def cur03Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        explode(shinglesFromTokens(col("toks"), 3)).as("s"))
+    // Shares Dedup's cached (doc_id, source, h) shingle frame — same
+    // 3-gram shingling, and joining/counting on the 64-bit shingle hash
+    // instead of the string shrinks the cross-source shuffle.
+    val docs = Dedup.shingleRows(spark, dir)
     val train = docs.filter(col("source") =!= "src0")
-      .select(col("doc_id").as("train_id"), col("s"))
+      .select(col("doc_id").as("train_id"), col("h").as("s"))
     val bench = docs.filter(col("source") === "src0")
-      .select(col("doc_id").as("bench_id"), col("s"))
+      .select(col("doc_id").as("bench_id"), col("h").as("s"))
     val trainSizes = train.groupBy("train_id").agg(count(lit(1)).as("n_shingles"))
     train.join(bench, Seq("s"))
       .groupBy("train_id", "bench_id")

@@ -19,28 +19,38 @@ object Dedup {
   val NumHashes = 128
   val Bands = 32 // 32 bands × 4 rows: P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8
 
-  /** Distinct word-shingle per (doc_id, shingle) pairs, persisted via
-    * [[graft.GraftCache]]: every consumer (signature build, candidate
-    * join, exact verify, size counts — across dedup02/03/06) branches
-    * from ONE shared persisted copy per (session, dir), and the session
-    * can drop it with `GraftCache.release()`. MEMORY_AND_DISK so a
-    * 100 TB corpus spills instead of OOMing.
+  /** Distinct word-shingles as (doc_id, source, h) rows — `h` is the
+    * 64-bit xxhash64 of the shingle STRING, hashed exactly once here;
+    * every downstream join/count works on the long. Dropping the string
+    * from the frame shrinks the cache and every shuffle built on it,
+    * and set operations on the hashes equal set operations on the
+    * shingles modulo 64-bit collisions (birthday bound ~D²/2⁶⁵ — at
+    * 100 TB a handful of collisions perturb an `inter` count by ±1
+    * against sizes in the hundreds, never a Jaccard threshold).
+    *
+    * Persisted via [[graft.GraftCache]]: every consumer (signature
+    * build, candidate join, exact verify, size counts — across
+    * dedup02/03/06 and cur03) branches from ONE shared persisted copy
+    * per (session, dir), released by `GraftCache.release()`.
+    * MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
     */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
     graft.GraftCache.getOrPersist(
       s"dedup.shingles:$dir:${System.identityHashCode(spark)}") {
       documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
           explode(shinglesFromTokens(col("toks"), ShingleSize)).as("s"))
+        .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
     }
 
   /** Exact Jaccard for a pair set (expects columns da, db). */
   private def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val shk = sh.select(col("doc_id"), col("h").as("k"))
     val inter = pairs
-      .join(sh.withColumnRenamed("doc_id", "da").withColumnRenamed("s", "k"), Seq("da"))
-      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("s", "k"), Seq("db", "k"))
+      .join(shk.withColumnRenamed("doc_id", "da"), Seq("da"))
+      .join(shk.withColumnRenamed("doc_id", "db"), Seq("db", "k"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -66,7 +76,7 @@ object Dedup {
   def dedup02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(spark, dir)
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
@@ -80,9 +90,10 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, ARRAY<BIGINT> of NumHashes
-    * min-hashes. One shuffle (the groupBy). The shingle STRING is hashed
-    * exactly once (`xxhash64(s)`); the NumHashes component hashes derive
-    * from that 64-bit value inside ONE native aggregate
+    * min-hashes. One shuffle (the groupBy). The shingle STRING was
+    * hashed exactly once upstream ([[shingleRows]]' `h`); the NumHashes
+    * component hashes derive from that 64-bit value inside ONE native
+    * aggregate
     * ([[graft.functions.MinHashAgg]] — splitmix64 re-mixes in a tight
     * JVM loop, partial buffers min-merged map-side). The expression
     * formulation (128 separate `min(xxhash64(seed, h0))` columns) pays
@@ -91,9 +102,8 @@ object Dedup {
     * with the exact pair set.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("s")).as("h0"))
-      .groupBy("doc_id")
-      .agg(minhashAgg(col("h0"), NumHashes).as("sig"))
+    sh.groupBy("doc_id")
+      .agg(minhashAgg(col("h"), NumHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band bucket. The pair space
     * collapses from O(n²) to an equi-join on (band, bucket-hash).
