@@ -21,6 +21,13 @@ object GraftFunctions {
     GraftShim.column(
       L2Distance(GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Distinct hashed word n-gram shingles of a STRING column as
+    * ARRAY<BIGINT> (native expression — tokenize, hash, combine, dedup
+    * in one per-document pass).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
+
   /** Winnowing (MOSS) fingerprint set of a STRING column as
     * ARRAY<BIGINT> (native expression — one per-document pass, no
     * explode/window shuffle).

@@ -19,14 +19,16 @@ object Dedup {
   val NumHashes = 128
   val Bands = 32 // 32 bands × 4 rows: P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8
 
-  /** Distinct word-shingles as (doc_id, source, h) rows — `h` is the
-    * 64-bit xxhash64 of the shingle STRING, hashed exactly once here;
-    * every downstream join/count works on the long. Dropping the string
-    * from the frame shrinks the cache and every shuffle built on it,
-    * and set operations on the hashes equal set operations on the
-    * shingles modulo 64-bit collisions (birthday bound ~D²/2⁶⁵ — at
-    * 100 TB a handful of collisions perturb an `inter` count by ±1
-    * against sizes in the hundreds, never a Jaccard threshold).
+  /** Distinct word-shingles as (doc_id, source, h) rows — `h` is a
+    * 64-bit shingle hash produced by the native
+    * [[graft.functions.ShingleHashes]] expression (tokenize + hash +
+    * dedup in one per-document pass); every downstream join/count works
+    * on the long. No shingle STRING is ever materialized, which shrinks
+    * the cache and every shuffle built on it, and set operations on the
+    * hashes equal set operations on the shingles modulo 64-bit
+    * collisions (birthday bound ~D²/2⁶⁵ — at 100 TB a handful of
+    * collisions perturb an `inter` count by ±1 against sizes in the
+    * hundreds, never a Jaccard threshold).
     *
     * Persisted via [[graft.GraftCache]]: every consumer (signature
     * build, candidate join, exact verify, size counts — across
@@ -38,10 +40,8 @@ object Dedup {
     graft.GraftCache.getOrPersist(
       s"dedup.shingles:$dir:${System.identityHashCode(spark)}") {
       documents(spark, dir)
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("source"),
-          explode(shinglesFromTokens(col("toks"), ShingleSize)).as("s"))
-        .select(col("doc_id"), col("source"), xxhash64(col("s")).as("h"))
+          explode(shingleHashes(col("text"), ShingleSize)).as("h"))
     }
 
   /** Exact Jaccard for a pair set (expects columns da, db). */
