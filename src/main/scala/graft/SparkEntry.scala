@@ -72,6 +72,7 @@ object SparkEntry {
     "text07_bigrams" -> TextAnalysis.text07Bigrams _,
     "text08_bpe_tokens" -> TextAnalysis.text08BpeTokens _,
     "text09_winnow_fingerprint" -> TextAnalysis.text09WinnowFingerprint _,
+    "text10_repetition" -> TextAnalysis.text10Repetition _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -82,10 +83,12 @@ object SparkEntry {
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
     "sim04_l2_topk" -> Similarity.sim04L2TopK _,
+    "sim05_radius_search" -> Similarity.sim05RadiusSearch _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
     "cur04_quality_filter" -> Curation.cur04QualityFilter _,
+    "cur05_mix_weights" -> Curation.cur05MixWeights _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -484,6 +487,25 @@ object SparkEntry {
            FROM h)
          SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM w
          ORDER BY doc_id, fingerprint""",
+    "text10_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
+         wc AS (SELECT doc_id, g, count(*) AS n FROM w GROUP BY 1, 2),
+         ws AS (SELECT doc_id,
+             round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_word_frac,
+             round(1 - CAST(count(*) AS DOUBLE) / sum(n), 4) AS dup_word_frac
+           FROM wc GROUP BY 1),
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t),
+         bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2),
+         bs AS (SELECT doc_id,
+             round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_frac,
+             round(1 - CAST(count(*) AS DOUBLE) / sum(n), 4) AS dup_bigram_frac
+           FROM bc GROUP BY 1)
+         SELECT ws.doc_id, top_word_frac, dup_word_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac
+         FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs
@@ -579,6 +601,22 @@ object SparkEntry {
                  PARTITION BY q_id ORDER BY dist, vec_id) AS rk FROM s)
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, dist FROM r
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    "sim05_radius_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5)
+         SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 4) AS cos
+         FROM q, e WHERE vec_id <> q_id
+           AND round(list_cosine_similarity(qv, v), 4) >= 0.35
+         ORDER BY q_id, vec_id""",
+    "cur05_mix_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot, count(*) AS k FROM s)
+         SELECT source, n_docs, n_chars_total,
+           round(n_docs / tot, 6) AS actual_share,
+           round((1.0 / k) / (n_docs / tot), 4) AS weight
+         FROM s, t ORDER BY source""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

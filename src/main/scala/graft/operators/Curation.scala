@@ -73,6 +73,29 @@ object Curation {
     * Single pass: the flag is computed inline, no second scan for the
     * drop set.
     */
+  /** cur05: corpus mixing weights — the per-source sampling weight that
+    * rebalances the corpus toward a target mix (here: uniform across
+    * sources; swap the target vector at deploy). weight =
+    * target_share / actual_share, so sampling each source's documents
+    * with probability ∝ weight yields the target mix in expectation —
+    * the knob every multi-source pre-training data pipeline tunes.
+    * One aggregate over the corpus; the share/weight math is a window
+    * over the tiny per-source output.
+    */
+  def cur05MixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val agg = documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+    val w = Window.partitionBy()
+    agg
+      .withColumn("actual_share",
+        round(col("n_docs") / sum("n_docs").over(w), 6))
+      .withColumn("weight",
+        round((lit(1.0) / count(lit(1)).over(w)) /
+          (col("n_docs") / sum("n_docs").over(w)), 4))
+      .orderBy("source")
+  }
+
   def cur04QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = greatest(size(toks), lit(1)).cast("double")

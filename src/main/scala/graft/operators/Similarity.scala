@@ -110,6 +110,27 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim05: radius (range) search — ALL neighbors within a cosine
+    * threshold, not a fixed top-k: the retrieval mode RAG-style
+    * filtering and near-dup audits use when the neighbor count is
+    * unknown a priori. Same scale shape as sim01 — corpus scanned once
+    * against the broadcast query set, no corpus shuffle — but the
+    * selection is a codegen'd filter instead of a per-key heap, so the
+    * operator is a single narrow pass plus the presentation sort.
+    * Thresholding happens on the 4-dp-rounded score (engine-stable).
+    */
+  def sim05RadiusSearch(spark: SparkSession, dir: String): DataFrame = {
+    val Radius = 0.35
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .filter(col("cos") >= Radius)
+      .orderBy("q_id", "vec_id")
+  }
+
   /** sim03: IVF-style ANN. A small coarse-quantizer codebook (here: a
     * deterministic sample of the corpus standing in for k-means
     * centroids — swap in real trained centroids at deploy) partitions

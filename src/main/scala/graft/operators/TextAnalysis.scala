@@ -145,6 +145,40 @@ object TextAnalysis {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** text10: repetition signals — the Gopher-style within-document
+    * repetition measures (Rae et al. 2021, "Scaling Language Models:
+    * ... Gopher", §A.1.1) used to drop degenerate/boilerplate docs:
+    * top/duplicate word fraction and top/duplicate bigram fraction.
+    * Shape: explode grams → per-(doc, gram) count → per-doc aggregate —
+    * two shuffles, both with map-side partial aggregation; the bigram
+    * stats left-join the word stats on doc_id (docs with <2 tokens have
+    * no bigrams → fractions 0).
+    */
+  def text10Repetition(spark: SparkSession, dir: String): DataFrame = {
+    def gramStats(grams: DataFrame, prefix: String): DataFrame =
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(
+          round(max("n") / sum("n"), 4).as(s"top_${prefix}_frac"),
+          round(lit(1.0) - count(lit(1)) / sum("n"), 4).as(s"dup_${prefix}_frac"))
+    val docs = documents(spark, dir)
+    val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("g"))
+    val toks = col("toks")
+    val bigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(toks) > 1,
+        transform(sequence(lit(0), size(toks) - 2, lit(1)),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    gramStats(words, "word")
+      .join(gramStats(bigrams, "bigram"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("top_word_frac"), col("dup_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** text07: corpus top-k bigram frequency — like text05 but over
     * 2-gram shingles (all occurrences, not per-doc distinct), the
     * n-gram statistics a tokenizer-training / contamination-check

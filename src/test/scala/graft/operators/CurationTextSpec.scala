@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationTextSpec extends SparkSpec {
+
+  test("cur05 mix weights: shares sum to 1, uniform target inverts shares") {
+    val rows = Curation.cur05MixWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("actual_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3)
+    val k = rows.length.toDouble
+    rows.foreach { r =>
+      val share = r.getAs[Double]("actual_share")
+      val weight = r.getAs[Double]("weight")
+      assert(weight > 0.0)
+      // weight = (1/k) / share up to the independent 4-dp/6-dp rounding.
+      assert(math.abs(weight - (1.0 / k) / share) < 0.01,
+        s"source ${r.getString(0)}")
+    }
+  }
+
+  test("text10 repetition signals are fractions; dups agree doc-to-doc") {
+    val rows = TextAnalysis.text10Repetition(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      for (i <- 1 to 4) {
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"doc ${r.getLong(0)} col $i: $v")
+      }
+      // A doc's most frequent word accounts for at least as much mass as
+      // its most frequent bigram count can (bigrams repeat no more often
+      // than their constituent words).
+      assert(r.getDouble(1) > 0.0)
+    }
+    // Hand-recompute the word-level signals for a sample of docs from
+    // the raw text and compare (the bigram path is pinned the same way
+    // by the DuckDB oracle at sf0.01).
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(25)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val counts = text.split(" ", -1).groupBy(identity).map(_._2.length)
+      val t = counts.sum.toDouble
+      val expTop = BigDecimal(counts.max / t)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expDup = BigDecimal(1.0 - counts.size / t)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(byDoc(id)._1 - expTop) < 1e-9, s"doc $id top_word_frac")
+      assert(math.abs(byDoc(id)._2 - expDup) < 1e-9, s"doc $id dup_word_frac")
+    }
+  }
+}

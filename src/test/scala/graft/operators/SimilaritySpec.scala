@@ -7,6 +7,23 @@ class SimilaritySpec extends SparkSpec {
   private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet // (q_id, vec_id)
 
+  test("sim05 radius search: exactly the brute-force pairs above threshold") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+    val got = Similarity.sim05RadiusSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = Dedup.vectors(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val brute = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    assert(got.forall(_._3 >= 0.35))
+  }
+
   test("sim02 (LSH ANN) recall vs sim01 (exact) is usable") {
     val exact = pairs(Similarity.sim01BruteForceTopK(spark, sf))
     val approx = pairs(Similarity.sim02LshAnn(spark, sf))
