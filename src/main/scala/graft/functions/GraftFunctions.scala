@@ -45,12 +45,22 @@ object GraftFunctions {
 
   /** MinHash signature aggregate over a BIGINT shingle-hash column
     * (native TypedImperativeAggregate — all components derived in one
-    * JVM loop per row, map-side partial min-merge).
+    * JVM loop per row, map-side partial min-merge). Use when shingle
+    * hashes arrive as a ROW STREAM (e.g. incremental pipelines); for a
+    * materialized per-doc array use [[minhashSignature]].
     */
   def minhashAgg(shingleHash: Column, numHashes: Int): Column =
     GraftShim.column(
       MinHashAgg(GraftShim.expression(shingleHash), numHashes)
         .toAggregateExpression())
+
+  /** MinHash signature of an ARRAY<BIGINT> shingle-hash column (native
+    * scalar expression — zero shuffles; byte-identical to
+    * [[minhashAgg]] over the exploded array).
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    GraftShim.column(
+      MinHashSignature(GraftShim.expression(shingleHashes), numHashes))
 
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (stable math across engines). */
   def asDoubleArray(c: Column): Column = c.cast("array<double>")

@@ -57,7 +57,11 @@ object Curation {
       .select(col("doc_id").as("train_id"), col("h").as("s"))
     val bench = docs.filter(col("source") === "src0")
       .select(col("doc_id").as("bench_id"), col("h").as("s"))
-    val trainSizes = train.groupBy("train_id").agg(count(lit(1)).as("n_shingles"))
+    // Per-doc shingle-set size straight off the cached array frame —
+    // no counting shuffle.
+    val trainSizes = Dedup.shingleArrays(spark, dir)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), size(col("hs")).as("n_shingles"))
     train.join(bench, Seq("s"))
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("overlap"))

@@ -19,35 +19,46 @@ object Dedup {
   val NumHashes = 128
   val Bands = 32 // 32 bands × 4 rows: P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8
 
-  /** Distinct word-shingles as (doc_id, source, h) rows — `h` is a
-    * 64-bit shingle hash produced by the native
+  /** Distinct word-shingle HASH SETS per document:
+    * (doc_id, source, hs array<long>) — built by the native
     * [[graft.functions.ShingleHashes]] expression (tokenize + hash +
-    * dedup in one per-document pass); every downstream join/count works
-    * on the long. No shingle STRING is ever materialized, which shrinks
-    * the cache and every shuffle built on it, and set operations on the
-    * hashes equal set operations on the shingles modulo 64-bit
-    * collisions (birthday bound ~D²/2⁶⁵ — at 100 TB a handful of
-    * collisions perturb an `inter` count by ±1 against sizes in the
-    * hundreds, never a Jaccard threshold).
+    * dedup in one per-document pass); no shingle STRING is ever
+    * materialized. Set operations on the hashes equal set operations on
+    * the shingles modulo 64-bit collisions (birthday bound ~D²/2⁶⁵ —
+    * at 100 TB a handful of collisions perturb an `inter` count by ±1
+    * against sizes in the hundreds, never a Jaccard threshold).
     *
-    * Persisted via [[graft.GraftCache]]: every consumer (signature
-    * build, candidate join, exact verify, size counts — across
-    * dedup02/03/06 and cur03) branches from ONE shared persisted copy
-    * per (session, dir), released by `GraftCache.release()`.
-    * MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
+    * Cached in ARRAY form (one row per document — far cheaper to
+    * persist than the exploded row form) via [[graft.GraftCache]]:
+    * every consumer across dedup02/03/06 and cur03 branches from ONE
+    * shared persisted copy per (session, dir), released by
+    * `GraftCache.release()`. Per-doc set SIZE is `size(hs)` (no
+    * counting shuffle) and MinHash signatures come from the scalar
+    * [[graft.functions.MinHashSignature]] expression (no aggregation
+    * shuffle); only the candidate equi-joins explode to rows, and that
+    * explode is narrow work over the cached arrays.
     */
-  private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     graft.GraftCache.getOrPersist(
-      s"dedup.shingles:$dir:${System.identityHashCode(spark)}") {
+      s"dedup.shingleArrays:$dir:${System.identityHashCode(spark)}") {
       documents(spark, dir)
         .select(col("doc_id"), col("source"),
-          explode(shingleHashes(col("text"), ShingleSize)).as("h"))
+          shingleHashes(col("text"), ShingleSize).as("hs"))
     }
 
-  /** Exact Jaccard for a pair set (expects columns da, db). */
-  private def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val shk = sh.select(col("doc_id"), col("h").as("k"))
+  /** Exploded (doc_id, source, h) rows — derived narrowly from the
+    * cached array frame, NOT persisted itself.
+    */
+  private[operators] def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleArrays(spark, dir)
+      .select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+
+  /** Exact Jaccard for a pair set (expects columns da, db). Set sizes
+    * are `size(hs)` off the cached array frame — no counting shuffle.
+    */
+  private def exactJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val sizes = shingleArrays(spark, dir).select(col("doc_id"), size(col("hs")).as("c"))
+    val shk = shingleRows(spark, dir).select(col("doc_id"), col("h").as("k"))
     val inter = pairs
       .join(shk.withColumnRenamed("doc_id", "da"), Seq("da"))
       .join(shk.withColumnRenamed("doc_id", "db"), Seq("db", "k"))
@@ -79,7 +90,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val sizes = shingleArrays(spark, dir).select(col("doc_id"), size(col("hs")).as("c"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), Seq("da"))
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), Seq("db"))
@@ -90,20 +101,18 @@ object Dedup {
   }
 
   /** MinHash signatures: one row per doc, ARRAY<BIGINT> of NumHashes
-    * min-hashes. One shuffle (the groupBy). The shingle STRING was
-    * hashed exactly once upstream ([[shingleRows]]' `h`); the NumHashes
-    * component hashes derive from that 64-bit value inside ONE native
-    * aggregate
-    * ([[graft.functions.MinHashAgg]] — splitmix64 re-mixes in a tight
-    * JVM loop, partial buffers min-merged map-side). The expression
-    * formulation (128 separate `min(xxhash64(seed, h0))` columns) pays
-    * one aggregate-update path per component per row — measured ~3×
-    * slower. Recall is unchanged: the dedup03 spec pins output equality
-    * with the exact pair set.
+    * min-hashes — ZERO shuffles. The per-doc shingle-hash array is
+    * already materialized ([[shingleArrays]]), so the whole signature is
+    * the scalar [[graft.functions.MinHashSignature]] expression
+    * (splitmix64 re-mixes in a tight JVM loop) evaluated in the scan
+    * stage. Earlier formulations — 128 separate `min(xxhash64(seed,h0))`
+    * aggregate columns, then one [[graft.functions.MinHashAgg]] — each
+    * paid a full groupBy shuffle of the exploded shingle rows. Recall
+    * is unchanged: the dedup03 spec pins output equality with the exact
+    * pair set.
     */
-  def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(minhashAgg(col("h"), NumHashes).as("sig"))
+  def minhashSignatures(arrays: DataFrame): DataFrame =
+    arrays.select(col("doc_id"), minhashSignature(col("hs"), NumHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band bucket. The pair space
     * collapses from O(n²) to an equi-join on (band, bucket-hash).
@@ -123,14 +132,14 @@ object Dedup {
     * t=0.8) but the shingle join only ever sees LSH candidates.
     */
   def dedup03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
     // The verified pair set is tiny (near-dup pairs only) and feeds
     // downstream consumers (dedup06's clustering): persist it — through
     // the registry, so repeated dedup03/dedup06 calls share one pinned
     // copy and the session can release it.
     val verified = graft.GraftCache.getOrPersist(
       s"dedup.verified:$dir:${System.identityHashCode(spark)}") {
-      exactJaccard(sh, lshCandidates(minhashSignatures(sh)))
+      val cands = lshCandidates(minhashSignatures(shingleArrays(spark, dir)))
+      exactJaccard(spark, dir, cands)
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
     }

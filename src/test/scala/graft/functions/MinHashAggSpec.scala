@@ -50,6 +50,27 @@ class MinHashAggSpec extends SparkSpec {
     assert(got.sameElements(components(42L, 8)))
   }
 
+  test("scalar MinHashSignature equals MinHashAgg over the exploded rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(101L, 202L, 303L)),
+      (2L, Seq(101L, -404L)),
+      (3L, Seq.empty[Long]))
+      .toDF("doc_id", "hs")
+    val viaExpr = docs
+      .select(col("doc_id"), minhashSignature(col("hs"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id").agg(minhashAgg(col("h"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // Non-empty docs must agree byte-for-byte...
+    assert(viaExpr(1L) == viaAgg(1L))
+    assert(viaExpr(2L) == viaAgg(2L))
+    // ...and the empty doc (dropped by explode) gets the empty buffer.
+    assert(viaExpr(3L) == Seq.fill(16)(Long.MaxValue))
+  }
+
   test("identical shingle sets produce identical signatures (dedup premise)") {
     import spark.implicits._
     val rows = (1 to 40).flatMap(i => Seq((1L, i * 7919L), (2L, i * 7919L)))
