@@ -93,10 +93,6 @@ object GraftFunctions {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** One 64-bit MinHash component: min over shingles of xxhash64(seed, s). */
-  def minhashComponent(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => xxhash64(lit(seed), s)))
-
   /** LSH band keys from a minhash signature array: one 64-bit hash per
     * band of `rowsPerBand` signature components.
     */

@@ -49,6 +49,17 @@ class ShingleHashesSpec extends SparkSpec {
     }
   }
 
+  test("native text expressions registered as SQL functions via GraftExtensions") {
+    val row = spark.sql(
+      """SELECT size(shingle_hashes('a b c d', 3)) AS n,
+        |       size(winnow_fingerprints('abcdefghijklmnop', 8, 4)) AS w,
+        |       size(minhash_signature(array(1L, 2L), 8)) AS m""".stripMargin)
+      .collect().head
+    assert(row.getInt(0) == 2) // 4 tokens -> 2 distinct 3-gram shingles
+    assert(row.getInt(1) >= 1) // 16 chars -> 9 grams -> 6 windows -> >=1 fp
+    assert(row.getInt(2) == 8)
+  }
+
   test("empty and sub-n texts yield empty shingle sets") {
     val nat = nativeSets(3)
     assert(nat(6L).isEmpty) // 1 token < 3
