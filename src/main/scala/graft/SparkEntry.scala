@@ -48,6 +48,7 @@ object SparkEntry {
     "q29_lag_delta" -> Relational.q29LagDelta _,
     "q30_approx_stats" -> Relational.q30ApproxStats _,
     "q31_window_suite" -> Relational.q31WindowSuite _,
+    "q32_grouping_sets" -> Relational.q32GroupingSets _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -63,6 +64,7 @@ object SparkEntry {
     "etl13_bucketed_join" -> Etl.etl13BucketedJoin _,
     "etl14_reconcile" -> Etl.etl14Reconcile _,
     "etl15_expectations" -> Etl.etl15Expectations _,
+    "etl16_cdc_apply" -> Etl.etl16CdcApply _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -92,6 +94,7 @@ object SparkEntry {
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
+    "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _)
 
@@ -294,6 +297,17 @@ object SparkEntry {
                        ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderstatus, o_orderkey""",
+    "q32_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,
@@ -415,6 +429,17 @@ object SparkEntry {
                 (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
              (SELECT count(*) FROM orders))
          ORDER BY check_name""",
+    "etl16_cdc_apply" ->
+      """WITH log AS (SELECT user_id AS key, event_id AS seq,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'click' THEN 'U'
+                ELSE 'I' END AS op,
+           round(value, 2) AS value FROM events),
+         latest AS (SELECT key, seq, op, value,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+           FROM log)
+         SELECT key, seq AS last_seq, op AS last_op, value AS current_value
+         FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY key""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,
@@ -649,6 +674,22 @@ object SparkEntry {
            coalesce(max(CASE WHEN dim = 7 THEN fv END), 0.0) AS f7
          FROM n LEFT JOIN f ON n.doc_id = f.doc_id
          GROUP BY n.doc_id, n.n_bytes ORDER BY n.doc_id""",
+    "mm04_resize_stub" ->
+      // The fake resize kernel (nearest-neighbor sample a 16x9 grid of
+      // byte positions, sum) replayed via the same hex-decode trick as
+      // mm03; mean intensity is a pure function of the checksum so both
+      // engines compute it identically.
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+         n AS (SELECT doc_id, CAST(length(h)//2 AS INT) AS n_bytes, h FROM b),
+         s AS (SELECT doc_id, n_bytes,
+             CAST(sum(('0x' || substr(h,
+               CAST(2*((j*n_bytes)//144)+1 AS INT), 2))::INT) AS BIGINT)
+               AS checksum
+           FROM n, unnest(range(0, 144)) AS t(j)
+           WHERE n_bytes > 0 GROUP BY 1, 2)
+         SELECT doc_id, n_bytes, 16 AS out_w, 9 AS out_h, checksum,
+           round(checksum / 255.0 / 144, 4) AS mean_intensity
+         FROM s ORDER BY doc_id""",
     "stream01_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value

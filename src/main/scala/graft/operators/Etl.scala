@@ -333,6 +333,32 @@ object Etl {
       .orderBy("check_name")
   }
 
+  /** etl16: CDC change-log apply — reduce an insert/update/delete
+    * operation log to final table state, the step downstream of any
+    * Debezium-style capture feed. Op codes derive deterministically
+    * from `events` (error→D, click→U, else I; sequence = event_id).
+    * Latest-op-per-key is one window shuffle on the key (same bounded
+    * shape as etl05); delete handling and per-op audit counts are pure
+    * column logic on top — no second scan of the log.
+    */
+  def etl16CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = events(spark, dir)
+      .select(
+        col("user_id").as("key"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "click", "U")
+          .otherwise("I").as("op"),
+        round(col("value"), 2).as("value"))
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("seq").as("last_seq"), col("op").as("last_op"),
+        col("value").as("current_value"))
+      .orderBy("key")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the

@@ -71,18 +71,70 @@ object Multimodal {
       }
     }(enc).orderBy("doc_id")
   }
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("checksum", LongType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** mm04: batched resize/downsample plumbing — the nearest-neighbor
+    * sampling shape of an image resize kernel (pick OutW×OutH source
+    * positions, reduce), batched through mapPartitions exactly like
+    * mm03. The kernel is [[MultimodalStub.fakeResize]] (deterministic,
+    * SQL-replayable); a real codec swaps in behind the same schema and
+    * batch shape.
+    */
+  def mm04ResizeStub(spark: SparkSession, dir: String): DataFrame = {
+    val withMedia = documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    withMedia.mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val (checksum, mean) = MultimodalStub.fakeResize(bytes)
+          Row(r.getAs[Long]("doc_id"), bytes.length,
+            MultimodalStub.OutW, MultimodalStub.OutH, checksum, mean)
+        }
+      }
+    }(enc).orderBy("doc_id")
+  }
 }
 
 /** Decode stubs — the clearly-marked seam where real codecs plug in. */
 object MultimodalStub {
   val BatchSize = 64
   val FeatureDim = 8
+  val OutW = 16
+  val OutH = 9
 
   /** Real implementation would decode image bytes (JPEG/PNG) to
     * (width, height, pixels). Not available in this container.
     */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
     ??? // intentional stub: requires a codec library (e.g. javax.imageio at cluster deploy)
+
+  /** Deterministic fake "resize": nearest-neighbor-sample OutW×OutH
+    * byte positions (p_j = ⌊j·n/(OutW·OutH)⌋ — the index math of a real
+    * NN resize), return (checksum = Σ sampled bytes, mean intensity =
+    * checksum/255/samples rounded 4dp — a pure function of the checksum
+    * so both engines compute it identically). Empty media → (0, 0.0).
+    */
+  def fakeResize(bytes: Array[Byte]): (Long, Double) = {
+    val samples = OutW * OutH
+    val n = bytes.length
+    if (n == 0) return (0L, 0.0)
+    var sum = 0L
+    var j = 0
+    while (j < samples) {
+      sum += bytes((j.toLong * n / samples).toInt) & 0xFF
+      j += 1
+    }
+    (sum, math.round(sum / 255.0 / samples * 10000.0) / 10000.0)
+  }
 
   /** Deterministic fake FeatureDim-dim feature vector from media bytes
     * (stands in for an embedding model / DSP transform; same shape and

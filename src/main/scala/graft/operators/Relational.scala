@@ -361,6 +361,28 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** q32: explicit GROUPING SETS — the general form rollup/cube are
+    * sugar for: an arbitrary list of grouping combinations answered in
+    * ONE aggregate pass (Catalyst's Expand), instead of one scan per
+    * set UNION ALL'd. `grouping()` flags disambiguate subtotal NULLs
+    * from genuine NULL group values.
+    */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"),
+        grouping("o_orderstatus").as("g_status"),
+        grouping("o_orderpriority").as("g_priority"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** q30: sketch-based approximate statistics — HyperLogLog++ distinct
     * counts and quantile sketches. At 100 TB exact countDistinct
     * re-shuffles every distinct value; the sketches are fixed-size,

@@ -4,6 +4,21 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
+  test("fakeResize samples the full grid and handles edge sizes") {
+    // Uniform bytes: every sample reads the same value, so the
+    // checksum is exactly samples * value and the mean is value/255.
+    val uniform = Array.fill(1000)(0x41.toByte) // 'A' = 65
+    val (sum, mean) = MultimodalStub.fakeResize(uniform)
+    val samples = MultimodalStub.OutW * MultimodalStub.OutH
+    assert(sum == samples.toLong * 65)
+    assert(math.abs(mean - 65.0 / 255.0) < 1e-4)
+    // Media smaller than the grid: positions repeat, never out of range.
+    val tiny = Array[Byte](1, 2)
+    val (tinySum, _) = MultimodalStub.fakeResize(tiny)
+    assert(tinySum >= samples.toLong * 1 && tinySum <= samples.toLong * 2)
+    assert(MultimodalStub.fakeResize(Array.emptyByteArray) == (0L, 0.0))
+  }
+
   test("fakeFeatures is deterministic and has the declared shape") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     val f1 = MultimodalStub.fakeFeatures(bytes)
