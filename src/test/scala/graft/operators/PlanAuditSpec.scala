@@ -72,6 +72,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q32: grouping sets plan one Expand + one aggregate pass, not N scans") {
+    val plan = finalPlan(Relational.q32GroupingSets(spark, sf))
+    assert(plan.contains("Expand"), "grouping sets must plan through Expand")
+    // A per-set rescan strategy would surface as a Union of scans
+    // (AQE's toString shows the plan twice, so scan counts are not
+    // directly comparable — absence of Union pins the single pass).
+    assert(!plan.contains("Union"),
+      "grouping sets must not union one scan per set")
+  }
+
+  test("sim05: radius search broadcasts queries; corpus is never shuffled") {
+    val plan = finalPlan(Similarity.sim05RadiusSearch(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query set must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup03: MinHash signature build plans with zero exchanges") {
+    // The signature is a scalar expression over the cached per-doc
+    // array — any Exchange here means the groupBy shuffle crept back.
+    val sig = Dedup.minhashSignatures(Dedup.shingleArrays(spark, sf))
+    val plan = finalPlan(sig)
+    assert(!plan.contains("Exchange"),
+      s"signature build must be shuffle-free:\n${plan.take(1500)}")
+  }
+
   test("etl13: bucketed tables join without shuffling the join keys") {
     val df = Etl.etl13BucketedJoin(spark, sf)
     df.collect()
