@@ -158,6 +158,49 @@ object GraftStreams {
         col("purchase_value"))
   }
 
+  /** One change-log record on the CDC stream (op ∈ I/U/D, seq strictly
+    * orders ops per key).
+    */
+  case class CdcOp(key: Long, seq: Long, op: String, value: Double)
+
+  /** Current state of one key after applying the log so far; emitted on
+    * every change. `deleted` rows signal downstream to drop the key.
+    */
+  case class CdcState(key: Long, last_seq: Long, last_op: String,
+      current_value: Double, deleted: Boolean)
+
+  /** stream05 (incremental): CDC change-log apply — the streaming twin
+    * of [[graft.operators.Etl.etl16CdcApply]]. Keyed state holds the
+    * latest (seq, op, value) per key (O(keys), the minimum any
+    * materialized view must hold); each micro-batch applies its ops in
+    * seq order and emits the key's new current state. Late/duplicate
+    * ops with seq ≤ the applied high-water mark are ignored
+    * (exactly-once apply under at-least-once delivery). The final
+    * emitted state per key equals the batch operator's final table
+    * (spec-pinned).
+    */
+  def streamingCdcApply(ops: Dataset[CdcOp]): Dataset[CdcState] = {
+    implicit val stateEnc: Encoder[CdcState] = ExpressionEncoder()
+    implicit val longEnc: Encoder[Long] = ExpressionEncoder()
+    ops
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          val sorted = batch.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(
+            CdcState(key, Long.MinValue, "", 0.0, deleted = true))
+          var changed = false
+          sorted.foreach { o =>
+            if (o.seq > st.last_seq) {
+              st = CdcState(key, o.seq, o.op, o.value, deleted = o.op == "D")
+              changed = true
+            }
+          }
+          if (changed) { state.update(st); Iterator.single(st) }
+          else Iterator.empty
+      }
+  }
+
   /** One document on the dedup stream (fingerprint precomputed upstream,
     * e.g. by [[graft.operators.TextAnalysis.text04Fingerprint]]'s
     * normalized-md5 column logic).

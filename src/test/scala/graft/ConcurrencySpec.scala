@@ -13,15 +13,21 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("16 mixed queries submitted concurrently produce sequential results") {
+  test("24 mixed queries submitted concurrently produce sequential results") {
+    // Includes dedup02/03 deliberately: they share the GraftCache
+    // shingle frame, so the mix also races the registry's
+    // build-once path against real consumers.
     val names = Seq(
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
-      "q26_topk_custom", "q29_lag_delta",
+      "q26_topk_custom", "q29_lag_delta", "q32_grouping_sets",
       "etl01_select_rename_cast", "etl05_incremental_merge",
-      "text01_tokenize_count", "text04_fingerprint",
-      "dedup01_exact", "sim01_bruteforce_topk",
-      "cur02_corpus_stats", "mm01_binary_meta")
+      "etl16_cdc_apply",
+      "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
+      "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
+      "sim01_bruteforce_topk", "sim05_radius_search",
+      "cur02_corpus_stats", "cur05_mix_weights",
+      "mm01_binary_meta", "mm04_resize_stub")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap
     val concurrent = Await.result(

@@ -191,6 +191,51 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed.length == arrivals.length)
   }
 
+  test("streaming CDC apply converges to the batch etl16 final state") {
+    import spark.implicits._
+    val batch = graft.operators.Etl.etl16CdcApply(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+
+    val log = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2))
+      .collect()
+      .map { r =>
+        val op = r.getString(2) match {
+          case "error" => "D"
+          case "click" => "U"
+          case _       => "I"
+        }
+        GraftStreams.CdcOp(r.getLong(0), r.getLong(1), op, r.getDouble(3))
+      }
+      .sortBy(_.seq)
+    val (b1, b2) = log.splitAt(log.length / 2)
+
+    val stream = MemoryStream[GraftStreams.CdcOp](spark)
+    val q = GraftStreams.streamingCdcApply(stream.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      // Replay a slice of batch 1 inside batch 2: stale seqs must be
+      // ignored (at-least-once delivery -> exactly-once apply).
+      stream.addData((b1.takeRight(20) ++ b2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Last emitted state per key, surviving keys only.
+    val streamed = spark.table("cdc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getBoolean(4)))
+      .groupBy(_._1).map { case (k, states) => k -> states.maxBy(_._2) }
+    val live = streamed.collect { case (k, (_, seq, op, v, deleted)) if !deleted =>
+      k -> ((seq, op, v))
+    }
+    assert(live == batch)
+  }
+
   test("streaming dedup keeper is stable when a smaller doc_id arrives late") {
     import spark.implicits._
     val stream = MemoryStream[GraftStreams.DocArrival](spark)
