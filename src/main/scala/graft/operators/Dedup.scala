@@ -248,8 +248,7 @@ object Dedup {
     */
   val PropagateMaxRounds = 50
 
-  /** Distributed min-label propagation (huge pair graphs); at true
-    * 100 TB scale checkpoint `labels` every few rounds to cut lineage.
+  /** Distributed min-label propagation (huge pair graphs).
     *
     * Persist discipline: only the CURRENT round's frame stays pinned —
     * `pinned` always refers to the frame that `.persist()` was called
@@ -257,10 +256,17 @@ object Dedup {
     * and would leak one pinned frame per round). `edges` is released on
     * exit, and the surviving labels frame is registered in
     * [[graft.GraftCache]] so the session can drop it once consumed.
+    *
+    * Lineage: each round's plan references the previous round's cached
+    * frame, so after R rounds a lost cached partition would recompute
+    * through R chained joins. Every `checkpointEvery` rounds the frame
+    * is localCheckpoint'ed instead of persisted, truncating the plan —
+    * the standard iterative-algorithm hygiene at cluster scale.
     */
   private[operators] def propagateClusters(
       pairs: DataFrame,
-      maxRounds: Int = PropagateMaxRounds): DataFrame = {
+      maxRounds: Int = PropagateMaxRounds,
+      checkpointEvery: Int = 10): DataFrame = {
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -276,11 +282,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (round > 0 && round % checkpointEvery == 0)
+          stepped.localCheckpoint(eager = true)
+        else
+          stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("label") < col("old")).count()
       pinned.unpersist(blocking = false)
       pinned = next

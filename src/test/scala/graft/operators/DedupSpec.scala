@@ -65,6 +65,14 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 7L).map(_ -> 0L).toMap)
   }
 
+  test("propagateClusters with frequent lineage checkpoints is unchanged") {
+    import spark.implicits._
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Dedup.propagateClusters(chain, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 7L).map(_ -> 0L).toMap)
+  }
+
   test("propagateClusters fails loudly instead of returning un-converged ids") {
     import spark.implicits._
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("da", "db")
