@@ -1,9 +1,10 @@
 package graft.props
 
-import graft.functions.{CosineSimilarity, L2Distance, SimHashAgg}
+import graft.functions.{CosineSimilarity, L2Distance, MinHashAgg, MinHashSignature, ShingleHashes, SimHashAgg, WinnowFingerprints}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 import org.scalacheck.{Gen, Prop, Properties}
 
 /** ScalaCheck property suite for the native Catalyst pieces — the math
@@ -73,5 +74,78 @@ object GraftProps extends Properties("graft") {
         math.max(1, hashes.size / nSplits)).toSeq
       val shuffled = run(scala.util.Random.shuffle(splits))
       single == shuffled
+    }
+
+  // ---- native text expressions vs pure-Scala references ----
+
+  /** Random "documents": words over a tiny alphabet (to force repeats)
+    * joined by 1–2 spaces (empty tokens exercised), occasional unicode.
+    */
+  private val wordGen: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "déjà", "x", "yy", "数据")
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(wordGen)
+    seps <- Gen.listOfN(math.max(words.size - 1, 0), Gen.oneOf(" ", "  "))
+  } yield words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString
+
+  private def strLit(s: String) = Literal.create(s, StringType)
+
+  private def refShingles(text: String, n: Int): Set[Seq[String]] =
+    text.split(" ", -1).toSeq.sliding(n).filter(_.size == n).toSet
+
+  property("shingle_hashes bijects with the token-tuple shingle set") =
+    Prop.forAll(textGen, textGen, Gen.choose(2, 4)) { (a, b, n) =>
+      def hashes(t: String): Set[Long] =
+        ShingleHashes(strLit(t), n).eval(null)
+          .asInstanceOf[ArrayData].toLongArray().toSet
+      val (ha, hb) = (hashes(a), hashes(b))
+      val (ra, rb) = (refShingles(a, n), refShingles(b, n))
+      ha.size == ra.size && hb.size == rb.size &&
+        (ha intersect hb).size == (ra intersect rb).size
+    }
+
+  /** Pure-Scala winnowing mirror: md5-derived gram hashes, window min,
+    * distinct — the contract the DuckDB oracle replays.
+    */
+  private def refWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    val ng = text.length - k + 1
+    if (ng < w) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 until ng).map { i =>
+      md.reset()
+      val d = md.digest(text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    (0 to ng - w).map(j => hs.slice(j, j + w).min).toSet
+  }
+
+  property("winnow_fingerprints equals the md5 window-min reference") =
+    Prop.forAll(textGen, Gen.choose(2, 8), Gen.choose(2, 4)) { (t, k, w) =>
+      val got = WinnowFingerprints(strLit(t), k, w).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSet
+      got == refWinnow(t, k, w)
+    }
+
+  property("minhash_signature equals MinHashAgg over the same hashes") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.choose(1, 32)) { (hs, n) =>
+      val viaExpr = MinHashSignature(
+        Literal.create(hs.toArray, ArrayType(LongType)), n)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val agg = MinHashAgg(BoundReference(0, LongType, nullable = false), n)
+      val buf = hs.foldLeft(agg.createAggregationBuffer()) { (b, h) =>
+        agg.update(b, InternalRow(h))
+      }
+      val viaAgg = agg.eval(buf).asInstanceOf[ArrayData].toLongArray().toSeq
+      viaExpr == viaAgg
+    }
+
+  property("minhash signatures are monotone under set union") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (a, b) =>
+      def sig(xs: Seq[Long]): Seq[Long] =
+        MinHashSignature(Literal.create(xs.toArray, ArrayType(LongType)), 16)
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      sig(a ++ b).zip(sig(a)).forall { case (u, x) => u <= x }
     }
 }
