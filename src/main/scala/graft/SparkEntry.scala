@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup04_simhash" -> Dedup.dedup04Simhash _,
     "dedup05_embedding_cosine" -> Dedup.dedup05EmbeddingCosine _,
     "dedup06_cluster" -> Dedup.dedup06Cluster _,
+    "dedup07_winnow_overlap" -> Dedup.dedup07WinnowOverlap _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -564,6 +565,27 @@ object SparkEntry {
            FROM cc JOIN edges e ON cc.id = e.dst)
          SELECT id AS doc_id, min(label) AS cluster_id
          FROM cc GROUP BY id ORDER BY doc_id""",
+    "dedup07_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, text,
+           greatest(length(text) - 8 + 1, 0) AS n_grams FROM documents),
+         h AS (SELECT doc_id, n_grams,
+           list_transform(range(1, n_grams + 1),
+             i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))::BIGINT) AS hs
+           FROM t),
+         w AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(n_grams - 4 + 1, 0) + 1),
+             j -> list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
+           FROM h),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         sz AS (SELECT doc_id, len(fps) AS n FROM w),
+         ov AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT da, db, shared,
+           round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) AS containment
+         FROM ov JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+         WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.8
+         ORDER BY da, db""",
     "dedup05_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS ida, b.vec_id AS idb,

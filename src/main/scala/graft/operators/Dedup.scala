@@ -312,6 +312,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup07: near-dup detection via winnowing fingerprint overlap —
+    * the MOSS scheme end-to-end. Each doc's fingerprint SET comes from
+    * the native one-pass [[graft.functions.WinnowFingerprints]]
+    * expression; candidate pairs share fingerprints (equi-join, never
+    * all-pairs) and are scored by containment
+    * (shared / min(|A|, |B|)). Character-level and position-robust, so
+    * it catches reordered/trimmed near-dups that word-shingle Jaccard
+    * scores lower — a complementary detector to dedup02/03 built from
+    * the same sub-quadratic shape.
+    */
+  def dedup07WinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val Containment = 0.8
+    val arr = documents(spark, dir)
+      .select(col("doc_id"), winnowFingerprints(col("text"), 8, 4).as("fps"))
+    val f = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sz = arr.select(col("doc_id"), size(col("fps")).as("n"))
+    val shared = f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), Seq("da"))
+      .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), Seq("db"))
+      .withColumn("containment",
+        round(col("shared") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= Containment)
+      .select(col("da"), col("db"), col("shared"), col("containment"))
+      .orderBy("da", "db")
+  }
+
   /** Embedding vectors as ARRAY<DOUBLE> (stable cross-engine math). */
   def vectors(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)

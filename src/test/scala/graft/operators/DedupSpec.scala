@@ -55,6 +55,17 @@ class DedupSpec extends SparkSpec {
     assert(viaUf.values.toSet.subsetOf(viaUf.keySet))
   }
 
+  test("dedup07 (winnow containment) finds the same near-dup pairs as dedup02") {
+    val jaccardPairs = Dedup.dedup02NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnowPairs = Dedup.dedup07WinnowOverlap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // On this corpus the two detectors agree exactly (near-dup pairs sit
+    // at containment 1.0 with a wide margin to the next pair at ~0.55).
+    assert(winnowPairs == jaccardPairs)
+    assert(winnowPairs.nonEmpty)
+  }
+
   test("propagateClusters converges on a chain graph (diameter = rounds)") {
     import spark.implicits._
     // Path 0-1-2-...-7: worst case for min-label propagation (the min
