@@ -65,6 +65,7 @@ object SparkEntry {
     "etl14_reconcile" -> Etl.etl14Reconcile _,
     "etl15_expectations" -> Etl.etl15Expectations _,
     "etl16_cdc_apply" -> Etl.etl16CdcApply _,
+    "etl17_schema_evolution" -> Etl.etl17SchemaEvolution _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -441,6 +442,15 @@ object SparkEntry {
            FROM log)
          SELECT key, seq AS last_seq, op AS last_op, value AS current_value
          FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY key""",
+    "etl17_schema_evolution" ->
+      // Replays the v1/v2 split + merged-schema semantics directly on
+      // the source: even rows predate the channel column (null ->
+      // 'pre_evolution'), odd rows carry ch_<id%3>.
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'pre_evolution'
+                     ELSE 'ch_' || CAST(event_id % 3 AS VARCHAR) END AS channel,
+         count(*) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events GROUP BY 1 ORDER BY channel""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

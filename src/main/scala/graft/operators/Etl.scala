@@ -359,6 +359,31 @@ object Etl {
       .orderBy("key")
   }
 
+  /** etl17: schema evolution — a v1 extract (two columns) and a v2
+    * extract (adds `channel`) land in the same dataset directory; the
+    * merged read (`mergeSchema`) sees the union schema with nulls for
+    * pre-evolution rows. This is how a 100 TB table grows columns
+    * without rewriting history: each parquet footer keeps its own
+    * schema, the reader unifies. The aggregate proves both halves
+    * survive: v1 rows carry a null channel, v2 rows a real one.
+    */
+  def etl17SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl17_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ev = events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$out/v=1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"),
+        concat(lit("ch_"), (col("event_id") % 3).cast("string")).as("channel"))
+      .write.mode("overwrite").parquet(s"$out/v=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("channel"), lit("pre_evolution")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("channel")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the
