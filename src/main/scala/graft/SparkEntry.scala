@@ -586,8 +586,11 @@ object SparkEntry {
            list_distinct(list_transform(range(1, greatest(n_grams - 4 + 1, 0) + 1),
              j -> list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
            FROM h),
-         f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-         sz AS (SELECT doc_id, len(fps) AS n FROM w),
+         fa AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         df AS (SELECT fp, count(*) AS c FROM fa GROUP BY 1),
+         f AS (SELECT fa.doc_id, fa.fp FROM fa JOIN df USING (fp)
+               WHERE df.c <= 10),
+         sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
          ov AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
                 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)

@@ -322,12 +322,29 @@ object Dedup {
     * scores lower — a complementary detector to dedup02/03 built from
     * the same sub-quadratic shape.
     */
+  /** Fingerprints appearing in more than this many documents are
+    * boilerplate (common substrings), carry no near-dup signal, and are
+    * exactly the hot keys that would make the pair join quadratic: a
+    * fingerprint shared by m docs contributes m² candidate rows, and
+    * the df distribution is heavy-tailed (measured max df 3379 at
+    * sf0.1, Σdf² ≈ 190M pair rows → 50 s; capped at 10 the join is
+    * linear in |fingerprints| → ~2 s). MOSS applies the same
+    * stop-fingerprint rule. True near-dup pairs share doc-SPECIFIC
+    * fingerprints, so detection is unaffected (spec pins the word-
+    * shingle near-dup pair set as a subset of dedup07's output).
+    */
+  val WinnowMaxDf = 10
+
   def dedup07WinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     val Containment = 0.8
     val arr = documents(spark, dir)
       .select(col("doc_id"), winnowFingerprints(col("text"), 8, 4).as("fps"))
-    val f = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val sz = arr.select(col("doc_id"), size(col("fps")).as("n"))
+    val fAll = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = fAll.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select("fp")
+    val f = fAll.join(rare, Seq("fp"))
+    val sz = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = f.as("a").join(f.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

@@ -55,15 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(viaUf.values.toSet.subsetOf(viaUf.keySet))
   }
 
-  test("dedup07 (winnow containment) finds the same near-dup pairs as dedup02") {
+  test("dedup07 (winnow containment) detects every dedup02 near-dup pair") {
     val jaccardPairs = Dedup.dedup02NgramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val winnowPairs = Dedup.dedup07WinnowOverlap(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // On this corpus the two detectors agree exactly (near-dup pairs sit
-    // at containment 1.0 with a wide margin to the next pair at ~0.55).
-    assert(winnowPairs == jaccardPairs)
-    assert(winnowPairs.nonEmpty)
+    // Recall 1.0 on the word-shingle near-dup set: true near-dups share
+    // doc-specific fingerprints, so the stop-fingerprint df cap never
+    // drops them. dedup07 may additionally flag character-level
+    // near-dups the word-shingle metric scores lower.
+    assert(jaccardPairs.subsetOf(winnowPairs),
+      s"missed: ${jaccardPairs -- winnowPairs}")
+    assert(jaccardPairs.nonEmpty)
   }
 
   test("propagateClusters converges on a chain graph (diameter = rounds)") {
