@@ -88,6 +88,7 @@ object SparkEntry {
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
     "sim04_l2_topk" -> Similarity.sim04L2TopK _,
     "sim05_radius_search" -> Similarity.sim05RadiusSearch _,
+    "sim06_bucketed_ivf" -> Similarity.sim06BucketedIvf _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,

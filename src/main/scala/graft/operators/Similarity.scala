@@ -142,24 +142,38 @@ object Similarity {
     * only those buckets. Recall vs exact sim01 is asserted in the spec.
     */
   def sim03IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val NumCentroids = 16
-    val NProbe = 4
     val e = Dedup.vectors(spark, dir)
-    val centroids = e.filter(col("vec_id") < NumCentroids)
+    val centroids = ivfCentroids(e)
+    searchProbedCells(ivfAssigned(e, centroids), ivfProbes(e, centroids))
+  }
+
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** Coarse-quantizer codebook: a deterministic sample standing in for
+    * trained k-means centroids (swap in real centroids at deploy).
+    */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // Cell assignment: argmax over the broadcast codebook via one
-    // window on (vec_id) — 16 scored rows per vector, top-1 kept.
-    val scored = e.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("v"), col("cid"),
-        cosineSim(col("v"), col("cv")).as("cscore"))
+
+  /** Cell assignment: argmax over the broadcast codebook via one window
+    * on (vec_id) — NumCentroids scored rows per vector, top-1 kept.
+    */
+  private def ivfAssigned(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cscore").desc, col("cid"))
-    val assigned = scored
+    e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("cid"),
+        cosineSim(col("v"), col("cv")).as("cscore"))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cid").as("cell"))
-    // Query probes: its NProbe nearest cells.
-    val probes = e.filter(col("vec_id") < NumQueryVectors)
+  }
+
+  /** Each query's NProbe nearest cells. */
+  private def ivfProbes(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NumQueryVectors)
       .join(broadcast(centroids), lit(true))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"),
         cosineSim(col("v"), col("cv")).as("cscore"))
@@ -167,6 +181,9 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cscore").desc, col("cid"))))
       .filter(col("crk") <= NProbe)
       .select(col("q_id"), col("qv"), col("cid").as("probe_cell"))
+
+  /** Probe-cell equi-join + per-query top-k (shared by sim03/sim06). */
+  private def searchProbedCells(assigned: DataFrame, probes: DataFrame): DataFrame = {
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), col("cell") === col("probe_cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -176,5 +193,43 @@ object Similarity {
       .filter(col("rk") <= TopK)
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
+  }
+
+  /** Serializes the one-time bucketed-layout build (same pattern as
+    * etl13's table guard).
+    */
+  private val ivfTableLock = new Object
+
+  /** sim06: IVF over a BUCKETED cell layout — the at-rest half of the
+    * sim03 story: the cell-assigned corpus is written `bucketBy(cell)`
+    * once, and a query's probe-cell filter (a literal IN list — the
+    * probe cells are a handful of scalars, collected like dedup06's
+    * edge count) lets Spark's bucket pruning skip every non-probed
+    * bucket AT THE FILE LEVEL: the scan's SelectedBucketsCount shows
+    * the query never reads the rest of the corpus (plan-spec). Same
+    * results as sim03 (spec-pinned equality).
+    */
+  def sim06BucketedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sim06_$suffix"
+    val table = s"g_emb_cells_$suffix"
+    val e = Dedup.vectors(spark, dir)
+    val centroids = ivfCentroids(e)
+    ivfTableLock.synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        ivfAssigned(e, centroids)
+          .write.mode("overwrite")
+          .bucketBy(NumCentroids, "cell")
+          .option("path", base).saveAsTable(table)
+      }
+    }
+    val probes = ivfProbes(e, centroids)
+    // Tiny driver-side scalar list: the literal predicate is what makes
+    // bucket pruning (and at 100 TB, partition pruning) kick in.
+    val probeCells = probes.select("probe_cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val assigned = spark.table(table)
+      .filter(col("cell").isin(probeCells.map(c => c: Any): _*))
+    searchProbedCells(assigned, probes)
   }
 }

@@ -98,6 +98,16 @@ class PlanAuditSpec extends SparkSpec {
       s"signature build must be shuffle-free:\n${plan.take(1500)}")
   }
 
+  test("sim06: probe-cell filter prunes buckets at the file level") {
+    val plan = finalPlan(Similarity.sim06BucketedIvf(spark, sf))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, "bucketed scan must report SelectedBucketsCount")
+    val (selected, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(selected < total,
+      s"probe filter must skip non-probed buckets ($selected of $total)")
+  }
+
   test("etl13: bucketed tables join without shuffling the join keys") {
     val df = Etl.etl13BucketedJoin(spark, sf)
     df.collect()

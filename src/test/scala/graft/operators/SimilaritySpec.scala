@@ -24,6 +24,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.35))
   }
 
+  test("sim06 (bucketed IVF) returns exactly sim03's results") {
+    val viaJoin = Similarity.sim03IvfAnn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaBuckets = Similarity.sim06BucketedIvf(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuckets == viaJoin)
+    assert(viaBuckets.nonEmpty)
+  }
+
   test("sim02 (LSH ANN) recall vs sim01 (exact) is usable") {
     val exact = pairs(Similarity.sim01BruteForceTopK(spark, sf))
     val approx = pairs(Similarity.sim02LshAnn(spark, sf))
