@@ -38,7 +38,11 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + shortId(k) + "\":\"" + esc(v).take(60) + "\"" }
+    // Truncate BEFORE escaping: truncating the escaped form could split
+    // a two-char escape and leave a lone trailing backslash that
+    // swallows the closing quote (malformed JSON exactly when reporting
+    // an error).
+    val errJson = errors.map { case (k, v) => "\"" + shortId(k) + "\":\"" + esc(v.take(60)) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullJson = {

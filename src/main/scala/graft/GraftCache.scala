@@ -26,33 +26,49 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraftCache {
 
-  private val frames = new ConcurrentHashMap[String, DataFrame]()
+  /** Memoizing holder: the map's computeIfAbsent only ALLOCATES this
+    * (never runs user code inside the map's bin lock), and the build
+    * runs once under the holder's own monitor via `lazy val`. This
+    * matters because builders compose: dedup03's verified-pair builder
+    * calls getOrPersist for the shingle frame — a nested
+    * computeIfAbsent on one ConcurrentHashMap would violate its
+    * no-reentrant-update contract ("Recursive update" / livelock).
+    * Holder monitors can't deadlock: the dependency graph between
+    * cache keys is acyclic.
+    */
+  private final class Pinned(build: () => DataFrame, level: Option[StorageLevel]) {
+    lazy val df: DataFrame = level.fold(build())(l => build().persist(l))
+  }
+
+  private val frames = new ConcurrentHashMap[String, Pinned]()
 
   /** The shared persisted frame for `key`, building (and persisting) it
     * on first use. MEMORY_AND_DISK by default: at 100 TB the frame
     * spills instead of OOMing. Thread-safe — concurrent queries in one
-    * session (see ConcurrencySpec) get the same instance.
+    * session (see ConcurrencySpec) get the same instance — and
+    * reentrant: a builder may itself call getOrPersist for another key.
     */
   def getOrPersist(
       key: String,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
       build: => DataFrame): DataFrame =
-    frames.computeIfAbsent(key, _ => build.persist(level))
+    frames.computeIfAbsent(key, _ => new Pinned(() => build, Some(level))).df
 
   /** Register an already-persisted frame under `key` for later
     * [[release]]; an evicted previous occupant is unpersisted (its
     * consumers have materialized by the time a replacement exists).
     */
   def register(key: String, df: DataFrame): DataFrame = {
-    val old = frames.put(key, df)
-    if (old != null && !(old eq df)) old.unpersist(blocking = false)
+    val holder = new Pinned(() => df, None) // caller already pinned it
+    val old = frames.put(key, holder)
+    if (old != null && !(old.df eq df)) old.df.unpersist(blocking = false)
     df
   }
 
   /** Unpersist and forget one key (no-op if absent). */
   def releaseKey(key: String): Unit = {
-    val df = frames.remove(key)
-    if (df != null) df.unpersist(blocking = false)
+    val holder = frames.remove(key)
+    if (holder != null) holder.df.unpersist(blocking = false)
   }
 
   /** Unpersist and forget everything the engine has pinned. */
@@ -63,4 +79,19 @@ object GraftCache {
 
   /** Number of live registered frames (spec hook). */
   def size: Int = frames.size()
+
+  private val sessionTags =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A JVM-unique tag for a session, for qualifying cache keys.
+    * `System.identityHashCode` is NOT unique — a GC'd session's hash
+    * can be reused by a later one, which would hand out frames bound to
+    * a stopped session. Weak keys: a dead session's tag entry is
+    * collectable (its cached frames die with the session either way).
+    */
+  def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    sessionTags.computeIfAbsent(spark,
+      _ => s"s${sessionCounter.incrementAndGet()}")
 }

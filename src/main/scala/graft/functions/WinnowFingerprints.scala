@@ -66,24 +66,33 @@ object WinnowFingerprints {
 
   /** Distinct winnowed fingerprints of `text`, ascending. Called from
     * generated code — must stay null-free and allocation-lean.
+    *
+    * Grams are counted and sliced in CODE POINTS, matching both
+    * `substr` semantics the contract is defined in (Spark's UTF8String
+    * and DuckDB both count code points) — a UTF-16-unit slice would
+    * split surrogate pairs on supplementary-plane text (emoji) and
+    * md5 replacement bytes would diverge from the oracle.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val s = text.toString
-    val n = s.length
-    val ng = n - k + 1
-    if (ng < w) return Empty
     val md = mdLocal.get()
     val digest = new Array[Byte](16)
-    // ASCII fast path: UTF-8 length == char length means char i starts
-    // at byte i, so grams are direct slices of the byte array.
+    // ASCII fast path: UTF-8 byte length == UTF-16 length forces pure
+    // ASCII (multibyte chars inflate bytes, surrogate pairs inflate
+    // chars), so code point i IS byte i.
     val bytes = text.getBytes
-    val ascii = bytes.length == n
+    val ascii = bytes.length == s.length
+    val cps: Array[Int] = if (ascii) null else s.codePoints().toArray
+    val n = if (ascii) bytes.length else cps.length
+    val ng = n - k + 1
+    if (ng < w) return Empty
     val hs = new Array[Long](ng)
     var i = 0
     while (i < ng) {
       md.reset()
       if (ascii) md.update(bytes, i, k)
-      else md.update(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else md.update(new String(cps, i, k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest(digest, 0, 16)
       hs(i) = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
         ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)

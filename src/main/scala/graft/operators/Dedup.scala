@@ -40,7 +40,7 @@ object Dedup {
     */
   private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     graft.GraftCache.getOrPersist(
-      s"dedup.shingleArrays:$dir:${System.identityHashCode(spark)}") {
+      s"dedup.shingleArrays:$dir:${graft.GraftCache.sessionTag(spark)}") {
       documents(spark, dir)
         .select(col("doc_id"), col("source"),
           shingleHashes(col("text"), ShingleSize).as("hs"))
@@ -112,7 +112,14 @@ object Dedup {
     * pair set.
     */
   def minhashSignatures(arrays: DataFrame): DataFrame =
-    arrays.select(col("doc_id"), minhashSignature(col("hs"), NumHashes).as("sig"))
+    arrays
+      // Shingle-less docs (< n tokens) get the empty all-MaxValue
+      // signature, which would collide in EVERY band — m such docs
+      // would inject m²/2 meaningless LSH candidates. The aggregate
+      // formulation dropped them implicitly (no rows → no group); the
+      // scalar expression must drop them explicitly.
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSignature(col("hs"), NumHashes).as("sig"))
 
   /** LSH candidate pairs: docs sharing any band bucket. The pair space
     * collapses from O(n²) to an equi-join on (band, bucket-hash).
@@ -137,7 +144,7 @@ object Dedup {
     // the registry, so repeated dedup03/dedup06 calls share one pinned
     // copy and the session can release it.
     val verified = graft.GraftCache.getOrPersist(
-      s"dedup.verified:$dir:${System.identityHashCode(spark)}") {
+      s"dedup.verified:$dir:${graft.GraftCache.sessionTag(spark)}") {
       val cands = lshCandidates(minhashSignatures(shingleArrays(spark, dir)))
       exactJaccard(spark, dir, cands)
         .filter(col("jaccard") >= JaccardThreshold)
@@ -306,7 +313,8 @@ object Dedup {
           "graph (diameter should be ≲ 3)")
     }
     graft.GraftCache.register(
-      s"dedup.propagate.labels:${System.identityHashCode(pairs)}", pinned)
+      s"dedup.propagate.labels:${graft.GraftCache.sessionTag(pairs.sparkSession)}",
+      pinned)
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
@@ -337,8 +345,10 @@ object Dedup {
 
   def dedup07WinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
     val Containment = 0.8
-    val arr = documents(spark, dir)
-      .select(col("doc_id"), winnowFingerprints(col("text"), 8, 4).as("fps"))
+    // Shares text09's cached per-doc fingerprint arrays; every branch
+    // below (df filter, both join sides, sizes) explodes the cached
+    // arrays instead of re-running the corpus-wide md5 pass.
+    val arr = TextAnalysis.winnowArrays(spark, dir)
     val fAll = arr.select(col("doc_id"), explode(col("fps")).as("fp"))
     val rare = fAll.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf)

@@ -227,36 +227,22 @@ object Etl {
     * The bucketed-scan join plan (no Exchange below the join) is
     * asserted in PlanAuditSpec.
     */
-  /** Serializes the check-then-create of the etl13 bucketed tables:
-    * without it two concurrent callers can both observe
-    * `tableExists == false` and race overwrite writes to the same path.
-    */
-  private val bucketedTableLock = new Object
-
   def etl13BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl13_$suffix"
     val ordersTable = s"g_orders_b_$suffix"
     val lineitemTable = s"g_lineitem_b_$suffix"
-    // NOTE (concurrency contract): the one-time table build is guarded
-    // by a JVM-wide lock, so concurrent etl13 calls in one JVM are safe;
-    // like the other sink round-trips (etl09–etl12, fixed /tmp paths
-    // keyed only by `dir`), it is NOT safe for concurrent submission
-    // from SEPARATE JVMs sharing a tmpdir, and the cached tables serve
-    // stale data if `dir`'s contents are rewritten in place
-    // (ConcurrencySpec deliberately excludes etl09–etl13).
-    bucketedTableLock.synchronized {
-      if (!spark.catalog.tableExists(ordersTable)) {
-        orders(spark, dir).select("o_orderkey", "o_orderstatus")
-          .write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/orders").saveAsTable(ordersTable)
-        lineitem(spark, dir)
-          .select("l_orderkey", "l_extendedprice", "l_discount")
-          .write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/lineitem").saveAsTable(lineitemTable)
-      }
+    // One-time layout build; see TableBuild for the concurrency contract.
+    TableBuild.ensure(spark, ordersTable) {
+      orders(spark, dir).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ordersTable)
+      lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(lineitemTable)
     }
     spark.table(ordersTable)
       .join(spark.table(lineitemTable), col("o_orderkey") === col("l_orderkey"))

@@ -89,6 +89,10 @@ object Multimodal {
   def mm04ResizeStub(spark: SparkSession, dir: String): DataFrame = {
     val withMedia = documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      // Empty media has nothing to sample; dropped on BOTH sides (the
+      // oracle's WHERE n_bytes > 0) so engine and oracle agree even on
+      // corpora with empty documents.
+      .filter(octet_length(col("media")) > 0)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(resizeSchema)
     withMedia.mapPartitions { rows =>

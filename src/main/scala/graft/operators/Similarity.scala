@@ -195,11 +195,6 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** Serializes the one-time bucketed-layout build (same pattern as
-    * etl13's table guard).
-    */
-  private val ivfTableLock = new Object
-
   /** sim06: IVF over a BUCKETED cell layout — the at-rest half of the
     * sim03 story: the cell-assigned corpus is written `bucketBy(cell)`
     * once, and a query's probe-cell filter (a literal IN list — the
@@ -215,13 +210,12 @@ object Similarity {
     val table = s"g_emb_cells_$suffix"
     val e = Dedup.vectors(spark, dir)
     val centroids = ivfCentroids(e)
-    ivfTableLock.synchronized {
-      if (!spark.catalog.tableExists(table)) {
-        ivfAssigned(e, centroids)
-          .write.mode("overwrite")
-          .bucketBy(NumCentroids, "cell")
-          .option("path", base).saveAsTable(table)
-      }
+    // One-time layout build; see TableBuild for the concurrency contract.
+    TableBuild.ensure(spark, table) {
+      ivfAssigned(e, centroids)
+        .write.mode("overwrite")
+        .bucketBy(NumCentroids, "cell")
+        .option("path", base).saveAsTable(table)
     }
     val probes = ivfProbes(e, centroids)
     // Tiny driver-side scalar list: the literal predicate is what makes

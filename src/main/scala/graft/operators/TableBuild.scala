@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once guard for derived table layouts (etl13's bucketed join
+  * tables, sim06's bucketed IVF cells).
+  *
+  * CONCURRENCY CONTRACT (applies to every operator that writes a fixed
+  * path derived only from `dir` — etl09–etl13, etl17, sim06): the
+  * check-then-create here is serialized by a JVM-wide lock, so
+  * concurrent calls within one JVM are safe; they are NOT safe for
+  * concurrent submission from SEPARATE JVMs sharing a tmpdir, and a
+  * cached table serves stale data if `dir`'s contents are rewritten in
+  * place (ConcurrencySpec deliberately excludes these operators).
+  * etl17 additionally overwrites its path on EVERY call (it
+  * demonstrates the write+read round-trip), so it must never run
+  * concurrently with itself even in one JVM.
+  */
+private[operators] object TableBuild {
+
+  private val lock = new Object
+
+  /** Run `write` iff `table` does not exist yet, serialized JVM-wide. */
+  def ensure(spark: SparkSession, table: String)(write: => Unit): Unit =
+    lock.synchronized {
+      if (!spark.catalog.tableExists(table)) write
+    }
+}

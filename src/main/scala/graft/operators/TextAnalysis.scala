@@ -136,14 +136,27 @@ object TextAnalysis {
     * measured 4–6× slower at sf0.1; it survives as the spec oracle in
     * TextAnalysisSpec.
     */
-  def text09WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val K = 8
-    val W = 4
-    documents(spark, dir)
-      .select(col("doc_id"),
-        explode(winnowFingerprints(col("text"), K, W)).as("fingerprint"))
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Per-document winnowed fingerprint SETS (doc_id, fps array<long>),
+    * persisted through [[graft.GraftCache]]: text09 and dedup07 both
+    * branch from one cached copy per (session, dir) — one row per doc,
+    * cheap to pin, and the corpus-wide md5 pass runs once instead of
+    * once per consumer.
+    */
+  private[operators] def winnowArrays(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"winnow.arrays:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      documents(spark, dir)
+        .select(col("doc_id"),
+          winnowFingerprints(col("text"), WinnowK, WinnowW).as("fps"))
+    }
+
+  def text09WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowArrays(spark, dir)
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
-  }
 
   /** text10: repetition signals — the Gopher-style within-document
     * repetition measures (Rae et al. 2021, "Scaling Language Models:

@@ -71,6 +71,21 @@ class MinHashAggSpec extends SparkSpec {
     assert(viaExpr(3L) == Seq.fill(16)(Long.MaxValue))
   }
 
+  test("shingle-less docs are excluded from signatures (no empty-sig LSH collisions)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val arrays = Seq(
+      (1L, "src", Seq(10L, 20L, 30L)),
+      (2L, "src", Seq.empty[Long]),
+      (3L, "src", Seq.empty[Long]))
+      .toDF("doc_id", "source", "hs")
+    val sigs = Dedup.minhashSignatures(arrays)
+      .collect().map(_.getLong(0)).toSet
+    // Docs 2 and 3 would share the all-MaxValue signature and collide
+    // in every band (m^2 candidate blowup); they must be dropped.
+    assert(sigs == Set(1L))
+  }
+
   test("identical shingle sets produce identical signatures (dedup premise)") {
     import spark.implicits._
     val rows = (1 to 40).flatMap(i => Seq((1L, i * 7919L), (2L, i * 7919L)))

@@ -34,6 +34,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("winnow expression counts code points: supplementary plane matches substr") {
+    import spark.implicits._
+    // Emoji are one code point but TWO UTF-16 chars: a UTF-16-unit
+    // implementation would split surrogate pairs and diverge from
+    // substr (code-point) semantics on both engines.
+    val text = "abc 😀 def 🚀 ghi jkl mno"
+    val native = Seq((1L, text)).toDF("doc_id", "text")
+      .select(explode(winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .collect().map(_.getLong(0)).toSet
+    val declarative = Seq((1L, text)).toDF("doc_id", "text")
+      .select(col("text"), (length(col("text")) - 7).as("ng"))
+      .select(col("ng"), explode(sequence(lit(1), col("ng"))).as("i"), col("text"))
+      .select(col("ng"), col("i"),
+        conv(substring(md5(col("text").substr(col("i"), lit(8))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("fp", min("h").over(org.apache.spark.sql.expressions.Window
+        .orderBy("i").rowsBetween(0, 3)))
+      .filter(col("i") <= col("ng") - 3)
+      .collect().map(_.getAs[Long]("fp")).toSet
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
   test("winnow expression edge cases: short text empty, non-ASCII handled") {
     import spark.implicits._
     val df = Seq(
