@@ -37,7 +37,16 @@ object GraftCache {
     * cache keys is acyclic.
     */
   private final class Pinned(build: () => DataFrame, level: Option[StorageLevel]) {
-    lazy val df: DataFrame = level.fold(build())(l => build().persist(l))
+    // Tracks successful builds so release paths never re-run (and
+    // re-throw from) a failed or never-forced builder: releaseKey must
+    // unpersist what exists, not resurrect what never built.
+    @volatile private var built: DataFrame = null
+    lazy val df: DataFrame = {
+      val d = level.fold(build())(l => build().persist(l))
+      built = d
+      d
+    }
+    def builtOrNull: DataFrame = built
   }
 
   private val frames = new ConcurrentHashMap[String, Pinned]()
@@ -60,15 +69,22 @@ object GraftCache {
     */
   def register(key: String, df: DataFrame): DataFrame = {
     val holder = new Pinned(() => df, None) // caller already pinned it
+    holder.df
     val old = frames.put(key, holder)
-    if (old != null && !(old.df eq df)) old.df.unpersist(blocking = false)
+    if (old != null) {
+      val prev = old.builtOrNull
+      if (prev != null && !(prev eq df)) prev.unpersist(blocking = false)
+    }
     df
   }
 
-  /** Unpersist and forget one key (no-op if absent). */
+  /** Unpersist and forget one key (no-op if absent or never built). */
   def releaseKey(key: String): Unit = {
     val holder = frames.remove(key)
-    if (holder != null) holder.df.unpersist(blocking = false)
+    if (holder != null) {
+      val d = holder.builtOrNull
+      if (d != null) d.unpersist(blocking = false)
+    }
   }
 
   /** Unpersist and forget everything the engine has pinned. */
@@ -88,8 +104,11 @@ object GraftCache {
   /** A JVM-unique tag for a session, for qualifying cache keys.
     * `System.identityHashCode` is NOT unique — a GC'd session's hash
     * can be reused by a later one, which would hand out frames bound to
-    * a stopped session. Weak keys: a dead session's tag entry is
-    * collectable (its cached frames die with the session either way).
+    * a stopped session; the monotonic counter cannot collide. NOTE:
+    * registered frames strongly reference their session, so a
+    * long-lived JVM that creates many short-lived sessions must call
+    * [[release]] (or [[releaseKey]] per key) when a session retires —
+    * the registry cannot observe session stop on its own.
     */
   def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
     sessionTags.computeIfAbsent(spark,

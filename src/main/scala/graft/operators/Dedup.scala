@@ -255,6 +255,8 @@ object Dedup {
     */
   val PropagateMaxRounds = 50
 
+  private val propagateRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Distributed min-label propagation (huge pair graphs).
     *
     * Persist discipline: only the CURRENT round's frame stays pinned —
@@ -312,8 +314,13 @@ object Dedup {
           s"($changed labels still changing): input is not a near-dup pair " +
           "graph (diameter should be ≲ 3)")
     }
+    // Unique per CALL (not per session): a session-keyed register would
+    // evict-and-unpersist a previous propagate run's labels while its
+    // lazily-returned result may still be unconsumed. Every run stays
+    // registered until GraftCache.release().
     graft.GraftCache.register(
-      s"dedup.propagate.labels:${graft.GraftCache.sessionTag(pairs.sparkSession)}",
+      s"dedup.propagate.labels:${graft.GraftCache.sessionTag(pairs.sparkSession)}" +
+        s":${propagateRunCounter.incrementAndGet()}",
       pinned)
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -18,11 +18,15 @@ import org.apache.spark.sql.SparkSession
   */
 private[operators] object TableBuild {
 
-  private val lock = new Object
+  // Per-table guards: builds of DIFFERENT tables (etl13 vs sim06) run
+  // in parallel; only same-table check-then-create is serialized —
+  // holding one JVM-wide monitor across a multi-second saveAsTable
+  // would chain unrelated operators' first calls.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run `write` iff `table` does not exist yet, serialized JVM-wide. */
+  /** Run `write` iff `table` does not exist yet, serialized per table. */
   def ensure(spark: SparkSession, table: String)(write: => Unit): Unit =
-    lock.synchronized {
+    locks.computeIfAbsent(table, _ => new Object).synchronized {
       if (!spark.catalog.tableExists(table)) write
     }
 }

@@ -61,6 +61,23 @@ class GraftCacheSpec extends SparkSpec {
     GraftCache.releaseKey(key)
   }
 
+  test("a failed builder does not poison release paths") {
+    import spark.implicits._
+    val key = freshKey("poison")
+    intercept[IllegalStateException] {
+      GraftCache.getOrPersist(key) { throw new IllegalStateException("boom") }
+    }
+    // release/releaseKey must not re-run (and re-throw from) the failed
+    // builder — a poisoned key would otherwise abort Bench/Verify's
+    // final release() and swallow the bench JSON line.
+    GraftCache.releaseKey(key)
+    GraftCache.release()
+    // And the key is usable again afterwards.
+    val ok = GraftCache.getOrPersist(key) { Seq(1).toDF("x") }
+    assert(ok.count() == 1)
+    GraftCache.releaseKey(key)
+  }
+
   test("release drops everything and the dedup cache rebuilds cleanly") {
     // Warm the real shingle cache, release, and re-run a consumer:
     // results must be identical after a cold rebuild.
