@@ -66,6 +66,7 @@ object SparkEntry {
     "etl15_expectations" -> Etl.etl15Expectations _,
     "etl16_cdc_apply" -> Etl.etl16CdcApply _,
     "etl17_schema_evolution" -> Etl.etl17SchemaEvolution _,
+    "etl18_xml_roundtrip" -> Etl.etl18XmlRoundtrip _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -452,6 +453,10 @@ object SparkEntry {
          count(*) AS n,
          CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
          FROM events GROUP BY 1 ORDER BY channel""",
+    "etl18_xml_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         round(sum(round(s_acctbal, 2)), 2) AS total_bal
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

@@ -345,6 +345,28 @@ object Etl {
       .orderBy("key")
   }
 
+  /** etl18: XML round-trip — the remaining interchange format legacy
+    * upstreams emit (Spark 4 ships the XML source built in). Same
+    * contract as etl09/11/12: write, re-read with an EXPLICIT schema
+    * (inference is an extra full pass at scale), aggregate; equality
+    * with the direct-on-parquet oracle proves the serde pair lossless
+    * for these types.
+    */
+  def etl18XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl18_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal"))
+      .write.mode("overwrite").option("rowTag", "supplier")
+      .format("xml").save(out)
+    spark.read
+      .schema("s_suppkey LONG, s_nationkey LONG, bal DOUBLE")
+      .option("rowTag", "supplier").format("xml").load(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"), round(sum("bal"), 2).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
   /** etl17: schema evolution — a v1 extract (two columns) and a v2
     * extract (adds `channel`) land in the same dataset directory; the
     * merged read (`mergeSchema`) sees the union schema with nulls for
