@@ -37,11 +37,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSignature.eval(input.asInstanceOf[ArrayData], numHashes)
+    MinHashSignature.signature(input.asInstanceOf[ArrayData], numHashes)
 
+  // NOTE: helper deliberately not named `eval` — see ShingleHashes.doGenCode:
+  // a name clash with Expression.eval suppresses the static forwarder and
+  // breaks Janino compilation of the generated call.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashSignature.eval($c, $numHashes)")
+      c => s"graft.functions.MinHashSignature.signature($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -50,9 +53,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 object MinHashSignature {
 
   /** Signature of one shingle-hash array. Empty input yields the
-    * all-MaxValue signature (same as MinHashAgg's empty buffer).
+    * all-MaxValue signature (same as MinHashAgg's empty buffer). Called
+    * from generated code via the static forwarder.
     */
-  def eval(hashes: ArrayData, numHashes: Int): ArrayData = {
+  def signature(hashes: ArrayData, numHashes: Int): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = hashes.numElements()
     var j = 0

@@ -41,11 +41,16 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.hash(input.asInstanceOf[UTF8String], n)
 
+  // NOTE: the helper must NOT be named `eval` — a companion-object method
+  // whose name collides with an inherited member of the case class (here
+  // Expression.eval) gets no static forwarder from scalac, so the call
+  // below would fail Janino compilation and silently fall back to
+  // interpreted eval for the whole stage (pinned by NativeCodegenSpec).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashes.eval($c, $n)")
+      c => s"graft.functions.ShingleHashes.hash($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -58,9 +63,10 @@ object ShingleHashes {
   private val FnvPrime = 0x100000001b3L
 
   /** Distinct hashed word n-gram shingles of `text`, ascending. Called
-    * from generated code.
+    * from generated code (via the static forwarder — keep the name
+    * distinct from every member inherited by the case class).
     */
-  def eval(text: UTF8String, n: Int): ArrayData = {
+  def hash(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     val len = bytes.length
     // Token hashes: FNV-1a over each run between 0x20 delimiters,
