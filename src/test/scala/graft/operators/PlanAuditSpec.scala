@@ -98,6 +98,32 @@ class PlanAuditSpec extends SparkSpec {
       s"signature build must be shuffle-free:\n${plan.take(1500)}")
   }
 
+  test("sim03: IVF cell assignment plans zero Exchange (per-row argmax, no window)") {
+    // The old formulation joined corpus × broadcast codebook and ran a
+    // row_number window partitioned by vec_id — a full corpus shuffle
+    // for a per-row argmax. The literal-codebook form must stay inside
+    // the scan stage.
+    val e = Dedup.vectors(spark, sf)
+    val assigned = Similarity.ivfAssigned(e, Similarity.ivfCentroids(e))
+    val plan = finalPlan(assigned)
+    assert(!plan.contains("Exchange"),
+      s"cell assignment must be shuffle-free:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"cell assignment must not use a window:\n${plan.take(1500)}")
+  }
+
+  test("dedup05: exact cosine join plans no nested-loop over corpus×corpus") {
+    val plan = finalPlan(Dedup.dedup05EmbeddingCosine(spark, sf))
+    // Both candidate joins carry equi-keys (cell_a=ca, cell_b=cb), so
+    // nothing in this plan may degenerate to a nested loop or product.
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus×corpus nested loop in:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"candidate generation must be an equi-join:\n${plan.take(2000)}")
+  }
+
   test("sim06: probe-cell filter prunes buckets at the file level") {
     val plan = finalPlan(Similarity.sim06BucketedIvf(spark, sf))
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
