@@ -67,6 +67,8 @@ object SparkEntry {
     "etl16_cdc_apply" -> Etl.etl16CdcApply _,
     "etl17_schema_evolution" -> Etl.etl17SchemaEvolution _,
     "etl18_xml_roundtrip" -> Etl.etl18XmlRoundtrip _,
+    "etl19_merge_sink" -> Etl.etl19MergeSink _,
+    "etl20_corrupt_quarantine" -> Etl.etl20CorruptQuarantine _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -457,6 +459,29 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_suppliers,
          round(sum(round(s_acctbal, 2)), 2) AS total_bal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "etl19_merge_sink" ->
+      // Incremental batches + replay through the MergeSink catalog
+      // table must be invisible: the final state equals the one-shot
+      // reduction of the full op log (etl16's semantics).
+      """WITH log AS (SELECT user_id AS key, event_id AS seq,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'click' THEN 'U'
+                ELSE 'I' END AS op,
+           round(value, 2) AS value FROM events),
+         latest AS (SELECT key, seq, op, value,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+           FROM log)
+         SELECT key, seq AS last_seq, op AS last_op, value AS current_value
+         FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY key""",
+    "etl20_corrupt_quarantine" ->
+      // Replays the deterministic corruption rule (event_id % 97 == 0
+      // lines are unparseable) directly on the source: the quarantine
+      // read must reject exactly those and aggregate only the rest.
+      """SELECT CAST(event_id % 4 AS INTEGER) AS batch,
+         CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+         round(sum(CASE WHEN event_id % 97 <> 0 THEN round(value, 2) END), 2) AS valid_value
+         FROM events GROUP BY 1 ORDER BY batch""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,

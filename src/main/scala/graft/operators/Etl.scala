@@ -327,8 +327,11 @@ object Etl {
     * shape as etl05); delete handling and per-op audit counts are pure
     * column logic on top — no second scan of the log.
     */
-  def etl16CdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val log = events(spark, dir)
+  /** The deterministic CDC operation log both etl16 and etl19 consume:
+    * (key, seq, op, value) derived from `events`.
+    */
+  private[graft] def cdcLog(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
       .select(
         col("user_id").as("key"),
         col("event_id").as("seq"),
@@ -336,12 +339,44 @@ object Etl {
           .when(col("event_type") === "click", "U")
           .otherwise("I").as("op"),
         round(col("value"), 2).as("value"))
+
+  def etl16CdcApply(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("key").orderBy(col("seq").desc)
-    log
+    cdcLog(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(col("key"), col("seq").as("last_seq"), col("op").as("last_op"),
         col("value").as("current_value"))
+      .orderBy("key")
+  }
+
+  /** etl19: external-store MERGE sink — the reference's load step (temp
+    * table + `MERGE INTO master_table`, case_2/Normal.py:265-275) run
+    * for real against a mutable catalog table via
+    * [[graft.sources.MergeSink]]: the op log lands in two incremental
+    * batches (even sequences, then odd), and the second batch is then
+    * REPLAYED to prove restart idempotence — the merge's
+    * latest-sequence-wins contract makes the replay a no-op, which is
+    * what the reference's completed-batch bookkeeping
+    * (case_2/Normal.py:283-327) achieves by skipping files. The final
+    * table state read back from the catalog must equal the one-shot
+    * full-log reduction (etl16's oracle) — batching, the catalog
+    * round-trip, and the replay all invisible in the result.
+    */
+  def etl19MergeSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MergeSink
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val table = s"g_master_$suffix"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl19_$suffix"
+    val log = cdcLog(spark, dir)
+    val batch1 = log.filter(col("seq") % 2 === 0)
+    val batch2 = log.filter(col("seq") % 2 =!= 0)
+    MergeSink.reset(spark, table, base) // deterministic end-to-end replay
+    MergeSink.merge(spark, table, base, batch1)
+    MergeSink.merge(spark, table, base, batch2)
+    MergeSink.merge(spark, table, base, batch2) // restart: must be a no-op
+    MergeSink.state(spark, table)
+      .select("key", "last_seq", "last_op", "current_value")
       .orderBy("key")
   }
 
@@ -390,6 +425,66 @@ object Etl {
       .agg(count(lit(1)).as("n"),
         countDistinct("event_type").as("n_types"))
       .orderBy("channel")
+  }
+
+  /** etl20: corrupt-record quarantine in the batch path — the
+    * reference's per-file error bookkeeping (it records each landed
+    * file's success/failure and carries on; case_2/Normal.py:283-327)
+    * re-expressed as PERMISSIVE parsing with a captured corrupt-record
+    * column and a quarantine side-output:
+    *
+    *  - a landing directory of CSV batches is produced with a known
+    *    deterministic corruption (every event_id % 97 == 0 line carries
+    *    an unparseable value), partitioned by batch;
+    *  - the read parses each line with `from_csv` in PERMISSIVE mode —
+    *    a bad record yields nulls plus the raw line in `_corrupt`
+    *    instead of failing the job (FAILFAST is the strict twin,
+    *    spec'd) — so ONE bad byte does not poison a 100 TB load;
+    *  - rejected rows are quarantined WITH LINEAGE (raw line, batch,
+    *    and source file via the `_metadata.file_path` scan column) to a
+    *    side directory for replay/debugging;
+    *  - the returned summary counts valid/rejected rows and aggregates
+    *    only the valid remainder per batch — oracle-checked against the
+    *    corruption rule replayed in SQL.
+    */
+  def etl20CorruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ev = events(spark, dir)
+      .select(col("event_id"), round(col("value"), 2).as("value"))
+    ev.select(
+        (col("event_id") % 4).cast("int").as("batch"),
+        when(col("event_id") % 97 === 0,
+          concat(col("event_id").cast("string"), lit(",CORRUPT@@")))
+          .otherwise(concat(col("event_id").cast("string"), lit(","),
+            col("value").cast("string"))).as("line"))
+      .write.mode("overwrite").partitionBy("batch").text(s"$out/landing")
+
+    val parseSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.text(s"$out/landing")
+      .select(col("batch").cast("int").as("batch"), col("value").as("line"),
+        col("_metadata.file_path").as("src_file"))
+      .select(col("batch"), col("line"), col("src_file"),
+        from_csv(col("line"), parseSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .select(col("batch"), col("line"), col("src_file"),
+        col("r.event_id").as("event_id"), col("r.value").as("v"),
+        col("r._corrupt").as("corrupt"))
+
+    // Quarantine side-output: every rejected row, with full lineage.
+    parsed.filter(col("corrupt").isNotNull)
+      .select(col("batch"), col("src_file"), col("line"))
+      .write.mode("overwrite").json(s"$out/quarantine")
+
+    parsed.groupBy("batch")
+      .agg(
+        sum(when(col("corrupt").isNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("corrupt").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+        round(sum(when(col("corrupt").isNull, col("v"))), 2).as("valid_value"))
+      .orderBy("batch")
   }
 
   /** etl10: partitioned sink — write orders hive-partitioned by order
