@@ -97,6 +97,7 @@ object SparkEntry {
     "cur03_contamination" -> Curation.cur03Contamination _,
     "cur04_quality_filter" -> Curation.cur04QualityFilter _,
     "cur05_mix_weights" -> Curation.cur05MixWeights _,
+    "cur06_curation_pipeline" -> Curation.cur06CurationPipeline _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -708,6 +709,64 @@ object SparkEntry {
            round(n_docs / tot, 6) AS actual_share,
            round((1.0 / k) / (n_docs / tot), 4) AS weight
          FROM s, t ORDER BY source""",
+    "cur06_curation_pipeline" ->
+      // The full funnel replayed stage by stage: quality gate -> exact
+      // dedup keepers -> near-dup pair drop (both endpoints must
+      // survive the previous stage) -> contamination mask vs src0.
+      """WITH t AS (SELECT doc_id, source, n_chars, text,
+             string_split(text, ' ') AS toks
+           FROM documents WHERE source <> 'src0'),
+         q AS (SELECT doc_id, source, n_chars, text,
+             (n_chars >= 100 AND len(toks) >= 20 AND
+              CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                / greatest(len(toks), 1) >= 0.02) AS q_keep
+           FROM t),
+         s1 AS (SELECT doc_id, source, n_chars, text FROM q WHERE q_keep),
+         k AS (SELECT min(doc_id) AS doc_id FROM s1
+               GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+         s2 AS (SELECT s1.doc_id, s1.source, s1.n_chars FROM s1 JOIN k USING (doc_id)),
+         w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w),
+         sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         prs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         nd AS (SELECT da, db FROM (
+                  SELECT da, db, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+                  FROM prs JOIN sizes ca ON prs.da = ca.doc_id
+                  JOIN sizes cb ON prs.db = cb.doc_id)
+                WHERE j >= 0.8),
+         drop3 AS (SELECT DISTINCT db AS doc_id FROM nd
+                   WHERE da IN (SELECT doc_id FROM s2)
+                     AND db IN (SELECT doc_id FROM s2)),
+         s3 AS (SELECT * FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+         d2 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         sh2 AS (SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s FROM d2),
+         train AS (SELECT doc_id AS train_id, s FROM sh2 WHERE source <> 'src0'),
+         bench AS (SELECT doc_id AS bench_id, s FROM sh2 WHERE source = 'src0'),
+         ts AS (SELECT train_id, count(*) AS n_shingles FROM train GROUP BY 1),
+         ov AS (SELECT train_id, bench_id, count(*) AS overlap
+                FROM train JOIN bench USING (s) GROUP BY 1, 2),
+         contam AS (SELECT train_id AS doc_id FROM (
+                      SELECT train_id,
+                        max(round(CAST(overlap AS DOUBLE) / n_shingles, 4)) AS mc
+                      FROM ov JOIN ts USING (train_id) GROUP BY 1)
+                    WHERE mc >= 0.5),
+         s4 AS (SELECT * FROM s3
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         SELECT source,
+           count(*) AS n_input,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s1) THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s2) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s3) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s4) THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(coalesce(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s4) THEN n_chars END), 0) AS BIGINT) AS chars_final
+         FROM t GROUP BY source ORDER BY source""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -115,4 +115,76 @@ object Curation {
         round(avg(col("keep").cast("double")), 4).as("keep_rate"))
       .orderBy("source")
   }
+
+  /** cur06: the END-TO-END curation pipeline — the composed flow every
+    * pre-training data build runs, staged exactly as production
+    * pipelines stage it (cheapest filter first, most expensive last):
+    *
+    *  1. split off the held-out benchmark corpus (`src0`);
+    *  2. quality gate (cur04's C4-style predicate);
+    *  3. exact dedup among survivors (dedup01's normalized fingerprint,
+    *     min-id keeper);
+    *  4. near-dup drop: the LSH-verified Jaccard≥0.8 pairs (dedup03 —
+    *     candidates only ever flow through the banded equi-join) drop
+    *     the larger doc of any pair whose BOTH endpoints survived
+    *     stage 3. Pair-endpoint membership is evaluated against the
+    *     stage-3 set, so the policy is deterministic and
+    *     order-independent (no transitive chaining);
+    *  5. contamination mask: cur03's shingle-overlap evidence against
+    *     the benchmark corpus removes leaked docs.
+    *
+    * Execution is ONE corpus scan: each stage contributes a boolean
+    * mark (the keeper/drop/contamination sets are small and join as
+    * broadcasts), and the per-source funnel report is a single
+    * aggregate over the marked frame. The heavy inputs (shingle frame,
+    * verified pair set) come from [[graft.GraftCache]], shared with
+    * dedup02/03/06 and cur03 in the same session.
+    */
+  def cur06CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val toksC = tokens(col("text"))
+    val nTok = greatest(size(toksC), lit(1)).cast("double")
+    val stopRatio = size(filter(toksC,
+      t => t.isin(langProfiles("en").map(w => w: Any): _*))) / nTok
+    val flaggedQ = documents(spark, dir)
+      .filter(col("source") =!= "src0")
+      .withColumn("q_keep",
+        (col("n_chars") >= 100) && (size(toksC) >= 20) && (stopRatio >= 0.02))
+    val s1 = flaggedQ.filter(col("q_keep"))
+    // Exact-dup keepers among quality survivors: min doc_id per
+    // normalized content fingerprint (dedup01's contract).
+    val keeperIds = s1
+      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s2ids = s1.join(keeperIds, Seq("doc_id"), "left_semi").select("doc_id")
+    // Near-dup pairs via the scale path (identical output to the exact
+    // dedup02 — spec-pinned); both endpoints must be stage-3 members.
+    val dropNd = Dedup.dedup03MinhashLsh(spark, dir).select("da", "db")
+      .join(s2ids.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+      .join(s2ids.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+      .select(col("db").as("doc_id")).distinct()
+    val contaminated = cur03Contamination(spark, dir)
+      .select(col("train_id").as("doc_id"))
+    val marked = flaggedQ
+      .join(s2ids.withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+      .join(dropNd.withColumn("nd_drop", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"), col("q_keep"),
+        coalesce(col("is_keeper"), lit(false)).as("is_keeper"),
+        coalesce(col("nd_drop"), lit(false)).as("nd_drop"),
+        coalesce(col("contam"), lit(false)).as("contam"))
+    val inS2 = col("q_keep") && col("is_keeper")
+    val inS3 = inS2 && !col("nd_drop")
+    val inS4 = inS3 && !col("contam")
+    marked.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(col("q_keep").cast("long")).as("n_quality"),
+        sum(inS2.cast("long")).as("n_exact"),
+        sum(inS3.cast("long")).as("n_neardup"),
+        sum(inS4.cast("long")).as("n_final"),
+        coalesce(sum(when(inS4, col("n_chars"))), lit(0L)).cast("long")
+          .as("chars_final"))
+      .orderBy("source")
+  }
 }
