@@ -133,11 +133,14 @@ object Curation {
     *  5. contamination mask: cur03's shingle-overlap evidence against
     *     the benchmark corpus removes leaked docs.
     *
-    * Execution is ONE corpus scan: each stage contributes a boolean
-    * mark (the keeper/drop/contamination sets are small and join as
-    * broadcasts), and the per-source funnel report is a single
-    * aggregate over the marked frame. The heavy inputs (shingle frame,
-    * verified pair set) come from [[graft.GraftCache]], shared with
+    * Execution shape at corpus scale: ONE corpus shuffle total — the
+    * fingerprint window that elects exact-dup keepers. Every other
+    * stage is a per-row predicate or a BROADCAST mark: the near-dup
+    * pair list and the contamination set are tiny (true-duplicate
+    * evidence only), so endpoint-membership checks stream the thin id
+    * projection against the broadcast pair list instead of shuffling
+    * the corpus by doc_id. The heavy inputs (shingle frame, verified
+    * pair set) come from [[graft.GraftCache]], shared with
     * dedup02/03/06 and cur03 in the same session.
     */
   def cur06CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -145,35 +148,41 @@ object Curation {
     val nTok = greatest(size(toksC), lit(1)).cast("double")
     val stopRatio = size(filter(toksC,
       t => t.isin(langProfiles("en").map(w => w: Any): _*))) / nTok
-    val flaggedQ = documents(spark, dir)
+    // Exact-dup keeper election inline: within each normalized content
+    // fingerprint (dedup01's contract), rank quality survivors first,
+    // then by doc_id — row 1 is the min-id quality keeper iff it is
+    // itself a quality survivor. One window shuffle on fp; no
+    // groupBy + corpus-sized semi-join back.
+    val wFp = Window.partitionBy("fp")
+      .orderBy(col("q_keep").desc, col("doc_id"))
+    val flagged = documents(spark, dir)
       .filter(col("source") =!= "src0")
       .withColumn("q_keep",
         (col("n_chars") >= 100) && (size(toksC) >= 20) && (stopRatio >= 0.02))
-    val s1 = flaggedQ.filter(col("q_keep"))
-    // Exact-dup keepers among quality survivors: min doc_id per
-    // normalized content fingerprint (dedup01's contract).
-    val keeperIds = s1
-      .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val s2ids = s1.join(keeperIds, Seq("doc_id"), "left_semi").select("doc_id")
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("is_keeper",
+        col("q_keep") && row_number().over(wFp) === 1)
+    val s2ids = flagged.filter(col("is_keeper")).select("doc_id")
     // Near-dup pairs via the scale path (identical output to the exact
-    // dedup02 — spec-pinned); both endpoints must be stage-3 members.
-    val dropNd = Dedup.dedup03MinhashLsh(spark, dir).select("da", "db")
-      .join(s2ids.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
-      .join(s2ids.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+    // dedup02 — spec-pinned). The pair list is small: stream the thin
+    // id set against it (broadcast) twice to demand both endpoints be
+    // stage-3 members, never shuffling ids by doc_id.
+    val ndPairs = Dedup.dedup03MinhashLsh(spark, dir).select("da", "db")
+    val pairsDaIn = s2ids
+      .join(broadcast(ndPairs), col("doc_id") === col("da"))
+      .select("da", "db")
+    val dropNd = s2ids
+      .join(broadcast(pairsDaIn), col("doc_id") === col("db"))
       .select(col("db").as("doc_id")).distinct()
     val contaminated = cur03Contamination(spark, dir)
       .select(col("train_id").as("doc_id"))
-    val marked = flaggedQ
-      .join(s2ids.withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
-      .join(dropNd.withColumn("nd_drop", lit(true)), Seq("doc_id"), "left")
-      .join(contaminated.withColumn("contam", lit(true)), Seq("doc_id"), "left")
-      .select(col("source"), col("n_chars"), col("q_keep"),
-        coalesce(col("is_keeper"), lit(false)).as("is_keeper"),
+    val marked = flagged
+      .join(broadcast(dropNd.withColumn("nd_drop", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(contaminated.withColumn("contam", lit(true))), Seq("doc_id"), "left")
+      .select(col("source"), col("n_chars"), col("q_keep"), col("is_keeper"),
         coalesce(col("nd_drop"), lit(false)).as("nd_drop"),
         coalesce(col("contam"), lit(false)).as("contam"))
-    val inS2 = col("q_keep") && col("is_keeper")
+    val inS2 = col("is_keeper")
     val inS3 = inS2 && !col("nd_drop")
     val inS4 = inS3 && !col("contam")
     marked.groupBy("source")

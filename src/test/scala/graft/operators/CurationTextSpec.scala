@@ -20,6 +20,25 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur06 funnel counts are monotone and stage-consistent per source") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.cur06CurationPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(nIn, nQ, nEx, nNd, nFin) = (1 to 5).map(r.getLong(_))
+      assert(nIn >= nQ && nQ >= nEx && nEx >= nNd && nNd >= nFin,
+        s"funnel must only shrink: $r")
+      assert(r.getLong(6) >= 0L)
+    }
+    // Stage-1/2 totals must agree with the standalone operators.
+    val nQualityTotal = rows.map(_.getLong(2)).sum
+    val cur04Kept = Curation.cur04QualityFilter(spark, sf)
+      .filter(col("source") =!= "src0")
+      .agg(sum("n_kept")).collect().head.getLong(0)
+    assert(nQualityTotal == cur04Kept,
+      "stage-1 totals must match cur04 on the training split")
+  }
+
   test("text10 repetition signals are fractions; dups agree doc-to-doc") {
     val rows = TextAnalysis.text10Repetition(spark, sf).collect()
     assert(rows.length > 0)

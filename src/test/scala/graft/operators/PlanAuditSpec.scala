@@ -124,6 +124,19 @@ class PlanAuditSpec extends SparkSpec {
       s"candidate generation must be an equi-join:\n${plan.take(2000)}")
   }
 
+  test("cur06: funnel joins marks as broadcasts, never a shuffle join on doc_id") {
+    // The only corpus-wide exchange the funnel is allowed is the
+    // fingerprint window for keeper election; near-dup / contamination
+    // marks must join as broadcasts of their (tiny) evidence sets. (A
+    // hashpartitioning(doc_id) exchange DOES legitimately appear once —
+    // the distinct() over the tiny near-dup drop set — so the pin is on
+    // join strategy, not on exchange presence.)
+    val plan = finalPlan(Curation.cur06CurationPipeline(spark, sf))
+    assert(!plan.contains("SortMergeJoin [doc_id") &&
+      !plan.contains("ShuffledHashJoin [doc_id"),
+      s"corpus-sized doc_id shuffle join crept into the funnel:\n${plan.take(2000)}")
+  }
+
   test("sim06: probe-cell filter prunes buckets at the file level") {
     val plan = finalPlan(Similarity.sim06BucketedIvf(spark, sf))
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
