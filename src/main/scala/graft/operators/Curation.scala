@@ -134,14 +134,15 @@ object Curation {
     *     the benchmark corpus removes leaked docs.
     *
     * Execution shape at corpus scale: ONE corpus shuffle total — the
-    * fingerprint window that elects exact-dup keepers. Every other
-    * stage is a per-row predicate or a BROADCAST mark: the near-dup
-    * pair list and the contamination set are tiny (true-duplicate
-    * evidence only), so endpoint-membership checks stream the thin id
-    * projection against the broadcast pair list instead of shuffling
-    * the corpus by doc_id. The heavy inputs (shingle frame, verified
-    * pair set) come from [[graft.GraftCache]], shared with
-    * dedup02/03/06 and cur03 in the same session.
+    * fingerprint window that elects exact-dup keepers, whose thin
+    * marked projection is persisted through [[graft.GraftCache]] so its
+    * three consumers share one materialization. Every other stage is a
+    * per-row predicate or a BROADCAST mark: the near-dup pair list and
+    * the contamination set are tiny (true-duplicate evidence only), so
+    * endpoint-membership checks stream the thin id projection against
+    * the broadcast pair list instead of shuffling the corpus by doc_id.
+    * The heavy inputs (shingle frame, verified pair set) also come from
+    * the registry, shared with dedup02/03/06 and cur03 in the session.
     */
   def cur06CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val toksC = tokens(col("text"))
@@ -155,13 +156,22 @@ object Curation {
     // groupBy + corpus-sized semi-join back.
     val wFp = Window.partitionBy("fp")
       .orderBy(col("q_keep").desc, col("doc_id"))
-    val flagged = documents(spark, dir)
-      .filter(col("source") =!= "src0")
-      .withColumn("q_keep",
-        (col("n_chars") >= 100) && (size(toksC) >= 20) && (stopRatio >= 0.02))
-      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
-      .withColumn("is_keeper",
-        col("q_keep") && row_number().over(wFp) === 1)
+    // Persisted THIN (text and fp dropped): the id projections for the
+    // pair-membership checks and the final marked aggregate all branch
+    // from this one frame — without the pin, each branch would re-scan,
+    // re-tokenize and re-run the fp window (2–3 corpus shuffles where
+    // the design promises one).
+    val flagged = graft.GraftCache.getOrPersist(
+      s"cur06.flagged:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      documents(spark, dir)
+        .filter(col("source") =!= "src0")
+        .withColumn("q_keep",
+          (col("n_chars") >= 100) && (size(toksC) >= 20) && (stopRatio >= 0.02))
+        .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+        .withColumn("is_keeper",
+          col("q_keep") && row_number().over(wFp) === 1)
+        .select("doc_id", "source", "n_chars", "q_keep", "is_keeper")
+    }
     val s2ids = flagged.filter(col("is_keeper")).select("doc_id")
     // Near-dup pairs via the scale path (identical output to the exact
     // dedup02 — spec-pinned). The pair list is small: stream the thin
@@ -179,7 +189,8 @@ object Curation {
     val marked = flagged
       .join(broadcast(dropNd.withColumn("nd_drop", lit(true))), Seq("doc_id"), "left")
       .join(broadcast(contaminated.withColumn("contam", lit(true))), Seq("doc_id"), "left")
-      .select(col("source"), col("n_chars"), col("q_keep"), col("is_keeper"),
+      .select(col("source"), col("n_chars"), col("q_keep"),
+        col("is_keeper"),
         coalesce(col("nd_drop"), lit(false)).as("nd_drop"),
         coalesce(col("contam"), lit(false)).as("contam"))
     val inS2 = col("is_keeper")

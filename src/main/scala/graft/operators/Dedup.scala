@@ -423,24 +423,32 @@ object Dedup {
     val e = vectors(spark, dir)
     val cents = Similarity.ivfCentroids(e)
 
-    // Per-row: nearest-pivot cell AND the angle to that pivot (the
-    // argmax struct already carries the winning cosine) — one codegen'd
-    // scan pass against the literal codebook, zero shuffles.
-    val best = array_max(Similarity.centroidScores(col("v"), cents))
-    val assigned = e.select(col("vec_id"), col("v"),
-      (-best.getField("negcid")).as("cell"),
-      acos(greatest(lit(-1.0), least(lit(1.0), best.getField("cscore"))))
-        .as("radang"))
+    // Per-row: nearest-pivot cell AND the angle to that pivot — the
+    // shared IVF assignment (one definition with sim03/sim06), one
+    // codegen'd scan pass against the literal codebook, zero shuffles.
+    // Persisted through the registry: the radius aggregate and BOTH
+    // join legs read it, so without the pin the scan + 16-cosine argmax
+    // would execute three times.
+    val assigned = graft.GraftCache.getOrPersist(
+      s"dedup.cells:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      Similarity.ivfAssigned(e, cents, withAngle = true)
+    }
 
     // Tiny per-cell stats → driver: angular radius of each cell.
     val rad: Map[Long, Double] = assigned.groupBy("cell")
       .agg(max(col("radang")).as("rad"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Driver-side twin of CosineSimilarity.nullSafeEval (including its
+    // zero-norm → cos 0 guard: a degenerate all-zero pivot must yield
+    // angle π/2, not NaN — a NaN would silently veto every admissibility
+    // test for that cell and drop qualifying pairs from an EXACT op).
     def pivotAngle(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      math.acos(math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb)))))
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.acos(math.max(-1.0, math.min(1.0, c)))
     }
     val present = cents.filter(c => rad.contains(c._1))
     val admissible = for {

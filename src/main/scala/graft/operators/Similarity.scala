@@ -62,7 +62,11 @@ object Similarity {
           // Seed 42 = the SQL xxhash64 default, so bucket values are
           // identical to the old per-row formulation.
           (XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long] & 1L) == 0L
-        val x = element_at(v, d + 1)
+        // try_element_at: a shorter-than-dims vector yields a null dot
+        // (→ bucket contribution 0 via the otherwise branch below),
+        // matching the old zip_with behavior instead of throwing
+        // INVALID_ARRAY_INDEX under ANSI mode.
+        val x = try_element_at(v, lit(d + 1))
         if (coefPositive) x else -x
       }.reduce(_ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -193,13 +197,25 @@ object Similarity {
     }: _*)
 
   /** Cell assignment: per-row argmax over the literal codebook — stays
-    * inside the scan stage, zero Exchange (plan-spec'd).
+    * inside the scan stage, zero Exchange (plan-spec'd). With
+    * `withAngle`, also emits the angle to the winning pivot (`radang`) —
+    * free, since the argmax struct already carries the winning cosine;
+    * dedup05's metric cell join consumes it. Keeping ONE definition of
+    * the assignment (scoring, clamping, tie-break) guarantees dedup05's
+    * cells can never drift from sim03/sim06's.
     */
   private[operators] def ivfAssigned(e: DataFrame,
-      centroids: Array[(Long, Array[Double])]): DataFrame = {
+      centroids: Array[(Long, Array[Double])],
+      withAngle: Boolean = false): DataFrame = {
     val best = array_max(centroidScores(col("v"), centroids))
-    e.select(col("vec_id"), col("v"),
+    val base = Seq(col("vec_id"), col("v"),
       (-best.getField("negcid")).as("cell"))
+    val cols =
+      if (withAngle)
+        base :+ acos(greatest(lit(-1.0), least(lit(1.0),
+          best.getField("cscore")))).as("radang")
+      else base
+    e.select(cols: _*)
   }
 
   /** Each query's NProbe nearest cells — per-row sort of the literal

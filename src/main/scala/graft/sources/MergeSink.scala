@@ -1,34 +1,39 @@
 package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** MERGE-INTO semantics against a mutable catalog table — the load step
   * of the reference pipeline (a temp table + `MERGE INTO master_table`
   * against an external RDBMS; reference case_2/Normal.py:265-275)
   * re-expressed for a Spark catalog:
   *
-  *  - matched by key and the change is NEWER (higher sequence) → update;
+  *  - matched by key and the change is STRICTLY newer (higher sequence)
+  *    → update; at an EQUAL sequence the stored row wins, so a change
+  *    at-or-below the stored sequence can never overwrite state;
   *  - not matched → insert;
   *  - delete ops are kept as TOMBSTONES so a late-arriving older
   *    insert/update cannot resurrect a deleted key (read the state
   *    through [[state]], which filters them);
-  *  - a change at-or-below the stored sequence loses the
-  *    latest-row-wins window, so REPLAYING a batch is a no-op — the
-  *    restart/idempotence contract the reference implements with its
-  *    completed-batch bookkeeping (case_2/Normal.py:283-327).
+  *  - REPLAYING a batch is therefore a no-op — the restart/idempotence
+  *    contract the reference implements with its completed-batch
+  *    bookkeeping (case_2/Normal.py:283-327).
   *
   * Physical protocol: parquet snapshots are immutable, so a merge never
   * edits files in place. The merged state is fully materialized into a
   * NEW versioned directory while readers of the current version are
   * untouched; the catalog flip (drop + re-create the external table at
-  * the new location) is the commit point. All-but-the-last-two versions
-  * are pruned best-effort afterwards. Writers are serialized per table
+  * the new location) is the commit point. Version numbers come from the
+  * snapshot directories ON DISK (never a JVM counter), and recovery
+  * reads the latest _SUCCESS-committed snapshot when the catalog entry
+  * is gone — so a restarted driver resumes exactly where the last
+  * commit left off instead of silently starting empty or overwriting
+  * the live snapshot. All-but-the-last-two versions are pruned
+  * best-effort after each commit. Writers are serialized per table
   * within this JVM; multi-driver coordination is a transactional table
   * format's job (Delta/Iceberg) — this sink is the built-in-catalog
   * analog, and merge order does not matter for the final state because
@@ -37,7 +42,6 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object MergeSink {
 
   private val locks = new ConcurrentHashMap[String, Object]()
-  private val versions = new ConcurrentHashMap[String, AtomicLong]()
 
   /** State schema: one row per key, including delete tombstones. */
   val schema: StructType = StructType(Seq(
@@ -49,6 +53,32 @@ object MergeSink {
   private def lockFor(table: String): Object =
     locks.computeIfAbsent(table, _ => new Object)
 
+  /** Snapshot version numbers present on disk, ascending. Committed =
+    * carries the parquet writer's _SUCCESS marker; a crashed half-write
+    * never qualifies for recovery but still blocks its number from
+    * reuse.
+    */
+  private def versionsOnDisk(basePath: String, committedOnly: Boolean): Seq[Long] = {
+    val dir = new java.io.File(basePath)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
+      .filter { case (_, f) =>
+        !committedOnly || new java.io.File(f, "_SUCCESS").exists()
+      }
+      .map(_._1).sorted
+  }
+
+  /** The current committed state: the catalog table if present, else
+    * (driver restart with a non-persistent catalog) the latest
+    * committed snapshot on disk.
+    */
+  private def currentState(spark: SparkSession, table: String,
+      basePath: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table))
+    else versionsOnDisk(basePath, committedOnly = true).lastOption
+      .map(v => spark.read.schema(schema).parquet(s"$basePath/v$v"))
+
   /** Apply one change batch `(key, seq, op, value)` to `table`
     * (external parquet under `basePath`), creating it if absent.
     */
@@ -57,24 +87,30 @@ object MergeSink {
     val asOps = changes.select(
       col("key").cast("long"), col("seq").cast("long"),
       col("op").cast("string"), col("value").cast("double"))
-    val unioned =
-      if (spark.catalog.tableExists(table))
-        spark.table(table).select(
+      .withColumn("is_current", lit(false))
+    val unioned = currentState(spark, table, basePath) match {
+      case Some(cur) => cur.select(
           col("key"), col("last_seq").as("seq"),
           col("last_op").as("op"), col("current_value").as("value"))
-          .unionByName(asOps)
-      else asOps
-    // Latest op per key wins; on a replayed batch the stored row and the
-    // replayed row are identical, so either winning is the same no-op.
-    val w = Window.partitionBy("key").orderBy(col("seq").desc, col("op"))
+        .withColumn("is_current", lit(true))
+        .unionByName(asOps)
+      case None => asOps
+    }
+    // Highest sequence wins; at an equal sequence the STORED row ranks
+    // first (the documented at-or-below-loses contract — a replayed
+    // batch is a no-op even when an op differs at the same seq).
+    // Equal-seq conflicts WITHIN one batch resolve deterministically by
+    // (op, value) so replays stay byte-stable.
+    val w = Window.partitionBy("key")
+      .orderBy(col("seq").desc, col("is_current").desc, col("op"), col("value"))
     val newState = unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("key"), col("seq").as("last_seq"),
         col("op").as("last_op"), col("value").as("current_value"))
 
-    val v = versions.computeIfAbsent(table, _ => new AtomicLong(0L))
-      .incrementAndGet()
+    val v = versionsOnDisk(basePath, committedOnly = false)
+      .lastOption.getOrElse(0L) + 1L
     val newPath = s"$basePath/v$v"
     // Materialize BEFORE touching the catalog: the write streams out of
     // the current snapshot; only then does the catalog flip commit.
@@ -94,7 +130,6 @@ object MergeSink {
   def reset(spark: SparkSession, table: String, basePath: String): Unit =
     lockFor(table).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      versions.remove(table)
       pruneOldVersions(basePath, keep = Set.empty)
     }
 

@@ -46,6 +46,29 @@ class MergeSinkSpec extends SparkSpec {
     assert(snapshot(spark.table(table)) == Seq((1L, 20L, "U", Some(9.0))))
   }
 
+  test("an EQUAL-sequence change cannot overwrite stored state") {
+    val (table, base) = freshTable("eqseq")
+    MergeSink.merge(spark, table, base, ops((1L, 10L, "U", 9.0)))
+    // Same sequence, different op/value — the stored row must win
+    // ("at-or-below the stored sequence loses"), even though 'D' sorts
+    // before 'U' alphabetically.
+    MergeSink.merge(spark, table, base, ops((1L, 10L, "D", 0.0)))
+    assert(snapshot(spark.table(table)) == Seq((1L, 10L, "U", Some(9.0))))
+  }
+
+  test("a restarted driver recovers state from the latest committed snapshot") {
+    val (table, base) = freshTable("restart")
+    MergeSink.merge(spark, table, base, ops((1L, 10L, "I", 1.0), (2L, 11L, "I", 2.0)))
+    val committed = snapshot(spark.table(table))
+    // Simulate a driver restart with a non-persistent catalog: the
+    // table entry is gone but the snapshot directories survive.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    MergeSink.merge(spark, table, base, ops((2L, 20L, "U", 5.0)))
+    assert(snapshot(spark.table(table)) ==
+      Seq((1L, 10L, "I", Some(1.0)), (2L, 20L, "U", Some(5.0))),
+      s"recovery must resume from $committed, not start empty")
+  }
+
   test("delete tombstones survive and block resurrection by older ops") {
     val (table, base) = freshTable("tomb")
     MergeSink.merge(spark, table, base, ops((1L, 20L, "D", 0.0)))
