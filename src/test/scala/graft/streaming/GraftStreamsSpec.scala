@@ -87,6 +87,39 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed == batchRows)
   }
 
+  test("stream06: streaming quarantine equals the batch twin over one landing dir") {
+    // etl20 materializes the corrupted landing directory; the stream
+    // must split the same lines into the same per-batch summary.
+    val batchSummary = graft.operators.Etl.etl20CorruptQuarantine(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val landing =
+      s"${System.getProperty("java.io.tmpdir")}/graft_etl20_${sf.replaceAll("[^a-zA-Z0-9]", "_")}/landing"
+
+    val parsed = GraftStreams.parseQuarantine(
+      GraftStreams.landingLineStream(spark, landing))
+    val summary = parsed.groupBy("batch")
+      .agg(
+        sum(when(col("corrupt").isNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("corrupt").isNotNull, 1L).otherwise(0L)).as("n_rejected"))
+    val q = summary.writeStream.format("memory").queryName("quarantine_out")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("quarantine_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchSummary)
+
+    // Quarantine leg: every reject carries its raw line + source file.
+    val q2 = parsed.filter(col("corrupt").isNotNull)
+      .select("batch", "src_file", "line")
+      .writeStream.format("memory").queryName("quarantine_rejects")
+      .outputMode(OutputMode.Append).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rejects = spark.table("quarantine_rejects").collect()
+    assert(rejects.nonEmpty)
+    assert(rejects.forall(r => r.getString(1).contains("batch=") &&
+      r.getString(2).contains("CORRUPT@@")))
+  }
+
   test("stream-stream interval join (attribution) equals the batch join") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
