@@ -447,8 +447,15 @@ object Etl {
     *    only the valid remainder per batch — oracle-checked against the
     *    corruption rule replayed in SQL.
     */
+  /** Root of etl20's generated landing/quarantine layout for `dir` —
+    * exposed so the streaming twin's spec and QuarantineSpec read the
+    * SAME path instead of re-deriving the template.
+    */
+  def etl20Root(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_etl20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
   def etl20CorruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val out = etl20Root(dir)
     val ev = events(spark, dir)
       .select(col("event_id"), round(col("value"), 2).as("value"))
     ev.select(
@@ -459,20 +466,12 @@ object Etl {
             col("value").cast("string"))).as("line"))
       .write.mode("overwrite").partitionBy("batch").text(s"$out/landing")
 
-    val parseSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
-    val parsed = spark.read.text(s"$out/landing")
-      .select(col("batch").cast("int").as("batch"), col("value").as("line"),
-        col("_metadata.file_path").as("src_file"))
-      .select(col("batch"), col("line"), col("src_file"),
-        from_csv(col("line"), parseSchema,
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
-      .select(col("batch"), col("line"), col("src_file"),
-        col("r.event_id").as("event_id"), col("r.value").as("v"),
-        col("r._corrupt").as("corrupt"))
+    // Shared parse contract with the streaming twin (stream06).
+    val parsed = graft.sources.Quarantine.parseLines(
+      spark.read.text(s"$out/landing")
+        .select(col("batch").cast("int").as("batch"),
+          col("value").as("line"),
+          col("_metadata.file_path").as("src_file")))
 
     // Quarantine side-output: every rejected row, with full lineage.
     parsed.filter(col("corrupt").isNotNull)

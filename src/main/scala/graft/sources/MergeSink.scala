@@ -32,12 +32,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads the latest _SUCCESS-committed snapshot when the catalog entry
   * is gone — so a restarted driver resumes exactly where the last
   * commit left off instead of silently starting empty or overwriting
-  * the live snapshot. All-but-the-last-two versions are pruned
+  * the live snapshot. All filesystem access goes through the path's
+  * Hadoop FileSystem, so the protocol holds on object stores and HDFS,
+  * not only file:/. All-but-the-last-two versions are pruned
   * best-effort after each commit. Writers are serialized per table
   * within this JVM; multi-driver coordination is a transactional table
   * format's job (Delta/Iceberg) — this sink is the built-in-catalog
-  * analog, and merge order does not matter for the final state because
-  * latest-sequence-wins is commutative over batches.
+  * analog.
+  *
+  * Sequence protocol: sequences are assumed UNIQUE per key (an LSN, as
+  * in any change feed). Under that protocol latest-sequence-wins makes
+  * batch application order irrelevant to the final state. An equal-seq
+  * row is either a replay of the stored row (the intended case — a
+  * no-op) or a protocol violation; violations resolve stored-row-first,
+  * deterministically, but cross-batch commutativity is not defined for
+  * them.
   */
 object MergeSink {
 
@@ -53,18 +62,29 @@ object MergeSink {
   private def lockFor(table: String): Object =
     locks.computeIfAbsent(table, _ => new Object)
 
-  /** Snapshot version numbers present on disk, ascending. Committed =
-    * carries the parquet writer's _SUCCESS marker; a crashed half-write
-    * never qualifies for recovery but still blocks its number from
-    * reuse.
+  private def fsFor(spark: SparkSession, basePath: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(basePath)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Snapshot version numbers present under basePath, ascending —
+    * resolved through the path's Hadoop FileSystem so the sink works on
+    * any supported store (file:/, hdfs://, s3a://…), not just the local
+    * disk. Committed = carries the parquet writer's _SUCCESS marker; a
+    * crashed half-write never qualifies for recovery but still blocks
+    * its number from reuse.
     */
-  private def versionsOnDisk(basePath: String, committedOnly: Boolean): Seq[Long] = {
-    val dir = new java.io.File(basePath)
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
-      .filter { case (_, f) =>
-        !committedOnly || new java.io.File(f, "_SUCCESS").exists()
+  private def versionsOnDisk(spark: SparkSession, basePath: String,
+      committedOnly: Boolean): Seq[Long] = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .filter { case (_, p) =>
+        !committedOnly ||
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
       }
       .map(_._1).sorted
   }
@@ -76,7 +96,7 @@ object MergeSink {
   private def currentState(spark: SparkSession, table: String,
       basePath: String): Option[DataFrame] =
     if (spark.catalog.tableExists(table)) Some(spark.table(table))
-    else versionsOnDisk(basePath, committedOnly = true).lastOption
+    else versionsOnDisk(spark, basePath, committedOnly = true).lastOption
       .map(v => spark.read.schema(schema).parquet(s"$basePath/v$v"))
 
   /** Apply one change batch `(key, seq, op, value)` to `table`
@@ -109,7 +129,7 @@ object MergeSink {
       .select(col("key"), col("seq").as("last_seq"),
         col("op").as("last_op"), col("value").as("current_value"))
 
-    val v = versionsOnDisk(basePath, committedOnly = false)
+    val v = versionsOnDisk(spark, basePath, committedOnly = false)
       .lastOption.getOrElse(0L) + 1L
     val newPath = s"$basePath/v$v"
     // Materialize BEFORE touching the catalog: the write streams out of
@@ -117,7 +137,7 @@ object MergeSink {
     newState.write.mode("overwrite").parquet(newPath)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$newPath'")
-    pruneOldVersions(basePath, keep = Set(v, v - 1))
+    pruneOldVersions(spark, basePath, keep = Set(v, v - 1))
   }
 
   /** The visible table state: tombstones filtered out. */
@@ -130,19 +150,18 @@ object MergeSink {
   def reset(spark: SparkSession, table: String, basePath: String): Unit =
     lockFor(table).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      pruneOldVersions(basePath, keep = Set.empty)
+      pruneOldVersions(spark, basePath, keep = Set.empty)
     }
 
-  private def pruneOldVersions(basePath: String, keep: Set[Long]): Unit =
+  private def pruneOldVersions(spark: SparkSession, basePath: String,
+      keep: Set[Long]): Unit =
     try {
-      val dir = new java.io.File(basePath)
-      val stale = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("v") &&
-          f.getName.drop(1).toLongOption.exists(n => !keep(n)))
-      stale.foreach(deleteRecursively)
+      val (fs, base) = fsFor(spark, basePath)
+      if (fs.exists(base)) {
+        fs.listStatus(base)
+          .filter(s => s.getPath.getName.startsWith("v") &&
+            s.getPath.getName.drop(1).toLongOption.exists(n => !keep(n)))
+          .foreach(s => fs.delete(s.getPath, true))
+      }
     } catch { case _: Throwable => () } // best-effort retention
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
 }

@@ -201,35 +201,24 @@ object GraftStreams {
       }
   }
 
-  /** Parse schema of the quarantine stream: the declared record shape
-    * plus the PERMISSIVE corrupt-record capture column.
-    */
-  val QuarantineParseSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, value DOUBLE, _corrupt STRING")
-
   /** stream06 (incremental): corrupt-record quarantine — the streaming
     * twin of [[graft.operators.Etl.etl20CorruptQuarantine]], i.e. the
     * reference's per-file error bookkeeping (case_2/Normal.py:283-327)
     * made incremental. Raw lines stream out of a landing directory
     * (file tracking in the checkpoint, like [[eventFileStream]]); each
-    * micro-batch parses with `from_csv` in PERMISSIVE mode so a bad
-    * record yields nulls + the raw line in `corrupt` instead of killing
-    * the query. Downstream, one filter splits valid rows from the
-    * quarantine leg (which carries raw line + source file lineage) —
-    * both are plain DataFrames, so the valid leg feeds any streaming
-    * aggregate and the quarantine leg any append sink. Equality with
-    * the batch twin's summary over the same landing dir is spec-pinned.
+    * micro-batch parses with the SHARED
+    * [[graft.sources.Quarantine.parseLines]] contract (PERMISSIVE
+    * `from_csv` — a bad record yields nulls + the raw line in `corrupt`
+    * instead of killing the query), so batch and stream can never
+    * diverge on parse semantics. Downstream, one filter splits valid
+    * rows from the quarantine leg (which carries raw line + source file
+    * lineage) — both are plain DataFrames, so the valid leg feeds any
+    * streaming aggregate and the quarantine leg any append sink.
+    * Equality with the batch twin's summary over the same landing dir
+    * is spec-pinned.
     */
   def parseQuarantine(lines: DataFrame): DataFrame =
-    lines
-      .select(col("batch"), col("line"), col("src_file"),
-        from_csv(col("line"), QuarantineParseSchema,
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
-      .select(col("batch"), col("line"), col("src_file"),
-        col("r.event_id").as("event_id"), col("r.value").as("v"),
-        col("r._corrupt").as("corrupt"))
+    graft.sources.Quarantine.parseLines(lines)
 
   /** Raw-line stream over a (possibly hive-partitioned) landing dir:
     * recursive lookup + `_metadata.file_path` lineage; the batch

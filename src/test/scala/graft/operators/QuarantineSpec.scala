@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 
 class QuarantineSpec extends SparkSpec {
 
-  private lazy val out =
-    s"${System.getProperty("java.io.tmpdir")}/graft_etl20_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+  private lazy val out = Etl.etl20Root(sf)
 
   test("etl20 rejects exactly the corrupted lines and keeps the rest") {
     val summary = Etl.etl20CorruptQuarantine(spark, sf).collect()

@@ -89,23 +89,26 @@ class GraftStreamsSpec extends SparkSpec {
 
   test("stream06: streaming quarantine equals the batch twin over one landing dir") {
     // etl20 materializes the corrupted landing directory; the stream
-    // must split the same lines into the same per-batch summary.
+    // must split the same lines into the same per-batch summary —
+    // including the aggregated valid VALUES, so a parse-path bug on the
+    // value column cannot slip through a counts-only comparison.
     val batchSummary = graft.operators.Etl.etl20CorruptQuarantine(spark, sf)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    val landing =
-      s"${System.getProperty("java.io.tmpdir")}/graft_etl20_${sf.replaceAll("[^a-zA-Z0-9]", "_")}/landing"
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val landing = s"${graft.operators.Etl.etl20Root(sf)}/landing"
 
     val parsed = GraftStreams.parseQuarantine(
       GraftStreams.landingLineStream(spark, landing))
     val summary = parsed.groupBy("batch")
       .agg(
         sum(when(col("corrupt").isNull, 1L).otherwise(0L)).as("n_valid"),
-        sum(when(col("corrupt").isNotNull, 1L).otherwise(0L)).as("n_rejected"))
+        sum(when(col("corrupt").isNotNull, 1L).otherwise(0L)).as("n_rejected"),
+        round(sum(when(col("corrupt").isNull, col("v"))), 2).as("valid_value"))
     val q = summary.writeStream.format("memory").queryName("quarantine_out")
       .outputMode(OutputMode.Complete).start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("quarantine_out").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batchSummary)
 
     // Quarantine leg: every reject carries its raw line + source file.
