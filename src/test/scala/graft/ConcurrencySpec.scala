@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("24 mixed queries submitted concurrently produce sequential results") {
+  test("26 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers.
@@ -25,8 +25,9 @@ class ConcurrencySpec extends SparkSpec {
       "etl16_cdc_apply",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
+      "dedup05_embedding_cosine",
       "sim01_bruteforce_topk", "sim05_radius_search",
-      "cur02_corpus_stats", "cur05_mix_weights",
+      "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "mm01_binary_meta", "mm04_resize_stub")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap
