@@ -105,6 +105,41 @@ object SparkEntry {
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _)
 
+  /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
+    * emit identical rows — spec-pinned — so both map to this SQL):
+    * codebook = vectors with vec_id < 16; each vector joins its
+    * nearest-centroid cell (ties to the smallest cid); each query
+    * (vec_id < 5) probes its 4 nearest cells; candidates are exactly
+    * the probed cells' members, rescored with the true cosine.
+    */
+  private val SimIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       assign AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+           FROM e, c)
+         WHERE crk = 1),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       probes AS (SELECT q_id, cell FROM (
+           SELECT q.q_id, c.cid AS cell, row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS crk
+           FROM q, c)
+         WHERE crk <= 4),
+       s AS (SELECT p.q_id, a.vec_id,
+               round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+             FROM probes p
+             JOIN q ON q.q_id = p.q_id
+             JOIN assign a ON a.cell = p.cell
+             JOIN e ON e.vec_id = a.vec_id
+             WHERE a.vec_id <> p.q_id),
+       r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+       SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+       WHERE rk <= 10 ORDER BY q_id, rk"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -647,6 +682,13 @@ object SparkEntry {
                  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    // sim03/sim06 became fully oracle-able when cell assignment moved
+    // to pure cosine argmax (no xxhash64): the IVF protocol — nearest-
+    // centroid cells, 4 probe cells per query, exact rescoring of
+    // probed candidates — replays verbatim in SQL. sim06 is spec-pinned
+    // equal to sim03, so both share the oracle.
+    "sim03_ivf_ann" -> SimIvfOracleSql,
+    "sim06_bucketed_ivf" -> SimIvfOracleSql,
     "cur01_hash_sample" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
