@@ -140,6 +140,70 @@ object SparkEntry {
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
 
+  /** Generated DuckDB replay of sim02's hyperplane LSH search. The ±1
+    * coefficient matrix is a pure function of (plane, dim) — evaluated
+    * here with the SAME XxHash64 expression the operator's driver-side
+    * precompute uses, then inlined as signed adds. Both engines then
+    * evaluate the identical left-associated double summation, so even
+    * the dot-product SIGNS (the bucket bits) are bit-identical; the
+    * rest — multi-probe bucket join, exact rescoring, top-k — is plain
+    * deterministic SQL.
+    */
+  private val Sim02OracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val planes = 4; val dims = 64
+    def coefPositive(p: Int, d: Int): Boolean =
+      (XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null)
+        .asInstanceOf[Long] & 1L) == 0L
+    val dots = (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        s"${if (coefPositive(p, d)) "+" else "-"} v[${d + 1}]"
+      }.mkString(" ")
+    }
+    val bucketExpr = (0 until planes).map(p =>
+      s"(CASE WHEN (${dots(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+       probes AS (SELECT q_id, qv,
+           unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS probe
+         FROM q),
+       s AS (SELECT p.q_id, b.vec_id,
+               round(list_cosine_similarity(p.qv, b.v), 4) AS cos
+             FROM probes p JOIN b ON b.bucket = p.probe
+             WHERE b.vec_id <> p.q_id),
+       r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+       SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+       WHERE rk <= 10 ORDER BY q_id, rk"""
+  }
+
+  /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
+    * per bit over the engine-portable md5-derived 60-bit token hash —
+    * the same contract as `GraftFunctions.tokenHash64`), then ALL-PAIRS
+    * hamming ≤ 3. The oracle deliberately skips the pigeonhole
+    * candidate pruning Spark uses: comparing against the exhaustive
+    * pair set proves the pruning loses nothing, value-for-value.
+    */
+  private val Dedup04OracleSql: String = {
+    val bits = 60 // 15 hex chars of md5 → signed-BIGINT-safe in every engine
+    val simhashTerms = (0 until bits).map { b =>
+      s"""CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+       th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+           FROM toks),
+       sh AS (SELECT doc_id, $simhashTerms AS sh FROM th GROUP BY doc_id)
+       SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       ORDER BY da, db"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -687,6 +751,8 @@ object SparkEntry {
     // centroid cells, 4 probe cells per query, exact rescoring of
     // probed candidates — replays verbatim in SQL. sim06 is spec-pinned
     // equal to sim03, so both share the oracle.
+    "dedup04_simhash" -> Dedup04OracleSql,
+    "sim02_lsh_ann" -> Sim02OracleSql,
     "sim03_ivf_ann" -> SimIvfOracleSql,
     "sim06_bucketed_ivf" -> SimIvfOracleSql,
     "cur01_hash_sample" ->

@@ -102,12 +102,23 @@ object GraftFunctions {
         element_at(sig, b * rowsPerBand + r + 1))): _*)
     }: _*)
 
-  /** 64-bit SimHash from a token array: majority vote per bit over
-    * xxhash64 of each token. Pure higher-order-function composition —
-    * runs distributed, one pass over tokens per document.
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of
+    * md5(token) read base-16. 60 bits keep the value inside a signed
+    * BIGINT in every engine (DuckDB replays it as
+    * `('0x' || substr(md5(t),1,15))::BIGINT`), which is what lets the
+    * SimHash family be oracle-checked value-for-value instead of
+    * rows-only — the reason this is used over the (cheaper, but
+    * Spark-only) xxhash64.
+    */
+  def tokenHash64(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash from a token array: majority vote per bit over
+    * [[tokenHash64]] of each token. Pure higher-order-function
+    * composition — runs distributed, one pass over tokens per document.
     */
   def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => tokenHash64(t))
     (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))

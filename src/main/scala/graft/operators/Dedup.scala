@@ -167,7 +167,7 @@ object Dedup {
     documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id")
-      .agg(simhashAgg(xxhash64(col("t"))).as("sh"))
+      .agg(simhashAgg(tokenHash64(col("t"))).as("sh"))
 
   /** dedup04: SimHash near-dup pairs (hamming ≤ 3). Candidates via the
     * pigeonhole principle: split the 64-bit hash into 4×16-bit chunks —
