@@ -32,6 +32,41 @@ class QuarantineSpec extends SparkSpec {
       "quarantined lines must be exactly the corrupted ones")
   }
 
+  test("parseLines is total over adversarial lines: every row lands valid or quarantined") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lines = Seq(
+      "1,2.5",            // clean
+      "2,CORRUPT@@",      // unparseable double
+      "3,",               // empty value field
+      ",4.0",             // empty key field
+      "",                 // empty line
+      "5,1.0,extra",      // extra column
+      "6,\"7,7\"",        // quoted field with delimiter
+      "7,NaN",            // special double spellings
+      "8,Infinity",
+      "not_a_long,9.9",   // unparseable key
+      "9," + "x" * 10000, // pathologically long garbage
+      "10,1e308")         // near-overflow scientific notation
+    val df = lines.toDF("line")
+      .withColumn("batch", lit(0)).withColumn("src_file", lit("mem"))
+    val parsed = graft.sources.Quarantine.parseLines(df).collect()
+    // Totality: no row lost, nothing thrown.
+    assert(parsed.length == lines.size)
+    // Every quarantined row carries its raw line for replay.
+    parsed.filter(r => !r.isNullAt(5)).foreach { r =>
+      assert(r.getString(5) == r.getString(1),
+        s"corrupt capture must be the raw line: $r")
+    }
+    def rowFor(line: String) = parsed.find(_.getString(1) == line).get
+    // The known-corrupt marker is quarantined; a clean line is not.
+    assert(!rowFor("2,CORRUPT@@").isNullAt(5))
+    assert(rowFor("1,2.5").isNullAt(5) && rowFor("1,2.5").getDouble(4) == 2.5)
+    // PERMISSIVE subtlety (part of the contract): a MISSING field is
+    // null-and-valid, not corrupt — only unparseable content rejects.
+    assert(rowFor("3,").isNullAt(5) && rowFor("3,").isNullAt(4))
+  }
+
   test("FAILFAST is the strict twin: the corrupted landing dir fails the job") {
     Etl.etl20CorruptQuarantine(spark, sf).collect() // materialize landing dir
     val schema = "event_id LONG, value DOUBLE"
