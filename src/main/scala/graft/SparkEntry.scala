@@ -69,6 +69,7 @@ object SparkEntry {
     "etl18_xml_roundtrip" -> Etl.etl18XmlRoundtrip _,
     "etl19_merge_sink" -> Etl.etl19MergeSink _,
     "etl20_corrupt_quarantine" -> Etl.etl20CorruptQuarantine _,
+    "etl21_compaction" -> Etl.etl21Compaction _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "text08_bpe_tokens" -> TextAnalysis.text08BpeTokens _,
     "text09_winnow_fingerprint" -> TextAnalysis.text09WinnowFingerprint _,
     "text10_repetition" -> TextAnalysis.text10Repetition _,
+    "text11_surprisal" -> TextAnalysis.text11Surprisal _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -92,12 +94,14 @@ object SparkEntry {
     "sim04_l2_topk" -> Similarity.sim04L2TopK _,
     "sim05_radius_search" -> Similarity.sim05RadiusSearch _,
     "sim06_bucketed_ivf" -> Similarity.sim06BucketedIvf _,
+    "sim07_knn_graph" -> Similarity.sim07KnnGraph _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
     "cur04_quality_filter" -> Curation.cur04QualityFilter _,
     "cur05_mix_weights" -> Curation.cur05MixWeights _,
     "cur06_curation_pipeline" -> Curation.cur06CurationPipeline _,
+    "cur07_stratified_sample" -> Curation.cur07StratifiedSample _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -582,6 +586,13 @@ object SparkEntry {
          CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
          round(sum(CASE WHEN event_id % 97 <> 0 THEN round(value, 2) END), 2) AS valid_value
          FROM events GROUP BY 1 ORDER BY batch""",
+    "etl21_compaction" ->
+      // Straight off the source table: the compacted copy must
+      // aggregate identically or the rewrite lost/duplicated rows.
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(round(value, 2)), 2) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,
@@ -673,6 +684,21 @@ object SparkEntry {
            coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
            coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac
          FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id ORDER BY ws.doc_id""",
+    "text11_surprisal" ->
+      // Per-token surprisal quantized to 1e-4 bits as an integer, so
+      // the per-doc mean is exact integer math in both engines (a raw
+      // double sum would be summation-order-dependent).
+      """WITH toks AS (SELECT doc_id, t FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         freq AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         tot AS (SELECT sum(cnt) AS total FROM freq),
+         scored AS (SELECT doc_id,
+             CAST(round(-log2(cnt / total) * 10000) AS BIGINT) AS micro
+           FROM toks JOIN freq USING (t) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+           round((sum(micro) / count(*)) / 10000.0, 4) AS avg_surprisal
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs
@@ -755,6 +781,26 @@ object SparkEntry {
     "sim02_lsh_ann" -> Sim02OracleSql,
     "sim03_ivf_ann" -> SimIvfOracleSql,
     "sim06_bucketed_ivf" -> SimIvfOracleSql,
+    "sim07_knn_graph" ->
+      // Single-probe IVF kNN graph replayed verbatim: same cell
+      // assignment CTE as sim03/sim06's oracle, then a cell-local
+      // self-join ranked per vector.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         assign AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+             FROM e, c)
+           WHERE crk = 1),
+         s AS (SELECT a.vec_id, b.vec_id AS nb_id,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cos
+               FROM assign a JOIN assign b
+                 ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         r AS (SELECT vec_id, nb_id, cos, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk FROM s)
+         SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb_id, cos FROM r
+         WHERE rk <= 5 ORDER BY vec_id, rk""",
     "cur01_hash_sample" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
@@ -875,6 +921,24 @@ object SparkEntry {
            CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s4) THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
            CAST(coalesce(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s4) THEN n_chars END), 0) AS BIGINT) AS chars_final
          FROM t GROUP BY source ORDER BY source""",
+    "cur07_stratified_sample" ->
+      // Rate math replayed exactly (integer counts -> double division,
+      // identical IEEE-754 on both engines); selection is a hex-string
+      // comparison on the md5 prefix, monotone in the hash value.
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         r AS (SELECT source,
+                 least(1.0, (sum(n_docs) OVER ()) / (count(*) OVER ()) / n_docs) AS rate
+               FROM c),
+         t AS (SELECT source, rate,
+                 printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
+               FROM r)
+         SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rate >= 1.0
+                 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(rate, 6) AS sample_rate, thr
+         FROM documents d JOIN t ON d.source = t.source
+         GROUP BY d.source, rate, thr ORDER BY d.source""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -116,6 +116,50 @@ object Curation {
       .orderBy("source")
   }
 
+  /** cur07: stratified downsampling to a uniform source mix — the
+    * EXECUTION of cur05's mix weights: each stratum (source) keeps a
+    * deterministic hash slice of its documents sized so every source
+    * contributes ~equally (rate = min(1, target_share / actual_share)
+    * with a uniform target). Selection is engine-portable: a doc is
+    * kept iff the first 4 hex chars of md5(doc_id) sort below the
+    * rate quantized to 16⁴ buckets — hex-string comparison is monotone
+    * in the hash value, so the predicate needs no integer parsing and
+    * replays exactly in any engine. Deterministic sampling is what
+    * makes a 100 TB curation step auditable and re-runnable: the same
+    * doc is kept on every engine, every run, at every scale (and a
+    * re-run after adding data keeps all previously kept docs whose
+    * stratum rate didn't shrink).
+    *
+    * Plan: one tiny per-source aggregate, thresholds broadcast back,
+    * per-row predicate, per-source re-aggregate — the corpus is
+    * scanned twice but never shuffled.
+    */
+  def cur07StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val rates = documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        least(lit(1.0),
+          (sum("n_docs").over(w) / count(lit(1)).over(w)) / col("n_docs")))
+      // rate = 1 quantizes to 0x10000 — 5 chars, above every 4-char
+      // prefix, but the rate >= 1.0 disjunct below keeps the contract
+      // explicit rather than leaning on string-length ordering.
+      .withColumn("thr",
+        format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      .select("source", "rate", "thr")
+    documents(spark, dir)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_sampled"),
+        round(first(col("rate")), 6).as("sample_rate"),
+        first(col("thr")).as("thr"))
+      .orderBy("source")
+  }
+
   /** cur06: the END-TO-END curation pipeline — the composed flow every
     * pre-training data build runs, staged exactly as production
     * pipelines stage it (cheapest filter first, most expensive last):

@@ -426,13 +426,10 @@ object Dedup {
     // Per-row: nearest-pivot cell AND the angle to that pivot — the
     // shared IVF assignment (one definition with sim03/sim06), one
     // codegen'd scan pass against the literal codebook, zero shuffles.
-    // Persisted through the registry: the radius aggregate and BOTH
-    // join legs read it, so without the pin the scan + 16-cosine argmax
-    // would execute three times.
-    val assigned = graft.GraftCache.getOrPersist(
-      s"dedup.cells:$dir:${graft.GraftCache.sessionTag(spark)}") {
-      Similarity.ivfAssigned(e, cents, withAngle = true)
-    }
+    // Persisted through the registry (shared with sim07's kNN graph):
+    // the radius aggregate and BOTH join legs read it, so without the
+    // pin the scan + 16-cosine argmax would execute three times.
+    val assigned = Similarity.cachedCellAssignment(spark, dir)
 
     // Tiny per-cell stats → driver: angular radius of each cell.
     val rad: Map[Long, Double] = assigned.groupBy("cell")

@@ -486,6 +486,55 @@ object Etl {
       .orderBy("batch")
   }
 
+  /** Target compacted file size. 128 MB = one comfortable parquet
+    * row-group-aligned scan task; at 100 TB this is the knob that turns
+    * "millions of 100 KB files, one task each" into right-sized scans.
+    */
+  val CompactionTargetBytes: Long = 128L * 1024 * 1024
+
+  /** etl21: small-file compaction — the maintenance pass every large
+    * lake runs continuously: streaming/concurrent ingest (the
+    * reference's per-batch appends, case_2/Normal.py:283-327) leaves
+    * a fragment per batch per writer, and readers then pay a task (and
+    * an object-store request) per file. Stage a deliberately
+    * fragmented copy of `events` (64 shards), size the compacted
+    * layout from the MEASURED staged bytes (ceil(bytes / target) — a
+    * real compactor sizes from the file listing, not a guess), and
+    * rewrite with `maxRecordsPerFile` as the overflow bound. The
+    * returned aggregate proves the rewrite is lossless (the oracle
+    * computes it straight off the source table); the file-count
+    * collapse itself is asserted in the spec, since an oracle can only
+    * see content.
+    */
+  def etl21Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl21_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val frag = s"$base/fragmented"
+    val comp = s"$base/compacted"
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    // Size the target layout from the staged bytes via the path's own
+    // Hadoop FileSystem (works on HDFS/object stores, not just local).
+    val fragPath = new org.apache.hadoop.fs.Path(frag)
+    val fs = fragPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedBytes = fs.getContentSummary(fragPath).getLength
+    val nFiles = math.max(1L,
+      (stagedBytes + CompactionTargetBytes - 1) / CompactionTargetBytes).toInt
+    spark.read.parquet(frag)
+      .repartition(nFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 4000000)
+      .parquet(comp)
+    spark.read.parquet(comp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** etl10: partitioned sink — write orders hive-partitioned by order
     * year (the layout that makes a 100 TB table prunable: a year
     * predicate then reads 1/Nth of the files), read back, and prove the

@@ -244,6 +244,64 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** The corpus' cell assignment (with pivot angle), persisted through
+    * [[graft.GraftCache]] and shared by every consumer in the session:
+    * dedup05's metric cell join and sim07's kNN graph both branch from
+    * this one frame, so the scan + |codebook|-cosine argmax runs once
+    * per (session, dir).
+    */
+  private[operators] def cachedCellAssignment(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"dedup.cells:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val e = Dedup.vectors(spark, dir)
+      ivfAssigned(e, ivfCentroids(e), withAngle = true)
+    }
+
+  val KnnK = 5
+
+  /** sim07: k-NN GRAPH — every vector's top-k neighbors, the
+    * dataset-wide structure that semantic dedup (SemDeDup-style),
+    * diversity sampling, and graph-based ANN index construction all
+    * start from. Contract: single-probe IVF — a vector's candidates
+    * are exactly the vectors sharing its cell. That makes the graph
+    * deterministic (the DuckDB oracle replays assignment + ranking
+    * verbatim) and keeps the pair space sub-quadratic: per-cell work
+    * is |cell|², bounded by growing the codebook with the corpus.
+    *
+    * Scale shape: candidates flow through ONE corpus shuffle on
+    * (cell, salt). The cell key has only |codebook| distinct values —
+    * unsalted, each cell's whole pair space would land on one reducer
+    * (structural skew, same reasoning as dedup05) — so the probe side
+    * is salted on vec_id and the build side exploded ×Salt. The
+    * per-vector top-k runs in the bounded-heap [[graft.plans.TopKPerKey]]
+    * operator: nothing materializes a per-cell pair list beyond each
+    * vector's k-row heap frontier.
+    */
+  def sim07KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = cachedCellAssignment(spark, dir)
+    val Salt = 16
+    val a = assigned.select(col("vec_id"), col("v"), col("cell"))
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(Salt)).cast("int"))
+    val b = assigned.select(col("vec_id").as("nb_id"), col("v").as("nv"),
+        col("cell"))
+      .withColumn("salt",
+        explode(sequence(lit(0), lit(Salt - 1), lit(1)).cast("array<int>")))
+      // Low-cardinality (cell × salt) key: hash join beats sort-merge
+      // (the sort buys nothing), same choice as dedup05's cell join.
+      .hint("shuffle_hash")
+    val scored = a.join(b, Seq("cell", "salt"))
+      .filter(col("nb_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(cosineSim(col("v"), col("nv")), 4).as("cos"))
+    graft.plans.TopKPerKey(scored,
+        keyCols = Seq("vec_id"),
+        orderCols = Seq(("cos", true), ("nb_id", false)),
+        k = KnnK)
+      .select("vec_id", "rk", "nb_id", "cos")
+      .orderBy("vec_id", "rk")
+  }
+
   /** sim06: IVF over a BUCKETED cell layout — the at-rest half of the
     * sim03 story: the cell-assigned corpus is written `bucketBy(cell)`
     * once, and a query's probe-cell filter (a literal IN list — the

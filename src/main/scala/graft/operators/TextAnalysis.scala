@@ -198,6 +198,41 @@ object TextAnalysis {
     * pipeline computes. Two-phase agg after the explode; top-k is
     * TakeOrderedAndProject.
     */
+  /** text11: corpus-conditional token surprisal — an LM-free novelty /
+    * quality signal: the mean of −log₂ p(token | corpus unigram model)
+    * over each document's tokens. Low = boilerplate built from the
+    * corpus' most common words; high = rare-vocabulary documents —
+    * the cheap first-pass proxy pipelines use before any model-based
+    * perplexity filter.
+    *
+    * Two corpus passes by construction: the unigram table build (one
+    * partial-aggregated groupBy) and the score join. The token join is
+    * the honest 100 TB formulation — a real corpus' vocab (with noise
+    * tokens) can exceed any broadcast budget, so frequencies flow
+    * through a shuffle join keyed on the token. Per-token surprisal is
+    * quantized to 1e-4 bits as an INTEGER, so the per-doc sum is exact
+    * integer math — independent of summation order on both engines; a
+    * raw double sum would be order-dependent and hash-unstable under
+    * the oracle compare.
+    */
+  def text11Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    toks.join(freq, Seq("t"))
+      // 1-row broadcast of the corpus token count (same shape as
+      // etl03's max-id frame): a scalar, never a shuffle.
+      .crossJoin(broadcast(total))
+      .withColumn("micro",
+        round(-log2(col("cnt") / col("total")) * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum("micro") / count(lit(1))) / 10000.0, 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   def text07Bigrams(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val n = size(toks) - 1

@@ -20,6 +20,30 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur07 stratified sample: deterministic, bounded, near-target") {
+    val rows = Curation.cur07StratifiedSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val s = r.getAs[Long]("n_sampled")
+      val rate = r.getAs[Double]("sample_rate")
+      val thr = r.getAs[String]("thr")
+      assert(s >= 0 && s <= n)
+      assert(thr.length == 4 || thr == "10000", s"thr shape: $thr")
+      if (rate >= 1.0) assert(s == n, s"rate-1 stratum must keep all docs: $r")
+      else {
+        // Hash selection concentrates around rate·n: loose 5σ bound
+        // (σ ≤ √n/2 for a Bernoulli sum) plus quantization slack.
+        val exp = rate * n
+        assert(math.abs(s - exp) <= 5 * (math.sqrt(n.toDouble) / 2) + 1,
+          s"stratum ${r.getString(0)}: sampled $s, expected ≈$exp of $n")
+      }
+    }
+    // Determinism: the same docs are selected on a re-run.
+    val again = Curation.cur07StratifiedSample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("cur06 funnel counts are monotone and stage-consistent per source") {
     import org.apache.spark.sql.functions._
     val rows = Curation.cur06CurationPipeline(spark, sf).collect()

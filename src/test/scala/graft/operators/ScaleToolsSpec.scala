@@ -22,6 +22,28 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("etl21 compaction collapses the file count and preserves content") {
+    import org.apache.spark.sql.functions._
+    val out = Etl.etl21Compaction(spark, sf).collect().map(_.toSeq).toSeq
+    val direct = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), round(col("value"), 2).as("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(out == direct, "compacted aggregate must equal the source aggregate")
+    // The oracle can only see content; the file-count collapse — the
+    // point of the operator — is pinned here.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl21_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    def parts(p: String): Int =
+      new java.io.File(p).listFiles().count(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(s"$base/fragmented") == 64, "staging must fragment into 64 files")
+    assert(parts(s"$base/compacted") <= 2,
+      "compaction must collapse to ceil(bytes/target) files")
+  }
+
   test("saltedJoin returns exactly the plain equi-join result") {
     val fact = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -69,6 +69,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim07 kNN graph equals the exact cell-local top-k") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Similarity.sim07KnnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    // Reference: window-ranked top-k over the same cell-local pair
+    // space (the contract is single-probe — candidates ARE the cell).
+    val assigned = Similarity.cachedCellAssignment(spark, sf)
+    val a = assigned.select(col("vec_id"), col("v"), col("cell"))
+    val b = assigned.select(col("vec_id").as("nb_id"), col("v").as("nv"),
+      col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nb_id"))
+    val brute = a.join(b, Seq("cell"))
+      .filter(col("nb_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nb_id"),
+        round(cosineSim(col("v"), col("nv")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Similarity.KnnK)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    // Every list is at most k long and ranks are dense from 1.
+    val byV = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    byV.foreach { case (v, rks) =>
+      assert(rks.size <= Similarity.KnnK)
+      assert(rks == (1 to rks.size), s"vector $v ranks must be dense")
+    }
+  }
+
   test("sim02 ranks are dense and start at 1 per query") {
     val byQ = Similarity.sim02LshAnn(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted).toMap

@@ -135,6 +135,36 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("text11 surprisal equals a driver-side unigram-model recompute") {
+    val got = TextAnalysis.text11Surprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+    val freq = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val total = freq.values.sum.toDouble
+    toks.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+      val micro = ts.map(t =>
+        math.round(-(math.log(freq(t) / total) / math.log(2.0)) * 10000))
+      val exp = (micro.sum.toDouble / micro.length) / 10000.0
+      val (nTok, gotAvg) = got(id)
+      assert(nTok == ts.length, s"doc $id token count")
+      // 5e-4 tolerance: the engine may land a per-token quantization
+      // boundary differently than this recompute in rare ulp cases.
+      assert(math.abs(gotAvg - exp) <= 5e-4,
+        s"doc $id surprisal: got $gotAvg, recomputed $exp")
+    }
+    // Docs made only of corpus-common words must score below the
+    // corpus mean: the signal orders boilerplate under novelty.
+    val avgAll = got.values.map(_._2).sum / got.size
+    val commonest = freq.maxBy(_._2)._1
+    val boilerplate = toks.filter(_._2.nonEmpty)
+      .minBy { case (_, ts) => ts.map(t => -math.log(freq(t) / total)).sum / ts.length }
+    assert(got(boilerplate._1)._2 <= avgAll)
+    assert(freq(commonest) > 1)
+  }
+
   test("text03 emits one row per document with a known language code") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val out = TextAnalysis.text03LangId(spark, sf)
