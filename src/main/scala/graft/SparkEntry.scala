@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup05_embedding_cosine" -> Dedup.dedup05EmbeddingCosine _,
     "dedup06_cluster" -> Dedup.dedup06Cluster _,
     "dedup07_winnow_overlap" -> Dedup.dedup07WinnowOverlap _,
+    "dedup08_paragraph" -> Dedup.dedup08Paragraph _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -756,6 +757,24 @@ object SparkEntry {
          FROM ov JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
          WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.8
          ORDER BY da, db""",
+    "dedup08_paragraph" ->
+      // Groups on the span STRING where Spark groups on xxhash64(span):
+      // identical df counts modulo 64-bit collisions (the output never
+      // exposes the hash), same set-semantics argument as the shingle
+      // family.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT doc_id, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+           FROM toks, UNNEST(range(CAST(floor(len(t)/10) AS BIGINT))) AS u(i)),
+         df AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+                FROM chunks GROUP BY 1),
+         per_doc AS (
+           SELECT c.doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+           FROM chunks c JOIN df d USING (chunk) GROUP BY 1)
+         SELECT doc_id, n_chunks, dup_chunks,
+           round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_frac
+         FROM per_doc WHERE dup_chunks > 0 ORDER BY doc_id""",
     "dedup05_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS ida, b.vec_id AS idb,

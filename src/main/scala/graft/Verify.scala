@@ -19,10 +19,17 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query names — dev-only subset
+    // runs while iterating on one operator. The driver always passes
+    // two args, so the full dump is unaffected.
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession.build(GraftSession.cpusFromEnv, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    val errors = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val errors = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -487,4 +487,60 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
       .orderBy("ida", "idb")
   }
+
+  /** Non-overlapping span width (tokens) for paragraph-granularity
+    * dedup. 10 tokens ≈ the boilerplate span a RefinedWeb-style line
+    * dedup targets; the corpus has no structural paragraph breaks, so
+    * fixed token spans are the honest chunking (the granularity is a
+    * knob, not a property of the algorithm).
+    */
+  val ParagraphTokens = 10
+
+  /** dedup08: paragraph-granularity EXACT dedup — the sub-document
+    * sibling of dedup01 (reference per-row dedup, case_2/Normal.py:265-
+    * 275, pushed below document grain). Whole-document dedup misses the
+    * dominant failure mode of a crawled corpus: distinct pages sharing
+    * boilerplate spans (headers, navigation, license blocks). Chunk each
+    * document into non-overlapping [[ParagraphTokens]]-token spans,
+    * count per span hash how many DISTINCT documents contain it, and
+    * report each document's duplicated-span fraction — the signal a
+    * curation pass thresholds on (and the exact spans a span-removal
+    * rewrite would drop).
+    *
+    * Scale shape: the chunking is a per-row `transform` in the scan
+    * stage (no explode until the aggregate needs rows); the document-
+    * frequency table is one partially-aggregated groupBy on the 8-byte
+    * `xxhash64` of the span (strings never shuffle — same argument as
+    * [[shingleArrays]]'s hash-set semantics: a 64-bit collision at
+    * corpus scale perturbs one df count, never a fraction past a
+    * threshold); the flag-back is a hash-keyed shuffle join (the span
+    * vocabulary of a 100 TB corpus exceeds any broadcast budget, the
+    * same posture as text11's frequency join); the per-doc rollup is
+    * the final narrow aggregate. Three shuffles total, all on compact
+    * keys, each partial-aggregated map-side.
+    */
+  def dedup08Paragraph(spark: SparkSession, dir: String): DataFrame =
+    paragraphDupStats(documents(spark, dir))
+
+  /** Core of dedup08 over any (doc_id, text) frame — separable so the
+    * spec can drive a corpus with known span structure.
+    */
+  private[operators] def paragraphDupStats(docs: DataFrame): DataFrame = {
+    val k = ParagraphTokens
+    val t = col("t")
+    val chunkRows = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), (size(t) / k).cast("int") - 1, lit(1)),
+          i => xxhash64(concat_ws(" ", slice(t, i * k + 1, lit(k)))))).as("h"))
+    val df = chunkRows.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunkRows.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("nd") > 1).cast("long")).as("dup_chunks"))
+      .filter(col("dup_chunks") > 0)
+      .withColumn("dup_frac", round(col("dup_chunks") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
 }

@@ -125,4 +125,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(bucketed == exact)
   }
+
+  test("dedup08 paragraph dedup computes exact span df over a known corpus") {
+    import spark.implicits._
+    def span(w: String) = (1 to Dedup.ParagraphTokens).map(i => s"$w$i").mkString(" ")
+    val (a, b, c, d) = (span("a"), span("b"), span("c"), span("d"))
+    // doc1 = A B, doc2 = A C, doc3 = D, doc4 = B + a sub-span tail that
+    // must be DROPPED (non-overlapping chunking ignores a trailing
+    // partial span, same as the oracle's floor(len/k)).
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, d),
+      (4L, s"$b tail1 tail2 tail3")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDupStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc1: A dups with doc2, B dups with doc4 -> 2/2. doc2: only A
+    // dups -> 1/2. doc3: unique -> absent. doc4: B dups -> 1/1.
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (4L, 1L, 1L, 1.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("dedup08 per-doc fractions are consistent on the sf corpus") {
+    val rows = Dedup.dedup08Paragraph(spark, sf).collect()
+    assert(rows.nonEmpty, "sf corpus contains cross-doc duplicate spans")
+    assert(rows.forall(r => r.getLong(2) > 0 && r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall { r =>
+      math.abs(r.getDouble(3) -
+        BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9
+    })
+  }
 }
