@@ -81,6 +81,7 @@ object SparkEntry {
     "text09_winnow_fingerprint" -> TextAnalysis.text09WinnowFingerprint _,
     "text10_repetition" -> TextAnalysis.text10Repetition _,
     "text11_surprisal" -> TextAnalysis.text11Surprisal _,
+    "text12_entropy" -> TextAnalysis.text12Entropy _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -96,6 +97,7 @@ object SparkEntry {
     "sim05_radius_search" -> Similarity.sim05RadiusSearch _,
     "sim06_bucketed_ivf" -> Similarity.sim06BucketedIvf _,
     "sim07_knn_graph" -> Similarity.sim07KnnGraph _,
+    "sim08_pq_ann" -> Similarity.sim08PqAnn _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -700,6 +702,20 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
            round((sum(micro) / count(*)) / 10000.0, 4) AS avg_surprisal
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "text12_entropy" ->
+      // H = log2(n) - (sum c*log2 c)/n with each type's c*log2(c)
+      // quantized to a 1e-4 integer (text11's order-independence trick).
+      """WITH toks AS (SELECT doc_id, t FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
+         cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+         m AS (SELECT doc_id, c,
+             CAST(round(c * log2(c) * 10000) AS BIGINT) AS micro FROM cnt)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(log2(sum(c)) - (sum(micro) / 10000.0) / sum(c), 4) AS entropy,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs
@@ -820,6 +836,46 @@ object SparkEntry {
                  PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk FROM s)
          SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb_id, cos FROM r
          WHERE rk <= 5 ORDER BY vec_id, rk""",
+    "sim08_pq_ann" ->
+      // Full PQ protocol replay: per-subspace nearest codeword (ties to
+      // the lowest codeword id), reconstruction, approx L2 quantized to
+      // 1e-6 with vec_id tiebreak, top-160 refine, exact re-rank on the
+      // 4-dp distance (the same rounded key Spark ranks on).
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         sub AS (
+           SELECT e.vec_id, m.m, cb.cid,
+             list_sum(list_transform(range(1,9),
+               i -> (e.v[CAST(m.m*8+i AS INT)] - cb.cv[CAST(m.m*8+i AS INT)])
+                  * (e.v[CAST(m.m*8+i AS INT)] - cb.cv[CAST(m.m*8+i AS INT)]))) AS d2
+           FROM e, UNNEST(range(8)) AS m(m), cb),
+         code AS (SELECT vec_id, m, cid FROM (
+             SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+             FROM sub) WHERE rn = 1),
+         recon AS (SELECT c.vec_id,
+             flatten(list(cb.cv[CAST(c.m*8+1 AS INT):CAST(c.m*8+8 AS INT)] ORDER BY c.m)) AS r
+           FROM code c JOIN cb ON cb.cid = c.cid GROUP BY c.vec_id),
+         qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         approx AS (SELECT q_id, r.vec_id,
+             round(sqrt(list_sum(list_transform(range(1,65),
+               i -> (qv[CAST(i AS INT)]-r.r[CAST(i AS INT)])
+                  * (qv[CAST(i AS INT)]-r.r[CAST(i AS INT)])))), 6) AS ad
+           FROM qs, recon r WHERE r.vec_id <> q_id),
+         cand AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+             FROM approx) WHERE rn <= 160),
+         exact AS (SELECT c.q_id, c.vec_id,
+             round(sqrt(list_sum(list_transform(range(1,65),
+               i -> (qs.qv[CAST(i AS INT)]-e.v[CAST(i AS INT)])
+                  * (qs.qv[CAST(i AS INT)]-e.v[CAST(i AS INT)])))), 4) AS l2
+           FROM cand c JOIN qs ON qs.q_id = c.q_id JOIN e ON e.vec_id = c.vec_id)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, l2 FROM (
+           SELECT q_id, vec_id, l2, row_number() OVER (
+             PARTITION BY q_id ORDER BY l2, vec_id) AS rk
+           FROM exact) WHERE rk <= 10
+         ORDER BY q_id, rk""",
     "cur01_hash_sample" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'

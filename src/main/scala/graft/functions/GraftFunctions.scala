@@ -35,6 +35,13 @@ object GraftFunctions {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     GraftShim.column(WinnowFingerprints(GraftShim.expression(text), k, w))
 
+  /** Product-quantization reconstruction of an ARRAY<DOUBLE> vector
+    * against a driver-known codebook (native expression — per-subspace
+    * nearest-codeword selection and copy in one scan-stage pass).
+    */
+  def pqReconstruct(v: Column, codebook: Array[Array[Double]], m: Int): Column =
+    GraftShim.column(PQReconstruct(GraftShim.expression(v), codebook, m))
+
   /** SimHash aggregate over a BIGINT token-hash column (native
     * TypedImperativeAggregate — 64-counter vote buffer, map-side
     * partial aggregation).

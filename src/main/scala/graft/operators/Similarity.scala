@@ -333,4 +333,58 @@ object Similarity {
       .filter(col("cell").isin(probeCells.map(c => c: Any): _*))
     searchProbedCells(assigned, probes)
   }
+
+  val PqSubspaces = 8
+  val PqRefine = 160
+
+  /** sim08: product-quantization ANN — the memory-bound half of the ANN
+    * design space (IVF prunes WHERE you search; PQ compresses WHAT you
+    * score). Each corpus vector is encoded per-subspace against a
+    * driver-known codebook by the native [[graft.functions.PQReconstruct]]
+    * expression — a pure scan-stage computation, zero shuffles, the same
+    * posture as sim03's literal-codebook cell argmax. Scoring reuses the
+    * codegen'd L2 against the reconstruction (disjoint subspaces make
+    * that identical to the classic ADC distance-table sum), the top
+    * [[PqRefine]] candidates per query flow through the bounded-heap
+    * [[graft.plans.TopKPerKey]] (never a full window sort), and only
+    * those candidates are re-ranked against the TRUE vectors.
+    *
+    * At 100 TB the reconstruction is where the win lives: a real
+    * deployment stores the 8-byte PQ codes (64× smaller than the raw
+    * vectors) and scans codes, touching full vectors only for the
+    * refine set — the code layout here (encode → approx-score → exact
+    * refine join) is exactly that read pattern. The codebook is a
+    * deterministic sample standing in for trained sub-quantizers (swap
+    * in k-means codewords at deploy; the protocol is unchanged).
+    * Recall vs exact sim04 is spec-asserted; the DuckDB oracle replays
+    * the full protocol (assignment ties to the lowest codeword id,
+    * approx rank quantized to 1e-6 with vec_id tiebreak).
+    */
+  def sim08PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val codebook = ivfCentroids(e).map(_._2)
+    val recon = e.select(col("vec_id"),
+      pqReconstruct(col("v"), codebook, PqSubspaces).as("r"))
+    val queries = broadcast(e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val approx = recon.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Distance(col("qv"), col("r")), 6).as("ad"))
+    val cand = graft.plans.TopKPerKey(approx,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("ad", false), ("vec_id", false)),
+        k = PqRefine)
+      .select("q_id", "vec_id")
+    // Refine: |queries|×PqRefine rows — broadcast against the corpus so
+    // the full vectors are read once, never shuffled.
+    val w = Window.partitionBy("q_id").orderBy(col("l2"), col("vec_id"))
+    broadcast(cand).join(e, Seq("vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Distance(col("qv"), col("v")), 4).as("l2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "l2")
+      .orderBy("q_id", "rk")
+  }
 }

@@ -233,6 +233,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text12: WITHIN-document lexical diversity — per-doc unigram
+    * Shannon entropy and type-token ratio. The complement of text11
+    * (which scores a document against the CORPUS model): low entropy /
+    * low TTR flags template and keyword-stuffed pages regardless of how
+    * rare their vocabulary is globally — the Gopher-style repetition
+    * family's information-theoretic summary.
+    *
+    * Shape: one (doc_id, token) partial-aggregated count, one per-doc
+    * rollup — two compact-key shuffles, no joins at all (the per-doc
+    * distribution needs no corpus table). Entropy uses the identity
+    * H = log₂ n − (Σ c·log₂ c)/n with each TYPE's c·log₂ c quantized
+    * to a 1e-4 integer, so the cross-type sum is exact integer math —
+    * order-independent on both engines (text11's hash-stability trick).
+    */
+  def text12Entropy(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("micro", round(col("c") * log2(col("c")) * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log2(sum("c")) - (sum("micro") / 10000.0) / sum("c"), 4)
+          .as("entropy"),
+        round(count(lit(1)) / sum("c").cast("double"), 4).as("ttr"))
+      .orderBy("doc_id")
+
   def text07Bigrams(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val n = size(toks) - 1

@@ -83,6 +83,20 @@ class NativeCodegenSpec extends SparkSpec {
     }
   }
 
+  test("PQReconstruct generated code compiles and matches interpreted eval") {
+    val at = ArrayType(DoubleType, containsNull = false)
+    val codebook = Array(Array(0.0, 0.0, 10.0, 10.0), Array(5.0, 5.0, -3.0, -3.0))
+    val expr = PQReconstruct(BoundReference(0, at, nullable = true), codebook, 2)
+    val row = InternalRow(doubleArray(4.0, 4.5, -2.0, -2.5))
+    val (c, i) = codegenVsInterpreted(expr, row)
+    val cs = c.asInstanceOf[ArrayData].toDoubleArray.toSeq
+    val is = i.asInstanceOf[ArrayData].toDoubleArray.toSeq
+    assert(cs == is, "pq_reconstruct: codegen vs interpreted mismatch")
+    // Subspace 1 (dims 0-1) nearest codeword 1 = (5,5); subspace 2
+    // (dims 2-3) nearest codeword 1 = (-3,-3).
+    assert(cs == Seq(5.0, 5.0, -3.0, -3.0))
+  }
+
   test("static forwarders referenced by doGenCode exist on the classfiles") {
     // (class, method, params) exactly as the generated Java calls them.
     val calls = Seq(
@@ -91,7 +105,9 @@ class NativeCodegenSpec extends SparkSpec {
       (classOf[MinHashSignature], "signature",
         Seq(classOf[ArrayData], java.lang.Integer.TYPE)),
       (classOf[WinnowFingerprints], "winnow",
-        Seq(classOf[UTF8String], java.lang.Integer.TYPE, java.lang.Integer.TYPE)))
+        Seq(classOf[UTF8String], java.lang.Integer.TYPE, java.lang.Integer.TYPE)),
+      (classOf[PQReconstruct], "reconstruct",
+        Seq(classOf[ArrayData], classOf[Array[Array[Double]]], java.lang.Integer.TYPE)))
     for ((cls, name, params) <- calls) {
       val m = cls.getMethod(name, params: _*)
       assert(Modifier.isStatic(m.getModifiers),

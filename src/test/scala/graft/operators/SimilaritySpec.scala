@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.functions.GraftFunctions.l2Distance
+import org.apache.spark.sql.functions.{col, round}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -53,6 +55,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3,
       f"IVF with nprobe=4/16 cells should recover a usable fraction " +
         f"of exact neighbors, got $recall%.3f")
+  }
+
+  test("sim08 (PQ ANN) recall vs sim04 (exact L2) is high after refine") {
+    val exact = Similarity.sim04L2TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.sim08PqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"sim08 recall@${Similarity.TopK} = $recall%.3f")
+    assert(recall >= 0.9,
+      f"PQ with a ${Similarity.PqRefine}-candidate exact refine should " +
+        f"recover nearly all exact neighbors, got $recall%.3f")
+  }
+
+  test("sim08 exact-refine distances are true L2 (re-ranked, not approximate)") {
+    val e = graft.operators.Dedup.vectors(spark, sf)
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("vec_id"),
+        round(l2Distance(col("a.v"), col("b.v")), 4).as("l2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.sim08PqAnn(spark, sf).collect().foreach { r =>
+      assert(truth((r.getLong(0), r.getLong(2))) == r.getDouble(3),
+        s"sim08 output distance must be the exact L2 for ${r.getLong(0)}->${r.getLong(2)}")
+    }
   }
 
   test("sim02 scores are exact cosines (no approximation in scoring)") {

@@ -165,6 +165,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(freq(commonest) > 1)
   }
 
+  test("text12 entropy/TTR equals a driver-side per-doc recompute") {
+    val got = TextAnalysis.text12Entropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    assert(docs.length == got.size)
+    docs.foreach { case (id, ts) =>
+      val counts = ts.groupBy(identity).view.mapValues(_.length).values.toSeq
+      val n = counts.sum.toDouble
+      val micro = counts.map(c =>
+        math.round(c * (math.log(c.toDouble) / math.log(2.0)) * 10000)).sum
+      val expEntropy = math.log(n) / math.log(2.0) - (micro / 10000.0) / n
+      val (nTok, nTypes, entropy, ttr) = got(id)
+      assert(nTok == ts.length && nTypes == counts.length, s"doc $id counts")
+      assert(math.abs(entropy - expEntropy) <= 5e-4, s"doc $id entropy")
+      assert(math.abs(ttr - counts.length / n) <= 5e-5, s"doc $id ttr")
+      // Entropy is bounded by the uniform distribution over the types.
+      assert(entropy >= -1e-9 &&
+        entropy <= math.log(counts.length.toDouble) / math.log(2.0) + 1e-4)
+    }
+  }
+
   test("text03 emits one row per document with a known language code") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val out = TextAnalysis.text03LangId(spark, sf)
