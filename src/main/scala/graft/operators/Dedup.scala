@@ -520,19 +520,26 @@ object Dedup {
     * keys, each partial-aggregated map-side.
     */
   def dedup08Paragraph(spark: SparkSession, dir: String): DataFrame =
-    paragraphDupStats(documents(spark, dir))
+    paragraphDupStats(documents(spark, dir), Some(
+      s"dedup.spanHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
 
   /** Core of dedup08 over any (doc_id, text) frame — separable so the
     * spec can drive a corpus with known span structure.
     */
-  private[operators] def paragraphDupStats(docs: DataFrame): DataFrame = {
+  private[operators] def paragraphDupStats(
+      docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
     val k = ParagraphTokens
     val t = col("t")
-    val chunkRows = docs
+    val chunked = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), (size(t) / k).cast("int") - 1, lit(1)),
           i => xxhash64(concat_ws(" ", slice(t, i * k + 1, lit(k)))))).as("h"))
+    // Both the df build and the flag-back join consume the chunk rows;
+    // pinning them (16 bytes/row — far smaller than the text they
+    // derive from) saves the second full-corpus scan + re-tokenization.
+    val chunkRows = cacheKey.fold(chunked)(key =>
+      graft.GraftCache.getOrPersist(key)(chunked))
     val df = chunkRows.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
     chunkRows.join(df, Seq("h"))

@@ -161,6 +161,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("sim08: approx scoring prunes map-side before the top-k shuffle") {
+    val plan = finalPlan(Similarity.sim08PqAnn(spark, sf))
+    // The partial stage must sit below the exchange: the shuffle then
+    // carries at most partitions×queries×PqRefine rows, never the full
+    // reconstruction-scored corpus stream.
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iPartial >= 0, s"expected a partial top-k stage in:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    val iExchange = plan.lastIndexOf("Exchange", iPartial)
+    assert(iExchange >= 0 && iExchange < iPartial,
+      "partial stage must run below the top-k shuffle")
+  }
+
+  test("dedup08: span df flows through hash keys, never a string shuffle") {
+    val plan = finalPlan(Dedup.dedup08Paragraph(spark, sf))
+    // Every exchange below the rollup is keyed on the 8-byte xxhash64
+    // (h) or doc_id — the span STRING must not appear in any
+    // partitioning key.
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
+      assert(!e.contains("chunk"), s"span string must never shuffle: $e"))
+  }
+
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
     val plan = finalPlan(Relational.q01PricingSummary(spark, sf))
     assert(plan.contains("partial_sum") || plan.contains("Partial"),

@@ -107,6 +107,49 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey plans a map-side partial stage below the shuffle") {
+    val df = TopKPerKey(Tables.orders(spark, sf),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Final above the exchange, partial below it: the shuffle must move
+    // only the partial stage's pruned rows, never the full scored stream.
+    val iFinal = plan.indexOf("TopKPerKey ")
+    val iExchange = plan.indexOf("Exchange")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial >= 0,
+      s"expected final/Exchange/partial in:\n$plan")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"partial must sit below the shuffle, final above it:\n$plan")
+  }
+
+  test("partial-stage key-cap overflow keeps results exact (pass-through superset)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(GraftStrategy.MaxPartialRowsKey)
+    // Cap = 4 rows at k=2 -> 2 heap keys per partition; the other ~48
+    // keys stream through unfiltered and only the FINAL stage prunes.
+    spark.conf.set(GraftStrategy.MaxPartialRowsKey, "4")
+    try {
+      val rnd = new scala.util.Random(7)
+      val data = (0 until 2000).map(i =>
+        (rnd.nextInt(50).toLong, i.toLong, rnd.nextInt(9).toDouble))
+      val df = data.toDF("k", "id", "score").repartition(5)
+      val expected = data.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1, r._2) }
+      }.toSet
+      val got = TopKPerKey(df, Seq("k"), Seq(("score", true), ("id", false)), 2)
+        .select("k", "rk", "id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(GraftStrategy.MaxPartialRowsKey, v)
+        case None => spark.conf.unset(GraftStrategy.MaxPartialRowsKey)
+      }
+    }
+  }
+
   test("TopKPerKey rejects unknown columns and non-positive k") {
     intercept[IllegalArgumentException] {
       TopKPerKey(Tables.region(spark, sf), Seq("nope"), Seq(("r_name", false)), 1)
