@@ -105,6 +105,7 @@ object SparkEntry {
     "cur05_mix_weights" -> Curation.cur05MixWeights _,
     "cur06_curation_pipeline" -> Curation.cur06CurationPipeline _,
     "cur07_stratified_sample" -> Curation.cur07StratifiedSample _,
+    "cur08_budget_assembly" -> Curation.cur08BudgetAssembly _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1014,6 +1015,18 @@ object SparkEntry {
            round(rate, 6) AS sample_rate, thr
          FROM documents d JOIN t ON d.source = t.source
          GROUP BY d.source, rate, thr ORDER BY d.source""",
+    "cur08_budget_assembly" ->
+      // Greedy budget prefix replayed exactly: same md5-prefix ordering,
+      // same window cumsum, integer char sums on both engines.
+      """WITH d AS (SELECT doc_id, source, n_chars,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM documents),
+         c AS (SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+           round(CAST(sum(n_chars) AS DOUBLE) / 4000.0, 4) AS utilization
+         FROM c WHERE cum <= 4000 GROUP BY source ORDER BY source""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

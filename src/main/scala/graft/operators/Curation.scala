@@ -160,6 +160,47 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Per-source character budget for cur08 — binds at roughly half of
+    * every source's mass in the test corpus, so the greedy prefix is a
+    * real cut everywhere (a budget nothing reaches would test nothing).
+    */
+  val SourceCharBudget = 4000L
+
+  /** cur08: EXACT budgeted assembly — cut each source's corpus down to a
+    * fixed character budget, the final step of building a training mix
+    * ("these weights, this total token count"). cur07 executes a RATE
+    * (keep x% of a stratum); this executes a QUOTA: docs are taken in
+    * deterministic md5 order (the same engine-portable, re-runnable
+    * ordering as cur01/cur07) until the source's running character sum
+    * would exceed the budget.
+    *
+    * Shape: ONE source-partitioned window cumsum (docs sort within
+    * their source by an 8-hex-char key), then a tiny per-source rollup.
+    * At 100 TB the per-source sort is the honest cost of EXACT-prefix
+    * semantics; when approximate budgets suffice, the sort drops away:
+    * bucket the hash key (256 prefixes), pick the largest bucket prefix
+    * whose cumulative chars fit (a driver-side scalar decision off a
+    * tiny histogram — the cur07 rate-threshold trick), and accept a
+    * one-bucket overshoot bound. Same protocol, no sort; the window
+    * form here IS the oracle for that refinement.
+    */
+  def cur08BudgetAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .filter(col("cum") <= SourceCharBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("chars_kept"),
+        round(sum("n_chars") / lit(SourceCharBudget.toDouble), 4)
+          .as("utilization"))
+      .orderBy("source")
+  }
+
   /** cur06: the END-TO-END curation pipeline — the composed flow every
     * pre-training data build runs, staged exactly as production
     * pipelines stage it (cheapest filter first, most expensive last):

@@ -44,6 +44,40 @@ class CurationTextSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("cur08 budget assembly: exact maximal prefix per source") {
+    val got = Curation.cur08BudgetAssembly(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val budget = Curation.SourceCharBudget
+    // Driver-side greedy recompute over the same md5 ordering.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): String = {
+      val d = md.digest(id.toString.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    docs.groupBy(_._2).foreach { case (source, rows) =>
+      val ordered = rows.sortBy { case (id, _, _) => (hk(id), id) }
+      var cum = 0L; var kept = 0L; var chars = 0L
+      ordered.foreach { case (_, _, n) =>
+        cum += n
+        if (cum <= budget) { kept += 1; chars += n }
+      }
+      // The operator keeps rows while the RUNNING sum fits — docs after
+      // the first overflow are excluded even if they would individually
+      // fit (strict prefix semantics, replayable on any engine).
+      val (gKept, gChars, gUtil) = got(source)
+      assert(gKept == kept && gChars == chars, s"source $source prefix")
+      assert(gChars <= budget, s"source $source must not exceed the budget")
+      assert(math.abs(gUtil - chars.toDouble / budget) < 1e-3)
+    }
+    assert(got.keySet == docs.map(_._2).toSet,
+      "every source must appear (the budget binds but never empties a source)")
+  }
+
   test("cur06 funnel counts are monotone and stage-consistent per source") {
     import org.apache.spark.sql.functions._
     val rows = Curation.cur06CurationPipeline(spark, sf).collect()
