@@ -526,15 +526,23 @@ object Dedup {
   /** Core of dedup08 over any (doc_id, text) frame — separable so the
     * spec can drive a corpus with known span structure.
     */
-  private[operators] def paragraphDupStats(
-      docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+  /** (doc_id, h) rows: one 64-bit hash per non-overlapping
+    * [[ParagraphTokens]]-token span — the shared chunking contract of
+    * batch dedup08 and the streaming span dedup (stream07).
+    */
+  private[graft] def spanHashRows(docs: DataFrame): DataFrame = {
     val k = ParagraphTokens
     val t = col("t")
-    val chunked = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), (size(t) / k).cast("int") - 1, lit(1)),
           i => xxhash64(concat_ws(" ", slice(t, i * k + 1, lit(k)))))).as("h"))
+  }
+
+  private[operators] def paragraphDupStats(
+      docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    val chunked = spanHashRows(docs)
     // Both the df build and the flag-back join consume the chunk rows;
     // pinning them (16 bytes/row — far smaller than the text they
     // derive from) saves the second full-corpus scan + re-tokenization.

@@ -277,4 +277,52 @@ object GraftStreams {
           sorted.iterator.map(d => DedupVerdict(d.doc_id, fp, keeper))
       }
   }
+
+  /** A span occurrence entering the streaming span dedup: `span_hash`
+    * is the 64-bit hash of one non-overlapping
+    * [[graft.operators.Dedup.ParagraphTokens]]-token span, produced by
+    * the SAME chunking contract as batch dedup08
+    * ([[graft.operators.Dedup.spanHashRows]]).
+    */
+  case class SpanArrival(doc_id: Long, span_hash: Long)
+
+  /** Streaming span verdict: `first_doc` is the first document seen
+    * carrying this span; an occurrence is a duplicate iff it arrives in
+    * a DIFFERENT document (within-doc repeats of a span are not
+    * cross-doc duplication — the same contract as dedup08's
+    * distinct-document span frequency).
+    */
+  case class SpanVerdict(
+      doc_id: Long, span_hash: Long, first_doc: Long, is_duplicate: Boolean)
+
+  /** stream07 (incremental): span-granularity dedup over an unbounded
+    * document stream — the streaming twin of
+    * [[graft.operators.Dedup.dedup08Paragraph]], i.e. the ingest-time
+    * formulation: flag (or drop) boilerplate spans the corpus has
+    * already absorbed, without waiting for a batch pass. Keyed state per
+    * span hash holds only the first-seen doc id — O(distinct spans)
+    * state, the minimum exact span dedup must hold; at 100 TB the
+    * state store shards it across executors like any streaming
+    * aggregate.
+    *
+    * TRUE first-seen semantics (stream03's contract): the first
+    * committed owner of a span is never retracted, so verdicts are
+    * prefix-consistent across micro-batches; under doc_id-ordered
+    * arrival the flagged set coincides exactly with "span seen in an
+    * earlier document" (spec-pinned against a batch recompute).
+    */
+  def streamingSpanDedup(spans: Dataset[SpanArrival]): Dataset[SpanVerdict] = {
+    implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
+    implicit val outEnc: Encoder[SpanVerdict] = ExpressionEncoder()
+    spans
+      .groupByKey(_.span_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: Long, arrivals: Iterator[SpanArrival], state: GroupState[Long]) =>
+          val sorted = arrivals.toSeq.sortBy(_.doc_id)
+          val first = state.getOption.getOrElse(sorted.head.doc_id)
+          if (!state.exists) state.update(first)
+          sorted.iterator.map(s =>
+            SpanVerdict(s.doc_id, h, first, s.doc_id != first))
+      }
+  }
 }

@@ -227,6 +227,46 @@ class GraftStreamsSpec extends SparkSpec {
     assert(streamed.length == arrivals.length)
   }
 
+  test("streaming span dedup flags exactly the spans an earlier doc carries") {
+    import spark.implicits._
+    val spans = graft.operators.Dedup
+      .spanHashRows(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("h").as("span_hash"))
+      .as[GraftStreams.SpanArrival].collect().sortBy(s => (s.doc_id, s.span_hash))
+    assert(spans.nonEmpty)
+
+    val (b1, b2) = spans.splitAt(spans.length / 2)
+    val stream = MemoryStream[GraftStreams.SpanArrival](spark)
+    val q = GraftStreams.streamingSpanDedup(stream.toDS())
+      .writeStream.format("memory").queryName("span_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("span_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(streamed.length == spans.length)
+
+    // Driver recompute under doc_id-ordered arrival: an occurrence is a
+    // duplicate iff a STRICTLY SMALLER doc_id carries the same span.
+    val firstDoc = spans.groupBy(_.span_hash).view.mapValues(_.map(_.doc_id).min).toMap
+    streamed.foreach { case (doc, h, first, dup) =>
+      assert(first == firstDoc(h), s"span $h first_doc")
+      assert(dup == (doc != firstDoc(h)), s"span $h in doc $doc")
+    }
+
+    // Agreement with batch dedup08: the spans that ever get flagged are
+    // exactly the cross-doc duplicated spans (df > 1).
+    val batchDup = spans.groupBy(_.span_hash).view
+      .mapValues(_.map(_.doc_id).distinct.size).filter(_._2 > 1).keySet
+    val flagged = streamed.filter(_._4).map(_._2).toSet
+    assert(flagged == batchDup)
+  }
+
   test("streaming CDC apply converges to the batch etl16 final state") {
     import spark.implicits._
     val batch = graft.operators.Etl.etl16CdcApply(spark, sf).collect()
