@@ -25,6 +25,12 @@ object Verify {
     // two args, so the full dump is unaffected.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // A typo'd subset name would otherwise produce an empty green run.
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = GraftSession.build(GraftSession.cpusFromEnv, "graft-verify")
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

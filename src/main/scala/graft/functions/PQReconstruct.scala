@@ -55,6 +55,22 @@ case class PQReconstruct(
       s"${ev.value} = graft.functions.PQReconstruct.reconstruct($v, $cb, $m);")
   }
 
+  // Array fields compare by reference under the case-class equals, which
+  // would defeat canonicalization/subexpression reuse for semantically
+  // identical instances — compare the codebook by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case PQReconstruct(c, cb, mm) =>
+      c == child && mm == m &&
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m),
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        codebook.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

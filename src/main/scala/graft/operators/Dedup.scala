@@ -535,9 +535,13 @@ object Dedup {
     val t = col("t")
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      // Docs shorter than one span yield sequence(0,-1,1), which Spark
+      // rejects — guard to an empty array (mirrors shinglesFromTokens).
       .select(col("doc_id"), explode(
-        transform(sequence(lit(0), (size(t) / k).cast("int") - 1, lit(1)),
-          i => xxhash64(concat_ws(" ", slice(t, i * k + 1, lit(k)))))).as("h"))
+        when(size(t) >= k,
+          transform(sequence(lit(0), (size(t) / k).cast("int") - 1, lit(1)),
+            i => xxhash64(concat_ws(" ", slice(t, i * k + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
   }
 
   private[operators] def paragraphDupStats(

@@ -133,9 +133,11 @@ class DedupSpec extends SparkSpec {
     // doc1 = A B, doc2 = A C, doc3 = D, doc4 = B + a sub-span tail that
     // must be DROPPED (non-overlapping chunking ignores a trailing
     // partial span, same as the oracle's floor(len/k)).
+    // doc5 is SHORTER than one span — must yield zero span rows, not an
+    // illegal sequence(0,-1,1) crash.
     val docs = Seq(
       (1L, s"$a $b"), (2L, s"$a $c"), (3L, d),
-      (4L, s"$b tail1 tail2 tail3")).toDF("doc_id", "text")
+      (4L, s"$b tail1 tail2 tail3"), (5L, "tiny doc")).toDF("doc_id", "text")
     val got = Dedup.paragraphDupStats(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // doc1: A dups with doc2, B dups with doc4 -> 2/2. doc2: only A

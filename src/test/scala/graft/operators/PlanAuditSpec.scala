@@ -181,8 +181,13 @@ class PlanAuditSpec extends SparkSpec {
     // partitioning key.
     val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(exchanges.nonEmpty)
-    exchanges.foreach(e =>
-      assert(!e.contains("chunk"), s"span string must never shuffle: $e"))
+    val keyRef = "([A-Za-z_][A-Za-z0-9_]*)#\\d+".r
+    exchanges.foreach { e =>
+      val keys = keyRef.findAllMatchIn(
+        e.substring(e.indexOf("hashpartitioning"))).map(_.group(1)).toSet
+      assert(keys.subsetOf(Set("h", "doc_id")),
+        s"unexpected shuffle keys $keys (expected only h/doc_id): $e")
+    }
   }
 
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
