@@ -70,6 +70,7 @@ object SparkEntry {
     "etl19_merge_sink" -> Etl.etl19MergeSink _,
     "etl20_corrupt_quarantine" -> Etl.etl20CorruptQuarantine _,
     "etl21_compaction" -> Etl.etl21Compaction _,
+    "etl22_clustered_layout" -> Etl.etl22ClusteredLayout _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -98,6 +99,7 @@ object SparkEntry {
     "sim06_bucketed_ivf" -> Similarity.sim06BucketedIvf _,
     "sim07_knn_graph" -> Similarity.sim07KnnGraph _,
     "sim08_pq_ann" -> Similarity.sim08PqAnn _,
+    "sim09_kmeans" -> Similarity.sim09Kmeans _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -106,6 +108,8 @@ object SparkEntry {
     "cur06_curation_pipeline" -> Curation.cur06CurationPipeline _,
     "cur07_stratified_sample" -> Curation.cur07StratifiedSample _,
     "cur08_budget_assembly" -> Curation.cur08BudgetAssembly _,
+    "cur09_sequence_pack" -> Curation.cur09SequencePack _,
+    "cur10_quality_select" -> Curation.cur10QualitySelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1027,6 +1031,81 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS chars_kept,
            round(CAST(sum(n_chars) AS DOUBLE) / 4000.0, 4) AS utilization
          FROM c WHERE cum <= 4000 GROUP BY source ORDER BY source""",
+    "cur09_sequence_pack" ->
+      // Concat-and-chunk packing replayed exactly: same md5 ordering and
+      // window cumsum as cur08, integer sequence arithmetic on both
+      // engines (DuckDB // == Spark floor(a/b) for non-negative longs).
+      """WITH d AS (SELECT doc_id, source, n_chars,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM documents),
+         c AS (SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end FROM d)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST((max(cum_end) + 2047) // 2048 AS BIGINT) AS n_sequences,
+           CAST(sum(CASE WHEN (cum_end - 1) // 2048 > (cum_end - n_chars) // 2048
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           round(CAST(count(*) AS DOUBLE) /
+             CAST((max(cum_end) + 2047) // 2048 AS BIGINT), 4) AS docs_per_seq
+         FROM c GROUP BY source ORDER BY source""",
+    "cur10_quality_select" ->
+      // text02's quality score (same stopword list, rounded to 4 dp
+      // BEFORE ranking) -> per-source rank with doc_id tiebreak -> keep
+      // rank <= ceil(0.3 n).
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source,
+             CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS stop,
+             len(toks) AS ntok FROM t),
+         s AS (SELECT doc_id, source,
+             round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * (1.0 - stop / n), 4) AS q
+           FROM c),
+         r AS (SELECT source, q,
+             row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS nsrc FROM s),
+         k AS (SELECT source, q, rk <= ceil(nsrc * 0.3) AS keep FROM r)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(min(CASE WHEN keep THEN q END), 4) AS min_kept_score,
+           round(avg(CASE WHEN keep THEN q END), 4) AS avg_kept_score
+         FROM k GROUP BY source ORDER BY source""",
+    "etl22_clustered_layout" ->
+      // The clustered copy is lossless, so the oracle aggregates the
+      // SOURCE table under the same predicate; file locality of the
+      // layout is spec-asserted (an oracle can only see content).
+      """SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+           count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+         FROM orders
+         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+         GROUP BY 1 ORDER BY o_month""",
+    "sim09_kmeans" ->
+      // One full Lloyd round replayed value-for-value: argmin assignment
+      // (ties to the lowest cid) against the data-seeded init, per-dim
+      // means QUANTIZED to 6 dp (the protocol that makes the next
+      // iteration's centroids bit-identical across engines), then the
+      // final assignment summary against the updated centroids.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         a1 AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell, row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+             FROM e, c0 c) WHERE rk = 1),
+         m1 AS (SELECT cell, CAST(t.i AS INT) AS dim,
+               round(avg(v[CAST(t.i AS INT)]), 6) AS m
+             FROM a1, unnest(range(1, 65)) AS t(i) GROUP BY 1, 2),
+         c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
+         cf AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN c1 ON c0.cid = c1.cid),
+         a2 AS (SELECT vec_id, cell, d FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               round(list_distance(e.v, c.cv), 4) AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+             FROM e, cf c) WHERE rk = 1)
+         SELECT CAST(cell AS INT) AS cell, count(*) AS n_members,
+           round(avg(d), 4) AS mean_dist
+         FROM a2 GROUP BY cell ORDER BY cell""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -201,6 +201,101 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Context window for cur09's packing, in characters — the proxy the
+    * synthetic corpus supports; a deployment swaps in a token count
+    * (text08's BPE counter) without changing the protocol.
+    */
+  val CtxChars = 2048L
+
+  /** cur09: SEQUENCE PACKING — the step that turns a curated corpus
+    * into fixed-length training sequences: documents are concatenated
+    * in a deterministic order and the stream is cut every [[CtxChars]]
+    * characters (GPT-style concat-and-chunk packing; a document
+    * straddling a cut is split across two sequences). Reported per
+    * source: how many sequences the corpus packs into, how many
+    * documents get split by a boundary, and the packing density —
+    * the numbers that size a training run.
+    *
+    * Order is the engine-portable md5 key of cur01/cur07/cur08, so the
+    * packing is reproducible run-over-run and auditable. Packing is
+    * WITHIN source (the window partitions by source): a single global
+    * concatenation order would serialize the whole corpus through one
+    * partition, whereas per-source streams pack independently and in
+    * parallel — and training-mix assembly wants per-source shard
+    * streams anyway. At 100 TB each source's window cumsum is a range
+    * sort over that source only — the honest cost of exact boundary
+    * placement, same posture as cur08's exact budget prefix.
+    */
+  def cur09SequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackStats(documents(spark, dir))
+
+  /** Core of cur09 over any (doc_id, source, n_chars) frame — separable
+    * so the spec can replay a known corpus locally.
+    */
+  private[graft] def sequencePackStats(docs: DataFrame): DataFrame = {
+    val k = lit(CtxChars)
+    val w = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("hk"))
+      .withColumn("cum_end", sum("n_chars").over(w))
+      // A doc occupies sequences floor(start/k) .. floor((end-1)/k) of
+      // its source's concatenated stream; it is split iff those differ.
+      .withColumn("seq_first", floor((col("cum_end") - col("n_chars")) / k))
+      .withColumn("seq_last", floor((col("cum_end") - 1) / k))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        floor((max("cum_end") + (CtxChars - 1)) / k).as("n_sequences"),
+        sum((col("seq_last") > col("seq_first")).cast("long")).as("n_split_docs"),
+        round(count(lit(1)).cast("double") /
+          floor((max("cum_end") + (CtxChars - 1)) / k), 4).as("docs_per_seq"))
+      .orderBy("source")
+  }
+
+  /** Keep fraction for cur10's per-source quality selection. */
+  val QualityKeepFrac = 0.3
+
+  /** cur10: PERCENTILE quality selection — keep each source's top 30%
+    * by quality score (FineWeb-style "take the best slice of every
+    * source" curation, vs cur04's absolute thresholds, which keep
+    * whatever fraction happens to clear them). The score is text02's
+    * quality_score (rounded to 4 dp BEFORE ranking, with doc_id as the
+    * tiebreak, so the cut is engine-stable); the per-source cutoff is
+    * exact: rank ≤ ceil(keep_frac × n).
+    *
+    * Scale: the per-source rank is a window sort over each source —
+    * exact-percentile semantics cost a sort, the same posture as
+    * cur08's exact prefix. The sort-free refinement at 100 TB is an
+    * `approx_percentile(q, 1-frac)` threshold broadcast back as a
+    * per-row predicate (cur07's rate-threshold trick); this exact form
+    * is that refinement's oracle.
+    */
+  def cur10QualitySelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t.isin(TextAnalysis.stopwords.map(w => w: Any): _*))) / nTok
+    val score = round(least(size(toks).cast("double") / 50.0, lit(1.0)) *
+      (lit(1.0) - stopRatio), 4)
+    val wRank = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    val wSrc = Window.partitionBy("source")
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"), score.as("q"))
+      .withColumn("keep", row_number().over(wRank) <=
+        ceil(count(lit(1)).over(wSrc) * lit(QualityKeepFrac)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        round(min(when(col("keep"), col("q"))), 4).as("min_kept_score"),
+        round(avg(when(col("keep"), col("q"))), 4).as("avg_kept_score"))
+      .orderBy("source")
+  }
+
   /** cur06: the END-TO-END curation pipeline — the composed flow every
     * pre-training data build runs, staged exactly as production
     * pipelines stage it (cheapest filter first, most expensive last):

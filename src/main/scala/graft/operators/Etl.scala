@@ -551,4 +551,47 @@ object Etl {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("o_year")
   }
+
+  /** Range partition count for etl22's clustered layout. */
+  val ClusterFiles = 8
+
+  /** etl22: RANGE-CLUSTERED layout — the sort-based complement of
+    * etl10's hive partitioning and etl13's hash bucketing: the table is
+    * written `repartitionByRange(o_orderdate).sortWithinPartitions`, so
+    * rows with nearby dates land in the same files and every file (and
+    * parquet row group) covers a narrow min/max date band. A date-range
+    * predicate then touches a bounded handful of files instead of
+    * scattering across all of them — at 100 TB this is what makes
+    * time-windowed scans proportional to the window, not the table,
+    * without a partition column (the Z-order/liquid-clustering idea in
+    * its one-dimensional form). The returned aggregate proves the
+    * clustered copy is lossless (the oracle computes it straight off
+    * the source table); the file-locality claim itself is asserted in
+    * the spec via `_metadata.file_path` (an oracle can only see
+    * content, same split as etl21's file-count collapse).
+    */
+  def etl22ClusteredLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = clusteredOrdersPath(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_month")
+  }
+
+  /** Builds (once per (session, dir)) and returns the range-clustered
+    * orders layout — separated so the spec can audit file locality on
+    * the same directory etl22 reads.
+    */
+  private[graft] def clusteredOrdersPath(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl22_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    TableBuild.ensurePath(spark, out) {
+      orders(spark, dir)
+        .repartitionByRange(ClusterFiles, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
 }

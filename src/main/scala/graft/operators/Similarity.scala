@@ -334,6 +334,80 @@ object Similarity {
     searchProbedCells(assigned, probes)
   }
 
+  val KmeansK = 8
+  val KmeansIters = 1
+
+  /** One (dist, cid) struct per centroid: lexicographic `array_min`
+    * picks the smallest distance with ties to the smallest cid. Each
+    * [[graft.functions.L2Distance]] is codegen'd against a
+    * constant-folded literal centroid — the same zero-join, zero-shuffle
+    * assignment contract as [[centroidScores]].
+    */
+  private def l2CentroidScores(v: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+    array(centroids.zipWithIndex.map { case (cv, cid) =>
+      struct(
+        l2Distance(v, array(cv.map(lit(_)): _*)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+
+  /** sim09: K-MEANS corpus clustering (Lloyd's algorithm) — the
+    * structure pass a training-data pipeline runs over embeddings for
+    * topic bucketing, cluster-balanced sampling, and for TRAINING the
+    * very codebooks sim03/sim06/sim08 consume as deterministic samples.
+    *
+    * Spark shape per iteration: (1) cell assignment is a per-row argmin
+    * over the LITERAL centroid array — scan stage, zero Exchange, the
+    * sim03 posture; (2) the centroid update is one posexplode +
+    * `groupBy(cell, dim)` partial-aggregated mean — the only shuffle,
+    * carrying K×dims aggregate rows, not the corpus; (3) the K×dims
+    * means are collected to the driver (tiny at any corpus scale — the
+    * same driver-scalar contract as [[ivfCentroids]]) and QUANTIZED to
+    * 6 dp, which makes the protocol engine-exact: both engines feed
+    * bit-identical centroids into the next iteration, so the DuckDB
+    * oracle replays assignment and update value-for-value.
+    *
+    * Output: per-cell membership and mean distance to the final
+    * centroids after [[KmeansIters]] update rounds — the convergence
+    * summary a pipeline thresholds on.
+    */
+  def sim09Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    // Deterministic seeding from the corpus itself (k-means++ at deploy
+    // changes only this line; the iteration protocol is unchanged).
+    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to KmeansIters) {
+      val assigned = e.select(col("v"),
+        array_min(l2CentroidScores(col("v"), centroids))
+          .getField("cid").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(round(avg("x"), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      // An emptied cell keeps its previous centroid (deterministic on
+      // both engines; cannot happen with data-seeded init + L2 ties to
+      // the lowest cid, but the rule is part of the protocol).
+      centroids = centroids.zipWithIndex.map { case (old, cid) =>
+        means.getOrElse(cid, old)
+      }
+    }
+    val best = array_min(l2CentroidScores(col("v"), centroids))
+    e.select(
+        best.getField("cid").as("cell"),
+        round(best.getField("dist"), 4).as("d"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("d")), 4).as("mean_dist"))
+      .orderBy("cell")
+  }
+
   val PqSubspaces = 8
   val PqRefine = 160
 

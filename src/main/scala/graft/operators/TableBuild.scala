@@ -29,4 +29,18 @@ private[operators] object TableBuild {
     locks.computeIfAbsent(table, _ => new Object).synchronized {
       if (!spark.catalog.tableExists(table)) write
     }
+
+  /** Path-based twin of [[ensure]] for layouts that live outside the
+    * catalog: run `write` iff `path` lacks a committed `_SUCCESS`
+    * marker (so a crashed half-write is rebuilt, never trusted),
+    * serialized per path. Resolved through the path's Hadoop
+    * FileSystem, same as MergeSink's snapshot protocol.
+    */
+  def ensurePath(spark: org.apache.spark.sql.SparkSession, path: String)(
+      write: => Unit): Unit =
+    locks.computeIfAbsent(path, _ => new Object).synchronized {
+      val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) write
+    }
 }

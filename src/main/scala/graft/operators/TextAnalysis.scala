@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextAnalysis {
 
-  private val stopwords =
+  // Shared with cur10's quality selection — ONE list, so the score
+  // formula can never drift between the two operators.
+  private[operators] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
   /** text01: tokenization + token/char counts. */

@@ -44,6 +44,68 @@ class CurationTextSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("cur09 sequence packing matches a local replay on a known corpus") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // Includes: a doc exactly CtxChars long, a doc larger than one
+    // sequence (must count as split), tiny docs, and a second source.
+    val docs = Seq(
+      (1L, "s1", 1500L), (2L, "s1", 1000L), (3L, "s1", 600L),
+      (4L, "s1", 2048L), (5L, "s2", 100L), (6L, "s2", 5000L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Curation.sequencePackStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // Independent replay: JDK md5, Scala sort + cumsum.
+    def hk(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val k = Curation.CtxChars
+    val expected = Seq(
+      (1L, "s1", 1500L), (2L, "s1", 1000L), (3L, "s1", 600L),
+      (4L, "s1", 2048L), (5L, "s2", 100L), (6L, "s2", 5000L))
+      .groupBy(_._2).map { case (src, ds) =>
+        var cum = 0L; var split = 0L
+        ds.sortBy(d => (hk(d._1), d._1)).foreach { d =>
+          val first = cum / k; cum += d._3
+          if ((cum - 1) / k > first) split += 1
+        }
+        val nSeq = (cum + k - 1) / k
+        src -> (ds.size.toLong, cum, nSeq, split,
+          BigDecimal(ds.size.toDouble / nSeq)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("cur10 keeps exactly the top ceil(0.3 n) scores per source") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.cur10QualitySelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Independent cutoff: text02's scores (same formula by construction)
+    // joined back to sources, ranked locally.
+    val scored = TextAnalysis.text02QualityScore(spark, sf)
+      .select("doc_id", "quality_score")
+      .join(graft.sources.Tables.documents(spark, sf).select("doc_id", "source"),
+        Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept == math.ceil(n * Curation.QualityKeepFrac).toLong,
+        s"$src: kept $kept of $n")
+      val srcScores = scored.filter(_._3 == src)
+        .sortBy { case (id, q, _) => (-q, id) }
+      assert(n == srcScores.length.toLong)
+      val keptScores = srcScores.take(kept.toInt).map(_._2)
+      assert(r.getAs[Double]("min_kept_score") == keptScores.min,
+        s"$src: cutoff must be the kept set's min score")
+    }
+  }
+
   test("cur08 budget assembly: exact maximal prefix per source") {
     val got = Curation.cur08BudgetAssembly(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))

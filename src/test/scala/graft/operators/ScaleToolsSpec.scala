@@ -44,6 +44,32 @@ class ScaleToolsSpec extends SparkSpec {
       "compaction must collapse to ceil(bytes/target) files")
   }
 
+  test("etl22 clustered layout: lossless content, date-local files") {
+    val out = Etl.etl22ClusteredLayout(spark, sf).collect().map(_.toSeq).toSeq
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_month").collect().map(_.toSeq).toSeq
+    assert(out == direct, "clustered aggregate must equal the source aggregate")
+    // The point of the layout — a year of data lives in a bounded
+    // handful of files, not scattered across all of them — is only
+    // visible here (the oracle sees content, not placement).
+    val path = Etl.clusteredOrdersPath(spark, sf)
+    def files(pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long =
+      pred(spark.read.parquet(path))
+        .select(col("_metadata.file_path")).distinct().count()
+    val all = files(identity)
+    val touched = files(_.filter(
+      col("o_orderdate").between("1995-01-01", "1995-12-31")))
+    assert(all >= 4, s"range layout must spread across files, got $all")
+    // ~7 years over ClusterFiles range partitions: one year spans at
+    // most 2 boundaries even with sampling jitter.
+    assert(touched <= 3 && touched < all,
+      s"a one-year predicate must touch a file subset: $touched of $all")
+  }
+
   test("saltedJoin returns exactly the plain equi-join result") {
     val fact = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")

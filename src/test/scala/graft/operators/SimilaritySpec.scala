@@ -26,6 +26,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.35))
   }
 
+  test("sim09 k-means matches a local Lloyd replay") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.sim09Kmeans(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Independent replay of the whole protocol in plain Scala: same
+    // seeding, same dim-order L2 arithmetic, same 6-dp quantization.
+    val vecs = Dedup.vectors(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    def assign(cs: Array[Array[Double]]): Array[(Long, Array[Double], Int)] =
+      vecs.map { case (id, v) =>
+        (id, v, cs.indices.minBy(c => (l2(v, cs(c)), c)))
+      }
+    var cs = vecs.filter(_._1 < Similarity.KmeansK).map(_._2)
+    for (_ <- 1 to Similarity.KmeansIters) {
+      val byCell = assign(cs).groupBy(_._3)
+      cs = cs.indices.map { c =>
+        byCell.get(c).fold(cs(c)) { members =>
+          val dims = cs(c).length
+          Array.tabulate(dims) { d =>
+            val m = members.map(_._2(d)).sum / members.size
+            BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
+      }.toArray
+    }
+    val fin = assign(cs).groupBy(_._3).map { case (c, members) =>
+      val ds = members.map(m =>
+        BigDecimal(l2(m._2, cs(c)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      c -> (members.size.toLong,
+        BigDecimal(ds.sum / ds.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.keySet == fin.keySet)
+    assert(got.values.map(_._1).sum == vecs.length.toLong,
+      "cells must partition the corpus")
+    fin.foreach { case (c, (n, md)) =>
+      assert(got(c)._1 == n, s"cell $c membership")
+      assert(math.abs(got(c)._2 - md) <= 2e-4, s"cell $c mean dist")
+    }
+  }
+
   test("sim06 (bucketed IVF) returns exactly sim03's results") {
     val viaJoin = Similarity.sim03IvfAnn(spark, sf)
       .collect().map(_.toSeq).toSeq
