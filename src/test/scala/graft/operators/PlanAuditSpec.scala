@@ -190,6 +190,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sim09: final assignment is scan-stage (no join, no cartesian)") {
+    val plan = finalPlan(Similarity.sim09Kmeans(spark, sf))
+    // Assignment is an argmin over LITERAL centroids — any Join here
+    // means the corpus got expanded against the codebook again.
+    assert(!plan.contains("Join"), s"assignment must not join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("etl22: date filter is pushed to the clustered parquet scan") {
+    val plan = finalPlan(Etl.etl22ClusteredLayout(spark, sf))
+    // The plan's toString elides long PushedFilters lists with "…", so
+    // assert on the lower bound only (the upper bound is the elided tail).
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date bounds must reach the scan:\n${plan.take(2000)}")
+  }
+
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
     val plan = finalPlan(Relational.q01PricingSummary(spark, sf))
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
