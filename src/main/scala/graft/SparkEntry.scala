@@ -83,6 +83,7 @@ object SparkEntry {
     "text10_repetition" -> TextAnalysis.text10Repetition _,
     "text11_surprisal" -> TextAnalysis.text11Surprisal _,
     "text12_entropy" -> TextAnalysis.text12Entropy _,
+    "text13_bigram_surprisal" -> TextAnalysis.text13BigramSurprisal _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -1031,6 +1032,27 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS chars_kept,
            round(CAST(sum(n_chars) AS DOUBLE) / 4000.0, 4) AS utilization
          FROM c WHERE cum <= 4000 GROUP BY source ORDER BY source""",
+    "text13_bigram_surprisal" ->
+      // The bigram model replayed on token STRINGS (Spark joins on the
+      // 64-bit pair hashes — identical counts absent a 2^-64 collision,
+      // the dedup08/cur03 argument); the surprisal sum is exact integer
+      // math on both engines after the 1e-4-bit quantization.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         pr AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i])) AS p,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i+1])) AS t
+           FROM d),
+         cb AS (SELECT p, t, count(*) AS cbg FROM pr GROUP BY 1, 2),
+         cp AS (SELECT p, count(*) AS cnp FROM pr GROUP BY 1),
+         s AS (SELECT doc_id,
+             CAST(round(-log2(CAST(cbg AS DOUBLE) / cnp) * 10000) AS BIGINT) AS micro
+           FROM pr JOIN cb USING (p, t) JOIN cp USING (p))
+         SELECT doc_id, count(*) AS n_bigrams,
+           round((CAST(sum(micro) AS DOUBLE) / count(*)) / 10000.0, 4)
+             AS avg_bigram_surprisal
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     "cur09_sequence_pack" ->
       // Concat-and-chunk packing replayed exactly: same md5 ordering and
       // window cumsum as cur08, integer sequence arithmetic on both

@@ -263,6 +263,55 @@ object TextAnalysis {
         round(count(lit(1)) / sum("c").cast("double"), 4).as("ttr"))
       .orderBy("doc_id")
 
+  /** text13: bigram-LM surprisal — the CCNet-style step past text11's
+    * unigram model: mean −log₂ p(token | previous token) under the
+    * corpus' own bigram model, where p(t|p) = c(p,t) / c(p,·) over the
+    * pair table. Boilerplate assembled from the corpus' common
+    * CONTINUATIONS scores low even when its unigrams are unremarkable;
+    * a rare-transition document scores high — the cheapest
+    * model-conditional quality signal before real LM perplexity.
+    *
+    * Scale shape: the pair stream carries 8-byte xxhash64 keys (one for
+    * the bigram, one for the preceding-token marginal) — bigram STRINGS
+    * never shuffle, the same posture as dedup08's span hashes (a 64-bit
+    * collision at corpus scale perturbs one count, never a ranking).
+    * Both count tables partial-aggregate map-side; the frequency joins
+    * are hash-keyed shuffle joins (a real corpus' bigram vocabulary
+    * exceeds any broadcast budget — text11's argument); per-pair
+    * surprisal is quantized to 1e-4-bit integers so the per-doc mean is
+    * exact integer math, order-independent on both engines.
+    */
+  def text13BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalStats(documents(spark, dir))
+
+  /** Core of text13 over any (doc_id, text) frame — separable so the
+    * spec can replay a known corpus locally.
+    */
+  private[graft] def bigramSurprisalStats(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks) - 1
+    val pairs = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(n > 0,
+        transform(sequence(lit(0), n - 1, lit(1)),
+          i => struct(element_at(toks, i + 1).as("p"),
+            element_at(toks, i + 2).as("t"))))
+        .otherwise(array().cast("array<struct<p:string,t:string>>"))).as("bg"))
+      .select(col("doc_id"),
+        xxhash64(col("bg.p")).as("hp"),
+        xxhash64(col("bg.p"), col("bg.t")).as("hbg"))
+    val bigramCnt = pairs.groupBy("hbg").agg(count(lit(1)).as("cbg"))
+    val prevCnt = pairs.groupBy("hp").agg(count(lit(1)).as("cp"))
+    pairs.join(bigramCnt, Seq("hbg")).join(prevCnt, Seq("hp"))
+      .withColumn("micro",
+        round(-log2(col("cbg") / col("cp")) * 10000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum("micro") / count(lit(1))) / 10000.0, 4)
+          .as("avg_bigram_surprisal"))
+      .orderBy("doc_id")
+  }
+
   def text07Bigrams(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val n = size(toks) - 1

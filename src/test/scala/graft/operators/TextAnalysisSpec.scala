@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("text13 bigram surprisal matches a local replay on a known corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "a b" appears twice after "a" (p(b|a)=2/3), "a c" once (1/3);
+    // doc 4 has one token -> no bigrams -> absent; doc 5 is a distinct
+    // chain of singleton transitions (every p(t|p)=1 -> surprisal 0).
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "x y x y"),
+      (4L, "solo"), (5L, "p q r")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisalStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Local replay of the model (pair counts over the whole corpus).
+    val pairs = Seq(
+      1L -> Seq(("a", "b"), ("b", "a"), ("a", "c")),
+      2L -> Seq(("a", "b")), 3L -> Seq(("x", "y"), ("y", "x"), ("x", "y")),
+      5L -> Seq(("p", "q"), ("q", "r")))
+    val all = pairs.flatMap(_._2)
+    val cbg = all.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cp = all.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val expected = pairs.map { case (id, ps) =>
+      val micros = ps.map { pr =>
+        math.round(-(math.log(cbg(pr).toDouble / cp(pr._1)) / math.log(2.0)) * 10000)
+      }
+      id -> (ps.size.toLong,
+        BigDecimal(micros.sum.toDouble / micros.size / 10000.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(!got.contains(4L), "a one-token doc has no bigrams")
+    assert(got(5L)._2 == 0.0, "singleton transitions carry zero surprisal")
+  }
+
   test("winnow expression equals the declarative explode+window+distinct twin") {
     val K = 8
     val W = 4
