@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup06_cluster" -> Dedup.dedup06Cluster _,
     "dedup07_winnow_overlap" -> Dedup.dedup07WinnowOverlap _,
     "dedup08_paragraph" -> Dedup.dedup08Paragraph _,
+    "dedup09_semdedup" -> Dedup.dedup09Semdedup _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -804,6 +805,25 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.45
          ORDER BY ida, idb""",
+    "dedup09_semdedup" ->
+      // dedup05's exact pair set, then the same recursive min-label
+      // propagation as dedup06's oracle; keeper = the component's min id.
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         good AS (SELECT a.vec_id AS da, b.vec_id AS db
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+         edges AS (SELECT da AS src, db AS dst FROM good
+                   UNION SELECT db, da FROM good),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         cc AS (
+           SELECT id, id AS label FROM nodes
+           UNION
+           SELECT e2.src AS id, least(cc.label, e2.src) AS label
+           FROM cc JOIN edges e2 ON cc.id = e2.dst)
+         SELECT id AS vec_id, min(label) AS cluster_id,
+           CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+         FROM cc GROUP BY id ORDER BY vec_id""",
     "sim01_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

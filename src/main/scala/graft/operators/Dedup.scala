@@ -216,7 +216,15 @@ object Dedup {
     // No persist of its own: the projection reads dedup03's registered
     // verified-pair cache, so both consumers (the count and the
     // clustering scan) are cache hits already.
-    val pairs = dedup03MinhashLsh(spark, dir).select(col("da"), col("db"))
+    clusterPairs(spark, dedup03MinhashLsh(spark, dir).select(col("da"), col("db")))
+  }
+
+  /** Hybrid connected-components dispatch shared by dedup06 (token
+    * near-dup graph) and dedup09 (semantic near-dup graph): measured
+    * edge count picks single-partition union-find vs distributed
+    * min-label propagation.
+    */
+  private[operators] def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val nEdges = pairs.count()
     if (nEdges <= UnionFindMaxEdges) unionFindClusters(spark, pairs)
     else propagateClusters(pairs)
@@ -486,6 +494,31 @@ object Dedup {
       .filter(col("cos") >= T)
       .select(col("ida"), col("idb"), round(col("cos"), 4).as("cos"))
       .orderBy("ida", "idb")
+  }
+
+  /** dedup09: SemDeDup-style SEMANTIC dedup — the embedding-space
+    * composition every large pre-training build runs (SemDeDup,
+    * Abbas et al. 2023): connected components over the exact
+    * cosine-near-dup graph (dedup05's verified pairs), one keeper
+    * elected per component (min vec_id — swap a quality argmax in via
+    * the same election), everything else marked droppable. Documents
+    * with no near neighbor never enter the graph and are implicit
+    * keepers — the output lists only the non-trivial components,
+    * so its size tracks true duplication, not the corpus.
+    *
+    * Scale shape: candidate generation is dedup05's metric cell join
+    * (never corpus×corpus — plan-spec'd there); the component pass is
+    * [[clusterPairs]]' measured-size dispatch, and the keeper election
+    * is a per-row comparison against the component's min-id label —
+    * no extra shuffle past the clustering itself.
+    */
+  def dedup09Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedup05EmbeddingCosine(spark, dir)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    clusterPairs(spark, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_keeper"))
+      .orderBy("vec_id")
   }
 
   /** Non-overlapping span width (tokens) for paragraph-granularity

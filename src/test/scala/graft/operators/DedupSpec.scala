@@ -147,6 +147,32 @@ class DedupSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("dedup09 semdedup equals a local union-find over dedup05's pairs") {
+    val pairs = Dedup.dedup05EmbeddingCosine(spark, sf)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "sf corpus must contain semantic near-dups")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.dedup09Semdedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, root) =>
+      assert(got(id)._1 == root, s"cluster of $id")
+      assert(got(id)._2 == (if (id == root) 1 else 0), s"keeper flag of $id")
+    }
+    // Exactly one keeper per component.
+    val perCluster = got.groupBy(_._2._1).view.mapValues(_.count(_._2._2 == 1))
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("dedup08 per-doc fractions are consistent on the sf corpus") {
     val rows = Dedup.dedup08Paragraph(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus contains cross-doc duplicate spans")
