@@ -102,6 +102,7 @@ object SparkEntry {
     "sim07_knn_graph" -> Similarity.sim07KnnGraph _,
     "sim08_pq_ann" -> Similarity.sim08PqAnn _,
     "sim09_kmeans" -> Similarity.sim09Kmeans _,
+    "sim10_recall_eval" -> Similarity.sim10RecallEval _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -126,6 +127,19 @@ object SparkEntry {
     * (vec_id < 5) probes its 4 nearest cells; candidates are exactly
     * the probed cells' members, rescored with the true cosine.
     */
+  /** sim01's exact brute-force top-k — also the `ex` leg of sim10's
+    * recall evaluation, so both stay one definition.
+    */
+  private val Sim01OracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 4) AS cos
+             FROM q, e WHERE vec_id <> q_id),
+       r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+       SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+       WHERE rk <= 10 ORDER BY q_id, rk"""
+
   private val SimIvfOracleSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
@@ -824,15 +838,18 @@ object SparkEntry {
          SELECT id AS vec_id, min(label) AS cluster_id,
            CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
          FROM cc GROUP BY id ORDER BY vec_id""",
-    "sim01_bruteforce_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-         s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 4) AS cos
-               FROM q, e WHERE vec_id <> q_id),
-         r AS (SELECT q_id, vec_id, cos, row_number() OVER (
-                 PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
-         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
-         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "sim01_bruteforce_topk" -> Sim01OracleSql,
+    "sim10_recall_eval" ->
+      // The two index oracles composed: exact top-k LEFT JOIN approx
+      // top-k per (q_id, vec_id); recall@k = matched fraction.
+      s"""WITH ex AS ($Sim01OracleSql),
+         ap AS ($Sim02OracleSql)
+         SELECT ex.q_id, count(*) AS n_exact,
+           CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+           round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 4) AS recall_at_k
+         FROM ex LEFT JOIN ap
+           ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         GROUP BY ex.q_id ORDER BY ex.q_id""",
     // sim03/sim06 became fully oracle-able when cell assignment moved
     // to pure cosine argmax (no xxhash64): the IVF protocol — nearest-
     // centroid cells, 4 probe cells per query, exact rescoring of

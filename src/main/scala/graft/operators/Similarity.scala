@@ -334,6 +334,32 @@ object Similarity {
     searchProbedCells(assigned, probes)
   }
 
+  /** sim10: index-quality EVALUATION — recall@k of the LSH index
+    * (sim02) against the exact baseline (sim01), per query. Every ANN
+    * deployment monitors exactly this number (indexes silently lose
+    * recall as the corpus drifts from the hashing/codebook
+    * assumptions); making it a first-class operator means the check
+    * runs in-engine, on the full query set, with no export step.
+    *
+    * Scale shape: both legs are existing operators; the comparison is
+    * a broadcast join of two |queries|×k frames (tiny at any corpus
+    * scale — the corpus-sized work lives inside the legs, already
+    * audited). The same harness evaluates any approx/exact pair by
+    * swapping the legs.
+    */
+  def sim10RecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = sim01BruteForceTopK(spark, dir).select("q_id", "vec_id")
+    val approx = sim02LshAnn(spark, dir).select("q_id", "vec_id")
+      .withColumn("hit", lit(1L))
+    exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"),
+        round(coalesce(sum("hit"), lit(0L)) / count(lit(1)).cast("double"), 4)
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
   val KmeansK = 8
   val KmeansIters = 1
 

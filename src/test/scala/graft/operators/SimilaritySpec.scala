@@ -26,6 +26,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.35))
   }
 
+  test("sim10 recall eval equals a direct set intersection of the legs") {
+    val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.sim02LshAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.sim10RecallEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, (nExact, nHit, recall)) =>
+      assert(nExact == exact(q).size.toLong)
+      assert(nHit == (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong,
+        s"query $q hit count")
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-9)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("sim09 k-means matches a local Lloyd replay") {
     import org.apache.spark.sql.functions._
     val got = Similarity.sim09Kmeans(spark, sf).collect()
