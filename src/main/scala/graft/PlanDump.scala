@@ -74,6 +74,18 @@ object PlanDump {
       |likewise adds no joins: the approx scoring stream is
       ||queries| x |corpus| rows pruned map-side by the partial top-k
       |to <= partitions x queries x 160 rows before its only shuffle.
+      |
+      |text13 (bigram LM) is join-shaped but hash-keyed: measured
+      |(sf 0.01 -> 0.1, 10x docs) the pair OCCURRENCE stream grows
+      |26,665 -> 265,704 (linear — it is the token stream) while the
+      |bigram VOCABULARY grows only 916 -> 931; the two count tables the
+      |occurrences join against are vocabulary-sized, so the shuffled
+      |aggregate state is tiny and the occurrence stream itself shuffles
+      |once on 8-byte hashes. dedup09 (SemDeDup) inherits dedup05's
+      |candidate posture; its component stage consumed 28 -> 264 nodes
+      |(14 -> 121 clusters) at the same 10x step — the union-find input
+      |tracks true duplication, not the corpus, which is what keeps the
+      |measured-size dispatch on the single-partition path in practice.
       |""".stripMargin
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative operators\n\n")

@@ -13,22 +13,25 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("30 mixed queries submitted concurrently produce sequential results") {
+  test("34 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
-    // its span-hash pin; sim08 races the codebook collect).
+    // its span-hash pin; sim08 races the codebook collect; dedup09
+    // races dedup05's cell-assignment pin AND the union-find stage;
+    // etl22 races TableBuild's path-based ensure).
     val names = Seq(
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
       "q26_topk_custom", "q29_lag_delta", "q32_grouping_sets",
       "etl01_select_rename_cast", "etl05_incremental_merge",
-      "etl16_cdc_apply",
+      "etl16_cdc_apply", "etl22_clustered_layout",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
-      "text12_entropy",
+      "text12_entropy", "text13_bigram_surprisal",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
-      "dedup05_embedding_cosine", "dedup08_paragraph",
+      "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
+      "sim09_kmeans",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly",
       "mm01_binary_meta", "mm04_resize_stub")
