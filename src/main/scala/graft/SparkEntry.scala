@@ -49,6 +49,7 @@ object SparkEntry {
     "q30_approx_stats" -> Relational.q30ApproxStats _,
     "q31_window_suite" -> Relational.q31WindowSuite _,
     "q32_grouping_sets" -> Relational.q32GroupingSets _,
+    "q33_correlated_subquery" -> Relational.q33CorrelatedSubquery _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -442,6 +443,17 @@ object SparkEntry {
                                  (o_orderstatus), ())
          ORDER BY o_orderstatus ASC NULLS FIRST,
                   o_orderpriority ASC NULLS FIRST""",
+    "q33_correlated_subquery" ->
+      // Identical correlated SQL — both engines must decorrelate it to
+      // the same join-shaped result.
+      """SELECT c.c_custkey, c.c_name,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+         ORDER BY c.c_custkey""",
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,

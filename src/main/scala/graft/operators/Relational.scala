@@ -401,6 +401,32 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"))
       .orderBy("o_orderstatus")
 
+  /** q33: the `spark.sql` ENTRY POINT with correlated subqueries — the
+    * one ingestion path the DataFrame-built surface doesn't exercise: a
+    * correlated EXISTS and a correlated scalar (count) subquery, handed
+    * to Catalyst AS SQL. The engine contract being demonstrated is
+    * DECORRELATION: the optimizer rewrites the EXISTS to a left-semi
+    * join and the scalar subquery to an aggregate + left outer join
+    * (plan-spec'd — no per-row subquery execution survives), so SQL
+    * written in the correlated style a reference user would port runs
+    * as the same shuffle-joined plan the DataFrame API would build.
+    * Temp views are idempotent per session (same name, same
+    * definition), so concurrent callers are safe.
+    */
+  def q33CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("g_q33_customer")
+    orders(spark, dir).createOrReplaceTempView("g_q33_orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name,
+           (SELECT count(*) FROM g_q33_orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM g_q33_customer c
+         WHERE EXISTS (
+           SELECT 1 FROM g_q33_orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+         ORDER BY c.c_custkey""")
+  }
+
   /** q25: range (banded non-equi) join — the band table is tiny, so the
     * plan is a BroadcastNestedLoopJoin: the fact streams once past the
     * broadcast bands, never shuffles.

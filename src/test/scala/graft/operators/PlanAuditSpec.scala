@@ -207,6 +207,16 @@ class PlanAuditSpec extends SparkSpec {
       s"date bounds must reach the scan:\n${plan.take(2000)}")
   }
 
+  test("q33: correlated subqueries decorrelate to joins (no per-row subquery)") {
+    val plan = finalPlan(Relational.q33CorrelatedSubquery(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must decorrelate to a left-semi join:\n${plan.take(2000)}")
+    assert(plan.contains("LeftOuter"),
+      "the correlated scalar count must decorrelate to aggregate + left outer join")
+    assert(!plan.contains("Subquery"),
+      "no per-row subquery execution may survive optimization")
+  }
+
   test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
     val plan = finalPlan(Relational.q01PricingSummary(spark, sf))
     assert(plan.contains("partial_sum") || plan.contains("Partial"),
