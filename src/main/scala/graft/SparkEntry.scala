@@ -104,6 +104,7 @@ object SparkEntry {
     "sim08_pq_ann" -> Similarity.sim08PqAnn _,
     "sim09_kmeans" -> Similarity.sim09Kmeans _,
     "sim10_recall_eval" -> Similarity.sim10RecallEval _,
+    "sim11_mmr_diversify" -> Similarity.sim11MmrDiversify _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -140,6 +141,58 @@ object SparkEntry {
                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
+
+  /** Generated DuckDB replay of sim11's greedy MMR: top-MmrCand
+    * candidates, then MmrK unrolled argmax steps. The λ and (1−λ)
+    * coefficients are emitted from the SAME doubles the expression
+    * computes with (Double.toString round-trips, so `1.0 - 0.7` —
+    * which is NOT the literal 0.3 — parses back to the identical
+    * double in DuckDB); candidate-candidate sims round to 4 dp before
+    * the running max, exactly as MmrSelect does.
+    */
+  private val Sim11OracleSql: String = {
+    import graft.operators.Similarity.{MmrCand, MmrK, MmrLambda}
+    val lam = MmrLambda.toString
+    val oneMinus = (1.0 - MmrLambda).toString
+    val steps = (1 to MmrK).map { t =>
+      val prev = s"c${t - 1}"
+      val pick = s"""p$t AS (SELECT q_id, vec_id AS sel_id, v AS sel_v,
+           $lam*rel - $oneMinus*ms AS score FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY $lam*rel - $oneMinus*ms DESC, vec_id) AS srk
+             FROM $prev) WHERE srk = 1)"""
+      // Step 1's ms (c0.ms = 0.0, no selection yet) must not leak into
+      // the running max — c1 takes the first REAL sim outright, so a
+      // negative max survives (the unfloored classic formula).
+      val msExpr =
+        if (t == 1) "round(list_cosine_similarity(c.v, p.sel_v), 4)"
+        else "greatest(c.ms, round(list_cosine_similarity(c.v, p.sel_v), 4))"
+      val carry =
+        if (t < MmrK) s""",
+         c$t AS (SELECT c.q_id, c.vec_id, c.v, c.rel,
+             $msExpr AS ms
+           FROM $prev c JOIN p$t p
+             ON c.q_id = p.q_id AND c.vec_id <> p.sel_id)"""
+        else ""
+      pick + carry
+    }.mkString(",\n         ")
+    val union = (1 to MmrK)
+      .map(t => s"SELECT q_id, $t AS rk, sel_id, score FROM p$t")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       sc AS (SELECT q_id, e.vec_id, e.v,
+           round(list_cosine_similarity(qv, e.v), 4) AS rel
+         FROM q, e WHERE e.vec_id <> q_id),
+       c0 AS (SELECT q_id, vec_id, v, rel, 0.0 AS ms FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY rel DESC, vec_id) AS crk FROM sc)
+         WHERE crk <= $MmrCand),
+       $steps
+       SELECT q_id, CAST(rk AS INTEGER) AS rk, sel_id AS vec_id,
+         round(score, 6) AS mmr_score
+       FROM ($union) ORDER BY q_id, rk"""
+  }
 
   private val SimIvfOracleSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -851,6 +904,7 @@ object SparkEntry {
            CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
          FROM cc GROUP BY id ORDER BY vec_id""",
     "sim01_bruteforce_topk" -> Sim01OracleSql,
+    "sim11_mmr_diversify" -> Sim11OracleSql,
     "sim10_recall_eval" ->
       // The two index oracles composed: exact top-k LEFT JOIN approx
       // top-k per (q_id, vec_id); recall@k = matched fraction.

@@ -39,6 +39,12 @@ object GraftFunctions {
     * against a driver-known codebook (native expression — per-subspace
     * nearest-codeword selection and copy in one scan-stage pass).
     */
+  /** Greedy MMR diversified selection over a per-query candidate array
+    * (native expression — the whole greedy loop is one scan-stage call).
+    */
+  def mmrSelect(cands: Column, k: Int, lambda: Double): Column =
+    GraftShim.column(MmrSelect(GraftShim.expression(cands), k, lambda))
+
   def pqReconstruct(v: Column, codebook: Array[Array[Double]], m: Int): Column =
     GraftShim.column(PQReconstruct(GraftShim.expression(v), codebook, m))
 

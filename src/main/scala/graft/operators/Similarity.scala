@@ -434,6 +434,49 @@ object Similarity {
       .orderBy("cell")
   }
 
+  val MmrCand = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+
+  /** sim11: MMR DIVERSIFIED re-ranking — the selection step between ANN
+    * retrieval and a context window: from each query's top-[[MmrCand]]
+    * cosine candidates, greedily pick [[MmrK]] maximizing
+    * λ·relevance − (1−λ)·max-sim-to-already-picked (classic maximal
+    * marginal relevance). Near-duplicate hits crowd out of the window;
+    * the result keeps relevance while covering the neighborhood.
+    *
+    * Scale shape: greedy MMR is sequential in k — as joins/windows that
+    * would be k chained shuffles, so it runs as ONE native-expression
+    * call per query row ([[graft.functions.MmrSelect]]) over the
+    * collected candidate array. The array is small by construction
+    * (re-ranking only ever sees the retrieved top-k), and the candidate
+    * retrieval itself is sim01's audited broadcast + bounded-heap
+    * shape; the collect_list aggregate reuses TopKPerKey's q_id
+    * partitioning, so past retrieval the whole operator adds zero
+    * exchanges. collect_list's arrival order is nondeterministic and
+    * irrelevant: the expression's argmax scans with a (score, vec_id)
+    * tie-break.
+    */
+  def sim11MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    graft.plans.TopKPerKey(scored,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("cos", true), ("vec_id", false)),
+        k = MmrCand)
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("cos"), col("vec_id"), col("v"))).as("cands"))
+      .select(col("q_id"),
+        explode(mmrSelect(col("cands"), MmrK, MmrLambda)).as("s"))
+      .select(col("q_id"), col("s.rk").as("rk"),
+        col("s.vec_id").as("vec_id"), col("s.score").as("mmr_score"))
+      .orderBy("q_id", "rk")
+  }
+
   val PqSubspaces = 8
   val PqRefine = 160
 

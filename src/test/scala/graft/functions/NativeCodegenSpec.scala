@@ -97,6 +97,30 @@ class NativeCodegenSpec extends SparkSpec {
     assert(cs == Seq(5.0, 5.0, -3.0, -3.0))
   }
 
+  test("MmrSelect generated code compiles and matches interpreted eval") {
+    val candType = ArrayType(StructType(Seq(
+      StructField("cos", DoubleType), StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)))))
+    val expr = MmrSelect(BoundReference(0, candType, nullable = true), 2, 0.7)
+    // Two near-identical high-relevance candidates plus one diverse
+    // lower-relevance one: MMR must pick (10, then 12) — never 11.
+    val cands = ArrayData.toArrayData(Array(
+      InternalRow(0.9, 10L, doubleArray(1.0, 0.0)),
+      InternalRow(0.89, 11L, doubleArray(1.0, 0.001)),
+      InternalRow(0.5, 12L, doubleArray(0.0, 1.0))))
+    val row = InternalRow(cands)
+    val (c, i) = codegenVsInterpreted(expr, row)
+    def picks(a: Any): Seq[(Int, Long)] = {
+      val ad = a.asInstanceOf[ArrayData]
+      (0 until ad.numElements()).map { j =>
+        val r = ad.getStruct(j, 3); (r.getInt(0), r.getLong(1))
+      }
+    }
+    assert(picks(c) == picks(i), "mmr_select: codegen vs interpreted mismatch")
+    assert(picks(c) == Seq((1, 10L), (2, 12L)),
+      "greedy selection must diversify away from the near-duplicate")
+  }
+
   test("static forwarders referenced by doGenCode exist on the classfiles") {
     // (class, method, params) exactly as the generated Java calls them.
     val calls = Seq(
@@ -106,6 +130,8 @@ class NativeCodegenSpec extends SparkSpec {
         Seq(classOf[ArrayData], java.lang.Integer.TYPE)),
       (classOf[WinnowFingerprints], "winnow",
         Seq(classOf[UTF8String], java.lang.Integer.TYPE, java.lang.Integer.TYPE)),
+      (classOf[MmrSelect], "select",
+        Seq(classOf[ArrayData], java.lang.Integer.TYPE, java.lang.Double.TYPE)),
       (classOf[PQReconstruct], "reconstruct",
         Seq(classOf[ArrayData], classOf[Array[Array[Double]]], java.lang.Integer.TYPE)))
     for ((cls, name, params) <- calls) {

@@ -46,6 +46,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim11 MMR matches a local greedy replay; step 1 is the relevance argmax") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.cosineSim
+    val got = Similarity.sim11MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // Candidates per query straight from sim01's contract (top-20 by
+    // rounded cos, vec_id tiebreak), replayed greedily in plain Scala.
+    val e = Dedup.vectors(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val cands = rows.sortBy(r => (-r._4, r._2)).take(Similarity.MmrCand)
+        .map(r => (r._2, r._3, r._4)).toBuffer
+      val sel = scala.collection.mutable.Buffer.empty[(Long, Array[Double])]
+      (1 to Similarity.MmrK).map { rk =>
+        val best = cands.minBy { case (id, v, rel) =>
+          val ms = if (sel.isEmpty) 0.0 else sel.map(s => cos4(v, s._2)).max
+          (-(Similarity.MmrLambda * rel - (1.0 - Similarity.MmrLambda) * ms), id)
+        }
+        cands -= best
+        sel += ((best._1, best._2))
+        (qid, rk, best._1)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("sim09 k-means matches a local Lloyd replay") {
     import org.apache.spark.sql.functions._
     val got = Similarity.sim09Kmeans(spark, sf).collect()
