@@ -33,7 +33,9 @@ object PlanDump {
       "cur09_sequence_pack" ->
         "sequence packing: per-source window cumsum, never one global stream",
       "etl22_clustered_layout" ->
-        "range-clustered layout: date filter pushed to the sorted parquet scan")
+        "range-clustered layout: date filter pushed to the sorted parquet scan",
+      "sim11_mmr_diversify" ->
+        "MMR: native greedy selection; collect_list reuses the top-k partitioning")
 
     // Measured once (2026-08-12, spark-shell probe over the driver
     // testdata) and recorded here so regeneration keeps the evidence:

@@ -207,6 +207,22 @@ class PlanAuditSpec extends SparkSpec {
       s"date bounds must reach the scan:\n${plan.take(2000)}")
   }
 
+  test("sim11: MMR adds no exchange past the top-k shuffle") {
+    val plan = finalPlan(Similarity.sim11MmrDiversify(spark, sf))
+    assert(plan.contains("TopKPerKeyPartial"),
+      "candidate retrieval must prune map-side")
+    assert(plan.contains("mmr_select"), "selection must be the native expression")
+    // One q_id hash shuffle (top-k final) + the presentation range sort:
+    // the collect_list aggregate must REUSE the top-k partitioning and
+    // the greedy loop must add nothing. Count only the final plan —
+    // the AQE toString repeats everything under "== Initial Plan ==".
+    val finalSection = plan.split("== Initial Plan ==").head
+    val hashEx = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"collect_list must reuse the top-k partitioning, " +
+      s"found $hashEx hash exchanges:\n${plan.take(2000)}")
+  }
+
   test("q33: correlated subqueries decorrelate to joins (no per-row subquery)") {
     val plan = finalPlan(Relational.q33CorrelatedSubquery(spark, sf))
     assert(plan.contains("LeftSemi"),
