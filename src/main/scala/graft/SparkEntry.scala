@@ -72,6 +72,7 @@ object SparkEntry {
     "etl20_corrupt_quarantine" -> Etl.etl20CorruptQuarantine _,
     "etl21_compaction" -> Etl.etl21Compaction _,
     "etl22_clustered_layout" -> Etl.etl22ClusteredLayout _,
+    "etl23_snapshot_diff" -> Etl.etl23SnapshotDiff _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -496,6 +497,28 @@ object SparkEntry {
                                  (o_orderstatus), ())
          ORDER BY o_orderstatus ASC NULLS FIRST,
                   o_orderpriority ASC NULLS FIRST""",
+    "etl23_snapshot_diff" ->
+      // Both snapshot states replayed as reductions over the same CDC
+      // log (even sequences only = the first snapshot; full log = the
+      // second), then the same full-outer classification.
+      """WITH log AS (SELECT user_id AS key, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+             round(value, 2) AS value FROM events),
+         s1 AS (SELECT key, value AS old_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log WHERE seq % 2 = 0) WHERE rn = 1 AND op <> 'D'),
+         s2 AS (SELECT key, value AS new_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log) WHERE rn = 1 AND op <> 'D')
+         SELECT coalesce(s1.key, s2.key) AS key,
+           CASE WHEN s1.key IS NULL THEN 'added'
+                WHEN s2.key IS NULL THEN 'removed'
+                WHEN old_value <> new_value THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_value, new_value
+         FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
+         ORDER BY key""",
     "q33_correlated_subquery" ->
       // Identical correlated SQL — both engines must decorrelate it to
       // the same join-shaped result.

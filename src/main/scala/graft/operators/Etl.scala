@@ -380,6 +380,43 @@ object Etl {
       .orderBy("key")
   }
 
+  /** etl23: SNAPSHOT TIME TRAVEL over the merge sink — the audit-read
+    * half of etl19's protocol (the reference's completed-batch
+    * bookkeeping, case_2/Normal.py:283-327, answers "what did the
+    * master table look like before this batch?" only implicitly; a
+    * versioned sink answers it as a query). Two incremental merges
+    * land the CDC log; both committed snapshots are then read back via
+    * [[graft.sources.MergeSink.stateAt]] (immutable parquet versions —
+    * stable reads while newer merges commit) and diffed per key into
+    * the added / removed / changed / unchanged audit every incremental
+    * load wants. One FULL OUTER co-shuffle of two key-compact states —
+    * etl14's reconcile shape applied across TIME instead of across
+    * systems.
+    */
+  def etl23SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MergeSink
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val table = s"g_master23_$suffix"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl23_$suffix"
+    val log = cdcLog(spark, dir)
+    MergeSink.reset(spark, table, base) // deterministic end-to-end replay
+    MergeSink.merge(spark, table, base, log.filter(col("seq") % 2 === 0))
+    MergeSink.merge(spark, table, base, log.filter(col("seq") % 2 =!= 0))
+    val vs = MergeSink.versions(spark, base)
+    val old = MergeSink.stateAt(spark, base, vs.init.last)
+      .select(col("key"), col("current_value").as("old_value"))
+    val cur = MergeSink.stateAt(spark, base, vs.last)
+      .select(col("key"), col("current_value").as("new_value"))
+    old.join(cur, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_value").isNull, "added")
+          .when(col("new_value").isNull, "removed")
+          .when(col("old_value") =!= col("new_value"), "changed")
+          .otherwise("unchanged"))
+      .select("key", "status", "old_value", "new_value")
+      .orderBy("key")
+  }
+
   /** etl18: XML round-trip — the remaining interchange format legacy
     * upstreams emit (Spark 4 ships the XML source built in). Same
     * contract as etl09/11/12: write, re-read with an EXPLICIT schema

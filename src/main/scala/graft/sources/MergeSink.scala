@@ -144,6 +144,21 @@ object MergeSink {
   def state(spark: SparkSession, table: String): DataFrame =
     spark.table(table).filter(col("last_op") =!= "D")
 
+  /** Committed snapshot versions on disk, ascending — the TIME-TRAVEL
+    * surface: retention keeps the last two, so audits can always diff
+    * the current state against its predecessor.
+    */
+  def versions(spark: SparkSession, basePath: String): Seq[Long] =
+    versionsOnDisk(spark, basePath, committedOnly = true)
+
+  /** The visible state AS OF a committed snapshot version (tombstones
+    * filtered, same contract as [[state]]) — snapshots are immutable,
+    * so this read is stable while newer merges commit.
+    */
+  def stateAt(spark: SparkSession, basePath: String, version: Long): DataFrame =
+    spark.read.schema(schema).parquet(s"$basePath/v$version")
+      .filter(col("last_op") =!= "D")
+
   /** Drop the table and all snapshot versions — a clean slate for a
     * deterministic end-to-end replay.
     */

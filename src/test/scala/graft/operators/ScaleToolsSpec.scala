@@ -70,6 +70,35 @@ class ScaleToolsSpec extends SparkSpec {
       s"a one-year predicate must touch a file subset: $touched of $all")
   }
 
+  test("etl23 snapshot diff equals a direct two-reduction comparison") {
+    val got = Etl.etl23SnapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    // Direct reductions over the same CDC log, bypassing the sink.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("seq").desc)
+    def reduce(log: org.apache.spark.sql.DataFrame): Map[Long, Double] = log
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val log = Etl.cdcLog(spark, sf)
+    val s1 = reduce(log.filter(col("seq") % 2 === 0))
+    val s2 = reduce(log)
+    val expected = (s1.keySet ++ s2.keySet).toSeq.sorted.map { k =>
+      val (o, n) = (s1.get(k), s2.get(k))
+      val status =
+        if (o.isEmpty) "added"
+        else if (n.isEmpty) "removed"
+        else if (o != n) "changed" else "unchanged"
+      (k, status, o, n)
+    }
+    assert(got == expected)
+    // The time-travel surface itself: two committed immutable versions.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl23_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    assert(graft.sources.MergeSink.versions(spark, base).size == 2)
+  }
+
   test("saltedJoin returns exactly the plain equi-join result") {
     val fact = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
