@@ -116,6 +116,7 @@ object SparkEntry {
     "cur08_budget_assembly" -> Curation.cur08BudgetAssembly _,
     "cur09_sequence_pack" -> Curation.cur09SequencePack _,
     "cur10_quality_select" -> Curation.cur10QualitySelect _,
+    "cur11_train_split" -> Curation.cur11TrainSplit _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1217,6 +1218,16 @@ object SparkEntry {
            round(min(CASE WHEN keep THEN q END), 4) AS min_kept_score,
            round(avg(CASE WHEN keep THEN q END), 4) AS avg_kept_score
          FROM k GROUP BY source ORDER BY source""",
+    "cur11_train_split" ->
+      // The same monotone hex-range assignment, replayed verbatim.
+      """WITH d AS (SELECT source, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         FROM d GROUP BY source, split ORDER BY source, split""",
     "etl22_clustered_layout" ->
       // The clustered copy is lossless, so the oracle aggregates the
       // SOURCE table under the same predicate; file locality of the

@@ -296,6 +296,32 @@ object Curation {
       .orderBy("source")
   }
 
+  /** cur11: deterministic TRAIN/VAL/TEST split — the assignment every
+    * dataset build ships with its data: each document lands in a split
+    * by its md5 hash bucket (first 4 hex chars, 90/5/5 by hex range),
+    * so membership is engine-portable, reproducible at any scale, and
+    * STABLE under corpus growth (a doc never migrates when new data
+    * arrives — the property random split assignment cannot give, and
+    * the reason eval contamination audits can trust the test set).
+    * Stratification needs no machinery: the hash is uniform within
+    * every source, so each stratum splits ~90/5/5 automatically — the
+    * per-(source, split) report makes that auditable.
+    *
+    * One scan, per-row predicate, one tiny aggregate — the corpus is
+    * never shuffled (cur01/cur07's posture).
+    */
+  def cur11TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    // 90/5/5 by hex prefix: [0000, e666) train, [e666, f333) val,
+    // [f333, ffff] test — monotone string compare, no integer parsing.
+    val hk = substring(md5(col("doc_id").cast("string")), 1, 4)
+    documents(spark, dir)
+      .withColumn("split",
+        when(hk < "e666", "train").when(hk < "f333", "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+      .orderBy("source", "split")
+  }
+
   /** cur06: the END-TO-END curation pipeline — the composed flow every
     * pre-training data build runs, staged exactly as production
     * pipelines stage it (cheapest filter first, most expensive last):

@@ -106,6 +106,31 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur11 split: partitions the corpus, ~90/5/5, stable under growth") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.cur11TrainSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == total, "splits must partition the corpus")
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.85 && trainFrac < 0.95,
+      s"train fraction $trainFrac far from 0.9")
+    // Membership stability: assignment depends only on doc_id, so a doc
+    // keeps its split when computed over any subset of the corpus.
+    val hk = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val splitCol = when(hk < "e666", "train")
+      .when(hk < "f333", "val").otherwise("test")
+    val full = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), splitCol.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), splitCol.as("s")).collect()
+    subset.foreach(r =>
+      assert(full(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)} migrated"))
+  }
+
   test("cur08 budget assembly: exact maximal prefix per source") {
     val got = Curation.cur08BudgetAssembly(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
