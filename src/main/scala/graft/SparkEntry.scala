@@ -86,6 +86,7 @@ object SparkEntry {
     "text11_surprisal" -> TextAnalysis.text11Surprisal _,
     "text12_entropy" -> TextAnalysis.text12Entropy _,
     "text13_bigram_surprisal" -> TextAnalysis.text13BigramSurprisal _,
+    "text14_gopher_rules" -> TextAnalysis.text14GopherRules _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -1159,6 +1160,22 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS chars_kept,
            round(CAST(sum(n_chars) AS DOUBLE) / 4000.0, 4) AS utilization
          FROM c WHERE cum <= 4000 GROUP BY source ORDER BY source""",
+    "text14_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS ml,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS af,
+             len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS sh
+           FROM t)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           round(ml, 4) AS mean_word_len, round(af, 4) AS alpha_frac,
+           CAST(sh AS INTEGER) AS stop_hits,
+           CAST(CASE WHEN n BETWEEN 15 AND 5000 AND ml BETWEEN 3.0 AND 10.0
+                AND af >= 0.8 AND sh >= 2 THEN 1 ELSE 0 END AS INTEGER) AS passes
+         FROM c ORDER BY doc_id""",
     "text13_bigram_surprisal" ->
       // The bigram model replayed on token STRINGS (Spark joins on the
       // 64-bit pair hashes — identical counts absent a 2^-64 collision,

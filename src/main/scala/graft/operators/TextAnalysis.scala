@@ -263,6 +263,41 @@ object TextAnalysis {
         round(count(lit(1)) / sum("c").cast("double"), 4).as("ttr"))
       .orderBy("doc_id")
 
+  /** text14: GOPHER-RULES quality gate — the Rae et al. 2021 filter
+    * family, completing the named-filter set alongside C4 (cur04) and
+    * FineWeb-style percentile selection (cur10). Word-level rules only
+    * (the corpus has no line structure): token count in [15, 5000],
+    * mean word length in [3, 10], ≥ 80% of words contain an alphabetic
+    * character, and at least 2 hits from the stopword list (the
+    * "contains common English words" rule). Each rule is reported as
+    * its measured value plus the composite pass flag, so threshold
+    * tuning reads the same output. Pure per-row column logic in one
+    * scan — embarrassingly parallel, no shuffle but the presentation
+    * sort.
+    */
+  def text14GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / greatest(nTok, lit(1))
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / greatest(nTok, lit(1))
+    val stopHits = size(filter(toks,
+      t => t.isin(stopwords.map(w => w: Any): _*)))
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        stopHits.as("stop_hits"),
+        (nTok.between(15, 5000) &&
+          meanLen.between(3.0, 10.0) &&
+          alphaFrac >= 0.8 &&
+          stopHits >= 2).cast("int").as("passes"))
+      .orderBy("doc_id")
+  }
+
   /** text13: bigram-LM surprisal — the CCNet-style step past text11's
     * unigram model: mean −log₂ p(token | previous token) under the
     * corpus' own bigram model, where p(t|p) = c(p,t) / c(p,·) over the

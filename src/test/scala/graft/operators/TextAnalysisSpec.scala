@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("text14 gopher rules: values consistent, pass flag matches its parts") {
+    val rows = TextAnalysis.text14GopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(1); val ml = r.getDouble(2); val af = r.getDouble(3)
+      val sh = r.getInt(4); val passes = r.getInt(5)
+      assert(af >= 0.0 && af <= 1.0)
+      assert(sh <= n)
+      val expect = n >= 15 && n <= 5000 && ml >= 3.0 && ml <= 10.0 &&
+        af >= 0.8 && sh >= 2
+      // The flag is computed from the UNROUNDED values; at the reported
+      // 4-dp precision the recomputation can only disagree within the
+      // rounding slack of the two real-valued bounds.
+      if (passes == 1) assert(ml >= 2.9999 && af >= 0.7999, s"row $r")
+      else if (expect) assert(ml <= 3.0001 || ml >= 9.9999 || af <= 0.8001,
+        s"row $r flagged fail but parts pass")
+    }
+    assert(rows.exists(_.getInt(5) == 1), "some docs must pass the gate")
+  }
+
   test("text13 bigram surprisal matches a local replay on a known corpus") {
     val spark2 = spark
     import spark2.implicits._
