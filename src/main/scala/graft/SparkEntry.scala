@@ -123,7 +123,8 @@ object SparkEntry {
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
     "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
-    "stream02_sessionize" -> Sessions.stream02Sessionize _)
+    "stream02_sessionize" -> Sessions.stream02Sessionize _,
+    "stream04_attribution" -> Sessions.stream04Attribution _)
 
   /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
     * emit identical rows — spec-pinned — so both map to this SQL):
@@ -475,6 +476,18 @@ object SparkEntry {
                  PARTITION BY user_id ORDER BY event_id) AS delta
                FROM events)
          WHERE delta IS NOT NULL GROUP BY user_id ORDER BY user_id""",
+    "q30_approx_stats" ->
+      // Exact twins computed; the sketch columns are banded flags whose
+      // oracle side is the literal claim 1 — a sketch drifting out of
+      // band flips Spark's flag to 0 and fails the hash compare.
+      // median() must interpolate (quantile_cont semantics) to match
+      // Spark's percentile(…, 0.5); 4-dp rounding keeps the even-count
+      // midpoint off the 2-dp half-way grid.
+      """SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           round(median(o_totalprice), 4) AS exact_median,
+           1 AS cust_in_band, 1 AS median_in_band
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q31_window_suite" ->
       """SELECT o_orderstatus, o_orderkey,
          CAST(ntile(4) OVER w AS INTEGER) AS quartile,
@@ -1348,7 +1361,18 @@ object SparkEntry {
            FROM (SELECT user_id, event_id, ts,
                    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY event_id) AS prev_s
-                 FROM events)) ORDER BY user_id, event_id""")
+                 FROM events)) ORDER BY user_id, event_id""",
+    "stream04_attribution" ->
+      // The 1-hour-lookback interval join, replayed declaratively; the
+      // purchase value passes through both engines unrounded (no
+      // arithmetic touches it).
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.value AS purchase_value
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""")
 
   /** dedup02 and dedup03 share one oracle: dedup03's LSH at t=0.8 has
     * recall ≈ 1-5e-8, so its verified output equals the exact pair set.

@@ -102,9 +102,7 @@ object Curation {
 
   def cur04QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = greatest(size(toks), lit(1)).cast("double")
-    val stopRatio = size(filter(toks,
-      t => t.isin(langProfiles("en").map(w => w: Any): _*))) / nTok
+    val stopRatio = TextAnalysis.stopRatio(toks, langProfiles("en"))
     documents(spark, dir)
       .withColumn("keep",
         (col("n_chars") >= 100) && (size(toks) >= 20) && (stopRatio >= 0.02))
@@ -276,11 +274,8 @@ object Curation {
     */
   def cur10QualitySelect(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = greatest(size(toks), lit(1)).cast("double")
-    val stopRatio = size(filter(toks,
-      t => t.isin(TextAnalysis.stopwords.map(w => w: Any): _*))) / nTok
-    val score = round(least(size(toks).cast("double") / 50.0, lit(1.0)) *
-      (lit(1.0) - stopRatio), 4)
+    // The cut selects on EXACTLY text02's score — one shared definition.
+    val score = TextAnalysis.qualityScore(toks)
     val wRank = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
     val wSrc = Window.partitionBy("source")
     documents(spark, dir)
@@ -352,9 +347,7 @@ object Curation {
     */
   def cur06CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val toksC = tokens(col("text"))
-    val nTok = greatest(size(toksC), lit(1)).cast("double")
-    val stopRatio = size(filter(toksC,
-      t => t.isin(langProfiles("en").map(w => w: Any): _*))) / nTok
+    val stopRatio = TextAnalysis.stopRatio(toksC, langProfiles("en"))
     // Exact-dup keeper election inline: within each normalized content
     // fingerprint (dedup01's contract), rank quality survivors first,
     // then by doc_id — row 1 is the min-id quality keeper iff it is

@@ -80,11 +80,36 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
       .orderBy("keeper_id")
 
-  /** dedup02: exact pairwise n-gram Jaccard ≥ t via shingle equi-join.
-    * Correct but O(candidate pairs); kept as the semantic ground truth.
-    * At 100 TB use dedup03 — same output, LSH-pruned pair space.
+  /** Hard ceiling for [[dedup02NgramJaccard]]'s corpus size. The
+    * operator's candidate space is birthday-quadratic (measured ~94×
+    * growth for 10× docs — PLANS.md), so it exists ONLY as dedup03's
+    * ground truth at oracle scale; the fence makes an accidental run
+    * against a production corpus fail loudly instead of melting the
+    * cluster. 1M docs keeps sf-scale oracles and spec corpora well
+    * inside while stopping anything resembling real data.
     */
-  def dedup02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  val Dedup02MaxDocs = 1000000L
+
+  /** dedup02: exact pairwise n-gram Jaccard ≥ t via shingle equi-join.
+    * Correct but O(candidate pairs); kept as the semantic ground truth
+    * for dedup03, FENCED by [[Dedup02MaxDocs]] — at 100 TB use dedup03:
+    * same output, LSH-pruned pair space.
+    */
+  def dedup02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedup02NgramJaccard(spark, dir, Dedup02MaxDocs)
+
+  /** [[dedup02NgramJaccard]] with an explicit fence, so the spec can
+    * assert the guard trips without building a million-doc corpus.
+    */
+  private[graft] def dedup02NgramJaccard(
+      spark: SparkSession, dir: String, maxDocs: Long): DataFrame = {
+    // Metadata-only count off the cached shingle frame's source; cheap
+    // relative to the quadratic join it fences.
+    val nDocs = shingleArrays(spark, dir).count()
+    require(nDocs <= maxDocs,
+      s"dedup02 is the O(n²) ground-truth oracle, fenced at $maxDocs docs " +
+        s"(measured $nDocs): run dedup03 (MinHash-LSH) instead — same " +
+        "output, sub-quadratic candidate space")
     val sh = shingleRows(spark, dir)
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -219,15 +244,30 @@ object Dedup {
     clusterPairs(spark, dedup03MinhashLsh(spark, dir).select(col("da"), col("db")))
   }
 
+  private val clusterPairsRunCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Hybrid connected-components dispatch shared by dedup06 (token
     * near-dup graph) and dedup09 (semantic near-dup graph): measured
     * edge count picks single-partition union-find vs distributed
     * min-label propagation.
+    *
+    * The input is consumed twice (the dispatch count, then the chosen
+    * clustering pass), so it is pinned here — dedup06 happens to feed an
+    * already-registered frame (dedup03's verified-pair cache), but
+    * dedup09 feeds dedup05's raw pair plan, whose salted cell join +
+    * exact cosine filter would otherwise execute twice. Registered under
+    * a per-CALL key (the propagateClusters pattern): the clustering
+    * output is lazy, so a session-keyed register could evict a pin that
+    * an unconsumed previous result still depends on.
     */
   private[operators] def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    val nEdges = pairs.count()
-    if (nEdges <= UnionFindMaxEdges) unionFindClusters(spark, pairs)
-    else propagateClusters(pairs)
+    val pinned = graft.GraftCache.register(
+      s"dedup.clusterPairs:${graft.GraftCache.sessionTag(spark)}" +
+        s":${clusterPairsRunCounter.incrementAndGet()}",
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nEdges = pinned.count()
+    if (nEdges <= UnionFindMaxEdges) unionFindClusters(spark, pinned)
+    else propagateClusters(pinned)
   }
 
   /** Single-partition path-compressed union-find (small pair graphs).

@@ -623,7 +623,10 @@ object Etl {
     */
   private[graft] def clusteredOrdersPath(spark: SparkSession, dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl22_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    TableBuild.ensurePath(spark, out) {
+    // Stamped with the SOURCE's metadata fingerprint: a regenerated
+    // orders.parquet rebuilds the layout instead of serving last run's.
+    TableBuild.ensurePath(spark, out,
+        TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
       orders(spark, dir)
         .repartitionByRange(ClusterFiles, col("o_orderdate"))
         .sortWithinPartitions(col("o_orderdate"))

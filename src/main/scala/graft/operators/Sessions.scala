@@ -19,6 +19,23 @@ object Sessions {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** stream04 (batch twin): purchase → click attribution — the SAME
+    * interval-join definition the streaming form runs
+    * ([[graft.streaming.GraftStreams.attribution]]; `withWatermark` is
+    * a no-op under batch execution), applied to the events table split
+    * by type. Batch plans it as a user-keyed join with the time band as
+    * a residual predicate — one shuffle on user_id per side, no
+    * windows. This is the oracle-checkable definition the streaming
+    * spec's equivalence test anchors to.
+    */
+  def stream04Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    graft.streaming.GraftStreams.attribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** stream02 (batch twin): sessionization — 30-min-gap session windows
     * per user. One shuffle on user_id; both windows share the same
     * partitioning so Catalyst plans a single exchange.

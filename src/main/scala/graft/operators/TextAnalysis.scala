@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.GraftFunctions._
 import graft.sources.Tables._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis surface text01–text09 over `documents` (SURVEY.md §2):
   * the per-document statistics an LLM-training-data pipeline computes at
@@ -17,6 +17,22 @@ object TextAnalysis {
   // formula can never drift between the two operators.
   private[operators] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Fraction of `toks` found in `words` — the shared ratio builder
+    * behind text02's scoring, cur04's gate, and cur06's pipeline stage.
+    */
+  private[operators] def stopRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))) /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** The composite quality score (length saturation × non-stopword
+    * mass), 4-dp rounded. ONE definition, consumed by text02's scoring
+    * and cur10's percentile cut: a tweak here moves both — the "FineWeb
+    * cut" can never silently de-synchronize from the score it cuts on.
+    */
+  private[operators] def qualityScore(toks: Column): Column =
+    round(least(size(toks).cast("double") / 50.0, lit(1.0)) *
+      (lit(1.0) - stopRatio(toks, stopwords)), 4)
 
   /** text01: tokenization + token/char counts. */
   def text01TokenizeCount(spark: SparkSession, dir: String): DataFrame = {
@@ -38,16 +54,13 @@ object TextAnalysis {
   def text02QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = greatest(size(toks), lit(1)).cast("double")
-    val stopRatio =
-      size(filter(toks, t => t.isin(stopwords.map(w => w: Any): _*))) / nTok
     val shortRatio = size(filter(toks, t => length(t) <= 2)) / nTok
     documents(spark, dir)
       .select(
         col("doc_id"),
-        round(stopRatio, 4).as("stop_ratio"),
+        round(stopRatio(toks, stopwords), 4).as("stop_ratio"),
         round(shortRatio, 4).as("short_ratio"),
-        round(least(size(toks).cast("double") / 50.0, lit(1.0)) *
-          (lit(1.0) - stopRatio), 4).as("quality_score"))
+        qualityScore(toks).as("quality_score"))
       .orderBy("doc_id")
   }
 

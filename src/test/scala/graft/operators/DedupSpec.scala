@@ -15,6 +15,17 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "test data should contain at least one near-dup pair")
   }
 
+  test("dedup02's scale fence trips on an oversized corpus") {
+    // The real fence is 1M docs; trip it with the fence lowered below
+    // the test corpus instead of building a million-doc corpus.
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedup02NgramJaccard(spark, sf, maxDocs = 10L).collect())
+    assert(e.getMessage.contains("dedup03"),
+      "the fence message must point at the scale path")
+    // And the default fence admits oracle-scale corpora.
+    assert(Dedup.dedup02NgramJaccard(spark, sf).collect().nonEmpty)
+  }
+
   test("simhash: identical token arrays hash identically (hamming 0)") {
     import spark.implicits._
     val df = Seq(

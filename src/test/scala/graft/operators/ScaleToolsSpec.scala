@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class ScaleToolsSpec extends SparkSpec {
 
   test("q30 sketches stay within error bounds of their exact twins") {
-    val rows = Relational.q30ApproxStats(spark, sf).collect()
+    val rows = Relational.approxStatsRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approxD = r.getLong(r.fieldIndex("approx_customers")).toDouble
@@ -19,6 +19,14 @@ class ScaleToolsSpec extends SparkSpec {
       val exactM = r.getDouble(r.fieldIndex("exact_median"))
       assert(math.abs(approxM - exactM) / exactM <= 0.05,
         s"quantile sketch off by >5%: $approxM vs $exactM")
+    }
+    // The oracled entry's banded flags must all be 1 (the literal the
+    // DuckDB twin claims) — this is what makes q30 hash-checkable.
+    val banded = Relational.q30ApproxStats(spark, sf).collect()
+    assert(banded.nonEmpty)
+    banded.foreach { r =>
+      assert(r.getInt(r.fieldIndex("cust_in_band")) == 1)
+      assert(r.getInt(r.fieldIndex("median_in_band")) == 1)
     }
   }
 

@@ -128,19 +128,11 @@ class GraftStreamsSpec extends SparkSpec {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("event_type"))
-    val batch = {
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"), col("value").as("purchase_value"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-      p.join(c, col("p_user") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-        .select(col("purchase_id"), col("click_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    // The oracled batch twin (stream04_attribution) IS the anchor: the
+    // streamed output must equal the entry the DuckDB oracle checks.
+    val batch = Sessions.stream04Attribution(spark, sf)
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.nonEmpty, "test data should contain attributable purchases")
 
     val rows = ev.as[(Long, Long, Timestamp, Double, String)].collect()
