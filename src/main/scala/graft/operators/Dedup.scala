@@ -194,27 +194,109 @@ object Dedup {
       .groupBy("doc_id")
       .agg(simhashAgg(tokenHash64(col("t"))).as("sh"))
 
-  /** dedup04: SimHash near-dup pairs (hamming ≤ 3). Candidates via the
-    * pigeonhole principle: split the 64-bit hash into 4×16-bit chunks —
-    * any pair within hamming 3 shares at least one identical chunk, so
-    * candidate generation is an equi-join on (chunk_idx, chunk_value).
+  /** dedup04's near-dup radius: pairs within hamming ≤ 3 of each other
+    * on the 64-bit SimHash (the web-crawl setting of Manku, Jarvelin &
+    * Sarma 2007, "Detecting near-duplicates for web crawling").
     */
-  def dedup04Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val MaxHamming = 3
+  val SimhashMaxHamming = 3
+
+  /** Pigeonhole blocking config for dedup04's candidate join: the
+    * 64-bit SimHash splits into `blocks` equal pieces and the join key
+    * is every `keyBlocks`-combination of them. A pair within hamming ≤
+    * blocks − keyBlocks differs in at most blocks − keyBlocks pieces,
+    * so at least keyBlocks pieces survive intact TOGETHER in at least
+    * one enumerated combination — candidate generation stays an
+    * equi-join at every setting, and widening the key (more keyBlocks)
+    * tightens the random-collision rate from 2^-width to
+    * 2^-(width·keyBlocks) at the cost of C(blocks, keyBlocks) key rows
+    * per doc. (4, 1) is the classic 4×16-bit chunk scheme; (8, 5) is
+    * the corpus-scale setting (56 keys of 40 bits — the birthday term
+    * drops from n²/2¹⁶ to n²·56/2⁴⁰, ~10⁵× fewer accidental
+    * candidates).
+    */
+  final case class SimhashBlocking(blocks: Int, keyBlocks: Int) {
+    require(blocks > 0 && 64 % blocks == 0,
+      s"blocks must divide 64, got $blocks")
+    require(keyBlocks >= 1 && keyBlocks <= blocks - SimhashMaxHamming,
+      s"recall guarantee needs keyBlocks ≤ blocks - $SimhashMaxHamming " +
+        s"(hamming ≤ ${blocks - keyBlocks} shares a full key), " +
+        s"got ($blocks, $keyBlocks)")
+    val width: Int = 64 / blocks
+    val combos: Seq[Seq[Int]] =
+      (0 until blocks).combinations(keyBlocks).map(_.toSeq).toSeq
+  }
+
+  /** Corpus-size threshold for switching dedup04 to wide blocking: the
+    * narrow (4, 1) config's birthday term n²·4/2¹⁶ stays under ~2.5M
+    * accidental candidates up to here; past it, (8, 5) trades 56 key
+    * rows per doc for a 2⁴⁰ collision denominator. The growth
+    * measurements behind the cutover are in PLANS.md.
+    */
+  val SimhashNarrowMaxDocs = 200000L
+
+  /** Blocking choice from a MEASURED corpus size — the knob PLANS.md's
+    * candidate-growth table prescribes turning as the corpus grows.
+    */
+  def simhashBlocking(nDocs: Long): SimhashBlocking =
+    if (nDocs <= SimhashNarrowMaxDocs) SimhashBlocking(4, 1)
+    else SimhashBlocking(8, 5)
+
+  /** One row per (combo, key): each combination's block values packed
+    * little-endian into one long. For (4, 1) this is byte-for-byte the
+    * classic 16-bit chunk explode.
+    */
+  private def pigeonholeKeys(sh: Column, cfg: SimhashBlocking): Column = {
+    val mask = if (cfg.width == 64) -1L else (1L << cfg.width) - 1L
+    array(cfg.combos.map { bs =>
+      bs.zipWithIndex.map { case (b, j) =>
+        shiftleft(
+          shiftrightunsigned(sh, b * cfg.width).bitwiseAND(lit(mask)),
+          j * cfg.width)
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
+  }
+
+  /** Distinct candidate pairs (da, db, hamming) under `cfg` — shared by
+    * dedup04 (filters to the radius) and the candidate-count
+    * measurement the spec and PLANS.md pin growth with.
+    */
+  private def simhashCandidates(
+      spark: SparkSession, dir: String, cfg: SimhashBlocking): DataFrame = {
     val sim = simhashDocs(spark, dir)
-    val chunks = sim.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned(col("sh"), k * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    chunks.as("a").join(chunks.as("b"),
+    val keyed = sim.select(col("doc_id"), col("sh"),
+      posexplode(pigeonholeKeys(col("sh"), cfg)).as(Seq("chunk_idx", "chunk")))
+    keyed.as("a").join(keyed.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= MaxHamming)
-      .orderBy("da", "db")
   }
+
+  /** Candidate-set size under `cfg` (pre-radius-filter) — the number
+    * the blocking exists to keep sub-quadratic.
+    */
+  private[graft] def simhashCandidateCount(
+      spark: SparkSession, dir: String, cfg: SimhashBlocking): Long =
+    simhashCandidates(spark, dir, cfg).count()
+
+  /** dedup04: SimHash near-dup pairs (hamming ≤ [[SimhashMaxHamming]]).
+    * Candidates via pigeonhole block-combination keys
+    * ([[SimhashBlocking]]) — always an equi-join, never all-pairs — with
+    * the blocking picked from the measured corpus size
+    * ([[simhashBlocking]]); output is blocking-invariant (the guarantee
+    * covers the radius at every admissible config; spec-pinned).
+    */
+  def dedup04Simhash(spark: SparkSession, dir: String): DataFrame =
+    dedup04Simhash(spark, dir,
+      simhashBlocking(documents(spark, dir).count()))
+
+  /** [[dedup04Simhash]] at an explicit blocking config. */
+  private[graft] def dedup04Simhash(
+      spark: SparkSession, dir: String, cfg: SimhashBlocking): DataFrame =
+    simhashCandidates(spark, dir, cfg)
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy("da", "db")
 
   /** Edge count below which the whole pair graph is handled by one
     * executor partition. 50M edges ≈ 800 MB of (long, long) — trivially

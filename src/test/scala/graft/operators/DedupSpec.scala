@@ -15,6 +15,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "test data should contain at least one near-dup pair")
   }
 
+  test("dedup04 is blocking-invariant: narrow and wide configs emit the same pairs") {
+    val narrow = Dedup.dedup04Simhash(spark, sf, Dedup.SimhashBlocking(4, 1))
+      .collect().map(_.toSeq).toSeq
+    val wide = Dedup.dedup04Simhash(spark, sf, Dedup.SimhashBlocking(8, 5))
+      .collect().map(_.toSeq).toSeq
+    val auto = Dedup.dedup04Simhash(spark, sf).collect().map(_.toSeq).toSeq
+    assert(narrow == auto, "corpus below the cutover must pick (4,1)")
+    assert(wide == narrow, "the recall guarantee holds at every admissible config")
+    // The wide key is the point: strictly fewer accidental candidates.
+    val cNarrow = Dedup.simhashCandidateCount(spark, sf, Dedup.SimhashBlocking(4, 1))
+    val cWide = Dedup.simhashCandidateCount(spark, sf, Dedup.SimhashBlocking(8, 5))
+    info(s"candidate pairs: narrow(4,1)=$cNarrow wide(8,5)=$cWide")
+    assert(cWide <= cNarrow)
+    // Configs that break the hamming-3 recall guarantee are rejected.
+    intercept[IllegalArgumentException](Dedup.SimhashBlocking(4, 2))
+    intercept[IllegalArgumentException](Dedup.SimhashBlocking(5, 1))
+  }
+
   test("dedup02's scale fence trips on an oversized corpus") {
     // The real fence is 1M docs; trip it with the fence lowered below
     // the test corpus instead of building a million-doc corpus.
