@@ -34,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench/verify JVM holds a full query suite's worth
+  // of cached frames; 8g put the tail of the run into GC pressure and
+  // distorted one round's timings (the machine has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -27,7 +27,20 @@ object Bench {
     // that vanish in a clean run. The min of two runs reflects the
     // PLAN's cost, which is what the round-over-round comparison grades.
     val Iterations = 2
+    // Release the engine's pinned frames at every family boundary
+    // (q* / etl* / dedup* / …; the sorted run order groups families).
+    // Round 7 lost its perf signal to exactly this: 107 queries'
+    // accumulated GraftCache pins under the default heap pushed the
+    // tail families into GC pressure and reported a phantom 4×
+    // "regression" on untouched code. Cross-family frame sharing is
+    // rare (one rebuild of the cell-assignment frame in the sim
+    // family), so the release costs far less than the contention it
+    // prevents.
+    def family(name: String): String = name.takeWhile(_.isLetter)
+    var prevFamily: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (prevFamily != null && family(name) != prevFamily) GraftCache.release()
+      prevFamily = family(name)
       val attempts = (1 to Iterations).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -126,13 +126,6 @@ object SparkEntry {
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
 
-  /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
-    * emit identical rows — spec-pinned — so both map to this SQL):
-    * codebook = vectors with vec_id < 16; each vector joins its
-    * nearest-centroid cell (ties to the smallest cid); each query
-    * (vec_id < 5) probes its 4 nearest cells; candidates are exactly
-    * the probed cells' members, rescored with the true cosine.
-    */
   /** sim01's exact brute-force top-k — also the `ex` leg of sim10's
     * recall evaluation, so both stay one definition.
     */
@@ -198,9 +191,52 @@ object SparkEntry {
        FROM ($union) ORDER BY q_id, rk"""
   }
 
-  private val SimIvfOracleSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+  /** CTE chain replaying [[graft.operators.Similarity.trainKmeans]]
+    * (k centroids, `iters` Lloyd rounds) in DuckDB — expects an `e`
+    * CTE (vec_id, v DOUBLE[]) in scope and leaves the trained centroids
+    * in `kc<iters>` (cid, cv). Each round: best-centroid assignment
+    * against the previous centroids (L2 argmin, or max-cosine when
+    * `cosine` — the spherical variant the IVF codebook trains with;
+    * ties to the lowest cid either way), per-dim means QUANTIZED to
+    * 6 dp (the step that makes both engines feed bit-identical
+    * centroids forward), emptied cells keep their previous centroid.
+    * Generated, not hand-written, so the unroll depth always matches
+    * KmeansIters.
+    */
+  private def kmeansCteSql(k: Int, iters: Int, cosine: Boolean = false): String = {
+    val best =
+      if (cosine) "list_cosine_similarity(e.v, c.cv) DESC"
+      else "list_distance(e.v, c.cv)"
+    val init =
+      s"kc0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $k)"
+    val rounds = (1 to iters).map { i =>
+      s"""ka$i AS (SELECT vec_id, v, cell FROM (
+           SELECT e.vec_id, e.v, c.cid AS cell, row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY $best, c.cid) AS rk
+           FROM e, kc${i - 1} c) WHERE rk = 1),
+       km$i AS (SELECT cell, CAST(t.i AS INT) AS dim,
+             round(avg(v[CAST(t.i AS INT)]), 6) AS m
+           FROM ka$i, unnest(range(1, 65)) AS t(i) GROUP BY 1, 2),
+       kl$i AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM km$i GROUP BY cell),
+       kc$i AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+                FROM kc${i - 1} p LEFT JOIN kl$i n ON p.cid = n.cid)"""
+    }
+    (init +: rounds).mkString(",\n       ")
+  }
+
+  /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
+    * emit identical rows — spec-pinned — so both map to this SQL):
+    * codebook = the k-means-TRAINED centroids (the [[kmeansCteSql]]
+    * chain, k=16, seeded from vec_id < 16); each vector joins its
+    * nearest-centroid cell (ties to the smallest cid); each query
+    * (vec_id < 5) probes its 4 nearest cells; candidates are exactly
+    * the probed cells' members, rescored with the true cosine.
+    */
+  private val SimIvfOracleSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${kmeansCteSql(16, iters, cosine = true)},
+       c AS (SELECT cid, cv FROM kc$iters),
        assign AS (SELECT vec_id, cell FROM (
            SELECT e.vec_id, c.cid AS cell, row_number() OVER (
                PARTITION BY e.vec_id
@@ -225,6 +261,7 @@ object SparkEntry {
                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
+  }
 
   /** Generated DuckDB replay of sim02's hyperplane LSH search. The ±1
     * coefficient matrix is a pure function of (plane, dim) — evaluated
@@ -984,12 +1021,15 @@ object SparkEntry {
          SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb_id, cos FROM r
          WHERE rk <= 5 ORDER BY vec_id, rk""",
     "sim08_pq_ann" ->
-      // Full PQ protocol replay: per-subspace nearest codeword (ties to
-      // the lowest codeword id), reconstruction, approx L2 quantized to
-      // 1e-6 with vec_id tiebreak, top-160 refine, exact re-rank on the
-      // 4-dp distance (the same rounded key Spark ranks on).
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      // Full PQ protocol replay INCLUDING codebook training (the same
+      // k=16 k-means chain as sim03/06): per-subspace nearest codeword
+      // (ties to the lowest codeword id), reconstruction, approx L2
+      // quantized to 1e-6 with vec_id tiebreak, top-160 refine, exact
+      // re-rank on the 4-dp distance (the same rounded key Spark ranks
+      // on).
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${kmeansCteSql(16, graft.operators.Similarity.KmeansIters, cosine = true)},
+         cb AS (SELECT cid, cv FROM kc${graft.operators.Similarity.KmeansIters}),
          sub AS (
            SELECT e.vec_id, m.m, cb.cid,
              list_sum(list_transform(range(1,9),
@@ -1269,32 +1309,22 @@ object SparkEntry {
          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
          GROUP BY 1 ORDER BY o_month""",
     "sim09_kmeans" ->
-      // One full Lloyd round replayed value-for-value: argmin assignment
-      // (ties to the lowest cid) against the data-seeded init, per-dim
-      // means QUANTIZED to 6 dp (the protocol that makes the next
-      // iteration's centroids bit-identical across engines), then the
-      // final assignment summary against the updated centroids.
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         a1 AS (SELECT vec_id, v, cell FROM (
-             SELECT e.vec_id, e.v, c.cid AS cell, row_number() OVER (
-                 PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
-             FROM e, c0 c) WHERE rk = 1),
-         m1 AS (SELECT cell, CAST(t.i AS INT) AS dim,
-               round(avg(v[CAST(t.i AS INT)]), 6) AS m
-             FROM a1, unnest(range(1, 65)) AS t(i) GROUP BY 1, 2),
-         c1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cell),
-         cf AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
-                FROM c0 LEFT JOIN c1 ON c0.cid = c1.cid),
-         a2 AS (SELECT vec_id, cell, d FROM (
+      // The full KmeansIters-round Lloyd protocol replayed value-for-
+      // value via the generated training chain (argmin assignment with
+      // ties to the lowest cid, per-dim means QUANTIZED to 6 dp each
+      // round), then the final assignment summary against the trained
+      // centroids.
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${kmeansCteSql(8, graft.operators.Similarity.KmeansIters)},
+         af AS (SELECT vec_id, cell, d FROM (
              SELECT e.vec_id, c.cid AS cell,
                round(list_distance(e.v, c.cv), 4) AS d,
                row_number() OVER (
                  PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
-             FROM e, cf c) WHERE rk = 1)
+             FROM e, kc${graft.operators.Similarity.KmeansIters} c) WHERE rk = 1)
          SELECT CAST(cell AS INT) AS cell, count(*) AS n_members,
            round(avg(d), 4) AS mean_dist
-         FROM a2 GROUP BY cell ORDER BY cell""",
+         FROM af GROUP BY cell ORDER BY cell""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

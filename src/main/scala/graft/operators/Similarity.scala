@@ -146,33 +146,45 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
-  /** sim03: IVF-style ANN. A small coarse-quantizer codebook (here: a
-    * deterministic sample of the corpus standing in for k-means
-    * centroids — swap in real trained centroids at deploy) partitions
-    * the corpus into cells; each vector is assigned to its
-    * nearest-centroid cell ONCE (broadcast codebook, argmax per row, no
-    * shuffle), and a query searches only its `NProbe` closest cells.
-    * Corpus scan fraction ≈ NProbe/NumCentroids; at 100 TB the
-    * cell-assigned corpus is written bucketed by cell so a query touches
-    * only those buckets. Recall vs exact sim01 is asserted in the spec.
+  /** sim03: IVF-style ANN. The coarse-quantizer codebook is K-MEANS
+    * TRAINED ([[trainedCodebook]] — sim09's Lloyd protocol at
+    * k=[[NumCentroids]]) and partitions the corpus into cells; each
+    * vector is assigned to its nearest-centroid cell ONCE (literal
+    * codebook, argmax per row, no shuffle), and a query searches only
+    * its `NProbe` closest cells. Corpus scan fraction ≈
+    * NProbe/NumCentroids; at 100 TB the cell-assigned corpus is written
+    * bucketed by cell so a query touches only those buckets. Recall vs
+    * exact sim01 — and vs the untrained seed codebook — is asserted in
+    * the spec.
     */
-  def sim03IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def sim03IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfSearchWith(spark, dir, trainedCodebook(spark, dir))
+
+  /** IVF search against an explicit codebook — sim03 is this at the
+    * trained codebook; the spec runs it at the seed codebook to pin
+    * that training does not cost recall.
+    */
+  private[graft] def ivfSearchWith(spark: SparkSession, dir: String,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
     val e = Dedup.vectors(spark, dir)
-    val centroids = ivfCentroids(e)
     searchProbedCells(ivfAssigned(e, centroids), ivfProbes(e, centroids))
   }
 
   val NumCentroids = 16
   val NProbe = 4
 
-  /** Coarse-quantizer codebook, COLLECTED TO THE DRIVER: a deterministic
-    * sample standing in for trained k-means centroids (swap in real
-    * centroids at deploy). Driver-held by design — an IVF codebook is
-    * tiny at any corpus scale (same contract as sim06's probe-cell
-    * literal list), and inlining it keeps cell assignment a pure per-row
-    * computation in the scan stage. The earlier formulation joined the
-    * corpus against the broadcast codebook (×NumCentroids row expansion)
-    * and ran a row_number window partitioned by vec_id — i.e. a full
+  /** Deterministic corpus sample, COLLECTED TO THE DRIVER. Two jobs:
+    * the SEED for k-means training ([[trainKmeans]]'s round-0
+    * centroids), and the PIVOT set for dedup05/sim07's metric cell
+    * blocking — pivots only partition the space there (any codebook is
+    * exact; its quality moves cost, not output), and keeping the
+    * pivots training-free keeps those operators' DuckDB oracles a
+    * one-CTE replay. Driver-held by design — a codebook is tiny at any
+    * corpus scale (same contract as sim06's probe-cell literal list),
+    * and inlining it keeps cell assignment a pure per-row computation
+    * in the scan stage. The earlier formulation joined the corpus
+    * against the broadcast codebook (×NumCentroids row expansion) and
+    * ran a row_number window partitioned by vec_id — i.e. a full
     * corpus×centroids SHUFFLE just to take a per-row argmax.
     */
   private[operators] def ivfCentroids(e: DataFrame): Array[(Long, Array[Double])] =
@@ -181,6 +193,29 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
+
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double])]]()
+
+  /** The TRAINED coarse-quantizer codebook sim03/sim06/sim08 consume:
+    * [[trainKmeans]] (sim09's engine-exact Lloyd protocol) in its
+    * SPHERICAL form (assignment metric = the cosine the search ranks
+    * with) at k=[[NumCentroids]], [[KmeansIters]] rounds, seeded from
+    * [[ivfCentroids]]'s sample. Deterministic per dir (the protocol
+    * quantizes every round), so the DuckDB oracles replay training in
+    * SQL and the bucketed sim06 layout is stable across JVMs. Cached
+    * per (session, dir): training is a handful of corpus scans, the
+    * product is K×dims driver doubles consumed as literal arrays — the
+    * same contract the seed codebook had, so swapping trained centroids
+    * in changed no plan shape.
+    */
+  private[operators] def trainedCodebook(
+      spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    trainedCodebooks.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => trainKmeans(Dedup.vectors(spark, dir), NumCentroids, KmeansIters,
+          cosine = true)
+        .zipWithIndex.map { case (cv, i) => i.toLong -> cv })
 
   /** One (cscore, -cid) struct per centroid: lexicographic array_max /
     * array_sort picks the best score with ties to the smallest cid —
@@ -200,9 +235,11 @@ object Similarity {
     * inside the scan stage, zero Exchange (plan-spec'd). With
     * `withAngle`, also emits the angle to the winning pivot (`radang`) —
     * free, since the argmax struct already carries the winning cosine;
-    * dedup05's metric cell join consumes it. Keeping ONE definition of
-    * the assignment (scoring, clamping, tie-break) guarantees dedup05's
-    * cells can never drift from sim03/sim06's.
+    * dedup05's metric cell join consumes it. ONE definition of the
+    * assignment (scoring, clamping, tie-break) serves every codebook:
+    * sim03/sim06 pass the trained centroids, dedup05/sim07 the seed
+    * pivots — the rule can never drift between them, only the centroid
+    * arrays differ.
     */
   private[operators] def ivfAssigned(e: DataFrame,
       centroids: Array[(Long, Array[Double])],
@@ -316,7 +353,7 @@ object Similarity {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_sim06_$suffix"
     val table = s"g_emb_cells_$suffix"
     val e = Dedup.vectors(spark, dir)
-    val centroids = ivfCentroids(e)
+    val centroids = trainedCodebook(spark, dir)
     // One-time layout build; see TableBuild for the concurrency contract.
     TableBuild.ensure(spark, table) {
       ivfAssigned(e, centroids)
@@ -361,7 +398,7 @@ object Similarity {
   }
 
   val KmeansK = 8
-  val KmeansIters = 1
+  val KmeansIters = 5
 
   /** One (dist, cid) struct per centroid: lexicographic `array_min`
     * picks the smallest distance with ties to the smallest cid. Each
@@ -377,10 +414,9 @@ object Similarity {
         lit(cid).as("cid"))
     }: _*)
 
-  /** sim09: K-MEANS corpus clustering (Lloyd's algorithm) — the
-    * structure pass a training-data pipeline runs over embeddings for
-    * topic bucketing, cluster-balanced sampling, and for TRAINING the
-    * very codebooks sim03/sim06/sim08 consume as deterministic samples.
+  /** Lloyd's k-means over `e` — the shared trainer behind sim09's
+    * clustering summary (k=[[KmeansK]]) and the sim03/06/08 codebook
+    * ([[trainedCodebook]], k=[[NumCentroids]]).
     *
     * Spark shape per iteration: (1) cell assignment is a per-row argmin
     * over the LITERAL centroid array — scan stage, zero Exchange, the
@@ -391,23 +427,41 @@ object Similarity {
     * same driver-scalar contract as [[ivfCentroids]]) and QUANTIZED to
     * 6 dp, which makes the protocol engine-exact: both engines feed
     * bit-identical centroids into the next iteration, so the DuckDB
-    * oracle replays assignment and update value-for-value.
+    * oracles replay the full training value-for-value. `e` is pinned
+    * for the duration — each iteration reads it twice (assignment is
+    * consumed by the mean aggregate), and without the pin every round
+    * would rescan the source.
     *
-    * Output: per-cell membership and mean distance to the final
-    * centroids after [[KmeansIters]] update rounds — the convergence
-    * summary a pipeline thresholds on.
+    * Deterministic seeding from the corpus itself (k-means++ at deploy
+    * changes only the seed line; the iteration protocol is unchanged).
+    * An emptied cell keeps its previous centroid (deterministic on both
+    * engines; cannot happen with data-seeded init + L2 ties to the
+    * lowest cid, but the rule is part of the protocol).
+    *
+    * `cosine = true` switches the assignment metric to max-cosine
+    * (ties to the lowest cid) — SPHERICAL k-means, the variant whose
+    * training metric matches the cosine the IVF search ranks with. The
+    * update step is unchanged: cosine ignores scale, so the per-dim
+    * mean IS the spherical update (normalizing it would change nothing
+    * downstream). Measured (PLANS.md): metric-matched training is worth
+    * +4 recall points over L2-trained at the largest SF.
     */
-  def sim09Kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.vectors(spark, dir)
-    // Deterministic seeding from the corpus itself (k-means++ at deploy
-    // changes only this line; the iteration protocol is unchanged).
-    var centroids: Array[Array[Double]] = e.filter(col("vec_id") < KmeansK)
+  private[operators] def trainKmeans(
+      e: DataFrame, k: Int, iters: Int,
+      cosine: Boolean = false): Array[Array[Double]] = {
+    val pinned = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] = pinned.filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to KmeansIters) {
-      val assigned = e.select(col("v"),
-        array_min(l2CentroidScores(col("v"), centroids))
-          .getField("cid").as("cell"))
+    for (_ <- 1 to iters) {
+      val cellCol =
+        if (cosine) {
+          val withIds = centroids.zipWithIndex.map { case (cv, i) => i.toLong -> cv }
+          (-array_max(centroidScores(col("v"), withIds)).getField("negcid"))
+            .cast("int")
+        } else
+          array_min(l2CentroidScores(col("v"), centroids)).getField("cid")
+      val assigned = pinned.select(col("v"), cellCol.as("cell"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -417,13 +471,28 @@ object Similarity {
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
         }
-      // An emptied cell keeps its previous centroid (deterministic on
-      // both engines; cannot happen with data-seeded init + L2 ties to
-      // the lowest cid, but the rule is part of the protocol).
       centroids = centroids.zipWithIndex.map { case (old, cid) =>
         means.getOrElse(cid, old)
       }
     }
+    pinned.unpersist(blocking = false)
+    centroids
+  }
+
+  /** sim09: K-MEANS corpus clustering (Lloyd's algorithm,
+    * [[trainKmeans]]) — the structure pass a training-data pipeline
+    * runs over embeddings for topic bucketing, cluster-balanced
+    * sampling, and for TRAINING the codebooks: the SAME trainer (at
+    * k=[[NumCentroids]]) produces the centroids sim03/sim06/sim08
+    * actually search with ([[trainedCodebook]]).
+    *
+    * Output: per-cell membership and mean distance to the final
+    * centroids after [[KmeansIters]] update rounds — the convergence
+    * summary a pipeline thresholds on.
+    */
+  def sim09Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val centroids = trainKmeans(e, KmeansK, KmeansIters)
     val best = array_min(l2CentroidScores(col("v"), centroids))
     e.select(
         best.getField("cid").as("cell"),
@@ -496,16 +565,17 @@ object Similarity {
     * deployment stores the 8-byte PQ codes (64× smaller than the raw
     * vectors) and scans codes, touching full vectors only for the
     * refine set — the code layout here (encode → approx-score → exact
-    * refine join) is exactly that read pattern. The codebook is a
-    * deterministic sample standing in for trained sub-quantizers (swap
-    * in k-means codewords at deploy; the protocol is unchanged).
-    * Recall vs exact sim04 is spec-asserted; the DuckDB oracle replays
-    * the full protocol (assignment ties to the lowest codeword id,
-    * approx rank quantized to 1e-6 with vec_id tiebreak).
+    * refine join) is exactly that read pattern. The sub-quantizer
+    * codewords are per-subspace slices of the K-MEANS-TRAINED codebook
+    * ([[trainedCodebook]] — the same centroids the IVF family
+    * searches with). Recall vs exact sim04 is spec-asserted; the
+    * DuckDB oracle replays the full protocol INCLUDING training
+    * (assignment ties to the lowest codeword id, approx rank quantized
+    * to 1e-6 with vec_id tiebreak).
     */
   def sim08PqAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
-    val codebook = ivfCentroids(e).map(_._2)
+    val codebook = trainedCodebook(spark, dir).map(_._2)
     val recon = e.select(col("vec_id"),
       pqReconstruct(col("v"), codebook, PqSubspaces).as("r"))
     val queries = broadcast(e.filter(col("vec_id") < NumQueryVectors)

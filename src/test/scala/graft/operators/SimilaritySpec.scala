@@ -165,6 +165,32 @@ class SimilaritySpec extends SparkSpec {
         f"of exact neighbors, got $recall%.3f")
   }
 
+  test("trained codebook holds recall against the seed codebook at fixed nprobe") {
+    // The wiring claim: sim03 searches k-means-trained centroids, and
+    // training must not COST meaningful recall vs the raw sample it
+    // replaced. On THIS corpus the pin is floor + small margin, not
+    // strict dominance: the synthetic embeddings are near-uniform (no
+    // cluster structure to learn — measured across SFs, PLANS.md
+    // "Trained vs seed codebook"), so fixed-nprobe recall between any
+    // two reasonable codebooks differs only by single neighbors out of
+    // 50. On clustered real embeddings the trained codebook's gain is
+    // the textbook IVF result; what would be dishonest here is
+    // asserting a win the data cannot express.
+    val exact = pairs(Similarity.sim01BruteForceTopK(spark, sf))
+    assert(exact.nonEmpty)
+    val e = Dedup.vectors(spark, sf)
+    val seed = pairs(Similarity.ivfSearchWith(spark, sf, Similarity.ivfCentroids(e)))
+    val trained = pairs(Similarity.sim03IvfAnn(spark, sf))
+    val rSeed = (exact intersect seed).size.toDouble / exact.size
+    val rTrained = (exact intersect trained).size.toDouble / exact.size
+    info(f"IVF recall@${Similarity.TopK}: seed=$rSeed%.3f trained=$rTrained%.3f")
+    assert(rTrained >= 0.8,
+      f"trained-codebook recall floor, got $rTrained%.3f")
+    assert(rTrained >= rSeed - 0.04,
+      f"training must not cost more than ~2 neighbors of 50: trained " +
+        f"$rTrained%.3f vs seed $rSeed%.3f")
+  }
+
   test("sim08 (PQ ANN) recall vs sim04 (exact L2) is high after refine") {
     val exact = Similarity.sim04L2TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
