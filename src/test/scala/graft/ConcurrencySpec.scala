@@ -44,6 +44,25 @@ class ConcurrencySpec extends SparkSpec {
     assert(concurrent == sequential)
   }
 
+  test("q33 racing itself across DIFFERENT corpora keeps each dir's rows") {
+    // The per-dir temp-view suffix under test: before it, a concurrent
+    // caller on another dir could swap g_q33_orders between
+    // createOrReplaceTempView and spark.sql and hand back the wrong
+    // corpus's rows.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val sequential = dirs.map(d =>
+      d -> SparkEntry.queries("q33_correlated_subquery")(spark, d).count()).toMap
+    assert(sequential.values.toSeq.distinct.size == 2,
+      "the two corpora must differ for the race to be observable")
+    val concurrent = Await.result(
+      Future.sequence((1 to 4).flatMap(_ => dirs).map(d =>
+        Future(d -> SparkEntry.queries("q33_correlated_subquery")(spark, d).count()))),
+      5.minutes)
+    concurrent.foreach { case (d, n) =>
+      assert(n == sequential(d), s"q33 on $d returned another corpus's rows")
+    }
+  }
+
   test("the same query racing itself is consistent") {
     val runs = Await.result(
       Future.sequence((1 to 8).map(_ =>

@@ -30,6 +30,27 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("etl22 layout rebuilds when the source data is regenerated in place") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // A private source dir we can regenerate: the _SUCCESS-marker guard
+    // alone would happily serve the FIRST layout forever; the stamp
+    // (source metadata fingerprint) must force the rebuild.
+    val src = Files.createTempDirectory("graft_stamp_src").toString
+    def install(from: String): Unit =
+      Files.copy(Paths.get(s"$from/orders.parquet"),
+        Paths.get(s"$src/orders.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def total(): Long = Etl.etl22ClusteredLayout(spark, src)
+      .agg(sum("n_orders")).collect()(0).getLong(0)
+    install("/root/testdata/sf0.001")
+    val n1 = total()
+    install("/root/testdata/sf0.01") // "regenerated" source, same path
+    val n2 = total()
+    val expected = graft.sources.Tables.orders(spark, "/root/testdata/sf0.01")
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31")).count()
+    assert(n1 != n2, "layout must not be served stale after the source changed")
+    assert(n2 == expected, "rebuilt layout must reflect the new source")
+  }
+
   test("etl21 compaction collapses the file count and preserves content") {
     import org.apache.spark.sql.functions._
     val out = Etl.etl21Compaction(spark, sf).collect().map(_.toSeq).toSeq
