@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup07_winnow_overlap" -> Dedup.dedup07WinnowOverlap _,
     "dedup08_paragraph" -> Dedup.dedup08Paragraph _,
     "dedup09_semdedup" -> Dedup.dedup09Semdedup _,
+    "dedup10_substring" -> Dedup.dedup10SubstringSpans _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -952,6 +953,30 @@ object SparkEntry {
          SELECT doc_id, n_chunks, dup_chunks,
            round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_frac
          FROM per_doc WHERE dup_chunks > 0 ORDER BY doc_id""",
+    "dedup10_substring" ->
+      // Stride-1 window strings where Spark hashes them (same
+      // df-count-modulo-collisions argument as dedup08), then the same
+      // lag/running-sum island merge into maximal spans.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         w AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(t[CAST(i+1 AS INT):CAST(i+15 AS INT)], ' ') AS s
+           FROM toks, UNNEST(range(0, greatest(len(t) - 14, 0))) AS u(i)),
+         df AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+         fl AS (SELECT w.doc_id, w.pos FROM w JOIN df USING (s)),
+         g AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
+                  THEN 1 ELSE 0 END AS is_new
+           FROM fl),
+         gi AS (SELECT doc_id, pos, sum(is_new) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           FROM g)
+         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           CAST(max(pos) + 14 AS INTEGER) AS end_pos,
+           count(*) AS n_windows
+         FROM gi GROUP BY doc_id, span_id ORDER BY doc_id, span_id""",
     "dedup05_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS ida, b.vec_id AS idb,

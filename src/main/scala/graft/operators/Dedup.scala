@@ -699,6 +699,81 @@ object Dedup {
           .otherwise(array().cast("array<bigint>"))).as("h"))
   }
 
+  /** Window width (tokens) for dedup10's exact substring spans. The
+    * published setting for this technique is 50 tokens on web-crawl
+    * documents (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — the suffix-array ExactSubstr dedup);
+    * this corpus' documents are an order of magnitude shorter, so the
+    * window scales down with them. A window is the MINIMUM span that
+    * counts as duplication; merged spans grow past it.
+    */
+  val SubstringWindow = 15
+
+  /** dedup10: exact substring-SPAN dedup — for every document, the
+    * maximal token ranges whose text also appears verbatim in another
+    * document. This is the span-REPORTING sibling of dedup08: fixed
+    * non-overlapping chunks catch block-aligned boilerplate but miss
+    * (and mis-bound) arbitrary-offset repeats; stride-1 windows merged
+    * into maximal spans recover the exact ranges a span-removal rewrite
+    * would drop, at any alignment (the Spark re-expression of the
+    * suffix-array ExactSubstr result — reference scope: per-row dedup,
+    * case_2/Normal.py:265-275, pushed below row grain).
+    *
+    * Scale shape: the window stream is one row per token (linear — the
+    * stride-1 overlap costs ×[[ParagraphTokens]] rows vs dedup08, not
+    * quadratic anything); windows shuffle as 8-byte hashes for the
+    * document-frequency aggregate (strings never shuffle — the
+    * [[shingleArrays]] collision argument); the flag-back is a
+    * hash-keyed shuffle join; span merging is ONE doc_id window pass
+    * (lag + running sum — island detection, no self-join). A 64-bit
+    * collision can only ADD a spurious window to a span, never drop
+    * one, and at df-aggregate granularity the effect is the same ±1
+    * perturbation as dedup08 tolerates.
+    */
+  def dedup10SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(documents(spark, dir))
+
+  /** Core of dedup10 over any (doc_id, text) frame — separable so the
+    * spec can drive documents with known shared substrings.
+    */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstringWindow
+    val t = col("t")
+    // One window hash per token position (docs shorter than one window
+    // yield none — the spanHashRows guard).
+    val windows = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(
+        when(size(t) >= k,
+          transform(sequence(lit(0), (size(t) - k).cast("int"), lit(1)),
+            i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val df = windows.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val flagged = windows.join(df, Seq("h")).select("doc_id", "pos")
+    // Island merge: two windows belong to one span iff their starts
+    // are within k tokens (overlap OR exact adjacency); a running sum
+    // of the "new island" flag numbers the spans per document.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("is_new",
+        when(lag("pos", 1).over(byDoc).isNull
+          .or(col("pos") - lag("pos", 1).over(byDoc) > k), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("is_new").over(run))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + lit(k - 1)).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_id"), col("start_pos"),
+        col("end_pos"), col("n_windows"))
+      .orderBy("doc_id", "span_id")
+  }
+
   private[operators] def paragraphDupStats(
       docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
     val chunked = spanHashRows(docs)

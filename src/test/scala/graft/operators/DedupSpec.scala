@@ -33,6 +33,40 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.SimhashBlocking(5, 1))
   }
 
+  test("dedup10 recovers exact maximal shared-substring spans at any alignment") {
+    import spark.implicits._
+    val k = Dedup.SubstringWindow // 15
+    // 20 shared tokens at DIFFERENT offsets in two docs (position 5 in
+    // A, position 0 in B) — exactly what dedup08's fixed chunking
+    // mis-bounds and stride-1 windows must bound precisely.
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val a = (0 until 5).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (0 until 10).map(i => s"az$i").mkString(" ")
+    val b = shared + " " + (0 until 12).map(i => s"bz$i").mkString(" ")
+    val c = (0 until 40).map(i => s"c$i").mkString(" ")
+    val got = Dedup.substringSpans(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    // Shared region spans 20 tokens: windows fit at 20-k+1 = 6 starts;
+    // A's region is tokens 5..24, B's 0..19. One maximal span each,
+    // none in C.
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5, 5 + 20 - 1, 6L),
+      (2L, 1L, 0, 20 - 1, 6L)))
+    // Island merge: a doc REPEATING the shared text twice with a gap
+    // > k gets two separate spans.
+    val d = shared + " " + (0 until k + 5).map(i => s"gap$i").mkString(" ") +
+      " " + shared
+    val got2 = Dedup.substringSpans(
+        Seq((1L, d), (2L, shared)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val dSpans = got2.filter(_._1 == 1L)
+    assert(dSpans.length == 2, s"expected two islands, got ${dSpans.toSeq}")
+    assert(dSpans(0) == (1L, 1L, 0, 19))
+    assert(dSpans(1)._3 == 20 + k + 5 && dSpans(1)._4 == 20 + k + 5 + 19)
+  }
+
   test("dedup02's scale fence trips on an oversized corpus") {
     // The real fence is 1M docs; trip it with the fence lowered below
     // the test corpus instead of building a million-doc corpus.
