@@ -119,6 +119,7 @@ object SparkEntry {
     "cur09_sequence_pack" -> Curation.cur09SequencePack _,
     "cur10_quality_select" -> Curation.cur10QualitySelect _,
     "cur11_train_split" -> Curation.cur11TrainSplit _,
+    "cur12_cluster_sample" -> Curation.cur12ClusterSample _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1323,6 +1324,32 @@ object SparkEntry {
          SELECT source, split, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars_total
          FROM d GROUP BY source, split ORDER BY source, split""",
+    "cur12_cluster_sample" ->
+      // cur07's rate/threshold protocol with the strata coming from the
+      // TRAINED k-means cells — the training chain replays in SQL, then
+      // the same hex-prefix selection as cur07.
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${kmeansCteSql(16, graft.operators.Similarity.KmeansIters, cosine = true)},
+         cbk AS (SELECT cid, cv FROM kc${graft.operators.Similarity.KmeansIters}),
+         assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+             FROM e, cbk c) WHERE crk = 1),
+         cc AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
+         r AS (SELECT cell,
+                 least(1.0, (sum(n_vecs) OVER ()) / (count(*) OVER ()) / n_vecs) AS rate
+               FROM cc),
+         t AS (SELECT cell, rate,
+                 printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
+               FROM r)
+         SELECT a.cell, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN rate >= 1.0
+                 OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < thr
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(rate, 6) AS sample_rate, thr
+         FROM assign a JOIN t ON a.cell = t.cell
+         GROUP BY a.cell, rate, thr ORDER BY a.cell""",
     "etl22_clustered_layout" ->
       // The clustered copy is lossless, so the oracle aggregates the
       // SOURCE table under the same predicate; file locality of the

@@ -317,6 +317,48 @@ object Curation {
       .orderBy("source", "split")
   }
 
+  /** cur12: CLUSTER-BALANCED sampling — deterministic downsampling to a
+    * uniform SEMANTIC mix, where the strata are the k-means cells of
+    * the trained codebook ([[Similarity.trainedCodebook]] — the same
+    * centroids the sim03/06/08 indexes search). cur07 balances the mix
+    * over a metadata column (source); this balances it over learned
+    * embedding-space structure: over-represented topics downsample,
+    * rare topics survive intact — the diversity pass a pre-training
+    * build runs after semantic dedup (dedup09 drops copies; this
+    * levels what remains).
+    *
+    * Selection protocol = cur07's engine-portable contract verbatim:
+    * per-cell rate = min(1, uniform-target / cell-share), quantized to
+    * 16⁴ buckets, a vector kept iff its md5 hex prefix sorts below the
+    * threshold — deterministic, auditable, re-runnable on any engine.
+    * Plan: zero-shuffle literal-codebook cell assignment, one tiny
+    * per-cell aggregate, rates broadcast back, per-row predicate,
+    * per-cell rollup — the corpus never shuffles.
+    */
+  def cur12ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val assigned = Similarity.ivfAssigned(
+        Dedup.vectors(spark, dir), Similarity.trainedCodebook(spark, dir))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val rates = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("rate",
+        least(lit(1.0),
+          (sum("n_vecs").over(w) / count(lit(1)).over(w)) / col("n_vecs")))
+      .withColumn("thr",
+        format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      .select("cell", "rate", "thr")
+    assigned.join(broadcast(rates), Seq("cell"))
+      .withColumn("keep",
+        col("rate") >= 1.0 ||
+          substring(md5(col("vec_id").cast("string")), 1, 4) < col("thr"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("keep").cast("long")).as("n_sampled"),
+        round(first(col("rate")), 6).as("sample_rate"),
+        first(col("thr")).as("thr"))
+      .orderBy("cell")
+  }
+
   /** cur06: the END-TO-END curation pipeline — the composed flow every
     * pre-training data build runs, staged exactly as production
     * pipelines stage it (cheapest filter first, most expensive last):

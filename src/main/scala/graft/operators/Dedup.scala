@@ -731,24 +731,31 @@ object Dedup {
     * perturbation as dedup08 tolerates.
     */
   def dedup10SubstringSpans(spark: SparkSession, dir: String): DataFrame =
-    substringSpans(documents(spark, dir))
+    substringSpans(documents(spark, dir), Some(
+      s"dedup.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
 
   /** Core of dedup10 over any (doc_id, text) frame — separable so the
     * spec can drive documents with known shared substrings.
     */
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+  private[graft] def substringSpans(
+      docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = SubstringWindow
     val t = col("t")
     // One window hash per token position (docs shorter than one window
     // yield none — the spanHashRows guard).
-    val windows = docs
+    val chunked = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(
         when(size(t) >= k,
           transform(sequence(lit(0), (size(t) - k).cast("int"), lit(1)),
             i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(k))))))
           .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    // Both the df build and the flag-back join consume the window rows;
+    // pinning them (20 bytes/row) saves the second corpus-wide
+    // tokenize + k-token hash pass — the dedup08 discipline.
+    val windows = cacheKey.fold(chunked)(key =>
+      graft.GraftCache.getOrPersist(key)(chunked))
     val df = windows.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)

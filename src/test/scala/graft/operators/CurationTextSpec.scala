@@ -131,6 +131,32 @@ class CurationTextSpec extends SparkSpec {
       assert(full(r.getLong(0)) == r.getString(1), s"doc ${r.getLong(0)} migrated"))
   }
 
+  test("cur12 cluster sample: strata partition the corpus, rates level the mix") {
+    val rows = Curation.cur12ClusterSample(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = Dedup.vectors(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "cells must partition the corpus")
+    val target = total.toDouble / Similarity.NumCentroids
+    rows.foreach { case (cell, nVecs, nSampled, rate) =>
+      assert(nSampled <= nVecs, s"cell $cell oversampled")
+      if (rate >= 1.0)
+        assert(nSampled == nVecs,
+          s"cell $cell at/below the uniform target must keep everything")
+      else
+        // md5 prefixes are ~uniform: the kept count tracks the rate
+        // within binomial noise (4 sigma).
+        assert(math.abs(nSampled - rate * nVecs) <=
+          4 * math.sqrt(nVecs * rate * (1 - rate)) + 1,
+          s"cell $cell kept $nSampled of $nVecs at rate $rate")
+    }
+    // The point of the op: no sampled stratum exceeds the uniform
+    // target by more than hash noise.
+    rows.filter(_._4 < 1.0).foreach { case (cell, _, nSampled, _) =>
+      assert(nSampled <= target * 1.5 + 4,
+        s"cell $cell still over-represented after leveling: $nSampled vs $target")
+    }
+  }
+
   test("cur08 budget assembly: exact maximal prefix per source") {
     val got = Curation.cur08BudgetAssembly(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
