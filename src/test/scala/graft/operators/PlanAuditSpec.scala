@@ -63,8 +63,10 @@ class PlanAuditSpec extends SparkSpec {
       Dedup.dedup02NgramJaccard(spark, sf),
       Dedup.dedup03MinhashLsh(spark, sf),
       Dedup.dedup04Simhash(spark, sf),
+      Dedup.dedup10SubstringSpans(spark, sf),
       Similarity.sim02LshAnn(spark, sf),
-      Similarity.sim03IvfAnn(spark, sf))
+      Similarity.sim03IvfAnn(spark, sf),
+      Curation.cur12ClusterSample(spark, sf))
     audited.foreach { df =>
       val plan = finalPlan(df)
       assert(!plan.contains("CartesianProduct"),
