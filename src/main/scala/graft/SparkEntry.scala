@@ -73,6 +73,7 @@ object SparkEntry {
     "etl21_compaction" -> Etl.etl21Compaction _,
     "etl22_clustered_layout" -> Etl.etl22ClusteredLayout _,
     "etl23_snapshot_diff" -> Etl.etl23SnapshotDiff _,
+    "etl24_jdbc_roundtrip" -> Etl.etl24JdbcRoundtrip _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -573,6 +574,13 @@ object SparkEntry {
            old_value, new_value
          FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
          ORDER BY key""",
+    "etl24_jdbc_roundtrip" ->
+      // The JDBC write→read round-trip is lossless, so the oracle
+      // aggregates the SOURCE table; a row lost or mangled through
+      // Derby shifts a count or a 2-dp sum and fails the hash.
+      """SELECT c_mktsegment, count(*) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q33_correlated_subquery" ->
       // Identical correlated SQL — both engines must decorrelate it to
       // the same join-shaped result.

@@ -621,6 +621,61 @@ object Etl {
     * orders layout — separated so the spec can audit file locality on
     * the same directory etl22 reads.
     */
+  /** etl24: JDBC DATABASE round-trip — the reference's external-DB leg
+    * (pyodbc engine + master-table read/write, case_2/Normal.py:42-79)
+    * against an EMBEDDED Derby engine: a real JDBC database running
+    * in-process, so the integration is exercised end-to-end with no
+    * network dependency. Spark's JDBC source is the cluster-scale
+    * re-expression of the pandas `read_sql_table`/`to_sql` pair:
+    *
+    *  - the WRITE batches inserts from every source partition in
+    *    parallel (one connection per task — where the reference's
+    *    fast_executemany streams through one);
+    *  - the READ BACK is PARTITIONED on the key column
+    *    (partitionColumn + bounds + numPartitions), so the "master
+    *    table" scan parallelizes like any other source instead of
+    *    single-streaming — at warehouse scale this is the difference
+    *    between a bottleneck and a source.
+    *
+    * Same self-overwrite caveat as etl17: the table is dropped and
+    * rewritten per call, so etl24 must not race itself (documented in
+    * TableBuild's concurrency contract; every other operator is safe).
+    */
+  def etl24JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val back = jdbcMasterReadback(spark, dir)
+    back.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Write the customer master through JDBC and read it back
+    * key-partitioned — separated so the spec can assert round-trip
+    * content and read parallelism on the raw frame.
+    */
+  private[graft] def jdbcMasterReadback(
+      spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+    // Keep Derby's lock/log files out of the working directory.
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/db_$suffix;create=true"
+    val table = "g_customer_master"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val src = customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    src.write.mode("overwrite").jdbc(url, table, props)
+    // Key bounds for the partitioned read: one tiny source aggregate
+    // (driver scalars — the cur07/sim06 threshold contract).
+    val maxKey = src.agg(max("c_custkey")).collect()(0).getLong(0)
+    spark.read.jdbc(url, table,
+      columnName = "c_custkey", lowerBound = 0L, upperBound = maxKey + 1,
+      numPartitions = 4, connectionProperties = props)
+  }
+
   private[graft] def clusteredOrdersPath(spark: SparkSession, dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl22_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     // Stamped with the SOURCE's metadata fingerprint: a regenerated

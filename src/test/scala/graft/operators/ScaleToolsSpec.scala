@@ -30,6 +30,17 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("etl24 JDBC round-trip: lossless content, key-partitioned read") {
+    val back = Etl.jdbcMasterReadback(spark, sf)
+    assert(back.rdd.getNumPartitions == 4,
+      "the master-table read must split on the key bounds")
+    val got = back.collect().map(_.toSeq).toSet
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    assert(got == src, "every row must survive the JDBC write+read unchanged")
+  }
+
   test("etl22 layout rebuilds when the source data is regenerated in place") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // A private source dir we can regenerate: the _SUCCESS-marker guard
