@@ -13,13 +13,14 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("34 mixed queries submitted concurrently produce sequential results") {
+  test("36 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
-    // its span-hash pin; sim08 races the codebook collect; dedup09
-    // races dedup05's cell-assignment pin AND the union-find stage;
-    // etl22 races TableBuild's path-based ensure).
+    // its span-hash pin; dedup10 its window-hash pin; sim08 and cur12
+    // race the trained-codebook computeIfAbsent; dedup09 races
+    // dedup05's cell-assignment pin AND the union-find stage; etl22
+    // races TableBuild's path-based ensure).
     val names = Seq(
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
@@ -30,10 +31,11 @@ class ConcurrencySpec extends SparkSpec {
       "text12_entropy", "text13_bigram_surprisal",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
+      "dedup10_substring",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
       "sim09_kmeans",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
-      "cur08_budget_assembly",
+      "cur08_budget_assembly", "cur12_cluster_sample",
       "mm01_binary_meta", "mm04_resize_stub")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap
