@@ -74,6 +74,7 @@ object SparkEntry {
     "etl22_clustered_layout" -> Etl.etl22ClusteredLayout _,
     "etl23_snapshot_diff" -> Etl.etl23SnapshotDiff _,
     "etl24_jdbc_roundtrip" -> Etl.etl24JdbcRoundtrip _,
+    "etl25_jdbc_merge" -> Etl.etl25JdbcMerge _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -581,6 +582,23 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "etl25_jdbc_merge" ->
+      // Derby's MERGE replayed declaratively: staged updates win, the
+      // untouched master remainder survives, both arms aggregated. The
+      // +100 balance shift stays raw on both sides (identical IEEE-754
+      // addition), rounded only at the 2-dp presentation sum.
+      """WITH m0 AS (SELECT c_custkey, c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 3 <> 0),
+         u AS (SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 2 = 0),
+         merged AS (
+           SELECT * FROM u
+           UNION ALL
+           SELECT * FROM m0
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM u))
+         SELECT c_mktsegment, count(*) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q33_correlated_subquery" ->
       // Identical correlated SQL — both engines must decorrelate it to
       // the same join-shaped result.

@@ -655,15 +655,8 @@ object Etl {
     */
   private[graft] def jdbcMasterReadback(
       spark: SparkSession, dir: String): DataFrame = {
-    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
-    // Keep Derby's lock/log files out of the working directory.
-    if (System.getProperty("derby.system.home") == null)
-      System.setProperty("derby.system.home", home)
-    val url = s"jdbc:derby:$home/db_$suffix;create=true"
+    val (url, props) = derbyConnection(dir)
     val table = "g_customer_master"
-    val props = new java.util.Properties()
-    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val src = customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
@@ -674,6 +667,76 @@ object Etl {
     spark.read.jdbc(url, table,
       columnName = "c_custkey", lowerBound = 0L, upperBound = maxKey + 1,
       numPartitions = 4, connectionProperties = props)
+  }
+
+  /** etl25: set-based MERGE in an external JDBC database — the
+    * reference's literal master-table upsert (SQL-Server MERGE via
+    * pyodbc, case_2/Normal.py:53-79,277), executed as a REAL SQL MERGE
+    * inside embedded Derby. Division of labor is the warehouse
+    * pattern: Spark moves the DATA in parallel (base master + staged
+    * updates land via partitioned JDBC writes), and the merge itself
+    * is ONE set-based statement the database executes — never a
+    * row-at-a-time driver loop. etl19's MergeSink is this same
+    * semantic on lake storage; here the sink is a database. Scenario:
+    * the staged batch UPDATES every even-keyed customer's balance and
+    * INSERTS the ones missing from the master subset.
+    *
+    * Same self-overwrite caveat as etl17/etl24: must not race itself.
+    */
+  def etl25JdbcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (url, props) = derbyConnection(dir)
+    val master = "g_merge_master"
+    val staging = "g_merge_staging"
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val src = customer(spark, dir).select(cols.map(col): _*)
+    // Base master: a subset, so the staged batch exercises BOTH merge
+    // arms (matched update + not-matched insert).
+    src.filter(col("c_custkey") % 3 =!= 0)
+      .write.mode("overwrite").jdbc(url, master, props)
+    src.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .write.mode("overwrite").jdbc(url, staging, props)
+    // Control plane: one set-based statement, executed in the engine.
+    // Spark's Derby dialect writes case-sensitive quoted identifiers,
+    // so the statement quotes them identically.
+    val q = cols.map(c => s""""$c"""")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""MERGE INTO $master m USING $staging s
+            ON m."c_custkey" = s."c_custkey"
+            WHEN MATCHED THEN UPDATE SET "c_acctbal" = s."c_acctbal"
+            WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
+              VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
+      finally st.close()
+    } finally conn.close()
+    val maxKey = src.agg(max("c_custkey")).collect()(0).getLong(0)
+    spark.read.jdbc(url, master,
+        columnName = "c_custkey", lowerBound = 0L, upperBound = maxKey + 1,
+        numPartitions = 4, connectionProperties = props)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Embedded-Derby connection contract shared by etl24/etl25: one DB
+    * per (tmpdir, dir), lock/log files kept out of the working
+    * directory.
+    */
+  private def derbyConnection(dir: String): (String, java.util.Properties) = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", home)
+    // Spark passes the driver via properties; the raw DriverManager
+    // path (etl25's MERGE statement) needs the class registered.
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    (s"jdbc:derby:$home/db_$suffix;create=true", props)
   }
 
   private[graft] def clusteredOrdersPath(spark: SparkSession, dir: String): String = {

@@ -41,6 +41,23 @@ class ScaleToolsSpec extends SparkSpec {
     assert(got == src, "every row must survive the JDBC write+read unchanged")
   }
 
+  test("etl25 Derby MERGE equals the declarative upsert replay") {
+    val got = Etl.etl25JdbcMerge(spark, sf).collect().map(_.toSeq).toSeq
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val m0 = src.filter(col("c_custkey") % 3 =!= 0)
+    val u = src.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val merged = u.unionByName(
+      m0.join(u.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+    val expected = merged.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+    assert(got == expected,
+      "the database-side MERGE must apply exactly the upsert semantics")
+  }
+
   test("etl22 layout rebuilds when the source data is regenerated in place") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // A private source dir we can regenerate: the _SUCCESS-marker guard
