@@ -325,4 +325,54 @@ object GraftStreams {
             SpanVerdict(s.doc_id, h, first, s.doc_id != first))
       }
   }
+
+  /** stream08: streaming MERGE sink — the streaming→warehouse landing
+    * pattern. An Update-mode aggregation re-emits a key's CURRENT row
+    * whenever it changes; this sink makes each micro-batch land as an
+    * UPSERT in the external JDBC database: the batch stages through a
+    * parallel partitioned JDBC write, then ONE set-based MERGE keyed on
+    * `keyCol` applies it (matched → update, new → insert) inside the
+    * engine. Because the merge applies CURRENT-state rows keyed by
+    * `keyCol`, re-delivering a batch (micro-batch retry, restart replay)
+    * overwrites a key with the same values instead of duplicating it —
+    * the idempotence contract a streaming sink needs and a plain
+    * `append`-to-table JDBC sink cannot give; the spec pins both the
+    * batch-equivalence and the replay no-op.
+    *
+    * Division of labor matches etl25: Spark moves data in parallel, the
+    * database executes one set-based statement per micro-batch —
+    * never a row-at-a-time driver loop.
+    */
+  def upsertBatchToJdbc(batch: DataFrame, url: String,
+      driver: String, master: String, keyCol: String): Unit = {
+    val staging = s"${master}_staging"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    batch.write.mode("overwrite").jdbc(url, staging, props)
+    val cols = batch.columns.toSeq
+    val q = cols.map(c => s""""$c"""")
+    val setList = cols.filterNot(_ == keyCol)
+      .map(c => s""""$c" = s."$c"""").mkString(", ")
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // First batch bootstraps the master as an empty copy of the
+      // staging shape (CREATE via the same JDBC metadata Spark wrote).
+      val meta = conn.getMetaData.getTables(null, null,
+        master.toUpperCase, null)
+      val exists = try meta.next() finally meta.close()
+      val st = conn.createStatement()
+      try {
+        if (!exists)
+          st.executeUpdate(
+            s"CREATE TABLE $master AS SELECT * FROM $staging WITH NO DATA")
+        st.executeUpdate(
+          s"""MERGE INTO $master m USING $staging s
+              ON m."$keyCol" = s."$keyCol"
+              WHEN MATCHED THEN UPDATE SET $setList
+              WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
+                VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
+      } finally st.close()
+    } finally conn.close()
+  }
 }

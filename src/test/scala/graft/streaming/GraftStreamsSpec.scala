@@ -360,6 +360,46 @@ class GraftStreamsSpec extends SparkSpec {
       s"restarted query must continue from checkpointed state, got $got")
   }
 
+  test("stream08: foreachBatch MERGE sink lands upserts, idempotent under replay") {
+    import spark.implicits._
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val url = s"jdbc:derby:${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_derby/stream08_${System.nanoTime()};create=true"
+    val master = "g_stream_master"
+    def readMaster(): Map[Long, (Long, Double)] = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", master).option("driver", driver)
+      .load().collect()
+      .map(r => r.getLong(r.fieldIndex("user_id")) ->
+        (r.getLong(r.fieldIndex("n")), r.getDouble(r.fieldIndex("total"))))
+      .toMap
+    val stream = MemoryStream[(Long, Double)](spark)
+    val agg = stream.toDF().toDF("user_id", "value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        GraftStreams.upsertBatchToJdbc(batch.toDF(), url, driver, master, "user_id")
+      }
+      .start()
+    try {
+      stream.addData(Seq((1L, 10.0), (2L, 5.0), (1L, 2.5)))
+      q.processAllAvailable()
+      assert(readMaster() == Map(1L -> (2L, 12.5), 2L -> (1L, 5.0)))
+      // Replay: re-delivering a batch of CURRENT-state rows must be a
+      // no-op (the idempotence contract of the merge-keyed sink).
+      val replay = Seq((1L, 2L, 12.5), (2L, 1L, 5.0))
+        .toDF("user_id", "n", "total")
+      GraftStreams.upsertBatchToJdbc(replay, url, driver, master, "user_id")
+      assert(readMaster() == Map(1L -> (2L, 12.5), 2L -> (1L, 5.0)))
+      // Incremental: the next micro-batch updates touched keys and
+      // inserts new ones; untouched keys keep their rows.
+      stream.addData(Seq((2L, 1.0), (3L, 7.0)))
+      q.processAllAvailable()
+      assert(readMaster() ==
+        Map(1L -> (2L, 12.5), 2L -> (2L, 6.0), 3L -> (1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("sessionize keeps numbering across micro-batches (stateful resume)") {
     import spark.implicits._
     // Two events 31 min apart split into separate micro-batches: the
