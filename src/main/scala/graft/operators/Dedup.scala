@@ -103,9 +103,11 @@ object Dedup {
     */
   private[graft] def dedup02NgramJaccard(
       spark: SparkSession, dir: String, maxDocs: Long): DataFrame = {
-    // Metadata-only count off the cached shingle frame's source; cheap
-    // relative to the quadratic join it fences.
-    val nDocs = shingleArrays(spark, dir).count()
+    // The fence must be CHEAPER than what it fences: count the source
+    // rows (parquet row-group metadata, no tokenization) — counting the
+    // shingle frame would itself build and pin a corpus-wide shingle
+    // set before the guard could trip.
+    val nDocs = documents(spark, dir).count()
     require(nDocs <= maxDocs,
       s"dedup02 is the O(n²) ground-truth oracle, fenced at $maxDocs docs " +
         s"(measured $nDocs): run dedup03 (MinHash-LSH) instead — same " +
@@ -323,10 +325,9 @@ object Dedup {
     // No persist of its own: the projection reads dedup03's registered
     // verified-pair cache, so both consumers (the count and the
     // clustering scan) are cache hits already.
-    clusterPairs(spark, dedup03MinhashLsh(spark, dir).select(col("da"), col("db")))
+    clusterPairs(spark, s"dedup06:$dir",
+      dedup03MinhashLsh(spark, dir).select(col("da"), col("db")))
   }
-
-  private val clusterPairsRunCounter = new java.util.concurrent.atomic.AtomicLong()
 
   /** Hybrid connected-components dispatch shared by dedup06 (token
     * near-dup graph) and dedup09 (semantic near-dup graph): measured
@@ -337,16 +338,18 @@ object Dedup {
     * clustering pass), so it is pinned here — dedup06 happens to feed an
     * already-registered frame (dedup03's verified-pair cache), but
     * dedup09 feeds dedup05's raw pair plan, whose salted cell join +
-    * exact cosine filter would otherwise execute twice. Registered under
-    * a per-CALL key (the propagateClusters pattern): the clustering
-    * output is lazy, so a session-keyed register could evict a pin that
-    * an unconsumed previous result still depends on.
+    * exact cosine filter would otherwise execute twice. The pin is
+    * keyed by the CALLER's identity (`graphKey`, e.g. "dedup09:<dir>")
+    * through getOrPersist: repeated calls for the same graph share ONE
+    * pinned copy instead of accumulating one per call (the unbounded-
+    * growth failure the registry exists to prevent), while distinct
+    * graphs never collide on a key.
     */
-  private[operators] def clusterPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    val pinned = graft.GraftCache.register(
-      s"dedup.clusterPairs:${graft.GraftCache.sessionTag(spark)}" +
-        s":${clusterPairsRunCounter.incrementAndGet()}",
-      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private[operators] def clusterPairs(spark: SparkSession, graphKey: String,
+      pairs: DataFrame): DataFrame = {
+    val pinned = graft.GraftCache.getOrPersist(
+      s"dedup.clusterPairs:$graphKey:${graft.GraftCache.sessionTag(spark)}")(
+      pairs)
     val nEdges = pinned.count()
     if (nEdges <= UnionFindMaxEdges) unionFindClusters(spark, pinned)
     else propagateClusters(pinned)
@@ -637,7 +640,7 @@ object Dedup {
   def dedup09Semdedup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedup05EmbeddingCosine(spark, dir)
       .select(col("ida").as("da"), col("idb").as("db"))
-    clusterPairs(spark, pairs)
+    clusterPairs(spark, s"dedup09:$dir", pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_keeper"))
       .orderBy("vec_id")

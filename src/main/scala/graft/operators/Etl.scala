@@ -617,10 +617,6 @@ object Etl {
       .orderBy("o_month")
   }
 
-  /** Builds (once per (session, dir)) and returns the range-clustered
-    * orders layout — separated so the spec can audit file locality on
-    * the same directory etl22 reads.
-    */
   /** etl24: JDBC DATABASE round-trip — the reference's external-DB leg
     * (pyodbc engine + master-table read/write, case_2/Normal.py:42-79)
     * against an EMBEDDED Derby engine: a real JDBC database running
@@ -739,6 +735,10 @@ object Etl {
     (s"jdbc:derby:$home/db_$suffix;create=true", props)
   }
 
+  /** Builds (once per (session, dir)) and returns the range-clustered
+    * orders layout — separated so the spec can audit file locality on
+    * the same directory etl22 reads.
+    */
   private[graft] def clusteredOrdersPath(spark: SparkSession, dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl22_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     // Stamped with the SOURCE's metadata fingerprint: a regenerated

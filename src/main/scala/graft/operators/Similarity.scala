@@ -449,34 +449,43 @@ object Similarity {
   private[operators] def trainKmeans(
       e: DataFrame, k: Int, iters: Int,
       cosine: Boolean = false): Array[Array[Double]] = {
+    // Released in `finally` (training materializes every result it
+    // needs, so nothing lazy outlives the pin — an exception must not
+    // leak it). Caveat: Spark's CacheManager keys cached data by
+    // canonicalized plan, so two trainers over the SAME source racing
+    // each other can evict one another's pin mid-loop; the loser
+    // silently rescans the source for its remaining rounds — a perf
+    // blip, never a correctness issue (ConcurrencySpec races exactly
+    // this pair), and each trainer runs once per (session, dir).
     val pinned = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[Array[Double]] = pinned.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("v")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to iters) {
-      val cellCol =
-        if (cosine) {
-          val withIds = centroids.zipWithIndex.map { case (cv, i) => i.toLong -> cv }
-          (-array_max(centroidScores(col("v"), withIds)).getField("negcid"))
-            .cast("int")
-        } else
-          array_min(l2CentroidScores(col("v"), centroids)).getField("cid")
-      val assigned = pinned.select(col("v"), cellCol.as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(round(avg("x"), 6).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+    try {
+      var centroids: Array[Array[Double]] = pinned.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      for (_ <- 1 to iters) {
+        val cellCol =
+          if (cosine) {
+            val withIds = centroids.zipWithIndex.map { case (cv, i) => i.toLong -> cv }
+            (-array_max(centroidScores(col("v"), withIds)).getField("negcid"))
+              .cast("int")
+          } else
+            array_min(l2CentroidScores(col("v"), centroids)).getField("cid")
+        val assigned = pinned.select(col("v"), cellCol.as("cell"))
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(round(avg("x"), 6).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          }
+        centroids = centroids.zipWithIndex.map { case (old, cid) =>
+          means.getOrElse(cid, old)
         }
-      centroids = centroids.zipWithIndex.map { case (old, cid) =>
-        means.getOrElse(cid, old)
       }
-    }
-    pinned.unpersist(blocking = false)
-    centroids
+      centroids
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** sim09: K-MEANS corpus clustering (Lloyd's algorithm,

@@ -366,10 +366,15 @@ object GraftStreams {
         if (!exists)
           st.executeUpdate(
             s"CREATE TABLE $master AS SELECT * FROM $staging WITH NO DATA")
+        // A key-only batch (distinct-keys stream) has nothing to
+        // update — the merge degrades to insert-only instead of
+        // emitting a syntactically empty SET list.
+        val matchedArm =
+          if (setList.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setList\n" else ""
         st.executeUpdate(
           s"""MERGE INTO $master m USING $staging s
               ON m."$keyCol" = s."$keyCol"
-              WHEN MATCHED THEN UPDATE SET $setList
+              $matchedArm
               WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
                 VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
       } finally st.close()
