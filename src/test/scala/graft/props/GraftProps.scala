@@ -148,4 +148,41 @@ object GraftProps extends Properties("graft") {
           .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
       sig(a ++ b).zip(sig(a)).forall { case (u, x) => u <= x }
     }
+
+  /** dedup04's pigeonhole recall guarantee, as pure bit math: for ANY
+    * 64-bit pair within hamming ≤ 3, at least one block-combination
+    * key matches under every admissible SimhashBlocking — so candidate
+    * generation can never drop a qualifying pair, regardless of which
+    * config the measured corpus size picks.
+    */
+  private def comboKeys(sh: Long, blocks: Int, keyBlocks: Int): Set[Seq[Long]] = {
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def block(i: Int): Long = (sh >>> (i * width)) & mask
+    (0 until blocks).combinations(keyBlocks)
+      .map(bs => bs.map(block)).toSet
+  }
+
+  private val hamming3PairGen: Gen[(Long, Long)] = for {
+    a <- Gen.long
+    nFlips <- Gen.choose(0, 3)
+    bits <- Gen.pick(nFlips, 0 until 64)
+  } yield (a, bits.foldLeft(a)((x, b) => x ^ (1L << b)))
+
+  property("simhash blocking: every hamming<=3 pair shares a key at (4,1) and (8,5)") =
+    Prop.forAll(hamming3PairGen) { case (a, b) =>
+      Seq((4, 1), (8, 5)).forall { case (blocks, keyBlocks) =>
+        (comboKeys(a, blocks, keyBlocks) intersect
+          comboKeys(b, blocks, keyBlocks)).nonEmpty
+      }
+    }
+
+  property("simhash blocking: hamming>3 pairs exist that share no key (the filter is load-bearing)") =
+    // Not a per-sample law (distant pairs CAN collide — that is the
+    // birthday term); assert the blocking is not vacuously permissive:
+    // flipping one bit in every block kills all (8,5) keys.
+    Prop.forAll(Gen.long) { a =>
+      val b = (0 until 8).foldLeft(a)((x, blk) => x ^ (1L << (blk * 8)))
+      (comboKeys(a, 8, 5) intersect comboKeys(b, 8, 5)).isEmpty
+    }
 }
