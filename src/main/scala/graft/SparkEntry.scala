@@ -50,6 +50,7 @@ object SparkEntry {
     "q31_window_suite" -> Relational.q31WindowSuite _,
     "q32_grouping_sets" -> Relational.q32GroupingSets _,
     "q33_correlated_subquery" -> Relational.q33CorrelatedSubquery _,
+    "q34_recursive_cte" -> Relational.q34RecursiveCte _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -610,6 +611,10 @@ object SparkEntry {
            SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
          ORDER BY c.c_custkey""",
+    "q34_recursive_cte" ->
+      // The IDENTICAL recursive statement, parameterized only by table
+      // name — both engines iterate the same anchor + recursive step.
+      graft.operators.Relational.q34Sql("customer"),
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,

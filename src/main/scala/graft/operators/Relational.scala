@@ -455,6 +455,43 @@ object Relational {
          ORDER BY c.c_custkey""")
   }
 
+  /** The q34 statement, parameterized only by the table name so the
+    * Spark run and the DuckDB oracle execute the IDENTICAL text (the
+    * q33 pattern). The hierarchy is derived deterministically from the
+    * key itself — parent(k) = floor(k/10), roots are the single-digit
+    * keys — so every engine sees the same forest with no auxiliary
+    * table: a customer's depth is its digit count minus one.
+    */
+  private[graft] def q34Sql(table: String): String =
+    s"""WITH RECURSIVE chain AS (
+         SELECT c_custkey, c_custkey AS root, 0 AS depth
+         FROM $table WHERE c_custkey BETWEEN 1 AND 9
+         UNION ALL
+         SELECT c.c_custkey, chain.root, chain.depth + 1
+         FROM $table c JOIN chain
+           ON c.c_custkey >= chain.c_custkey * 10
+          AND c.c_custkey <= chain.c_custkey * 10 + 9
+       )
+       SELECT c_custkey, root, depth FROM chain ORDER BY c_custkey"""
+
+  /** q34: RECURSIVE CTE — iterative hierarchy traversal (org charts,
+    * BOM explosions, referral trees), the one relational surface SQL
+    * engines gate behind `WITH RECURSIVE`. Spark 4 plans the recursion
+    * natively as an iterated union loop: each level is a JOIN of the
+    * previous level's frontier against the base table — a bounded
+    * number of distributed joins (levels track hierarchy DEPTH, which
+    * is log-ish in any real hierarchy), never a driver-side loop over
+    * collected rows. The engine's recursion-level guard (default 100)
+    * stays in force, so a cyclic "hierarchy" fails loudly instead of
+    * spinning.
+    */
+  def q34RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val view = s"g_q34_customer_$sfx"
+    customer(spark, dir).createOrReplaceTempView(view)
+    spark.sql(q34Sql(view))
+  }
+
   /** q25: range (banded non-equi) join — the band table is tiny, so the
     * plan is a BroadcastNestedLoopJoin: the fact streams once past the
     * broadcast bands, never shuffles.

@@ -30,6 +30,21 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("q34 recursive CTE: depth and root follow the digit-derived hierarchy") {
+    val rows = Relational.q34RecursiveCte(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // Construction law: parent(k) = floor(k/10), so a key's depth is
+    // its digit count minus one and its root is its leading digit.
+    rows.foreach { case (k, root, depth) =>
+      val digits = k.toString
+      assert(depth == digits.length - 1, s"key $k depth")
+      assert(root == digits.head.asDigit.toLong, s"key $k root")
+    }
+    // Every anchored customer appears exactly once (it is a forest).
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("etl24 JDBC round-trip: lossless content, key-partitioned read") {
     val back = Etl.jdbcMasterReadback(spark, sf)
     assert(back.rdd.getNumPartitions == 4,
