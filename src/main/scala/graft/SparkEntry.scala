@@ -51,6 +51,7 @@ object SparkEntry {
     "q32_grouping_sets" -> Relational.q32GroupingSets _,
     "q33_correlated_subquery" -> Relational.q33CorrelatedSubquery _,
     "q34_recursive_cte" -> Relational.q34RecursiveCte _,
+    "q35_lateral_topn" -> Relational.q35LateralTopn _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -615,6 +616,10 @@ object SparkEntry {
       // The IDENTICAL recursive statement, parameterized only by table
       // name — both engines iterate the same anchor + recursive step.
       graft.operators.Relational.q34Sql("customer"),
+    "q35_lateral_topn" ->
+      // Identical lateral statement — both engines must decorrelate
+      // the correlated LIMIT to the same per-nation top-3.
+      graft.operators.Relational.q35Sql("nation", "customer"),
     "etl01_select_rename_cast" ->
       """SELECT event_id AS record_id, event_type AS activity_type,
          user_id AS user_ref, CAST(trunc(value) AS INTEGER) AS quantity_int,

@@ -492,6 +492,39 @@ object Relational {
     spark.sql(q34Sql(view))
   }
 
+  /** The q35 statement, parameterized only by table names (the
+    * q33/q34 shared-SQL pattern). The rounded balance is both the
+    * output and the ORDER key (with the key as tiebreak), so the
+    * per-nation top-3 is deterministic on every engine.
+    */
+  private[graft] def q35Sql(nation: String, customer: String): String =
+    s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+       FROM $nation n JOIN LATERAL (
+         SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+         FROM $customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+       ) t ON true
+       ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"""
+
+  /** q35: LATERAL correlated subquery — the per-row subquery JOIN
+    * surface (top-N per outer row, the idiom warehouse SQL uses where
+    * the DataFrame API reaches for a window). The engine contract is
+    * DECORRELATION again, now for a correlated LIMIT: Catalyst rewrites
+    * the lateral top-3 into a join + per-key ranking — no per-outer-row
+    * subquery execution survives (and [[graft.plans.RewriteRowNumberTopK]]
+    * can take the rewritten ranking into the bounded-heap operator).
+    * Identical statement on both engines, q33's pattern.
+    */
+  def q35LateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nView = s"g_q35_nation_$sfx"
+    val cView = s"g_q35_customer_$sfx"
+    nation(spark, dir).createOrReplaceTempView(nView)
+    customer(spark, dir).createOrReplaceTempView(cView)
+    spark.sql(q35Sql(nView, cView))
+  }
+
   /** q25: range (banded non-equi) join — the band table is tiny, so the
     * plan is a BroadcastNestedLoopJoin: the fact streams once past the
     * broadcast bands, never shuffles.

@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
       Dedup.dedup10SubstringSpans(spark, sf),
       Similarity.sim02LshAnn(spark, sf),
       Similarity.sim03IvfAnn(spark, sf),
-      Curation.cur12ClusterSample(spark, sf))
+      Curation.cur12ClusterSample(spark, sf),
+      Relational.q35LateralTopn(spark, sf))
     audited.foreach { df =>
       val plan = finalPlan(df)
       assert(!plan.contains("CartesianProduct"),
