@@ -39,7 +39,11 @@ object PlanDump {
       "dedup10_substring" ->
         "substring spans: linear window stream, hash-keyed df, one window pass merges islands",
       "cur12_cluster_sample" ->
-        "cluster-balanced sampling: zero-shuffle cell assignment, broadcast rate thresholds")
+        "cluster-balanced sampling: zero-shuffle cell assignment, broadcast rate thresholds",
+      "q34_recursive_cte" ->
+        "recursive CTE: native iterated union loop, one join per hierarchy level",
+      "q35_lateral_topn" ->
+        "lateral correlated LIMIT decorrelated to a join + per-key ranking")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
