@@ -889,7 +889,10 @@ object SparkEntry {
     "text11_surprisal" ->
       // Per-token surprisal quantized to 1e-4 bits as an integer, so
       // the per-doc mean is exact integer math in both engines (a raw
-      // double sum would be summation-order-dependent).
+      // double sum would be summation-order-dependent); the 4-dp
+      // presentation is integer half-up division ((2M+N)//(2N)) — the
+      // rational mean can land exactly ON the 4-dp half grid, where
+      // engine round() diverges (measured at sf0.001).
       """WITH toks AS (SELECT doc_id, t FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
            WHERE t <> ''),
@@ -899,22 +902,30 @@ object SparkEntry {
              CAST(round(-log2(cnt / total) * 10000) AS BIGINT) AS micro
            FROM toks JOIN freq USING (t) CROSS JOIN tot)
          SELECT doc_id, count(*) AS n_tokens,
-           round((sum(micro) / count(*)) / 10000.0, 4) AS avg_surprisal
+           CAST((2*sum(micro) + count(*)) // (2*count(*)) AS BIGINT) / 10000.0
+             AS avg_surprisal
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "text12_entropy" ->
-      // H = log2(n) - (sum c*log2 c)/n with each type's c*log2(c)
-      // quantized to a 1e-4 integer (text11's order-independence trick).
+      // H = log2(n) - (sum c*log2 c)/n with each type's c*log2(c) AND
+      // log2(n) quantized to 1e-4 integers, then 4-dp presentation via
+      // integer half-up division (text11's half-grid-proof protocol;
+      // power-of-two n makes the entropy an exact rational, and
+      // ttr = types/n can sit exactly on the half grid, e.g. 1/32).
       """WITH toks AS (SELECT doc_id, t FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
            WHERE t <> ''),
          cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
          m AS (SELECT doc_id, c,
-             CAST(round(c * log2(c) * 10000) AS BIGINT) AS micro FROM cnt)
-         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-           count(*) AS n_types,
-           round(log2(sum(c)) - (sum(micro) / 10000.0) / sum(c), 4) AS entropy,
-           round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr
-         FROM m GROUP BY doc_id ORDER BY doc_id""",
+             CAST(round(c * log2(c) * 10000) AS BIGINT) AS micro FROM cnt),
+         agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             count(*) AS n_types, CAST(sum(micro) AS BIGINT) AS m
+           FROM m GROUP BY doc_id),
+         lm AS (SELECT *, CAST(round(log2(n) * 10000) AS BIGINT) AS lmicro
+                FROM agg)
+         SELECT doc_id, n AS n_tokens, n_types,
+           CAST((2*n*lmicro + n - 2*m) // (2*n) AS BIGINT) / 10000.0 AS entropy,
+           CAST((2*10000*n_types + n) // (2*n) AS BIGINT) / 10000.0 AS ttr
+         FROM lm ORDER BY doc_id""",
     "dedup01_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS keeper_id, count(*) AS n_docs
@@ -1309,7 +1320,7 @@ object SparkEntry {
              CAST(round(-log2(CAST(cbg AS DOUBLE) / cnp) * 10000) AS BIGINT) AS micro
            FROM pr JOIN cb USING (p, t) JOIN cp USING (p))
          SELECT doc_id, count(*) AS n_bigrams,
-           round((CAST(sum(micro) AS DOUBLE) / count(*)) / 10000.0, 4)
+           CAST((2*sum(micro) + count(*)) // (2*count(*)) AS BIGINT) / 10000.0
              AS avg_bigram_surprisal
          FROM s GROUP BY doc_id ORDER BY doc_id""",
     "cur09_sequence_pack" ->

@@ -243,8 +243,15 @@ object TextAnalysis {
       .withColumn("micro",
         round(-log2(col("cnt") / col("total")) * 10000).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round((sum("micro") / count(lit(1))) / 10000.0, 4).as("avg_surprisal"))
+      .agg(count(lit(1)).as("n_tokens"), sum("micro").as("m"))
+      // Half-up rounding of the micro-mean in PURE INTEGER math:
+      // round(M/N) = (2M + N) div (2N). The rational mean M/(N·10⁴)
+      // CAN land exactly on the 4-dp half grid (measured: 5 of 500
+      // docs at sf0.001), where JVM shortest-repr rounding and
+      // DuckDB's binary rounding diverge — integer div cannot.
+      .withColumn("avg_surprisal",
+        expr("(2*m + n_tokens) div (2*n_tokens)") / 10000.0)
+      .select(col("doc_id"), col("n_tokens"), col("avg_surprisal"))
       .orderBy("doc_id")
   }
 
@@ -269,11 +276,20 @@ object TextAnalysis {
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .withColumn("micro", round(col("c") * log2(col("c")) * 10000).cast("long"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        round(log2(sum("c")) - (sum("micro") / 10000.0) / sum("c"), 4)
-          .as("entropy"),
-        round(count(lit(1)) / sum("c").cast("double"), 4).as("ttr"))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"), sum("micro").as("m"))
+      // log₂ n is quantized to the same 1e-4 integer grid as the type
+      // terms, then the 4-dp presentation is integer half-up division
+      // (text11's protocol): H·10⁴ ≈ lmicro − M/n, rounded as
+      // (2·n·lmicro + n − 2M) div (2n). Without this, a power-of-two
+      // n makes the entropy an exact rational that can sit ON the 4-dp
+      // half grid (ttr = types/n can too, e.g. 1/32) — the
+      // engine-divergent rounding text11 measurably hit.
+      .withColumn("lmicro", round(log2(col("n")) * 10000).cast("long"))
+      .withColumn("entropy",
+        expr("(2*n*lmicro + n - 2*m) div (2*n)") / 10000.0)
+      .withColumn("ttr", expr("(2*10000*n_types + n) div (2*n)") / 10000.0)
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"),
+        col("entropy"), col("ttr"))
       .orderBy("doc_id")
 
   /** text14: GOPHER-RULES quality gate — the Rae et al. 2021 filter
@@ -354,9 +370,11 @@ object TextAnalysis {
       .withColumn("micro",
         round(-log2(col("cbg") / col("cp")) * 10000).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round((sum("micro") / count(lit(1))) / 10000.0, 4)
-          .as("avg_bigram_surprisal"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("micro").as("m"))
+      // Integer half-up micro-mean — text11's half-grid-proof protocol.
+      .withColumn("avg_bigram_surprisal",
+        expr("(2*m + n_bigrams) div (2*n_bigrams)") / 10000.0)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_bigram_surprisal"))
       .orderBy("doc_id")
   }
 
