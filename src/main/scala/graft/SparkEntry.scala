@@ -798,34 +798,34 @@ object SparkEntry {
     "text01_tokenize_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          CAST(length(text) AS INTEGER) AS n_chars_text,
-         round(length(replace(text, ' ', '')) /
-           CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 4) AS avg_token_len
+         CAST((2*10000*(length(replace(text, ' ', ''))) + (greatest(len(string_split(text, ' ')), 1))) // (2*(greatest(len(string_split(text, ' ')), 1))) AS BIGINT) / 10000.0 AS avg_token_len
          FROM documents ORDER BY doc_id""",
     "text02_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id,
-           CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
-           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS stop,
-           CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) AS short,
+           greatest(len(toks), 1) AS n,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS stop,
+           len(list_filter(toks, x -> length(x) <= 2)) AS short,
            len(toks) AS ntok FROM t)
-         SELECT doc_id, round(stop / n, 4) AS stop_ratio,
-           round(short / n, 4) AS short_ratio,
-           round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * (1.0 - stop / n), 4) AS quality_score
+         SELECT doc_id, CAST((2*10000*(stop) + (n)) // (2*(n)) AS BIGINT) / 10000.0 AS stop_ratio,
+           CAST((2*10000*(short) + (n)) // (2*(n)) AS BIGINT) / 10000.0 AS short_ratio,
+           CAST((2*10000*(least(ntok, 50) * (n - stop)) + (50 * n)) // (2*(50 * n)) AS BIGINT) / 10000.0 AS quality_score
          FROM c ORDER BY doc_id""",
     "text03_langid" ->
       // The stopword-profile scorer replayed in SQL: struct comparison
       // (score, then lang) is lexicographic in both engines, so the
       // argmax tie-break is identical.
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         s AS (SELECT doc_id,
-           [struct_pack(score := len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'de'),
-            struct_pack(score := len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'en'),
-            struct_pack(score := len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'es'),
-            struct_pack(score := len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','ce'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'fr'),
-            struct_pack(score := len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','他','这','中'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'zh')
+         s AS (SELECT doc_id, toks,
+           [struct_pack(score := len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'de', hits := CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) AS INT)),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'en', hits := CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS INT)),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'es', hits := CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) AS INT)),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','ce'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'fr', hits := CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','ce'))) AS INT)),
+            struct_pack(score := len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','他','这','中'))) / CAST(greatest(len(toks),1) AS DOUBLE), lang := 'zh', hits := CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','他','这','中'))) AS INT))
            ] AS scored FROM t),
-         m AS (SELECT doc_id, list_sort(scored)[-1] AS best FROM s)
-         SELECT doc_id, best.lang AS pred_lang, round(best.score, 4) AS lang_score
+         m AS (SELECT doc_id, toks, list_sort(scored)[-1] AS best FROM s)
+         SELECT doc_id, best.lang AS pred_lang,
+           CAST((2*10000*(best.hits) + (greatest(len(toks), 1))) // (2*(greatest(len(toks), 1))) AS BIGINT) / 10000.0 AS lang_score
          FROM m ORDER BY doc_id""",
     "text04_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
@@ -852,7 +852,7 @@ object SparkEntry {
            x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS n_word_tokens,
          CAST(len(list_filter(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'),
            x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num_tokens,
-         round(length(text) / CAST(greatest(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 1) AS DOUBLE), 4) AS chars_per_token
+         CAST((2*10000*(length(text)) + (greatest(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 1))) // (2*(greatest(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 1))) AS BIGINT) / 10000.0 AS chars_per_token
          FROM documents ORDER BY doc_id""",
     "text09_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, text,
@@ -871,16 +871,16 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
          wc AS (SELECT doc_id, g, count(*) AS n FROM w GROUP BY 1, 2),
          ws AS (SELECT doc_id,
-             round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_word_frac,
-             round(1 - CAST(count(*) AS DOUBLE) / sum(n), 4) AS dup_word_frac
+             CAST((2*10000*(max(n)) + (sum(n))) // (2*(sum(n))) AS BIGINT) / 10000.0 AS top_word_frac,
+             CAST((2*10000*(sum(n) - count(*)) + (sum(n))) // (2*(sum(n))) AS BIGINT) / 10000.0 AS dup_word_frac
            FROM wc GROUP BY 1),
          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
              i -> array_to_string(toks[i:i+1], ' '))) AS g FROM t),
          bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2),
          bs AS (SELECT doc_id,
-             round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_frac,
-             round(1 - CAST(count(*) AS DOUBLE) / sum(n), 4) AS dup_bigram_frac
+             CAST((2*10000*(max(n)) + (sum(n))) // (2*(sum(n))) AS BIGINT) / 10000.0 AS top_bigram_frac,
+             CAST((2*10000*(sum(n) - count(*)) + (sum(n))) // (2*(sum(n))) AS BIGINT) / 10000.0 AS dup_bigram_frac
            FROM bc GROUP BY 1)
          SELECT ws.doc_id, top_word_frac, dup_word_frac,
            coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
@@ -979,9 +979,9 @@ object SparkEntry {
                 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
          SELECT da, db, shared,
-           round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) AS containment
+           CAST((2*10000*(shared) + (least(na.n, nb.n))) // (2*(least(na.n, nb.n))) AS BIGINT) / 10000.0 AS containment
          FROM ov JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
-         WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 4) >= 0.8
+         WHERE CAST((2*10000*(shared) + (least(na.n, nb.n))) // (2*(least(na.n, nb.n))) AS BIGINT) / 10000.0 >= 0.8
          ORDER BY da, db""",
     "dedup08_paragraph" ->
       // Groups on the span STRING where Spark groups on xxhash64(span):
@@ -999,7 +999,7 @@ object SparkEntry {
              CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
            FROM chunks c JOIN df d USING (chunk) GROUP BY 1)
          SELECT doc_id, n_chunks, dup_chunks,
-           round(CAST(dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_frac
+           CAST((2*10000*(dup_chunks) + (n_chunks)) // (2*(n_chunks)) AS BIGINT) / 10000.0 AS dup_frac
          FROM per_doc WHERE dup_chunks > 0 ORDER BY doc_id""",
     "dedup10_substring" ->
       // Stride-1 window strings where Spark hashes them (same
@@ -1143,8 +1143,7 @@ object SparkEntry {
     "cur02_corpus_stats" ->
       """SELECT source, lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
-         round(CAST(sum(n_chars) AS DOUBLE) /
-           (SELECT sum(n_chars) FROM documents), 6) AS char_share
+         CAST((2*1000000*(sum(n_chars)) + ((SELECT sum(n_chars) FROM documents))) // (2*((SELECT sum(n_chars) FROM documents))) AS BIGINT) / 1000000.0 AS char_share
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "cur03_contamination" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
@@ -1158,7 +1157,7 @@ object SparkEntry {
                 FROM train JOIN bench USING (s) GROUP BY 1, 2)
          SELECT train_id, max_contamination FROM (
            SELECT train_id,
-             max(round(CAST(overlap AS DOUBLE) / n_shingles, 4)) AS max_contamination
+             max(CAST((2*10000*(overlap) + (n_shingles)) // (2*(n_shingles)) AS BIGINT) / 10000.0) AS max_contamination
            FROM ov JOIN ts USING (train_id) GROUP BY 1)
          WHERE max_contamination >= 0.5 ORDER BY train_id""",
     "cur04_quality_filter" ->
@@ -1171,7 +1170,7 @@ object SparkEntry {
            FROM t)
          SELECT source, count(*) AS n_docs,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate
+           CAST((2*10000*(sum(CASE WHEN keep THEN 1 ELSE 0 END)) + (count(*))) // (2*(count(*))) AS BIGINT) / 10000.0 AS keep_rate
          FROM f GROUP BY source ORDER BY source""",
     "sim04_l2_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1193,10 +1192,10 @@ object SparkEntry {
       """WITH s AS (SELECT source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars_total
            FROM documents GROUP BY 1),
-         t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot, count(*) AS k FROM s)
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot, count(*) AS k FROM s)
          SELECT source, n_docs, n_chars_total,
-           round(n_docs / tot, 6) AS actual_share,
-           round((1.0 / k) / (n_docs / tot), 4) AS weight
+           CAST((2*1000000*(n_docs) + (tot)) // (2*(tot)) AS BIGINT) / 1000000.0 AS actual_share,
+           CAST((2*10000*(tot) + (k * n_docs)) // (2*(k * n_docs)) AS BIGINT) / 10000.0 AS weight
          FROM s, t ORDER BY source""",
     "cur06_curation_pipeline" ->
       // The full funnel replayed stage by stage: quality gate -> exact
@@ -1261,19 +1260,23 @@ object SparkEntry {
       // identical IEEE-754 on both engines); selection is a hex-string
       // comparison on the md5 prefix, monotone in the hash value.
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-         r AS (SELECT source,
+         r AS (SELECT source, n_docs,
+                 CAST(sum(n_docs) OVER () AS BIGINT) AS tot,
+                 count(*) OVER () AS k,
                  least(1.0, (sum(n_docs) OVER ()) / (count(*) OVER ()) / n_docs) AS rate
                FROM c),
-         t AS (SELECT source, rate,
+         t AS (SELECT source, rate, tot, k, n_docs,
                  printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
                FROM r)
          SELECT d.source, count(*) AS n_docs,
            CAST(sum(CASE WHEN rate >= 1.0
                  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           round(rate, 6) AS sample_rate, thr
+           CASE WHEN rate >= 1.0 THEN 1.0
+                ELSE CAST((2*1000000*(tot) + (k * n_docs)) // (2*(k * n_docs)) AS BIGINT) / 1000000.0 END
+             AS sample_rate, thr
          FROM documents d JOIN t ON d.source = t.source
-         GROUP BY d.source, rate, thr ORDER BY d.source""",
+         GROUP BY d.source, rate, thr, tot, k, n_docs ORDER BY d.source""",
     "cur08_budget_assembly" ->
       // Greedy budget prefix replayed exactly: same md5-prefix ordering,
       // same window cumsum, integer char sums on both engines.
@@ -1284,12 +1287,14 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
          SELECT source, count(*) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS chars_kept,
-           round(CAST(sum(n_chars) AS DOUBLE) / 4000.0, 4) AS utilization
+           CAST((2*10000*(sum(n_chars)) + (4000)) // (2*(4000)) AS BIGINT) / 10000.0 AS utilization
          FROM c WHERE cum <= 4000 GROUP BY source ORDER BY source""",
     "text14_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, len(toks) AS n,
-             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sumlen,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS ah,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
                / greatest(len(toks), 1) AS ml,
              CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
                / greatest(len(toks), 1) AS af,
@@ -1297,7 +1302,8 @@ object SparkEntry {
                x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS sh
            FROM t)
          SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
-           round(ml, 4) AS mean_word_len, round(af, 4) AS alpha_frac,
+           CAST((2*10000*(sumlen) + (greatest(n, 1))) // (2*(greatest(n, 1))) AS BIGINT) / 10000.0 AS mean_word_len,
+           CAST((2*10000*(ah) + (greatest(n, 1))) // (2*(greatest(n, 1))) AS BIGINT) / 10000.0 AS alpha_frac,
            CAST(sh AS INTEGER) AS stop_hits,
            CAST(CASE WHEN n BETWEEN 15 AND 5000 AND ml BETWEEN 3.0 AND 10.0
                 AND af >= 0.8 AND sh >= 2 THEN 1 ELSE 0 END AS INTEGER) AS passes
@@ -1337,8 +1343,7 @@ object SparkEntry {
            CAST((max(cum_end) + 2047) // 2048 AS BIGINT) AS n_sequences,
            CAST(sum(CASE WHEN (cum_end - 1) // 2048 > (cum_end - n_chars) // 2048
                THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
-           round(CAST(count(*) AS DOUBLE) /
-             CAST((max(cum_end) + 2047) // 2048 AS BIGINT), 4) AS docs_per_seq
+           CAST((2*10000*(count(*)) + ((max(cum_end) + 2047) // 2048)) // (2*((max(cum_end) + 2047) // 2048)) AS BIGINT) / 10000.0 AS docs_per_seq
          FROM c GROUP BY source ORDER BY source""",
     "cur10_quality_select" ->
       // text02's quality score (same stopword list, rounded to 4 dp
@@ -1346,11 +1351,11 @@ object SparkEntry {
       // rank <= ceil(0.3 n).
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, source,
-             CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
-             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) AS stop,
+             greatest(len(toks), 1) AS n,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS stop,
              len(toks) AS ntok FROM t),
          s AS (SELECT doc_id, source,
-             round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * (1.0 - stop / n), 4) AS q
+             CAST((2*10000*(least(ntok, 50) * (n - stop)) + (50 * n)) // (2*(50 * n)) AS BIGINT) / 10000.0 AS q
            FROM c),
          r AS (SELECT source, q,
              row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk,
@@ -1359,7 +1364,10 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            round(min(CASE WHEN keep THEN q END), 4) AS min_kept_score,
-           round(avg(CASE WHEN keep THEN q END), 4) AS avg_kept_score
+           CAST((2*sum(CASE WHEN keep THEN CAST(round(q * 10000) AS BIGINT) END)
+                 + sum(CASE WHEN keep THEN 1 ELSE 0 END))
+              // (2*sum(CASE WHEN keep THEN 1 ELSE 0 END)) AS BIGINT) / 10000.0
+             AS avg_kept_score
          FROM k GROUP BY source ORDER BY source""",
     "cur11_train_split" ->
       // The same monotone hex-range assignment, replayed verbatim.
@@ -1384,19 +1392,23 @@ object SparkEntry {
                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
              FROM e, cbk c) WHERE crk = 1),
          cc AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
-         r AS (SELECT cell,
+         r AS (SELECT cell, n_vecs,
+                 CAST(sum(n_vecs) OVER () AS BIGINT) AS tot,
+                 count(*) OVER () AS k,
                  least(1.0, (sum(n_vecs) OVER ()) / (count(*) OVER ()) / n_vecs) AS rate
                FROM cc),
-         t AS (SELECT cell, rate,
+         t AS (SELECT cell, rate, tot, k, n_vecs,
                  printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
                FROM r)
          SELECT a.cell, count(*) AS n_vecs,
            CAST(sum(CASE WHEN rate >= 1.0
                  OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < thr
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           round(rate, 6) AS sample_rate, thr
+           CASE WHEN rate >= 1.0 THEN 1.0
+                ELSE CAST((2*1000000*(tot) + (k * t.n_vecs)) // (2*(k * t.n_vecs)) AS BIGINT) / 1000000.0 END
+             AS sample_rate, thr
          FROM assign a JOIN t ON a.cell = t.cell
-         GROUP BY a.cell, rate, thr ORDER BY a.cell""",
+         GROUP BY a.cell, rate, thr, tot, k, t.n_vecs ORDER BY a.cell""",
     "etl22_clustered_layout" ->
       // The clustered copy is lossless, so the oracle aggregates the
       // SOURCE table under the same predicate; file locality of the
@@ -1422,7 +1434,8 @@ object SparkEntry {
                  PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
              FROM e, kc${graft.operators.Similarity.KmeansIters} c) WHERE rk = 1)
          SELECT CAST(cell AS INT) AS cell, count(*) AS n_members,
-           round(avg(d), 4) AS mean_dist
+           CAST((2*sum(CAST(round(d * 10000) AS BIGINT)) + count(*))
+              // (2*count(*)) AS BIGINT) / 10000.0 AS mean_dist
          FROM af GROUP BY cell ORDER BY cell""",
     "mm01_binary_meta" ->
       """SELECT doc_id,
@@ -1515,8 +1528,10 @@ object SparkEntry {
        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
-       SELECT da, db, round(j, 4) AS jaccard FROM (
-         SELECT da, db, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+       SELECT da, db,
+         CAST((2*10000*(inter) + (uni)) // (2*(uni)) AS BIGINT) / 10000.0 AS jaccard FROM (
+         SELECT da, db, inter, (ca.c + cb.c - inter) AS uni,
+           CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
          FROM pairs JOIN sizes ca ON pairs.da = ca.doc_id
          JOIN sizes cb ON pairs.db = cb.doc_id)
        WHERE j >= 0.8 ORDER BY da, db"""

@@ -28,6 +28,22 @@ object GraftFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
 
+  /** Half-up rounding of the EXACT rational num/den to `dp` decimals in
+    * PURE INTEGER math — round(a/b) = (2a + b) div (2b) for a, b ≥ 0 —
+    * presented as the scaled double (a dp-decimal, exactly convertible
+    * on every engine). `round(num/den, dp)` of an integer ratio is NOT
+    * engine-portable: the rational can land exactly ON the half-way
+    * grid, where JVM shortest-repr rounding and binary rounding diverge
+    * (text11 measurably hit this at sf0.001 — 5 docs in 500). Integer
+    * division cannot diverge, at any magnitude (no double round-trip).
+    */
+  def intRatio(num: Column, den: Column, dp: Int): Column = {
+    val s = math.pow(10, dp).toLong
+    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftShim.expression(lit(2L) * lit(s) * num.cast("long") + den.cast("long")),
+      GraftShim.expression(lit(2L) * den.cast("long")))) / s.toDouble
+  }
+
   /** Winnowing (MOSS) fingerprint set of a STRING column as
     * ARRAY<BIGINT> (native expression — one per-document pass, no
     * explode/window shuffle).
@@ -177,13 +193,23 @@ object GraftFunctions {
   /** (bestLang, score) struct: stopword-hit ratio per language profile. */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val total = greatest(size(toks), lit(1)).cast("double")
+    val totalSafe = greatest(size(toks), lit(1))
+    val total = totalSafe.cast("double")
+    // hits rides along as a THIRD struct field: the lexicographic
+    // argmax still compares (score, lang) first — lang values are
+    // distinct, so hits never decides — and the caller gets the exact
+    // integer numerator for half-grid-safe presentation (intRatio).
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
       struct(
-        (size(filter(toks, t => t.isin(words.map(w => w: Any): _*))) / total).as("score"),
-        lit(lang).as("lang"))
+        (hits / total).as("score"),
+        lit(lang).as("lang"),
+        hits.as("hits"))
     }
     val best = array_max(array(scored: _*))
-    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+    struct(best.getField("lang").as("lang"),
+      best.getField("score").as("score"),
+      best.getField("hits").as("hits"),
+      totalSafe.as("total"))
   }
 }

@@ -37,7 +37,8 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
     agg
       .withColumn("char_share",
-        round(col("n_chars_total") / sum("n_chars_total").over(Window.partitionBy()), 6))
+        intRatio(col("n_chars_total"),
+          sum("n_chars_total").over(Window.partitionBy()), 6))
       .orderBy("source", "lang")
   }
 
@@ -67,7 +68,8 @@ object Curation {
       .agg(count(lit(1)).as("overlap"))
       .join(trainSizes, Seq("train_id"))
       .groupBy("train_id")
-      .agg(max(round(col("overlap") / col("n_shingles"), 4)).as("max_contamination"))
+      .agg(max(intRatio(col("overlap"), col("n_shingles"), 4))
+        .as("max_contamination"))
       .filter(col("max_contamination") >= 0.5)
       .orderBy("train_id")
   }
@@ -93,10 +95,10 @@ object Curation {
     val w = Window.partitionBy()
     agg
       .withColumn("actual_share",
-        round(col("n_docs") / sum("n_docs").over(w), 6))
+        intRatio(col("n_docs"), sum("n_docs").over(w), 6))
       .withColumn("weight",
-        round((lit(1.0) / count(lit(1)).over(w)) /
-          (col("n_docs") / sum("n_docs").over(w)), 4))
+        intRatio(sum("n_docs").over(w),
+          count(lit(1)).over(w) * col("n_docs"), 4))
       .orderBy("source")
   }
 
@@ -110,7 +112,8 @@ object Curation {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_kept"),
-        round(avg(col("keep").cast("double")), 4).as("keep_rate"))
+        intRatio(sum(col("keep").cast("long")), count(lit(1)), 4)
+          .as("keep_rate"))
       .orderBy("source")
   }
 
@@ -144,7 +147,15 @@ object Curation {
       // explicit rather than leaning on string-length ordering.
       .withColumn("thr",
         format_string("%04x", floor(col("rate") * 65536).cast("int")))
-      .select("source", "rate", "thr")
+      // The PRESENTED rate is the exact rational total/(k·n) via
+      // intRatio (the double `rate` drives thr and the keep predicate —
+      // identical arithmetic on both engines — but its round() is not
+      // half-grid-safe).
+      .withColumn("sample_rate",
+        when(col("rate") >= 1.0, lit(1.0)).otherwise(
+          intRatio(sum("n_docs").over(w),
+            count(lit(1)).over(w) * col("n_docs"), 6)))
+      .select("source", "rate", "thr", "sample_rate")
     documents(spark, dir)
       .join(broadcast(rates), Seq("source"))
       .withColumn("keep",
@@ -153,7 +164,7 @@ object Curation {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_sampled"),
-        round(first(col("rate")), 6).as("sample_rate"),
+        first(col("sample_rate")).as("sample_rate"),
         first(col("thr")).as("thr"))
       .orderBy("source")
   }
@@ -194,7 +205,7 @@ object Curation {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"),
         sum("n_chars").as("chars_kept"),
-        round(sum("n_chars") / lit(SourceCharBudget.toDouble), 4)
+        intRatio(sum("n_chars"), lit(SourceCharBudget), 4)
           .as("utilization"))
       .orderBy("source")
   }
@@ -249,7 +260,7 @@ object Curation {
         sum("n_chars").as("total_chars"),
         floor((max("cum_end") + (CtxChars - 1)) / k).as("n_sequences"),
         sum((col("seq_last") > col("seq_first")).cast("long")).as("n_split_docs"),
-        round(count(lit(1)).cast("double") /
+        intRatio(count(lit(1)),
           floor((max("cum_end") + (CtxChars - 1)) / k), 4).as("docs_per_seq"))
       .orderBy("source")
   }
@@ -286,8 +297,16 @@ object Curation {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_kept"),
+        // q values are 4-dp decimals: min re-presents one of them
+        // (grid point, engine-stable); the MEAN is a fresh rational —
+        // micro-sum + integer half-up division (the text11 protocol).
         round(min(when(col("keep"), col("q"))), 4).as("min_kept_score"),
-        round(avg(when(col("keep"), col("q"))), 4).as("avg_kept_score"))
+        sum(when(col("keep"), round(col("q") * 10000).cast("long")))
+          .as("qm"),
+        sum(col("keep").cast("long")).as("nk"))
+      .withColumn("avg_kept_score", intRatio(col("qm"), col("nk"), 0) / 10000.0)
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("min_kept_score"), col("avg_kept_score"))
       .orderBy("source")
   }
 
@@ -346,7 +365,12 @@ object Curation {
           (sum("n_vecs").over(w) / count(lit(1)).over(w)) / col("n_vecs")))
       .withColumn("thr",
         format_string("%04x", floor(col("rate") * 65536).cast("int")))
-      .select("cell", "rate", "thr")
+      // Presented rate via intRatio — cur07's half-grid-safe protocol.
+      .withColumn("sample_rate",
+        when(col("rate") >= 1.0, lit(1.0)).otherwise(
+          intRatio(sum("n_vecs").over(w),
+            count(lit(1)).over(w) * col("n_vecs"), 6)))
+      .select("cell", "rate", "thr", "sample_rate")
     assigned.join(broadcast(rates), Seq("cell"))
       .withColumn("keep",
         col("rate") >= 1.0 ||
@@ -354,7 +378,7 @@ object Curation {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("keep").cast("long")).as("n_sampled"),
-        round(first(col("rate")), 6).as("sample_rate"),
+        first(col("sample_rate")).as("sample_rate"),
         first(col("thr")).as("thr"))
       .orderBy("cell")
   }

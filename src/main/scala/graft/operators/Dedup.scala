@@ -67,7 +67,8 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("c", "ca"), Seq("da"))
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), Seq("db"))
-      .select(col("da"), col("db"),
+      .select(col("da"), col("db"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).as("uni"),
         (col("inter") / (col("ca") + col("cb") - col("inter"))).as("jaccard"))
   }
 
@@ -123,7 +124,11 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("c", "cb"), Seq("db"))
       .withColumn("jaccard", col("inter") / (col("ca") + col("cb") - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      // Presented via intRatio: inter/union is an exact integer ratio
+      // (the half-grid rounding class — see GraftFunctions.intRatio).
+      .select(col("da"), col("db"),
+        intRatio(col("inter"), col("ca") + col("cb") - col("inter"), 4)
+          .as("jaccard"))
       .orderBy("da", "db")
   }
 
@@ -175,7 +180,8 @@ object Dedup {
       val cands = lshCandidates(minhashSignatures(shingleArrays(spark, dir)))
       exactJaccard(spark, dir, cands)
         .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("da"), col("db"),
+          intRatio(col("inter"), col("uni"), 4).as("jaccard"))
     }
     verified.orderBy("da", "db")
   }
@@ -503,7 +509,7 @@ object Dedup {
       .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), Seq("da"))
       .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), Seq("db"))
       .withColumn("containment",
-        round(col("shared") / least(col("na"), col("nb")), 4))
+        intRatio(col("shared"), least(col("na"), col("nb")), 4))
       .filter(col("containment") >= Containment)
       .select(col("da"), col("db"), col("shared"), col("containment"))
       .orderBy("da", "db")
@@ -799,7 +805,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_chunks"),
         sum((col("nd") > 1).cast("long")).as("dup_chunks"))
       .filter(col("dup_chunks") > 0)
-      .withColumn("dup_frac", round(col("dup_chunks") / col("n_chunks"), 4))
+      .withColumn("dup_frac", intRatio(col("dup_chunks"), col("n_chunks"), 4))
       .orderBy("doc_id")
   }
 }

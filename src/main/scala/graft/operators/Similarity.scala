@@ -506,9 +506,14 @@ object Similarity {
     e.select(
         best.getField("cid").as("cell"),
         round(best.getField("dist"), 4).as("d"))
+      // mean of 4-dp distances = an exact rational D/(10⁴·m): micro-sum
+      // then integer half-up division (the text11 presentation fix).
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("d")), 4).as("mean_dist"))
+        sum(round(col("d") * 10000).cast("long")).as("md"))
+      .withColumn("mean_dist",
+        graft.functions.GraftFunctions.intRatio(col("md"), col("n_members"), 0) / 10000.0)
+      .select(col("cell"), col("n_members"), col("mean_dist"))
       .orderBy("cell")
   }
 

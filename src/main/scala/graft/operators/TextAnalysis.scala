@@ -18,21 +18,33 @@ object TextAnalysis {
   private[operators] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
+  /** Count of `toks` found in `words` — the integer numerator behind
+    * the shared ratio builders.
+    */
+  private[operators] def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
   /** Fraction of `toks` found in `words` — the shared ratio builder
-    * behind text02's scoring, cur04's gate, and cur06's pipeline stage.
+    * behind cur04's gate and cur06's pipeline stage (COMPARISONS, where
+    * identical double arithmetic is engine-stable; presentations go
+    * through intRatio instead).
     */
   private[operators] def stopRatio(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))) /
-      greatest(size(toks), lit(1)).cast("double")
+    stopHits(toks, words) / greatest(size(toks), lit(1)).cast("double")
 
   /** The composite quality score (length saturation × non-stopword
-    * mass), 4-dp rounded. ONE definition, consumed by text02's scoring
-    * and cur10's percentile cut: a tweak here moves both — the "FineWeb
+    * mass) at 4 dp. ONE definition, consumed by text02's scoring and
+    * cur10's percentile cut: a tweak here moves both — the "FineWeb
     * cut" can never silently de-synchronize from the score it cuts on.
+    * As an exact rational min(n,50)·(n−k) / (50·n) it is presented via
+    * intRatio (integer half-up division — the text11 fix), never
+    * round().
     */
-  private[operators] def qualityScore(toks: Column): Column =
-    round(least(size(toks).cast("double") / 50.0, lit(1.0)) *
-      (lit(1.0) - stopRatio(toks, stopwords)), 4)
+  private[operators] def qualityScore(toks: Column): Column = {
+    val nSafe = greatest(size(toks), lit(1))
+    intRatio(least(size(toks), lit(50)) * (nSafe - stopHits(toks, stopwords)),
+      lit(50) * nSafe, 4)
+  }
 
   /** text01: tokenization + token/char counts. */
   def text01TokenizeCount(spark: SparkSession, dir: String): DataFrame = {
@@ -42,8 +54,10 @@ object TextAnalysis {
         col("doc_id"),
         size(toks).as("n_tokens"),
         length(col("text")).as("n_chars_text"),
-        round(length(regexp_replace(col("text"), " ", "")) /
-          greatest(size(toks), lit(1)).cast("double"), 4).as("avg_token_len"))
+        // intRatio: exact integer ratios must not go through round()
+        // (engine-divergent exactly ON the half grid — the text11 fix).
+        intRatio(length(regexp_replace(col("text"), " ", "")),
+          greatest(size(toks), lit(1)), 4).as("avg_token_len"))
       .orderBy("doc_id")
   }
 
@@ -53,13 +67,13 @@ object TextAnalysis {
     */
   def text02QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = greatest(size(toks), lit(1)).cast("double")
-    val shortRatio = size(filter(toks, t => length(t) <= 2)) / nTok
+    val nSafe = greatest(size(toks), lit(1))
     documents(spark, dir)
       .select(
         col("doc_id"),
-        round(stopRatio(toks, stopwords), 4).as("stop_ratio"),
-        round(shortRatio, 4).as("short_ratio"),
+        intRatio(stopHits(toks, stopwords), nSafe, 4).as("stop_ratio"),
+        intRatio(size(filter(toks, t => length(t) <= 2)), nSafe, 4)
+          .as("short_ratio"),
         qualityScore(toks).as("quality_score"))
       .orderBy("doc_id")
   }
@@ -74,7 +88,8 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         lid.getField("lang").as("pred_lang"),
-        round(lid.getField("score"), 4).as("lang_score"))
+        intRatio(lid.getField("hits"), lid.getField("total"), 4)
+          .as("lang_score"))
       .orderBy("doc_id")
   }
 
@@ -131,8 +146,8 @@ object TextAnalysis {
         size(toks).as("n_bpe_tokens"),
         size(filter(toks, t => t.rlike("[A-Za-z]"))).as("n_word_tokens"),
         size(filter(toks, t => t.rlike("^ ?[0-9]+$"))).as("n_num_tokens"),
-        round(length(col("text")) /
-          greatest(size(toks), lit(1)).cast("double"), 4).as("chars_per_token"))
+        intRatio(length(col("text")), greatest(size(toks), lit(1)), 4)
+          .as("chars_per_token"))
       .orderBy("doc_id")
   }
 
@@ -187,8 +202,9 @@ object TextAnalysis {
       grams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(
-          round(max("n") / sum("n"), 4).as(s"top_${prefix}_frac"),
-          round(lit(1.0) - count(lit(1)) / sum("n"), 4).as(s"dup_${prefix}_frac"))
+          intRatio(max("n"), sum("n"), 4).as(s"top_${prefix}_frac"),
+          intRatio(sum("n") - count(lit(1)), sum("n"), 4)
+            .as(s"dup_${prefix}_frac"))
     val docs = documents(spark, dir)
     val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("g"))
     val toks = col("toks")
@@ -307,23 +323,22 @@ object TextAnalysis {
   def text14GopherRules(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
-    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      .cast("double") / greatest(nTok, lit(1))
-    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
-      .cast("double") / greatest(nTok, lit(1))
-    val stopHits = size(filter(toks,
-      t => t.isin(stopwords.map(w => w: Any): _*)))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alphaHits = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val meanLen = sumLen.cast("double") / greatest(nTok, lit(1))
+    val alphaFrac = alphaHits.cast("double") / greatest(nTok, lit(1))
+    val nStopHits = stopHits(toks, stopwords)
     documents(spark, dir)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
-        round(meanLen, 4).as("mean_word_len"),
-        round(alphaFrac, 4).as("alpha_frac"),
-        stopHits.as("stop_hits"),
+        intRatio(sumLen, greatest(nTok, lit(1)), 4).as("mean_word_len"),
+        intRatio(alphaHits, greatest(nTok, lit(1)), 4).as("alpha_frac"),
+        nStopHits.as("stop_hits"),
         (nTok.between(15, 5000) &&
           meanLen.between(3.0, 10.0) &&
           alphaFrac >= 0.8 &&
-          stopHits >= 2).cast("int").as("passes"))
+          nStopHits >= 2).cast("int").as("passes"))
       .orderBy("doc_id")
   }
 
