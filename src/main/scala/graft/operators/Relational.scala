@@ -461,6 +461,18 @@ object Relational {
     * key itself — parent(k) = floor(k/10), roots are the single-digit
     * keys — so every engine sees the same forest with no auxiliary
     * table: a customer's depth is its digit count minus one.
+    *
+    * The recursive step joins on the EQUI-key `parent(child) = frontier`
+    * rather than the equivalent band `child BETWEEN frontier*10 AND
+    * frontier*10+9`: a band predicate has no equi-component, so every
+    * level would execute as a nested-loop comparison of the whole base
+    * table against the frontier, while the floor-division form hashes —
+    * each level is one hash join, which is what survives a wide frontier
+    * at scale. `CAST(FLOOR(x/10) AS BIGINT)` is the one integer-division
+    * spelling both engines parse (Spark `div` / DuckDB `//` are not
+    * shared) and it is exact: IEEE division is correctly rounded and a
+    * non-multiple-of-10 quotient sits >= 0.1 from any integer, so floor
+    * cannot straddle engines.
     */
   private[graft] def q34Sql(table: String): String =
     s"""WITH RECURSIVE chain AS (
@@ -469,8 +481,8 @@ object Relational {
          UNION ALL
          SELECT c.c_custkey, chain.root, chain.depth + 1
          FROM $table c JOIN chain
-           ON c.c_custkey >= chain.c_custkey * 10
-          AND c.c_custkey <= chain.c_custkey * 10 + 9
+           ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = chain.c_custkey
+         WHERE c.c_custkey >= 10
        )
        SELECT c_custkey, root, depth FROM chain ORDER BY c_custkey"""
 
@@ -488,7 +500,28 @@ object Relational {
   def q34RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val view = s"g_q34_customer_$sfx"
-    customer(spark, dir).createOrReplaceTempView(view)
+    // The statement touches ONLY the key column, and the union loop
+    // re-scans the base table once per hierarchy level — so the view is
+    // registered over a pinned single-column frame: levels after the
+    // first hit the in-memory copy instead of re-reading parquet
+    // depth-many times. (MEMORY_AND_DISK via GraftCache, so at scale
+    // the key column spills rather than OOMs; one copy per (session,
+    // dir), released with the family.) The pinned frame is partitioned
+    // from the MEASURED source bytes (the etl21 sizing rule), because
+    // the recursion pays one task per partition per LEVEL: the scan's
+    // default splits are sized for a one-pass read, not for a relation
+    // every level re-streams — at small inputs that over-pays task
+    // dispatch depth-fold, at 100 TB ceil(bytes/128 MB) keeps thousands
+    // of partitions as a one-column frame needs.
+    graft.GraftCache
+      .getOrPersist(s"q34_custkeys:$dir:${spark.hashCode}") {
+        val src = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+        val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts = math.max(1L,
+          (fs.getContentSummary(src).getLength + (128L << 20) - 1) / (128L << 20)).toInt
+        customer(spark, dir).select("c_custkey").coalesce(parts)
+      }
+      .createOrReplaceTempView(view)
     spark.sql(q34Sql(view))
   }
 

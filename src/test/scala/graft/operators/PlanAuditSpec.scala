@@ -75,6 +75,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no query plans a BroadcastNestedLoopJoin outside the bounded-build whitelist") {
+    // A BNLJ means a join with no equi-component — every probe/build
+    // comparison is a nested loop, the exact shape that made round-8's
+    // q34 a scale-killer (its band predicate had an equivalent
+    // floor-division equi-key, so each recursion level nested-looped the
+    // whole base table for nothing). Whether a join is BNLJ is decided
+    // statically (equi keys either exist or they don't; AQE never turns
+    // an equi-join into a nested loop), so the sweep inspects the
+    // compiled plan WITHOUT executing all 114 queries.
+    //
+    // A BNLJ is legitimate ONLY when its build side is bounded by a
+    // CONSTANT independent of corpus size — then it is the cheapest
+    // plan: broadcast the constant, stream the corpus once. Every
+    // whitelisted entry names its constant; anything new must justify
+    // itself here or carry an equi-key.
+    val boundedBuild = Set(
+      "q25_range_join",       // 20-row band table
+      "etl03_master_upsert",  // 1-row max(master_id) scalar
+      "etl15_expectations",   // 1-row violation/total count scalars
+      "text11_surprisal",     // 1-row corpus token total
+      "sim01_bruteforce_topk", // fixed probe set (constant query count)
+      "sim04_l2_topk",        // fixed probe set
+      "sim05_radius_search",  // fixed probe set
+      "sim08_pq_ann",         // fixed probe set
+      "sim10_recall_eval",    // fixed probe set
+      "sim11_mmr_diversify")  // fixed probe set
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!boundedBuild(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n${plan.take(2000)}")
+      }
+    }
+  }
+
   test("q32: grouping sets plan one Expand + one aggregate pass, not N scans") {
     val plan = finalPlan(Relational.q32GroupingSets(spark, sf))
     assert(plan.contains("Expand"), "grouping sets must plan through Expand")
