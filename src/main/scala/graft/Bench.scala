@@ -36,7 +36,13 @@ object Bench {
     // rare (one rebuild of the cell-assignment frame in the sim
     // family), so the release costs far less than the contention it
     // prevents.
-    def family(name: String): String = name.takeWhile(_.isLetter)
+    // The 25-query etl family is further split by decade (etl0x/1x/2x):
+    // it is one long run of tmpdir-writing operators, and round 8 showed
+    // within-family pressure still distorting its tail under driver
+    // contention — more release points cost nothing (etl pins no shared
+    // frames) and shorten the window any accumulated state can lean on.
+    def family(name: String): String =
+      if (name.startsWith("etl")) name.take(4) else name.takeWhile(_.isLetter)
     var prevFamily: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (prevFamily != null && family(name) != prevFamily) GraftCache.release()

@@ -449,14 +449,23 @@ object Etl {
     */
   def etl17SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl17_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val ev = events(spark, dir)
-    ev.filter(col("event_id") % 2 === 0)
-      .select(col("event_id"), col("event_type"))
-      .write.mode("overwrite").parquet(s"$out/v=1")
-    ev.filter(col("event_id") % 2 =!= 0)
-      .select(col("event_id"), col("event_type"),
-        concat(lit("ch_"), (col("event_id") % 3).cast("string")).as("channel"))
-      .write.mode("overwrite").parquet(s"$out/v=2")
+    // Build-once per source fingerprint (the etl22 pattern): the two
+    // version directories are immutable once landed — that is the whole
+    // point of schema evolution — so rewriting them per call only paid
+    // double I/O and forbade self-concurrency. The marker/stamp live on
+    // v=2, the LAST directory written, so a crash between the two
+    // writes leaves no marker and the layout rebuilds.
+    TableBuild.ensurePath(spark, s"$out/v=2",
+        TableBuild.dirFingerprint(spark, s"$dir/events.parquet")) {
+      val ev = events(spark, dir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("event_type"),
+          concat(lit("ch_"), (col("event_id") % 3).cast("string")).as("channel"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+    }
     spark.read.option("mergeSchema", "true").parquet(out)
       .groupBy(coalesce(col("channel"), lit("pre_evolution")).as("channel"))
       .agg(count(lit(1)).as("n"),

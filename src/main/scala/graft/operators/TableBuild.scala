@@ -12,9 +12,6 @@ import org.apache.spark.sql.SparkSession
   * concurrent submission from SEPARATE JVMs sharing a tmpdir, and a
   * cached table serves stale data if `dir`'s contents are rewritten in
   * place (ConcurrencySpec deliberately excludes these operators).
-  * etl17 additionally overwrites its path on EVERY call (it
-  * demonstrates the write+read round-trip), so it must never run
-  * concurrently with itself even in one JVM.
   */
 private[operators] object TableBuild {
 
