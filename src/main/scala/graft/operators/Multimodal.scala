@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Multimodal plumbing mm01–mm03 (SURVEY.md §2): image/audio/video as
-  * opaque BINARY columns with typed metadata. The container has no codec
-  * libraries, so the decode step is STUBBED behind
-  * [[MultimodalStub.decodeImage]] with a deterministic fake — the
-  * Spark-side plumbing (schema, binary handling, batched mapPartitions,
-  * partitioning) is real and oracle-checked where expressible.
+/** Multimodal plumbing mm01–mm04 (SURVEY.md §2): image/audio/video as
+  * opaque BINARY columns with typed metadata. Image decode is REAL —
+  * [[MultimodalStub.decodeImage]] runs the JDK's `javax.imageio` (no
+  * external jar), driven end-to-end over generated PNGs in
+  * MultimodalSpec via [[decodeMeta]]. The ORACLED `queries` entries
+  * keep the deterministic fake kernels, because the DuckDB oracle can
+  * replay those in SQL while the driver tables carry no encoded media;
+  * the Spark-side plumbing (schema, binary handling, batched
+  * mapPartitions, partitioning) is identical for both kernels.
   */
 object Multimodal {
 
@@ -106,20 +109,89 @@ object Multimodal {
       }
     }(enc).orderBy("doc_id")
   }
+
+  private val decodeMetaSchema = StructType(Seq(
+    StructField("img_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** REAL decode leg of the mm03/mm04 plumbing: rows of (img_id LONG,
+    * media BINARY) holding ENCODED images (PNG in the specs) flow
+    * through the same batched mapPartitions path as the fake kernels,
+    * but the kernel is [[MultimodalStub.decodeImage]] — actual
+    * `javax.imageio` decoding on executors — emitting typed dimensions
+    * and per-channel means. This is the shape a production featurizer
+    * keeps: swap the body for a GPU embedding model and nothing about
+    * the schema, batching, or partitioning moves. Not a `queries` entry
+    * (the driver tables carry no encoded media; the oracled entries
+    * stay the SQL-replayable fakes) — MultimodalSpec drives it
+    * end-to-end over PNGs generated by ImageIO itself.
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodeMetaSchema)
+    media.select(col("img_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = MultimodalStub.decodeImage(r.getAs[Array[Byte]]("media"))
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < rgb.length) {
+            sums(i % 3) += rgb(i) & 0xFF
+            i += 1
+          }
+          val n = (w * h).toDouble
+          def mean(c: Int): Double = math.round(sums(c) / n * 10000.0) / 10000.0
+          Row(r.getAs[Long]("img_id"), w, h, mean(0), mean(1), mean(2))
+        }
+      }
+    }(enc).orderBy("img_id")
+  }
 }
 
-/** Decode stubs — the clearly-marked seam where real codecs plug in. */
+/** Decode kernels — the seam where heavier codecs plug in. decodeImage
+  * is REAL (JDK ImageIO); the fake kernels remain as the
+  * SQL-replayable twins the DuckDB oracle can check.
+  */
 object MultimodalStub {
   val BatchSize = 64
   val FeatureDim = 8
   val OutW = 16
   val OutH = 9
 
-  /** Real implementation would decode image bytes (JPEG/PNG) to
-    * (width, height, pixels). Not available in this container.
+  /** Decode encoded image bytes (PNG/JPEG/BMP/GIF — whatever the JDK's
+    * `javax.imageio` registry handles; PNG is the format the specs
+    * exercise end-to-end) to (width, height, row-major RGB pixels,
+    * 3 bytes per pixel). No external jar: ImageIO ships with the JDK,
+    * so this runs on executors as-is. Undecodable bytes throw
+    * IllegalArgumentException — the caller decides whether to
+    * quarantine (the etl20 pattern) or fail; silently emitting fake
+    * pixels for corrupt media is how a 100 TB corpus rots.
     */
-  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
-    ??? // intentional stub: requires a codec library (e.g. javax.imageio at cluster deploy)
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable media (${bytes.length} bytes): no registered ImageReader claims it")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    // getRGB converts any source color model (palette, gray, ARGB) to
+    // default sRGB ints; one bulk call per image, then unpack — no
+    // per-pixel JNI round-trips.
+    val packed = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < packed.length) {
+      val p = packed(i)
+      rgb(i * 3) = ((p >> 16) & 0xFF).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xFF).toByte
+      rgb(i * 3 + 2) = (p & 0xFF).toByte
+      i += 1
+    }
+    (w, h, rgb)
+  }
 
   /** Deterministic fake "resize": nearest-neighbor-sample OutW×OutH
     * byte positions (p_j = ⌊j·n/(OutW·OutH)⌋ — the index math of a real

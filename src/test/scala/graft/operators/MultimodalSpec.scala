@@ -29,6 +29,57 @@ class MultimodalSpec extends SparkSpec {
       Seq.fill(MultimodalStub.FeatureDim)(0.0))
   }
 
+  /** Encode a w×h image as real PNG bytes, pixel (x,y) colored by `f`. */
+  private def png(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out), "JDK must carry a PNG writer")
+    out.toByteArray
+  }
+
+  test("decodeImage round-trips generated PNGs exactly (dims + every pixel)") {
+    val bytes = png(5, 3)((x, y) => (x * 40, y * 80, (x + y) * 10))
+    val (w, h, rgb) = MultimodalStub.decodeImage(bytes)
+    assert((w, h) == (5, 3))
+    assert(rgb.length == 5 * 3 * 3)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val i = (y * 5 + x) * 3
+      assert((rgb(i) & 0xFF, rgb(i + 1) & 0xFF, rgb(i + 2) & 0xFF) ==
+        (x * 40, y * 80, (x + y) * 10), s"pixel ($x,$y)")
+    }
+    // PNG is lossless, so a palette of exact byte values survives; and
+    // corrupt media must throw, not fabricate pixels.
+    intercept[IllegalArgumentException] {
+      MultimodalStub.decodeImage("not an image".getBytes("UTF-8"))
+    }
+  }
+
+  test("decodeMeta drives real PNG decode through the batched executor path") {
+    // More images than one mapPartitions batch, with per-image solid
+    // colors, so each row's means pin which image it decoded.
+    val n = MultimodalStub.BatchSize + 7
+    val rows = (0L until n.toLong).map { id =>
+      val c = (id % 251).toInt
+      (id, png(4, 2)((_, _) => (c, (c + 3) % 256, (c + 5) % 256)))
+    }
+    import spark.implicits._
+    val media = rows.toDF("img_id", "media").repartition(3)
+    val got = Multimodal.decodeMeta(media).collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val c = (r.getLong(0) % 251).toInt
+      assert((r.getInt(1), r.getInt(2)) == (4, 2), s"img ${r.getLong(0)} dims")
+      assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) ==
+        (c.toDouble, ((c + 3) % 256).toDouble, ((c + 5) % 256).toDouble),
+        s"img ${r.getLong(0)} means")
+    }
+  }
+
   test("mm03 emits one feature row per document, stable across runs") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val r1 = Multimodal.mm03FeatureStub(spark, sf).collect()
