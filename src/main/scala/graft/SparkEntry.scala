@@ -1256,27 +1256,28 @@ object SparkEntry {
            CAST(coalesce(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s4) THEN n_chars END), 0) AS BIGINT) AS chars_final
          FROM t GROUP BY source ORDER BY source""",
     "cur07_stratified_sample" ->
-      // Rate math replayed exactly (integer counts -> double division,
-      // identical IEEE-754 on both engines); selection is a hex-string
+      // Threshold derived in pure integer math ((65536*tot) // (k*n),
+      // clamped at 65536) — engine-portable at any magnitude, unlike
+      // floor(double_rate * 65536); selection is a hex-string
       // comparison on the md5 prefix, monotone in the hash value.
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
          r AS (SELECT source, n_docs,
                  CAST(sum(n_docs) OVER () AS BIGINT) AS tot,
-                 count(*) OVER () AS k,
-                 least(1.0, (sum(n_docs) OVER ()) / (count(*) OVER ()) / n_docs) AS rate
+                 count(*) OVER () AS k
                FROM c),
-         t AS (SELECT source, rate, tot, k, n_docs,
-                 printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
+         t AS (SELECT source, tot, k, n_docs,
+                 CAST(least(65536, (65536 * tot) // (k * n_docs)) AS BIGINT) AS thr_raw,
+                 printf('%04x', CAST(least(65536, (65536 * tot) // (k * n_docs)) AS INT)) AS thr
                FROM r)
          SELECT d.source, count(*) AS n_docs,
-           CAST(sum(CASE WHEN rate >= 1.0
+           CAST(sum(CASE WHEN thr_raw >= 65536
                  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           CASE WHEN rate >= 1.0 THEN 1.0
+           CASE WHEN thr_raw >= 65536 THEN 1.0
                 ELSE CAST((2*1000000*(tot) + (k * n_docs)) // (2*(k * n_docs)) AS BIGINT) / 1000000.0 END
              AS sample_rate, thr
          FROM documents d JOIN t ON d.source = t.source
-         GROUP BY d.source, rate, thr, tot, k, n_docs ORDER BY d.source""",
+         GROUP BY d.source, thr_raw, thr, tot, k, n_docs ORDER BY d.source""",
     "cur08_budget_assembly" ->
       // Greedy budget prefix replayed exactly: same md5-prefix ordering,
       // same window cumsum, integer char sums on both engines.
@@ -1394,21 +1395,21 @@ object SparkEntry {
          cc AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
          r AS (SELECT cell, n_vecs,
                  CAST(sum(n_vecs) OVER () AS BIGINT) AS tot,
-                 count(*) OVER () AS k,
-                 least(1.0, (sum(n_vecs) OVER ()) / (count(*) OVER ()) / n_vecs) AS rate
+                 count(*) OVER () AS k
                FROM cc),
-         t AS (SELECT cell, rate, tot, k, n_vecs,
-                 printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
+         t AS (SELECT cell, tot, k, n_vecs,
+                 CAST(least(65536, (65536 * tot) // (k * n_vecs)) AS BIGINT) AS thr_raw,
+                 printf('%04x', CAST(least(65536, (65536 * tot) // (k * n_vecs)) AS INT)) AS thr
                FROM r)
          SELECT a.cell, count(*) AS n_vecs,
-           CAST(sum(CASE WHEN rate >= 1.0
+           CAST(sum(CASE WHEN thr_raw >= 65536
                  OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < thr
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           CASE WHEN rate >= 1.0 THEN 1.0
+           CASE WHEN thr_raw >= 65536 THEN 1.0
                 ELSE CAST((2*1000000*(tot) + (k * t.n_vecs)) // (2*(k * t.n_vecs)) AS BIGINT) / 1000000.0 END
              AS sample_rate, thr
          FROM assign a JOIN t ON a.cell = t.cell
-         GROUP BY a.cell, rate, thr, tot, k, t.n_vecs ORDER BY a.cell""",
+         GROUP BY a.cell, thr_raw, thr, tot, k, t.n_vecs ORDER BY a.cell""",
     "etl22_clustered_layout" ->
       // The clustered copy is lossless, so the oracle aggregates the
       // SOURCE table under the same predicate; file locality of the

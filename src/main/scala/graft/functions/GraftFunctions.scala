@@ -39,10 +39,33 @@ object GraftFunctions {
     */
   def intRatio(num: Column, den: Column, dp: Int): Column = {
     val s = math.pow(10, dp).toLong
+    // The scaled numerator 2·10^dp·num is computed in DECIMAL(38,0),
+    // not Long: at dp=6 a Long numerator silently wraps once num
+    // exceeds ~4.6e12 (cur02's numerator is total corpus CHARS — a
+    // magnitude a 100 TB corpus actually reaches), and with ANSI off
+    // the wrap is invisible until the oracle (whose sum() is HUGEINT)
+    // diverges. Decimal keeps 38 digits through the multiply; the
+    // remaining bound is the QUOTIENT (IntegralDivide returns LONG):
+    // the RATIO must stay under ~9.2e18/10^dp — every presented
+    // mean/share/rate is human-scale, so only the numerator grows
+    // with the corpus and the contract holds at any data size.
+    val n = num.cast("decimal(38,0)")
+    val d = den.cast("decimal(38,0)")
     GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      GraftShim.expression(lit(2L) * lit(s) * num.cast("long") + den.cast("long")),
-      GraftShim.expression(lit(2L) * den.cast("long")))) / s.toDouble
+      GraftShim.expression(lit(2L * s).cast("decimal(38,0)") * n + d),
+      GraftShim.expression(lit(2L).cast("decimal(38,0)") * d))) / s.toDouble
   }
+
+  /** Integer division num div den in pure Long arithmetic
+    * (IntegralDivide — the DuckDB twin is `//`). For deriving
+    * selection thresholds and other exact integer quantities where
+    * `floor(double_ratio * scale)` could land a double-rounding away
+    * from the true value and silently diverge between engines.
+    */
+  def intDiv(num: Column, den: Column): Column =
+    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftShim.expression(num.cast("long")),
+      GraftShim.expression(den.cast("long"))))
 
   /** Winnowing (MOSS) fingerprint set of a STRING column as
     * ARRAY<BIGINT> (native expression — one per-document pass, no

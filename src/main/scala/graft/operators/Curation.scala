@@ -139,27 +139,30 @@ object Curation {
     val w = Window.partitionBy()
     val rates = documents(spark, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("rate",
-        least(lit(1.0),
-          (sum("n_docs").over(w) / count(lit(1)).over(w)) / col("n_docs")))
-      // rate = 1 quantizes to 0x10000 — 5 chars, above every 4-char
-      // prefix, but the rate >= 1.0 disjunct below keeps the contract
-      // explicit rather than leaning on string-length ordering.
-      .withColumn("thr",
-        format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      // The quantized threshold is derived in PURE INTEGER math:
+      // thr_raw = (65536·total) div (k·n), clamped at 65536 (= rate 1,
+      // which quantizes to 0x10000 — 5 chars, above every 4-char
+      // prefix; the thr_raw >= 65536 disjunct below keeps the contract
+      // explicit rather than leaning on string-length ordering).
+      // floor(rate·65536) of the DOUBLE ratio computes the same value
+      // only while no double rounding crosses an integer — the exact
+      // hazard class the intRatio sweep removed from presentations,
+      // here removed from the keep PREDICATE itself.
+      .withColumn("thr_raw",
+        least(lit(65536L), intDiv(lit(65536L) * sum("n_docs").over(w),
+          count(lit(1)).over(w) * col("n_docs"))))
+      .withColumn("thr", format_string("%04x", col("thr_raw").cast("int")))
       // The PRESENTED rate is the exact rational total/(k·n) via
-      // intRatio (the double `rate` drives thr and the keep predicate —
-      // identical arithmetic on both engines — but its round() is not
-      // half-grid-safe).
+      // intRatio (half-grid-safe).
       .withColumn("sample_rate",
-        when(col("rate") >= 1.0, lit(1.0)).otherwise(
+        when(col("thr_raw") >= 65536L, lit(1.0)).otherwise(
           intRatio(sum("n_docs").over(w),
             count(lit(1)).over(w) * col("n_docs"), 6)))
-      .select("source", "rate", "thr", "sample_rate")
+      .select("source", "thr_raw", "thr", "sample_rate")
     documents(spark, dir)
       .join(broadcast(rates), Seq("source"))
       .withColumn("keep",
-        col("rate") >= 1.0 ||
+        col("thr_raw") >= 65536L ||
           substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -360,20 +363,21 @@ object Curation {
         Dedup.vectors(spark, dir), Similarity.trainedCodebook(spark, dir))
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
     val rates = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-      .withColumn("rate",
-        least(lit(1.0),
-          (sum("n_vecs").over(w) / count(lit(1)).over(w)) / col("n_vecs")))
-      .withColumn("thr",
-        format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      // Integer threshold derivation — cur07's protocol (see there for
+      // why floor(double·65536) is not engine-portable).
+      .withColumn("thr_raw",
+        least(lit(65536L), intDiv(lit(65536L) * sum("n_vecs").over(w),
+          count(lit(1)).over(w) * col("n_vecs"))))
+      .withColumn("thr", format_string("%04x", col("thr_raw").cast("int")))
       // Presented rate via intRatio — cur07's half-grid-safe protocol.
       .withColumn("sample_rate",
-        when(col("rate") >= 1.0, lit(1.0)).otherwise(
+        when(col("thr_raw") >= 65536L, lit(1.0)).otherwise(
           intRatio(sum("n_vecs").over(w),
             count(lit(1)).over(w) * col("n_vecs"), 6)))
-      .select("cell", "rate", "thr", "sample_rate")
+      .select("cell", "thr_raw", "thr", "sample_rate")
     assigned.join(broadcast(rates), Seq("cell"))
       .withColumn("keep",
-        col("rate") >= 1.0 ||
+        col("thr_raw") >= 65536L ||
           substring(md5(col("vec_id").cast("string")), 1, 4) < col("thr"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
