@@ -471,11 +471,34 @@ object Similarity {
           } else
             array_min(l2CentroidScores(col("v"), centroids)).getField("cid")
         val assigned = pinned.select(col("v"), cellCol.as("cell"))
-        val means = assigned
+        val meanRows = assigned
           .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy("cell", "dim")
-          .agg(round(avg("x"), 6).as("m"))
+          .agg(round(avg("x"), 6).as("m"), avg("x").as("raw"))
           .collect()
+        // The 6-dp quantization is engine-exact only while no mean sits
+        // ON the 1e-6 half grid: avg() of doubles is summation-order-
+        // dependent, so a mean EXACTLY on (or vanishingly near) the .5
+        // boundary could round differently per engine and silently
+        // cascade a flipped centroid dim through every codebook
+        // consumer — fail LOUDLY at train time instead. Margin
+        // calibration: reordering a K-cell group's sum perturbs the
+        // SCALED mean by ~n·eps·|x|·1e6 ≈ 1e-10 at thousands of
+        // members, ~1e-7 only past ~1e9 members per cell — so 1e-7
+        // trips exactly the indistinguishable-by-construction landings
+        // (e.g. a rational mean of 6-dp inputs) while clearing honest
+        // near-boundary means like the corpus's measured 1.16e-6 pass.
+        meanRows.foreach { r =>
+          val scaled = r.getDouble(3) * 1e6
+          val dist = math.abs(scaled - math.floor(scaled) - 0.5)
+          if (dist <= 1e-7)
+            throw new IllegalStateException(
+              s"k-means mean for cell ${r.getInt(0)} dim ${r.getInt(1)} " +
+                f"(${r.getDouble(3)}%.12f) sits $dist%.2e scaled units from " +
+                "the 1e-6 half grid: 6-dp quantization is not engine-stable " +
+                "for this corpus/seed — change k, iters, or the quantization dp")
+        }
+        val means = meanRows
           .groupBy(_.getInt(0))
           .map { case (cell, rows) =>
             cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray

@@ -65,6 +65,58 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("Derby ops racing across DIFFERENT dirs keep each dir's database intact") {
+    // etl24/etl25 document a self-race caveat (each drops + rewrites
+    // its own tables), but callers on DIFFERENT corpora hit DIFFERENT
+    // embedded databases (db_<dir-suffix>) and must be fully isolated —
+    // this pins that one dir's drop/rewrite can never truncate or
+    // contaminate the other's. One future per (op, dir): the op never
+    // races ITSELF, exactly the supported contract.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val names = Seq("etl24_jdbc_roundtrip", "etl25_jdbc_merge")
+    val sequential = (for (d <- dirs; n <- names) yield (n, d) ->
+      SparkEntry.queries(n)(spark, d).collect().map(_.toSeq).toSeq).toMap
+    names.foreach { n =>
+      assert(dirs.map(d => sequential((n, d))).distinct.size == 2,
+        s"$n must differ across corpora for contamination to be observable")
+    }
+    val concurrent = Await.result(
+      Future.sequence(for (d <- dirs; n <- names) yield
+        Future((n, d) -> SparkEntry.queries(n)(spark, d)
+          .collect().map(_.toSeq).toSeq)),
+      5.minutes)
+    concurrent.foreach { case (key, rows) =>
+      assert(rows == sequential(key), s"$key served another dir's database")
+    }
+  }
+
+  test("stream08's merge sink racing across DIFFERENT databases stays isolated") {
+    import spark.implicits._
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val urls = Seq("a", "b").map(tag =>
+      s"jdbc:derby:${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_derby/race_${tag}_${System.nanoTime()};create=true")
+    // Distinct payloads per database so cross-talk is observable.
+    val batches = urls.zipWithIndex.map { case (u, i) =>
+      u -> (1 to 20).map(k => (k.toLong, (k * (i + 7)).toLong))
+    }
+    Await.result(
+      Future.sequence(batches.map { case (u, rows) =>
+        Future(graft.streaming.GraftStreams.upsertBatchToJdbc(
+          rows.toDF("user_id", "n"), u, driver, "g_race_master", "user_id"))
+      }),
+      5.minutes)
+    batches.foreach { case (u, rows) =>
+      val got = spark.read.format("jdbc")
+        .option("url", u).option("dbtable", "g_race_master")
+        .option("driver", driver).load()
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+          r.getLong(r.fieldIndex("n")))).toSet
+      assert(got == rows.toSet, s"$u lost or gained another database's rows")
+    }
+  }
+
   test("the same query racing itself is consistent") {
     val runs = Await.result(
       Future.sequence((1 to 8).map(_ =>

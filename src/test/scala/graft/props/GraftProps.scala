@@ -155,12 +155,20 @@ object GraftProps extends Properties("graft") {
     * generation can never drop a qualifying pair, regardless of which
     * config the measured corpus size picks.
     */
-  private def comboKeys(sh: Long, blocks: Int, keyBlocks: Int): Set[Seq[Long]] = {
+  private def comboKeys(
+      sh: Long, blocks: Int, keyBlocks: Int): Set[(Seq[Int], Seq[Long])] = {
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1L
     def block(i: Int): Long = (sh >>> (i * width)) & mask
+    // Each key carries its COMBO IDENTITY (which block indices formed
+    // it), mirroring dedup04's real (chunk_idx, chunk) equi-join key:
+    // two signatures only meet in the join when the SAME combination
+    // yields the same packed value. Without the identity, a value
+    // collision across DIFFERENT combos would count as a shared key
+    // here yet never match in the actual join — the property would be
+    // weaker than the guarantee it pins.
     (0 until blocks).combinations(keyBlocks)
-      .map(bs => bs.map(block)).toSet
+      .map(bs => (bs.toSeq, bs.map(block).toSeq)).toSet
   }
 
   private val hamming3PairGen: Gen[(Long, Long)] = for {
