@@ -104,6 +104,28 @@ object PlanDump {
       ||queries| x |corpus| rows pruned map-side by the partial top-k
       |to <= partitions x queries x 160 rows before its only shuffle.
       |
+      |## Measured round-8-operator growth (sf 0.01 -> 0.1, 10x docs)
+      |
+      || op | measure | sf0.01 | sf0.1 | shape |
+      ||---|---|---|---|---|
+      || dedup10 | stride-1 window hashes (rows shuffled) | 20,212 | 201,221 | 9.96x — exactly linear (one row per token position) |
+      || dedup10 | cross-doc duplicated spans reported | 45 | 437 | tracks true duplication, not the corpus |
+      || q34 | per-level frontier (depth 0..4) | 9 / 90 / 900 / 500 | 9 / 90 / 900 / 9,000 / 5,000 | level k holds the k+1-digit keys; the WIDEST level is ~60% of the corpus |
+      |
+      |dedup10's window stream is the corpus token stream — 10x docs is
+      |10x rows, with no pair space anywhere (the df aggregate and
+      |flag-back join shuffle 8-byte hashes). q34's frontier geometry is
+      |what motivated the round-9 equi-join rewrite and then validates
+      |it: the deepest frontier is corpus-sized (9,000 rows at sf0.1 —
+      |at any scale the widest level holds most of the table), so a
+      |recursive step that nested-loops |base| x |frontier| per level is
+      |quadratic-in-practice exactly where the data is thickest, while
+      |the floor-division equi-key makes each level one hash join whose
+      |build side is the frontier. Measured effect of the rewrite at
+      |sf0.1: q34 1.72 -> 0.69 s, and the remaining cost is Spark's
+      |per-iteration recursion machinery (plan + materialize + count per
+      |level), not the join.
+      |
       |text13 (bigram LM) is join-shaped but hash-keyed: measured
       |(sf 0.01 -> 0.1, 10x docs) the pair OCCURRENCE stream grows
       |26,665 -> 265,704 (linear — it is the token stream) while the
