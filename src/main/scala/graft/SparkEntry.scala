@@ -112,6 +112,7 @@ object SparkEntry {
     "sim09_kmeans" -> Similarity.sim09Kmeans _,
     "sim10_recall_eval" -> Similarity.sim10RecallEval _,
     "sim11_mmr_diversify" -> Similarity.sim11MmrDiversify _,
+    "sim12_filtered_ann" -> Similarity.sim12FilteredAnn _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -128,6 +129,7 @@ object SparkEntry {
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
     "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
+    "mm05_binary_ingest" -> Multimodal.mm05BinaryIngest _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -1053,6 +1055,21 @@ object SparkEntry {
          FROM cc GROUP BY id ORDER BY vec_id""",
     "sim01_bruteforce_topk" -> Sim01OracleSql,
     "sim11_mmr_diversify" -> Sim11OracleSql,
+    "sim12_filtered_ann" ->
+      // sim01's exact protocol restricted to the query's own metadata
+      // category (cat = vec_id % 4) — the filter applies BEFORE
+      // ranking on both engines, so under-filled k from post-filtering
+      // would break equality.
+      """WITH e AS (SELECT vec_id, vec_id % 4 AS cat,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, cat AS q_cat, v AS qv
+               FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 4) AS cos
+               FROM q JOIN e ON e.cat = q.q_cat AND e.vec_id <> q.q_id),
+         r AS (SELECT q_id, vec_id, cos, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+         WHERE rk <= 10 ORDER BY q_id, rk""",
     "sim10_recall_eval" ->
       // The two index oracles composed: exact top-k LEFT JOIN approx
       // top-k per (q_id, vec_id); recall@k = matched fraction.
@@ -1486,6 +1503,18 @@ object SparkEntry {
          SELECT doc_id, n_bytes, 16 AS out_w, 9 AS out_h, checksum,
            round(checksum / 255.0 / 144, 4) AS mean_intensity
          FROM s ORDER BY doc_id""",
+    "mm05_binary_ingest" ->
+      // The REAL pipeline (PNG encode -> binary files -> binaryFile
+      // scan -> ImageIO decode on executors -> channel means) against
+      // pure arithmetic: the test-card pattern keeps every channel
+      // value < 256, so each decoded mean is exactly (id%249) + {2,3,4}
+      // and the oracle needs only the documents table. Any corruption
+      // anywhere in the encode/land/scan/decode chain breaks equality.
+      """SELECT doc_id AS img_id, 4 AS width, 2 AS height,
+           CAST((doc_id % 249) + 2 AS DOUBLE) AS mean_r,
+           CAST((doc_id % 249) + 3 AS DOUBLE) AS mean_g,
+           CAST((doc_id % 249) + 4 AS DOUBLE) AS mean_b
+         FROM documents WHERE doc_id < 256 ORDER BY img_id""",
     "stream01_tumbling_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value

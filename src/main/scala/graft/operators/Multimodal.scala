@@ -110,6 +110,64 @@ object Multimodal {
     }(enc).orderBy("doc_id")
   }
 
+  /** Number of synthetic images mm05 stages — constant across scale
+    * factors (doc_id < 256 exists at every SF), so the landing dir is
+    * the same shape everywhere and the oracle needs no size parameter.
+    */
+  val Mm05Images = 256
+
+  /** mm05: binary-file INGESTION + real decode, end-to-end — the leg
+    * mm01–mm04 stub out. A landing directory of REAL PNG files (one
+    * per doc_id < [[Mm05Images]], pixel pattern a pure function of the
+    * id — [[MultimodalStub.testCardPng]]) is staged once per source
+    * fingerprint (TableBuild.ensurePath, the etl17/etl22 build-once
+    * discipline; the ENCODE runs distributed via foreachPartition),
+    * then read back through Spark's `binaryFile` source and decoded on
+    * executors by the real ImageIO path ([[decodeMeta]]).
+    *
+    * Because the test-card pattern keeps every channel value strictly
+    * below 256, the per-channel means are EXACT integer functions of
+    * the id (mean_r = id%249+2, +3, +4) — so the DuckDB oracle checks
+    * the ENTIRE pipeline (encode → files → binaryFile scan → decode →
+    * aggregate) with plain arithmetic on the documents table. At scale
+    * this is the media-lake shape: opaque files land, a partitioned
+    * binary scan + executor-side codec turns them into typed columns;
+    * files per task is bounded by maxPartitionBytes like any source.
+    */
+  def mm05BinaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm05_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    TableBuild.ensurePath(spark, root,
+        TableBuild.dirFingerprint(spark, s"$dir/documents.parquet")) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      documents(spark, dir)
+        .select(col("doc_id")).filter(col("doc_id") < Mm05Images)
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(conf.value)
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(root, s"img_$id.png"), true)
+            try out.write(MultimodalStub.testCardPng(id)) finally out.close()
+          }
+        }
+      // Manual landing dirs carry no writer _SUCCESS; commit one so
+      // ensurePath's marker contract (trust only committed layouts)
+      // holds for this path too.
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(root)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("img_id"),
+        col("content").as("media"))
+    decodeMeta(files)
+  }
+
   private val decodeMetaSchema = StructType(Seq(
     StructField("img_id", LongType),
     StructField("width", IntegerType),
@@ -161,6 +219,25 @@ object MultimodalStub {
   val FeatureDim = 8
   val OutW = 16
   val OutH = 9
+
+  /** Deterministic 4×2 PNG "test card" for `id`: with c = id mod 249,
+    * pixel (x,y) carries (c+x+y, c+1+x+y, c+2+x+y) — every channel
+    * value stays < 256 (no wrap), so each channel mean is EXACTLY
+    * c + {2,3,4} (mean offset x̄+ȳ = 2) and an oracle can predict the
+    * decoded statistics with integer arithmetic. PNG is lossless; the
+    * bytes round-trip bit-exactly through [[decodeImage]].
+    */
+  def testCardPng(id: Long): Array[Byte] = {
+    val c = (id % 249).toInt
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y,
+        ((c + x + y) << 16) | ((c + 1 + x + y) << 8) | (c + 2 + x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** Decode encoded image bytes (PNG/JPEG/BMP/GIF — whatever the JDK's
     * `javax.imageio` registry handles; PNG is the format the specs

@@ -637,4 +637,48 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "l2")
       .orderBy("q_id", "rk")
   }
+
+  /** Number of metadata categories sim12 partitions the corpus into
+    * (stand-in for a tenant/collection/language column — the
+    * embeddings table carries no metadata, so the category is derived
+    * deterministically from the id on both engines).
+    */
+  val FilterCats = 4
+
+  /** sim12: METADATA-FILTERED vector search — "top-k among the vectors
+    * satisfying a predicate", the query every production vector store
+    * actually serves (tenant scoping, language/collection filters,
+    * time-travel cuts). Naive post-filtering (ANN first, filter after)
+    * silently under-fills k whenever the predicate is selective; the
+    * engine contract here is PRE-filtering at full recall: the
+    * predicate restricts the scored stream BEFORE ranking.
+    *
+    * Spark-first shape: the filter column is a JOIN KEY, not a
+    * residual predicate — queries broadcast with their own category
+    * and the corpus joins on `cat = q_cat` (an equi-join, so the
+    * bounded-build BNLJ whitelist stays closed), then per-query
+    * bounded-heap top-k ([[graft.plans.TopKPerKey]]). At 100 TB a
+    * corpus laid out partitioned/bucketed BY the filter column turns
+    * the same equi-key into partition pruning: each query's scan
+    * touches only its category's files — the sim06 file-level story
+    * with a metadata key instead of a learned cell.
+    */
+  def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+      .withColumn("cat", col("vec_id") % FilterCats)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("cat").as("q_cat"))
+    val scored = e
+      .join(broadcast(queries),
+        col("cat") === col("q_cat") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    graft.plans.TopKPerKey(scored,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("cos", true), ("vec_id", false)),
+        k = TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
 }

@@ -80,6 +80,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm05 ingests real PNG files and decodes to the predicted statistics") {
+    val got = Multimodal.mm05BinaryIngest(spark, sf).collect()
+    assert(got.length == Multimodal.Mm05Images)
+    got.foreach { r =>
+      val c = (r.getLong(0) % 249).toDouble
+      assert((r.getInt(1), r.getInt(2)) == (4, 2))
+      assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) ==
+        (c + 2, c + 3, c + 4), s"img ${r.getLong(0)}")
+    }
+    // Build-once: a second call reuses the staged landing dir (no
+    // rewrite) and returns identical rows.
+    val again = Multimodal.mm05BinaryIngest(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("mm03 emits one feature row per document, stable across runs") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val r1 = Multimodal.mm03FeatureStub(spark, sf).collect()

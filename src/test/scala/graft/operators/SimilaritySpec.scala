@@ -26,6 +26,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.35))
   }
 
+  test("sim12 filtered search: sim01's ranking restricted to the query's category") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.sim12FilteredAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // PRE-filter semantics: every hit is in the query's own category...
+    got.foreach { case (q, _, v, _) =>
+      assert(v % Similarity.FilterCats == q % Similarity.FilterCats,
+        s"query $q was served neighbor $v from another category")
+    }
+    // ...and per query the result is exactly the exact ranking computed
+    // over ONLY the category's vectors (full recall at k — the property
+    // post-filtering loses when the predicate is selective).
+    val e = Dedup.vectors(spark, sf)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val cat = q % Similarity.FilterCats
+      val qv = e.filter(col("vec_id") === q).select("v")
+        .collect()(0).getSeq[Double](0).toArray
+      val exact = e
+        .filter(col("vec_id") % Similarity.FilterCats === cat &&
+          col("vec_id") =!= q)
+        .select("vec_id", "v").collect()
+        .map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+          val cos = dot / (math.sqrt(v.map(x => x * x).sum) *
+            math.sqrt(qv.map(x => x * x).sum))
+          (r.getLong(0), math.round(cos * 10000.0) / 10000.0)
+        }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.TopK)
+      assert(rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq == exact.toSeq,
+        s"query $q filtered ranking diverges")
+    }
+  }
+
   test("sim10 recall eval equals a direct set intersection of the legs") {
     val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
