@@ -43,7 +43,13 @@ object PlanDump {
       "q34_recursive_cte" ->
         "recursive CTE: native iterated union loop, one join per hierarchy level",
       "q35_lateral_topn" ->
-        "lateral correlated LIMIT decorrelated to a join + per-key ranking")
+        "lateral correlated LIMIT decorrelated to a join + per-key ranking",
+      "sim12_filtered_ann" ->
+        "filtered vector search: the metadata predicate is a broadcast equi-join key",
+      "sim13_hybrid_rrf" ->
+        "hybrid RRF: postings equi-join lexical leg + cosine leg, tiny full-outer fuse",
+      "mm05_binary_ingest" ->
+        "binary-file ingestion: binaryFile scan + executor-side ImageIO decode")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

@@ -113,6 +113,7 @@ object SparkEntry {
     "sim10_recall_eval" -> Similarity.sim10RecallEval _,
     "sim11_mmr_diversify" -> Similarity.sim11MmrDiversify _,
     "sim12_filtered_ann" -> Similarity.sim12FilteredAnn _,
+    "sim13_hybrid_rrf" -> Similarity.sim13HybridRrf _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -1069,6 +1070,38 @@ object SparkEntry {
          r AS (SELECT q_id, vec_id, cos, row_number() OVER (
                  PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
+         WHERE rk <= 10 ORDER BY q_id, rk""",
+    "sim13_hybrid_rrf" ->
+      // Both legs replayed (lexical postings join + sim01's cosine
+      // protocol), fused per (q_id, id) with absent legs contributing
+      // 0. The 1.0 is CAST to DOUBLE so DuckDB's decimal-literal
+      // division doesn't diverge from Spark's IEEE double division;
+      // ranking uses the 6-dp-rounded score, matching the Spark side.
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         qt AS (SELECT doc_id AS q_id, tok FROM tok WHERE doc_id < 5),
+         ov AS (SELECT qt.q_id, t.doc_id AS id, count(*) AS overlap
+                FROM qt JOIN tok t ON t.tok = qt.tok AND t.doc_id <> qt.q_id
+                GROUP BY qt.q_id, t.doc_id),
+         lex AS (SELECT q_id, id, row_number() OVER (
+                   PARTITION BY q_id ORDER BY overlap DESC, id) AS rk_lex
+                 FROM ov QUALIFY rk_lex <= 10),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id AS id,
+                 round(list_cosine_similarity(qv, v), 4) AS cos
+               FROM q JOIN e ON e.vec_id <> q.q_id),
+         vec AS (SELECT q_id, id, row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, id) AS rk_vec
+                 FROM s QUALIFY rk_vec <= 10),
+         f AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+                 coalesce(lex.id, vec.id) AS id,
+                 round(coalesce(CAST(1 AS DOUBLE) / (60 + rk_lex), 0) +
+                       coalesce(CAST(1 AS DOUBLE) / (60 + rk_vec), 0), 6) AS rrf
+               FROM lex FULL JOIN vec ON lex.q_id = vec.q_id AND lex.id = vec.id),
+         r AS (SELECT q_id, id, rrf, row_number() OVER (
+                 PARTITION BY q_id ORDER BY rrf DESC, id) AS rk FROM f)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, id, rrf FROM r
          WHERE rk <= 10 ORDER BY q_id, rk""",
     "sim10_recall_eval" ->
       // The two index oracles composed: exact top-k LEFT JOIN approx

@@ -663,6 +663,77 @@ object Similarity {
     * touches only its category's files — the sim06 file-level story
     * with a metadata key instead of a learned cell.
     */
+  /** RRF rank-discount constant (Cormack/Clarke/Buettcher's k=60 — the
+    * de-facto standard across lexical/vector fusion implementations).
+    */
+  val RrfK = 60
+
+  /** sim13: HYBRID retrieval — a lexical leg and a vector leg fused by
+    * reciprocal-rank fusion (RRF: score(d) = Σ_legs 1/(60 + rank_leg)),
+    * the retrieval shape production RAG stacks actually run (keyword
+    * recall catches what the embedding misses and vice versa; RRF needs
+    * no score calibration between legs because it only consumes ranks).
+    *
+    * Legs: (a) lexical — distinct-token overlap between the query
+    * document and each corpus document, the declarative inverted-index
+    * shape (explode to (token, doc) postings, EQUI-join query tokens to
+    * corpus tokens, count matches per pair); (b) vector — sim01's exact
+    * cosine protocol. Both legs rank with the engine-stable tiebreak
+    * (score DESC, id ASC) through the bounded-heap [[graft.plans.TopKPerKey]],
+    * then a per-(query, candidate) FULL OUTER join fuses them: absent
+    * legs contribute 0, so a candidate surfaced by either leg competes.
+    *
+    * At 100 TB: the lexical join is |query tokens| broadcast against
+    * the corpus posting stream (at real scale the postings become a
+    * pre-built bucketed inverted index — same equi-key); the vector leg
+    * swaps to the sim03/06 IVF path unchanged, because RRF consumes
+    * only ranks. The fusion join carries ≤ 2·k rows per query. The RRF
+    * scores are sums of 1/(60+r) — never decimal-terminating, so the
+    * 6-dp rounding sits safely off the half grid on both engines.
+    */
+  def sim13HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.tokens
+    import graft.sources.Tables.documents
+
+    val postings = documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val qPostings = postings.filter(col("doc_id") < NumQueryVectors)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val overlap = postings.join(broadcast(qPostings), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("overlap"))
+    val lex = graft.plans.TopKPerKey(overlap,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("overlap", true), ("doc_id", false)),
+        k = TopK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rk").as("rk_lex"))
+
+    val e = Dedup.vectors(spark, dir)
+    val qVecs = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cos = e.join(broadcast(qVecs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    val vec = graft.plans.TopKPerKey(cos,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("cos", true), ("vec_id", false)),
+        k = TopK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rk").as("rk_vec"))
+
+    val fused = lex.join(vec, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rk_vec")), lit(0.0)),
+          6).as("rrf"))
+    graft.plans.TopKPerKey(fused,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("rrf", true), ("id", false)),
+        k = TopK)
+      .select("q_id", "rk", "id", "rrf")
+      .orderBy("q_id", "rk")
+  }
+
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
       .withColumn("cat", col("vec_id") % FilterCats)

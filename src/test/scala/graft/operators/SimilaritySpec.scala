@@ -62,6 +62,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim13 hybrid RRF equals a driver-side fusion of the two legs") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.sim13HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // Vector leg = sim01 verbatim (same protocol, same ranks).
+    val vecRank = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1))).toMap
+    // Lexical leg replayed driver-side from raw text.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+    val lexRank = docs.filter(_._1 < 5).flatMap { case (q, qToks) =>
+      docs.filter(_._1 != q)
+        .map { case (d, dToks) => (d, (qToks & dToks).size) }
+        .filter(_._2 > 0)
+        .sortBy { case (d, ov) => (-ov, d) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((d, _), i) => ((q, d), i + 1) }
+    }.toMap
+    // RRF fusion over the union of leg candidates, ranked on the
+    // 6-dp-rounded score with id tiebreak — the operator's contract.
+    val expected = (0L until 5L).flatMap { q =>
+      val cands = (vecRank.keySet ++ lexRank.keySet).filter(_._1 == q)
+      cands.toSeq.map { key =>
+        val rrf = lexRank.get(key).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+          vecRank.get(key).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+        (key._2, math.round(rrf * 1e6) / 1e6)
+      }.sortBy { case (id, s) => (-s, id) }.take(Similarity.TopK)
+        .zipWithIndex.map { case ((id, s), i) => (q, i + 1, id, s) }
+    }
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected,
+      "fused ranking diverges from the driver-side replay")
+  }
+
   test("sim10 recall eval equals a direct set intersection of the legs") {
     val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
