@@ -100,7 +100,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim05_radius_search",  // fixed probe set
       "sim08_pq_ann",         // fixed probe set
       "sim10_recall_eval",    // fixed probe set
-      "sim11_mmr_diversify")  // fixed probe set
+      "sim11_mmr_diversify",  // fixed probe set
+      "sim13_hybrid_rrf")     // fixed probe set (vector leg = sim01 shape)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (!boundedBuild(name)) {
