@@ -49,7 +49,9 @@ object PlanDump {
       "sim13_hybrid_rrf" ->
         "hybrid RRF: postings equi-join lexical leg + cosine leg, tiny full-outer fuse",
       "mm05_binary_ingest" ->
-        "binary-file ingestion: binaryFile scan + executor-side ImageIO decode")
+        "binary-file ingestion: binaryFile scan + executor-side ImageIO decode",
+      "dedup11_incremental" ->
+        "incremental ingest dedup: arrival×corpus equi-joins only, no corpus² term")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

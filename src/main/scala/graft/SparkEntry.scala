@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup08_paragraph" -> Dedup.dedup08Paragraph _,
     "dedup09_semdedup" -> Dedup.dedup09Semdedup _,
     "dedup10_substring" -> Dedup.dedup10SubstringSpans _,
+    "dedup11_incremental" -> Dedup.dedup11IncrementalIngest _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -1028,6 +1029,48 @@ object SparkEntry {
            CAST(max(pos) + 14 AS INTEGER) AS end_pos,
            count(*) AS n_windows
          FROM gi GROUP BY doc_id, span_id ORDER BY doc_id, span_id""",
+    "dedup11_incremental" ->
+      // The split, the fingerprint leg, and the exact pairwise near leg
+      // replayed in full (no LSH — a Spark-side recall miss would
+      // surface as a decision mismatch). The near keeper ranks on the
+      // raw IEEE quotient (identical two-long division on both
+      // engines); presentation via the intRatio half-grid protocol.
+      """WITH arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = 3),
+         corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 3),
+         ex AS (SELECT a.doc_id, min(c.doc_id) AS k
+                FROM arr a JOIN corp c
+                  ON md5(lower(regexp_replace(c.text, '\s+', ' ', 'g'))) =
+                     md5(lower(regexp_replace(a.text, '\s+', ' ', 'g')))
+                GROUP BY 1),
+         w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w),
+         sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s
+                     AND a.doc_id % 16 = 3 AND b.doc_id % 16 <> 3
+                   GROUP BY 1, 2),
+         v AS (SELECT da, db, inter, (ca.c + cb.c - inter) AS uni,
+                 CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+               FROM pairs JOIN sizes ca ON pairs.da = ca.doc_id
+               JOIN sizes cb ON pairs.db = cb.doc_id),
+         near AS (SELECT da AS doc_id, db AS k, inter, uni,
+                    row_number() OVER (PARTITION BY da ORDER BY j DESC, db) AS rn
+                  FROM v WHERE j >= 0.8),
+         n1 AS (SELECT doc_id, k,
+                  CAST((2*10000*(inter) + (uni)) // (2*(uni)) AS BIGINT) / 10000.0 AS nj
+                FROM near WHERE rn = 1)
+         SELECT a.doc_id,
+           CASE WHEN ex.k IS NOT NULL THEN 'exact'
+                WHEN n1.k IS NOT NULL THEN 'near' ELSE 'admit' END AS decision,
+           coalesce(ex.k, n1.k, -1) AS keeper_id,
+           CASE WHEN ex.k IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                WHEN n1.k IS NOT NULL THEN nj
+                ELSE CAST(0.0 AS DOUBLE) END AS jaccard
+         FROM arr a LEFT JOIN ex ON ex.doc_id = a.doc_id
+         LEFT JOIN n1 ON n1.doc_id = a.doc_id
+         ORDER BY a.doc_id""",
     "dedup05_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS ida, b.vec_id AS idb,

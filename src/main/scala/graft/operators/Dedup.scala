@@ -743,6 +743,80 @@ object Dedup {
     substringSpans(documents(spark, dir), Some(
       s"dedup.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
 
+  /** Arrival-batch split for dedup11: doc_id ≡ [[IngestRem]] (mod
+    * [[IngestMod]]) plays the newly-arriving batch; everything else is
+    * the already-indexed corpus. Deterministic and SF-independent, so
+    * the DuckDB oracle replays the same split.
+    */
+  val IngestMod = 16
+  val IngestRem = 3
+
+  /** dedup11: INCREMENTAL ingest dedup — the decision a pipeline makes
+    * per NEWLY-ARRIVING document against an already-indexed corpus,
+    * which is the shape dedup actually runs at steady state (dedup01/03
+    * are the full-corpus batch form; re-running them per arrival batch
+    * would rescan the corpus pair space every time). Per arrival:
+    * `exact` (normalized-content fingerprint matches a corpus doc —
+    * dedup01's fingerprint as a cross-split equi-join, cheapest check
+    * first), else `near` (MinHash-LSH candidates against the corpus,
+    * exact-verified Jaccard ≥ [[JaccardThreshold]]; keeper = the
+    * highest-Jaccard corpus doc, id-ascending tiebreak), else `admit`.
+    *
+    * At 100 TB the corpus side of both equi-joins is a PRE-BUILT
+    * persisted index (the fingerprint set and the banded signature
+    * layout, written once, bucketed by join key) and only the arrival
+    * batch is hashed/signed per run — each ingest touches
+    * O(batch × collisions), never the corpus pair space. LSH recall is
+    * the dedup03 setting (128 hashes, 32×4 bands: P(miss | j=0.8) ≈
+    * 5e-8); the spec's driver-side replay recomputes the decisions
+    * from raw text with NO LSH, so a recall regression fails the spec.
+    */
+  def dedup11IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val isArrival = col("doc_id") % IngestMod === IngestRem
+    // Exact leg: dedup01's normalized fingerprint, min corpus keeper.
+    val fp = documents(spark, dir).select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+    val exact = fp.filter(isArrival)
+      .join(fp.filter(!isArrival).select(col("doc_id").as("kid"), col("fp")),
+        Seq("fp"))
+      .groupBy("doc_id").agg(min("kid").as("exact_keeper"))
+
+    // Near leg: banded-signature equi-join across the split (arrival ×
+    // corpus only — no corpus² term), exact verification of candidates,
+    // bounded-heap top-1 keeper per arrival.
+    val banded = minhashSignatures(shingleArrays(spark, dir))
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), Bands, NumHashes / Bands))
+          .as(Seq("band", "bucket")))
+    val cands = banded.filter(isArrival).as("a")
+      .join(banded.filter(!isArrival).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val near = graft.plans.TopKPerKey(
+        exactJaccard(spark, dir, cands)
+          .filter(col("jaccard") >= JaccardThreshold),
+        keyCols = Seq("da"),
+        orderCols = Seq(("jaccard", true), ("db", false)),
+        k = 1)
+      .select(col("da").as("doc_id"), col("db").as("near_keeper"),
+        intRatio(col("inter"), col("uni"), 4).as("near_j"))
+
+    documents(spark, dir).filter(isArrival).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_keeper").isNotNull, "exact")
+          .when(col("near_keeper").isNotNull, "near")
+          .otherwise("admit").as("decision"),
+        coalesce(col("exact_keeper"), col("near_keeper"), lit(-1L))
+          .as("keeper_id"),
+        when(col("exact_keeper").isNotNull, lit(1.0))
+          .when(col("near_keeper").isNotNull, col("near_j"))
+          .otherwise(lit(0.0)).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Core of dedup10 over any (doc_id, text) frame — separable so the
     * spec can drive documents with known shared substrings.
     */

@@ -15,6 +15,52 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "test data should contain at least one near-dup pair")
   }
 
+  test("dedup11 incremental ingest matches a driver-side no-LSH replay") {
+    val got = Dedup.dedup11IncrementalIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (arr, corp) = docs.partition(_._1 % Dedup.IngestMod == Dedup.IngestRem)
+    assert(got.map(_._1).sorted.toSeq == arr.map(_._1).sorted.toSeq,
+      "exactly one decision per arriving doc")
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ")
+    def shingles(t: String) = {
+      val toks = t.split(" ")
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty[String]
+    }
+    val corpNorm = corp.map { case (id, t) => (id, norm(t)) }
+    val corpSh = corp.map { case (id, t) => (id, shingles(t)) }
+    // Replay with NO LSH: exact fingerprint, then exhaustive Jaccard —
+    // a Spark-side LSH recall miss shows up as a decision mismatch.
+    val expected = arr.sortBy(_._1).map { case (id, t) =>
+      corpNorm.filter(_._2 == norm(t)).map(_._1).sorted.headOption match {
+        case Some(k) => (id, "exact", k, 1.0)
+        case None =>
+          val s = shingles(t)
+          val nears = corpSh.flatMap { case (kid, ks) =>
+            val inter = (s & ks).size.toLong
+            val uni = s.size.toLong + ks.size - inter
+            if (uni > 0 && inter.toDouble / uni >= Dedup.JaccardThreshold)
+              Some((kid, inter, uni, inter.toDouble / uni))
+            else None
+          }
+          if (nears.isEmpty) (id, "admit", -1L, 0.0)
+          else {
+            val (kid, inter, uni, _) =
+              nears.minBy { case (k2, _, _, j) => (-j, k2) }
+            (id, "near", kid, ((2 * 10000 * inter + uni) / (2 * uni)) / 10000.0)
+          }
+      }
+    }
+    assert(got.sortBy(_._1).toSeq == expected.toSeq,
+      "incremental decisions diverge from the exhaustive replay")
+    assert(got.exists(_._2 == "near"), "split must exercise the near leg")
+    assert(got.exists(_._2 == "admit"), "split must exercise the admit leg")
+  }
+
   test("dedup04 is blocking-invariant: narrow and wide configs emit the same pairs") {
     val narrow = Dedup.dedup04Simhash(spark, sf, Dedup.SimhashBlocking(4, 1))
       .collect().map(_.toSeq).toSeq
