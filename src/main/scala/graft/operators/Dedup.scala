@@ -773,36 +773,75 @@ object Dedup {
     */
   def dedup11IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
     val isArrival = col("doc_id") % IngestMod === IngestRem
+    ingestDecisions(spark, dir,
+        documents(spark, dir).filter(isArrival).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  /** Decision core of dedup11 over ANY (doc_id, text) arrivals frame —
+    * separable so stream09 can apply the SAME decisions per micro-batch
+    * (decisions are per-arrival independent: each needs only the
+    * arrival's own text and the corpus index, so any batching of the
+    * arrival stream yields identical verdicts). Arrival fingerprints,
+    * shingles and signatures are computed from the frame's own text
+    * (the arrival side of a real ingest is new data, not corpus rows);
+    * the corpus side always comes from `dir`'s cached index frames,
+    * minus the arrival split.
+    */
+  private[graft] def ingestDecisions(
+      spark: SparkSession, dir: String, arrivals: DataFrame): DataFrame = {
+    val isArrival = col("doc_id") % IngestMod === IngestRem
+    val normFp = md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+
     // Exact leg: dedup01's normalized fingerprint, min corpus keeper.
-    val fp = documents(spark, dir).select(col("doc_id"),
-      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
-    val exact = fp.filter(isArrival)
-      .join(fp.filter(!isArrival).select(col("doc_id").as("kid"), col("fp")),
+    val exact = arrivals.select(col("doc_id"), normFp.as("fp"))
+      .join(documents(spark, dir).filter(!isArrival)
+          .select(col("doc_id").as("kid"), normFp.as("fp")),
         Seq("fp"))
       .groupBy("doc_id").agg(min("kid").as("exact_keeper"))
 
-    // Near leg: banded-signature equi-join across the split (arrival ×
-    // corpus only — no corpus² term), exact verification of candidates,
-    // bounded-heap top-1 keeper per arrival.
-    val banded = minhashSignatures(shingleArrays(spark, dir))
-      .select(col("doc_id"),
-        posexplode(lshBands(col("sig"), Bands, NumHashes / Bands))
-          .as(Seq("band", "bucket")))
-    val cands = banded.filter(isArrival).as("a")
-      .join(banded.filter(!isArrival).as("b"),
+    // Near leg: banded-signature equi-join (arrival × corpus only — no
+    // corpus² term), exact verification of candidates, bounded-heap
+    // top-1 keeper per arrival.
+    def banded(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(lshBands(col("sig"), Bands, NumHashes / Bands))
+        .as(Seq("band", "bucket")))
+    val arrSh = arrivals.select(col("doc_id"),
+      shingleHashes(col("text"), ShingleSize).as("hs"))
+    val arrBanded = banded(arrSh.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSignature(col("hs"), NumHashes).as("sig")))
+    val corpBanded = banded(minhashSignatures(shingleArrays(spark, dir))
+      .filter(!isArrival))
+    val cands = arrBanded.as("a")
+      .join(corpBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    val inter = cands
+      .join(arrSh.select(col("doc_id").as("da"), explode(col("hs")).as("k")),
+        Seq("da"))
+      .join(shingleRows(spark, dir)
+          .select(col("doc_id").as("db"), col("h").as("k")),
+        Seq("db", "k"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(arrSh.select(col("doc_id").as("da"), size(col("hs")).as("ca")),
+        Seq("da"))
+      .join(shingleArrays(spark, dir)
+          .select(col("doc_id").as("db"), size(col("hs")).as("cb")),
+        Seq("db"))
+      .select(col("da"), col("db"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).as("uni"),
+        (col("inter") / (col("ca") + col("cb") - col("inter"))).as("jaccard"))
     val near = graft.plans.TopKPerKey(
-        exactJaccard(spark, dir, cands)
-          .filter(col("jaccard") >= JaccardThreshold),
+        verified.filter(col("jaccard") >= JaccardThreshold),
         keyCols = Seq("da"),
         orderCols = Seq(("jaccard", true), ("db", false)),
         k = 1)
       .select(col("da").as("doc_id"), col("db").as("near_keeper"),
         intRatio(col("inter"), col("uni"), 4).as("near_j"))
 
-    documents(spark, dir).filter(isArrival).select("doc_id")
+    arrivals.select("doc_id")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -814,7 +853,6 @@ object Dedup {
         when(col("exact_keeper").isNotNull, lit(1.0))
           .when(col("near_keeper").isNotNull, col("near_j"))
           .otherwise(lit(0.0)).as("jaccard"))
-      .orderBy("doc_id")
   }
 
   /** Core of dedup10 over any (doc_id, text) frame — separable so the

@@ -343,6 +343,38 @@ object GraftStreams {
     * database executes one set-based statement per micro-batch —
     * never a row-at-a-time driver loop.
     */
+  /** A document entering the streaming ingest-dedup gate (stream09):
+    * raw (doc_id, text) — fingerprint, shingles and MinHash signature
+    * are computed inside the decision, as they would be for genuinely
+    * new data.
+    */
+  case class IngestArrival(doc_id: Long, text: String)
+
+  /** stream09: streaming ingest dedup — the streaming form of
+    * [[graft.operators.Dedup.dedup11IncrementalIngest]]: each
+    * micro-batch of arriving documents is decided (exact / near /
+    * admit + keeper) against the STATIC corpus index at `dir` via the
+    * shared decision core. Because every decision depends only on the
+    * arrival's own text and the corpus index, the verdict set is
+    * invariant under re-batching — any micro-batch partitioning of the
+    * arrival stream lands exactly the batch operator's output
+    * (spec-pinned).
+    *
+    * Exactly-once landing without a transactional sink: each batch
+    * overwrites its own `batch_id=N` partition, so a replayed
+    * micro-batch (restart recovery) rewrites identical rows instead of
+    * appending duplicates — the idempotence contract, per-partition
+    * overwrite instead of stream08's in-database MERGE. Streaming
+    * state is ZERO: the corpus index is the state, shared by all
+    * executors and refreshed by the batch dedup pipeline, which is how
+    * an ingest gate actually deploys (the index updates on the batch
+    * cadence, arrivals gate on the streaming cadence).
+    */
+  def landIngestBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Dedup.ingestDecisions(batch.sparkSession, dir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   def upsertBatchToJdbc(batch: DataFrame, url: String,
       driver: String, master: String, keyCol: String): Unit = {
     val staging = s"${master}_staging"

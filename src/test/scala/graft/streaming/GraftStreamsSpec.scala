@@ -360,6 +360,47 @@ class GraftStreamsSpec extends SparkSpec {
       s"restarted query must continue from checkpointed state, got $got")
   }
 
+  test("stream09: streaming ingest dedup equals batch dedup11, idempotent replay") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream09_${System.nanoTime()}"
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IngestMod === Dedup.IngestRem)
+      .select("doc_id", "text")
+      .as[GraftStreams.IngestArrival].collect()
+    assert(arrivals.length >= 2)
+    // Two micro-batches: verdicts must be invariant under re-batching.
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.IngestArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landIngestBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("doc_id", "decision", "keeper_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val batch = Dedup.dedup11IncrementalIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(landed() == batch,
+      "streamed verdicts diverge from the batch operator")
+    // Replay micro-batch 0 (restart recovery): the partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landIngestBatch(
+      first.toSeq.toDF("doc_id", "text"), sf, outDir, 0L)
+    assert(landed() == batch, "replay must be a no-op")
+  }
+
   test("stream08: foreachBatch MERGE sink lands upserts, idempotent under replay") {
     import spark.implicits._
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
