@@ -146,6 +146,26 @@ object PlanDump {
       |tracks true duplication, not the corpus, which is what keeps the
       |measured-size dispatch on the single-partition path in practice.
       |
+      |## Measured round-9-operator growth (sf 0.01 -> 0.1, ~10x docs)
+      |
+      || op | measure | sf0.01 | sf0.1 | shape |
+      ||---|---|---|---|---|
+      || dedup11 | arrival batch (docs mod 16 = 3) | 32 | 313 | 1/16 of the corpus by construction |
+      || dedup11 | arrival x corpus LSH candidates | 3 | 32 | linear in the BATCH — the corpus contributes per-bucket collisions, never a pair space |
+      || dedup11 | verdicts (exact / near / admit) | 0 / 3 / 29 | 2 / 27 / 284 | tracks true duplication |
+      || sim13 | corpus postings rows (distinct (doc, token)) | 11,695 | 116,231 | 9.9x — linear, the token stream |
+      || sim13 | broadcast query-token build side | 108 | 111 | CONSTANT (fixed probe set) |
+      || sim13 | lexical overlap pairs into top-k | 2,495 | 24,995 | queries x matched docs; pruned map-side by the partial top-k before the only shuffle |
+      |
+      |dedup11's candidate count is the ingest-gate scale property: at a
+      |fixed batch size the cost of admitting a batch is flat in corpus
+      |growth except for true near-dup mass (the 3 -> 32 step here is
+      |the batch growing 10x, not the corpus pressing on it), because
+      |both legs are equi-joins into a pre-built index. sim13 adds no
+      |new join shapes: the lexical leg is an inverted-index equi-join
+      |whose probe side is constant, and the vector leg is sim01's
+      |audited protocol; the RRF fuse joins two <= queries x k frames.
+      |
       |## Trained vs seed codebook (sim03/06/08 wiring, round 8)
       |
       |sim03/sim06/sim08 now search K-MEANS-TRAINED centroids
