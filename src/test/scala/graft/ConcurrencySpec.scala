@@ -90,6 +90,39 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("stream09 landings racing across dirs and batch ids stay isolated") {
+    // landIngestBatch writes one batch_id=N partition per call; two
+    // streams landing different corpora into different roots — and two
+    // micro-batches of the SAME stream landing different partitions of
+    // one root — must never mix rows. (GraftCache's per-(session, dir)
+    // shingle/signature frames are the shared state under race here.)
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val base = dirs.map(d => d ->
+      SparkEntry.queries("dedup11_incremental")(spark, d)
+        .collect().map(_.toSeq).toSeq).toMap
+    assert(base.values.toSeq.distinct.size == 2,
+      "the two corpora must differ for contamination to be observable")
+    val outRoot = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream09_race_${System.nanoTime()}"
+    def arrivals(d: String) = graft.sources.Tables.documents(spark, d)
+      .filter(col("doc_id") % Dedup.IngestMod === Dedup.IngestRem)
+      .select("doc_id", "text")
+    val landings = for ((d, i) <- dirs.zipWithIndex; b <- Seq(0L, 1L))
+      yield (d, s"$outRoot/dir$i", b)
+    Await.result(
+      Future.sequence(landings.map { case (d, out, b) => Future {
+        graft.streaming.GraftStreams.landIngestBatch(arrivals(d), d, out, b)
+      }}),
+      5.minutes)
+    landings.foreach { case (d, out, b) =>
+      val rows = spark.read.parquet(s"$out/batch_id=$b")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(rows == base(d), s"$out batch $b landed another dir's verdicts")
+    }
+  }
+
   test("stream08's merge sink racing across DIFFERENT databases stays isolated") {
     import spark.implicits._
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
