@@ -51,7 +51,9 @@ object PlanDump {
       "mm05_binary_ingest" ->
         "binary-file ingestion: binaryFile scan + executor-side ImageIO decode",
       "dedup11_incremental" ->
-        "incremental ingest dedup: arrival×corpus equi-joins only, no corpus² term")
+        "incremental ingest dedup: arrival×corpus equi-joins only, no corpus² term",
+      "etl26_backfill" ->
+        "partition backfill: dynamic overwrite rewrites only the restated day")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

@@ -77,6 +77,7 @@ object SparkEntry {
     "etl23_snapshot_diff" -> Etl.etl23SnapshotDiff _,
     "etl24_jdbc_roundtrip" -> Etl.etl24JdbcRoundtrip _,
     "etl25_jdbc_merge" -> Etl.etl25JdbcMerge _,
+    "etl26_backfill" -> Etl.etl26Backfill _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -605,6 +606,19 @@ object SparkEntry {
          SELECT c_mktsegment, count(*) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
          FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "etl26_backfill" ->
+      // The whole pipeline (partitioned write → dynamic partition
+      // overwrite of the earliest day → read-back → aggregate) checked
+      // against direct arithmetic on the source: value*2 is exact in
+      // IEEE doubles (power-of-two scale), sums rounded only at the
+      // 2-dp presentation.
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS event_date, value FROM events),
+         corrected AS (SELECT event_date,
+             CASE WHEN event_date = (SELECT min(event_date) FROM ev)
+                  THEN value * 2 ELSE value END AS value
+           FROM ev)
+         SELECT event_date, count(*) AS n, round(sum(value), 2) AS total_value
+         FROM corrected GROUP BY 1 ORDER BY 1""",
     "q33_correlated_subquery" ->
       // Identical correlated SQL — both engines must decorrelate it to
       // the same join-shaped result.

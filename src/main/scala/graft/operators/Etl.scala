@@ -744,6 +744,51 @@ object Etl {
     (s"jdbc:derby:$home/db_$suffix;create=true", props)
   }
 
+  /** etl26: partition BACKFILL via DYNAMIC partition overwrite — the
+    * incremental-correction pattern a partitioned warehouse table
+    * lives by: a recomputed day's rows replace ONLY that day's
+    * partition, while every other partition's files are untouched.
+    * Spark's default (static) overwrite would TRUNCATE the whole
+    * table first; `partitionOverwriteMode=dynamic` scopes the
+    * overwrite to exactly the partitions present in the written
+    * batch — the spec pins both sides (non-target files byte-
+    * identical, target files rewritten).
+    *
+    * Shape: the events table lands partitioned by event_date
+    * (build-once per source fingerprint), then the earliest day is
+    * "corrected" (values doubled) and backfilled. The corrected batch
+    * is recomputed from the SOURCE each call, so repeated backfills
+    * land identical rows — idempotent, like every sink here. The
+    * oracle checks the WHOLE pipeline (partitioned write → dynamic
+    * overwrite → read-back → aggregate) against direct arithmetic on
+    * the source. At 100 TB this is the nightly-restatement shape: the
+    * backfill job writes one day's partition; a static overwrite
+    * would rewrite the table. Same-dir concurrent callers race the
+    * overwrite (the etl17/etl21 self-race caveat); different dirs use
+    * different roots.
+    */
+  def etl26Backfill(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl26_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val ev = events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("value"))
+    TableBuild.ensurePath(spark, out,
+        TableBuild.dirFingerprint(spark, s"$dir/events.parquet")) {
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    }
+    // O(1) scalar bound (the driver-collect contract): the day being
+    // restated.
+    val target = ev.agg(min("event_date")).collect()(0).getDate(0)
+    ev.filter(col("event_date") === lit(target))
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_date")
+  }
+
   /** Builds (once per (session, dir)) and returns the range-clustered
     * orders layout — separated so the spec can audit file locality on
     * the same directory etl22 reads.

@@ -94,6 +94,53 @@ class ScaleToolsSpec extends SparkSpec {
     assert(n2 == expected, "rebuilt layout must reflect the new source")
   }
 
+  test("etl26 backfill rewrites ONLY the target partition and corrects it") {
+    def listing(root: String): Map[String, Set[String]] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+        .map(p => p.getName ->
+          p.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val got = Etl.etl26Backfill(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    // Driver replay: per-day counts/sums off the source, earliest day
+    // doubled (value*2 is exact; sum order matches Spark's own agg so
+    // compare at the op's 2-dp presentation).
+    val src = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("value")).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1)))
+    val minDay = src.map(_._1).min
+    val expected = src.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, rows) =>
+      val mult = if (d == minDay) 2.0 else 1.0
+      (d, rows.length.toLong, rows.map(_._2 * mult).sum)
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq == expected.map(t => (t._1, t._2)),
+      "per-day row counts diverge from the corrected source")
+    // The op presents round(sum, 2); the replay sums in a different
+    // order, so compare the rounded value to the raw replay within
+    // half a cent instead of demanding bit equality (the DuckDB oracle
+    // is the exact gate).
+    got.zip(expected).foreach { case ((d, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) <= 0.006, s"day $d total $g != $e")
+    }
+    // Dynamic-ness: a second backfill must rewrite the target
+    // partition's files and leave every other partition's files
+    // byte-identical (same names — static overwrite would truncate
+    // and rewrite them all).
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl26_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val before = listing(out)
+    Etl.etl26Backfill(spark, sf).collect()
+    val after = listing(out)
+    val targetDir = s"event_date=$minDay"
+    assert(before.keySet == after.keySet, "partition set must be stable")
+    assert(before(targetDir) != after(targetDir),
+      "the backfilled partition must be rewritten")
+    (before.keySet - targetDir).foreach { p =>
+      assert(before(p) == after(p), s"untouched partition $p was rewritten")
+    }
+  }
+
   test("etl21 compaction collapses the file count and preserves content") {
     import org.apache.spark.sql.functions._
     val out = Etl.etl21Compaction(spark, sf).collect().map(_.toSeq).toSeq
