@@ -53,7 +53,9 @@ object PlanDump {
       "dedup11_incremental" ->
         "incremental ingest dedup: arrival×corpus equi-joins only, no corpus² term",
       "etl26_backfill" ->
-        "partition backfill: dynamic overwrite rewrites only the restated day")
+        "partition backfill: dynamic overwrite rewrites only the restated day",
+      "sim14_sq_ann" ->
+        "SQ8 ANN: literal-bounds int8 encode in scan stage, integer candidate ranking, bounded refine")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

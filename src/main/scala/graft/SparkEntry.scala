@@ -116,6 +116,7 @@ object SparkEntry {
     "sim11_mmr_diversify" -> Similarity.sim11MmrDiversify _,
     "sim12_filtered_ann" -> Similarity.sim12FilteredAnn _,
     "sim13_hybrid_rrf" -> Similarity.sim13HybridRrf _,
+    "sim14_sq_ann" -> Similarity.sim14SqAnn _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -1160,6 +1161,41 @@ object SparkEntry {
                  PARTITION BY q_id ORDER BY rrf DESC, id) AS rk FROM f)
          SELECT q_id, CAST(rk AS INTEGER) AS rk, id, rrf FROM r
          WHERE rk <= 10 ORDER BY q_id, rk""",
+    "sim14_sq_ann" ->
+      // Full SQ8 replay: per-dim min/max bounds, affine int8 encoding
+      // (the (x-lo)/(hi-lo) division is raw IEEE of the same corpus
+      // doubles — bit-identical across engines; *256 is a power-of-two
+      // scale, floor/least integer-exact), INTEGER squared-delta
+      // candidate ranking (no float protocol needed at all), top-160
+      // refine, exact re-rank on the 4-dp L2 (sim08's refine shape).
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         b AS (SELECT d, min(v[CAST(d AS INT)]) AS lo, max(v[CAST(d AS INT)]) AS hi
+               FROM e, UNNEST(range(1,65)) AS m(d) GROUP BY d),
+         code AS (SELECT vec_id, d,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(255, CAST(floor(
+                    (v[CAST(d AS INT)] - lo) / (hi - lo) * 256) AS BIGINT)) END AS c
+           FROM e, b),
+         qc AS (SELECT vec_id AS q_id, d, c FROM code WHERE vec_id < 5),
+         approx AS (SELECT qc.q_id, cc.vec_id,
+             CAST(sum((qc.c - cc.c) * (qc.c - cc.c)) AS BIGINT) AS ad
+           FROM qc JOIN code cc USING (d) WHERE cc.vec_id <> qc.q_id
+           GROUP BY qc.q_id, cc.vec_id),
+         cand AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+             FROM approx) WHERE rn <= 160),
+         qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         exact AS (SELECT c.q_id, c.vec_id,
+             round(sqrt(list_sum(list_transform(range(1,65),
+               i -> (qs.qv[CAST(i AS INT)]-e.v[CAST(i AS INT)])
+                  * (qs.qv[CAST(i AS INT)]-e.v[CAST(i AS INT)])))), 4) AS l2
+           FROM cand c JOIN qs ON qs.q_id = c.q_id JOIN e ON e.vec_id = c.vec_id)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, l2 FROM (
+           SELECT q_id, vec_id, l2, row_number() OVER (
+             PARTITION BY q_id ORDER BY l2, vec_id) AS rk
+           FROM exact) WHERE rk <= 10
+         ORDER BY q_id, rk""",
     "sim10_recall_eval" ->
       // The two index oracles composed: exact top-k LEFT JOIN approx
       // top-k per (q_id, vec_id); recall@k = matched fraction.

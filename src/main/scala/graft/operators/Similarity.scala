@@ -734,6 +734,82 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Candidates re-ranked exactly per query by sim14 (PQ's refine
+    * budget — the two quantizers are deliberately comparable).
+    */
+  val SqRefine = 160
+
+  /** sim14: SCALAR-quantization ANN (SQ8) — the third point of the ANN
+    * design space after IVF (prune WHERE you search, sim03/06) and PQ
+    * (compress WHAT you score against a trained codebook, sim08). SQ8
+    * compresses each float64 dimension to one byte with per-dimension
+    * affine bounds: code = min(255, ⌊(x−lo_d)/(hi_d−lo_d)·256⌋). No
+    * k-means training — the "codebook" is 64 (lo, hi) pairs from one
+    * corpus pass, which is why real systems reach for SQ first: 8×
+    * compression, training that is a streaming min/max, and decode
+    * that is a multiply-add.
+    *
+    * Spark shape: the per-dim bounds aggregate is posexplode →
+    * groupBy(dim) — partial min/max combine map-side, so the shuffle
+    * carries |partitions|×dims rows and the driver collects O(dims)
+    * scalars (the same O(codebook) collect contract as the k-means
+    * trainer). The bounds inline as literals, so encoding is a pure
+    * scan-stage expression (zero shuffle, whole-stage codegen — the
+    * sim02/sim03 posture). Approx scoring is an INTEGER sum of squared
+    * code deltas (exact arithmetic — the oracle needs no float
+    * protocol at all for the candidate stage), the top [[SqRefine]]
+    * flow through the bounded-heap [[graft.plans.TopKPerKey]], and
+    * only those are re-ranked against the true vectors (sim08's
+    * refine read pattern: scan codes, touch full vectors for ≤
+    * |queries|·[[SqRefine]] rows).
+    *
+    * At 100 TB: codes are 64 B/vector vs 512 B raw — the approx scan
+    * reads 1/8th the bytes, bounds ship as 1 KB of literals with the
+    * task binary, and the encode pass parallelizes embarrassingly.
+    * Recall vs exact sim04 is spec-asserted; the DuckDB oracle replays
+    * bounds → codes → integer candidate ranking → exact refine.
+    */
+  def sim14SqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val Dims = 64
+    val e = Dedup.vectors(spark, dir)
+    val bounds = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // (x−lo)/(hi−lo) is raw IEEE division of corpus values — bit-
+    // identical in DuckDB (the dedup02/03 FILTER-bound rule); ·256 is
+    // a power-of-two scale (exact), floor/least are integer-exact.
+    def codes(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until Dims).map { d =>
+        val (lo, hi) = bounds(d)
+        if (hi == lo) lit(0L)
+        else least(lit(255L),
+          floor((try_element_at(v, lit(d + 1)) - lit(lo)) / lit(hi - lo) * 256))
+      }: _*)
+    val enc = e.select(col("vec_id"), codes(col("v")).as("c"))
+    val queries = broadcast(e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        codes(col("v")).as("qc")))
+    val approx = enc.join(queries, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qc"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("ad"))
+    val cand = graft.plans.TopKPerKey(approx,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("ad", false), ("vec_id", false)),
+        k = SqRefine)
+      .select("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("l2"), col("vec_id"))
+    broadcast(cand).join(e, Seq("vec_id"))
+      .join(queries.select("q_id", "qv"), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Distance(col("qv"), col("v")), 4).as("l2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "l2")
+      .orderBy("q_id", "rk")
+  }
+
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
       .withColumn("cat", col("vec_id") % FilterCats)

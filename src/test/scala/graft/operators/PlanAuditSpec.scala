@@ -101,7 +101,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim08_pq_ann",         // fixed probe set
       "sim10_recall_eval",    // fixed probe set
       "sim11_mmr_diversify",  // fixed probe set
-      "sim13_hybrid_rrf")     // fixed probe set (vector leg = sim01 shape)
+      "sim13_hybrid_rrf",     // fixed probe set (vector leg = sim01 shape)
+      "sim14_sq_ann")         // fixed probe set (sim08's refine shape)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (!boundedBuild(name)) {

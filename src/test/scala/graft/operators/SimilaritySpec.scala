@@ -287,6 +287,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim14 (SQ8 ANN) recall vs sim04 (exact L2) is high after refine") {
+    val exact = Similarity.sim04L2TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.sim14SqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"sim14 recall@${Similarity.TopK} = $recall%.3f")
+    // SQ8 loses far less geometry than PQ (256 levels per dim vs 16
+    // shared centroids), so it gets PQ's bar, not LSH's.
+    assert(recall >= 0.9,
+      f"SQ8 with a ${Similarity.SqRefine}-candidate exact refine should " +
+        f"recover nearly all exact neighbors, got $recall%.3f")
+  }
+
+  test("sim14 output distances are true L2 and codes stay in [0, 255]") {
+    val e = graft.operators.Dedup.vectors(spark, sf)
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("vec_id"),
+        round(l2Distance(col("a.v"), col("b.v")), 4).as("l2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.sim14SqAnn(spark, sf).collect().foreach { r =>
+      assert(truth((r.getLong(0), r.getLong(2))) == r.getDouble(3),
+        s"sim14 output distance must be the exact L2 for ${r.getLong(0)}->${r.getLong(2)}")
+    }
+    // The encoding invariant the 8-bit contract rests on: every dim of
+    // every vector lands in [0, 255], and each dim's extremes hit both
+    // ends (lo -> 0 because (lo-lo)/(hi-lo) = 0; hi -> 255 because
+    // x/x = 1.0 exactly in IEEE, floor(256) capped by least).
+    val bounds = e.select(org.apache.spark.sql.functions.posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(
+        org.apache.spark.sql.functions.min("x").as("lo"),
+        org.apache.spark.sql.functions.max("x").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val perDim = e.collect().flatMap(r =>
+      r.getSeq[Double](1).zipWithIndex.map { case (x, d) =>
+        val (lo, hi) = bounds(d)
+        d -> (if (hi == lo) 0L
+              else math.min(255L, math.floor((x - lo) / (hi - lo) * 256).toLong))
+      })
+    assert(perDim.forall { case (_, c) => c >= 0L && c <= 255L })
+    val extremes = perDim.groupBy(_._1).map { case (d, cs) =>
+      (cs.map(_._2).min, cs.map(_._2).max) }
+    assert(extremes.forall { case (mn, mx) => mn == 0L && mx == 255L },
+      "each dimension's corpus extremes must map to the code range ends")
+  }
+
   test("sim02 scores are exact cosines (no approximation in scoring)") {
     // Every (q_id, vec_id, cos) sim02 returns must appear in the exact
     // all-pairs scores: LSH only prunes candidates, never perturbs math.
