@@ -55,7 +55,13 @@ object PlanDump {
       "etl26_backfill" ->
         "partition backfill: dynamic overwrite rewrites only the restated day",
       "sim14_sq_ann" ->
-        "SQ8 ANN: literal-bounds int8 encode in scan stage, integer candidate ranking, bounded refine")
+        "SQ8 ANN: literal-bounds int8 encode in scan stage, integer candidate ranking, bounded refine",
+      "sim15_ivfpq" ->
+        "IVF-PQ: probe-cell equi-join prunes the corpus, PQ codes score it, bounded exact refine",
+      "cur13_importance" ->
+        "DSIR importance weights: O(buckets) model broadcast back over the token stream",
+      "text15_cms_topk" ->
+        "CMS heavy hitters: one exploded scan, map-side partial sketch sums, broadcast audit join")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -169,6 +175,24 @@ object PlanDump {
       |new join shapes: the lexical leg is an inverted-index equi-join
       |whose probe side is constant, and the vector leg is sim01's
       |audited protocol; the RRF fuse joins two <= queries x k frames.
+      |
+      |Round-9 additions (same 0.01 -> 0.1 step, 4x vectors / 10x docs):
+      |
+      || op | measure | sf0.01 | sf0.1 | shape |
+      ||---|---|---|---|---|
+      || sim15 | approx-stage candidates (probed-cell members) | 641 | 2,536 | 4.0x on 4x vectors — linear; ~= NProbe/K (4/16) of sim08's full-corpus stream (2,495 -> 9,995) |
+      || cur13 | importance-model rows (hash buckets) | 256 | 256 | CONSTANT at any corpus size |
+      || cur13 | raw docs scored -> kept | 475 -> 95 | 4,750 -> 950 | scoring linear; the per-source 20% cut sizes the selection exactly |
+      || text15 | sketch cells occupied (of Depth x Width = 64) | 55 | 55 | CONSTANT — the point of a CMS |
+      || text15 | token instances feeding the sketch | 27,165 | 270,704 | linear scan; sketch state fixed |
+      || text15 | top-20 words overcounted (max overcount) | 10 (2,709) | 13 (26,822) | collision mass grows with corpus mass (<= mass/W per row), cells do not |
+      |
+      |sim15 is the composite read-pattern claim made measurable: the
+      |IVF cells cut the PQ candidate stream to the probed fraction at
+      |both SFs, and the refine stays <= queries x 160 full-vector rows.
+      |cur13's model and text15's sketch are the two fixed-size-state
+      |shapes (broadcast model, mergeable sketch) — corpus growth moves
+      |only the streamed side.
       |
       |## Trained vs seed codebook (sim03/06/08 wiring, round 8)
       |

@@ -92,6 +92,7 @@ object SparkEntry {
     "text12_entropy" -> TextAnalysis.text12Entropy _,
     "text13_bigram_surprisal" -> TextAnalysis.text13BigramSurprisal _,
     "text14_gopher_rules" -> TextAnalysis.text14GopherRules _,
+    "text15_cms_topk" -> TextAnalysis.text15CmsTopk _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -117,6 +118,7 @@ object SparkEntry {
     "sim12_filtered_ann" -> Similarity.sim12FilteredAnn _,
     "sim13_hybrid_rrf" -> Similarity.sim13HybridRrf _,
     "sim14_sq_ann" -> Similarity.sim14SqAnn _,
+    "sim15_ivfpq" -> Similarity.sim15IvfPq _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -129,6 +131,7 @@ object SparkEntry {
     "cur10_quality_select" -> Curation.cur10QualitySelect _,
     "cur11_train_split" -> Curation.cur11TrainSplit _,
     "cur12_cluster_sample" -> Curation.cur12ClusterSample _,
+    "cur13_importance" -> Curation.cur13ImportanceWeights _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1279,6 +1282,66 @@ object SparkEntry {
              PARTITION BY q_id ORDER BY l2, vec_id) AS rk
            FROM exact) WHERE rk <= 10
          ORDER BY q_id, rk""",
+    "sim15_ivfpq" ->
+      // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
+      // k=16 chain) serves as coarse quantizer (cosine cell argmax +
+      // 4-probe, verbatim from the sim03 oracle) AND sub-quantizer
+      // (per-subspace nearest codeword + reconstruction, verbatim from
+      // the sim08 oracle); the approx ranking is sim08's 1e-6-quantized
+      // reconstructed L2 restricted to the probed cells' members, then
+      // the same top-160 refine and 4-dp exact re-rank.
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${kmeansCteSql(16, graft.operators.Similarity.KmeansIters, cosine = true)},
+         cb AS (SELECT cid, cv FROM kc${graft.operators.Similarity.KmeansIters}),
+         assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+             FROM e, cb c)
+           WHERE crk = 1),
+         qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell, row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS crk
+             FROM qs q, cb c)
+           WHERE crk <= 4),
+         sub AS (
+           SELECT e.vec_id, m.m, cb.cid,
+             list_sum(list_transform(range(1,9),
+               i -> (e.v[CAST(m.m*8+i AS INT)] - cb.cv[CAST(m.m*8+i AS INT)])
+                  * (e.v[CAST(m.m*8+i AS INT)] - cb.cv[CAST(m.m*8+i AS INT)]))) AS d2
+           FROM e, UNNEST(range(8)) AS m(m), cb),
+         code AS (SELECT vec_id, m, cid FROM (
+             SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+             FROM sub) WHERE rn = 1),
+         recon AS (SELECT c.vec_id,
+             flatten(list(cb.cv[CAST(c.m*8+1 AS INT):CAST(c.m*8+8 AS INT)] ORDER BY c.m)) AS r
+           FROM code c JOIN cb ON cb.cid = c.cid GROUP BY c.vec_id),
+         approx AS (SELECT p.q_id, a.vec_id,
+             round(sqrt(list_sum(list_transform(range(1,65),
+               i -> (q.qv[CAST(i AS INT)]-r.r[CAST(i AS INT)])
+                  * (q.qv[CAST(i AS INT)]-r.r[CAST(i AS INT)])))), 6) AS ad
+           FROM probes p
+           JOIN qs q ON q.q_id = p.q_id
+           JOIN assign a ON a.cell = p.cell
+           JOIN recon r ON r.vec_id = a.vec_id
+           WHERE a.vec_id <> p.q_id),
+         cand AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+             FROM approx) WHERE rn <= 160),
+         exact AS (SELECT c.q_id, c.vec_id,
+             round(sqrt(list_sum(list_transform(range(1,65),
+               i -> (q.qv[CAST(i AS INT)]-e.v[CAST(i AS INT)])
+                  * (q.qv[CAST(i AS INT)]-e.v[CAST(i AS INT)])))), 4) AS l2
+           FROM cand c JOIN qs q ON q.q_id = c.q_id JOIN e ON e.vec_id = c.vec_id)
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, l2 FROM (
+           SELECT q_id, vec_id, l2, row_number() OVER (
+             PARTITION BY q_id ORDER BY l2, vec_id) AS rk
+           FROM exact) WHERE rk <= 10
+         ORDER BY q_id, rk""",
     "cur01_hash_sample" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
@@ -1452,6 +1515,30 @@ object SparkEntry {
            CAST(CASE WHEN n BETWEEN 15 AND 5000 AND ml BETWEEN 3.0 AND 10.0
                 AND af >= 0.8 AND sh >= 2 THEN 1 ELSE 0 END AS INTEGER) AS passes
          FROM c ORDER BY doc_id""",
+    "text15_cms_topk" ->
+      // Full CMS replay in exact integers: per-row salted md5 buckets
+      // (the SimHash hash contract), instance counts per (row, bucket),
+      // estimate = min over rows, audited against the exact top-20 with
+      // the analytically-certain `never_under` bit in-band (the q30
+      // sketch-oracle pattern).
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         tk AS (SELECT word FROM t WHERE word <> ''),
+         inst AS (SELECT r.i,
+             ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT
+               % ${graft.operators.TextAnalysis.CmsWidth} AS bkt
+           FROM tk, UNNEST(range(${graft.operators.TextAnalysis.CmsDepth})) AS r(i)),
+         sketch AS (SELECT i, bkt, count(*) AS cnt FROM inst GROUP BY i, bkt),
+         top AS (SELECT word, count(*) AS exact_cnt FROM tk GROUP BY word
+                 ORDER BY exact_cnt DESC, word LIMIT 20),
+         probes AS (SELECT top.word, top.exact_cnt, r.i,
+             ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || top.word), 1, 15))::BIGINT
+               % ${graft.operators.TextAnalysis.CmsWidth} AS bkt
+           FROM top, UNNEST(range(${graft.operators.TextAnalysis.CmsDepth})) AS r(i)),
+         est AS (SELECT word, exact_cnt, min(cnt) AS cms_est
+           FROM probes JOIN sketch USING (i, bkt) GROUP BY word, exact_cnt)
+         SELECT word, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
+           cms_est >= exact_cnt AS never_under
+         FROM est ORDER BY exact_cnt DESC, word""",
     "text13_bigram_surprisal" ->
       // The bigram model replayed on token STRINGS (Spark joins on the
       // 64-bit pair hashes — identical counts absent a 2^-64 collision,
@@ -1553,6 +1640,39 @@ object SparkEntry {
              AS sample_rate, thr
          FROM assign a JOIN t ON a.cell = t.cell
          GROUP BY a.cell, thr_raw, thr, tot, k, t.n_vecs ORDER BY a.cell""",
+    "cur13_importance" ->
+      // DSIR importance weights replayed verbatim on HUGEINT: same
+      // md5-derived 60-bit token hash as the SimHash family, 256-bucket
+      // add-one-smoothed target/raw frequency ratios in fixed point
+      // (integer // throughout — no float protocol), per-doc sum of
+      // BIGINTs, per-source top-20% cut on (avg_scaled DESC, doc_id).
+      s"""WITH th AS (SELECT doc_id, source,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Curation.ImportanceBuckets} AS bkt
+           FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+                 FROM documents)),
+         stats AS (SELECT bkt,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+           FROM th GROUP BY bkt),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+         wts AS (SELECT bkt,
+             CAST((${Curation.ImportanceScale}::HUGEINT * (ct + 1) * (tr + ${Curation.ImportanceBuckets}))
+                // ((cr + 1) * (tt + ${Curation.ImportanceBuckets})) AS BIGINT) AS ws
+           FROM stats, tot),
+         doc AS (SELECT th.doc_id, th.source, count(*) AS n_toks,
+             CAST(sum(ws) AS BIGINT) AS s
+           FROM th JOIN wts USING (bkt) WHERE th.source <> 'src0'
+           GROUP BY th.doc_id, th.source),
+         ranked AS (SELECT doc_id, source, n_toks,
+             CAST(s // n_toks AS BIGINT) AS avg_scaled,
+             row_number() OVER (PARTITION BY source
+               ORDER BY CAST(s // n_toks AS BIGINT) DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_src
+           FROM doc)
+         SELECT doc_id, source, n_toks,
+           avg_scaled / ${Curation.ImportanceScale}.0 AS avg_ratio
+         FROM ranked WHERE rk <= (n_src + 4) // 5
+         ORDER BY doc_id""",
     "etl22_clustered_layout" ->
       // The clustered copy is lossless, so the oracle aggregates the
       // SOURCE table under the same predicate; file locality of the

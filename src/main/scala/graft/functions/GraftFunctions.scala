@@ -67,6 +67,17 @@ object GraftFunctions {
       GraftShim.expression(num.cast("long")),
       GraftShim.expression(den.cast("long"))))
 
+  /** [[intDiv]] with DECIMAL(38,0) operands for numerators/denominators
+    * built from products of corpus-scale counts (Long would wrap; see
+    * [[intRatio]]'s overflow note). The QUOTIENT still lands in Long —
+    * callers divide a scaled ratio back to human scale, same contract
+    * as intRatio.
+    */
+  def intDivBig(num: Column, den: Column): Column =
+    GraftShim.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftShim.expression(num.cast("decimal(38,0)")),
+      GraftShim.expression(den.cast("decimal(38,0)"))))
+
   /** Winnowing (MOSS) fingerprint set of a STRING column as
     * ARRAY<BIGINT> (native expression — one per-document pass, no
     * explode/window shuffle).

@@ -476,4 +476,91 @@ object Curation {
           .as("chars_final"))
       .orderBy("source")
   }
+
+  /** Feature-hash buckets for cur13's importance model. Coarse on
+    * purpose: collisions are the METHOD (DSIR's hashed n-gram trick —
+    * the model is a fixed-size table however large the vocabulary), and
+    * at 256 buckets the test corpus exercises real collision behavior.
+    */
+  val ImportanceBuckets = 256
+
+  /** Scale of cur13's fixed-point likelihood ratios (6 implied
+    * decimals — the same presentation grid as intRatio at dp=6).
+    */
+  val ImportanceScale = 1000000L
+
+  /** cur13: DATA-SELECTION importance weights (DSIR-style — Xie et al.
+    * 2023's "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): score every raw document by how
+    * much more likely its tokens are under a TARGET distribution (the
+    * high-quality/benchmark-like subset — here source `src0`, cur03's
+    * held-out set) than under the RAW pool, using hashed unigram
+    * bucket frequencies as the feature model. Each source's top 20% by
+    * average per-token likelihood ratio — the docs that most "look
+    * like the target" — are selected: the importance-resampling step
+    * that picks pretraining data matching a trusted distribution. The
+    * cut is a corpus QUANTILE, not a fixed ratio threshold: scores
+    * concentrate tightly around 1.0 (measured: a 1.0 gate kept 0 of
+    * 475 raw docs at sf0.01 and 186 of 4,750 at sf0.1 — a cliff), so
+    * a relative cut is what makes the selection size predictable at
+    * any scale, the same reasoning as cur10's FineWeb percentile cut.
+    *
+    * Engine-exact by construction: every per-token ratio is an
+    * integer-divided fixed-point value (add-one smoothed, DECIMAL(38,0)
+    * intermediates so 100 TB token counts cannot wrap), and a
+    * document's score is a SUM OF LONGS — associative, so partial
+    * aggregation order can never flip a bit, unlike a sum of float
+    * log-probs. The DuckDB oracle replays the arithmetic verbatim on
+    * HUGEINT.
+    *
+    * Plan shape: one token scan builds the 256-bucket frequency table
+    * (map-side partial counts, the shuffle carries |buckets| rows);
+    * the scored scan equi-joins tokens to the broadcast bucket table
+    * and sums per doc. At 100 TB both scans stream; the model — like
+    * every codebook in this repo — is O(buckets) however large the
+    * corpus, and would be persisted once and reused across selection
+    * runs.
+    */
+  def cur13ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = ImportanceBuckets
+    val th = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        pmod(tokenHash64(col("t")), lit(b.toLong)).as("bkt"))
+    val isTarget = col("source") === "src0"
+    val stats = th.groupBy("bkt").agg(
+      sum(isTarget.cast("long")).as("ct"),
+      sum((!isTarget).cast("long")).as("cr"))
+    val w = Window.partitionBy()
+    // ratio_scaled = ⌊scale·(ct+1)·(Tr+B) / ((cr+1)·(Tt+B))⌋ — add-one
+    // smoothing over B buckets; numerator/denominator in DECIMAL(38,0)
+    // (1e6·count·count reaches ~1e30 at 100 TB — far past Long).
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val weights = stats
+      .withColumn("tt", sum("ct").over(w))
+      .withColumn("tr", sum("cr").over(w))
+      .select(col("bkt"),
+        intDivBig(
+          dec(lit(ImportanceScale)) * dec(col("ct") + 1) * dec(col("tr") + b),
+          dec(col("cr") + 1) * dec(col("tt") + b)).as("ws"))
+    // Per-SOURCE rank window (cur10's shape): partitioned by source so
+    // no global single-partition sort exists; at 100 TB the exact
+    // per-source top-20% becomes an approx-quantile threshold plus a
+    // per-row predicate, the refinement cur10 documents.
+    val wSrc = Window.partitionBy("source")
+      .orderBy(col("avg_scaled").desc, col("doc_id"))
+    val nSrc = Window.partitionBy("source")
+    th.filter(!isTarget)
+      .join(broadcast(weights), Seq("bkt"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"), sum("ws").as("s"))
+      .withColumn("avg_scaled", intDiv(col("s"), col("n_toks")))
+      .withColumn("rk", row_number().over(wSrc))
+      .withColumn("n_src", count(lit(1)).over(nSrc))
+      .filter(col("rk") <= intDiv(col("n_src") + 4, lit(5)))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("avg_scaled") / ImportanceScale.toDouble).as("avg_ratio"))
+      .orderBy("doc_id")
+  }
 }

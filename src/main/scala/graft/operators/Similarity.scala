@@ -810,6 +810,63 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim15: IVF-PQ composite ANN — the two index axes the family built
+    * separately, composed the way production systems (FAISS `IVFPQ`)
+    * actually deploy them: the coarse quantizer prunes WHERE to search
+    * (sim03's trained cells, NProbe of NumCentroids scanned) and PQ
+    * compresses WHAT is scored inside the surviving cells (sim08's
+    * per-subspace codes), so the approximate stage reads
+    * ≈ NProbe/NumCentroids of the corpus at 1/64th the bytes per row.
+    * Exact refine then touches true vectors only for the top
+    * [[PqRefine]] candidates per query.
+    *
+    * One codebook serves both roles — the spherical k-means-TRAINED
+    * centroids ([[trainedCodebook]]): cells assign/probe on its cosine
+    * (sim03's contract, so the cell layout is literally sim06's
+    * bucketed one), sub-quantizers slice it per subspace (sim08's
+    * contract). Candidate scoring and refine rank on L2 (sim08's
+    * metric).
+    *
+    * At 100 TB this is the read pattern that matters most in the ANN
+    * family: the corpus is laid out bucketed by cell (sim06's file
+    * pruning selects NProbe/NumCentroids of the files), each selected
+    * file is scanned as 8-byte PQ codes instead of 512-byte vectors,
+    * and the full-vector reads are ≤ |queries|·[[PqRefine]] rows.
+    * Recall vs exact sim04 and containment of the candidate stage in
+    * the probed cells are spec-asserted; the DuckDB oracle replays
+    * training → assignment → probes → PQ encode/reconstruct →
+    * cell-restricted approx ranking → exact refine.
+    */
+  def sim15IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val centroids = trainedCodebook(spark, dir)
+    val codebook = centroids.map(_._2)
+    val recon = ivfAssigned(e, centroids)
+      .select(col("vec_id"), col("cell"),
+        pqReconstruct(col("v"), codebook, PqSubspaces).as("r"))
+    val probes = ivfProbes(e, centroids)
+    val approx = recon.join(broadcast(probes), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Distance(col("qv"), col("r")), 6).as("ad"))
+    val cand = graft.plans.TopKPerKey(approx,
+        keyCols = Seq("q_id"),
+        orderCols = Seq(("ad", false), ("vec_id", false)),
+        k = PqRefine)
+      .select("q_id", "vec_id")
+    val queries = broadcast(e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy("q_id").orderBy(col("l2"), col("vec_id"))
+    broadcast(cand).join(e, Seq("vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(l2Distance(col("qv"), col("v")), 4).as("l2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select("q_id", "rk", "vec_id", "l2")
+      .orderBy("q_id", "rk")
+  }
+
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
       .withColumn("cat", col("vec_id") % FilterCats)

@@ -241,4 +241,79 @@ class CurationTextSpec extends SparkSpec {
       assert(math.abs(byDoc(id)._2 - expDup) < 1e-9, s"doc $id dup_word_frac")
     }
   }
+
+  // The engine-portable 60-bit token hash (GraftFunctions.tokenHash64's
+  // contract) replayed on the driver.
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("cur13 importance weights match an exact BigInt replay of DSIR scoring") {
+    val b = Curation.ImportanceBuckets
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokBkt = docs.map { case (id, src, text) =>
+      (id, src, text.split(" ", -1).map(t => hash60(t) % b))
+    }
+    val ct = Array.fill(b)(0L); val cr = Array.fill(b)(0L)
+    tokBkt.foreach { case (_, src, bks) =>
+      val tgt = if (src == "src0") ct else cr
+      bks.foreach(k => tgt(k.toInt) += 1)
+    }
+    val (tt, tr) = (ct.sum, cr.sum)
+    val ws = (0 until b).map { k =>
+      (BigInt(Curation.ImportanceScale) * BigInt(ct(k) + 1) * BigInt(tr + b) /
+        (BigInt(cr(k) + 1) * BigInt(tt + b))).toLong
+    }
+    val scored = tokBkt.filter(_._2 != "src0").map { case (id, src, bks) =>
+      val s = bks.map(k => ws(k.toInt)).sum
+      (id, src, bks.length.toLong, s / bks.length)
+    }
+    val expected = scored.groupBy(_._2).values.flatMap { perSrc =>
+      val keep = (perSrc.length + 4) / 5
+      perSrc.sortBy { case (id, _, _, avg) => (-avg, id) }.take(keep)
+    }.toSeq.sortBy(_._1)
+      .map { case (id, src, n, avg) =>
+        (id, src, n, avg / Curation.ImportanceScale.toDouble)
+      }
+    val got = Curation.cur13ImportanceWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(expected.nonEmpty, "the cut should select some docs")
+    assert(got == expected)
+    // The 20% cut must actually reject docs in every source.
+    val rawDocs = docs.count(_._2 != "src0")
+    assert(got.length < rawDocs, "the cut should also reject some docs")
+  }
+
+  test("text15 CMS estimates match a driver sketch replay and never undercount") {
+    val (d, w) = (TextAnalysis.CmsDepth, TextAnalysis.CmsWidth)
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+    val counts = words.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def bucket(i: Int, t: String): Long = hash60(s"$i:$t") % w
+    val sketch = new scala.collection.mutable.HashMap[(Int, Long), Long]
+      .withDefaultValue(0L)
+    counts.foreach { case (t, c) =>
+      (0 until d).foreach(i => sketch((i, bucket(i, t))) += c)
+    }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val expected = top.map { case (t, c) =>
+      val est = (0 until d).map(i => sketch((i, bucket(i, t)))).min
+      (t, c, est, est - c, true)
+    }
+    val got = TextAnalysis.text15CmsTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (t, exact, est, over, neverUnder) =>
+      assert(neverUnder && est >= exact && over == est - exact, s"token $t")
+    }
+    // The narrow sketch must actually collide somewhere, or the audit
+    // is vacuous.
+    assert(got.exists(_._4 > 0), "expected at least one CMS overcount")
+  }
 }

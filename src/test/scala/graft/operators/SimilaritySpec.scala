@@ -287,6 +287,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim15 (IVF-PQ) recall vs sim04 (exact L2) is usable") {
+    val exact = Similarity.sim04L2TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.sim15IvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"sim15 recall@${Similarity.TopK} = $recall%.3f")
+    // Cell pruning bounds sim15 by sim03's probing recall, not sim08's
+    // full-corpus bar: on near-uniform embeddings true neighbors fall
+    // outside the 4 probed cells of 16.
+    assert(recall >= 0.3,
+      f"IVF-PQ should keep a usable fraction of exact neighbors, " +
+        f"got $recall%.3f")
+  }
+
+  test("sim15 outputs true L2 distances and only probed-cell members") {
+    val e = graft.operators.Dedup.vectors(spark, sf)
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("vec_id"),
+        round(l2Distance(col("a.v"), col("b.v")), 4).as("l2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // The pruning contract: a result can only come from one of its
+    // query's NProbe probed cells — the cells ARE the scanned files at
+    // scale, so anything else would mean the composite read data the
+    // coarse quantizer said to skip.
+    val centroids = Similarity.trainedCodebook(spark, sf)
+    val cellOf = Similarity.ivfAssigned(e, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.ivfProbes(e, centroids)
+      .select("q_id", "probe_cell").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val out = Similarity.sim15IvfPq(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(2))
+      assert(truth((q, v)) == r.getDouble(3),
+        s"sim15 output distance must be the exact L2 for $q->$v")
+      assert(probed(q).contains(cellOf(v)),
+        s"sim15 returned $v for query $q from unprobed cell ${cellOf(v)}")
+    }
+  }
+
   test("sim14 (SQ8 ANN) recall vs sim04 (exact L2) is high after refine") {
     val exact = Similarity.sim04L2TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
