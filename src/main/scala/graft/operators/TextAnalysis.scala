@@ -419,6 +419,42 @@ object TextAnalysis {
   val CmsDepth = 4
   val CmsWidth = 16
 
+  /** Row-`i` bucket of a token under the engine-portable salted md5
+    * contract — ONE definition shared by the batch sketch build, the
+    * audit probes, and the streaming partial build (stream10), so the
+    * hash can never drift between them.
+    */
+  private[graft] def cmsBucket(i: Int, t: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$i:"), t)), 1, 15), 16, 10)
+      .cast("long"), lit(CmsWidth.toLong))
+
+  /** CMS cells from a per-word count frame (`word`, `c`): each word's
+    * count lands in its [[CmsDepth]] buckets. Addition commutes, so
+    * sketches built from ANY partition of the corpus merge by summing
+    * cells — the property stream10 exercises micro-batch by
+    * micro-batch.
+    */
+  private[graft] def cmsFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .select(col("c"),
+        posexplode(array((0 until CmsDepth).map(i =>
+          cmsBucket(i, col("word"))): _*)).as(Seq("row_i", "bkt")))
+      .groupBy("row_i", "bkt")
+      .agg(sum("c").as("cnt"))
+
+  /** The CMS contribution of one document frame (any frame with a
+    * `text` column — a micro-batch, a partition, the whole corpus):
+    * (row_i, bkt, cnt) cells, ≤ Depth×Width rows however many
+    * documents went in. stream10 lands one of these per micro-batch;
+    * the corpus sketch is their cell-wise sum.
+    */
+  def cmsPartial(docs: DataFrame): DataFrame =
+    cmsFromCounts(docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("c")))
+
   /** text15: COUNT-MIN-SKETCH heavy hitters, audited against the exact
     * counts — the fixed-memory frequency structure a 100 TB vocabulary
     * pass actually ships (Cormode & Muthukrishnan 2005). The sketch is
@@ -458,22 +494,15 @@ object TextAnalysis {
         .groupBy("word")
         .agg(count(lit(1)).as("exact_cnt"))
     }
-    def bucket(i: Int, t: Column): Column =
-      pmod(conv(substring(md5(concat(lit(s"$i:"), t)), 1, 15), 16, 10)
-        .cast("long"), lit(CmsWidth.toLong))
-    val sketch = counts
-      .select(col("exact_cnt"),
-        posexplode(array((0 until CmsDepth).map(i =>
-          bucket(i, col("word"))): _*)).as(Seq("row_i", "bkt")))
-      .groupBy("row_i", "bkt")
-      .agg(sum("exact_cnt").as("cnt"))
+    val sketch = cmsFromCounts(counts.select(col("word"),
+      col("exact_cnt").as("c")))
     val top = counts
       .orderBy(col("exact_cnt").desc, col("word"))
       .limit(20)
     val probes = top
       .select(col("word"), col("exact_cnt"),
         posexplode(array((0 until CmsDepth).map(i =>
-          bucket(i, col("word"))): _*)).as(Seq("row_i", "bkt")))
+          cmsBucket(i, col("word"))): _*)).as(Seq("row_i", "bkt")))
     probes.join(broadcast(sketch), Seq("row_i", "bkt"))
       .groupBy("word", "exact_cnt")
       .agg(min("cnt").as("cms_est"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 
 /** Structured Streaming surface (SURVEY.md §2 stream01/stream02).
   *
@@ -374,6 +374,31 @@ object GraftStreams {
       batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
     graft.operators.Dedup.ingestDecisions(batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** stream10: streaming count-min-sketch maintenance — the mergeable-
+    * sketch shape a 100 TB streaming ingest actually runs. Each
+    * micro-batch of arriving documents contributes a PARTIAL sketch
+    * ([[graft.operators.TextAnalysis.cmsPartial]] — ≤ Depth×Width
+    * cells whatever the batch size), landed under its own
+    * `batch_id=N` partition (stream09's idempotent-replay contract: a
+    * restarted batch overwrites identical cells instead of
+    * double-counting). The LIVE sketch at any moment is the cell-wise
+    * SUM of all landed partials — addition commutes and associates, so
+    * the merged sketch is invariant under re-batching and equals the
+    * batch build over the same documents (spec-pinned against text15's
+    * sketch, value for value). Streaming state is ZERO: the landed
+    * partials are the state, and the merge is one ≤ batches×Depth×Width
+    * row aggregation however much text has streamed through.
+    */
+  def landCmsBatch(batch: DataFrame, outDir: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.cmsPartial(batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** The live merged sketch over every partial landed so far. */
+  def mergedCms(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy("row_i", "bkt")
+      .agg(sum("cnt").as("cnt"))
 
   def upsertBatchToJdbc(batch: DataFrame, url: String,
       driver: String, master: String, keyCol: String): Unit = {

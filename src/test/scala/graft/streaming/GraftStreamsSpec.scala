@@ -401,6 +401,46 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batch, "replay must be a no-op")
   }
 
+  test("stream10: streamed CMS partials merge to the batch sketch, idempotent replay") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream10_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text")
+      .as[GraftStreams.IngestArrival].collect()
+    assert(docs.length >= 2)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[GraftStreams.IngestArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landCmsBatch(b.toDF(), outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def merged() = GraftStreams.mergedCms(spark, outDir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // The merge law: partial sketches summed cell-wise equal the batch
+    // build over the same documents in one frame — text15's sketch
+    // builder, so the streamed structure is the audited one.
+    val expected = TextAnalysis.cmsPartial(
+        Tables.documents(spark, sf).select("text")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(expected.nonEmpty)
+    assert(merged() == expected,
+      "merged micro-batch partials diverge from the one-frame sketch")
+    // Replay micro-batch 0 (restart recovery): the partition overwrite
+    // lands identical cells instead of double-counting them.
+    GraftStreams.landCmsBatch(first.toSeq.toDF("doc_id", "text"), outDir, 0L)
+    assert(merged() == expected, "replay must be a no-op")
+  }
+
   test("stream08: foreachBatch MERGE sink lands upserts, idempotent under replay") {
     import spark.implicits._
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
