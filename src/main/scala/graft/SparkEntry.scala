@@ -93,6 +93,7 @@ object SparkEntry {
     "text13_bigram_surprisal" -> TextAnalysis.text13BigramSurprisal _,
     "text14_gopher_rules" -> TextAnalysis.text14GopherRules _,
     "text15_cms_topk" -> TextAnalysis.text15CmsTopk _,
+    "text16_pmi_collocations" -> TextAnalysis.text16PmiCollocations _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -104,6 +105,7 @@ object SparkEntry {
     "dedup09_semdedup" -> Dedup.dedup09Semdedup _,
     "dedup10_substring" -> Dedup.dedup10SubstringSpans _,
     "dedup11_incremental" -> Dedup.dedup11IncrementalIngest _,
+    "dedup12_bloom_ingest" -> Dedup.dedup12BloomIngest _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -1089,6 +1091,23 @@ object SparkEntry {
          FROM arr a LEFT JOIN ex ON ex.doc_id = a.doc_id
          LEFT JOIN n1 ON n1.doc_id = a.doc_id
          ORDER BY a.doc_id""",
+    "dedup12_bloom_ingest" ->
+      // The Bloom gate is a pure pre-filter with no false negatives and
+      // every false positive killed by the exact verification join, so
+      // the oracle replays the PLAIN fingerprint join — any gate recall
+      // bug on the Spark side surfaces as a decision mismatch.
+      """WITH arr AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = 3),
+         corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 <> 3),
+         ex AS (SELECT a.doc_id, min(c.doc_id) AS k
+                FROM arr a JOIN corp c
+                  ON md5(lower(regexp_replace(c.text, '\s+', ' ', 'g'))) =
+                     md5(lower(regexp_replace(a.text, '\s+', ' ', 'g')))
+                GROUP BY 1)
+         SELECT a.doc_id,
+           CASE WHEN ex.k IS NOT NULL THEN 'dup' ELSE 'admit' END AS decision,
+           coalesce(ex.k, -1) AS keeper_id
+         FROM arr a LEFT JOIN ex ON ex.doc_id = a.doc_id
+         ORDER BY a.doc_id""",
     "dedup05_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS ida, b.vec_id AS idb,
@@ -1539,6 +1558,31 @@ object SparkEntry {
          SELECT word, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
            cms_est >= exact_cnt AS never_under
          FROM est ORDER BY exact_cnt DESC, word""",
+    "text16_pmi_collocations" ->
+      // PMI replayed on token strings with the identical double
+      // parenthesization (all counts to DOUBLE before the product —
+      // Long products would wrap at corpus scale) and the 1e-4 integer
+      // quantization ranking protocol of text11/13.
+      s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         pr AS (SELECT
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i])) AS p,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i+1])) AS t
+           FROM d),
+         w AS (SELECT t, count(*) AS c FROM
+             (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY t),
+         cb AS (SELECT p, t, count(*) AS cbg FROM pr GROUP BY 1, 2
+                HAVING count(*) >= ${graft.operators.TextAnalysis.PmiMinSupport}),
+         total AS (SELECT count(*) AS nn FROM pr),
+         s AS (SELECT cb.p, cb.t, cb.cbg,
+             CAST(round(log2(CAST(cb.cbg AS DOUBLE) * total.nn /
+               (CAST(wp.c AS DOUBLE) * wt.c)) * 10000) AS BIGINT) AS micro
+           FROM cb JOIN w wp ON wp.t = cb.p JOIN w wt ON wt.t = cb.t
+           CROSS JOIN total)
+         SELECT p || ' ' || t AS bigram, cbg AS n, micro / 10000.0 AS pmi
+         FROM s ORDER BY pmi DESC, bigram LIMIT 20""",
     "text13_bigram_surprisal" ->
       // The bigram model replayed on token STRINGS (Spark joins on the
       // 64-bit pair hashes — identical counts absent a 2^-64 collision,

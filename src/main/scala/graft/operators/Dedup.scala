@@ -920,4 +920,110 @@ object Dedup {
       .withColumn("dup_frac", intRatio(col("dup_chunks"), col("n_chunks"), 4))
       .orderBy("doc_id")
   }
+
+  /** Target false-positive rate for the dedup12 corpus Bloom filter.
+    * 1% keeps the sketch ~9.6 bits/key — at 10¹⁰ corpus docs that is
+    * ~12 GB, 50× smaller than shipping the key set itself, and the
+    * standard operating point for a broadcast ingest gate.
+    */
+  val BloomFpp = 0.01
+
+  /** Driver-held corpus fingerprint Bloom filters, one per (dir,
+    * session) — the trainedCodebooks pattern: the sketch is O(corpus
+    * bits), never O(corpus rows), so holding and re-broadcasting it is
+    * the codebook-scalar contract, and building it costs ONE corpus
+    * aggregation that is amortized across every batch the session
+    * gates.
+    */
+  private val corpusBlooms =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** dedup01/11's normalized-content fingerprint as a reusable column. */
+  private def normFp: Column =
+    md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** dedup12: BLOOM-GATED ingest dedup — dedup11's exact leg with the
+    * arrival×corpus fingerprint join fronted by a Bloom-filter
+    * membership gate. At steady state the corpus index is the 100 TB
+    * side: joining every arrival batch against it shuffles the batch
+    * AND probes a corpus-sized hash relation, yet in a healthy pipeline
+    * almost all arrivals are novel. The gate inverts that economics:
+    * the corpus is summarized ONCE into a Bloom sketch (built by
+    * Spark's native `BloomFilterAggregate` — the same machinery the
+    * engine's runtime row-level filtering injects, map-side partial
+    * sketches OR-merged in one aggregation), and each batch is filtered
+    * by the codegen'd `BloomFilterMightContain` predicate in its scan
+    * stage, so only the ~dup_rate + fpp fraction that MIGHT match ever
+    * reaches the verification join.
+    *
+    * Correctness is analytic, not probabilistic: a Bloom filter has NO
+    * false negatives, so every true duplicate survives the gate, and
+    * the verification equi-join on the exact md5 fingerprint then
+    * eliminates every false positive — the gated output is therefore
+    * IDENTICAL to the ungated join's (spec-pinned), which is why the
+    * DuckDB oracle can replay the plain join. The reference's per-batch
+    * "already in master?" probe (case_2/Normal.py:53-79) is this
+    * decision at desktop scale; the sketch is what makes it answerable
+    * without touching the master table per batch.
+    *
+    * Sizing is measured, not guessed (the dedup04/etl21 discipline):
+    * bits come from `BloomFilter.optimalNumOfBits(n, 1%)` with n the
+    * counted corpus size. The sketch value is the fingerprint's
+    * xxhash64 (the filter stores 64-bit keys); equality of md5
+    * fingerprints implies equality of their xxhash64, so the
+    * no-false-negative guarantee survives the re-hash.
+    */
+  def dedup12BloomIngest(spark: SparkSession, dir: String): DataFrame =
+    bloomIngestDecisions(spark, dir, gated = true)
+
+  /** Decision core, separable so the spec can pin gated == ungated. */
+  private[graft] def bloomIngestDecisions(
+      spark: SparkSession, dir: String, gated: Boolean): DataFrame = {
+    val arrivals = documents(spark, dir)
+      .filter(col("doc_id") % IngestMod === IngestRem)
+      .select(col("doc_id"), normFp.as("fp"))
+    val candidates = if (gated) arrivals.filter(bloomGate(spark, dir)) else arrivals
+    val dups = candidates
+      .join(corpusFingerprints(spark, dir), Seq("fp"))
+      .groupBy("doc_id").agg(min("kid").as("keeper"))
+    arrivals.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("keeper").isNotNull, "dup").otherwise("admit").as("decision"),
+        coalesce(col("keeper"), lit(-1L)).as("keeper_id"))
+      .orderBy("doc_id")
+  }
+
+  private def corpusFingerprints(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .filter(col("doc_id") % IngestMod =!= IngestRem)
+      .select(col("doc_id").as("kid"), normFp.as("fp"))
+
+  /** The might-contain predicate over a frame's `fp` column, backed by
+    * the (dir, session)-cached corpus sketch. Exposed to the spec for
+    * measuring the gate's pass-through rate directly.
+    */
+  private[graft] def bloomGate(spark: SparkSession, dir: String): Column = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bytes = corpusBlooms.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => {
+        val corpus = corpusFingerprints(spark, dir)
+        val n = math.max(corpus.count(), 1L)
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(n, BloomFpp)
+        corpus
+          .select(GraftShim.column(new BloomFilterAggregate(
+              GraftShim.expression(xxhash64(col("fp"))),
+              GraftShim.expression(lit(n)),
+              GraftShim.expression(lit(bits)))
+            .toAggregateExpression()).as("bf"))
+          .head.getAs[Array[Byte]](0)
+      })
+    GraftShim.column(new BloomFilterMightContain(
+      GraftShim.expression(lit(bytes)),
+      GraftShim.expression(xxhash64(col("fp")))))
+  }
 }

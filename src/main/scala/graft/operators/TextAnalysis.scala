@@ -511,4 +511,68 @@ object TextAnalysis {
         (col("cms_est") >= col("exact_cnt")).as("never_under"))
       .orderBy(col("exact_cnt").desc, col("word"))
   }
+
+  /** Minimum bigram support for text16. PMI is unstable below a
+    * handful of occurrences (a 1-count pair of two 1-count words gets
+    * the corpus-max score — Church & Hanks 1990's caveat), so mining
+    * floors the support; the floor also bounds what reaches the
+    * ranking sort to the heavy tail of the pair table.
+    */
+  val PmiMinSupport = 5L
+
+  /** text16: PMI collocation mining — the corpus' top word PAIRS by
+    * pointwise mutual information, log₂(c(p,t)·N / (c(p)·c(t))): how
+    * much more often the pair co-occurs than its words' frequencies
+    * predict. The classic collocation extractor (Church & Hanks 1990)
+    * and the complement of text07's raw-count ranking, which surfaces
+    * pairs of common words; PMI surfaces pairs that are GLUED —
+    * named-entity fragments, idioms, templated boilerplate — exactly
+    * the multi-word units a tokenizer/vocab audit wants ranked first.
+    *
+    * Scale shape: one corpus scan feeds the unigram aggregate, one the
+    * pair aggregate (both partial-aggregate map-side before their
+    * compact-key shuffles); the support floor cuts the pair table to
+    * its heavy tail BEFORE the two frequency joins (hash-keyed — a real
+    * corpus' vocabulary exceeds any broadcast budget, text11's
+    * argument); the bigram total is a 1-row broadcast scalar. The
+    * ranking sorts only the floored survivors through a TakeOrdered
+    * top-20. PMI itself is quantized to a 1e-4 integer on BOTH engines
+    * (the text11/13 protocol) so the ranking key is a long, not a raw
+    * double.
+    */
+  def text16PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks) - 1
+    val words = documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val pairs = documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(when(n > 0,
+        transform(sequence(lit(0), n - 1, lit(1)),
+          i => struct(element_at(toks, i + 1).as("p"),
+            element_at(toks, i + 2).as("t"))))
+        .otherwise(array().cast("array<struct<p:string,t:string>>"))).as("bg"))
+      .select(col("bg.p").as("p"), col("bg.t").as("t"))
+    val total = pairs.agg(count(lit(1)).as("nn"))
+    pairs.groupBy("p", "t").agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= PmiMinSupport)
+      .join(words.select(col("t").as("p"), col("c").as("cp")), Seq("p"))
+      .join(words.select(col("t"), col("c").as("ct")), Seq("t"))
+      // 1-row broadcast of the corpus pair count (text11's scalar
+      // pattern: a crossJoin of a broadcast singleton, never a shuffle).
+      .crossJoin(broadcast(total))
+      // All factors go to DOUBLE before multiplying: counts at 100 TB
+      // (~1e13) would overflow a Long product on both engines, while
+      // the IEEE double product/quotient is correctly rounded and
+      // identically parenthesized in the oracle.
+      .withColumn("micro",
+        round(log2(col("cbg").cast("double") * col("nn") /
+          (col("cp").cast("double") * col("ct"))) * 10000).cast("long"))
+      .select(concat_ws(" ", col("p"), col("t")).as("bigram"),
+        col("cbg").as("n"), (col("micro") / 10000.0).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
 }

@@ -282,6 +282,31 @@ class DedupSpec extends SparkSpec {
     assert(perCluster.values.forall(_ == 1))
   }
 
+  test("dedup12 bloom gate changes nothing and prunes the verify join") {
+    // Analytic contract: no false negatives + exact verification ⇒ the
+    // gated decisions are IDENTICAL to the ungated fingerprint join's.
+    val gated = Dedup.bloomIngestDecisions(spark, sf, gated = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val ungated = Dedup.bloomIngestDecisions(spark, sf, gated = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(gated == ungated, "the Bloom gate must be a pure pre-filter")
+    assert(gated.exists(_._2 == "dup"), "split must exercise the dup leg")
+    assert(gated.exists(_._2 == "admit"), "split must exercise the admit leg")
+
+    // The gate's value: pass-through ≈ dup_rate + fpp, never everything.
+    val arrivals = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IngestMod === Dedup.IngestRem)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+    val total = arrivals.count()
+    val survivors = arrivals.filter(Dedup.bloomGate(spark, sf)).count()
+    val dups = gated.count(_._2 == "dup").toLong
+    info(s"bloom gate: $survivors of $total arrivals survive ($dups true dups)")
+    assert(survivors >= dups, "a gate below the dup count dropped a true dup")
+    assert(survivors <= dups + math.max(5L, (total * 5 * Dedup.BloomFpp).toLong),
+      "gate pass-through far above dup_rate + fpp: sketch mis-sized")
+  }
+
   test("dedup08 per-doc fractions are consistent on the sf corpus") {
     val rows = Dedup.dedup08Paragraph(spark, sf).collect()
     assert(rows.nonEmpty, "sf corpus contains cross-doc duplicate spans")

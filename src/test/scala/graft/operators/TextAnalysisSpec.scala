@@ -252,4 +252,37 @@ class TextAnalysisSpec extends SparkSpec {
     val langs = rows.map(_.getString(langIdx)).toSet
     assert(langs.subsetOf(langProfiles.keySet))
   }
+
+  test("text16 PMI top-20 equals a driver-side collocation recompute") {
+    val got = TextAnalysis.text16PmiCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size == 20)
+
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    var nPairs = 0L
+    texts.foreach { t =>
+      val ts = t.split(" ", -1)
+      ts.filter(_.nonEmpty).foreach(w => words(w) = words.getOrElse(w, 0L) + 1)
+      ts.sliding(2).filter(_.length == 2).foreach { bg =>
+        pairs((bg(0), bg(1))) = pairs.getOrElse((bg(0), bg(1)), 0L) + 1
+        nPairs += 1
+      }
+    }
+    val scored = pairs.toSeq
+      .filter { case ((p, t), c) =>
+        c >= TextAnalysis.PmiMinSupport && p.nonEmpty && t.nonEmpty }
+      .map { case ((p, t), c) =>
+        val pmi = math.log(c.toDouble * nPairs /
+          (words(p).toDouble * words(t))) / math.log(2.0)
+        (s"$p $t", c, math.round(pmi * 10000) / 10000.0)
+      }
+      .sortBy { case (bg, _, pmi) => (-pmi, bg) }
+      .take(20)
+    assert(got == scored, "PMI ranking diverges from the driver replay")
+    // A collocation must beat independence by construction of the corpus.
+    assert(got.head._3 > 0.0, "top collocation should have positive PMI")
+  }
 }
