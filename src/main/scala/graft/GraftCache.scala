@@ -87,10 +87,24 @@ object GraftCache {
     }
   }
 
-  /** Unpersist and forget everything the engine has pinned. */
+  /** Auxiliary caches (driver-held sketches, codebooks) that must drop
+    * with the frame registry: a stale sketch over a since-rewritten
+    * input is the one failure mode its no-false-negative argument can't
+    * rule out, so anything keyed on (dir, session) registers a clear
+    * hook here and [[release]] fires them all.
+    */
+  private val releaseHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  def onRelease(hook: () => Unit): Unit = releaseHooks.add(hook)
+
+  /** Unpersist and forget everything the engine has pinned, then fire
+    * the auxiliary-cache release hooks.
+    */
   def release(): Unit = {
     val it = frames.keySet().iterator()
     while (it.hasNext) { releaseKey(it.next()) }
+    releaseHooks.forEach(h => h())
   }
 
   /** Number of live registered frames (spec hook). */

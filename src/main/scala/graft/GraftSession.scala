@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   *   - `spark.sql.shuffle.partitions` sized to the local core count
   *     (at cluster scale AQE re-coalesces from this initial value).
   *   - UTC session timezone (oracle comparisons are tz-stable).
-  *   - `spark.sql.legacy.parquet.nanosAsLong` — `events.ts` is parquet
-  *     TIMESTAMP(NANOS), which Spark's vectorized reader otherwise
-  *     rejects; set once here at build time, not inside table loaders
-  *     (see [[graft.sources.Tables.events]]).
+  *   - `spark.sql.legacy.parquet.nanosAsLong` — legacy-fixture support:
+  *     `events.ts` has shipped as parquet TIMESTAMP(NANOS), which Spark's
+  *     vectorized reader otherwise rejects; the flag is harmless for the
+  *     current timestamp[us] data and keeps the nanos flavor loadable
+  *     (see the schema-adaptive [[graft.sources.Tables.events]]).
   *   - [[GraftExtensions]] registered, so `cosine_sim` is callable from
   *     SQL as well as the Column API.
   */

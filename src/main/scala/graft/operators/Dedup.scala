@@ -922,9 +922,14 @@ object Dedup {
   }
 
   /** Target false-positive rate for the dedup12 corpus Bloom filter.
-    * 1% keeps the sketch ~9.6 bits/key — at 10¹⁰ corpus docs that is
-    * ~12 GB, 50× smaller than shipping the key set itself, and the
-    * standard operating point for a broadcast ingest gate.
+    * 1% keeps the sketch ~9.6 bits/key, 50× smaller than shipping the
+    * key set itself — the standard operating point for an ingest gate.
+    * Sizing holds only as far as the sketch fits the driver + literal
+    * broadcast (the builder raises Spark's bloom conf caps to the
+    * measured corpus count, so the size is data-driven, not the 8 MB
+    * default ceiling): ~10⁸–10⁹ keys (hundreds of MB – ~1 GB) is the
+    * practical ceiling for this in-plan literal; beyond that, shard the
+    * sketch per corpus partition or move the gate into the scan.
     */
   val BloomFpp = 0.01
 
@@ -934,9 +939,20 @@ object Dedup {
     * the codebook-scalar contract, and building it costs ONE corpus
     * aggregation that is amortized across every batch the session
     * gates.
+    *
+    * ASSUMES the corpus partition at `dir` is immutable within a
+    * session segment: a sketch built before new docs are indexed would
+    * miss them (false negatives relative to the refreshed corpus — the
+    * one failure mode the no-false-negative argument can't cover). A
+    * steady-state ingest that admits docs INTO the corpus must
+    * invalidate between segments: the map is wired into
+    * [[graft.GraftCache.release]] (cleared with the frame registry, so
+    * Bench family boundaries and Verify shutdown drop it), and
+    * re-keying on sessionTag bounds growth across sessions.
     */
   private val corpusBlooms =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  graft.GraftCache.onRelease(() => corpusBlooms.clear())
 
   /** dedup01/11's normalized-content fingerprint as a reusable column. */
   private def normFp: Column =
@@ -1014,6 +1030,20 @@ object Dedup {
         val n = math.max(corpus.count(), 1L)
         val bits = org.apache.spark.util.sketch.BloomFilter
           .optimalNumOfBits(n, BloomFpp)
+        // BloomFilterAggregate silently clamps BOTH its n and numBits
+        // args via Math.min against these session confs (defaults: 4M
+        // items / 2^26 bits = 8 MB). Past ~7M corpus keys a clamped
+        // sketch saturates and the fpp blows far past BloomFpp — the
+        // gate stays CORRECT (still a superset) but loses its economics.
+        // Raise the caps to the measured size before building, so the
+        // sketch is sized by the data, never by a default ceiling.
+        Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits
+        ).foreach { case (k, need) =>
+          if (spark.conf.getOption(k).forall(_.toLong < need))
+            spark.conf.set(k, need.toString)
+        }
         corpus
           .select(GraftShim.column(new BloomFilterAggregate(
               GraftShim.expression(xxhash64(col("fp"))),

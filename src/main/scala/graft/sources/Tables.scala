@@ -20,20 +20,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). The session must be built
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
-    * [[graft.GraftSession]] — this loader is side-effect-free); the
-    * nanos-long is converted to a µs timestamp with integer arithmetic
+  /** `events.ts` is schema-adaptive: the testdata generator has shipped it
+    * both as parquet TIMESTAMP(NANOS) (reads as a nanos `LongType` under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set once in
+    * [[graft.GraftSession]]) and as `timestamp[us]` with no timezone
+    * (reads as `TIMESTAMP_NTZ`). Both flavors normalize here to one
+    * canonical `TimestampType` (µs, session-TZ=UTC) so every downstream
+    * operator, encoder ([[Event]]'s `java.sql.Timestamp`), and oracle's
+    * epoch math sees identical instants. Nanos→µs uses integer `div`
     * (a double division would lose precision above 2^53 ns).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet carries TIMESTAMP(NANOS): build the session via " +
-        "graft.GraftSession (sets spark.sql.legacy.parquet.nanosAsLong=true)")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(
+          s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events.parquet read ts as LongType without nanosAsLong=true: " +
+            "build the session via graft.GraftSession")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Session TZ is pinned to UTC (GraftSession), so this cast maps the
+        // wall-clock value to the same µs instant the nanos path produced.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected int64-nanos, " +
+            "timestamp[us] (NTZ), or timestamp[us, tz]")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -290,7 +290,6 @@ class DedupSpec extends SparkSpec {
     val ungated = Dedup.bloomIngestDecisions(spark, sf, gated = false)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(gated == ungated, "the Bloom gate must be a pure pre-filter")
-    assert(gated.exists(_._2 == "dup"), "split must exercise the dup leg")
     assert(gated.exists(_._2 == "admit"), "split must exercise the admit leg")
 
     // The gate's value: pass-through ≈ dup_rate + fpp, never everything.
@@ -305,6 +304,33 @@ class DedupSpec extends SparkSpec {
     assert(survivors >= dups, "a gate below the dup count dropped a true dup")
     assert(survivors <= dups + math.max(5L, (total * 5 * Dedup.BloomFpp).toLong),
       "gate pass-through far above dup_rate + fpp: sketch mis-sized")
+  }
+
+  test("dedup12 dup leg on a fixture with known cross-split duplicates") {
+    // The live corpus carries no exact duplicates across the ingest
+    // split (testdata drift made that true in round 10), so the dup leg
+    // is pinned on a synthetic fixture instead: arrivals 3 and 19
+    // (doc_id ≡ 3 mod 16) duplicate corpus docs 1 and 2; arrival 35 is
+    // novel. Fixture-based, so no future testdata regeneration can
+    // silently stop exercising this path.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup12-fix").toString
+    Seq(
+      (1L, "shared text alpha", "en", "web", 17L),
+      (2L, "shared text beta", "en", "web", 16L),
+      (5L, "corpus only gamma", "en", "web", 17L),
+      (3L, "shared  TEXT   alpha", "en", "web", 20L), // ws/case-normalized dup of 1
+      (19L, "shared text beta", "en", "web", 16L),    // exact dup of 2
+      (35L, "novel arrival delta", "en", "web", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    for (g <- Seq(true, false)) {
+      val d = Dedup.bloomIngestDecisions(spark, dir, gated = g)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(d == Map(
+        3L -> ("dup", 1L), 19L -> ("dup", 2L), 35L -> ("admit", -1L)),
+        s"gated=$g")
+    }
   }
 
   test("dedup08 per-doc fractions are consistent on the sf corpus") {

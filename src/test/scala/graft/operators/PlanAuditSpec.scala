@@ -95,6 +95,7 @@ class PlanAuditSpec extends SparkSpec {
       "etl03_master_upsert",  // 1-row max(master_id) scalar
       "etl15_expectations",   // 1-row violation/total count scalars
       "text11_surprisal",     // 1-row corpus token total
+      "text16_pmi_collocations", // 1-row corpus bigram total (text11's shape)
       "sim01_bruteforce_topk", // fixed probe set (constant query count)
       "sim04_l2_topk",        // fixed probe set
       "sim05_radius_search",  // fixed probe set

@@ -18,16 +18,38 @@ class TablesSpec extends SparkSpec {
     assert(Tables.documentsDs(spark, sf).count() == Tables.documents(spark, sf).count())
   }
 
-  test("events loader refuses a session missing the nanos flag") {
-    val bare = org.apache.spark.sql.SparkSession.builder()
-      .master("local[1]").getOrCreate() // same JVM: returns graft session
-    // The canonical session has the flag; simulate a misconfigured one
-    // by checking the require path directly.
-    val e = intercept[IllegalArgumentException] {
-      bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-      try Tables.events(bare, sf)
-      finally bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  test("ts-type tripwire: loader normalizes both int64-nanos and timestamp[us] fixtures") {
+    // Testdata drift tripwire: the driver has shipped events.ts both as
+    // TIMESTAMP(NANOS) (reads as nanos-long under nanosAsLong=true) and as
+    // timestamp[us] NTZ. Write one fixture in each flavor and assert the
+    // loader yields an identical canonical TimestampType instant for both.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("ts-tripwire").toString
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456 UTC
+
+    val nanosDir = s"$dir/nanos"
+    spark.range(1).select(
+      lit(1L).as("event_id"), lit(micros * 1000L).as("ts"),
+      lit(7L).as("user_id"), lit("click").as("event_type"),
+      lit(1.5).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$nanosDir/events.parquet")
+
+    val ntzDir = s"$dir/ntz"
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(micros)).cast(TimestampNTZType).as("ts"),
+      lit(7L).as("user_id"), lit("click").as("event_type"),
+      lit(1.5).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$ntzDir/events.parquet")
+
+    for (d <- Seq(nanosDir, ntzDir)) {
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType == TimestampType, s"flavor $d")
+      val got = ev.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == micros, s"flavor $d: got $got expected $micros")
     }
-    assert(e.getMessage.contains("nanosAsLong"))
+    // And the live driver testdata must load without error.
+    assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
   }
 }
