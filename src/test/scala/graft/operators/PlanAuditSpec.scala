@@ -286,4 +286,88 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter") || plan.contains("WholeStageCodegen"),
       "scan->filter->project must run inside whole-stage codegen")
   }
+
+  test("dedup12: bloom gate is in the batch plan; verify join stays equi") {
+    // The gate's whole point is that the codegen'd might_contain
+    // predicate fronts the verification join — if it falls out of the
+    // plan the batch probes the full corpus relation again.
+    val gated = finalPlan(Dedup.bloomIngestDecisions(spark, sf, gated = true))
+    assert(gated.contains("might_contain"),
+      s"bloom gate predicate missing from the gated plan:\n${gated.take(2000)}")
+    assert(!gated.contains("BroadcastNestedLoopJoin") &&
+      !gated.contains("CartesianProduct"),
+      "fingerprint verification must stay an equi-join")
+    val ungated = finalPlan(Dedup.bloomIngestDecisions(spark, sf, gated = false))
+    assert(!ungated.contains("might_contain"),
+      "ungated control must not carry the gate predicate")
+  }
+
+  test("sim12: category-filtered ANN prunes map-side and joins broadcast") {
+    val plan = finalPlan(Similarity.sim12FilteredAnn(spark, sf))
+    assert(plan.contains("TopKPerKeyPartial"),
+      "per-query top-k must prune map-side before the shuffle")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the fixed query set must broadcast against the corpus")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sim14: SQ8 candidate ranking prunes map-side before the shuffle") {
+    val plan = finalPlan(Similarity.sim14SqAnn(spark, sf))
+    // Same contract as sim08: the shuffle carries at most
+    // partitions×queries×refine rows of integer-scored candidates,
+    // never the full corpus score stream.
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iPartial >= 0, s"expected a partial top-k stage in:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sim15: IVF-PQ refine window is rewritten to bounded-heap top-k") {
+    // The exact-refine stage is written as row_number over a window;
+    // the RewriteRowNumberTopK rule must replace every window sort with
+    // the TopKPerKey partial/final pair — a surviving WindowExec means
+    // a full per-query sort of the candidate set.
+    val plan = finalPlan(Similarity.sim15IvfPq(spark, sf))
+    assert(plan.contains("TopKPerKeyPartial"),
+      "candidate + refine ranking must run through TopKPerKey")
+    assert(!plan.contains("Window"),
+      s"no WindowExec may survive the top-k rewrite:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cur13: rank windows are partitioned per source, never global") {
+    // DSIR keeps per-SOURCE quantile cuts; an unpartitioned row_number
+    // would serialize the whole corpus through one task. (The only
+    // unpartitioned windows in this plan are the O(256)-row bucket-model
+    // totals, which carry no row_number.)
+    val plan = finalPlan(Curation.cur13ImportanceWeights(spark, sf))
+    plan.linesIterator.filter(_.contains("row_number()")).foreach { l =>
+      assert(l.contains("windowspecdefinition(source#"),
+        s"row_number window must partition by source: $l")
+    }
+  }
+
+  test("text16: PMI pair stream shuffles on hash keys, never on strings") {
+    // Every hash exchange is keyed on the token columns p/t only — the
+    // pair aggregate and the two frequency joins. The pair strings ARE
+    // the deliverable (the top-20 output), so they ride exactly these
+    // compact map-side-combined shuffles; nothing may shuffle on the
+    // concatenated bigram or any derived wide key.
+    //
+    // Audit the UNCACHED plan: if text15 ran first, its pinned vocab
+    // frame is plan-matched by the CacheManager into text16's unigram
+    // aggregate (canonically identical subtree — a free cross-query
+    // reuse), and the InMemoryTableScan's cached-plan dump would leak
+    // text15's word-keyed exchange lines into this string scan.
+    graft.GraftCache.release()
+    val plan = finalPlan(TextAnalysis.text16PmiCollocations(spark, sf))
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    val keyRef = "([A-Za-z_][A-Za-z0-9_]*)#\\d+".r
+    exchanges.foreach { e =>
+      val keys = keyRef.findAllMatchIn(
+        e.substring(e.indexOf("hashpartitioning"))).map(_.group(1)).toSet
+      assert(keys.subsetOf(Set("p", "t")),
+        s"unexpected shuffle keys $keys (expected only p/t): $e")
+    }
+  }
 }
