@@ -281,6 +281,20 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Assign an arriving `(vec_id, embedding)` frame to the TRAINED
+    * codebook's cells — the streaming index-maintenance entry point
+    * (stream11): a micro-batch flows through the SAME literal-argmax
+    * scan stage sim03/sim06's build uses (one definition of the
+    * assignment rule, so streamed appends and the batch layout can
+    * never drift). Per-row, zero shuffle, codebook is O(K×dims)
+    * driver scalars.
+    */
+  private[graft] def ivfAssignArrivals(
+      spark: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    ivfAssigned(
+      batch.select(col("vec_id"), asDoubleArray(col("embedding")).as("v")),
+      trainedCodebook(spark, dir))
+
   /** The corpus' cell assignment (with pivot angle), persisted through
     * [[graft.GraftCache]] and shared by every consumer in the session:
     * dedup05's metric cell join and sim07's kNN graph both branch from

@@ -350,6 +350,9 @@ object GraftStreams {
     */
   case class IngestArrival(doc_id: Long, text: String)
 
+  /** One arriving embedding on the stream11 index-maintenance stream. */
+  case class EmbeddingArrival(vec_id: Long, embedding: Array[Float])
+
   /** stream09: streaming ingest dedup — the streaming form of
     * [[graft.operators.Dedup.dedup11IncrementalIngest]]: each
     * micro-batch of arriving documents is decided (exact / near /
@@ -399,6 +402,44 @@ object GraftStreams {
     spark.read.parquet(outDir)
       .groupBy("row_i", "bkt")
       .agg(sum("cnt").as("cnt"))
+
+  /** stream11: streaming IVF index maintenance — the steady-state half
+    * of the ANN story. sim03/sim06 BUILD the index in batch (train the
+    * codebook, lay the corpus out by cell); this pipeline MAINTAINS it:
+    * each micro-batch of arriving embeddings is assigned to the trained
+    * codebook's cells via the one shared assignment rule
+    * ([[graft.operators.Similarity.ivfAssignArrivals]] — the same
+    * literal-argmax scan stage, so appends can never drift from the
+    * layout) and landed `partitionBy(cell)` under its own
+    * `batch_id=N` directory. The live index is then the batch layout
+    * plus every landed append, and a query's probe-cell filter prunes
+    * BOTH at the file level (bucket pruning on the batch side,
+    * partition pruning on `cell=` directories on the streamed side).
+    *
+    * stream09's contracts carry over verbatim: idempotent replay (a
+    * restarted batch overwrites its own partition with identical rows),
+    * re-batching invariance (assignment is per-row), and ZERO streaming
+    * state — the codebook is the state, refreshed on the batch
+    * re-training cadence, which is how a production ANN index actually
+    * operates (appends between rebuilds, periodic re-train + compact).
+    */
+  def landIvfBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Similarity
+      .ivfAssignArrivals(batch.sparkSession, dir, batch)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/batch_id=$batchId")
+
+  /** The streamed side of the live index: every append landed so far,
+    * cell-pruned via partition pruning when filtered on `cell`. The
+    * partition columns come back from directory names as integers;
+    * `cell` is cast to the batch side's long so the two index halves
+    * union with one schema (the cast sits above the scan and does not
+    * defeat partition pruning).
+    */
+  def streamedIvfAppends(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(outDir)
+      .withColumn("cell", col("cell").cast("long"))
 
   def upsertBatchToJdbc(batch: DataFrame, url: String,
       driver: String, master: String, keyCol: String): Unit = {

@@ -43,7 +43,14 @@ class TablesSpec extends SparkSpec {
       lit(1.5).as("value"), lit("{}").as("props"))
       .write.parquet(s"$ntzDir/events.parquet")
 
-    for (d <- Seq(nanosDir, ntzDir)) {
+    val ltzDir = s"$dir/ltz"
+    spark.range(1).select(
+      lit(1L).as("event_id"), timestamp_micros(lit(micros)).as("ts"),
+      lit(7L).as("user_id"), lit("click").as("event_type"),
+      lit(1.5).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$ltzDir/events.parquet")
+
+    for (d <- Seq(nanosDir, ntzDir, ltzDir)) {
       val ev = Tables.events(spark, d)
       assert(ev.schema("ts").dataType == TimestampType, s"flavor $d")
       val got = ev.select(unix_micros(col("ts"))).head().getLong(0)

@@ -441,6 +441,58 @@ class GraftStreamsSpec extends SparkSpec {
     assert(merged() == expected, "replay must be a no-op")
   }
 
+  test("stream11: streamed IVF appends equal batch assignment, prune by cell, replay no-op") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream11_${System.nanoTime()}"
+    val arrivals = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[GraftStreams.EmbeddingArrival].collect()
+    assert(arrivals.length >= 2)
+    // Two micro-batches: assignment is per-row, so the landed cells
+    // must be invariant under re-batching.
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.EmbeddingArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landIvfBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landedCells() = GraftStreams.streamedIvfAppends(spark, outDir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchAssigned = Similarity.ivfAssignArrivals(spark, sf,
+        Tables.embeddings(spark, sf).select("vec_id", "embedding"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(landedCells() == batchAssigned,
+      "streamed cell assignment diverges from the shared batch rule")
+    // The streamed side of the live index prunes at the file level: a
+    // probe-cell filter must reach the scan as a partition filter over
+    // the cell= directories, never a full read + row filter.
+    val someCell = batchAssigned.values.head
+    val pruned = GraftStreams.streamedIvfAppends(spark, outDir)
+      .filter(col("cell") === someCell)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"cell filter must prune partitions at the scan:\n${plan.take(1500)}")
+    assert(pruned.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      batchAssigned.collect { case (id, c) if c == someCell => id }.toSet)
+    // Replay micro-batch 0 (restart recovery): the partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landIvfBatch(
+      spark.createDataFrame(first.toSeq), sf, outDir, 0L)
+    assert(landedCells() == batchAssigned, "replay must be a no-op")
+  }
+
   test("stream08: foreachBatch MERGE sink lands upserts, idempotent under replay") {
     import spark.implicits._
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
