@@ -121,6 +121,7 @@ object SparkEntry {
     "sim13_hybrid_rrf" -> Similarity.sim13HybridRrf _,
     "sim14_sq_ann" -> Similarity.sim14SqAnn _,
     "sim15_ivfpq" -> Similarity.sim15IvfPq _,
+    "sim16_nprobe_sweep" -> Similarity.sim16NprobeSweep _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -278,6 +279,49 @@ object SparkEntry {
                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
+  }
+
+  /** Generated DuckDB replay of sim16's NProbe sweep: trained codebook
+    * (the same kmeansCteSql chain as sim03), exact cosine top-k (the
+    * sim01 protocol), each vector's cell, each query's rank over ALL
+    * cells, then recall@p = fraction of the exact top-k whose cell
+    * ranks ≤ p — the candidate-recall identity the operator's scaladoc
+    * derives (exact rescoring ⇒ retrieved recall == candidate recall).
+    */
+  private val Sim16OracleSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    val sweep = graft.operators.Similarity.SweepProbes.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${kmeansCteSql(16, iters, cosine = true)},
+       c AS (SELECT cid, cv FROM kc$iters),
+       assign AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+           FROM e, c)
+         WHERE crk = 1),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 4) AS cos
+             FROM q, e WHERE vec_id <> q_id),
+       ex AS (SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
+         WHERE rk <= 10),
+       pr AS (SELECT q_id, cell, CAST(crk AS INTEGER) AS probe_rank FROM (
+           SELECT q.q_id, c.cid AS cell, row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS crk
+           FROM q, c)),
+       h AS (SELECT ex.q_id, pr.probe_rank
+             FROM ex JOIN assign a ON a.vec_id = ex.vec_id
+             JOIN pr ON pr.q_id = ex.q_id AND pr.cell = a.cell),
+       sweep AS (SELECT unnest([$sweep]) AS nprobe)
+       SELECT q_id, CAST(nprobe AS INTEGER) AS nprobe,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN probe_rank <= nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         round(CAST(sum(CASE WHEN probe_rank <= nprobe THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 4) AS recall_at_k
+       FROM h, sweep GROUP BY q_id, nprobe ORDER BY q_id, nprobe"""
   }
 
   /** Generated DuckDB replay of sim02's hyperplane LSH search. The ±1
@@ -1301,6 +1345,7 @@ object SparkEntry {
              PARTITION BY q_id ORDER BY l2, vec_id) AS rk
            FROM exact) WHERE rk <= 10
          ORDER BY q_id, rk""",
+    "sim16_nprobe_sweep" -> Sim16OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

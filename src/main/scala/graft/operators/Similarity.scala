@@ -881,6 +881,63 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim16's NProbe sweep values — powers of two up to the full
+    * codebook. The last point probes every cell (exhaustive), so its
+    * recall is 1.0 by construction and anchors the curve.
+    */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** sim16: recall@k vs NProbe SWEEP — the tuning curve behind every
+    * IVF deployment's probe-count knob (speed is ∝ NProbe/K of the
+    * corpus read; this measures what each step buys in recall). sim10
+    * evaluates ONE configuration; this sweeps the whole knob in a
+    * single pass.
+    *
+    * One-pass trick: with exact rescoring, a true top-k neighbor is
+    * retrieved iff its cell is probed — the only candidates scoring
+    * above the true j-th neighbor are true neighbors 1..j-1, so no
+    * true neighbor can be pushed out of the exact-rescored top-k.
+    * Retrieved recall therefore equals CANDIDATE recall, and the whole
+    * curve needs no per-NProbe search: join the exact top-k with each
+    * neighbor's cell and the query's probe RANK of that cell, then
+    * recall@p = fraction with rank ≤ p — a ≤ |queries|·k row frame
+    * aggregated over the sweep list. At 100 TB the expensive legs are
+    * the exact baseline (sim01's one corpus scan) and the assignment
+    * scan (sim03's, zero shuffle); the sweep itself is free.
+    *
+    * The DuckDB oracle replays training → assignment → probe ranking →
+    * the same hit aggregation; the spec additionally pins curve
+    * monotonicity, the exhaustive anchor, and agreement with the
+    * DEPLOYED sim03 operator at its production NProbe.
+    */
+  def sim16NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val centroids = trainedCodebook(spark, dir)
+    val exact = sim01BruteForceTopK(spark, dir).select("q_id", "vec_id")
+    val assigned = ivfAssigned(e, centroids).select(col("vec_id"), col("cell"))
+    // Each query's rank over ALL cells (1 = nearest centroid): per-row
+    // sort of the literal codebook scores, ties to the smallest cid —
+    // the ivfProbes ordering contract, un-truncated.
+    val probeRank = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"),
+        posexplode(reverse(array_sort(centroidScores(col("v"), centroids))))
+          .as(Seq("pos", "pc")))
+      .select(col("q_id"), (-col("pc.negcid")).as("cell"),
+        (col("pos") + 1).cast("int").as("probe_rank"))
+    exact
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(probeRank), Seq("q_id", "cell"))
+      .select(col("q_id"), col("probe_rank"),
+        explode(array(SweepProbes.map(p => lit(p)): _*)).as("nprobe"))
+      .groupBy("q_id", "nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum((col("probe_rank") <= col("nprobe")).cast("long")).as("n_hit"))
+      .select(col("q_id"), col("nprobe"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4)
+          .as("recall_at_k"))
+      .orderBy("q_id", "nprobe")
+  }
+
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
       .withColumn("cat", col("vec_id") % FilterCats)

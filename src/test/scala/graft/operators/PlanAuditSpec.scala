@@ -103,7 +103,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim10_recall_eval",    // fixed probe set
       "sim11_mmr_diversify",  // fixed probe set
       "sim13_hybrid_rrf",     // fixed probe set (vector leg = sim01 shape)
-      "sim14_sq_ann")         // fixed probe set (sim08's refine shape)
+      "sim14_sq_ann",         // fixed probe set (sim08's refine shape)
+      "sim16_nprobe_sweep")   // fixed probe set (exact leg = sim01's shape)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (!boundedBuild(name)) {

@@ -432,4 +432,40 @@ class SimilaritySpec extends SparkSpec {
         s"query $q ranks must be dense")
     }
   }
+
+  test("sim16 sweep: monotone curve, exhaustive anchor, agrees with deployed sim03") {
+    val rows = Similarity.sim16NprobeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val queries = rows.keySet.map(_._1)
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      val curve = Similarity.SweepProbes.map(p => rows((q, p))._3)
+      // More probes can only add candidate cells: recall is monotone.
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"query $q recall curve must be non-decreasing: $curve")
+      // Probing every cell is exhaustive search: recall 1.0 by
+      // construction (the anchor the curve normalizes against).
+      assert(rows((q, Similarity.NumCentroids))._3 == 1.0,
+        s"query $q exhaustive probe must have recall 1.0")
+      rows.filterKeys(_._1 == q).values.foreach { case (nEx, nHit, rec) =>
+        assert(nHit <= nEx && rec == math.round(nHit.toDouble / nEx * 1e4) / 1e4)
+      }
+    }
+    // The sweep's point at the PRODUCTION NProbe must equal the recall
+    // of the deployed sim03 operator measured directly against sim01 —
+    // the curve describes the real index, not a parallel implementation.
+    val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.sim03IvfAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    queries.foreach { q =>
+      val k = exact.count(_._1 == q)
+      val hit = exact.count(p => p._1 == q && approx.contains(p))
+      val measured = math.round(hit.toDouble / k * 1e4) / 1e4
+      assert(rows((q, Similarity.NProbe))._3 == measured,
+        s"query $q: sweep point at NProbe=${Similarity.NProbe} " +
+          s"(${rows((q, Similarity.NProbe))._3}) != deployed sim03 recall ($measured)")
+    }
+  }
 }
