@@ -135,6 +135,7 @@ object SparkEntry {
     "cur11_train_split" -> Curation.cur11TrainSplit _,
     "cur12_cluster_sample" -> Curation.cur12ClusterSample _,
     "cur13_importance" -> Curation.cur13ImportanceWeights _,
+    "cur14_epoch_schedule" -> Curation.cur14EpochSchedule _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1729,6 +1730,30 @@ object SparkEntry {
              AS sample_rate, thr
          FROM assign a JOIN t ON a.cell = t.cell
          GROUP BY a.cell, thr_raw, thr, tot, k, t.n_vecs ORDER BY a.cell""",
+    "cur14_epoch_schedule" ->
+      // Greedy water-filling replay: per-source token masses (text01's
+      // split convention), #sources×8 candidate grid valued by integer
+      // halving, ranked cumsum admits the prefix within 2× the corpus.
+      s"""WITH s AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+           FROM documents GROUP BY source),
+         b AS (SELECT source, src_tokens,
+             ${graft.operators.Curation.EpochBudgetMult} * sum(src_tokens) OVER () AS budget
+           FROM s),
+         cand AS (SELECT source, src_tokens, budget, epoch,
+             src_tokens >> (epoch - 1) AS utility
+           FROM b, (SELECT unnest(range(1, ${graft.operators.Curation.MaxEpochs + 1})) AS epoch) e
+           WHERE src_tokens >> (epoch - 1) > 0),
+         sel AS (SELECT *, sum(src_tokens) OVER (
+               ORDER BY utility DESC, source, epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cand),
+         k AS (SELECT * FROM sel WHERE cum <= budget)
+         SELECT s.source, s.src_tokens,
+           CAST(count(k.epoch) AS BIGINT) AS epochs,
+           CAST(coalesce(sum(k.src_tokens), 0) AS BIGINT) AS tokens_used
+         FROM s LEFT JOIN k USING (source)
+         GROUP BY s.source, s.src_tokens ORDER BY s.source""",
     "cur13_importance" ->
       // DSIR importance weights replayed verbatim on HUGEINT: same
       // md5-derived 60-bit token hash as the SimHash family, 256-bucket

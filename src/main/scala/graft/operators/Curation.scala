@@ -563,4 +563,62 @@ object Curation {
         (col("avg_scaled") / ImportanceScale.toDouble).as("avg_ratio"))
       .orderBy("doc_id")
   }
+
+  /** cur14 parameters: the training budget is [[EpochBudgetMult]]× the
+    * corpus' total tokens (so repeats are REQUIRED — the data-
+    * constrained regime), per-source repeats cap at [[MaxEpochs]], and
+    * the e-th epoch of a source is worth its token mass halved (e−1)
+    * times — an integer-shift stand-in for the diminishing value of
+    * repeated data (Muennighoff et al. 2023, arXiv:2305.16264, find
+    * ~4 epochs nearly free and rapid decay after; halving is the
+    * deterministic caricature both engines replay bit-for-bit).
+    */
+  val MaxEpochs = 8
+  val EpochBudgetMult = 2L
+
+  /** cur14: EPOCH / REPEAT SCHEDULING under a token budget — the
+    * data-constrained allocation step (Muennighoff et al. 2023): when
+    * the budget exceeds the unique corpus, which sources get repeated,
+    * and how many times? Greedy marginal-utility water-filling: every
+    * (source, epoch) candidate is valued at `src_tokens >> (epoch−1)`,
+    * candidates are ranked by value (ties: source, epoch — so a
+    * source's epochs stay in order), and the budget admits the ranked
+    * prefix whose running token cost fits. High-value small sources
+    * repeat many times; a huge low-value source may not even finish
+    * epoch 2 — exactly the mixture a budgeted pre-training run makes.
+    *
+    * Scale shape: ONE corpus scan builds the per-source token masses
+    * (map-side partial sums over `size(split())` — no explode); all
+    * downstream logic runs on the #sources×[[MaxEpochs]] candidate
+    * grid, which is O(#sources) — the cur02 contract — so the
+    * unpartitioned rank/cumsum windows sort dozens of rows, never
+    * corpus rows. Integer shifts and sums throughout: no float enters
+    * the decision, so partial-agg order can never flip an allocation.
+    */
+  def cur14EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("src_tokens"))
+    val budget = (sum("src_tokens").over(Window.partitionBy()) *
+      EpochBudgetMult).as("budget")
+    val cand = src
+      .select(col("source"), col("src_tokens"), budget)
+      .select(col("source"), col("src_tokens"), col("budget"),
+        explode(sequence(lit(1), lit(MaxEpochs))).as("epoch"))
+      .withColumn("utility", expr("shiftright(src_tokens, epoch - 1)"))
+      .filter(col("utility") > 0)
+    val wGreedy = Window
+      .orderBy(col("utility").desc, col("source"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val taken = cand
+      .withColumn("cum", sum("src_tokens").over(wGreedy))
+      .filter(col("cum") <= col("budget"))
+    src.join(taken.groupBy("source")
+        .agg(count(lit(1)).as("epochs"), sum("src_tokens").as("tokens_used")),
+        Seq("source"), "left")
+      .select(col("source"), col("src_tokens"),
+        coalesce(col("epochs"), lit(0L)).as("epochs"),
+        coalesce(col("tokens_used"), lit(0L)).as("tokens_used"))
+      .orderBy("source")
+  }
 }

@@ -316,4 +316,46 @@ class CurationTextSpec extends SparkSpec {
     // is vacuous.
     assert(got.exists(_._4 > 0), "expected at least one CMS overcount")
   }
+
+  test("cur14 epoch schedule equals a driver-side greedy replay, budget holds") {
+    import org.apache.spark.sql.functions._
+    val masses = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = masses.values.sum * Curation.EpochBudgetMult
+    // Greedy replay: rank (source, epoch) by halved utility, admit the
+    // prefix whose running cost fits the budget.
+    val cand = for {
+      (s, t) <- masses.toSeq
+      e <- 1 to Curation.MaxEpochs
+      u = t >> (e - 1) if u > 0
+    } yield (s, e, u, t)
+    var cum = 0L
+    val expected = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    cand.sortBy { case (s, e, u, _) => (-u, s, e) }.foreach {
+      case (s, _, _, t) =>
+        cum += t
+        if (cum <= budget) {
+          val (n, used) = expected(s); expected(s) = (n + 1, used + t)
+        }
+    }
+    val got = Curation.cur14EpochSchedule(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == masses.keySet, "every source must appear")
+    got.foreach { case (s, (t, epochs, used)) =>
+      assert(t == masses(s), s"source $s token mass")
+      assert((epochs, used) == expected(s), s"source $s allocation")
+      assert(used == epochs * t, s"source $s cost law")
+      assert(epochs <= Curation.MaxEpochs)
+    }
+    // The budget binds: total fits, and the regime is data-constrained
+    // (something repeats) without being degenerate (not everything
+    // maxes out).
+    val totalUsed = got.values.map(_._3).sum
+    assert(totalUsed <= budget, "allocation must fit the budget")
+    assert(got.values.exists(_._2 > 1), "budget 2x must force repeats")
+  }
 }
