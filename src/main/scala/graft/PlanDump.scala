@@ -61,7 +61,15 @@ object PlanDump {
       "cur13_importance" ->
         "DSIR importance weights: O(buckets) model broadcast back over the token stream",
       "text15_cms_topk" ->
-        "CMS heavy hitters: one exploded scan, map-side partial sketch sums, broadcast audit join")
+        "CMS heavy hitters: one exploded scan, map-side partial sketch sums, broadcast audit join",
+      "text16_pmi_collocations" ->
+        "PMI collocations: token-keyed pair aggregate, support floor before frequency joins, 1-row total broadcast",
+      "dedup12_bloom_ingest" ->
+        "Bloom-gated ingest: might_contain in the batch scan stage fronts the equi verify join",
+      "sim16_nprobe_sweep" ->
+        "NProbe sweep: exact leg + assignment scan, curve aggregated from queries×k rows",
+      "cur14_epoch_schedule" ->
+        "epoch budget: one corpus scan to per-source masses, O(#sources) candidate grid windows")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

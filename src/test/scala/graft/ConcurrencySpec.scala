@@ -13,29 +13,35 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("36 mixed queries submitted concurrently produce sequential results") {
+  test("46 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
-    // its span-hash pin; dedup10 its window-hash pin; sim08 and cur12
-    // race the trained-codebook computeIfAbsent; dedup09 races
+    // its span-hash pin; dedup10 its window-hash pin; sim08/sim16 and
+    // cur12 race the trained-codebook computeIfAbsent; dedup09 races
     // dedup05's cell-assignment pin AND the union-find stage; etl22
-    // races TableBuild's path-based ensure).
+    // races TableBuild's path-based ensure; dedup11/dedup12 race the
+    // corpus-index build and the Bloom-sketch computeIfAbsent + its
+    // monotone conf raises; text15/text16 race the pinned vocab frame
+    // and the CacheManager plan-match into text16's unigram aggregate).
     val names = Seq(
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
       "q26_topk_custom", "q29_lag_delta", "q32_grouping_sets",
       "etl01_select_rename_cast", "etl05_incremental_merge",
-      "etl16_cdc_apply", "etl22_clustered_layout",
+      "etl16_cdc_apply", "etl22_clustered_layout", "etl26_backfill",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
-      "text12_entropy", "text13_bigram_surprisal",
+      "text12_entropy", "text13_bigram_surprisal", "text15_cms_topk",
+      "text16_pmi_collocations",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
-      "dedup10_substring",
+      "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
-      "sim09_kmeans",
+      "sim09_kmeans", "sim12_filtered_ann", "sim14_sq_ann",
+      "sim16_nprobe_sweep",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
-      "cur08_budget_assembly", "cur12_cluster_sample",
+      "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
+      "cur14_epoch_schedule",
       "mm01_binary_meta", "mm04_resize_stub")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap
