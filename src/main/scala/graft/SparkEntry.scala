@@ -141,6 +141,7 @@ object SparkEntry {
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
     "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
     "mm05_binary_ingest" -> Multimodal.mm05BinaryIngest _,
+    "mm06_phash_dedup" -> Multimodal.mm06PhashDedup _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -1863,6 +1864,20 @@ object SparkEntry {
          SELECT doc_id, n_bytes, 16 AS out_w, 9 AS out_h, checksum,
            round(checksum / 255.0 / 144, 4) AS mean_intensity
          FROM s ORDER BY doc_id""",
+    "mm06_phash_dedup" ->
+      // The REAL decode loop closed over bit math: the staged barcode
+      // PNGs make the decoded-then-binarized perceptual hash exactly
+      // id % 256, so hamming-<=1 image pairs are the id pairs whose low
+      // bytes differ in at most one bit. Any pixel error anywhere in
+      // encode -> land -> scan -> decode -> threshold flips a bit and
+      // breaks the pair set.
+      """WITH h AS (SELECT doc_id AS img_id, doc_id % 256 AS phash
+           FROM documents WHERE doc_id < 256)
+         SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.img_id < b.img_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 1
+         ORDER BY img_a, img_b""",
     "mm05_binary_ingest" ->
       // The REAL pipeline (PNG encode -> binary files -> binaryFile
       // scan -> ImageIO decode on executors -> channel means) against

@@ -168,6 +168,107 @@ object Multimodal {
     decodeMeta(files)
   }
 
+  /** mm06's hamming radius for perceptual near-duplicate pairs. */
+  val Mm06MaxHamming = 1
+
+  /** mm06: IMAGE NEAR-DUP DETECTION via perceptual hash — the
+    * multimodal member of the dedup family: land real encoded images,
+    * decode on executors, reduce each to a tiny binarized fingerprint,
+    * and pair images within hamming ≤ [[Mm06MaxHamming]] through an
+    * equi-join — never an image×image comparison.
+    *
+    * Candidates use DELTA-NEIGHBORHOOD indexing (complementing
+    * dedup04's pigeonhole blocking): each image's hash explodes into
+    * itself plus all single-bit flips (hashBits+1 keys, a constant),
+    * and an equi-join of that key set against raw hashes finds exactly
+    * the hamming ≤ 1 pairs — corpus cost is linear × (bits+1), and at
+    * 100 TB the join is the same shuffle shape as every dedup entry.
+    *
+    * The oracle closes the REAL-decode loop mm01–mm04 can't: the
+    * staged PNGs are "barcodes" (pixel j is white iff bit j of the id
+    * is set — [[MultimodalStub.barcodePng]]), so the decoded-then-
+    * binarized hash equals `id % 256` analytically, and DuckDB replays
+    * the ENTIRE pipeline (encode → files → binaryFile scan → ImageIO
+    * decode → threshold hash → neighborhood join) with integer bit
+    * math on the documents table. A wrong pixel anywhere breaks the
+    * hash equality — the decode path is load-bearing, not decorative.
+    */
+  def mm06PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm06_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    TableBuild.ensurePath(spark, root,
+        TableBuild.dirFingerprint(spark, s"$dir/documents.parquet")) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      documents(spark, dir)
+        .select(col("doc_id")).filter(col("doc_id") < Mm05Images)
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(conf.value)
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(root, s"img_$id.png"), true)
+            try out.write(MultimodalStub.barcodePng(id)) finally out.close()
+          }
+        }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(root)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("img_id"),
+        col("content").as("media"))
+    val hashes = perceptualHashes(files)
+    // Delta-neighborhood candidate keys: the hash and its 8 single-bit
+    // flips. a↔b within hamming ≤ 1 iff b's raw hash is in a's
+    // neighborhood — an exact equi-join candidate set, no verify miss.
+    val flips = (0 until MultimodalStub.BarcodeBits)
+      .map(b => col("phash").bitwiseXOR(lit(1L << b)))
+    val probes = hashes.select(col("img_id").as("img_a"),
+      col("phash").as("ha"),
+      explode(array((col("phash") +: flips): _*)).as("key"))
+    probes
+      .join(hashes.select(col("img_id").as("img_b"), col("phash").as("hb")),
+        col("key") === col("hb") && col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= Mm06MaxHamming)
+      .orderBy("img_a", "img_b")
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("img_id", LongType),
+    StructField("phash", LongType)))
+
+  /** Decode + binarize: each decoded pixel contributes one hash bit
+    * (gray ≥ 128), row-major bit j for pixel j — the aHash shape with a
+    * fixed threshold, over the same batched mapPartitions path as
+    * [[decodeMeta]]. Runs the REAL ImageIO decode on executors.
+    */
+  private[operators] def perceptualHashes(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    media.select(col("img_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = MultimodalStub.decodeImage(r.getAs[Array[Byte]]("media"))
+          var hash = 0L
+          var j = 0
+          val n = w * h
+          while (j < n) {
+            if ((rgb(j * 3) & 0xFF) >= 128) hash |= 1L << j
+            j += 1
+          }
+          Row(r.getAs[Long]("img_id"), hash)
+        }
+      }
+    }(enc)
+  }
+
   private val decodeMetaSchema = StructType(Seq(
     StructField("img_id", LongType),
     StructField("width", IntegerType),
@@ -234,6 +335,30 @@ object MultimodalStub {
     for (y <- 0 until 2; x <- 0 until 4)
       img.setRGB(x, y,
         ((c + x + y) << 16) | ((c + 1 + x + y) << 8) | (c + 2 + x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Pixels (and hash bits) in an mm06 barcode image: a 4×2 grid, one
+    * bit per pixel — the low byte of the id.
+    */
+  val BarcodeBits = 8
+
+  /** Deterministic 4×2 "barcode" PNG for `id`: pixel j (row-major,
+    * j = y·4+x) is WHITE iff bit j of the id is set, else black. The
+    * binarized perceptual hash of the DECODED image is therefore
+    * exactly `id % 256` — an integer law an SQL oracle can replay —
+    * while the Spark side must earn it through the real PNG encode →
+    * file → binaryFile scan → ImageIO decode → threshold chain.
+    */
+  def barcodePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val v = if (((id >> (y * 4 + x)) & 1L) == 1L) 255 else 0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

@@ -114,4 +114,34 @@ class MultimodalSpec extends SparkSpec {
       assert(got == expected.toSeq, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("mm06 perceptual hashes recover the barcode bits through real decode") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 128L, 170L, 255L, 300L)
+    val media = ids.map(id => (id, MultimodalStub.barcodePng(id)))
+      .toDF("img_id", "media")
+    val got = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == id % 256,
+        s"decoded hash of $id must equal its low byte, got ${got(id)}")
+    }
+  }
+
+  test("mm06 near-dup pairs equal the driver-side bit-math replay") {
+    val got = Multimodal.mm06PhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = (0L until Multimodal.Mm05Images.toLong)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount((a % 256) ^ (b % 256))
+      if d <= Multimodal.Mm06MaxHamming
+    } yield (a, b, d)).toSet
+    assert(got == expected,
+      s"pair sets differ: got ${got.size}, expected ${expected.size}")
+    // Non-degenerate: the radius admits real pairs but nothing close to
+    // the all-pairs space.
+    assert(expected.nonEmpty &&
+      expected.size < ids.size.toLong * (ids.size - 1) / 4)
+  }
 }
