@@ -69,7 +69,9 @@ object PlanDump {
       "sim16_nprobe_sweep" ->
         "NProbe sweep: exact leg + assignment scan, curve aggregated from queries×k rows",
       "cur14_epoch_schedule" ->
-        "epoch budget: one corpus scan to per-source masses, O(#sources) candidate grid windows")
+        "epoch budget: one corpus scan to per-source masses, O(#sources) candidate grid windows",
+      "mm06_phash_dedup" ->
+        "image near-dup: binaryFile scan + executor decode, delta-neighborhood equi-join on fingerprints")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
