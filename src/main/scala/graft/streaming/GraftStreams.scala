@@ -441,6 +441,50 @@ object GraftStreams {
     spark.read.option("basePath", outDir).parquet(outDir)
       .withColumn("cell", col("cell").cast("long"))
 
+  /** One arriving encoded image on the stream12 ingest stream. */
+  case class ImageArrival(img_id: Long, media: Array[Byte])
+
+  /** stream12: streaming IMAGE ingest dedup — dedup12's gate decision
+    * at mm06's granularity: each micro-batch of arriving encoded
+    * images is decoded on executors (the real ImageIO path), reduced
+    * to its perceptual fingerprint, and decided against the corpus'
+    * fingerprint frame through the same delta-neighborhood equi-join
+    * mm06 uses within-corpus — `dup` (with the smallest matching
+    * corpus keeper) for arrivals within hamming ≤ 1 of any corpus
+    * image, `admit` otherwise.
+    *
+    * The contracts are stream09's, verbatim: decisions depend only on
+    * the arrival's own bytes and the corpus frame, so verdicts are
+    * invariant under re-batching; each batch overwrites its own
+    * `batch_id=N` partition (idempotent replay); streaming state is
+    * ZERO — the corpus fingerprint frame IS the state (16 bytes/image,
+    * pinned once per session, refreshed on the batch cadence). This is
+    * the media-lake steady state: the heavy decode runs once per
+    * arrival on executors, and the corpus side is never re-decoded.
+    */
+  def landImageBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    imageIngestDecisions(batch, dir)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Decision core, separable so the spec can replay it in batch. */
+  private[graft] def imageIngestDecisions(
+      batch: DataFrame, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val spark = batch.sparkSession
+    val corpus = Multimodal.corpusImageHashes(spark, dir)
+      .select(col("img_id").as("kid"), col("phash").as("kh"))
+    val arrivals = Multimodal.perceptualHashes(batch)
+    val dups = Multimodal.neighborhoodProbes(arrivals, "phash")
+      .join(corpus, col("key") === col("kh"))
+      .groupBy("img_id").agg(min("kid").as("keeper"))
+    arrivals.select("img_id")
+      .join(dups, Seq("img_id"), "left")
+      .select(col("img_id"),
+        when(col("keeper").isNotNull, "dup").otherwise("admit").as("decision"),
+        coalesce(col("keeper"), lit(-1L)).as("keeper_id"))
+  }
+
   def upsertBatchToJdbc(batch: DataFrame, url: String,
       driver: String, master: String, keyCol: String): Unit = {
     val staging = s"${master}_staging"

@@ -493,6 +493,51 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landedCells() == batchAssigned, "replay must be a no-op")
   }
 
+  test("stream12: streamed image ingest gate equals bit-math replay, idempotent") {
+    import graft.operators.{Multimodal, MultimodalStub}
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream12_${System.nanoTime()}"
+    // Arrival ids are disjoint from the corpus (0 until 256); the
+    // decoded hash is the id's low byte, so expected decisions are
+    // pure bit math: hamming ≤ 1 to some corpus id → dup with the
+    // SMALLEST matching corpus id as keeper.
+    val arrivalIds = Seq(1000L, 1001L, 1255L, 1300L, 2047L)
+    val arrivals = arrivalIds.map(id =>
+      GraftStreams.ImageArrival(id, MultimodalStub.barcodePng(id)))
+    val (first, second) = arrivals.splitAt(2)
+    val stream = MemoryStream[GraftStreams.ImageArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landImageBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("img_id", "decision", "keeper_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val expected = arrivalIds.map { id =>
+      val h = id % 256
+      val keepers = (0L until Multimodal.Mm05Images.toLong).filter(k =>
+        java.lang.Long.bitCount(h ^ (k % 256)) <= Multimodal.Mm06MaxHamming)
+      id -> (if (keepers.nonEmpty) ("dup", keepers.min) else ("admit", -1L))
+    }.toMap
+    assert(landed() == expected,
+      "streamed image verdicts diverge from the bit-math replay")
+    // With a full 0..255 corpus every low byte is within hamming 1 of
+    // something; the gate must still be exercising real decisions (all
+    // dup here, keepers distinct) — and replay must be a no-op.
+    GraftStreams.landImageBatch(
+      first.toDF(), sf, outDir, 0L)
+    assert(landed() == expected, "replay must be a no-op")
+  }
+
   test("stream08: foreachBatch MERGE sink lands upserts, idempotent under replay") {
     import spark.implicits._
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
