@@ -954,6 +954,11 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   graft.GraftCache.onRelease(() => corpusBlooms.clear())
 
+  /** Serializes the bloom-cap conf raise in [[bloomGate]] so the
+    * check-then-set is atomic across concurrent sketch builders.
+    */
+  private val bloomConfLock = new Object
+
   /** dedup01/11's normalized-content fingerprint as a reusable column. */
   private def normFp: Column =
     md5(lower(regexp_replace(col("text"), "\\s+", " ")))
@@ -1037,12 +1042,26 @@ object Dedup {
         // gate stays CORRECT (still a superset) but loses its economics.
         // Raise the caps to the measured size before building, so the
         // sketch is sized by the data, never by a default ceiling.
-        Seq(
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits
-        ).foreach { case (k, need) =>
-          if (spark.conf.getOption(k).forall(_.toLong < need))
-            spark.conf.set(k, need.toString)
+        //
+        // SESSION-GLOBAL SIDE EFFECT: these are session confs, so the
+        // raise is visible to every other query in the session (e.g. a
+        // concurrent query relying on Spark's own runtime bloom-join
+        // injection will also be allowed a bigger sketch). The raise is
+        // monotone-only — never lowered back — so the worst case for
+        // bystanders is a larger, MORE accurate sketch, never a clamp.
+        // The raise itself runs under a lock: a plain check-then-set
+        // lets two concurrent builders (different dirs, different
+        // corpus sizes) interleave so the smaller need lands last and
+        // clamps the larger builder's sketch right back — exactly the
+        // saturation this code exists to prevent.
+        bloomConfLock.synchronized {
+          Seq(
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits
+          ).foreach { case (k, need) =>
+            if (spark.conf.getOption(k).forall(_.toLong < need))
+              spark.conf.set(k, need.toString)
+          }
         }
         corpus
           .select(GraftShim.column(new BloomFilterAggregate(

@@ -266,10 +266,9 @@ object Multimodal {
     StructField("img_id", LongType),
     StructField("phash", LongType)))
 
-  /** Decode + binarize: each decoded pixel contributes one hash bit
-    * (gray ≥ 128), row-major bit j for pixel j — the aHash shape with a
-    * fixed threshold, over the same batched mapPartitions path as
-    * [[decodeMeta]]. Runs the REAL ImageIO decode on executors.
+  /** Decode + binarize to a 64-bit fingerprint
+    * ([[MultimodalStub.aHash64]]), over the same batched mapPartitions
+    * path as [[decodeMeta]]. Runs the REAL ImageIO decode on executors.
     */
   private[graft] def perceptualHashes(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -278,14 +277,7 @@ object Multimodal {
       rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
         batch.map { r =>
           val (w, h, rgb) = MultimodalStub.decodeImage(r.getAs[Array[Byte]]("media"))
-          var hash = 0L
-          var j = 0
-          val n = w * h
-          while (j < n) {
-            if ((rgb(j * 3) & 0xFF) >= 128) hash |= 1L << j
-            j += 1
-          }
-          Row(r.getAs[Long]("img_id"), hash)
+          Row(r.getAs[Long]("img_id"), MultimodalStub.aHash64(w, h, rgb))
         }
       }
     }(enc)
@@ -415,6 +407,45 @@ object MultimodalStub {
       i += 1
     }
     (w, h, rgb)
+  }
+
+  /** 64-bit binarized perceptual fingerprint, well-defined for ANY
+    * image size. Images of ≤ 64 pixels hash pixel-per-bit (row-major
+    * bit j set iff red(j) ≥ 128) — preserving the barcode law
+    * `hash == id % 2^pixels` the mm06/mm07 oracles replay in SQL.
+    * Larger images hash a nearest-neighbor 8×8 downsample (the classic
+    * aHash grid), so a real photo lands on a meaningful 64-bit
+    * fingerprint instead of the pre-fix behavior where `1L << j`
+    * silently wrapped mod 64 past pixel 63 and aliased unrelated
+    * pixels onto the same bit — a hazard on stream12's public ingest
+    * gate, which accepts arbitrary decodable media.
+    */
+  def aHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    var hash = 0L
+    if (w.toLong * h <= 64) {
+      var j = 0
+      val n = w * h
+      while (j < n) {
+        if ((rgb(j * 3) & 0xFF) >= 128) hash |= 1L << j
+        j += 1
+      }
+    } else {
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          // Nearest-neighbor source pixel for grid cell (gx, gy); long
+          // math so w*h up to Int.MaxValue pixels cannot overflow.
+          val px = (gx.toLong * w / 8).toInt
+          val py = (gy.toLong * h / 8).toInt
+          if ((rgb((py.toLong * w + px).toInt * 3) & 0xFF) >= 128)
+            hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+    }
+    hash
   }
 
   /** Deterministic fake "resize": nearest-neighbor-sample OutW×OutH

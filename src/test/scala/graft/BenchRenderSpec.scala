@@ -50,4 +50,44 @@ class BenchRenderSpec extends AnyFunSuite {
     val line = Bench.renderLine(fullSurface.take(3), errors, "/tmp/x")
     parse(line) // must not throw
   }
+
+  test("runaway surface: line fits even when timings cannot (counts-only fallback)") {
+    // 5000 queries can never fit as per-query timings; the final
+    // degradation step must drop them and still emit parseable JSON
+    // with the total and a count.
+    val huge = (1 to 5000).map(i => f"zz$i%04d_filler" -> 1.234)
+    val line = Bench.renderLine(huge, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.MaxLineChars, s"len=${line.length}")
+    val json = parse(line)
+    val org.json4s.JInt(n) = (json \ "queries" \ "_count"): @unchecked
+    assert(n == 5000)
+    val org.json4s.JDouble(total) = (json \ "value"): @unchecked
+    assert(math.abs(total - 5000 * 1.234) < 1.0)
+  }
+
+  test("outlier detection: >3x family median AND >1s, errored excluded") {
+    val results = Seq(
+      "q01_a" -> 0.2, "q02_b" -> 0.3, "q03_c" -> 0.25,
+      "q04_d" -> 16.1, // the round-10 contention artifact shape
+      "q05_e" -> 0.9,  // 3x median but under the absolute floor
+      "dedup01_x" -> 0.2, "dedup02_y" -> 2.5, "dedup03_z" -> 0.3,
+      // over threshold (family median 0.3) but errored -> excluded
+      "etl01_a" -> 5.0, "etl02_b" -> 0.2, "etl03_c" -> 0.3
+    )
+    val out = Bench.outliers(results, errored = Set("etl01_a"))
+    assert(out.toSet == Set("q04_d", "dedup02_y"))
+  }
+
+  test("outlier detection: clean sweep flags nothing cheap") {
+    val results = (1 to 40).map(i => f"q$i%02d_x" -> 0.3)
+    assert(Bench.outliers(results, Set.empty).isEmpty)
+  }
+
+  test("family split: etl by decade, others by letter prefix") {
+    assert(Bench.family("etl01_select") == "etl0")
+    assert(Bench.family("etl19_merge") == "etl1")
+    assert(Bench.family("etl27_retention") == "etl2")
+    assert(Bench.family("q04_order_priority") == "q")
+    assert(Bench.family("dedup03_minhash_lsh") == "dedup")
+  }
 }

@@ -156,6 +156,56 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("bloom cap raise stays monotone across builders on DIFFERENT dirs") {
+    // bloomGate raises the session bloom caps to the measured corpus
+    // size before building its sketch. The raise is check-then-set, so
+    // without the lock two builders with different needs can interleave
+    // such that the SMALLER need lands last and clamps the larger
+    // builder's sketch (fpp blowout — the exact failure the raise
+    // prevents). Pin: start both caps at 1, race dedup12 on two corpora
+    // of different sizes, and the caps must end >= the LARGER need.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = Seq(itemsKey, bitsKey).map(k => k -> spark.conf.getOption(k))
+    try {
+      // sf0.001 vs sf0.1: documents is 500 rows at BOTH sf0.001 and
+      // sf0.01, so the smaller pair would have identical needs.
+      val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+      // Replicate bloomGate's sizing rule to know each builder's need.
+      val needs = dirs.map { d =>
+        val n = math.max(graft.sources.Tables.documents(spark, d)
+          .filter(col("doc_id") % Dedup.IngestMod =!= Dedup.IngestRem)
+          .count(), 1L)
+        (n, org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(n, Dedup.BloomFpp))
+      }
+      assert(needs.map(_._1).distinct.size == 2,
+        "corpora must differ in size for the clamp race to be observable")
+      (1 to 3).foreach { _ =>
+        GraftCache.release() // drop cached sketches so builders really build
+        spark.conf.set(itemsKey, "1")
+        spark.conf.set(bitsKey, "1")
+        val rows = Await.result(
+          Future.sequence(dirs.map(d =>
+            Future(d -> SparkEntry.queries("dedup12_bloom_ingest")(spark, d).count()))),
+          5.minutes)
+        assert(rows.forall(_._2 > 0))
+        assert(spark.conf.get(itemsKey).toLong >= needs.map(_._1).max,
+          "a smaller builder clamped the item cap back down")
+        assert(spark.conf.get(bitsKey).toLong >= needs.map(_._2).max,
+          "a smaller builder clamped the bit cap back down")
+      }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      GraftCache.release() // sketches built under test-tampered caps
+    }
+  }
+
   test("the same query racing itself is consistent") {
     val runs = Await.result(
       Future.sequence((1 to 8).map(_ =>

@@ -128,6 +128,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash64 is well-defined for images past 64 pixels (no bit aliasing)") {
+    // Pre-fix, bit j used 1L << j for EVERY pixel: a 16x16 image
+    // aliased pixels 64.. onto bits 0..63 and an all-white image could
+    // land anywhere. Now >64-pixel images hash an 8x8 NN downsample:
+    // all-white -> all 64 bits, all-black -> none, and a half-split
+    // image maps to exactly the grid cells that sample white pixels.
+    def hashOf(bytes: Array[Byte]): Long = {
+      val (w, h, rgb) = MultimodalStub.decodeImage(bytes)
+      MultimodalStub.aHash64(w, h, rgb)
+    }
+    assert(hashOf(png(16, 16)((_, _) => (255, 255, 255))) == -1L)
+    assert(hashOf(png(16, 16)((_, _) => (0, 0, 0))) == 0L)
+    // Left half white: grid cells gx<4 sample x = gx*16/8 < 8 (white).
+    val half = hashOf(png(16, 16)((x, _) => if (x < 8) (255, 0, 0) else (0, 0, 0)))
+    val expected = (for (gy <- 0 until 8; gx <- 0 until 4)
+      yield 1L << (gy * 8 + gx)).reduce(_ | _)
+    assert(half == expected)
+    // Size invariance of the downsampled regime: same pattern at 2x
+    // resolution lands on the same fingerprint.
+    assert(hashOf(png(32, 32)((x, _) => if (x < 16) (255, 0, 0) else (0, 0, 0))) == half)
+    // <=64-pixel regime unchanged: the barcode law survives the split.
+    assert(hashOf(MultimodalStub.barcodePng(170L)) == 170L)
+  }
+
   test("mm06 near-dup pairs equal the driver-side bit-math replay") {
     val got = Multimodal.mm06PhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
