@@ -238,9 +238,24 @@ object GraftStreams {
 
   /** One document on the dedup stream (fingerprint precomputed upstream,
     * e.g. by [[graft.operators.TextAnalysis.text04Fingerprint]]'s
-    * normalized-md5 column logic).
+    * normalized-md5 column logic). `ts` is the arrival's event time —
+    * it drives the watermark that bounds dedup state (see
+    * [[streamingExactDedup]]'s retention contract).
     */
-  case class DocArrival(doc_id: Long, fingerprint: String)
+  case class DocArrival(doc_id: Long, fingerprint: String, ts: java.sql.Timestamp)
+
+  /** Default dedup-state retention: a fingerprint/span unseen for this
+    * much EVENT time is evicted. 30 days of event time is the window a
+    * crawl-ingest dedup gate typically honors; at 100 TB the state store
+    * then holds only the fingerprints the last 30 days of data carried,
+    * not every fingerprint ever seen.
+    */
+  val DedupRetentionMs: Long = 30L * 24 * 3600 * 1000
+
+  /** Default watermark delay for the dedup streams: how far out of
+    * event-time order arrivals may be before they are dropped as late.
+    */
+  val DedupWatermarkDelay = "2 hours"
 
   /** Streaming dedup verdict: `keeper_id` is the FIRST doc seen with
     * this fingerprint (min doc_id within the first micro-batch that
@@ -254,27 +269,58 @@ object GraftStreams {
     * stream — the streaming twin of
     * [[graft.operators.Dedup.dedup01Exact]]. Keyed state per
     * fingerprint holds only the keeper id (O(distinct fingerprints)
-    * state, the minimum any exact dedup must hold).
+    * state, the minimum any exact dedup must hold) — and that state is
+    * BOUNDED by an event-time TTL: every sighting refreshes the key's
+    * timeout to (max event time seen, floored at the watermark) +
+    * `retentionMs`; once the watermark passes it the entry is evicted.
     *
-    * TRUE first-seen semantics: once a keeper is committed it is never
-    * lowered, so verdicts for one fingerprint are mutually consistent
-    * across micro-batches (an append-mode sink can never retract the
-    * earlier ones). When arrivals are doc_id-ordered this coincides
-    * with batch dedup01's global-min keeper; under out-of-order arrival
-    * it stays prefix-consistent instead of silently diverging.
+    * Retention contract (the `dropDuplicatesWithinWatermark` shape):
+    * dedup is EXACT within the retention horizon — any two arrivals of
+    * one fingerprint within `retentionMs` of event time agree on the
+    * keeper; a fingerprint unseen for longer is forgotten, so a later
+    * re-arrival is admitted as its own fresh keeper. That bounds state
+    * at O(fingerprints active in the horizon) instead of every
+    * fingerprint ever seen — the difference between a state store that
+    * plateaus and one that grows forever at 100 TB/month ingest.
+    *
+    * TRUE first-seen semantics within the horizon: once a keeper is
+    * committed it is never lowered, so verdicts for one fingerprint are
+    * mutually consistent across micro-batches (an append-mode sink can
+    * never retract the earlier ones). When arrivals are doc_id-ordered
+    * this coincides with batch dedup01's global-min keeper; under
+    * out-of-order arrival it stays prefix-consistent instead of
+    * silently diverging.
     */
-  def streamingExactDedup(docs: Dataset[DocArrival]): Dataset[DedupVerdict] = {
+  def streamingExactDedup(
+      docs: Dataset[DocArrival],
+      watermarkDelay: String = DedupWatermarkDelay,
+      retentionMs: Long = DedupRetentionMs): Dataset[DedupVerdict] = {
     implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
     implicit val outEnc: Encoder[DedupVerdict] = ExpressionEncoder()
     implicit val strEnc: Encoder[String] = ExpressionEncoder()
     docs
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.fingerprint)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (fp: String, arrivals: Iterator[DocArrival], state: GroupState[Long]) =>
-          val sorted = arrivals.toSeq.sortBy(_.doc_id)
-          val keeper = state.getOption.getOrElse(sorted.head.doc_id)
-          if (!state.exists) state.update(keeper)
-          sorted.iterator.map(d => DedupVerdict(d.doc_id, fp, keeper))
+          if (state.hasTimedOut) {
+            // Watermark passed the key's last sighting + retention:
+            // forget the keeper. A later re-arrival starts fresh.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = arrivals.toSeq.sortBy(_.doc_id)
+            val keeper = state.getOption.getOrElse(sorted.head.doc_id)
+            state.update(keeper)
+            // Refresh the TTL on every sighting; the floor at the
+            // current watermark keeps the timeout legal (it must be
+            // strictly in the watermark's future) even for arrivals
+            // near the lateness edge.
+            val maxTs = sorted.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMs)
+            sorted.iterator.map(d => DedupVerdict(d.doc_id, fp, keeper))
+          }
       }
   }
 
@@ -284,7 +330,7 @@ object GraftStreams {
     * the SAME chunking contract as batch dedup08
     * ([[graft.operators.Dedup.spanHashRows]]).
     */
-  case class SpanArrival(doc_id: Long, span_hash: Long)
+  case class SpanArrival(doc_id: Long, span_hash: Long, ts: java.sql.Timestamp)
 
   /** Streaming span verdict: `first_doc` is the first document seen
     * carrying this span; an occurrence is a duplicate iff it arrives in
@@ -300,29 +346,51 @@ object GraftStreams {
     * [[graft.operators.Dedup.dedup08Paragraph]], i.e. the ingest-time
     * formulation: flag (or drop) boilerplate spans the corpus has
     * already absorbed, without waiting for a batch pass. Keyed state per
-    * span hash holds only the first-seen doc id — O(distinct spans)
-    * state, the minimum exact span dedup must hold; at 100 TB the
-    * state store shards it across executors like any streaming
-    * aggregate.
+    * span hash holds only the first-seen doc id, BOUNDED by the same
+    * event-time TTL as [[streamingExactDedup]]: every sighting
+    * refreshes the span's timeout to last-seen event time +
+    * `retentionMs`, and the watermark evicts idle entries — O(spans
+    * active in the retention horizon) state, not every span ever seen;
+    * at 100 TB the state store shards it across executors like any
+    * streaming aggregate and the TTL keeps each shard's footprint flat.
     *
-    * TRUE first-seen semantics (stream03's contract): the first
-    * committed owner of a span is never retracted, so verdicts are
-    * prefix-consistent across micro-batches; under doc_id-ordered
-    * arrival the flagged set coincides exactly with "span seen in an
-    * earlier document" (spec-pinned against a batch recompute).
+    * Retention contract: span dedup is exact within the horizon; a span
+    * idle longer than `retentionMs` of event time is forgotten, so its
+    * next occurrence is treated as a fresh first owner (boilerplate
+    * that genuinely recurs keeps refreshing its own entry and is never
+    * evicted).
+    *
+    * TRUE first-seen semantics within the horizon (stream03's
+    * contract): the first committed owner of a span is never retracted,
+    * so verdicts are prefix-consistent across micro-batches; under
+    * doc_id-ordered arrival the flagged set coincides exactly with
+    * "span seen in an earlier document" (spec-pinned against a batch
+    * recompute).
     */
-  def streamingSpanDedup(spans: Dataset[SpanArrival]): Dataset[SpanVerdict] = {
+  def streamingSpanDedup(
+      spans: Dataset[SpanArrival],
+      watermarkDelay: String = DedupWatermarkDelay,
+      retentionMs: Long = DedupRetentionMs): Dataset[SpanVerdict] = {
     implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
     implicit val outEnc: Encoder[SpanVerdict] = ExpressionEncoder()
     spans
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.span_hash)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (h: Long, arrivals: Iterator[SpanArrival], state: GroupState[Long]) =>
-          val sorted = arrivals.toSeq.sortBy(_.doc_id)
-          val first = state.getOption.getOrElse(sorted.head.doc_id)
-          if (!state.exists) state.update(first)
-          sorted.iterator.map(s =>
-            SpanVerdict(s.doc_id, h, first, s.doc_id != first))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = arrivals.toSeq.sortBy(_.doc_id)
+            val first = state.getOption.getOrElse(sorted.head.doc_id)
+            state.update(first)
+            val maxTs = sorted.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMs)
+            sorted.iterator.map(s =>
+              SpanVerdict(s.doc_id, h, first, s.doc_id != first))
+          }
       }
   }
 

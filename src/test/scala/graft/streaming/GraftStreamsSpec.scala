@@ -193,7 +193,8 @@ class GraftStreamsSpec extends SparkSpec {
 
     val arrivals = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
       .as[GraftStreams.DocArrival].collect().sortBy(_.doc_id)
 
     // Split into two micro-batches to exercise cross-batch state.
@@ -223,7 +224,8 @@ class GraftStreamsSpec extends SparkSpec {
     import spark.implicits._
     val spans = graft.operators.Dedup
       .spanHashRows(Tables.documents(spark, sf))
-      .select(col("doc_id"), col("h").as("span_hash"))
+      .select(col("doc_id"), col("h").as("span_hash"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
       .as[GraftStreams.SpanArrival].collect().sortBy(s => (s.doc_id, s.span_hash))
     assert(spans.nonEmpty)
 
@@ -311,9 +313,9 @@ class GraftStreamsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dedup_late_out")
       .outputMode(OutputMode.Append).start()
     try {
-      stream.addData(GraftStreams.DocArrival(5L, "fp"))
+      stream.addData(GraftStreams.DocArrival(5L, "fp", new Timestamp(1000000L)))
       q.processAllAvailable()
-      stream.addData(GraftStreams.DocArrival(3L, "fp"))
+      stream.addData(GraftStreams.DocArrival(3L, "fp", new Timestamp(1000000L)))
       q.processAllAvailable()
     } finally q.stop()
     val verdicts = spark.table("dedup_late_out").collect()
@@ -322,6 +324,110 @@ class GraftStreamsSpec extends SparkSpec {
     // the late-arriving smaller doc 3 must NOT become its own keeper
     // (that would contradict the already-emitted verdict for doc 5).
     assert(verdicts == Map(5L -> 5L, 3L -> 5L))
+  }
+
+  test("stream03 TTL: idle fingerprint state is evicted, re-arrival starts fresh") {
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val stream = MemoryStream[GraftStreams.DocArrival](spark)
+    // 60 s retention, zero lateness allowance: the watermark tracks max
+    // event time exactly, so eviction timing is fully deterministic.
+    val q = GraftStreams.streamingExactDedup(
+        stream.toDS(), watermarkDelay = "0 seconds", retentionMs = 60000L)
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // b1: fp committed with keeper 5; TTL set to t=1000s + 60s.
+      stream.addData(GraftStreams.DocArrival(5L, "fp", ts(1000)))
+      q.processAllAvailable()
+      // b2: advance the watermark far past fp's timeout (1060s).
+      // (Each later batch's ts is strictly above the current watermark —
+      // rows at ts <= watermark are dropped as late.)
+      stream.addData(GraftStreams.DocArrival(90L, "adv", ts(2000)))
+      q.processAllAvailable()
+      // b3: the first batch AFTER the watermark passes the timeout fires
+      // the eviction (state for fp removed; nothing emitted for it).
+      stream.addData(GraftStreams.DocArrival(91L, "adv2", ts(2100)))
+      q.processAllAvailable()
+      // b4: fp re-arrives AFTER eviction → fresh keeper (doc 7), not
+      // the pre-eviction keeper 5.
+      stream.addData(GraftStreams.DocArrival(7L, "fp", ts(2200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("dedup_ttl_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(verdicts == Map(5L -> 5L, 90L -> 90L, 91L -> 91L, 7L -> 7L),
+      s"evicted fingerprint must restart with a fresh keeper, got $verdicts")
+  }
+
+  test("stream03 TTL: sightings within the horizon refresh state (no eviction)") {
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val stream = MemoryStream[GraftStreams.DocArrival](spark)
+    val q = GraftStreams.streamingExactDedup(
+        stream.toDS(), watermarkDelay = "0 seconds", retentionMs = 60000L)
+      .writeStream.format("memory").queryName("dedup_ttl_keep_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Each sighting lands within 60 s of the previous one, so the
+      // refreshed TTL always stays ahead of the advancing watermark:
+      // total elapsed event time (100 s) exceeds the retention, but the
+      // keeper must survive because the key was never idle that long.
+      stream.addData(GraftStreams.DocArrival(5L, "fp", ts(1000)))
+      q.processAllAvailable()
+      stream.addData(GraftStreams.DocArrival(6L, "fp", ts(1050)))
+      q.processAllAvailable()
+      stream.addData(GraftStreams.DocArrival(7L, "fp", ts(1100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("dedup_ttl_keep_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(verdicts == Map(5L -> 5L, 6L -> 5L, 7L -> 5L),
+      s"active fingerprint must keep its keeper across the horizon, got $verdicts")
+  }
+
+  test("stream07 TTL: idle span state is evicted, recurring spans survive") {
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val stream = MemoryStream[GraftStreams.SpanArrival](spark)
+    val q = GraftStreams.streamingSpanDedup(
+        stream.toDS(), watermarkDelay = "0 seconds", retentionMs = 60000L)
+      .writeStream.format("memory").queryName("span_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Span 11 goes idle past the retention; span 22 keeps recurring
+      // within it (the boilerplate case) and must keep its first owner.
+      stream.addData(GraftStreams.SpanArrival(1L, 11L, ts(1000)),
+        GraftStreams.SpanArrival(1L, 22L, ts(1000)))
+      q.processAllAvailable()
+      stream.addData(GraftStreams.SpanArrival(2L, 22L, ts(1050)))
+      q.processAllAvailable()
+      stream.addData(GraftStreams.SpanArrival(3L, 22L, ts(2000)))
+      q.processAllAvailable()
+      // This batch processes against the 2000s watermark: span 11's
+      // 1060s timeout fires (state removed), span 22's refreshed 2060s
+      // timeout has not — the eviction must fire in a batch where the
+      // key carries NO data, because in-batch data beats the timeout.
+      stream.addData(GraftStreams.SpanArrival(5L, 99L, ts(2100)))
+      q.processAllAvailable()
+      // Span 11's re-arrival after eviction is a fresh first owner.
+      stream.addData(GraftStreams.SpanArrival(4L, 11L, ts(2200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("span_ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(rows((1L, 11L)) == ((1L, false)))
+    assert(rows((5L, 99L)) == ((5L, false)))
+    assert(rows((4L, 11L)) == ((4L, false)),
+      s"evicted span must restart with a fresh owner, got ${rows((4L, 11L))}")
+    // Span 22's 2000s sighting rides the batch that ADVANCES the
+    // watermark to 2000s: it processes against the old 1050s watermark
+    // and refreshes the TTL to 2060s before any eviction could fire, so
+    // the recurring span keeps its owner (data beats timeout in-batch).
+    assert(rows((2L, 22L)) == ((1L, true)))
+    assert(rows((3L, 22L)) == ((1L, true)),
+      s"recurring span must keep its first owner, got ${rows((3L, 22L))}")
   }
 
   test("sessionize recovers keyed state from checkpoint across query restarts") {
