@@ -71,7 +71,9 @@ object PlanDump {
       "cur14_epoch_schedule" ->
         "epoch budget: one corpus scan to per-source masses, O(#sources) candidate grid windows",
       "mm06_phash_dedup" ->
-        "image near-dup: binaryFile scan + executor decode, delta-neighborhood equi-join on fingerprints")
+        "image near-dup: binaryFile scan + executor decode, delta-neighborhood equi-join on fingerprints",
+      "mm07_phash_blocked" ->
+        "image near-dup radius 4: pigeonhole block-combination equi-join on fingerprints, exact hamming on candidates")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

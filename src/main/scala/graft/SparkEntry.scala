@@ -142,6 +142,7 @@ object SparkEntry {
     "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
     "mm05_binary_ingest" -> Multimodal.mm05BinaryIngest _,
     "mm06_phash_dedup" -> Multimodal.mm06PhashDedup _,
+    "mm07_phash_blocked" -> Multimodal.mm07PhashBlocked _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -1877,6 +1878,19 @@ object SparkEntry {
            CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
          FROM h a JOIN h b ON a.img_id < b.img_id
          WHERE bit_count(xor(a.phash, b.phash)) <= 1
+         ORDER BY img_a, img_b""",
+    "mm07_phash_blocked" ->
+      // mm06's loop at radius 4, against the EXHAUSTIVE pair set: the
+      // oracle enumerates all image pairs and keeps hamming <= 4, so a
+      // recall miss in the pigeonhole blocking (a qualifying pair whose
+      // blocks never line up in any enumerated combination) breaks the
+      // match, not just a decode/hash error.
+      """WITH h AS (SELECT doc_id AS img_id, doc_id % 256 AS phash
+           FROM documents WHERE doc_id < 256)
+         SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         FROM h a JOIN h b ON a.img_id < b.img_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 4
          ORDER BY img_a, img_b""",
     "mm05_binary_ingest" ->
       // The REAL pipeline (PNG encode -> binary files -> binaryFile

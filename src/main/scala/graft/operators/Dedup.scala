@@ -221,15 +221,25 @@ object Dedup {
     * the corpus-scale setting (56 keys of 40 bits — the birthday term
     * drops from n²/2¹⁶ to n²·56/2⁴⁰, ~10⁵× fewer accidental
     * candidates).
+    *
+    * The scheme is generic over fingerprint width and radius: `bits`
+    * is the hash width (64 for SimHash — the default; 8 for mm07's
+    * barcode perceptual hashes) and `radius` the hamming distance the
+    * recall guarantee must cover (keyBlocks ≤ blocks − radius). The
+    * same machinery therefore serves dedup04 (64-bit, radius 3) and
+    * mm07's image near-dup (radius 4) without duplication.
     */
-  final case class SimhashBlocking(blocks: Int, keyBlocks: Int) {
-    require(blocks > 0 && 64 % blocks == 0,
-      s"blocks must divide 64, got $blocks")
-    require(keyBlocks >= 1 && keyBlocks <= blocks - SimhashMaxHamming,
-      s"recall guarantee needs keyBlocks ≤ blocks - $SimhashMaxHamming " +
+  final case class SimhashBlocking(
+      blocks: Int, keyBlocks: Int,
+      bits: Int = 64, radius: Int = SimhashMaxHamming) {
+    require(bits >= 1 && bits <= 64, s"bits must be in 1..64, got $bits")
+    require(blocks > 0 && bits % blocks == 0,
+      s"blocks must divide $bits, got $blocks")
+    require(keyBlocks >= 1 && keyBlocks <= blocks - radius,
+      s"recall guarantee needs keyBlocks ≤ blocks - $radius " +
         s"(hamming ≤ ${blocks - keyBlocks} shares a full key), " +
         s"got ($blocks, $keyBlocks)")
-    val width: Int = 64 / blocks
+    val width: Int = bits / blocks
     val combos: Seq[Seq[Int]] =
       (0 until blocks).combinations(keyBlocks).map(_.toSeq).toSeq
   }
@@ -253,7 +263,8 @@ object Dedup {
     * little-endian into one long. For (4, 1) this is byte-for-byte the
     * classic 16-bit chunk explode.
     */
-  private def pigeonholeKeys(sh: Column, cfg: SimhashBlocking): Column = {
+  private[operators] def pigeonholeKeys(
+      sh: Column, cfg: SimhashBlocking): Column = {
     val mask = if (cfg.width == 64) -1L else (1L << cfg.width) - 1L
     array(cfg.combos.map { bs =>
       bs.zipWithIndex.map { case (b, j) =>

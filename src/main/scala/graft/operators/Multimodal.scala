@@ -206,6 +206,70 @@ object Multimodal {
       .orderBy("img_a", "img_b")
   }
 
+  /** mm07's hamming radius: the wider near-dup band (recompressed /
+    * lightly edited images), past what delta-neighborhood indexing can
+    * reach (radius 2 on 64 bits already needs ~2k flips per image;
+    * radius 4 would need ~679k).
+    */
+  val Mm07MaxHamming = 4
+
+  /** Pigeonhole blocking for mm07 over the staged corpus' 8-bit
+    * barcode hashes: 8 single-bit blocks, every 4-combination as a key
+    * (C(8,4) = 70 keys/image) — keyBlocks = blocks − radius, so any
+    * pair within hamming ≤ 4 shares at least one full key. On REAL
+    * photo corpora the hash is 64-bit ([[MultimodalStub.aHash64]]'s
+    * 8×8 grid) and the setting is `SimhashBlocking(8, 4)` — 70 keys of
+    * 32 bits, the same candidate equi-join shape with a 2³² birthday
+    * denominator.
+    */
+  val Mm07Blocking: Dedup.SimhashBlocking =
+    Dedup.SimhashBlocking(MultimodalStub.BarcodeBits, 4,
+      bits = MultimodalStub.BarcodeBits, radius = Mm07MaxHamming)
+
+  /** mm07: image near-dup at hamming ≤ [[Mm07MaxHamming]] — mm06's
+    * wider-band sibling. The delta-neighborhood trick that makes mm06
+    * exact-and-linear at radius 1 explodes combinatorially with the
+    * radius, so mm07 reuses dedup04's pigeonhole machinery
+    * ([[Dedup.SimhashBlocking]], generalized over hash width and
+    * radius): the fingerprint splits into blocks and every
+    * (blocks − radius)-combination of them becomes an equi-join key —
+    * a pair within the radius differs in at most `radius` blocks, so
+    * at least one enumerated combination survives intact on both
+    * sides. Candidates stay an equi-join (C(blocks, keyBlocks) key
+    * rows per image, a constant), the exact hamming filter runs on the
+    * candidates only, and recall is 100% by the pigeonhole argument —
+    * the same guarantee dedup04 carries, now over decoded image
+    * fingerprints.
+    *
+    * The oracle replays the full encode → land → binaryFile scan →
+    * ImageIO decode → threshold → blocked join loop in DuckDB bit math
+    * via the barcode law (hash == id % 256), exhaustively over all
+    * pairs — so a recall miss in the blocking (not just a hash error)
+    * breaks the match.
+    */
+  def mm07PhashBlocked(spark: SparkSession, dir: String): DataFrame =
+    phashBlockedPairs(corpusImageHashes(spark, dir), Mm07Blocking)
+      .filter(col("hamming") <= Mm07MaxHamming)
+      .orderBy("img_a", "img_b")
+
+  /** Distinct candidate pairs (img_a < img_b, hamming) under `cfg` —
+    * the pigeonhole candidate join shared by mm07 and its
+    * blocking-invariance spec.
+    */
+  private[graft] def phashBlockedPairs(
+      hashes: DataFrame, cfg: Dedup.SimhashBlocking): DataFrame = {
+    val keyed = hashes.select(col("img_id"), col("phash"),
+      posexplode(Dedup.pigeonholeKeys(col("phash"), cfg))
+        .as(Seq("chunk_idx", "chunk")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+  }
+
   /** The corpus image-fingerprint frame behind mm06 and the stream12
     * ingest gate: the staged PNG landing dir (built once per source
     * fingerprint) read back through `binaryFile` and hashed with the

@@ -168,4 +168,48 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.nonEmpty &&
       expected.size < ids.size.toLong * (ids.size - 1) / 4)
   }
+
+  test("mm07 radius-4 pairs equal the exhaustive driver-side replay") {
+    val got = Multimodal.mm07PhashBlocked(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = (0L until Multimodal.Mm05Images.toLong)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount((a % 256) ^ (b % 256))
+      if d <= Multimodal.Mm07MaxHamming
+    } yield (a, b, d)).toSet
+    assert(got == expected,
+      s"pair sets differ: got ${got.size}, expected ${expected.size}")
+    // The wider radius must admit strictly more than mm06's band, and
+    // strictly less than the all-pairs space (the filter is live).
+    val all = ids.size.toLong * (ids.size - 1) / 2
+    assert(expected.exists(_._3 > Multimodal.Mm06MaxHamming))
+    assert(expected.size < all)
+  }
+
+  test("mm07 output is blocking-invariant across admissible configs") {
+    import graft.operators.Dedup.SimhashBlocking
+    val bits = MultimodalStub.BarcodeBits
+    // Every admissible keyBlocks for (blocks=8, radius=4) — the recall
+    // guarantee covers the radius at each, so the RESULT (candidates
+    // filtered to the radius) must be identical; only the candidate-set
+    // size may differ.
+    def pairsAt(kb: Int): Set[(Long, Long, Int)] =
+      Multimodal.phashBlockedPairs(
+          Multimodal.corpusImageHashes(spark, sf),
+          SimhashBlocking(bits, kb, bits = bits, radius = Multimodal.Mm07MaxHamming))
+        .filter(org.apache.spark.sql.functions.col("hamming") <=
+          Multimodal.Mm07MaxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val reference = pairsAt(4)
+    (1 to 3).foreach { kb =>
+      assert(pairsAt(kb) == reference, s"keyBlocks=$kb diverges")
+    }
+    // Inadmissible configs must refuse loudly: keyBlocks past
+    // blocks - radius would silently lose recall.
+    intercept[IllegalArgumentException](
+      SimhashBlocking(bits, 5, bits = bits, radius = Multimodal.Mm07MaxHamming))
+    intercept[IllegalArgumentException](
+      SimhashBlocking(3, 1, bits = bits, radius = Multimodal.Mm07MaxHamming))
+  }
 }
