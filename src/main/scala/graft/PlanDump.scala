@@ -73,7 +73,9 @@ object PlanDump {
       "mm06_phash_dedup" ->
         "image near-dup: binaryFile scan + executor decode, delta-neighborhood equi-join on fingerprints",
       "mm07_phash_blocked" ->
-        "image near-dup radius 4: pigeonhole block-combination equi-join on fingerprints, exact hamming on candidates")
+        "image near-dup radius 4: pigeonhole block-combination equi-join on fingerprints, exact hamming on candidates",
+      "text17_bpe_train" ->
+        "BPE training: one corpus scan to vocab-sized word counts, per-round vocab pair aggregate + O(1) top-pair collect")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

@@ -94,6 +94,7 @@ object SparkEntry {
     "text14_gopher_rules" -> TextAnalysis.text14GopherRules _,
     "text15_cms_topk" -> TextAnalysis.text15CmsTopk _,
     "text16_pmi_collocations" -> TextAnalysis.text16PmiCollocations _,
+    "text17_bpe_train" -> TextAnalysis.text17BpeTrain _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -243,6 +244,44 @@ object SparkEntry {
                 FROM kc${i - 1} p LEFT JOIN kl$i n ON p.cid = n.cid)"""
     }
     (init +: rounds).mkString(",\n       ")
+  }
+
+  /** CTE chain replaying [[graft.operators.TextAnalysis.text17BpeTrain]]
+    * in DuckDB — the kmeansCteSql pattern for BPE: `w` is the
+    * word-frequency table ('^[a-z]+$' words of the lowercased corpus),
+    * `s0` the initial (sym)-wrapped character segmentation, and each
+    * round r computes adjacent-pair counts over s(r-1) (every adjacent
+    * occurrence, weighted by word frequency — Sennrich's get_stats),
+    * picks the top pair on (cnt DESC, a, b) into `m<r>`, and
+    * re-segments into `s<r>` with a left-to-right non-overlapping
+    * `replace` (equal to greedy BPE merging because symbols cannot
+    * contain parens). Generated, not hand-written, so the unroll depth
+    * always matches BpeMerges.
+    *
+    * Every CTE is MATERIALIZED: each round references the previous
+    * segmentation twice (pair counts + re-segmentation), so DuckDB's
+    * default CTE inlining would recompute the chain 2^rounds times —
+    * measured 451 s plain vs 0.3 s materialized at 12 rounds on sf0.01.
+    */
+  private def bpeCteSql(merges: Int): String = {
+    val init =
+      """w AS MATERIALIZED (SELECT t AS w, count(*) AS freq FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+           WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t),
+         s0 AS MATERIALIZED (SELECT freq, regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM w)"""
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+             FROM (SELECT freq, regexp_extract_all(seg, '\\(([^)]*)\\)', 1) AS l
+                   FROM s${r - 1}),
+                  unnest(range(1, len(l))) AS t(i)
+             GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         s$r AS MATERIALIZED (SELECT freq,
+               replace(seg, '(' || a || ')(' || b || ')', '(' || a || b || ')') AS seg
+             FROM s${r - 1}, m$r)"""
+    }
+    (init +: rounds).mkString(",\n         ")
   }
 
   /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
@@ -1631,6 +1670,19 @@ object SparkEntry {
            CROSS JOIN total)
          SELECT p || ' ' || t AS bigram, cbg AS n, micro / 10000.0 AS pmi
          FROM s ORDER BY pmi DESC, bigram LIMIT 20""",
+    "text17_bpe_train" ->
+      // The full BpeMerges-round Sennrich protocol replayed round-for-
+      // round via the generated training chain (adjacent-pair counts
+      // over the current segmentation, top pair on (cnt DESC, a, b),
+      // non-overlapping replace re-segmentation) — a divergence in any
+      // round's chosen pair cascades into every later round.
+      s"""WITH ${bpeCteSql(graft.operators.TextAnalysis.BpeMerges)}
+         SELECT CAST(rank AS INTEGER) AS rank, a AS lhs, b AS rhs,
+           a || b AS merged, cnt
+         FROM (${(1 to graft.operators.TextAnalysis.BpeMerges)
+           .map(r => s"SELECT $r AS rank, a, b, cnt FROM m$r")
+           .mkString("\n           UNION ALL ")})
+         ORDER BY rank""",
     "text13_bigram_surprisal" ->
       // The bigram model replayed on token STRINGS (Spark joins on the
       // 64-bit pair hashes — identical counts absent a 2^-64 collision,

@@ -575,4 +575,76 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(20)
   }
+
+  /** Merge rounds text17 trains — small like sim09's Lloyd rounds, so
+    * the oracle's generated CTE chain stays readable while every round
+    * is still value-checked.
+    */
+  val BpeMerges = 12
+
+  /** text17: BPE merge TRAINING (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * the trainer next to text08's GPT-2-shape pretokenizer: learn the
+    * merge table itself, the vocab artifact an LLM pipeline ships to
+    * its tokenizer. Each round counts adjacent symbol pairs over the
+    * current segmentation (weighted by word frequency, every adjacent
+    * occurrence — Sennrich's `get_stats`), merges the most frequent
+    * pair corpus-wide (ties broken lexicographically), and re-segments.
+    * Output: one row per merge — (rank, lhs, rhs, merged, cnt).
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * corpus is scanned ONCE into a word-frequency table (vocab-sized,
+    * sublinear in the corpus by Heaps' law) and all training rounds
+    * iterate over that table, exactly as the reference algorithm
+    * trains on word counts. Per round: one vocab-sized pair aggregate
+    * (map-side partial, compact string keys), a top-1 collect (the
+    * sim09 codebook-scalar contract — O(1) rows to the driver, never
+    * the vocab), and a codegen'd literal `replace` re-segmentation.
+    * Words are restricted to `^[a-z]+$` so the `(sym)` wrapping that
+    * makes left-to-right non-overlapping `replace` equal greedy BPE
+    * merging is unambiguous (parens can never appear inside a symbol).
+    *
+    * The DuckDB oracle replays every round value-for-value through a
+    * generated CTE chain ([[graft.SparkEntry]]'s bpeCteSql — the
+    * kmeansCteSql pattern): same pair counting, same tie-break, same
+    * non-overlapping replace, so a divergence in ANY round's chosen
+    * pair breaks all later rounds and the hash.
+    */
+  def text17BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.GraftCache.getOrPersist(
+      s"text17.words:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      documents(spark, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          regexp_replace(col("w"), "(.)", "($1)").as("seg"))
+    }
+    var cur = words
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val syms = regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1))
+      val n = size(col("s")) - 1
+      val top = cur
+        .select(col("freq"), syms.as("s"))
+        .select(col("freq"), explode(when(n > 0,
+          transform(sequence(lit(0), n - 1, lit(1)),
+            i => struct(element_at(col("s"), i + 1).as("a"),
+              element_at(col("s"), i + 2).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      require(top.nonEmpty, s"BPE round $r: no pairs left to merge")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, a, b, a + b, cnt))
+      cur = cur.select(col("freq"),
+        replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")).as("seg"))
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy("rank")
+  }
 }

@@ -285,4 +285,54 @@ class TextAnalysisSpec extends SparkSpec {
     // A collocation must beat independence by construction of the corpus.
     assert(got.head._3 > 0.0, "top collocation should have positive PMI")
   }
+
+  test("text17 BPE merges equal an independent list-walk Sennrich replay") {
+    // The operator merges via left-to-right non-overlapping string
+    // `replace` over the (sym)-wrapped segmentation; this replay uses
+    // the REFERENCE formulation — greedy index-walk over symbol lists —
+    // so agreement pins the two formulations equivalent, independently
+    // of the DuckDB oracle (which replays the string form).
+    val words = scala.collection.mutable.Map[List[String], Long]()
+    graft.sources.Tables.documents(spark, sf).select("text").collect()
+      .foreach { r =>
+        r.getString(0).toLowerCase.split(" ")
+          .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+          .foreach { w =>
+            val seg = w.toList.map(_.toString)
+            words(seg) = words.getOrElse(seg, 0L) + 1
+          }
+      }
+    var vocab = words.toMap
+    val expected = (1 to TextAnalysis.BpeMerges).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (seg, f) =>
+        seg.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      def mergeGreedy(seg: List[String]): List[String] = {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < seg.length) {
+          if (i < seg.length - 1 && seg(i) == a && seg(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += seg(i); i += 1 }
+        }
+        out.toList
+      }
+      vocab = vocab.groupBy { case (seg, _) => mergeGreedy(seg) }
+        .map { case (seg, m) => seg -> m.values.sum }
+      (r, a, b, a + b, cnt)
+    }
+    val got = TextAnalysis.text17BpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected, "merge table diverges from the list-walk replay")
+    // Non-degenerate: at least one learned merge builds on an earlier
+    // merged symbol (multi-character side) — the property that makes
+    // BPE BPE rather than bigram counting.
+    assert(got.exists { case (_, a, b, _, _) => a.length > 1 || b.length > 1 })
+  }
 }
