@@ -75,7 +75,9 @@ object PlanDump {
       "mm07_phash_blocked" ->
         "image near-dup radius 4: pigeonhole block-combination equi-join on fingerprints, exact hamming on candidates",
       "text17_bpe_train" ->
-        "BPE training: one corpus scan to vocab-sized word counts, per-round vocab pair aggregate + O(1) top-pair collect")
+        "BPE training: one corpus scan to vocab-sized word counts, per-round vocab pair aggregate + O(1) top-pair collect",
+      "etl27_retention" ->
+        "snapshot VACUUM: expire-by-version-number file deletes only, retained snapshots never rewritten")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

@@ -78,6 +78,7 @@ object SparkEntry {
     "etl24_jdbc_roundtrip" -> Etl.etl24JdbcRoundtrip _,
     "etl25_jdbc_merge" -> Etl.etl25JdbcMerge _,
     "etl26_backfill" -> Etl.etl26Backfill _,
+    "etl27_retention" -> Etl.etl27Retention _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -674,6 +675,29 @@ object SparkEntry {
            old_value, new_value
          FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
          ORDER BY key""",
+    "etl27_retention" ->
+      // Each RETAINED snapshot replayed as a latest-seq-wins reduction
+      // over the batches it had absorbed (seq % 3 assigns the batch;
+      // v2 = batches 1-2, v3 = full log); v1 is expired by the VACUUM,
+      // so it must NOT appear — a retention bug that keeps or deletes
+      // the wrong version changes the row set. Integer last_seq sums
+      // keep the audit float-free.
+      """WITH log AS (SELECT user_id AS key, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op
+           FROM events),
+         s2 AS (SELECT key, seq FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log WHERE seq % 3 < 2) WHERE rn = 1 AND op <> 'D'),
+         s3 AS (SELECT key, seq FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log) WHERE rn = 1 AND op <> 'D')
+         SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_keys,
+           CAST(sum(seq) AS BIGINT) AS sum_seq, 1 AS n_expired FROM s2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), count(*),
+           CAST(sum(seq) AS BIGINT), 1 FROM s3
+         ORDER BY version""",
     "etl24_jdbc_roundtrip" ->
       // The JDBC write→read round-trip is lossless, so the oracle
       // aggregates the SOURCE table; a row lost or mangled through

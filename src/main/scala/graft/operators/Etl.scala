@@ -417,6 +417,46 @@ object Etl {
       .orderBy("key")
   }
 
+  /** etl27: snapshot RETENTION / VACUUM over the merge sink — the
+    * maintenance sibling of etl21's compaction, closing the version
+    * lifecycle etl23 opened: snapshots cost a full state copy each, so
+    * a real lake expires them on a schedule instead of time-traveling
+    * forever. Three incremental merges land the CDC log under a deeper
+    * retention (retainLast = 3 → versions v1..v3 on disk), then an
+    * explicit [[graft.sources.MergeSink.expireVersions]] VACUUM keeps
+    * the last two: v1's files are deleted, v2/v3 stay byte-identical
+    * (immutable snapshots — expiry never rewrites survivors), reads of
+    * v1 fail loudly (spec-pinned), and the current version can never
+    * be expired by contract (keepLast >= 1).
+    *
+    * The audit result is one row per RETAINED version — its visible
+    * key count and exact last_seq sum (integer, so no float-order
+    * hazard) plus how many versions the VACUUM expired; the oracle
+    * replays each retained snapshot as a latest-seq-wins reduction
+    * over the batches it had absorbed (v2 = batches 1–2, v3 = full
+    * log).
+    */
+  def etl27Retention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MergeSink
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val table = s"g_master27_$suffix"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl27_$suffix"
+    val log = cdcLog(spark, dir)
+    MergeSink.reset(spark, table, base) // deterministic end-to-end replay
+    (0 to 2).foreach { i =>
+      MergeSink.merge(spark, table, base,
+        log.filter(col("seq") % 3 === i), retainLast = 3)
+    }
+    val expired = MergeSink.expireVersions(spark, base, keepLast = 2)
+    val retained = MergeSink.versions(spark, base)
+    retained.map { v =>
+      MergeSink.stateAt(spark, base, v)
+        .agg(count(lit(1)).as("n_keys"), sum("last_seq").as("sum_seq"))
+        .select(lit(v).as("version"), col("n_keys"), col("sum_seq"),
+          lit(expired.size).as("n_expired"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** etl18: XML round-trip — the remaining interchange format legacy
     * upstreams emit (Spark 4 ships the XML source built in). Same
     * contract as etl09/11/12: write, re-read with an EXPLICIT schema

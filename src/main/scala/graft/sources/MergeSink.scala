@@ -101,9 +101,15 @@ object MergeSink {
 
   /** Apply one change batch `(key, seq, op, value)` to `table`
     * (external parquet under `basePath`), creating it if absent.
+    * `retainLast` is the post-commit retention: the newest `retainLast`
+    * snapshot versions survive, older ones are pruned best-effort
+    * (the default 2 keeps current + predecessor so etl23's audit diff
+    * always has both sides; pass more to hold a deeper time-travel
+    * window, then expire it explicitly with [[expireVersions]]).
     */
   def merge(spark: SparkSession, table: String, basePath: String,
-      changes: DataFrame): Unit = lockFor(table).synchronized {
+      changes: DataFrame, retainLast: Int = 2): Unit = lockFor(table).synchronized {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val asOps = changes.select(
       col("key").cast("long"), col("seq").cast("long"),
       col("op").cast("string"), col("value").cast("double"))
@@ -137,7 +143,41 @@ object MergeSink {
     newState.write.mode("overwrite").parquet(newPath)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$newPath'")
-    pruneOldVersions(spark, basePath, keep = Set(v, v - 1))
+    pruneOldVersions(spark, basePath,
+      keep = ((v - retainLast + 1) to v).toSet)
+  }
+
+  /** VACUUM: expire all but the newest `keepLast` committed snapshot
+    * versions — the maintenance sibling of compaction (etl21) for the
+    * time-travel surface: snapshots cost a full state copy each, so a
+    * real lake expires them on a retention schedule instead of keeping
+    * every version forever.
+    *
+    * Contract: `keepLast >= 1` (the CURRENT version can never be
+    * expired — refusing loudly beats silently deleting the live
+    * table); only versions STRICTLY OLDER than the oldest retained
+    * committed version are deleted, so an in-flight uncommitted write
+    * (always newer) is never touched. Returns the expired version
+    * numbers. Reads of retained versions via [[stateAt]] are untouched
+    * (immutable snapshots); reads of expired versions fail loudly.
+    */
+  def expireVersions(spark: SparkSession, basePath: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (the current version cannot be expired), got $keepLast")
+    val committed = versionsOnDisk(spark, basePath, committedOnly = true)
+    val retained = committed.takeRight(keepLast)
+    if (retained.isEmpty) Seq.empty
+    else {
+      val floor = retained.head
+      val all = versionsOnDisk(spark, basePath, committedOnly = false)
+      val expired = all.filter(_ < floor)
+      val (fs, base) = fsFor(spark, basePath)
+      expired.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"v$v"), true)
+      }
+      expired
+    }
   }
 
   /** The visible table state: tombstones filtered out. */
@@ -153,11 +193,21 @@ object MergeSink {
 
   /** The visible state AS OF a committed snapshot version (tombstones
     * filtered, same contract as [[state]]) — snapshots are immutable,
-    * so this read is stable while newer merges commit.
+    * so this read is stable while newer merges commit. An expired or
+    * never-committed version fails LOUDLY with the retained set in the
+    * message — time travel past the retention horizon must be an
+    * error, never an empty frame.
     */
-  def stateAt(spark: SparkSession, basePath: String, version: Long): DataFrame =
+  def stateAt(spark: SparkSession, basePath: String, version: Long): DataFrame = {
+    val committed = versionsOnDisk(spark, basePath, committedOnly = true)
+    if (!committed.contains(version))
+      throw new NoSuchElementException(
+        s"snapshot v$version is not committed under $basePath " +
+          s"(expired or never written); retained versions: " +
+          s"${committed.mkString("[", ", ", "]")}")
     spark.read.schema(schema).parquet(s"$basePath/v$version")
       .filter(col("last_op") =!= "D")
+  }
 
   /** Drop the table and all snapshot versions — a clean slate for a
     * deterministic end-to-end replay.

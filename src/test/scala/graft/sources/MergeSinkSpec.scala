@@ -113,4 +113,63 @@ class MergeSinkSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(viaSink == oneShot)
   }
+
+  test("expireVersions keeps the newest snapshots intact, expired reads fail loudly") {
+    val (table, base) = freshTable("vacuum")
+    MergeSink.merge(spark, table, base, ops((1L, 1L, "I", 1.0)), retainLast = 3)
+    MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0)), retainLast = 3)
+    MergeSink.merge(spark, table, base, ops((1L, 3L, "U", 9.0)), retainLast = 3)
+    assert(MergeSink.versions(spark, base) == Seq(1L, 2L, 3L))
+    val v2Before = snapshot(MergeSink.stateAt(spark, base, 2L))
+
+    val expired = MergeSink.expireVersions(spark, base, keepLast = 2)
+    assert(expired == Seq(1L))
+    assert(MergeSink.versions(spark, base) == Seq(2L, 3L))
+    // Retained snapshots are immutable: the VACUUM must not have
+    // rewritten the survivors.
+    assert(snapshot(MergeSink.stateAt(spark, base, 2L)) == v2Before)
+    assert(snapshot(MergeSink.stateAt(spark, base, 3L)) ==
+      Seq((1L, 3L, "U", Some(9.0)), (2L, 2L, "I", Some(2.0))))
+    // Time travel past the horizon is a loud error, never empty data.
+    val e = intercept[NoSuchElementException](
+      MergeSink.stateAt(spark, base, 1L))
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("[2, 3]"))
+  }
+
+  test("the current version can never be expired; VACUUM is idempotent") {
+    val (table, base) = freshTable("vacuum_cur")
+    MergeSink.merge(spark, table, base, ops((1L, 1L, "I", 1.0)), retainLast = 2)
+    MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0)), retainLast = 2)
+    intercept[IllegalArgumentException](
+      MergeSink.expireVersions(spark, base, keepLast = 0))
+    // keepLast = 1 retains exactly the current version; the live table
+    // keeps reading through the catalog.
+    assert(MergeSink.expireVersions(spark, base, keepLast = 1) == Seq(1L))
+    assert(MergeSink.versions(spark, base) == Seq(2L))
+    assert(snapshot(MergeSink.state(spark, table)) ==
+      Seq((1L, 1L, "I", Some(1.0)), (2L, 2L, "I", Some(2.0))))
+    // Re-running the VACUUM expires nothing further.
+    assert(MergeSink.expireVersions(spark, base, keepLast = 1).isEmpty)
+    // Invalid merge retention refuses too.
+    intercept[IllegalArgumentException](
+      MergeSink.merge(spark, table, base, ops((3L, 3L, "I", 3.0)), retainLast = 0))
+  }
+
+  test("etl27 retention audit equals the per-version reductions") {
+    val rows = Etl.etl27Retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // Driver replay: retained v2 = batches 1-2 (seq % 3 < 2), v3 = full
+    // log; latest-seq-wins, tombstones excluded, exactly one expired.
+    val log = Etl.cdcLog(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def reduce(pred: Long => Boolean) = {
+      val live = log.filter(t => pred(t._2)).groupBy(_._1)
+        .map { case (_, ts) => ts.maxBy(_._2) }
+        .filter(_._3 != "D")
+      (live.size.toLong, live.map(_._2).sum)
+    }
+    val (n2, s2) = reduce(_ % 3 < 2)
+    val (n3, s3) = reduce(_ => true)
+    assert(rows == Seq((2L, n2, s2, 1), (3L, n3, s3, 1)))
+  }
 }
