@@ -106,7 +106,8 @@ object PlanDump {
       |every keyBlocks-combination of the 64/blocks-bit pieces
       |(Manku-Jarvelin-Sarma), the recall guarantee hamming <=
       |blocks - keyBlocks moves with the config, and dedup04 picks the
-      |config from the measured doc count (cutover at 200k docs).
+      |config from the measured doc count (cutover at 20k docs since the
+      |round-11 second-decade measurement below re-priced it).
       |Measured above: wide (8,5) cuts the sf0.1 candidate set 60x
       |(214,123 -> 3,586 — the residue is true near-dup structure plus
       |correlated token distributions, not birthday collisions: the
@@ -137,6 +138,61 @@ object PlanDump {
       |likewise adds no joins: the approx scoring stream is
       ||queries| x |corpus| rows pruned map-side by the partial top-k
       |to <= partitions x queries x 160 rows before its only shuffle.
+      |
+      |## Second measured decade (sf0.1 -> sf1-synth, 10x docs / 10x vectors, round 11)
+      |
+      |The tables above extrapolated the 100 TB claims from one decade
+      |(sf0.01 -> sf0.1). Round 11 added a second: a deterministic
+      |50k-doc / 20k-vector synthetic set mirroring the driver
+      |testdata's measured shape (31-word vocabulary, ~30-80 tokens/doc,
+      |20 sources, ~4% injected near-dups + a thin exact-dup tail;
+      |64-dim near-uniform unit embeddings, 10 labels). Generator and
+      |probe are `runMain graft.operators.GrowthProbe`; the probe
+      |re-measured the sf0.1 column IDENTICALLY to the tables above
+      |(256 / 214,123 / 3,586 / 24,816 / 1,112 / 201,221 / 437 /
+      |1,999,000 / 2,536) before measuring the new decade - the counts
+      |come from the operators' own candidate machinery (lshCandidates,
+      |simhashCandidateCount, cellJoinStats, ivfProbes), never a
+      |parallel implementation.
+      |
+      || measure | sf0.1 | sf1-synth | growth at 10x data |
+      ||---|---|---|---|
+      || total doc pair space | 12,497,500 | 1,249,975,000 | 100x |
+      || dedup03 MinHash-LSH candidates | 256 | 2,117 | 8.3x - NEAR-LINEAR for a second decade (the 100 TB path) |
+      || dedup04 (4,1) narrow candidates | 214,123 | 21,419,881 | 100x - quadratic, as the birthday shape predicts |
+      || dedup04 (8,5) wide candidates | 3,586 | 205,553 | 57x - correlated-vocab residue (see reading); still 104x below narrow |
+      || dedup08 span rows | 24,816 | 249,653 | 10.06x - exactly linear |
+      || dedup08 cross-doc dup spans | 1,112 | 7,750 | tracks injected dup mass |
+      || dedup10 stride-1 window rows | 201,221 | 2,022,291 | 10.05x - exactly linear |
+      || dedup10 spans reported | 437 | 5,802 | tracks true duplication |
+      || vector pair space | 1,999,000 | 199,990,000 | 100x |
+      || dedup05 cell candidates | 1,999,000 | 199,990,000 | 100x - the documented adversarial bound (near-uniform embeddings leave no cell pair excludable) |
+      || sim07 intra-cell pairs | 125,051 | 12,577,188 | 100.6x at FIXED K=16 |
+      || sim15 probed-cell members | 2,536 | 24,950 | 9.8x - linear (NProbe/K of the corpus) |
+      |
+      |Reading: the linear claims (dedup03, dedup08, dedup10, sim15)
+      |hold for a second decade. The quadratic-at-fixed-config shapes
+      |did exactly what their scaling knobs predict, and the
+      |measurement re-priced two of them:
+      |
+      |1. Narrow (4,1) blocking pays 21.4M candidates already at 50k
+      |   docs - two decades before the old 200k cutover - because a
+      |   real corpus' correlated token distributions concentrate
+      |   simhashes far above the uniform birthday estimate (which says
+      |   only ~152k here). SimhashNarrowMaxDocs now cuts over to (8,5)
+      |   at 20k docs; the pigeonhole recall guarantee makes the switch
+      |   result-identical (blocking-invariance spec), and sf0.1's
+      |   5k-doc corpus stays on narrow. The wide config's own 57x
+      |   residue is the same vocabulary concentration, not a blocking
+      |   defect - the next widening ((16,13), 560 keys x 52 bits)
+      |   remains a one-line change when a corpus' measured candidate
+      |   rate demands it.
+      |2. dedup05/sim07's per-cell pair work grew 100x on 10x vectors
+      |   at fixed K=16 - the measured confirmation of the documented
+      |   contract that the CODEBOOK must grow with the corpus: K ∝ n
+      |   holds |cell| flat and the candidate stream linear. At 100 TB
+      |   nobody runs a 16-cell index; the knob, not the join shape, is
+      |   what scales.
       |
       |## Measured round-8-operator growth (sf 0.01 -> 0.1, 10x docs)
       |

@@ -244,13 +244,17 @@ object Dedup {
       (0 until blocks).combinations(keyBlocks).map(_.toSeq).toSeq
   }
 
-  /** Corpus-size threshold for switching dedup04 to wide blocking: the
-    * narrow (4, 1) config's birthday term n²·4/2¹⁶ stays under ~2.5M
-    * accidental candidates up to here; past it, (8, 5) trades 56 key
-    * rows per doc for a 2⁴⁰ collision denominator. The growth
-    * measurements behind the cutover are in PLANS.md.
+  /** Corpus-size threshold for switching dedup04 to wide blocking.
+    * Originally set to 200k docs from the uniform birthday term
+    * (n²·4/2¹⁶); the second measured decade (PLANS.md's sf1-synth
+    * probe) showed the narrow (4, 1) config already paying 21.4M
+    * candidates at 50k docs on a correlated-vocabulary corpus — 104×
+    * the wide config's 205k at the same scale — because real corpora
+    * concentrate simhashes far above the uniform estimate. The cutover
+    * now sits at 20k docs; the pigeonhole recall guarantee makes the
+    * switch result-identical (blocking-invariance spec).
     */
-  val SimhashNarrowMaxDocs = 200000L
+  val SimhashNarrowMaxDocs = 20000L
 
   /** Blocking choice from a MEASURED corpus size — the knob PLANS.md's
     * candidate-growth table prescribes turning as the corpus grows.
@@ -567,24 +571,25 @@ object Dedup {
     * bound the shuffle key cardinality and the per-cell pair work);
     * swap trained centroids in via the same literal-array contract.
     */
-  def dedup05EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val T = 0.45
-    val thetaT = math.acos(T)
-    val e = vectors(spark, dir)
-    val cents = Similarity.ivfCentroids(e)
+  /** dedup05's cosine threshold for a near-duplicate pair. */
+  val CosineDupThreshold = 0.45
 
-    // Per-row: nearest-pivot cell AND the angle to that pivot — the
-    // shared IVF assignment (one definition with sim03/sim06), one
-    // codegen'd scan pass against the literal codebook, zero shuffles.
-    // Persisted through the registry (shared with sim07's kNN graph):
-    // the radius aggregate and BOTH join legs read it, so without the
-    // pin the scan + 16-cosine argmax would execute three times.
+  /** The metric-blocking stats behind dedup05's cell join: per-cell
+    * sizes and the ADMISSIBLE cell pairs — (ci ≤ cj) whose pivot angle
+    * minus both angular radii can still reach the threshold angle.
+    * Factored out so the growth probe measures candidate counts with
+    * the SAME admissibility rule the join executes (a probe with its
+    * own rule could report a pair space the operator never builds).
+    */
+  private[graft] def cellJoinStats(spark: SparkSession, dir: String)
+      : (Seq[(Long, Long)], Map[Long, Long]) = {
+    val thetaT = math.acos(CosineDupThreshold)
+    val cents = Similarity.ivfCentroids(vectors(spark, dir))
     val assigned = Similarity.cachedCellAssignment(spark, dir)
-
-    // Tiny per-cell stats → driver: angular radius of each cell.
-    val rad: Map[Long, Double] = assigned.groupBy("cell")
-      .agg(max(col("radang")).as("rad"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Tiny per-cell stats → driver: angular radius + size of each cell.
+    val stats: Map[Long, (Double, Long)] = assigned.groupBy("cell")
+      .agg(max(col("radang")).as("rad"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     // Driver-side twin of CosineSimilarity.nullSafeEval (including its
     // zero-norm → cos 0 guard: a degenerate all-zero pivot must yield
     // angle π/2, not NaN — a NaN would silently veto every admissibility
@@ -597,13 +602,27 @@ object Dedup {
         else dot / (math.sqrt(na) * math.sqrt(nb))
       math.acos(math.max(-1.0, math.min(1.0, c)))
     }
-    val present = cents.filter(c => rad.contains(c._1))
+    val present = cents.filter(c => stats.contains(c._1))
     val admissible = for {
       (ci, vi) <- present.toSeq
       (cj, vj) <- present.toSeq
       if ci <= cj
-      if pivotAngle(vi, vj) - rad(ci) - rad(cj) <= thetaT
+      if pivotAngle(vi, vj) - stats(ci)._1 - stats(cj)._1 <= thetaT
     } yield (ci, cj)
+    (admissible, stats.map { case (c, (_, n)) => c -> n })
+  }
+
+  def dedup05EmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val T = CosineDupThreshold
+
+    // Per-row: nearest-pivot cell AND the angle to that pivot — the
+    // shared IVF assignment (one definition with sim03/sim06), one
+    // codegen'd scan pass against the literal codebook, zero shuffles.
+    // Persisted through the registry (shared with sim07's kNN graph):
+    // the radius aggregate and BOTH join legs read it, so without the
+    // pin the scan + 16-cosine argmax would execute three times.
+    val assigned = Similarity.cachedCellAssignment(spark, dir)
+    val admissible = cellJoinStats(spark, dir)._1
 
     import spark.implicits._
     val pairs = broadcast(admissible.toDF("ca", "cb"))

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-off measurement main behind PLANS.md's candidate-growth tables:
+  * generates a deterministic ~10× "sf1-equivalent" synthetic
+  * documents + embeddings set (50k docs / 20k vectors — one decade past
+  * the driver's sf0.1) and measures the candidate/stream sizes of the
+  * sub-quadratic dedup/sim claims at BOTH scales, so the 100 TB
+  * extrapolations rest on two measured decades instead of one.
+  *
+  * The synthetic generator mirrors the driver testdata's measured
+  * shape (31-word vocabulary, ~30–80 tokens/doc, 20 sources, 5 langs,
+  * ~4% injected near-duplicates + a thin exact-dup tail; 64-dim
+  * unit-norm near-uniform embeddings, 10 labels) rather than its exact
+  * bytes — growth measurement needs distributional similarity, not
+  * replay. Counts come from the OPERATORS' own candidate machinery
+  * (lshCandidates, simhashCandidateCount, cellJoinStats, ivfProbes) so
+  * the probe can never measure a different join than production runs.
+  *
+  * Usage: `runMain graft.operators.GrowthProbe [baseDir] [synthDir]`
+  * (defaults /root/testdata/sf0.1 and /tmp/graft_sf1_synth). Output:
+  * one `growth [tag] measure=value` line per measurement.
+  */
+object GrowthProbe {
+
+  val SynthDocs = 50000
+  val SynthVecs = 20000
+
+  private[graft] case class SynthDoc(
+      doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  private[graft] case class SynthVec(
+      vec_id: Long, embedding: Array[Float], label: Int)
+
+  private def rngFor(id: Long, salt: Long) =
+    new scala.util.Random(id * 2654435761L + salt)
+
+  private[graft] def docTokens(id: Long, vocab: Array[String]): Array[String] = {
+    val rnd = rngFor(id, 42L)
+    Array.fill(30 + rnd.nextInt(50))(vocab(rnd.nextInt(vocab.length)))
+  }
+
+  /** Deterministic text for doc `id`: most docs are fresh draws; ids
+    * ending 96–99 per hundred are near-copies of one of their block's
+    * first four docs with 1–2 token substitutions (the near-dup mass
+    * dedup03/04 exist to find); every 625th doc is an exact copy.
+    */
+  private[graft] def synthText(id: Long, vocab: Array[String]): String = {
+    if (id >= 625 && id % 625 == 624) synthText(id - 624, vocab)
+    else if (id % 100 >= 96 && id >= 100) {
+      val base = id - (id % 100) + (id % 4)
+      val toks = docTokens(base, vocab).clone()
+      val rnd = rngFor(id, 7L)
+      (0 until (1 + (id % 2)).toInt).foreach { _ =>
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      toks.mkString(" ")
+    } else docTokens(id, vocab).mkString(" ")
+  }
+
+  private[graft] def synthVec(id: Long): Array[Float] = {
+    val rnd = rngFor(id, 1337L)
+    val v = Array.fill(64)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private val Langs = Array("en", "de", "fr", "es", "it")
+
+  /** Build the synthetic set once (skipped when both _SUCCESS markers
+    * exist). Generation is distributed: each executor derives its rows
+    * from the id alone.
+    */
+  def buildSynth(spark: SparkSession, baseDir: String, synthDir: String): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(synthDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def done(t: String) = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$synthDir/$t.parquet/_SUCCESS"))
+    if (done("documents") && done("embeddings")) return
+    val vocab = Tables.documents(spark, baseDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    spark.range(SynthDocs.toLong).as[Long]
+      .map { id =>
+        val text = synthText(id, vocabB.value)
+        SynthDoc(id, text, Langs((id % 5).toInt), s"src${id % 20}",
+          text.length.toLong)
+      }
+      .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
+    spark.range(SynthVecs.toLong).as[Long]
+      .map(id => SynthVec(id, synthVec(id), (id % 10).toInt))
+      .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
+  }
+
+  def measure(spark: SparkSession, tag: String, dir: String): Unit = {
+    def p(k: String, v: Long): Unit = println(s"growth [$tag] $k=$v")
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    p("docs", nDocs)
+    p("pair_space", nDocs * (nDocs - 1) / 2)
+    p("dedup03_lsh_candidates",
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingleArrays(spark, dir))).count())
+    p("dedup04_narrow_4_1",
+      Dedup.simhashCandidateCount(spark, dir, Dedup.SimhashBlocking(4, 1)))
+    p("dedup04_wide_8_5",
+      Dedup.simhashCandidateCount(spark, dir, Dedup.SimhashBlocking(8, 5)))
+    val spans = Dedup.spanHashRows(docs)
+    p("dedup08_spans", spans.count())
+    p("dedup08_crossdoc_dup_spans", spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1).count())
+    import graft.functions.GraftFunctions.tokens
+    p("dedup10_window_rows", docs
+      .select(greatest(lit(0),
+        size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
+      .agg(sum("w")).head.getLong(0))
+    p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
+
+    val nVecs = Tables.embeddings(spark, dir).count()
+    p("vectors", nVecs)
+    p("vector_pair_space", nVecs * (nVecs - 1) / 2)
+    val (admissible, sizes) = Dedup.cellJoinStats(spark, dir)
+    p("dedup05_cell_candidates", admissible.map { case (ci, cj) =>
+      if (ci == cj) sizes(ci) * (sizes(ci) - 1) / 2 else sizes(ci) * sizes(cj)
+    }.sum)
+    p("sim07_intracell_pairs", sizes.values.map(s => s * (s - 1) / 2).sum)
+    val e = Dedup.vectors(spark, dir)
+    val cb = Similarity.trainedCodebook(spark, dir)
+    p("sim15_probed_members",
+      Similarity.ivfAssigned(e, cb)
+        .join(broadcast(Similarity.ivfProbes(e, cb)),
+          col("cell") === col("probe_cell"))
+        .filter(col("vec_id") =!= col("q_id")).count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val synthDir = args.lift(1).getOrElse("/tmp/graft_sf1_synth")
+    val spark = graft.GraftSession.build(
+      graft.GraftSession.cpusFromEnv, "graft-growth")
+    try {
+      buildSynth(spark, baseDir, synthDir)
+      measure(spark, "sf0.1", baseDir)
+      measure(spark, "sf1-synth", synthDir)
+    } finally {
+      graft.GraftCache.release()
+      spark.stop()
+    }
+  }
+}
