@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("46 mixed queries submitted concurrently produce sequential results") {
+  test("49 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -23,7 +23,10 @@ class ConcurrencySpec extends SparkSpec {
     // races TableBuild's path-based ensure; dedup11/dedup12 race the
     // corpus-index build and the Bloom-sketch computeIfAbsent + its
     // monotone conf raises; text15/text16 race the pinned vocab frame
-    // and the CacheManager plan-match into text16's unigram aggregate).
+    // and the CacheManager plan-match into text16's unigram aggregate;
+    // mm06/mm07 race the corpus image-hash pin AND TableBuild's
+    // staged-PNG ensure; text17 races its word-frequency pin while
+    // driving a multi-round driver loop through the racing session).
     val names = Seq(
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
@@ -32,7 +35,7 @@ class ConcurrencySpec extends SparkSpec {
       "etl16_cdc_apply", "etl22_clustered_layout", "etl26_backfill",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
       "text12_entropy", "text13_bigram_surprisal", "text15_cms_topk",
-      "text16_pmi_collocations",
+      "text16_pmi_collocations", "text17_bpe_train",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
       "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",
@@ -42,7 +45,8 @@ class ConcurrencySpec extends SparkSpec {
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       "cur14_epoch_schedule",
-      "mm01_binary_meta", "mm04_resize_stub")
+      "mm01_binary_meta", "mm04_resize_stub",
+      "mm06_phash_dedup", "mm07_phash_blocked")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap
     val concurrent = Await.result(
@@ -93,6 +97,29 @@ class ConcurrencySpec extends SparkSpec {
       5.minutes)
     concurrent.foreach { case (key, rows) =>
       assert(rows == sequential(key), s"$key served another dir's database")
+    }
+  }
+
+  test("etl27 VACUUM cycles racing across DIFFERENT dirs stay isolated") {
+    // etl27, like etl19/etl23, rebuilds its own per-dir table+snapshot
+    // root (reset + 3 merges + expire), so it never races ITSELF; two
+    // callers on DIFFERENT corpora use different tables, different
+    // snapshot roots, and different MergeSink locks — one dir's reset
+    // or expiry must never delete the other's retained versions. One
+    // future per dir, exactly the supported contract.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val sequential = dirs.map(d =>
+      d -> SparkEntry.queries("etl27_retention")(spark, d)
+        .collect().map(_.toSeq).toSeq).toMap
+    assert(sequential.values.toSeq.distinct.size == 2,
+      "the two corpora must differ for contamination to be observable")
+    val concurrent = Await.result(
+      Future.sequence(dirs.map(d =>
+        Future(d -> SparkEntry.queries("etl27_retention")(spark, d)
+          .collect().map(_.toSeq).toSeq))),
+      5.minutes)
+    concurrent.foreach { case (d, rows) =>
+      assert(rows == sequential(d), s"etl27 on $d served another dir's snapshots")
     }
   }
 
