@@ -77,7 +77,9 @@ object PlanDump {
       "text17_bpe_train" ->
         "BPE training: one corpus scan to vocab-sized word counts, per-round vocab pair aggregate + O(1) top-pair collect",
       "etl27_retention" ->
-        "snapshot VACUUM: expire-by-version-number file deletes only, retained snapshots never rewritten")
+        "snapshot VACUUM: expire-by-version-number file deletes only, retained snapshots never rewritten",
+      "text18_bpe_encode" ->
+        "BPE encode: merges applied to the vocab (chained replace, one pass), corpus stream joins the broadcast encoded vocab")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

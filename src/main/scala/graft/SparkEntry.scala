@@ -96,6 +96,7 @@ object SparkEntry {
     "text15_cms_topk" -> TextAnalysis.text15CmsTopk _,
     "text16_pmi_collocations" -> TextAnalysis.text16PmiCollocations _,
     "text17_bpe_train" -> TextAnalysis.text17BpeTrain _,
+    "text18_bpe_encode" -> TextAnalysis.text18BpeEncode _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -269,7 +270,7 @@ object SparkEntry {
       """w AS MATERIALIZED (SELECT t AS w, count(*) AS freq FROM (
              SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
            WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t),
-         s0 AS MATERIALIZED (SELECT freq, regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM w)"""
+         s0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '(.)', '(\1)', 'g') AS seg FROM w)"""
     val rounds = (1 to merges).map { r =>
       s"""p$r AS MATERIALIZED (SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b,
                CAST(sum(freq) AS BIGINT) AS cnt
@@ -278,7 +279,7 @@ object SparkEntry {
                   unnest(range(1, len(l))) AS t(i)
              GROUP BY 1, 2),
          m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         s$r AS MATERIALIZED (SELECT freq,
+         s$r AS MATERIALIZED (SELECT w, freq,
                replace(seg, '(' || a || ')(' || b || ')', '(' || a || b || ')') AS seg
              FROM s${r - 1}, m$r)"""
     }
@@ -1707,6 +1708,24 @@ object SparkEntry {
            .map(r => s"SELECT $r AS rank, a, b, cnt FROM m$r")
            .mkString("\n           UNION ALL ")})
          ORDER BY rank""",
+    "text18_bpe_encode" ->
+      // The trained tokenizer APPLIED: the same generated training
+      // chain leaves the fully-merged vocab segmentation in s<N>; each
+      // word's subword count is its '(' count (one per symbol), and
+      // the corpus token stream joins that encoded vocab per document.
+      // A divergence in ANY training round changes segment boundaries
+      // corpus-wide and breaks the per-doc sums.
+      s"""WITH ${bpeCteSql(graft.operators.TextAnalysis.BpeMerges)},
+         enc AS (SELECT w,
+             length(seg) - length(replace(seg, '(', '')) AS n_sub
+           FROM s${graft.operators.TextAnalysis.BpeMerges}),
+         t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         FROM t JOIN enc USING (w)
+         WHERE regexp_matches(t.w, '^[a-z]+$$')
+         GROUP BY doc_id ORDER BY doc_id""",
     "text13_bigram_surprisal" ->
       // The bigram model replayed on token STRINGS (Spark joins on the
       // 64-bit pair hashes — identical counts absent a 2^-64 collision,

@@ -611,40 +611,101 @@ object TextAnalysis {
     * pair breaks all later rounds and the hash.
     */
   def text17BpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val words = graft.GraftCache.getOrPersist(
+    import spark.implicits._
+    trainedMerges(spark, dir).toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy("rank")
+  }
+
+  /** The corpus' `^[a-z]+$` word-frequency table with the initial
+    * (sym)-wrapped character segmentation — the vocab-sized frame all
+    * BPE rounds (and text18's encode) iterate over.
+    */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
       s"text17.words:$dir:${graft.GraftCache.sessionTag(spark)}") {
       documents(spark, dir)
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("freq"),
+        .select(col("w"), col("freq"),
           regexp_replace(col("w"), "(.)", "($1)").as("seg"))
     }
-    var cur = words
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to BpeMerges) {
-      val syms = regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1))
-      val n = size(col("s")) - 1
-      val top = cur
-        .select(col("freq"), syms.as("s"))
-        .select(col("freq"), explode(when(n > 0,
-          transform(sequence(lit(0), n - 1, lit(1)),
-            i => struct(element_at(col("s"), i + 1).as("a"),
-              element_at(col("s"), i + 2).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      require(top.nonEmpty, s"BPE round $r: no pairs left to merge")
-      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      merges += ((r, a, b, a + b, cnt))
-      cur = cur.select(col("freq"),
-        replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")).as("seg"))
+
+  /** Trained merge tables, one per (dir, session) — text17 renders the
+    * table, text18 applies it; the 12-round training loop runs ONCE per
+    * session however many consumers ask (the corpusBlooms pattern:
+    * computeIfAbsent + eviction on GraftCache.release()).
+    */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, String, Long)]]()
+  graft.GraftCache.onRelease(() => bpeMergeCache.clear())
+
+  private[graft] def trainedMerges(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] =
+    bpeMergeCache.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => {
+        var cur = bpeWords(spark, dir)
+        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+        for (r <- 1 to BpeMerges) {
+          val syms = regexp_extract_all(col("seg"), lit("\\(([^)]*)\\)"), lit(1))
+          val n = size(col("s")) - 1
+          val top = cur
+            .select(col("freq"), syms.as("s"))
+            .select(col("freq"), explode(when(n > 0,
+              transform(sequence(lit(0), n - 1, lit(1)),
+                i => struct(element_at(col("s"), i + 1).as("a"),
+                  element_at(col("s"), i + 2).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("freq").as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1)
+            .collect()
+          require(top.nonEmpty, s"BPE round $r: no pairs left to merge")
+          val (a, b, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, a + b, cnt))
+          cur = cur.select(col("w"), col("freq"),
+            replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")).as("seg"))
+        }
+        merges.result()
+      })
+
+  /** text18: ENCODE the corpus with the trained tokenizer — text17
+    * learns the merge table, this applies it, which is the pair every
+    * real pipeline ships (train once, tokenize everything; the
+    * resulting token counts are what sequence packing (cur09) and
+    * token budgeting (cur08/cur14) meter against). Per document:
+    * number of `^[a-z]+$` word occurrences and their total subword
+    * count under the learned vocabulary.
+    *
+    * Scale shape: the merge table applies to the VOCAB (one chained
+    * codegen'd `replace` pass per merge over vocab-sized rows — the
+    * standard trick: tokenize distinct words once, not every
+    * occurrence), and the corpus token stream then joins the tiny
+    * encoded vocab (broadcast) to aggregate per doc. Training cost is
+    * shared with text17 through the per-session merge cache.
+    */
+  def text18BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(spark, dir)
+    val seg = merges.foldLeft(col("seg")) { case (c, (_, a, b, m, _)) =>
+      replace(c, lit(s"($a)($b)"), lit(s"($m)"))
     }
-    import spark.implicits._
-    merges.result().toDF("rank", "lhs", "rhs", "merged", "cnt")
-      .orderBy("rank")
+    // Subword count = number of '(' in the final segmentation (each
+    // symbol contributes exactly one) — pure length arithmetic, so the
+    // oracle computes it identically.
+    val encoded = bpeWords(spark, dir)
+      .select(col("w"), seg.as("seg"))
+      .select(col("w"),
+        (length(col("seg")) - length(replace(col("seg"), lit("("), lit(""))))
+          .as("n_sub"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .join(broadcast(encoded), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 }

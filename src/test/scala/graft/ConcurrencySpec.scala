@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("49 mixed queries submitted concurrently produce sequential results") {
+  test("50 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -25,8 +25,9 @@ class ConcurrencySpec extends SparkSpec {
     // monotone conf raises; text15/text16 race the pinned vocab frame
     // and the CacheManager plan-match into text16's unigram aggregate;
     // mm06/mm07 race the corpus image-hash pin AND TableBuild's
-    // staged-PNG ensure; text17 races its word-frequency pin while
-    // driving a multi-round driver loop through the racing session).
+    // staged-PNG ensure; text17/text18 race the word-frequency pin AND
+    // the trained-merge computeIfAbsent while text17 drives its
+    // multi-round driver loop through the racing session).
     val names = Seq(
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
@@ -35,7 +36,7 @@ class ConcurrencySpec extends SparkSpec {
       "etl16_cdc_apply", "etl22_clustered_layout", "etl26_backfill",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
       "text12_entropy", "text13_bigram_surprisal", "text15_cms_topk",
-      "text16_pmi_collocations", "text17_bpe_train",
+      "text16_pmi_collocations", "text17_bpe_train", "text18_bpe_encode",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
       "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",

@@ -335,4 +335,43 @@ class TextAnalysisSpec extends SparkSpec {
     // BPE BPE rather than bigram counting.
     assert(got.exists { case (_, a, b, _, _) => a.length > 1 || b.length > 1 })
   }
+
+  test("text18 encode equals applying the trained merges word by word") {
+    // Independent replay: take the operator's own merge table (already
+    // pinned against the list-walk trainer above), apply the merges in
+    // rank order to every word with the greedy index-walk, and sum per
+    // doc — the string-replace formulation must agree on the applied
+    // side exactly as it does in training.
+    val merges = TextAnalysis.trainedMerges(spark, sf)
+      .map { case (_, a, b, _, _) => (a, b) }
+    def encode(w: String): Int = {
+      var seg = w.toList.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < seg.length) {
+          if (i < seg.length - 1 && seg(i) == a && seg(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += seg(i); i += 1 }
+        }
+        seg = out.toList
+      }
+      seg.length
+    }
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).toLowerCase.split(" ")
+          .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+        r.getLong(0) -> ((ws.length.toLong, ws.map(encode(_).toLong).sum))
+      }
+      .filter(_._2._1 > 0).toMap
+    val got = TextAnalysis.text18BpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, "per-doc encoding diverges from the word-walk replay")
+    // The learned vocab must actually compress: fewer subwords than
+    // characters, more than words.
+    val (nw, nb) = got.values.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    assert(nb > nw, "subword count must exceed word count")
+  }
 }
