@@ -196,11 +196,20 @@ object Dedup {
     * corpus scale: higher-order-function lambdas are interpreted per
     * array element and get no partial aggregation.
     */
+  /** Per-document 64-bit SimHash frame, pinned through
+    * [[graft.GraftCache]]: the pigeonhole candidate join reads it as
+    * BOTH self-join legs, so without the pin the md5 token-hash +
+    * bit-vote aggregate would execute twice per dedup04 call (measured
+    * ~2× the operator's cost at sf0.1).
+    */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .groupBy("doc_id")
-      .agg(simhashAgg(tokenHash64(col("t"))).as("sh"))
+    graft.GraftCache.getOrPersist(
+      s"dedup.simhash:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id")
+        .agg(simhashAgg(tokenHash64(col("t"))).as("sh"))
+    }
 
   /** dedup04's near-dup radius: pairs within hamming ≤ 3 of each other
     * on the 64-bit SimHash (the web-crawl setting of Manku, Jarvelin &
