@@ -156,8 +156,9 @@ object GraftProps extends Properties("graft") {
     * config the measured corpus size picks.
     */
   private def comboKeys(
-      sh: Long, blocks: Int, keyBlocks: Int): Set[(Seq[Int], Seq[Long])] = {
-    val width = 64 / blocks
+      sh: Long, blocks: Int, keyBlocks: Int,
+      bits: Int = 64): Set[(Seq[Int], Seq[Long])] = {
+    val width = bits / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1L
     def block(i: Int): Long = (sh >>> (i * width)) & mask
     // Each key carries its COMBO IDENTITY (which block indices formed
@@ -192,5 +193,35 @@ object GraftProps extends Properties("graft") {
     Prop.forAll(Gen.long) { a =>
       val b = (0 until 8).foldLeft(a)((x, blk) => x ^ (1L << (blk * 8)))
       (comboKeys(a, 8, 5) intersect comboKeys(b, 8, 5)).isEmpty
+    }
+
+  /** mm07's radius-4 settings of the SAME generalized guarantee: the
+    * 8-bit barcode config (8 single-bit blocks, 4-combination keys)
+    * and the documented 64-bit photo-hash config (8×8-bit blocks).
+    */
+  private def hamming4PairGen(bits: Int): Gen[(Long, Long)] = for {
+    a <- if (bits == 64) Gen.long else Gen.choose(0L, (1L << bits) - 1)
+    nFlips <- Gen.choose(0, 4)
+    flipped <- Gen.pick(nFlips, 0 until bits)
+  } yield (a, flipped.foldLeft(a)((x, b) => x ^ (1L << b)))
+
+  property("phash blocking: every hamming<=4 pair shares a key at (8,4) on 8-bit hashes") =
+    Prop.forAll(hamming4PairGen(8)) { case (a, b) =>
+      (comboKeys(a, 8, 4, bits = 8) intersect
+        comboKeys(b, 8, 4, bits = 8)).nonEmpty
+    }
+
+  property("phash blocking: every hamming<=4 pair shares a key at (8,4) on 64-bit hashes") =
+    Prop.forAll(hamming4PairGen(64)) { case (a, b) =>
+      (comboKeys(a, 8, 4) intersect comboKeys(b, 8, 4)).nonEmpty
+    }
+
+  property("phash blocking: hamming>4 pairs exist that share no key at (8,4)") =
+    Prop.forAll(Gen.choose(0L, 255L)) { a =>
+      // One flip in 5 of the 8 single-bit blocks kills every
+      // 4-combination key on the 8-bit config.
+      val b = (0 until 5).foldLeft(a)((x, blk) => x ^ (1L << blk))
+      (comboKeys(a, 8, 4, bits = 8) intersect
+        comboKeys(b, 8, 4, bits = 8)).isEmpty
     }
 }
