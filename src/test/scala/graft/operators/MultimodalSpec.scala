@@ -187,6 +187,37 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.size < all)
   }
 
+  test("mm07 blocking at the 64-bit photo-hash config is exhaustive at radius <= 4") {
+    import spark.implicits._
+    import graft.operators.Dedup.SimhashBlocking
+    // Synthetic 64-bit fingerprints (the aHash64 downsampled regime):
+    // random bases plus planted neighbors at hamming 1..5 — the 5s
+    // must fall OUTSIDE the radius, the 1..4s inside.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
+    val planted = base.take(20).zipWithIndex.map { case ((id, h), j) =>
+      val flips = (j % 5) + 1
+      val bits = rnd.shuffle((0 until 64).toList).take(flips)
+      (1000L + id, bits.foldLeft(h)((x, b) => x ^ (1L << b)))
+    }
+    val all = base ++ planted
+    val cfg = SimhashBlocking(8, 4, bits = 64, radius = 4)
+    val got = Multimodal.phashBlockedPairs(all.toDF("img_id", "phash"), cfg)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d)).toSet
+    assert(got == expected, "64-bit blocked pairs diverge from exhaustive")
+    // The plants make both boundaries live: radius-4 pairs found,
+    // radius-5 pairs present in the data yet excluded.
+    assert(expected.exists(_._3 == 4))
+    assert(all.combinations(2).exists { case Seq((_, x), (_, y)) =>
+      java.lang.Long.bitCount(x ^ y) == 5
+    })
+  }
+
   test("mm07 output is blocking-invariant across admissible configs") {
     import graft.operators.Dedup.SimhashBlocking
     val bits = MultimodalStub.BarcodeBits
