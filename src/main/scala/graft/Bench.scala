@@ -84,15 +84,22 @@ object Bench {
   private[graft] def outliers(
       results: Seq[(String, Double)],
       errored: Set[String]): Seq[String] = {
-    val medians = results.groupBy { case (n, _) => family(n) }.map {
-      case (f, rs) =>
-        val ts = rs.map(_._2).sorted
-        f -> ts(ts.size / 2)
-    }
+    // Medians over SUCCESSFUL readings only: an errored query's time is
+    // a fast (or hung) failure, not a cost estimate — three slow
+    // failures would otherwise inflate their family's median enough to
+    // mask a genuine 16 s contention artifact on a healthy query, and
+    // three fast ones would drag it down and flag every healthy >1 s
+    // query into pointless solo re-runs.
+    val medians = results.filterNot { case (n, _) => errored(n) }
+      .groupBy { case (n, _) => family(n) }.map {
+        case (f, rs) =>
+          val ts = rs.map(_._2).sorted
+          f -> ts(ts.size / 2)
+      }
     results.collect {
       case (n, t)
           if !errored(n) && t > OutlierFloorSec &&
-            t > 3.0 * medians(family(n)) =>
+            medians.get(family(n)).exists(t > 3.0 * _) =>
         n
     }
   }
@@ -171,9 +178,19 @@ object Bench {
         var tries = 0
         while (tries < 2 && best > OutlierFloorSec) {
           val t = System.nanoTime()
-          try { byName(name)(spark, sfDir).count() }
-          catch { case _: Throwable => () } // already recorded in sweep
-          best = math.min(best, (System.nanoTime() - t) / 1e9)
+          // A retry's time only counts if the retry SUCCEEDED: flagged
+          // queries succeeded in the sweep by construction, so a
+          // transient solo-run failure (the contended machine this pass
+          // defends against) must not let a 0.2 s fast-failure stand in
+          // as the query's official cost.
+          val ok =
+            try { byName(name)(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] outlier retry of $name failed " +
+                s"(keeping sweep time): ${e.getClass.getName}")
+              false
+            }
+          if (ok) best = math.min(best, (System.nanoTime() - t) / 1e9)
           tries += 1
         }
         System.err.println(f"[bench] retried outlier $name: $t0%.3f -> $best%.3f s")

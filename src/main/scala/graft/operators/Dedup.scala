@@ -288,22 +288,35 @@ object Dedup {
     }: _*)
   }
 
+  /** THE pigeonhole candidate join, generic over the fingerprint frame:
+    * posexplode the block-combination keys, equi-join on (combo, key),
+    * emit each `idA < idB` pair once with its exact hamming distance.
+    * One definition serves dedup04 (64-bit doc simhashes) and mm07
+    * (image perceptual hashes) — a skew/salting treatment added here
+    * reaches both, instead of drifting between two hand-kept copies.
+    */
+  private[graft] def pigeonholeCandidatePairs(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      cfg: SimhashBlocking, outA: String, outB: String): DataFrame = {
+    val keyed = hashed.select(col(idCol), col(hashCol),
+      posexplode(pigeonholeKeys(col(hashCol), cfg)).as(Seq("chunk_idx", "chunk")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB),
+        hamming64(col(s"a.$hashCol"), col(s"b.$hashCol")).as("hamming"))
+      .distinct()
+  }
+
   /** Distinct candidate pairs (da, db, hamming) under `cfg` — shared by
     * dedup04 (filters to the radius) and the candidate-count
     * measurement the spec and PLANS.md pin growth with.
     */
   private def simhashCandidates(
-      spark: SparkSession, dir: String, cfg: SimhashBlocking): DataFrame = {
-    val sim = simhashDocs(spark, dir)
-    val keyed = sim.select(col("doc_id"), col("sh"),
-      posexplode(pigeonholeKeys(col("sh"), cfg)).as(Seq("chunk_idx", "chunk")))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
-      .distinct()
-  }
+      spark: SparkSession, dir: String, cfg: SimhashBlocking): DataFrame =
+    pigeonholeCandidatePairs(
+      simhashDocs(spark, dir), "doc_id", "sh", cfg, "da", "db")
 
   /** Candidate-set size under `cfg` (pre-radius-filter) — the number
     * the blocking exists to keep sub-quadratic.

@@ -69,32 +69,40 @@ object GrowthProbe {
 
   private val Langs = Array("en", "de", "fr", "es", "it")
 
-  /** Build the synthetic set once (skipped when both _SUCCESS markers
-    * exist). Generation is distributed: each executor derives its rows
-    * from the id alone.
+  /** Build the synthetic set once per BASE-CORPUS fingerprint
+    * (TableBuild.ensurePath — the mm05/etl22 build-once discipline):
+    * the synthetic vocabulary derives from the base corpus, so a
+    * regenerated base must invalidate the staged decade or the probe
+    * would silently measure the new sf0.1 column against an old
+    * synthetic one. Generation is distributed: each executor derives
+    * its rows from the id alone.
     */
   def buildSynth(spark: SparkSession, baseDir: String, synthDir: String): Unit = {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(synthDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def done(t: String) = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$synthDir/$t.parquet/_SUCCESS"))
-    if (done("documents") && done("embeddings")) return
-    val vocab = Tables.documents(spark, baseDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
-      .collect().map(_.getString(0)).sorted
-    val vocabB = spark.sparkContext.broadcast(vocab)
-    spark.range(SynthDocs.toLong).as[Long]
-      .map { id =>
-        val text = synthText(id, vocabB.value)
-        SynthDoc(id, text, Langs((id % 5).toInt), s"src${id % 20}",
-          text.length.toLong)
-      }
-      .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
-    spark.range(SynthVecs.toLong).as[Long]
-      .map(id => SynthVec(id, synthVec(id), (id % 10).toInt))
-      .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
+    TableBuild.ensurePath(spark, synthDir,
+        TableBuild.dirFingerprint(spark, s"$baseDir/documents.parquet")) {
+      val vocab = Tables.documents(spark, baseDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .collect().map(_.getString(0)).sorted
+      val vocabB = spark.sparkContext.broadcast(vocab)
+      spark.range(SynthDocs.toLong).as[Long]
+        .map { id =>
+          val text = synthText(id, vocabB.value)
+          SynthDoc(id, text, Langs((id % 5).toInt), s"src${id % 20}",
+            text.length.toLong)
+        }
+        .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
+      spark.range(SynthVecs.toLong).as[Long]
+        .map(id => SynthVec(id, synthVec(id), (id % 10).toInt))
+        .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
+      // The root dir is committed manually (the table writers mark only
+      // their own sub-dirs), so ensurePath's marker contract holds.
+      val fs = new org.apache.hadoop.fs.Path(synthDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(synthDir, "_SUCCESS"), true)
+        .close()
+    }
   }
 
   def measure(spark: SparkSession, tag: String, dir: String): Unit = {

@@ -253,22 +253,13 @@ object Multimodal {
       .orderBy("img_a", "img_b")
 
   /** Distinct candidate pairs (img_a < img_b, hamming) under `cfg` —
-    * the pigeonhole candidate join shared by mm07 and its
-    * blocking-invariance spec.
+    * [[Dedup.pigeonholeCandidatePairs]] (the ONE pigeonhole candidate
+    * join, shared with dedup04) over the image fingerprint frame.
     */
   private[graft] def phashBlockedPairs(
-      hashes: DataFrame, cfg: Dedup.SimhashBlocking): DataFrame = {
-    val keyed = hashes.select(col("img_id"), col("phash"),
-      posexplode(Dedup.pigeonholeKeys(col("phash"), cfg))
-        .as(Seq("chunk_idx", "chunk")))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.img_id") < col("b.img_id"))
-      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .distinct()
-  }
+      hashes: DataFrame, cfg: Dedup.SimhashBlocking): DataFrame =
+    Dedup.pigeonholeCandidatePairs(
+      hashes, "img_id", "phash", cfg, "img_a", "img_b")
 
   /** The corpus image-fingerprint frame behind mm06 and the stream12
     * ingest gate: the staged PNG landing dir (built once per source

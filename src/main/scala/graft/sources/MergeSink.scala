@@ -199,12 +199,20 @@ object MergeSink {
     * error, never an empty frame.
     */
   def stateAt(spark: SparkSession, basePath: String, version: Long): DataFrame = {
-    val committed = versionsOnDisk(spark, basePath, committedOnly = true)
-    if (!committed.contains(version))
+    // Fast path: ONE existence probe of the requested snapshot's
+    // commit marker (object-store listings are paid round-trips and
+    // callers typically just enumerated versions()); the full listing
+    // runs only on the error path, to name the retained set.
+    val (fs, base) = fsFor(spark, basePath)
+    val committedMarker =
+      new org.apache.hadoop.fs.Path(base, s"v$version/_SUCCESS")
+    if (!fs.exists(committedMarker)) {
+      val committed = versionsOnDisk(spark, basePath, committedOnly = true)
       throw new NoSuchElementException(
         s"snapshot v$version is not committed under $basePath " +
           s"(expired or never written); retained versions: " +
           s"${committed.mkString("[", ", ", "]")}")
+    }
     spark.read.schema(schema).parquet(s"$basePath/v$version")
       .filter(col("last_op") =!= "D")
   }

@@ -83,6 +83,20 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.outliers(results, Set.empty).isEmpty)
   }
 
+  test("outlier detection: errored times do not inflate the family median") {
+    val results = Seq(
+      "sim01_a" -> 0.4, "sim02_b" -> 0.5, "sim03_c" -> 0.45,
+      "sim04_d" -> 16.0,                    // genuine contention artifact
+      "sim05_e" -> 20.0, "sim06_f" -> 21.0) // slow FAILURES
+    // Were the failures' times in the median (~16 s), 3x would be 48 s
+    // and the artifact would ship undetected — the round-10 scenario.
+    assert(Bench.outliers(results,
+      errored = Set("sim05_e", "sim06_f")).toSet == Set("sim04_d"))
+    // An all-errored family has no median: nothing flagged, no crash.
+    assert(Bench.outliers(Seq("mm01_a" -> 9.0, "mm02_b" -> 9.5),
+      errored = Set("mm01_a", "mm02_b")).isEmpty)
+  }
+
   test("family split: etl by decade, others by letter prefix") {
     assert(Bench.family("etl01_select") == "etl0")
     assert(Bench.family("etl19_merge") == "etl1")
