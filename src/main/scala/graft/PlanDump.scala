@@ -79,7 +79,9 @@ object PlanDump {
       "etl27_retention" ->
         "snapshot VACUUM: expire-by-version-number file deletes only, retained snapshots never rewritten",
       "text18_bpe_encode" ->
-        "BPE encode: merges applied to the vocab (chained replace, one pass), corpus stream joins the broadcast encoded vocab")
+        "BPE encode: merges applied to the vocab (chained replace, one pass), corpus stream joins the broadcast encoded vocab",
+      "q36_range_frame" ->
+        "RANGE frame: one window shuffle on the key, value-defined incremental frame, integer-cents rolling sum")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

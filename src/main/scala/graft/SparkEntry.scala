@@ -52,6 +52,7 @@ object SparkEntry {
     "q33_correlated_subquery" -> Relational.q33CorrelatedSubquery _,
     "q34_recursive_cte" -> Relational.q34RecursiveCte _,
     "q35_lateral_topn" -> Relational.q35LateralTopn _,
+    "q36_range_frame" -> Relational.q36RangeFrame _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -606,6 +607,21 @@ object SparkEntry {
            ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
          FROM orders WHERE o_custkey < 100
          ORDER BY o_custkey, order_seq""",
+    "q36_range_frame" ->
+      // The identical value-defined frame: days since a fixed epoch as
+      // the RANGE ordering key, 90 preceding inclusive; integer cents
+      // keep the rolling sum exact in both engines.
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_custkey < 100)
+         SELECT o_orderkey, o_custkey,
+           sum(cents) OVER w / 100.0 AS trailing_90d,
+           count(*) OVER w AS n_in_window
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "q28_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n

@@ -315,6 +315,30 @@ object Relational {
       .orderBy("o_custkey", "order_seq")
   }
 
+  /** q36: RANGE-frame windowed aggregate — the trailing-interval
+    * sibling of q27's ROWS frame: for every order, the customer's
+    * rolling 90-day order total and count (the "trailing 30/90-day
+    * revenue" warehouse idiom). The frame is defined by VALUE (days
+    * since a fixed epoch), so all same-day orders enter the frame
+    * together regardless of row order — semantics a ROWS frame cannot
+    * express. One window shuffle on the key, incremental frame
+    * maintenance (add/evict by value, no per-row rescan); the sum
+    * rides integer CENTS so the rolling accumulation is exact and
+    * engine-portable (no float-order protocol to defend).
+    */
+  def q36RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val d = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+    orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"), d.as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum("cents").over(w) / lit(100.0)).as("trailing_90d"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy("o_orderkey")
+  }
+
   /** q28: CUBE — all grouping-set combinations in one pass (Expand +
     * single aggregate, not 4 separate scans).
     */
