@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("50 mixed queries submitted concurrently produce sequential results") {
+  test("51 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -32,6 +32,7 @@ class ConcurrencySpec extends SparkSpec {
       "q01_pricing_summary", "q05_nation_volume", "q09_sort_limit",
       "q13_case_agg", "q18_group_having", "q22_set_ops",
       "q26_topk_custom", "q29_lag_delta", "q32_grouping_sets",
+      "q36_range_frame",
       "etl01_select_rename_cast", "etl05_incremental_merge",
       "etl16_cdc_apply", "etl22_clustered_layout", "etl26_backfill",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
