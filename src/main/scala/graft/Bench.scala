@@ -31,11 +31,19 @@ object Bench {
     * the line fits REGARDLESS of how large the query surface grows;
     * full-precision per-query numbers always live in
     * /tmp/graft_bench_full.json and on stderr.
+    *
+    * `suspect` self-identifies contamination (round-11 directive): the
+    * queries whose FINAL time is still >3× their best prior official
+    * record after the retry pass. Capped at 16 ids + an overflow token,
+    * so its length is bounded by construction and it survives every
+    * degradation step — a future judge reads the record's health off
+    * the record itself instead of re-running the suite.
     */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
       errors: List[(String, String)],
-      sfDir: String): String = {
+      sfDir: String,
+      suspect: Seq[String] = Nil): String = {
     val total = results.map(_._2).sum
     def qJson(scale: Int): String = results.map { case (k, v) =>
       "\"" + shortId(k) + "\":" +
@@ -51,9 +59,15 @@ object Bench {
       } ++ (if (hidden.nonEmpty) List("\"_more\":" + hidden.size) else Nil)
       entries.mkString("{", ",", "}")
     }
+    val suspectJson = {
+      val (shown, hidden) = suspect.splitAt(16)
+      (shown.map(s => "\"" + esc(s.take(24)) + "\"") ++
+        (if (hidden.nonEmpty) List("\"+" + hidden.size + "\"") else Nil))
+        .mkString("[", ",", "]")
+    }
     val countOnly = "{\"_count\":" + errors.size + "}"
     def line(qs: String, es: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"suspect":$suspectJson,"sf":"$sfDir"}"""
     val noTimings = line("{\"_count\":" + results.size + "}", countOnly)
     Seq(line(qJson(3), errJson), line(qJson(3), countOnly), line(qJson(2), countOnly), noTimings)
       .find(_.length <= MaxLineChars)
@@ -103,6 +117,88 @@ object Bench {
         n
     }
   }
+
+  /** Per-query times parsed out of one prior-round official bench record
+    * (`BENCH_r{N}.json`) — but ONLY when that record's summary line ran
+    * at the SAME sf dir as this run (a sf0.01 dev record must never
+    * judge a sf0.1 official run). The summary line sits escaped inside
+    * the driver wrapper's "tail" string, so escapes are stripped before
+    * matching; degraded records (`{"_count":N}` timings) contribute
+    * nothing.
+    */
+  private[graft] def parsePriorTimes(
+      content: String, sfDir: String): Map[String, Double] = {
+    val s = content.replace("\\\"", "\"")
+    val sfOk = "\"sf\":\"([^\"]+)\"".r
+      .findFirstMatchIn(s).exists(_.group(1) == sfDir)
+    if (!sfOk) Map.empty
+    else
+      "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)) match {
+        case None => Map.empty
+        case Some(body) =>
+          "\"([A-Za-z0-9_]+)\":([0-9][0-9.]*)".r.findAllMatchIn(body)
+            .filterNot(_.group(1).startsWith("_"))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+  }
+
+  /** The best (minimum) official per-query times across ALL prior-round
+    * bench records in the working directory, keyed by shortId. The MIN
+    * over rounds — not just round N−1 — is what defends against round
+    * N−1 itself having been contamination-damaged (exactly r11's
+    * uniform ~1.8× inflation: its own numbers are too high to judge by,
+    * but the clean r8 record underneath them still is not).
+    */
+  private[graft] def priorRecord(sfDir: String): Map[String, Double] = {
+    val dir = new java.io.File(".")
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .flatMap { f =>
+        try parsePriorTimes(new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8), sfDir).toSeq
+        catch { case _: Throwable => Nil }
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
+  /** Retry candidates judged against the PRIOR official record (round-11
+    * directive): a reading >3× the query's own best prior time (and
+    * above the absolute floor) is contention-suspect. The within-run
+    * family median — which inflates with machine-wide load and so let
+    * r11's uniform slowdown ship undetected — remains only as the
+    * fallback for queries with no prior record (new operators, or a
+    * first run at this sf).
+    */
+  private[graft] def outliersVsPrior(
+      results: Seq[(String, Double)],
+      errored: Set[String],
+      prior: Map[String, Double]): Seq[String] = {
+    val famFlagged = outliers(results, errored).toSet
+    results.collect {
+      case (n, t)
+          if !errored(n) && t > OutlierFloorSec &&
+            prior.get(shortId(n)).map(p => t > 3.0 * p)
+              .getOrElse(famFlagged(n)) =>
+        n
+    }
+  }
+
+  /** Queries whose FINAL post-retry time is still >3× their best prior
+    * record — emitted into the summary line so the round's artifact
+    * self-identifies contamination (or a genuine regression) instead of
+    * needing a judge re-run to adjudicate.
+    */
+  private[graft] def suspects(
+      results: Seq[(String, Double)],
+      errored: Set[String],
+      prior: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (n, t)
+          if !errored(n) && t > OutlierFloorSec &&
+            prior.get(shortId(n)).exists(t > 3.0 * _) =>
+        shortId(n)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,17 +255,23 @@ object Bench {
     }
     // Outlier retry pass: min-of-2 could not defend the official record
     // against a contention window longer than both runs (rounds 9 and
-    // 10 both shipped damaged perf records). Any reading that is >3× its
-    // family median AND >1 s gets up to two solo re-runs, keeping the
-    // best number — the retried queries run alone, after the sweep's
-    // own load (and whatever raced it) has drained, so a clean machine
-    // yields the plan's true cost. Genuinely-expensive queries (dedup02
-    // fenced O(n²) ground truth, the k-means training replays) also
-    // match the filter; their retries cost a few seconds total and
-    // simply confirm the number, so the pass stays bounded either way.
+    // 10 both shipped damaged perf records). Any reading that looks
+    // contention-suspect gets up to two solo re-runs, keeping the best
+    // number — the retried queries run alone, after the sweep's own
+    // load (and whatever raced it) has drained, so a clean machine
+    // yields the plan's true cost. The suspicion test compares against
+    // the query's OWN best prior official record (round-11 directive —
+    // the within-run family median inflates with machine-wide load, so
+    // r11's uniform ~1.8× slowdown sailed past it); the family median
+    // serves only queries with no prior record. Genuinely-expensive
+    // queries (dedup02's fenced O(n²) ground truth, the k-means
+    // training replays) may also match; their retries cost a few
+    // seconds total and simply confirm the number, so the pass stays
+    // bounded either way.
     GraftCache.release()
     val errored = errors.map(_._1).toSet
-    val flagged = outliers(sweep, errored).toSet
+    val prior = priorRecord(sfDir)
+    val flagged = outliersVsPrior(sweep, errored, prior).toSet
     val byName = SparkEntry.queries
     val results = sweep.map { case (name, t0) =>
       if (!flagged(name)) name -> t0
@@ -197,11 +299,18 @@ object Bench {
         name -> best
       }
     }
+    // Post-retry contamination verdict: what STILL reads >3× the best
+    // prior record goes into the line so the artifact self-identifies
+    // (round-11 directive item 7).
+    val suspectIds = suspects(results, errored, prior)
+    if (suspectIds.nonEmpty)
+      System.err.println(
+        s"[bench] contamination-suspect after retries: ${suspectIds.mkString(", ")}")
     // Full-name full-precision timings for local analysis (NOT the
     // harness contract — that is the single stdout line below).
     val fullJson = {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$full,"suspect":${suspectIds.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     }
     try {
       java.nio.file.Files.write(
@@ -212,6 +321,6 @@ object Bench {
     spark.stop()
     // Print AFTER spark.stop() so no executor/log line can land behind it:
     // this must be the process's final stdout line.
-    println(renderLine(results, errors, sfDir))
+    println(renderLine(results, errors, sfDir, suspectIds))
   }
 }

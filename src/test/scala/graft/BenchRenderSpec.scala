@@ -104,4 +104,88 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.family("q04_order_priority") == "q")
     assert(Bench.family("dedup03_minhash_lsh") == "dedup")
   }
+
+  // --- prior-record comparison (round-11 directive items 1 and 7) ---
+
+  private val wrapperRecord =
+    """{"n": 11, "rc": 0, "sf": 0.1,
+       "tail": "noise\n{\"metric\":\"total\",\"value\":10.0,\"unit\":\"sec\",\"queries\":{\"q01\":0.22,\"dedup11\":1.10,\"etl25\":1.17},\"errors\":{},\"sf\":\"/root/testdata/sf0.1\"}"}"""
+
+  test("parsePriorTimes: reads escaped per-query times from a driver wrapper") {
+    val got = Bench.parsePriorTimes(wrapperRecord, "/root/testdata/sf0.1")
+    assert(got == Map("q01" -> 0.22, "dedup11" -> 1.10, "etl25" -> 1.17))
+  }
+
+  test("parsePriorTimes: a record at a different sf contributes nothing") {
+    assert(Bench.parsePriorTimes(wrapperRecord, "/root/testdata/sf0.01").isEmpty)
+  }
+
+  test("parsePriorTimes: degraded counts-only records contribute nothing") {
+    val degraded =
+      """{"tail": "{\"metric\":\"total\",\"value\":9.0,\"unit\":\"sec\",\"queries\":{\"_count\":133},\"errors\":{\"_count\":0},\"sf\":\"/root/testdata/sf0.1\"}"}"""
+    assert(Bench.parsePriorTimes(degraded, "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("outliersVsPrior: prior record judges known queries; family median only new ones") {
+    val prior = Map("q01" -> 0.3, "q02" -> 2.0)
+    val results = Seq(
+      "q01_known" -> 1.2,  // >3x its own prior 0.3 -> flagged
+      "q02_known" -> 1.0,  // heavy query, under 3x its prior 2.0 -> NOT flagged
+      // new queries (no prior): family median (sorted times 0.4/1.0/1.2/5.0
+      // -> 1.2) governs; 5.0 > 3x median and > floor -> flagged
+      "q03_new" -> 5.0,
+      "q04_new" -> 0.4)
+    val out = Bench.outliersVsPrior(results, Set.empty, prior)
+    assert(out.toSet == Set("q01_known", "q03_new"))
+  }
+
+  test("outliersVsPrior: the uniform-slowdown shape r11 shipped IS caught") {
+    // Everything ~1.8x its prior: the within-run family median moves with
+    // the run and flags nothing; the prior record flags the >3x entries.
+    val prior = Map("a01" -> 1.0, "a02" -> 1.1, "a03" -> 1.0, "a04" -> 1.2)
+    val results = Seq("a01_x" -> 1.8, "a02_x" -> 2.0, "a03_x" -> 4.6, "a04_x" -> 2.1)
+    assert(Bench.outliers(results, Set.empty).isEmpty,
+      "family-median pass must demonstrate the blind spot")
+    assert(Bench.outliersVsPrior(results, Set.empty, prior) == Seq("a03_x"))
+  }
+
+  test("suspects: post-retry times still >3x prior are named, errored excluded") {
+    val prior = Map("q01" -> 0.3, "q02" -> 0.4)
+    val results = Seq("q01_a" -> 1.2, "q02_b" -> 3.0)
+    assert(Bench.suspects(results, Set("q02_b"), prior) == Seq("q01"))
+    assert(Bench.suspects(results, Set.empty, prior).toSet == Set("q01", "q02"))
+  }
+
+  test("suspect field: rendered into the line, capped, and survives degradation") {
+    val suspect = (1 to 40).map(i => f"zz$i%02d")
+    val line = Bench.renderLine(fullSurface, Nil, "/root/testdata/sf0.1", suspect)
+    assert(line.length <= Bench.MaxLineChars, s"len=${line.length}")
+    val json = parse(line)
+    val org.json4s.JArray(ids) = (json \ "suspect"): @unchecked
+    assert(ids.size == 17, "16 ids + one overflow token")
+    assert(ids.last == org.json4s.JString("+24"))
+    // The guaranteed-fit fallback still carries the (bounded) list.
+    val huge = (1 to 5000).map(i => f"zz$i%04d_filler" -> 1.234)
+    val fallback = Bench.renderLine(huge, Nil, "/root/testdata/sf0.1", suspect)
+    assert(fallback.length <= Bench.MaxLineChars)
+    val org.json4s.JArray(ids2) = (parse(fallback) \ "suspect"): @unchecked
+    assert(ids2.size == 17)
+  }
+
+  test("priorRecord: min-merges the real repo records (contamination defense)") {
+    // Runs in the repo root where BENCH_r*.json live; if none parse at
+    // this sf the map is empty and the family fallback governs — both
+    // outcomes are legal, but when records ARE present the min must be
+    // <= every round's individual reading.
+    val rec = Bench.priorRecord("/root/testdata/sf0.1")
+    if (rec.nonEmpty) {
+      val r11 = Bench.parsePriorTimes(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_r11.json")), "UTF-8"),
+        "/root/testdata/sf0.1")
+      r11.foreach { case (k, v) =>
+        assert(rec(k) <= v, s"min-merge must not exceed r11's $k=$v")
+      }
+    }
+  }
 }
