@@ -164,6 +164,41 @@ object SparkEntry {
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
 
+  /** Generated DuckDB replay of etl27's retention audit, derived from
+    * [[graft.operators.Etl]]'s shared Etl27* constants (round-11 ADVICE:
+    * the version list, batch predicates, and expiry count were silently
+    * hard-coded against the operator's literals — now one definition
+    * drives both sides, the text17/BpeMerges discipline). Each RETAINED
+    * snapshot replays as a latest-seq-wins reduction over the batches it
+    * had absorbed (version v = batches 0..v-1, i.e. `seq % Batches < v`);
+    * expired versions must NOT appear — a retention bug that keeps or
+    * deletes the wrong version changes the row set. Integer last_seq
+    * sums keep the audit float-free.
+    */
+  private val Etl27OracleSql: String = {
+    import graft.operators.Etl.{Etl27Batches, Etl27KeepLast, Etl27RetainLast}
+    require(Etl27Batches <= Etl27RetainLast,
+      "oracle derivation assumes every version is still on disk at VACUUM time")
+    val retained = (Etl27Batches - Etl27KeepLast + 1) to Etl27Batches
+    val nExpired = Etl27Batches - Etl27KeepLast
+    val states = retained.map { v =>
+      s"""s$v AS (SELECT key, seq FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log WHERE seq % $Etl27Batches < $v) WHERE rn = 1 AND op <> 'D')"""
+    }.mkString(",\n         ")
+    val arms = retained.map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_keys,
+           CAST(sum(seq) AS BIGINT) AS sum_seq, $nExpired AS n_expired FROM s$v"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH log AS (SELECT user_id AS key, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op
+           FROM events),
+         $states
+         $arms
+         ORDER BY version"""
+  }
+
   /** Generated DuckDB replay of sim11's greedy MMR: top-MmrCand
     * candidates, then MmrK unrolled argmax steps. The λ and (1−λ)
     * coefficients are emitted from the SAME doubles the expression
@@ -692,29 +727,7 @@ object SparkEntry {
            old_value, new_value
          FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
          ORDER BY key""",
-    "etl27_retention" ->
-      // Each RETAINED snapshot replayed as a latest-seq-wins reduction
-      // over the batches it had absorbed (seq % 3 assigns the batch;
-      // v2 = batches 1-2, v3 = full log); v1 is expired by the VACUUM,
-      // so it must NOT appear — a retention bug that keeps or deletes
-      // the wrong version changes the row set. Integer last_seq sums
-      // keep the audit float-free.
-      """WITH log AS (SELECT user_id AS key, event_id AS seq,
-             CASE WHEN event_type = 'error' THEN 'D'
-                  WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op
-           FROM events),
-         s2 AS (SELECT key, seq FROM (
-             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-             FROM log WHERE seq % 3 < 2) WHERE rn = 1 AND op <> 'D'),
-         s3 AS (SELECT key, seq FROM (
-             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-             FROM log) WHERE rn = 1 AND op <> 'D')
-         SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_keys,
-           CAST(sum(seq) AS BIGINT) AS sum_seq, 1 AS n_expired FROM s2
-         UNION ALL
-         SELECT CAST(3 AS BIGINT), count(*),
-           CAST(sum(seq) AS BIGINT), 1 FROM s3
-         ORDER BY version""",
+    "etl27_retention" -> Etl27OracleSql,
     "etl24_jdbc_roundtrip" ->
       // The JDBC write→read round-trip is lossless, so the oracle
       // aggregates the SOURCE table; a row lost or mangled through

@@ -436,6 +436,21 @@ object Etl {
     * over the batches it had absorbed (v2 = batches 1–2, v3 = full
     * log).
     */
+  /** etl27's protocol constants — SHARED with the generated oracle in
+    * [[graft.SparkEntry]] (the text17/BpeMerges discipline, round-11
+    * ADVICE): the batch count (merges landed, `seq % Batches` assigns
+    * each op its batch), the per-merge retention, and the VACUUM's
+    * keep-last. Changing any of them here re-generates the oracle's
+    * version list, batch predicates, and expiry count in lockstep
+    * instead of failing at correctness-run time with a hash mismatch.
+    * Invariant the oracle generation relies on: Batches <= RetainLast
+    * (every version is still on disk when the VACUUM runs, so it
+    * expires exactly Batches - KeepLast versions).
+    */
+  val Etl27Batches = 3
+  val Etl27RetainLast = 3
+  val Etl27KeepLast = 2
+
   def etl27Retention(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.MergeSink
     val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -443,11 +458,12 @@ object Etl {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl27_$suffix"
     val log = cdcLog(spark, dir)
     MergeSink.reset(spark, table, base) // deterministic end-to-end replay
-    (0 to 2).foreach { i =>
+    (0 until Etl27Batches).foreach { i =>
       MergeSink.merge(spark, table, base,
-        log.filter(col("seq") % 3 === i), retainLast = 3)
+        log.filter(col("seq") % Etl27Batches === i),
+        retainLast = Etl27RetainLast)
     }
-    val expired = MergeSink.expireVersions(spark, base, keepLast = 2)
+    val expired = MergeSink.expireVersions(spark, base, keepLast = Etl27KeepLast)
     val retained = MergeSink.versions(spark, base)
     retained.map { v =>
       MergeSink.stateAt(spark, base, v)

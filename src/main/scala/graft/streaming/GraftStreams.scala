@@ -59,53 +59,130 @@ object GraftStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** One event on the sessionization stream: `ts_sec` is floor-epoch
-    * seconds (matches `unix_timestamp` truncation in the batch twin).
+  /** One event on the sessionization stream. `ts` is the event time
+    * (drives the watermark that closes sessions and bounds state);
+    * session math runs on floor-epoch seconds of it — `ts.getTime/1000`,
+    * the same truncation as the batch twin's `unix_timestamp`.
     */
-  case class SessionEvent(user_id: Long, event_id: Long, ts_sec: Long)
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 
-  /** Keyed session state: where the last-seen event left off. */
-  case class SessionState(lastTsSec: Long, lastSessionId: Long)
+  /** Keyed session state: where the last-seen event left off, plus
+    * whether that session is still open (an open session's gap-expiry
+    * timeout emits the CLOSE; a closed session's state lingers only to
+    * keep the per-user session numbering until the retention horizon
+    * evicts it).
+    */
+  case class SessionState(lastTsSec: Long, lastSessionId: Long, open: Boolean)
 
-  case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
+  /** One sessionization verdict: per-event session ASSIGNMENT rows
+    * (`closed = false`) and per-session CLOSE rows (`closed = true`,
+    * `event_id = -1`) — the close fires when the 30-min gap provably
+    * expired: either the watermark passed last-event-time + gap (the
+    * event-time timeout) or a later event arrived beyond the gap
+    * (next-event evidence), whichever happens first. Exactly one close
+    * per session id is emitted within the retention horizon.
+    */
+  case class SessionOut(
+      user_id: Long, event_id: Long, session_id: Long, closed: Boolean)
 
   val SessionGapSec = 1800L
 
-  /** Per-user incremental session assignment. Events within a micro-batch
-    * group arrive unordered — sort by event_id (the batch twin's ordering
-    * key) before walking; state carries (lastTs, lastSessionId) across
-    * batches so session ids keep counting monotonically per user.
+  /** Watermark delay for the sessionize stream: how far out of
+    * event-time order events may arrive before session closes become
+    * definitive (a close never fires while an in-gap event could still
+    * legally arrive).
     */
-  def assignSessions(
+  val SessionWatermarkDelay = "2 hours"
+
+  /** Per-user incremental session assignment + close detection. Events
+    * within a micro-batch group arrive unordered — sort by event_id
+    * (the batch twin's ordering key) before walking; state carries
+    * (lastTs, lastSessionId, open) across batches so session ids keep
+    * counting monotonically per user within the retention horizon.
+    *
+    * Timeout protocol (the stream03 sighting-refreshed shape, two
+    * stages): every sighting re-arms the timeout to last event time +
+    * gap. When it fires on an OPEN session, the gap has provably
+    * expired — no in-watermark event can extend it — so the session's
+    * CLOSE is emitted and the state flips to a closed NUMBERING
+    * tombstone whose timeout re-arms to + `retentionMs`; when that
+    * second timeout fires the entry is evicted. State is therefore
+    * O(users active in the retention horizon) — 100 TB-bounded — and a
+    * user idle past the horizon restarts at session 1 (the documented
+    * horizon contract, same as stream03's fresh-keeper re-admission).
+    */
+  private[graft] def assignSessions(retentionMs: Long)(
       key: Long,
       events: Iterator[SessionEvent],
-      state: GroupState[SessionState]): Iterator[SessionAssignment] = {
-    val sorted = events.toSeq.sortBy(_.event_id)
-    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-    val out = sorted.map { e =>
-      val isNew = st.lastTsSec == Long.MinValue || e.ts_sec - st.lastTsSec > SessionGapSec
-      val sid = if (isNew) st.lastSessionId + 1 else st.lastSessionId
-      st = SessionState(e.ts_sec, sid)
-      SessionAssignment(key, e.event_id, sid)
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      if (st.open) {
+        // Gap expired under the watermark: the close is definitive.
+        // Keep (lastTs, lastSessionId) as a closed tombstone so a
+        // returning user within the horizon continues the numbering.
+        state.update(SessionState(st.lastTsSec, st.lastSessionId, open = false))
+        state.setTimeoutTimestamp(
+          math.max(st.lastTsSec * 1000L, state.getCurrentWatermarkMs()) +
+            retentionMs)
+        Iterator.single(SessionOut(key, -1L, st.lastSessionId, closed = true))
+      } else {
+        // Retention horizon passed: forget the numbering tombstone.
+        state.remove()
+        Iterator.empty
+      }
+    } else {
+      val sorted = events.toSeq.sortBy(_.event_id)
+      var st = state.getOption.getOrElse(
+        SessionState(Long.MinValue, 0L, open = false))
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val tsSec = e.ts.getTime / 1000L
+        val isNew = st.lastTsSec == Long.MinValue ||
+          tsSec - st.lastTsSec > SessionGapSec
+        // Next-event evidence: a beyond-gap arrival proves the previous
+        // session closed before the watermark could — emit its close
+        // now so every session gets exactly one, whichever signal wins.
+        if (isNew && st.open)
+          out += SessionOut(key, -1L, st.lastSessionId, closed = true)
+        val sid = if (isNew) st.lastSessionId + 1 else st.lastSessionId
+        st = SessionState(tsSec, sid, open = true)
+        out += SessionOut(key, e.event_id, sid, closed = false)
+      }
+      state.update(st)
+      // Sighting-refreshed gap timeout, floored at the watermark (a
+      // timeout must sit strictly in the watermark's future even for
+      // events near the lateness edge — stream03's contract).
+      val maxTsMs = sorted.iterator.map(_.ts.getTime).max
+      state.setTimeoutTimestamp(
+        math.max(maxTsMs, state.getCurrentWatermarkMs()) +
+          SessionGapSec * 1000L)
+      out.result().iterator
     }
-    state.update(st)
-    out.iterator
   }
 
   /** stream02 (incremental): 30-min-gap sessionization via
     * flatMapGroupsWithState — keyed state per user, shuffled once on
-    * user_id, no driver involvement. Matches
+    * user_id, no driver involvement, state BOUNDED by an event-time TTL
+    * (the round-11 directive: the last NoTimeout site is gone). The
+    * assignment rows (`closed = false`) match
     * [[graft.operators.Sessions.stream02Sessionize]] batch-for-batch
-    * when events arrive in event order.
+    * when events arrive in event order; the close rows are the
+    * streaming-only signal a batch pass cannot give incrementally —
+    * "this session is over" the moment event time proves it.
     */
-  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionAssignment] = {
+  def sessionize(
+      events: Dataset[SessionEvent],
+      watermarkDelay: String = SessionWatermarkDelay,
+      retentionMs: Long = DedupRetentionMs): Dataset[SessionOut] = {
     implicit val stateEnc: Encoder[SessionState] = ExpressionEncoder()
-    implicit val outEnc: Encoder[SessionAssignment] = ExpressionEncoder()
+    implicit val outEnc: Encoder[SessionOut] = ExpressionEncoder()
     implicit val longEnc: Encoder[Long] = ExpressionEncoder()
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        assignSessions)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        assignSessions(retentionMs))
   }
 
   /** stream04 (incremental): stream-stream interval join — purchase →

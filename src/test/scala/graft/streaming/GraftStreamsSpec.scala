@@ -46,8 +46,7 @@ class GraftStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
 
     val input = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"),
-        unix_timestamp(col("ts")).as("ts_sec"))
+      .select(col("user_id"), col("event_id"), col("ts"))
       .as[GraftStreams.SessionEvent].collect()
 
     val stream = MemoryStream[GraftStreams.SessionEvent](spark)
@@ -59,9 +58,19 @@ class GraftStreamsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.table("session_out").collect()
+    val rows = spark.table("session_out").collect()
+    // Assignment rows equal the batch twin exactly; close rows are the
+    // streaming-only extra signal (checked in the TTL spec below).
+    val streamed = rows.filter(!_.getBoolean(3))
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch)
+    // Every close names a session some assignment row actually opened.
+    val sessions = rows.filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.filter(_.getBoolean(3)).foreach { r =>
+      assert(sessions.contains((r.getLong(0), r.getLong(2))),
+        s"close for unknown session: $r")
+    }
   }
 
   test("file-watch source: tumbling agg over a directory equals batch") {
@@ -441,14 +450,15 @@ class GraftStreamsSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append)
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[GraftStreams.SessionAssignment], _: Long) =>
-          batch.collect().foreach(a => results.add(a.event_id -> a.session_id))
+        (batch: org.apache.spark.sql.Dataset[GraftStreams.SessionOut], _: Long) =>
+          batch.collect().filter(!_.closed)
+            .foreach(a => results.add(a.event_id -> a.session_id))
       }
       .start()
 
     val q1 = start()
     try {
-      stream.addData(GraftStreams.SessionEvent(9L, 1L, 1000L))
+      stream.addData(GraftStreams.SessionEvent(9L, 1L, new Timestamp(1000L * 1000)))
       q1.processAllAvailable()
     } finally q1.stop()
 
@@ -457,7 +467,7 @@ class GraftStreamsSpec extends SparkSpec {
     // query would assign session 1).
     val q2 = start()
     try {
-      stream.addData(GraftStreams.SessionEvent(9L, 2L, 1000L + 1860L))
+      stream.addData(GraftStreams.SessionEvent(9L, 2L, new Timestamp((1000L + 1860L) * 1000)))
       q2.processAllAvailable()
     } finally q2.stop()
 
@@ -688,20 +698,76 @@ class GraftStreamsSpec extends SparkSpec {
     import spark.implicits._
     // Two events 31 min apart split into separate micro-batches: the
     // second batch must continue from persisted state (session 2), not
-    // restart at 1.
+    // restart at 1 — and the beyond-gap arrival proves session 1
+    // closed, so its close row rides along (next-event evidence).
     val stream = MemoryStream[GraftStreams.SessionEvent](spark)
     val q = GraftStreams.sessionize(stream.toDS())
       .writeStream.format("memory").queryName("session_resume")
       .outputMode(OutputMode.Append).start()
+    def ev(id: Long, sec: Long) =
+      GraftStreams.SessionEvent(7L, id, new Timestamp(sec * 1000))
     try {
-      stream.addData(GraftStreams.SessionEvent(7L, 1L, 1000L))
+      stream.addData(ev(1L, 1000L))
       q.processAllAvailable()
-      stream.addData(GraftStreams.SessionEvent(7L, 2L, 1000L + 1860L))
-      stream.addData(GraftStreams.SessionEvent(7L, 3L, 1000L + 1870L))
+      stream.addData(ev(2L, 1000L + 1860L))
+      stream.addData(ev(3L, 1000L + 1870L))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("session_resume").collect()
+    val rows = spark.table("session_resume").collect()
+    val got = rows.filter(!_.getBoolean(3))
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+    val closes = rows.filter(_.getBoolean(3)).map(r => r.getLong(2)).toSeq
+    assert(closes == Seq(1L),
+      s"the beyond-gap event must emit session 1's close, got $closes")
+  }
+
+  test("sessionize TTL: close fires on gap expiry, numbering survives the horizon, then evicts") {
+    import spark.implicits._
+    // Tight retention (10 s of event time past the close) so one spec
+    // exercises the full two-stage lifecycle: open -> gap-expiry CLOSE
+    // (watermark-driven, no next event needed) -> numbering tombstone
+    // within the horizon -> eviction and session-1 restart past it.
+    val stream = MemoryStream[GraftStreams.SessionEvent](spark)
+    val q = GraftStreams.sessionize(stream.toDS(),
+        watermarkDelay = "0 seconds", retentionMs = 10000L)
+      .writeStream.format("memory").queryName("session_ttl")
+      .outputMode(OutputMode.Append).start()
+    def ev(user: Long, id: Long, sec: Long) =
+      GraftStreams.SessionEvent(user, id, new Timestamp(sec * 1000))
+    def rows() = spark.table("session_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    try {
+      stream.addData(ev(9L, 1L, 1000L))
+      q.processAllAvailable()
+      // Another user's event drives the watermark past 1000+1800:
+      // user 9's OPEN state times out -> the close is emitted without
+      // any further user-9 event.
+      stream.addData(ev(8L, 2L, 5000L))
+      q.processAllAvailable()
+      assert(rows().contains((9L, -1L, 1L, true)),
+        s"gap expiry must emit the close, got ${rows().toSeq}")
+      // Within the retention horizon (close tombstone alive): a
+      // returning user 9 continues the numbering at session 2.
+      stream.addData(ev(9L, 3L, 5100L))
+      q.processAllAvailable()
+      assert(rows().contains((9L, 3L, 2L, false)),
+        s"numbering must continue within the horizon, got ${rows().toSeq}")
+      // Drive the watermark past session 2's gap: its close fires and
+      // leaves the numbering tombstone, whose retention TTL re-arms
+      // floored at the CURRENT watermark (20000s) + 10s...
+      stream.addData(ev(8L, 4L, 20000L))
+      q.processAllAvailable()
+      assert(rows().contains((9L, -1L, 2L, true)))
+      // ...so one more watermark advance past 20010s evicts it...
+      stream.addData(ev(8L, 6L, 25000L))
+      q.processAllAvailable()
+      // ...and a user idle past the horizon restarts at session 1 — the
+      // bounded-state contract (stream03's fresh-keeper re-admission).
+      stream.addData(ev(9L, 7L, 30000L))
+      q.processAllAvailable()
+      assert(rows().contains((9L, 7L, 1L, false)),
+        s"evicted user must restart at session 1, got ${rows().toSeq}")
+    } finally q.stop()
   }
 }
