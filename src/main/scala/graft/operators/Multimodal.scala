@@ -134,7 +134,15 @@ object Multimodal {
     * binary scan + executor-side codec turns them into typed columns;
     * files per task is bounded by maxPartitionBytes like any source.
     */
-  def mm05BinaryIngest(spark: SparkSession, dir: String): DataFrame = {
+  def mm05BinaryIngest(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(mm05Files(spark, dir))
+
+  /** The mm05 landing directory as a (img_id, media) frame: real PNG
+    * files staged once per source fingerprint, read back through the
+    * `binaryFile` source. Shared by mm05's decode leg and the REAL
+    * mm04 resize leg ([[mm04ResizeReal]]).
+    */
+  private[graft] def mm05Files(spark: SparkSession, dir: String): DataFrame = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm05_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     TableBuild.ensurePath(spark, root,
         TableBuild.dirFingerprint(spark, s"$dir/documents.parquet")) {
@@ -159,14 +167,26 @@ object Multimodal {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
     }
-    val files = spark.read.format("binaryFile")
+    spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.png").load(root)
       .select(
         regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
           .cast("long").as("img_id"),
         col("content").as("media"))
-    decodeMeta(files)
   }
+
+  /** mm04's REAL sibling (round-11 directive): the same resize plumbing
+    * with the last fake kernel swapped for an actual JDK-only
+    * `Graphics2D` bilinear rescale ([[MultimodalStub.resizeImage]] —
+    * decode, draw into an OutW×OutH raster, re-extract pixels), driven
+    * end-to-end over the staged mm05 PNG landing dir exactly like the
+    * decode leg. Not a `queries` entry: real interpolated pixels have
+    * no SQL-replayable law (the oracled mm04 keeps the deterministic
+    * index-math twin); MultimodalSpec pins output dims, byte counts,
+    * the constant-image exactness law, and determinism instead.
+    */
+  def mm04ResizeReal(spark: SparkSession, dir: String): DataFrame =
+    resizeMeta(mm05Files(spark, dir))
 
   /** mm06's hamming radius for perceptual near-duplicate pairs. */
   val Mm06MaxHamming = 1
@@ -338,6 +358,44 @@ object Multimodal {
     }(enc)
   }
 
+  private val resizeMetaSchema = StructType(Seq(
+    StructField("img_id", LongType),
+    StructField("in_w", IntegerType),
+    StructField("in_h", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("n_bytes_out", IntegerType),
+    StructField("checksum", LongType),
+    StructField("mean_intensity", DoubleType)))
+
+  /** REAL resize leg of the mm04 plumbing: rows of (img_id, media)
+    * holding ENCODED images flow through the same batched mapPartitions
+    * path as the fake kernel, but the kernel is
+    * [[MultimodalStub.resizeImage]] — headless `java.awt` Graphics2D
+    * bilinear rescaling to OutW×OutH on executors — and the emitted
+    * checksum/mean are computed over the RESIZED pixels. Same seam
+    * contract as [[decodeMeta]]: a GPU/codec resize swaps in behind an
+    * unchanged schema, batch shape, and partitioning.
+    */
+  def resizeMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeMetaSchema)
+    media.select(col("img_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (inW, inH, out) = MultimodalStub.resizeImage(
+            r.getAs[Array[Byte]]("media"), MultimodalStub.OutW, MultimodalStub.OutH)
+          var sum = 0L
+          var i = 0
+          while (i < out.length) { sum += out(i) & 0xFF; i += 1 }
+          Row(r.getAs[Long]("img_id"), inW, inH,
+            MultimodalStub.OutW, MultimodalStub.OutH, out.length, sum,
+            math.round(sum / 255.0 / out.length * 10000.0) / 10000.0)
+        }
+      }
+    }(enc).orderBy("img_id")
+  }
+
   private val decodeMetaSchema = StructType(Seq(
     StructField("img_id", LongType),
     StructField("width", IntegerType),
@@ -501,6 +559,44 @@ object MultimodalStub {
       }
     }
     hash
+  }
+
+  /** REAL resize kernel (round-11 directive: decode went real in
+    * mm05–07, this closes the last fake kernel): decode the encoded
+    * bytes and rescale to outW×outH with headless `java.awt`
+    * Graphics2D bilinear interpolation — JDK-only, no external jar, so
+    * it runs on executors as-is. Returns (source width, source height,
+    * row-major RGB of the RESIZED image, 3 bytes/pixel). Deterministic
+    * for a given JDK (the spec pins run-to-run stability and the
+    * interpolation-free laws: exact constant-color preservation and
+    * exact dims); undecodable bytes throw, like [[decodeImage]].
+    */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): (Int, Int, Array[Byte]) = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (src == null)
+      throw new IllegalArgumentException(
+        s"undecodable media (${bytes.length} bytes): no registered ImageReader claims it")
+    val dst = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.setRenderingHint(java.awt.RenderingHints.KEY_RENDERING,
+        java.awt.RenderingHints.VALUE_RENDER_QUALITY)
+      g.drawImage(src, 0, 0, outW, outH, null)
+    } finally g.dispose()
+    val packed = dst.getRGB(0, 0, outW, outH, null, 0, outW)
+    val rgb = new Array[Byte](outW * outH * 3)
+    var i = 0
+    while (i < packed.length) {
+      val p = packed(i)
+      rgb(i * 3) = ((p >> 16) & 0xFF).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xFF).toByte
+      rgb(i * 3 + 2) = (p & 0xFF).toByte
+      i += 1
+    }
+    (src.getWidth, src.getHeight, rgb)
   }
 
   /** Deterministic fake "resize": nearest-neighbor-sample OutW×OutH

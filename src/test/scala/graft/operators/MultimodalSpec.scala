@@ -19,6 +19,80 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalStub.fakeResize(Array.emptyByteArray) == (0L, 0.0))
   }
 
+  test("resizeImage really downsamples: dims, constant-color law, determinism") {
+    // A constant-color source survives ANY interpolation exactly, so
+    // the real kernel has one exact law an assertion can hold it to.
+    val c = 137
+    val const = png(64, 48)((_, _) => (c, c, c))
+    val (w, h, out) = MultimodalStub.resizeImage(
+      const, MultimodalStub.OutW, MultimodalStub.OutH)
+    assert((w, h) == (64, 48))
+    assert(out.length == MultimodalStub.OutW * MultimodalStub.OutH * 3)
+    assert(out.forall(b => (b & 0xFF) == c),
+      "bilinear rescale of a constant image must stay constant")
+    // A gradient downsample: deterministic run-to-run, values bounded
+    // by the source range (bilinear is a convex combination).
+    val grad = png(64, 48)((x, y) => (x * 3, y * 5, (x + y) * 2))
+    val (_, _, g1) = MultimodalStub.resizeImage(grad, 16, 9)
+    val (_, _, g2) = MultimodalStub.resizeImage(grad, 16, 9)
+    assert(g1.toSeq == g2.toSeq, "kernel must be deterministic")
+    assert(g1.length == 16 * 9 * 3)
+    (0 until 16 * 9).foreach { i =>
+      assert((g1(i * 3) & 0xFF) <= 63 * 3, s"R out of source range at $i")
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalStub.resizeImage("junk".getBytes("UTF-8"), 4, 4)
+    }
+  }
+
+  test("resizeMeta drives the real Graphics2D kernel through the batched executor path") {
+    // Constant-color images, more than one batch: each row's checksum
+    // is exactly out_pixels * 3 * c — the constant-color law end to
+    // end through encode -> mapPartitions -> decode -> rescale.
+    val n = MultimodalStub.BatchSize + 5
+    val rows = (0L until n.toLong).map { id =>
+      val c = (id % 251).toInt
+      (id, png(40, 30)((_, _) => (c, c, c)))
+    }
+    import spark.implicits._
+    val media = rows.toDF("img_id", "media").repartition(3)
+    val got = Multimodal.resizeMeta(media).collect()
+    assert(got.length == n)
+    val outPx = MultimodalStub.OutW * MultimodalStub.OutH
+    got.foreach { r =>
+      val c = (r.getLong(0) % 251).toInt
+      assert((r.getInt(1), r.getInt(2)) == (40, 30), "source dims")
+      assert((r.getInt(3), r.getInt(4)) ==
+        (MultimodalStub.OutW, MultimodalStub.OutH), "target dims")
+      assert(r.getInt(5) == outPx * 3, "resized byte count")
+      assert(r.getLong(6) == outPx.toLong * 3 * c,
+        s"img ${r.getLong(0)}: constant-color checksum law")
+      assert(r.getDouble(7) ==
+        math.round(outPx.toLong * 3 * c / 255.0 / (outPx * 3) * 10000.0) / 10000.0)
+    }
+  }
+
+  test("mm04ResizeReal runs the real kernel over the staged mm05 PNG landing dir") {
+    val got = Multimodal.mm04ResizeReal(spark, sf).collect()
+    assert(got.length == Multimodal.Mm05Images)
+    got.foreach { r =>
+      val c = (r.getLong(0) % 249).toInt
+      assert((r.getInt(1), r.getInt(2)) == (4, 2), "test cards are 4x2")
+      assert((r.getInt(3), r.getInt(4)) ==
+        (MultimodalStub.OutW, MultimodalStub.OutH))
+      // Bilinear output is a convex combination of source pixels, so
+      // every resized byte sits inside the test card's channel range
+      // [c, c+6] and so does the mean intensity.
+      val outPx = MultimodalStub.OutW * MultimodalStub.OutH
+      assert(r.getLong(6) >= outPx.toLong * 3 * c &&
+        r.getLong(6) <= outPx.toLong * 3 * (c + 6),
+        s"img ${r.getLong(0)}: checksum outside source range")
+    }
+    // Deterministic across runs (same staged files, same kernel).
+    val again = Multimodal.mm04ResizeReal(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("fakeFeatures is deterministic and has the declared shape") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     val f1 = MultimodalStub.fakeFeatures(bytes)
