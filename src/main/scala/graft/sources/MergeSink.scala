@@ -35,10 +35,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the live snapshot. All filesystem access goes through the path's
   * Hadoop FileSystem, so the protocol holds on object stores and HDFS,
   * not only file:/. All-but-the-last-two versions are pruned
-  * best-effort after each commit. Writers are serialized per table
-  * within this JVM; multi-driver coordination is a transactional table
-  * format's job (Delta/Iceberg) — this sink is the built-in-catalog
-  * analog.
+  * best-effort after each commit.
+  *
+  * Multi-writer safety (round-11 directive): same-table writers within
+  * one JVM serialize on a lock, and writers in SEPARATE sessions/JVMs
+  * serialize through OPTIMISTIC CONCURRENCY on the shared basePath —
+  * a commit of version N is valid only against a read of committed
+  * version N−1, and the right to write N is won by atomically creating
+  * the claim marker `vN.claim` (`FileSystem.create` with
+  * overwrite=false — create-fails-if-exists). A writer that loses the
+  * claim, or that observes a claimed-but-uncommitted version in
+  * flight, re-reads the now-newer committed state and retries the
+  * whole merge; after [[MaxCommitAttempts]] conflict rounds it FAILS
+  * LOUDLY (a stuck claim means a crashed or wedged peer — guessing
+  * would risk the exact lost-version anomaly the protocol exists to
+  * prevent). Either way a committed version is never overwritten and
+  * never skips a predecessor's changes.
   *
   * Sequence protocol: sequences are assumed UNIQUE per key (an LSN, as
   * in any change feed). Under that protocol latest-sequence-wins makes
@@ -89,33 +101,51 @@ object MergeSink {
       .map(_._1).sorted
   }
 
-  /** The current committed state: the catalog table if present, else
-    * (driver restart with a non-persistent catalog) the latest
-    * committed snapshot on disk.
+  /** Max optimistic-commit rounds before a conflicted merge fails
+    * loudly. Each round re-reads the committed state, so a healthy
+    * competing writer only costs one round; exhausting them means a
+    * claim never turned into a commit — a crashed/wedged peer the
+    * operator must resolve (delete its `vN.claim`), not a state this
+    * sink may silently write around.
     */
-  private def currentState(spark: SparkSession, table: String,
-      basePath: String): Option[DataFrame] =
-    if (spark.catalog.tableExists(table)) Some(spark.table(table))
-    else versionsOnDisk(spark, basePath, committedOnly = true).lastOption
-      .map(v => spark.read.schema(schema).parquet(s"$basePath/v$v"))
+  val MaxCommitAttempts = 8
 
-  /** Apply one change batch `(key, seq, op, value)` to `table`
-    * (external parquet under `basePath`), creating it if absent.
-    * `retainLast` is the post-commit retention: the newest `retainLast`
-    * snapshot versions survive, older ones are pruned best-effort
-    * (the default 2 keeps current + predecessor so etl23's audit diff
-    * always has both sides; pass more to hold a deeper time-travel
-    * window, then expire it explicitly with [[expireVersions]]).
+  /** Version numbers with an outstanding claim marker under basePath —
+    * the atomically-created `vN.claim` files. A claim blocks its number
+    * from reuse whether or not the snapshot write behind it ever
+    * finished.
     */
-  def merge(spark: SparkSession, table: String, basePath: String,
-      changes: DataFrame, retainLast: Int = 2): Unit = lockFor(table).synchronized {
-    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+  private def claimedVersions(spark: SparkSession, basePath: String): Seq[Long] = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.claim"))
+      .flatMap(_.getPath.getName.stripPrefix("v").stripSuffix(".claim").toLongOption)
+      .sorted
+  }
+
+  /** Atomically claim the right to write version `v`: create-fails-if-
+    * exists on the claim marker. Exactly one concurrent writer wins.
+    */
+  private def tryClaim(spark: SparkSession, basePath: String, v: Long): Boolean = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    try {
+      fs.create(new org.apache.hadoop.fs.Path(base, s"v$v.claim"),
+        false).close() // overwrite=false: atomic create-fails-if-exists
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** The latest-seq-wins reduction of stored state + one change batch. */
+  private def mergedState(
+      cur: Option[DataFrame], changes: DataFrame): DataFrame = {
     val asOps = changes.select(
       col("key").cast("long"), col("seq").cast("long"),
       col("op").cast("string"), col("value").cast("double"))
       .withColumn("is_current", lit(false))
-    val unioned = currentState(spark, table, basePath) match {
-      case Some(cur) => cur.select(
+    val unioned = cur match {
+      case Some(c) => c.select(
           col("key"), col("last_seq").as("seq"),
           col("last_op").as("op"), col("current_value").as("value"))
         .withColumn("is_current", lit(true))
@@ -129,22 +159,74 @@ object MergeSink {
     // (op, value) so replays stay byte-stable.
     val w = Window.partitionBy("key")
       .orderBy(col("seq").desc, col("is_current").desc, col("op"), col("value"))
-    val newState = unioned
+    unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("key"), col("seq").as("last_seq"),
         col("op").as("last_op"), col("value").as("current_value"))
+  }
 
-    val v = versionsOnDisk(spark, basePath, committedOnly = false)
-      .lastOption.getOrElse(0L) + 1L
-    val newPath = s"$basePath/v$v"
-    // Materialize BEFORE touching the catalog: the write streams out of
-    // the current snapshot; only then does the catalog flip commit.
-    newState.write.mode("overwrite").parquet(newPath)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$newPath'")
-    pruneOldVersions(spark, basePath,
-      keep = ((v - retainLast + 1) to v).toSet)
+  /** Apply one change batch `(key, seq, op, value)` to `table`
+    * (external parquet under `basePath`), creating it if absent.
+    * `retainLast` is the post-commit retention: the newest `retainLast`
+    * snapshot versions survive, older ones are pruned best-effort
+    * (the default 2 keeps current + predecessor so etl23's audit diff
+    * always has both sides; pass more to hold a deeper time-travel
+    * window, then expire it explicitly with [[expireVersions]]).
+    *
+    * Commit protocol: optimistic concurrency (see the object doc). The
+    * merged snapshot is computed against committed version B, version
+    * B+1 is claimed atomically, the snapshot is fully materialized, and
+    * the catalog flip is the local-session commit point (the on-disk
+    * `_SUCCESS` is the cross-session one). A lost claim or an
+    * in-flight gap re-reads and retries; exhaustion throws.
+    */
+  def merge(spark: SparkSession, table: String, basePath: String,
+      changes: DataFrame, retainLast: Int = 2): Unit = lockFor(table).synchronized {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val committedVs = versionsOnDisk(spark, basePath, committedOnly = true)
+      val occupied = versionsOnDisk(spark, basePath, committedOnly = false) ++
+        claimedVersions(spark, basePath)
+      val next = (occupied :+ 0L).max + 1
+      val base = committedVs.lastOption.getOrElse(0L)
+      // Serializability gate: the version we'd write must DIRECTLY
+      // succeed the committed state we read. A gap means another
+      // writer's claim/write is in flight and its data is not yet
+      // readable — wait for its commit, never write around it.
+      var conflict = s"version v${next - 1} is claimed but not committed"
+      if (next == base + 1) {
+        val cur = committedVs.lastOption
+          .map(v => spark.read.schema(schema).parquet(s"$basePath/v$v"))
+          .orElse(
+            if (spark.catalog.tableExists(table)) Some(spark.table(table))
+            else None)
+        if (tryClaim(spark, basePath, next)) {
+          val newPath = s"$basePath/v$next"
+          // Materialize BEFORE touching the catalog: the write streams
+          // out of the current snapshot; _SUCCESS is the cross-session
+          // commit, the catalog flip the local one.
+          mergedState(cur, changes).write.mode("overwrite").parquet(newPath)
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$newPath'")
+          pruneOldVersions(spark, basePath,
+            keepFloor = next - retainLast + 1)
+          committed = true
+        } else conflict = s"lost the claim race for v$next"
+      }
+      if (!committed) {
+        attempt += 1
+        if (attempt >= MaxCommitAttempts)
+          throw new IllegalStateException(
+            s"merge into $basePath failed after $attempt optimistic-commit " +
+              s"rounds: $conflict. A claim that never commits means a " +
+              "crashed or wedged writer; resolve (delete its vN.claim) " +
+              "before retrying — committing around it could lose a version.")
+        Thread.sleep(100L * attempt)
+      }
+    }
   }
 
   /** VACUUM: expire all but the newest `keepLast` committed snapshot
@@ -217,23 +299,37 @@ object MergeSink {
       .filter(col("last_op") =!= "D")
   }
 
-  /** Drop the table and all snapshot versions — a clean slate for a
-    * deterministic end-to-end replay.
+  /** Drop the table and all snapshot versions (and claim markers) — a
+    * clean slate for a deterministic end-to-end replay.
     */
   def reset(spark: SparkSession, table: String, basePath: String): Unit =
     lockFor(table).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      pruneOldVersions(spark, basePath, keep = Set.empty)
+      pruneOldVersions(spark, basePath, keepFloor = Long.MaxValue)
     }
 
+  /** Best-effort retention: delete snapshot dirs AND claim markers for
+    * versions STRICTLY BELOW `keepFloor`. Floor-based on purpose — a
+    * concurrent writer may already have claimed/written a version
+    * NEWER than this writer's commit, and a keep-set prune would
+    * delete that in-flight work (the multi-writer hazard the OCC
+    * protocol closes); nothing above the floor is ever touched.
+    */
   private def pruneOldVersions(spark: SparkSession, basePath: String,
-      keep: Set[Long]): Unit =
+      keepFloor: Long): Unit =
     try {
       val (fs, base) = fsFor(spark, basePath)
       if (fs.exists(base)) {
         fs.listStatus(base)
-          .filter(s => s.getPath.getName.startsWith("v") &&
-            s.getPath.getName.drop(1).toLongOption.exists(n => !keep(n)))
+          .filter { s =>
+            val n = s.getPath.getName
+            val v =
+              if (s.isDirectory && n.startsWith("v")) n.drop(1).toLongOption
+              else if (s.isFile && n.matches("v\\d+\\.claim"))
+                n.stripPrefix("v").stripSuffix(".claim").toLongOption
+              else None
+            v.exists(_ < keepFloor)
+          }
           .foreach(s => fs.delete(s.getPath, true))
       }
     } catch { case _: Throwable => () } // best-effort retention

@@ -106,6 +106,59 @@ class MergeSinkSpec extends SparkSpec {
     assert(snapshot(spark.table(table)) == snapshot(spark.table(oneShot)))
   }
 
+  test("two SESSIONS (separate catalogs) racing one basePath lose no version (OCC)") {
+    // Two table names = two catalog entries = two JVM lock keys, so the
+    // JVM-local lock CANNOT serialize them — simulating two Spark
+    // sessions; only the on-disk claim protocol stands between the
+    // racers and a lost version. Four disjoint-key batches race from
+    // the two "sessions"; every batch must survive into the final
+    // state, and every intermediate version must contain its
+    // predecessor's keys (the lost-update anomaly is a version that
+    // skips one).
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mergesink_spec_occ"
+    val tA = "g_mergesink_spec_occ_a"
+    val tB = "g_mergesink_spec_occ_b"
+    MergeSink.reset(spark, tA, base)
+    MergeSink.reset(spark, tB, base)
+    val merges = (0 until 4).map { i =>
+      val t = if (i % 2 == 0) tA else tB
+      Future(MergeSink.merge(spark, t, base,
+        ops((i.toLong, (10 + i).toLong, "I", i.toDouble)), retainLast = 8))
+    }
+    Await.result(Future.sequence(merges), 5.minutes)
+    val vs = MergeSink.versions(spark, base)
+    assert(vs == Seq(1L, 2L, 3L, 4L),
+      s"4 racing merges must commit 4 gap-free versions, got $vs")
+    val keySets = vs.map(v =>
+      snapshot(MergeSink.stateAt(spark, base, v)).map(_._1).toSet)
+    keySets.sliding(2).foreach { case Seq(prev, next) =>
+      assert(prev.subsetOf(next),
+        s"version skipped a predecessor's keys: $prev not in $next")
+    }
+    assert(keySets.last == Set(0L, 1L, 2L, 3L),
+      s"a racing batch was lost: ${keySets.last}")
+  }
+
+  test("a claimed-but-never-committed version fails merges loudly, never writes around") {
+    val (table, base) = freshTable("staleclaim")
+    MergeSink.merge(spark, table, base, ops((1L, 1L, "I", 1.0)))
+    // Simulate a crashed peer: claim v2 and never commit it.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(base, "v2.claim"), false).close()
+    val e = intercept[IllegalStateException](
+      MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0))))
+    assert(e.getMessage.contains("claimed but not committed"))
+    // The loud failure wrote NOTHING: committed state untouched, no v3
+    // "around" the wedged claim.
+    assert(MergeSink.versions(spark, base) == Seq(1L))
+    // Operator resolution (delete the stale claim) unblocks the merge.
+    fs.delete(new org.apache.hadoop.fs.Path(base, "v2.claim"), false)
+    MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0)))
+    assert(snapshot(spark.table(table)) ==
+      Seq((1L, 1L, "I", Some(1.0)), (2L, 2L, "I", Some(2.0))))
+  }
+
   test("etl19 equals the one-shot CDC reduction (etl16)") {
     val viaSink = Etl.etl19MergeSink(spark, sf)
       .collect().map(_.toSeq).toSeq
