@@ -140,6 +140,7 @@ object SparkEntry {
     "cur12_cluster_sample" -> Curation.cur12ClusterSample _,
     "cur13_importance" -> Curation.cur13ImportanceWeights _,
     "cur14_epoch_schedule" -> Curation.cur14EpochSchedule _,
+    "cur15_quality_classifier" -> Curation.cur15QualityClassifier _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -163,6 +164,81 @@ object SparkEntry {
                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s)
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
+
+  /** CTE chain replaying [[graft.operators.Curation.trainedCur15]] in
+    * DuckDB — the kmeansCteSql/bpeCteSql pattern for batch gradient
+    * descent: `feat` is the hashed-bucket count frame (+ bias rows),
+    * `w0` the zero weight table, and each round r computes per-doc
+    * margins against w(r−1), the algebraic fixed-point sigmoid, the
+    * per-bucket integer gradient, and the truncating-division weight
+    * update into `w<r>`. Every intermediate is integer (HUGEINT where
+    * products of corpus-scale counts appear), every CTE MATERIALIZED
+    * (each round references the previous weights twice — the bpe
+    * lesson: default inlining recomputes the chain exponentially).
+    * Generated, not hand-written, so the unroll depth and all
+    * constants always match the Cur15* values the operator trains
+    * with.
+    */
+  private def cur15CteSql(iters: Int): String = {
+    import graft.operators.Curation.{Cur15Bias, Cur15Rate, Cur15Scale}
+    val s = Cur15Scale
+    val init =
+      s"""th15 AS MATERIALIZED (SELECT doc_id, source,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Curation.ImportanceBuckets} AS bkt
+           FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+                 FROM documents)),
+         feat AS MATERIALIZED (
+           SELECT doc_id, source, bkt, CAST(count(*) AS BIGINT) AS x,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+           FROM th15 GROUP BY doc_id, source, bkt
+           UNION ALL
+           SELECT doc_id, source, CAST($Cur15Bias AS BIGINT), CAST(1 AS BIGINT),
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END
+           FROM documents),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+         w0 AS MATERIALIZED (SELECT DISTINCT bkt, CAST(0 AS BIGINT) AS wgt FROM feat)"""
+    val rounds = (1 to iters).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
+             CAST(sum(f.x * w.wgt) AS BIGINT) AS m
+           FROM feat f JOIN w${r - 1} w USING (bkt) GROUP BY f.doc_id),
+         p$r AS MATERIALIZED (SELECT doc_id, y,
+             CAST(($s::HUGEINT * ($s + abs(m) + m)) // (2::HUGEINT * ($s + abs(m))) AS BIGINT) AS p
+           FROM m$r),
+         g$r AS MATERIALIZED (SELECT f.bkt,
+             sum((p.p - p.y * $s)::HUGEINT * f.x) AS g
+           FROM feat f JOIN p$r p USING (doc_id) GROUP BY f.bkt),
+         w$r AS MATERIALIZED (SELECT w.bkt,
+             CAST(w.wgt - (g.g // ($Cur15Rate::HUGEINT * nn.n)) AS BIGINT) AS wgt
+           FROM w${r - 1} w JOIN g$r g USING (bkt), nn)"""
+    }
+    (init +: rounds).mkString(",\n         ")
+  }
+
+  /** cur15's full oracle: the training chain, the raw pool scored with
+    * the final weights, the exact pool-mean threshold, and the
+    * per-source report — all integer until the intRatio presentations.
+    */
+  private val Cur15OracleSql: String = {
+    import graft.operators.Curation.{Cur15Iters, Cur15Scale}
+    val s = Cur15Scale
+    s"""WITH ${cur15CteSql(Cur15Iters)},
+         sm AS MATERIALIZED (SELECT f.doc_id, f.source,
+             CAST(sum(f.x * w.wgt) AS BIGINT) AS m
+           FROM feat f JOIN w$Cur15Iters w USING (bkt)
+           WHERE f.source <> 'src0' GROUP BY f.doc_id, f.source),
+         scored AS MATERIALIZED (SELECT doc_id, source,
+             CAST(($s::HUGEINT * ($s + abs(m) + m)) // (2::HUGEINT * ($s + abs(m))) AS BIGINT) AS p
+           FROM sm),
+         thr AS (SELECT CAST(sum(p)::HUGEINT // count(*) AS BIGINT) AS thr
+                 FROM scored)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN p > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((2*10000*sum(CASE WHEN p > thr THEN 1 ELSE 0 END) + count(*))
+                // (2*count(*)) AS BIGINT) / 10000.0 AS keep_rate,
+           CAST((2::HUGEINT*$s*sum(p) + count(*)::HUGEINT*$s)
+                // (2::HUGEINT*count(*)*$s) AS BIGINT) / $s.0 AS avg_score
+         FROM scored, thr GROUP BY source ORDER BY source"""
+  }
 
   /** Generated DuckDB replay of etl27's retention audit, derived from
     * [[graft.operators.Etl]]'s shared Etl27* constants (round-11 ADVICE:
@@ -1913,6 +1989,15 @@ object SparkEntry {
            avg_scaled / ${Curation.ImportanceScale}.0 AS avg_ratio
          FROM ranked WHERE rk <= (n_src + 4) // 5
          ORDER BY doc_id""",
+    "cur15_quality_classifier" ->
+      // The full Cur15Iters-round batch-gradient-descent trajectory
+      // replayed value-for-value (generated chain — margins, algebraic
+      // fixed-point sigmoid, HUGEINT gradients, truncating-division
+      // weight updates), then the raw pool scored with the FINAL
+      // weights, cut at the exact integer pool-mean, reported per
+      // source. A wrong gradient in any round cascades through every
+      // later weight table and breaks the hash.
+      Cur15OracleSql,
     "etl22_clustered_layout" ->
       // The clustered copy is lossless, so the oracle aggregates the
       // SOURCE table under the same predicate; file locality of the

@@ -521,13 +521,21 @@ object Curation {
     * corpus, and would be persisted once and reused across selection
     * runs.
     */
-  def cur13ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
-    val b = ImportanceBuckets
-    val th = documents(spark, dir)
+  /** The (doc_id, source, bkt) hashed-unigram stream shared by cur13's
+    * DSIR frequency model and cur15's classifier features — one hashing
+    * convention ([[ImportanceBuckets]] buckets of tokenHash64), one
+    * definition.
+    */
+  private def hashedTokenBuckets(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), col("source"),
-        pmod(tokenHash64(col("t")), lit(b.toLong)).as("bkt"))
+        pmod(tokenHash64(col("t")), lit(ImportanceBuckets.toLong)).as("bkt"))
+
+  def cur13ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = ImportanceBuckets
+    val th = hashedTokenBuckets(spark, dir)
     val isTarget = col("source") === "src0"
     val stats = th.groupBy("bkt").agg(
       sum(isTarget.cast("long")).as("ct"),
@@ -595,6 +603,160 @@ object Curation {
     * corpus rows. Integer shifts and sums throughout: no float enters
     * the decision, so partial-agg order can never flip an allocation.
     */
+  /** cur15 protocol constants — shared with the generated oracle in
+    * [[graft.SparkEntry]] (the text17/etl27 discipline): training
+    * iteration count, fixed-point scale (6 implied decimals, the
+    * intRatio grid), the learning-rate divisor (one gradient step =
+    * `gradient // (Cur15Rate × n_docs)` — ≈ mean per-doc gradient over
+    * Cur15Rate), and the reserved bias feature bucket.
+    */
+  val Cur15Iters = 8
+  val Cur15Scale = 1000000L
+  val Cur15Rate = 16L
+  val Cur15Bias = -1L
+
+  /** cur15's feature frame: per-doc hashed-unigram bucket COUNTS
+    * (cur13's 256-bucket tokenHash64 convention — collisions are the
+    * method, the model stays O(buckets) at any vocabulary) plus one
+    * bias row per document, labeled y = 1 for the target corpus
+    * (`src0`, cur03/cur13's held-out set). Persisted via GraftCache:
+    * every training round aggregates it twice.
+    */
+  private def cur15Features(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"cur15.feat:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      hashedTokenBuckets(spark, dir)
+        .groupBy("doc_id", "source", "bkt")
+        .agg(count(lit(1)).as("x"))
+        .unionByName(documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            lit(Cur15Bias).as("bkt"), lit(1L).as("x")))
+        .withColumn("y", (col("source") === "src0").cast("long"))
+    }
+
+  /** The ALGEBRAIC sigmoid in fixed point: for a margin `m` in scale S,
+    * σ(m/S)·S ≈ (S·(S + |m| + m)) div (2·(S + |m|)) — the rational
+    * "fast sigmoid" x/(1+|x|) link, range (0, S), σ(0) = S/2. Chosen
+    * over exp() deliberately: the numerator is non-negative by
+    * construction, so the whole link is one non-negative integer
+    * division that BOTH engines evaluate bit-identically at any
+    * magnitude — a transcendental sigmoid would hang engine equality
+    * on last-ulp exp() agreement across libm implementations, the
+    * float-protocol hazard this repo's fixed-point training protocols
+    * (sim09, text17, cur13) exist to avoid. Gradient descent under
+    * this link trains the same discriminative shape (it is logistic
+    * regression with a longer-tailed rational CDF).
+    */
+  private def sigmoidFx(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = lit(Cur15Scale)
+    intDivBig(s * (s + abs(m) + m), lit(2L) * (s + abs(m)))
+  }
+
+  /** Trained classifier weights, one table per (dir, session) — the
+    * text17 trainedMerges pattern: the Cur15Iters-round loop runs once
+    * however many consumers ask; eviction on GraftCache.release().
+    * Returns (n_docs, bkt → weight in scale-S fixed point as BigInt —
+    * BigInt so the 100 TB gradient sums the aggregation carries in
+    * DECIMAL(38,0) never wrap on the driver either).
+    */
+  private val cur15Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[Long, BigInt])]()
+  graft.GraftCache.onRelease(() => cur15Cache.clear())
+
+  private[graft] def trainedCur15(spark: SparkSession, dir: String)
+      : (Long, Map[Long, BigInt]) =
+    cur15Cache.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => {
+        import spark.implicits._
+        val feat = cur15Features(spark, dir)
+        val n = documents(spark, dir).count()
+        var w = Map.empty[Long, BigInt]
+        for (_ <- 1 to Cur15Iters) {
+          val wdf = w.toSeq.map { case (b, wg) => (b, wg.toLong) }
+            .toDF("bkt", "wgt")
+          // Per-doc margin against the broadcast weight table (absent
+          // bucket = weight 0), then the fixed-point link.
+          val p = feat.join(broadcast(wdf), Seq("bkt"), "left")
+            .groupBy("doc_id")
+            .agg(max("y").as("y"),
+              sum(col("x") * coalesce(col("wgt"), lit(0L))).as("m"))
+            .withColumn("p", sigmoidFx(col("m")))
+          // Batch gradient per bucket: Σ_docs (p − y·S)·x — a sum of
+          // integer products (associative, order-free), DECIMAL(38,0)
+          // so corpus-scale sums cannot wrap. O(buckets) rows to the
+          // driver — the sim09/text17 scalar contract.
+          val grads = feat.join(p.select("doc_id", "p"), Seq("doc_id"))
+            .groupBy("bkt")
+            .agg(sum(((col("p") - col("y") * Cur15Scale) * col("x"))
+              .cast("decimal(38,0)")).as("g"))
+            .collect()
+          val div = BigInt(Cur15Rate) * BigInt(n)
+          w = grads.foldLeft(w) { (acc, r) =>
+            val bkt = r.getLong(0)
+            val g = BigInt(r.getDecimal(1).toBigInteger)
+            // BigInt / truncates toward zero — the same semantics as
+            // Spark's IntegralDivide and DuckDB's //, so all three
+            // arithmetics agree on negative gradients.
+            acc.updated(bkt, acc.getOrElse(bkt, BigInt(0)) - g / div)
+          }
+        }
+        (n, w)
+      })
+
+  /** cur15: TRAINED QUALITY CLASSIFIER — the discriminative sibling of
+    * cur13's DSIR ratio (the fastText-style classifier FineWeb/CCNet
+    * pipelines ship): logistic regression over hashed bag-of-words
+    * features, trained IN-ENGINE by [[Cur15Iters]] rounds of batch
+    * gradient descent against the target-vs-raw label, then scored
+    * corpus-wide. Every round is ONE pass over the persisted feature
+    * frame (margin aggregate + gradient aggregate) with an O(buckets)
+    * collect — the model, like every codebook in this repo, is
+    * O(buckets) however large the corpus, and at 100 TB would be
+    * persisted once and reused across selection runs.
+    *
+    * Engine-exact by construction (the cur13 posture, extended to
+    * TRAINING): margins are integer dot products, the sigmoid link is
+    * algebraic fixed point ([[sigmoidFx]]), gradients are sums of
+    * integer products in DECIMAL(38,0), and each weight update is one
+    * truncating integer division — no float enters the trajectory, so
+    * the DuckDB oracle replays all [[Cur15Iters]] rounds value-for-
+    * value through a generated CTE chain (a wrong gradient in round r
+    * cascades into every later round and breaks the hash).
+    *
+    * Output: the raw (non-target) pool scored with the final weights;
+    * keep = score strictly above the pool's MEAN score — a corpus
+    * statistic computed as one exact integer division (a scalar, so
+    * the keep predicate is a broadcast threshold: cur07's shape, no
+    * global sort at any scale) — reported as per-source keep rates
+    * with the pool-mean-normalized average score.
+    */
+  def cur15QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, w) = trainedCur15(spark, dir)
+    val wdf = w.toSeq.map { case (b, wg) => (b, wg.toLong) }.toDF("bkt", "wgt")
+    val scored = cur15Features(spark, dir)
+      .filter(col("y") === 0)
+      .join(broadcast(wdf), Seq("bkt"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("x") * coalesce(col("wgt"), lit(0L))).as("m"))
+      .withColumn("p", sigmoidFx(col("m")))
+      .select("doc_id", "source", "p")
+    // Pool-mean threshold: one exact integer scalar (sum_p div n) —
+    // the codebook-scalar contract, broadcast back as a literal.
+    val t = scored.agg(
+      sum(col("p")).cast("decimal(38,0)").as("sp"), count(lit(1)).as("n")).head
+    val thr = (BigInt(t.getDecimal(0).toBigInteger) / BigInt(t.getLong(1))).toLong
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("p") > thr).cast("long")).as("n_kept"),
+        intRatio(sum((col("p") > thr).cast("long")), count(lit(1)), 4)
+          .as("keep_rate"),
+        intRatio(sum(col("p")), count(lit(1)) * Cur15Scale, 6).as("avg_score"))
+      .orderBy("source")
+  }
+
   def cur14EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
     val src = documents(spark, dir)
       .groupBy("source")

@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("51 mixed queries submitted concurrently produce sequential results") {
+  test("52 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -46,7 +46,10 @@ class ConcurrencySpec extends SparkSpec {
       "sim16_nprobe_sweep",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
-      "cur14_epoch_schedule",
+      // cur15 twice-invoked shape rides the mix too: it races its own
+      // trainedCur15 computeIfAbsent (the multi-round driver loop runs
+      // through the racing session) and the cur15Features pin.
+      "cur14_epoch_schedule", "cur15_quality_classifier",
       "mm01_binary_meta", "mm04_resize_stub",
       "mm06_phash_dedup", "mm07_phash_blocked")
     val sequential = names.map(n =>

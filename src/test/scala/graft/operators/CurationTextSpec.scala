@@ -288,6 +288,66 @@ class CurationTextSpec extends SparkSpec {
     assert(got.length < rawDocs, "the cut should also reject some docs")
   }
 
+  test("cur15 classifier matches an exact BigInt replay of the whole training trajectory") {
+    val b = Curation.ImportanceBuckets
+    val S = BigInt(Curation.Cur15Scale)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // Features: hashed-unigram bucket counts + the bias bucket.
+    val feats = docs.map { case (id, src, text) =>
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      text.split(" ", -1).foreach(t => counts(hash60(t) % b) += 1)
+      counts(Curation.Cur15Bias) += 1
+      (id, src, counts.toMap,
+        if (src == "src0") BigInt(1) else BigInt(0))
+    }
+    val n = BigInt(docs.length)
+    def sigma(m: BigInt): BigInt =
+      (S * (S + m.abs + m)) / (BigInt(2) * (S + m.abs))
+    var w = Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+    for (_ <- 1 to Curation.Cur15Iters) {
+      val ps = feats.map { case (_, _, f, y) =>
+        (f, y, sigma(f.iterator.map { case (k, x) => w(k) * x }.sum))
+      }
+      val g = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      ps.foreach { case (f, y, p) =>
+        f.foreach { case (k, x) => g(k) += (p - y * S) * x }
+      }
+      // BigInt / truncates toward zero — the semantics all three
+      // arithmetics (this replay, IntegralDivide, DuckDB //) share.
+      val div = BigInt(Curation.Cur15Rate) * n
+      w = g.foldLeft(w) { case (acc, (k, gv)) =>
+        acc.updated(k, acc(k) - gv / div)
+      }
+    }
+    val scored = feats.filter(_._4 == 0).map { case (id, src, f, _) =>
+      (id, src, sigma(f.iterator.map { case (k, x) => w(k) * x }.sum))
+    }
+    val thr = scored.map(_._3).sum / BigInt(scored.length)
+    def intRatio(num: BigInt, den: BigInt, dp: Int): Double =
+      ((BigInt(2) * BigInt(10).pow(dp) * num + den) / (BigInt(2) * den)).toDouble /
+        math.pow(10, dp)
+    val expected = scored.groupBy(_._2).toSeq.map { case (src, rows) =>
+      val nk = rows.count(_._3 > thr)
+      (src, rows.length.toLong, nk.toLong,
+        intRatio(BigInt(nk), BigInt(rows.length), 4),
+        intRatio(rows.map(_._3).sum, BigInt(rows.length) * S, 6))
+    }.sortBy(_._1)
+    val got = Curation.cur15QualityClassifier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // The trained model must actually DISCRIMINATE: keep rates differ
+    // across sources, and the pool-mean cut keeps a strict subset.
+    assert(got.map(_._4).distinct.size > 1,
+      "all sources kept at the same rate - the classifier learned nothing")
+    val (kept, total) = (got.map(_._3).sum, got.map(_._2).sum)
+    assert(kept > 0 && kept < total)
+  }
+
   test("text15 CMS estimates match a driver sketch replay and never undercount") {
     val (d, w) = (TextAnalysis.CmsDepth, TextAnalysis.CmsWidth)
     val words = graft.sources.Tables.documents(spark, sf)

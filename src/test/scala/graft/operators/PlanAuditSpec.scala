@@ -347,6 +347,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cur15: weight joins broadcast; no window sort anywhere in the plan") {
+    val plan = finalPlan(Curation.cur15QualityClassifier(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the O(buckets) weight table must join as a broadcast")
+    assert(!plan.contains("Window"),
+      "cur15's keep cut is a scalar threshold — no rank window, no " +
+        "global sort may appear at any corpus size")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("text16: PMI pair stream shuffles on hash keys, never on strings") {
     // Every hash exchange is keyed on the token columns p/t only — the
     // pair aggregate and the two frequency joins. The pair strings ARE
