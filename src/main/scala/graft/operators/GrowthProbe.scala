@@ -29,6 +29,18 @@ object GrowthProbe {
   val SynthDocs = 50000
   val SynthVecs = 20000
 
+  /** Version token of the synthetic GENERATOR itself, folded into the
+    * build-once stamp (round-11 ADVICE): the staged decade must be
+    * invalidated when the generator's code changes, not only when the
+    * base corpus does — otherwise editing synthText/synthVec and
+    * re-running the probe silently measures a set built by the OLD
+    * generator. Bump on any change to synthText/synthVec/synthPhash,
+    * SynthDocs/SynthVecs, Langs, or the dup-injection constants.
+    * v2: synthText re-draws a substitution that landed on the original
+    * token (the zero-edit "near-dup" fix).
+    */
+  val SynthGenVersion = 2
+
   private[graft] case class SynthDoc(
       doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
   private[graft] case class SynthVec(
@@ -54,7 +66,18 @@ object GrowthProbe {
       val toks = docTokens(base, vocab).clone()
       val rnd = rngFor(id, 7L)
       (0 until (1 + (id % 2)).toInt).foreach { _ =>
-        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+        val pos = rnd.nextInt(toks.length)
+        // Re-draw while the replacement equals the original token
+        // (round-11 ADVICE: a ~1/|vocab| draw produced a zero-edit
+        // exact copy instead of the intended 1–2 token near-dup);
+        // bounded so a pathological vocab cannot loop forever.
+        var repl = vocab(rnd.nextInt(vocab.length))
+        var tries = 0
+        while (repl == toks(pos) && tries < 16) {
+          repl = vocab(rnd.nextInt(vocab.length))
+          tries += 1
+        }
+        toks(pos) = repl
       }
       toks.mkString(" ")
     } else docTokens(id, vocab).mkString(" ")
@@ -69,6 +92,33 @@ object GrowthProbe {
 
   private val Langs = Array("en", "de", "fr", "es", "it")
 
+  /** Deterministic 64-bit "photo hash" for image id — the synthetic
+    * fingerprint behind mm07's photo-scale growth row: most ids draw a
+    * uniform 64-bit hash (aHash64's range on real photos); the same
+    * near-dup tail as [[synthText]] (ids 96–99 per hundred) flips 1–4
+    * bits of a block-base hash (inside mm07's radius — the mass the
+    * blocking exists to find), and every 625th id is an exact copy.
+    */
+  private[graft] def synthPhash(id: Long): Long = {
+    if (id >= 625 && id % 625 == 624) synthPhash(id - 624)
+    else if (id % 100 >= 96 && id >= 100) {
+      val base = synthPhash(id - (id % 100) + (id % 4))
+      val rnd = rngFor(id, 99L)
+      // 1–4 DISTINCT bit positions: xor of a repeated position would
+      // cancel and could land back on the exact base hash.
+      val nBits = 1 + rnd.nextInt(4)
+      val positions = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (positions.size < nBits) positions += rnd.nextInt(64)
+      positions.foldLeft(base)((h, b) => h ^ (1L << b))
+    } else rngFor(id, 77L).nextLong()
+  }
+
+  /** mm07's 64-bit photo-hash blocking config: 8 blocks of 8 bits,
+    * every 4-combination a key — C(8,4) = 70 keys/image, recall-exact
+    * at hamming ≤ 4 by the pigeonhole argument.
+    */
+  private[graft] val PhotoBlocking = Dedup.SimhashBlocking(8, 4, bits = 64, radius = 4)
+
   /** Build the synthetic set once per BASE-CORPUS fingerprint
     * (TableBuild.ensurePath — the mm05/etl22 build-once discipline):
     * the synthetic vocabulary derives from the base corpus, so a
@@ -80,7 +130,7 @@ object GrowthProbe {
   def buildSynth(spark: SparkSession, baseDir: String, synthDir: String): Unit = {
     import spark.implicits._
     TableBuild.ensurePath(spark, synthDir,
-        TableBuild.dirFingerprint(spark, s"$baseDir/documents.parquet")) {
+        s"${TableBuild.dirFingerprint(spark, s"$baseDir/documents.parquet")}:gen$SynthGenVersion") {
       val vocab = Tables.documents(spark, baseDir)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
@@ -128,6 +178,20 @@ object GrowthProbe {
         size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
       .agg(sum("w")).head.getLong(0))
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
+
+    // mm07 photo-scale blocking (round-11 directive item 6): one
+    // synthetic 64-bit photo hash per document id (near-dup tail inside
+    // the radius, exact-copy tail — synthText's shape), candidates
+    // counted through the SAME pigeonhole join mm07/dedup04 run in
+    // production, at the (8,4) 64-bit config real photo corpora use.
+    {
+      import spark.implicits._
+      val hashes = spark.range(nDocs).as[Long]
+        .map(id => (id, synthPhash(id))).toDF("img_id", "phash")
+      p("mm07_blocked_candidates",
+        Dedup.pigeonholeCandidatePairs(
+          hashes, "img_id", "phash", PhotoBlocking, "img_a", "img_b").count())
+    }
 
     val nVecs = Tables.embeddings(spark, dir).count()
     p("vectors", nVecs)

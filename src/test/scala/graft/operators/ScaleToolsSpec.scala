@@ -218,6 +218,40 @@ class ScaleToolsSpec extends SparkSpec {
     assert(graft.sources.MergeSink.versions(spark, base).size == 2)
   }
 
+  test("growth-probe generators: near-dups are real edits inside their radius") {
+    // synthText (generator v2): every injected near-dup must DIFFER
+    // from its base (the round-11 ADVICE fix — a substitution drawing
+    // the original token made a silent exact copy) while staying a
+    // 1-2 token edit; exact-copy ids must match their base exactly.
+    val vocab = (0 until 31).map(i => s"w$i").toArray
+    (100L until 2000L).foreach { id =>
+      val t = GrowthProbe.synthText(id, vocab)
+      if (id >= 625 && id % 625 == 624)
+        assert(t == GrowthProbe.synthText(id - 624, vocab), s"exact copy $id")
+      else if (id % 100 >= 96) {
+        val base = GrowthProbe.synthText(id - (id % 100) + (id % 4), vocab)
+        assert(t != base, s"near-dup $id degenerated to an exact copy")
+        val (bt, tt) = (base.split(" "), t.split(" "))
+        assert(bt.length == tt.length)
+        val edits = bt.zip(tt).count { case (a, b) => a != b }
+        assert(edits >= 1 && edits <= 2, s"near-dup $id made $edits edits")
+      }
+    }
+    // synthPhash: near-dup ids land within mm07's radius of their base
+    // but never ON it; exact-copy ids equal it; determinism holds.
+    (100L until 2000L).foreach { id =>
+      val h = GrowthProbe.synthPhash(id)
+      assert(h == GrowthProbe.synthPhash(id), s"non-deterministic $id")
+      if (id >= 625 && id % 625 == 624)
+        assert(h == GrowthProbe.synthPhash(id - 624))
+      else if (id % 100 >= 96) {
+        val base = GrowthProbe.synthPhash(id - (id % 100) + (id % 4))
+        val d = java.lang.Long.bitCount(h ^ base)
+        assert(d >= 1 && d <= 4, s"id $id: hamming $d outside (0, 4]")
+      }
+    }
+  }
+
   test("saltedJoin returns exactly the plain equi-join result") {
     val fact = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
