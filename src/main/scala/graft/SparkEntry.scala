@@ -53,6 +53,7 @@ object SparkEntry {
     "q34_recursive_cte" -> Relational.q34RecursiveCte _,
     "q35_lateral_topn" -> Relational.q35LateralTopn _,
     "q36_range_frame" -> Relational.q36RangeFrame _,
+    "q37_session_window" -> Relational.q37SessionWindow _,
     "etl01_select_rename_cast" -> Etl.etl01SelectRenameCast _,
     "etl02_datetime_normalize" -> Etl.etl02DatetimeNormalize _,
     "etl03_master_upsert" -> Etl.etl03MasterUpsert _,
@@ -148,6 +149,7 @@ object SparkEntry {
     "mm05_binary_ingest" -> Multimodal.mm05BinaryIngest _,
     "mm06_phash_dedup" -> Multimodal.mm06PhashDedup _,
     "mm07_phash_blocked" -> Multimodal.mm07PhashBlocked _,
+    "mm08_video_keyframes" -> Multimodal.mm08VideoKeyframes _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -238,6 +240,43 @@ object SparkEntry {
            CAST((2::HUGEINT*$s*sum(p) + count(*)::HUGEINT*$s)
                 // (2::HUGEINT*count(*)*$s) AS BIGINT) / $s.0 AS avg_score
          FROM scored, thr GROUP BY source ORDER BY source"""
+  }
+
+  /** mm08's oracle, generated from the SHARED scene-law constants in
+    * [[graft.operators.Multimodal]] (the etl27 discipline): the staged
+    * frames are barcodes of the analytic law, so DuckDB regenerates the
+    * fingerprints on a pure range() grid and re-runs the per-video
+    * lag/hamming keyframe reduction in bit math — the Spark side must
+    * earn the same rows through the real PNG encode → land →
+    * binaryFile scan → ImageIO decode → threshold → window chain.
+    */
+  private val Mm08OracleSql: String = {
+    import graft.operators.Multimodal.{Mm06MaxHamming, Mm08Frames, Mm08Jitter,
+      Mm08SceneLen, Mm08SceneStep, Mm08VideoStep, Mm08Videos}
+    val jitterIn = Mm08Jitter.toSeq.sorted.mkString("(", ", ", ")")
+    s"""WITH grid AS (SELECT CAST(t.v AS BIGINT) AS video_id,
+             CAST(t2.f AS BIGINT) AS frame_idx
+           FROM unnest(range(0, $Mm08Videos)) AS t(v),
+                unnest(range(0, $Mm08Frames)) AS t2(f)),
+         h AS (SELECT video_id, frame_idx,
+             CAST(CASE WHEN frame_idx % $Mm08SceneLen IN $jitterIn
+               THEN xor((video_id * $Mm08VideoStep +
+                          (frame_idx // $Mm08SceneLen) * $Mm08SceneStep) % 256,
+                        1 << (frame_idx % $Mm08SceneLen))
+               ELSE (video_id * $Mm08VideoStep +
+                      (frame_idx // $Mm08SceneLen) * $Mm08SceneStep) % 256
+             END AS BIGINT) AS ph
+           FROM grid),
+         l AS (SELECT video_id, frame_idx, ph,
+             lag(ph) OVER (PARTITION BY video_id ORDER BY frame_idx) AS prev
+           FROM h)
+         SELECT video_id, frame_idx,
+           CASE WHEN prev IS NULL THEN CAST(-1 AS BIGINT)
+                ELSE CAST(bit_count(xor(ph, prev)) AS BIGINT)
+           END AS hamming_prev
+         FROM l
+         WHERE prev IS NULL OR bit_count(xor(ph, prev)) > $Mm06MaxHamming
+         ORDER BY video_id, frame_idx"""
   }
 
   /** Generated DuckDB replay of etl27's retention audit, derived from
@@ -733,6 +772,28 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY d
            RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey""",
+    "q37_session_window" ->
+      // Spark's native session_window merge law replayed as the
+      // classic gaps-and-islands reduction: a session BREAKS exactly
+      // when the gap reaches 30 minutes (windows are [ts, ts+gap),
+      // end-exclusive, so equality does not merge); session end = last
+      // event + gap; per-session sums ride integer cents (q36's
+      // protocol) so totals are exact in both engines.
+      """WITH e AS (SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         b AS (SELECT user_id, ts, cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS total_value
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q28_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n
@@ -2101,6 +2162,7 @@ object SparkEntry {
          FROM h a JOIN h b ON a.img_id < b.img_id
          WHERE bit_count(xor(a.phash, b.phash)) <= 4
          ORDER BY img_a, img_b""",
+    "mm08_video_keyframes" -> Mm08OracleSql,
     "mm05_binary_ingest" ->
       // The REAL pipeline (PNG encode -> binary files -> binaryFile
       // scan -> ImageIO decode on executors -> channel means) against

@@ -272,6 +272,109 @@ object Multimodal {
       .filter(col("hamming") <= Mm07MaxHamming)
       .orderBy("img_a", "img_b")
 
+  /** mm08's frame grid: videos × frames staged as one PNG per frame.
+    * Constant across scale factors (like [[Mm05Images]]); the scene
+    * law constants are SHARED with the generated oracle in
+    * [[graft.SparkEntry]] (the etl27 discipline).
+    */
+  val Mm08Videos = 16
+  val Mm08Frames = 32
+  /** Frames per scene; scene s of video v carries base fingerprint
+    * `(v·Mm08VideoStep + s·Mm08SceneStep) mod 256`.
+    */
+  val Mm08SceneLen = 8
+  val Mm08VideoStep = 37L
+  val Mm08SceneStep = 11L
+  /** Within-scene positions whose frame jitters ONE bit off the scene
+    * base (compression noise / motion — the hamming-1 neighborhood a
+    * keyframe detector must NOT fire on).
+    */
+  val Mm08Jitter: Set[Long] = Set(3L, 6L)
+
+  /** The analytic fingerprint law of frame (v, f) — what the decoded
+    * hash must equal (the barcode law), replayed by oracle and spec.
+    */
+  private[graft] def mm08FrameHash(v: Long, f: Long): Long = {
+    val base = (v * Mm08VideoStep + (f / Mm08SceneLen) * Mm08SceneStep) % 256
+    if (Mm08Jitter.contains(f % Mm08SceneLen)) base ^ (1L << (f % Mm08SceneLen))
+    else base
+  }
+
+  /** mm08: VIDEO KEYFRAME extraction via temporal perceptual-hash
+    * deltas — the video member of the dedup/curation family: a frame
+    * stream is massively redundant (a 2-hour video is ~200k frames of
+    * mostly-identical content), so multimodal training pipelines keep
+    * only frames that DIFFER from their predecessor beyond the
+    * perceptual-noise band. Real leg end-to-end: one encoded PNG per
+    * (video, frame) staged once ([[mm08FrameFiles]]), read through
+    * `binaryFile`, decoded + fingerprinted on executors (the
+    * mm05/mm06 ImageIO path), then ONE per-video window pass
+    * (`lag(phash)` over frame order) flags frames at hamming >
+    * [[Mm06MaxHamming]] from their predecessor — scene cuts survive,
+    * within-scene jitter is suppressed. Per-video windows scale: the
+    * partition key IS the video, so a 100 TB frame lake sorts frames
+    * only within each video, never globally, and the decode runs once
+    * per frame on executors.
+    *
+    * The oracle replays the ENTIRE pipeline analytically: the staged
+    * frames are barcodes of [[mm08FrameHash]]'s scene law, so DuckDB
+    * regenerates the law on a pure `range()` grid and re-runs the
+    * lag/hamming reduction in bit math — a wrong pixel, hash, frame
+    * ordering, or threshold anywhere breaks the row set.
+    */
+  def mm08VideoKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = perceptualHashes(mm08FrameFiles(spark, dir))
+      .select((col("img_id") / 1000L).cast("long").as("video_id"),
+        (col("img_id") % 1000L).as("frame_idx"), col("phash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("video_id").orderBy("frame_idx")
+    hashed
+      .withColumn("prev", lag("phash", 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("prev").isNull, lit(-1L))
+          .otherwise(bit_count(col("phash").bitwiseXOR(col("prev"))).cast("long")))
+      .filter(col("prev").isNull || col("hamming_prev") > Mm06MaxHamming)
+      .select("video_id", "frame_idx", "hamming_prev")
+      .orderBy("video_id", "frame_idx")
+  }
+
+  /** The staged mm08 frame landing dir as (img_id = video·1000 + frame,
+    * media) — barcode PNGs of the scene law, one file per frame, built
+    * once (content is a pure function of the grid, so the stamp is the
+    * law version, not a source fingerprint).
+    */
+  private[graft] def mm08FrameFiles(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm08_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    TableBuild.ensurePath(spark, root,
+        s"mm08:v1:$Mm08Videos:$Mm08Frames:$Mm08VideoStep:$Mm08SceneStep") {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.range(Mm08Videos.toLong * Mm08Frames)
+        .foreachPartition { (rows: Iterator[java.lang.Long]) =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(conf.value)
+          rows.foreach { boxed =>
+            val i = boxed.longValue()
+            val (v, f) = (i / Mm08Frames, i % Mm08Frames)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(root, s"v${v}_f$f.png"), true)
+            try out.write(MultimodalStub.barcodePng(mm08FrameHash(v, f)))
+            finally out.close()
+          }
+        }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(root)
+      .select(
+        (regexp_extract(col("path"), "v(\\d+)_f(\\d+)\\.png$", 1).cast("long") * 1000L +
+          regexp_extract(col("path"), "v(\\d+)_f(\\d+)\\.png$", 2).cast("long"))
+          .as("img_id"),
+        col("content").as("media"))
+  }
+
   /** Distinct candidate pairs (img_a < img_b, hamming) under `cfg` —
     * [[Dedup.pigeonholeCandidatePairs]] (the ONE pigeonhole candidate
     * join, shared with dedup04) over the image fingerprint frame.

@@ -339,6 +339,33 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q37: native SESSION-WINDOW aggregation — gap-based sessions as a
+    * first-class GROUP BY window (`session_window(ts, gap)`), the
+    * warehouse-batch form of stream02's semantics and one of the few
+    * operators Spark carries that classic SQL engines spell as a
+    * gaps-and-islands idiom. Each event opens a [ts, ts+30min) window;
+    * overlapping windows per user MERGE into one session, so the
+    * aggregation is ONE pass (no lag/cumsum window-function chain —
+    * the engine maintains open sessions per key and merges on overlap,
+    * which is also exactly the state shape the same query runs with
+    * under `readStream`). The value sum rides integer CENTS (q36's
+    * protocol) so per-session totals are exact in both engines; the
+    * oracle replays the merge law as the classic break-at-gap
+    * gaps-and-islands reduction.
+    */
+  def q37SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum("cents") / lit(100.0)).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** q28: CUBE — all grouping-set combinations in one pass (Expand +
     * single aggregate, not 4 separate scans).
     */

@@ -292,6 +292,45 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("mm08 frame hashes recover the scene law through real decode") {
+    val got = Multimodal.perceptualHashes(Multimodal.mm08FrameFiles(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == Multimodal.Mm08Videos * Multimodal.Mm08Frames)
+    got.foreach { case (id, h) =>
+      val (v, f) = (id / 1000, id % 1000)
+      assert(h == Multimodal.mm08FrameHash(v, f),
+        s"video $v frame $f decoded hash $h != law")
+    }
+  }
+
+  test("mm08 keyframes equal a driver-side replay; jitter never fires") {
+    val got = Multimodal.mm08VideoKeyframes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = (0L until Multimodal.Mm08Videos.toLong).flatMap { v =>
+      (0L until Multimodal.Mm08Frames.toLong).flatMap { f =>
+        if (f == 0) Some((v, f, -1L))
+        else {
+          val d = java.lang.Long.bitCount(
+            Multimodal.mm08FrameHash(v, f) ^ Multimodal.mm08FrameHash(v, f - 1)).toLong
+          if (d > Multimodal.Mm06MaxHamming) Some((v, f, d)) else None
+        }
+      }
+    }
+    assert(got == expected)
+    // The temporal semantics the operator exists for: within-scene
+    // jitter (hamming-1 wobble) is ALWAYS suppressed — keyframes only
+    // ever fire at video starts or scene boundaries.
+    got.foreach { case (v, f, _) =>
+      assert(f % Multimodal.Mm08SceneLen == 0,
+        s"keyframe fired mid-scene at video $v frame $f")
+    }
+    // And real cuts are found: every video has more than one keyframe
+    // (the scene law changes the base every Mm08SceneLen frames).
+    val perVideo = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perVideo.values.forall(_ >= 2),
+      s"scene cuts missed: $perVideo")
+  }
+
   test("mm07 output is blocking-invariant across admissible configs") {
     import graft.operators.Dedup.SimhashBlocking
     val bits = MultimodalStub.BarcodeBits
