@@ -185,6 +185,32 @@ object GraftStreams {
         assignSessions(retentionMs))
   }
 
+  /** stream13 (incremental): native streaming SESSION-WINDOW
+    * aggregation — [[graft.operators.Relational.q37SessionWindow]]'s
+    * IDENTICAL query shape under `readStream`, which is the point of
+    * q37's first-class formulation: the engine keeps open sessions in
+    * its session state store, merges overlapping [ts, ts+gap) windows
+    * per key as events arrive, and EMITS a session exactly once, when
+    * the watermark proves no in-gap event can still extend it. State
+    * is O(open sessions) — bounded by the watermark, evicted on
+    * emission — vs stream02's explicit flatMapGroupsWithState
+    * formulation which trades this built-in lifecycle for per-event
+    * assignment output. Spec-equated to q37 on the closed prefix.
+    */
+  def sessionWindowAgg(
+      events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum("cents") / lit(100.0)).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** stream04 (incremental): stream-stream interval join — purchase →
     * click attribution within a 1-hour lookback. Both sides carry
     * watermarks, and the join condition bounds the click's event time

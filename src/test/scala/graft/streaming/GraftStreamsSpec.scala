@@ -722,6 +722,44 @@ class GraftStreamsSpec extends SparkSpec {
       s"the beyond-gap event must emit session 1's close, got $closes")
   }
 
+  test("stream13: streaming session_window emits exactly q37's closed sessions") {
+    import spark.implicits._
+    val batch = graft.operators.Relational.q37SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val input = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect()
+    val maxTs = input.map(_._2.getTime).max
+    // The final watermark after all data: max event time - delay.
+    val wm = maxTs - 2L * 3600 * 1000
+
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = GraftStreams.sessionWindowAgg(
+        stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("session_window_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(input.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("session_window_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // Soundness: everything emitted is a batch session, verbatim.
+    val batchSet = batch.toSet
+    assert(streamed.subsetOf(batchSet),
+      s"streaming emitted a session batch never computed: ${streamed -- batchSet}")
+    // Completeness on the closed prefix: every batch session the final
+    // watermark provably closed must have been emitted.
+    val closed = batchSet.filter(_._3.getTime < wm)
+    assert(closed.subsetOf(streamed),
+      s"closed sessions never emitted: ${(closed -- streamed).take(3)}")
+    assert(streamed.nonEmpty && closed.nonEmpty,
+      "fixture must actually close sessions under the watermark")
+  }
+
   test("sessionize TTL: close fires on gap expiry, numbering survives the horizon, then evicts") {
     import spark.implicits._
     // Tight retention (10 s of event time past the close) so one spec
