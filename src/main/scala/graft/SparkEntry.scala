@@ -99,6 +99,7 @@ object SparkEntry {
     "text16_pmi_collocations" -> TextAnalysis.text16PmiCollocations _,
     "text17_bpe_train" -> TextAnalysis.text17BpeTrain _,
     "text18_bpe_encode" -> TextAnalysis.text18BpeEncode _,
+    "text19_tfidf_keywords" -> TextAnalysis.text19TfidfKeywords _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -1892,6 +1893,28 @@ object SparkEntry {
          FROM t JOIN enc USING (w)
          WHERE regexp_matches(t.w, '^[a-z]+$$')
          GROUP BY doc_id ORDER BY doc_id""",
+    "text19_tfidf_keywords" ->
+      // tf·idf with each TERM's idf quantized to a 1e-4 integer
+      // (text11/12's protocol), so the score is an integer product and
+      // the per-doc top-5 ranking can never flip on engine float
+      // order; ties break on the term. Replayed as a rank window (the
+      // engine side runs the bounded-heap TopKPerKey instead).
+      """WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY doc_id, t),
+         dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+             CAST(df AS BIGINT) AS df,
+             CAST(tf AS BIGINT) *
+               CAST(round(log2(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 10000) AS BIGINT)
+               AS score_micro
+           FROM tf JOIN dfr USING (t), nd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, term) AS rk FROM s)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+           score_micro / 10000.0 AS tfidf
+         FROM r WHERE rk <= 5 ORDER BY doc_id, rk""",
     "text13_bigram_surprisal" ->
       // The bigram model replayed on token STRINGS (Spark joins on the
       // 64-bit pair hashes — identical counts absent a 2^-64 collision,

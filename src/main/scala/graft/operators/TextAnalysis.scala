@@ -687,6 +687,46 @@ object TextAnalysis {
     * encoded vocab (broadcast) to aggregate per doc. Training cost is
     * shared with text17 through the per-session merge cache.
     */
+  /** text19: TF-IDF KEYWORD extraction — each document's top-5 terms
+    * by tf·idf, the per-document "aboutness" summary search indexing,
+    * tagging, and topic-drift monitoring pipelines keep alongside the
+    * quality scores. idf = log₂((N+1)/(df+1)) (add-one damped), with
+    * each TERM's idf quantized to a 1e-4 integer (the text11/text12
+    * protocol — the per-term quantization makes tf·idf an integer
+    * product, so ranking and presentation are exact integer math and
+    * engine order can never flip a rank; ties break on the term).
+    *
+    * Shape: one (doc, term) partial-aggregated count, a vocab-sized df
+    * rollup joined back on the term hash-key, a 1-row broadcast of N,
+    * and the per-doc top-5 through [[graft.plans.TopKPerKey]] — the
+    * custom bounded-heap operator (q26's), so no per-doc window SORT
+    * exists at any corpus size: the heap keeps 5 rows per doc through
+    * one partial+final pass, the same plan q26 audits.
+    */
+  def text19TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro",
+        round(log2((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 10000)
+          .cast("long"))
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        (col("tf") * col("idf_micro")).as("score_micro"))
+    graft.plans.TopKPerKey(
+        scored,
+        keyCols = Seq("doc_id"),
+        orderCols = Seq(("score_micro", true), ("term", false)),
+        k = 5)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        (col("score_micro") / 10000.0).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   def text18BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(spark, dir)
     val seg = merges.foldLeft(col("seg")) { case (c, (_, a, b, m, _)) =>

@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("54 mixed queries submitted concurrently produce sequential results") {
+  test("55 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -38,6 +38,7 @@ class ConcurrencySpec extends SparkSpec {
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
       "text12_entropy", "text13_bigram_surprisal", "text15_cms_topk",
       "text16_pmi_collocations", "text17_bpe_train", "text18_bpe_encode",
+      "text19_tfidf_keywords",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
       "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",

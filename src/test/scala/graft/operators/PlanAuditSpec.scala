@@ -347,6 +347,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text19: per-doc top-k plans the bounded-heap operator, not a window sort") {
+    val plan = finalPlan(TextAnalysis.text19TfidfKeywords(spark, sf))
+    assert(plan.contains("TopKPerKey"),
+      "the custom bounded-heap operator must carry the per-doc top-5")
+    assert(!plan.contains("Window"),
+      "no window-function sort may exist — the heap replaces it")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("cur15: weight joins broadcast; no window sort anywhere in the plan") {
     val plan = finalPlan(Curation.cur15QualityClassifier(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
