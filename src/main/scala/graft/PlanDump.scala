@@ -81,7 +81,15 @@ object PlanDump {
       "text18_bpe_encode" ->
         "BPE encode: merges applied to the vocab (chained replace, one pass), corpus stream joins the broadcast encoded vocab",
       "q36_range_frame" ->
-        "RANGE frame: one window shuffle on the key, value-defined incremental frame, integer-cents rolling sum")
+        "RANGE frame: one window shuffle on the key, value-defined incremental frame, integer-cents rolling sum",
+      "cur15_quality_classifier" ->
+        "trained quality classifier: broadcast O(buckets) weight join, scalar-threshold keep cut, no global sort",
+      "q37_session_window" ->
+        "native session-window aggregation: one merge-on-overlap pass, no lag/cumsum window chain",
+      "mm08_video_keyframes" ->
+        "video keyframes: binaryFile scan + executor decode, ONE per-video lag window, no global frame sort",
+      "text19_tfidf_keywords" ->
+        "TF-IDF keywords: vocab-keyed df join + 1-row N broadcast, per-doc top-5 via bounded-heap TopKPerKey")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -151,7 +159,13 @@ object PlanDump {
       |testdata's measured shape (31-word vocabulary, ~30-80 tokens/doc,
       |20 sources, ~4% injected near-dups + a thin exact-dup tail;
       |64-dim near-uniform unit embeddings, 10 labels). Generator and
-      |probe are `runMain graft.operators.GrowthProbe`; the probe
+      |probe are `runMain graft.operators.GrowthProbe`; generator v2
+      |(round 12) re-draws a near-dup substitution that landed on the
+      |original token (so every injected near-dup is a REAL 1-2 token
+      |edit) and version-stamps the staged decade, so editing the
+      |generator invalidates the stage instead of silently re-measuring
+      |old bytes; v2 shifted the synthetic-column counts by <0.1% and
+      |changed no growth shape. The probe
       |re-measured the sf0.1 column IDENTICALLY to the tables above
       |(256 / 214,123 / 3,586 / 24,816 / 1,112 / 201,221 / 437 /
       |1,999,000 / 2,536) before measuring the new decade - the counts
@@ -163,19 +177,22 @@ object PlanDump {
       ||---|---|---|---|
       || total doc pair space | 12,497,500 | 1,249,975,000 | 100x |
       || dedup03 MinHash-LSH candidates | 256 | 2,117 | 8.3x - NEAR-LINEAR for a second decade (the 100 TB path) |
-      || dedup04 (4,1) narrow candidates | 214,123 | 21,419,881 | 100x - quadratic, as the birthday shape predicts |
-      || dedup04 (8,5) wide candidates | 3,586 | 205,553 | 57x - correlated-vocab residue (see reading); still 104x below narrow |
+      || dedup04 (4,1) narrow candidates | 214,123 | 21,418,125 | 100x - quadratic, as the birthday shape predicts |
+      || dedup04 (8,5) wide candidates | 3,586 | 205,570 | 57x - correlated-vocab residue (see reading); still 104x below narrow |
       || dedup08 span rows | 24,816 | 249,653 | 10.06x - exactly linear |
-      || dedup08 cross-doc dup spans | 1,112 | 7,750 | tracks injected dup mass |
+      || dedup08 cross-doc dup spans | 1,112 | 7,678 | tracks injected dup mass |
       || dedup10 stride-1 window rows | 201,221 | 2,022,291 | 10.05x - exactly linear |
-      || dedup10 spans reported | 437 | 5,802 | tracks true duplication |
+      || dedup10 spans reported | 437 | 5,858 | tracks true duplication |
       || vector pair space | 1,999,000 | 199,990,000 | 100x |
       || dedup05 cell candidates | 1,999,000 | 199,990,000 | 100x - the documented adversarial bound (near-uniform embeddings leave no cell pair excludable) |
       || sim07 intra-cell pairs | 125,051 | 12,577,188 | 100.6x at FIXED K=16 |
       || sim15 probed-cell members | 2,536 | 24,950 | 9.8x - linear (NProbe/K of the corpus) |
+      || mm07 (8,4)/64-bit blocked candidates | 202 | 2,082 | 10.3x - LINEAR (round-12 row): candidates are the injected near-dup mass itself; the 70-keys-per-image blocking's accidental-collision term is negligible until the per-key birthday bound (~2^16 images per 32-bit key) |
       |
-      |Reading: the linear claims (dedup03, dedup08, dedup10, sim15)
-      |hold for a second decade. The quadratic-at-fixed-config shapes
+      |Reading: the linear claims (dedup03, dedup08, dedup10, sim15 -
+      |and now mm07's photo-scale (8,4) 64-bit blocking, measured on
+      |synthetic aHash-range fingerprints with the same injected
+      |near-dup tail) hold for a second decade. The quadratic-at-fixed-config shapes
       |did exactly what their scaling knobs predict, and the
       |measurement re-priced two of them:
       |
