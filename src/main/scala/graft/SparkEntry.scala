@@ -775,16 +775,18 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     "q37_session_window" ->
       // Spark's native session_window merge law replayed as the
-      // classic gaps-and-islands reduction: a session BREAKS exactly
-      // when the gap reaches 30 minutes (windows are [ts, ts+gap),
-      // end-exclusive, so equality does not merge); session end = last
+      // classic gaps-and-islands reduction: a session BREAKS only when
+      // the gap STRICTLY exceeds 30 minutes — the engine's merge is
+      // boundary-INCLUSIVE (an event at exactly prev + gap still
+      // merges; measured in the spec's merge-law pin, and the same
+      // convention as stream02's batch twin); session end = last
       // event + gap; per-session sums ride integer cents (q36's
       // protocol) so totals are exact in both engines.
       """WITH e AS (SELECT user_id, ts,
              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
          b AS (SELECT user_id, ts, cents,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -343,15 +343,18 @@ object Relational {
     * first-class GROUP BY window (`session_window(ts, gap)`), the
     * warehouse-batch form of stream02's semantics and one of the few
     * operators Spark carries that classic SQL engines spell as a
-    * gaps-and-islands idiom. Each event opens a [ts, ts+30min) window;
-    * overlapping windows per user MERGE into one session, so the
-    * aggregation is ONE pass (no lag/cumsum window-function chain —
-    * the engine maintains open sessions per key and merges on overlap,
-    * which is also exactly the state shape the same query runs with
-    * under `readStream`). The value sum rides integer CENTS (q36's
-    * protocol) so per-session totals are exact in both engines; the
-    * oracle replays the merge law as the classic break-at-gap
-    * gaps-and-islands reduction.
+    * gaps-and-islands idiom. Each event opens a 30-minute window;
+    * windows per user MERGE into one session while each event arrives
+    * within the gap of the session's last event — boundary-INCLUSIVE
+    * (an event at exactly last + gap still merges; pinned by the
+    * merge-law spec, and the same convention as stream02's batch
+    * twin) — so the aggregation is ONE pass (no lag/cumsum
+    * window-function chain — the engine maintains open sessions per
+    * key, which is also exactly the state shape the same query runs
+    * with under `readStream`). The value sum rides integer CENTS
+    * (q36's protocol) so per-session totals are exact in both
+    * engines; the oracle replays the merge law as the classic
+    * strict-break-at-gap gaps-and-islands reduction.
     */
   def q37SessionWindow(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

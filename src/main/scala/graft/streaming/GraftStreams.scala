@@ -189,8 +189,9 @@ object GraftStreams {
     * aggregation — [[graft.operators.Relational.q37SessionWindow]]'s
     * IDENTICAL query shape under `readStream`, which is the point of
     * q37's first-class formulation: the engine keeps open sessions in
-    * its session state store, merges overlapping [ts, ts+gap) windows
-    * per key as events arrive, and EMITS a session exactly once, when
+    * its session state store, merges per-key windows while events
+    * arrive within the gap (boundary-inclusive — the merge-law spec's
+    * pin) as events arrive, and EMITS a session exactly once, when
     * the watermark proves no in-gap event can still extend it. State
     * is O(open sessions) — bounded by the watermark, evicted on
     * emission — vs stream02's explicit flatMapGroupsWithState

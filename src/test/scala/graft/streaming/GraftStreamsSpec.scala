@@ -760,6 +760,32 @@ class GraftStreamsSpec extends SparkSpec {
       "fixture must actually close sessions under the watermark")
   }
 
+  test("q37/stream13 merge law: boundary-inclusive merge at exactly the 30-min gap") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new Timestamp(base + sec * 1000)
+    // user 1: 29:59 gap -> ONE session; user 2: EXACTLY 30:00 -> the
+    // engine still merges (boundary-INCLUSIVE — measured here, and the
+    // reason the oracle's break rule is strictly ts > prev + gap, the
+    // same convention as stream02's batch twin); user 3: 30:01 -> TWO.
+    // This is the boundary the sf0.01 corpus never exercises, so only
+    // this pin keeps the oracle honest at it.
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(1799), 1.0),
+      (2L, ts(0), 1.0), (2L, ts(1800), 1.0),
+      (3L, ts(0), 1.0), (3L, ts(1801), 1.0)).toDF("user_id", "ts", "value")
+    val got = GraftStreams.sessionWindowAgg(events).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, base, base + (1799L + 1800) * 1000, 2L),
+      (2L, base, base + (1800L + 1800) * 1000, 2L),
+      (3L, base, base + 1800L * 1000, 1L),
+      (3L, base + 1801L * 1000, base + (1801L + 1800) * 1000, 1L)),
+      s"merge law violated: $got")
+  }
+
   test("sessionize TTL: close fires on gap expiry, numbering survives the horizon, then evicts") {
     import spark.implicits._
     // Tight retention (10 s of event time past the close) so one spec
