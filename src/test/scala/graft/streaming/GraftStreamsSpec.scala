@@ -760,6 +760,36 @@ class GraftStreamsSpec extends SparkSpec {
       "fixture must actually close sessions under the watermark")
   }
 
+  test("stream13: a session split across micro-batches merges in the state store") {
+    import spark.implicits._
+    // The incremental property the one-batch equivalence test cannot
+    // see: events of ONE session arriving in SEPARATE micro-batches
+    // must merge in the engine's session state store and emit as a
+    // single row once the watermark closes the session.
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = GraftStreams.sessionWindowAgg(
+        stream.toDF().toDF("user_id", "ts", "value"),
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("session_merge_out")
+      .outputMode(OutputMode.Append).start()
+    def ev(user: Long, sec: Long, v: Double) =
+      (user, new Timestamp(sec * 1000), v)
+    try {
+      stream.addData(ev(9L, 0L, 1.0))
+      q.processAllAvailable()
+      stream.addData(ev(9L, 1000L, 2.0)) // separate batch, within gap
+      q.processAllAvailable()
+      stream.addData(ev(8L, 50000L, 0.0)) // drives the watermark past the close
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("session_merge_out").collect()
+      .filter(_.getLong(0) == 9L)
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((0L, (1000L + 1800) * 1000, 2L, 3.0)),
+      s"cross-batch session must merge and emit ONCE, got ${rows.toSeq}")
+  }
+
   test("q37/stream13 merge law: boundary-inclusive merge at exactly the 30-min gap") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
