@@ -45,12 +45,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the claim marker `vN.claim` (`FileSystem.create` with
   * overwrite=false — create-fails-if-exists). A writer that loses the
   * claim, or that observes a claimed-but-uncommitted version in
-  * flight, re-reads the now-newer committed state and retries the
-  * whole merge; after [[MaxCommitAttempts]] conflict rounds it FAILS
-  * LOUDLY (a stuck claim means a crashed or wedged peer — guessing
-  * would risk the exact lost-version anomaly the protocol exists to
-  * prevent). Either way a committed version is never overwritten and
-  * never skips a predecessor's changes.
+  * flight, WAITS while the blocking claim is fresh (a healthy peer's
+  * snapshot write just takes time), re-reads the now-newer committed
+  * state, and retries the whole merge; once the blocking claim is
+  * older than [[StaleClaimMs]] with no commit it FAILS LOUDLY (a
+  * stale claim means a crashed or wedged peer — guessing would risk
+  * the exact lost-version anomaly the protocol exists to prevent).
+  * Either way a committed version is never overwritten and never
+  * skips a predecessor's changes.
   *
   * Sequence protocol: sequences are assumed UNIQUE per key (an LSN, as
   * in any change feed). Under that protocol latest-sequence-wins makes
@@ -101,14 +103,19 @@ object MergeSink {
       .map(_._1).sorted
   }
 
-  /** Max optimistic-commit rounds before a conflicted merge fails
-    * loudly. Each round re-reads the committed state, so a healthy
-    * competing writer only costs one round; exhausting them means a
-    * claim never turned into a commit — a crashed/wedged peer the
-    * operator must resolve (delete its `vN.claim`), not a state this
-    * sink may silently write around.
+  /** How long a claimed-but-uncommitted version may block writers
+    * before it is treated as WEDGED (crashed peer) and the merge fails
+    * loudly. Freshness is the claim marker's mtime: while the blocking
+    * claim is younger than this, conflicting writers WAIT and re-read
+    * (a healthy peer's snapshot write simply takes time — seconds here,
+    * minutes at 100 TB; raise accordingly); once it is older with no
+    * commit, waiting longer cannot help and writing around it could
+    * lose a version, so the failure is immediate and names the claim.
     */
-  val MaxCommitAttempts = 8
+  val StaleClaimMs: Long = 60000L
+
+  /** Poll interval while waiting on a fresh in-flight claim. */
+  private val ClaimPollMs = 200L
 
   /** Version numbers with an outstanding claim marker under basePath —
     * the atomically-created `vN.claim` files. A claim blocks its number
@@ -126,15 +133,29 @@ object MergeSink {
 
   /** Atomically claim the right to write version `v`: create-fails-if-
     * exists on the claim marker. Exactly one concurrent writer wins.
+    *
+    * On `file:` the claim goes through `File.createNewFile` — the
+    * kernel's O_EXCL create. Hadoop's `LocalFileSystem.create(path,
+    * overwrite = false)` is an exists() check followed by a create,
+    * and the OCC race spec measurably hit that TOCTOU window (two
+    * threads both "won" v1 and corrupted each other's `_temporary`
+    * staging). On HDFS-like stores `create(overwrite = false)` is the
+    * namenode's atomic exclusive create and is used as-is; an
+    * eventually-consistent object store needs a real coordination
+    * layer (DynamoDB-style lock / catalog CAS) plugged in here — the
+    * seam is this one function.
     */
   private def tryClaim(spark: SparkSession, basePath: String, v: Long): Boolean = {
     val (fs, base) = fsFor(spark, basePath)
     if (!fs.exists(base)) fs.mkdirs(base)
-    try {
-      fs.create(new org.apache.hadoop.fs.Path(base, s"v$v.claim"),
-        false).close() // overwrite=false: atomic create-fails-if-exists
-      true
-    } catch { case _: java.io.IOException => false }
+    val claim = new org.apache.hadoop.fs.Path(base, s"v$v.claim")
+    if (Option(fs.getUri.getScheme).forall(_ == "file"))
+      new java.io.File(
+        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          fs.makeQualified(claim)).toString).createNewFile()
+    else
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
   }
 
   /** The latest-seq-wins reduction of stored state + one change batch. */
@@ -179,12 +200,12 @@ object MergeSink {
     * B+1 is claimed atomically, the snapshot is fully materialized, and
     * the catalog flip is the local-session commit point (the on-disk
     * `_SUCCESS` is the cross-session one). A lost claim or an
-    * in-flight gap re-reads and retries; exhaustion throws.
+    * in-flight gap waits-fresh / re-reads / retries; a stale blocking
+    * claim throws.
     */
   def merge(spark: SparkSession, table: String, basePath: String,
       changes: DataFrame, retainLast: Int = 2): Unit = lockFor(table).synchronized {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
-    var attempt = 0
     var committed = false
     while (!committed) {
       val committedVs = versionsOnDisk(spark, basePath, committedOnly = true)
@@ -196,7 +217,6 @@ object MergeSink {
       // succeed the committed state we read. A gap means another
       // writer's claim/write is in flight and its data is not yet
       // readable — wait for its commit, never write around it.
-      var conflict = s"version v${next - 1} is claimed but not committed"
       if (next == base + 1) {
         val cur = committedVs.lastOption
           .map(v => spark.read.schema(schema).parquet(s"$basePath/v$v"))
@@ -214,17 +234,35 @@ object MergeSink {
           pruneOldVersions(spark, basePath,
             keepFloor = next - retainLast + 1)
           committed = true
-        } else conflict = s"lost the claim race for v$next"
+        }
+        // else: lost the claim race — the winner's claim shows up as a
+        // gap on the next iteration and is waited on below.
       }
       if (!committed) {
-        attempt += 1
-        if (attempt >= MaxCommitAttempts)
+        // Blocked by the OLDEST claimed-but-uncommitted version
+        // (serialization reaches it first). Wait while its claim is
+        // FRESH — a healthy peer's snapshot write just takes time —
+        // and fail loudly once it is STALE: a claim past
+        // [[StaleClaimMs]] with no commit is a crashed/wedged peer,
+        // and writing around it could lose a version. Progress is
+        // monotone: every wait ends in the blocker's commit (the gate
+        // re-reads it) or in this loud failure.
+        val blocker = base + 1
+        val claimPath =
+          new org.apache.hadoop.fs.Path(basePath, s"v$blocker.claim")
+        val (fs, _) = fsFor(spark, basePath)
+        val age =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(claimPath).getModificationTime
+          catch { case _: java.io.IOException => 0L } // resolved under us: retry
+        if (age > StaleClaimMs)
           throw new IllegalStateException(
-            s"merge into $basePath failed after $attempt optimistic-commit " +
-              s"rounds: $conflict. A claim that never commits means a " +
-              "crashed or wedged writer; resolve (delete its vN.claim) " +
-              "before retrying — committing around it could lose a version.")
-        Thread.sleep(100L * attempt)
+            s"merge into $basePath blocked: version v$blocker is claimed " +
+              s"but not committed for ${age / 1000}s (> ${StaleClaimMs / 1000}s) " +
+              "— a crashed or wedged writer. Resolve (delete its " +
+              s"v$blocker.claim) before retrying; committing around it " +
+              "could lose a version.")
+        Thread.sleep(ClaimPollMs)
       }
     }
   }

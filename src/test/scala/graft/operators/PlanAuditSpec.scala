@@ -96,6 +96,7 @@ class PlanAuditSpec extends SparkSpec {
       "etl15_expectations",   // 1-row violation/total count scalars
       "text11_surprisal",     // 1-row corpus token total
       "text16_pmi_collocations", // 1-row corpus bigram total (text11's shape)
+      "text19_tfidf_keywords", // 1-row corpus doc count (text11's shape)
       "sim01_bruteforce_topk", // fixed probe set (constant query count)
       "sim04_l2_topk",        // fixed probe set
       "sim05_radius_search",  // fixed probe set

@@ -142,10 +142,15 @@ class MergeSinkSpec extends SparkSpec {
   test("a claimed-but-never-committed version fails merges loudly, never writes around") {
     val (table, base) = freshTable("staleclaim")
     MergeSink.merge(spark, table, base, ops((1L, 1L, "I", 1.0)))
-    // Simulate a crashed peer: claim v2 and never commit it.
+    // Simulate a crashed peer: claim v2, never commit it, and age the
+    // claim past the staleness horizon (a FRESH claim would make the
+    // merge wait for the "in-flight" peer — the correct behavior —
+    // so the spec ages the marker instead of sleeping 60s).
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(base, "v2.claim"), false).close()
+    assert(new java.io.File(s"$base/v2.claim")
+      .setLastModified(System.currentTimeMillis() - MergeSink.StaleClaimMs - 60000L))
     val e = intercept[IllegalStateException](
       MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0))))
     assert(e.getMessage.contains("claimed but not committed"))
