@@ -348,6 +348,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q37: session windows plan MergingSessions with map-side partial aggregation") {
+    val plan = finalPlan(Relational.q37SessionWindow(spark, sf))
+    assert(plan.contains("MergingSessions"),
+      "the native session-merge exec must carry the aggregation")
+    assert(plan.contains("partial_count"),
+      "per-key partial aggregation must run before the shuffle")
+    assert(!plan.contains("windowspecdefinition"),
+      "no window-function pass may exist — the merge exec replaces the " +
+        "lag/cumsum gaps-and-islands chain")
+  }
+
+  test("mm08: frame deltas run ONE per-video window, never a global sort") {
+    val plan = finalPlan(Multimodal.mm08VideoKeyframes(spark, sf))
+    assert(plan.contains("windowspecdefinition(video_id"),
+      "the lag window must partition by video (frames sort within " +
+        "their video only)")
+    assert(plan.contains("hashpartitioning(video_id"),
+      "the one shuffle is the per-video co-location")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("text19: per-doc top-k plans the bounded-heap operator, not a window sort") {
     val plan = finalPlan(TextAnalysis.text19TfidfKeywords(spark, sf))
     assert(plan.contains("TopKPerKey"),
