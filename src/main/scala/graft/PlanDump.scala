@@ -159,12 +159,13 @@ object PlanDump {
       |testdata's measured shape (31-word vocabulary, ~30-80 tokens/doc,
       |20 sources, ~4% injected near-dups + a thin exact-dup tail;
       |64-dim near-uniform unit embeddings, 10 labels). Generator and
-      |probe are `runMain graft.operators.GrowthProbe`; generator v2
-      |(round 12) re-draws a near-dup substitution that landed on the
-      |original token (so every injected near-dup is a REAL 1-2 token
-      |edit) and version-stamps the staged decade, so editing the
-      |generator invalidates the stage instead of silently re-measuring
-      |old bytes; v2 shifted the synthetic-column counts by <0.1% and
+      |probe are `runMain graft.operators.GrowthProbe`; generator v3
+      |(round 12) re-draws a near-dup substitution against the BASE
+      |token of its position (so every injected near-dup is a REAL
+      |1-2 token edit even when two edits hit one position) and
+      |version-stamps the staged decade, so editing the generator
+      |invalidates the stage instead of silently re-measuring old
+      |bytes; v2->v3 shifted the synthetic-column counts by <0.1% and
       |changed no growth shape. The probe
       |re-measured the sf0.1 column IDENTICALLY to the tables above
       |(256 / 214,123 / 3,586 / 24,816 / 1,112 / 201,221 / 437 /
@@ -177,12 +178,12 @@ object PlanDump {
       ||---|---|---|---|
       || total doc pair space | 12,497,500 | 1,249,975,000 | 100x |
       || dedup03 MinHash-LSH candidates | 256 | 2,117 | 8.3x - NEAR-LINEAR for a second decade (the 100 TB path) |
-      || dedup04 (4,1) narrow candidates | 214,123 | 21,418,125 | 100x - quadratic, as the birthday shape predicts |
-      || dedup04 (8,5) wide candidates | 3,586 | 205,570 | 57x - correlated-vocab residue (see reading); still 104x below narrow |
+      || dedup04 (4,1) narrow candidates | 214,123 | 21,417,939 | 100x - quadratic, as the birthday shape predicts |
+      || dedup04 (8,5) wide candidates | 3,586 | 205,571 | 57x - correlated-vocab residue (see reading); still 104x below narrow |
       || dedup08 span rows | 24,816 | 249,653 | 10.06x - exactly linear |
-      || dedup08 cross-doc dup spans | 1,112 | 7,678 | tracks injected dup mass |
+      || dedup08 cross-doc dup spans | 1,112 | 7,677 | tracks injected dup mass |
       || dedup10 stride-1 window rows | 201,221 | 2,022,291 | 10.05x - exactly linear |
-      || dedup10 spans reported | 437 | 5,858 | tracks true duplication |
+      || dedup10 spans reported | 437 | 5,860 | tracks true duplication |
       || vector pair space | 1,999,000 | 199,990,000 | 100x |
       || dedup05 cell candidates | 1,999,000 | 199,990,000 | 100x - the documented adversarial bound (near-uniform embeddings leave no cell pair excludable) |
       || sim07 intra-cell pairs | 125,051 | 12,577,188 | 100.6x at FIXED K=16 |

@@ -648,8 +648,26 @@ object Curation {
     * regression with a longer-tailed rational CDF).
     */
   private def sigmoidFx(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s = lit(Cur15Scale)
-    intDivBig(s * (s + abs(m) + m), lit(2L) * (s + abs(m)))
+    // DECIMAL(38,0) BEFORE any multiply: S·(S + |m| + m) in Long wraps
+    // silently once |m| passes ~4.6e12 — margins a strongly separable
+    // 100 TB corpus can genuinely reach — while the DuckDB twin's
+    // HUGEINT stays exact (the divergence the bit-identical claim
+    // forbids).
+    val md = m.cast("decimal(38,0)")
+    val s = lit(Cur15Scale).cast("decimal(38,0)")
+    intDivBig(s * (s + abs(md) + md),
+      lit(2L).cast("decimal(38,0)") * (s + abs(md)))
+  }
+
+  /** The weight table as a broadcastable frame with DECIMAL(38,0)
+    * weights — Long would truncate a weight past 9.2e18 and, more
+    * practically, force the margin dot product through Long multiplies
+    * (see [[sigmoidFx]]'s overflow note).
+    */
+  private def weightFrame(spark: SparkSession, w: Map[Long, BigInt]): DataFrame = {
+    import spark.implicits._
+    w.toSeq.map { case (b, wg) => (b, wg.toString) }.toDF("bkt", "wgt_s")
+      .select(col("bkt"), col("wgt_s").cast("decimal(38,0)").as("wgt"))
   }
 
   /** Trained classifier weights, one table per (dir, session) — the
@@ -668,28 +686,30 @@ object Curation {
     cur15Cache.computeIfAbsent(
       s"$dir:${graft.GraftCache.sessionTag(spark)}",
       _ => {
-        import spark.implicits._
         val feat = cur15Features(spark, dir)
         val n = documents(spark, dir).count()
         var w = Map.empty[Long, BigInt]
         for (_ <- 1 to Cur15Iters) {
-          val wdf = w.toSeq.map { case (b, wg) => (b, wg.toLong) }
-            .toDF("bkt", "wgt")
+          val wdf = weightFrame(spark, w)
           // Per-doc margin against the broadcast weight table (absent
-          // bucket = weight 0), then the fixed-point link.
+          // bucket = weight 0), then the fixed-point link. All decimal:
+          // x·w products and their sum can carry corpus-scale counts
+          // times grown weights without a Long wrap anywhere.
+          val zero = lit(0L).cast("decimal(38,0)")
           val p = feat.join(broadcast(wdf), Seq("bkt"), "left")
             .groupBy("doc_id")
             .agg(max("y").as("y"),
-              sum(col("x") * coalesce(col("wgt"), lit(0L))).as("m"))
+              sum(col("x") * coalesce(col("wgt"), zero)).as("m"))
             .withColumn("p", sigmoidFx(col("m")))
           // Batch gradient per bucket: Σ_docs (p − y·S)·x — a sum of
           // integer products (associative, order-free), DECIMAL(38,0)
-          // so corpus-scale sums cannot wrap. O(buckets) rows to the
-          // driver — the sim09/text17 scalar contract.
+          // operands BEFORE the multiply so corpus-scale products
+          // cannot wrap. O(buckets) rows to the driver — the
+          // sim09/text17 scalar contract.
           val grads = feat.join(p.select("doc_id", "p"), Seq("doc_id"))
             .groupBy("bkt")
-            .agg(sum(((col("p") - col("y") * Cur15Scale) * col("x"))
-              .cast("decimal(38,0)")).as("g"))
+            .agg(sum((col("p") - col("y") * Cur15Scale).cast("decimal(38,0)")
+              * col("x")).as("g"))
             .collect()
           val div = BigInt(Cur15Rate) * BigInt(n)
           w = grads.foldLeft(w) { (acc, r) =>
@@ -732,14 +752,14 @@ object Curation {
     * with the pool-mean-normalized average score.
     */
   def cur15QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (_, w) = trainedCur15(spark, dir)
-    val wdf = w.toSeq.map { case (b, wg) => (b, wg.toLong) }.toDF("bkt", "wgt")
+    val wdf = weightFrame(spark, w)
     val scored = cur15Features(spark, dir)
       .filter(col("y") === 0)
       .join(broadcast(wdf), Seq("bkt"), "left")
       .groupBy("doc_id", "source")
-      .agg(sum(col("x") * coalesce(col("wgt"), lit(0L))).as("m"))
+      .agg(sum(col("x") * coalesce(col("wgt"), lit(0L).cast("decimal(38,0)")))
+        .as("m"))
       .withColumn("p", sigmoidFx(col("m")))
       .select("doc_id", "source", "p")
     // Pool-mean threshold: one exact integer scalar (sum_p div n) —

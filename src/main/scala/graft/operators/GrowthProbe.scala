@@ -37,9 +37,12 @@ object GrowthProbe {
     * generator. Bump on any change to synthText/synthVec/synthPhash,
     * SynthDocs/SynthVecs, Langs, or the dup-injection constants.
     * v2: synthText re-draws a substitution that landed on the original
-    * token (the zero-edit "near-dup" fix).
+    * token (the zero-edit "near-dup" fix). v3: the re-draw guards
+    * against the BASE token of the position, not the current one —
+    * with two edits the second draw could restore the first edit's
+    * position and produce a net zero-edit copy after all.
     */
-  val SynthGenVersion = 2
+  val SynthGenVersion = 3
 
   private[graft] case class SynthDoc(
       doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
@@ -63,17 +66,21 @@ object GrowthProbe {
     if (id >= 625 && id % 625 == 624) synthText(id - 624, vocab)
     else if (id % 100 >= 96 && id >= 100) {
       val base = id - (id % 100) + (id % 4)
-      val toks = docTokens(base, vocab).clone()
+      val baseToks = docTokens(base, vocab)
+      val toks = baseToks.clone()
       val rnd = rngFor(id, 7L)
       (0 until (1 + (id % 2)).toInt).foreach { _ =>
         val pos = rnd.nextInt(toks.length)
-        // Re-draw while the replacement equals the original token
-        // (round-11 ADVICE: a ~1/|vocab| draw produced a zero-edit
-        // exact copy instead of the intended 1–2 token near-dup);
-        // bounded so a pathological vocab cannot loop forever.
+        // Re-draw while the replacement equals the BASE token of the
+        // position (round-11 ADVICE + review refinement: guarding only
+        // against the CURRENT token let a second edit on the same
+        // position restore the original and make a net zero-edit
+        // copy); every touched position therefore differs from the
+        // base, so the text can never equal it. Bounded so a
+        // pathological vocab cannot loop forever.
         var repl = vocab(rnd.nextInt(vocab.length))
         var tries = 0
-        while (repl == toks(pos) && tries < 16) {
+        while (repl == baseToks(pos) && tries < 16) {
           repl = vocab(rnd.nextInt(vocab.length))
           tries += 1
         }

@@ -345,8 +345,18 @@ object Multimodal {
     */
   private[graft] def mm08FrameFiles(spark: SparkSession, dir: String): DataFrame = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm08_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // The stamp folds EVERY scene-law constant (the GrowthProbe
+    // SynthGenVersion lesson: a constant missing from the stamp means
+    // editing it silently re-measures files staged under the OLD law),
+    // and the rebuild clears the dir first — a shrunk grid must not
+    // leave old-law PNGs behind for the glob to sweep up.
     TableBuild.ensurePath(spark, root,
-        s"mm08:v1:$Mm08Videos:$Mm08Frames:$Mm08VideoStep:$Mm08SceneStep") {
+        s"mm08:v1:$Mm08Videos:$Mm08Frames:$Mm08SceneLen:$Mm08VideoStep:" +
+          s"$Mm08SceneStep:${Mm08Jitter.toSeq.sorted.mkString(",")}") {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rootFs.exists(rootPath)) rootFs.delete(rootPath, true)
+      rootFs.mkdirs(rootPath)
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       spark.range(Mm08Videos.toLong * Mm08Frames)

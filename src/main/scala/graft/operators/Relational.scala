@@ -357,7 +357,17 @@ object Relational {
     * strict-break-at-gap gaps-and-islands reduction.
     */
   def q37SessionWindow(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    sessionWindowCore(events(spark, dir))
+      .orderBy("user_id", "session_start")
+
+  /** The ONE session-window aggregation body behind q37 and stream13
+    * (whose batch/stream equivalence is spec-pinned — a single
+    * definition is what keeps it true by construction): the streaming
+    * form applies its watermark to the raw events BEFORE calling, the
+    * batch form adds the presentation sort after.
+    */
+  private[graft] def sessionWindowCore(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("ts"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -367,7 +377,6 @@ object Relational {
         col("sw.start").as("session_start"),
         col("sw.end").as("session_end"),
         col("n_events"), col("total_value"))
-      .orderBy("user_id", "session_start")
 
   /** q28: CUBE — all grouping-set combinations in one pass (Expand +
     * single aggregate, not 4 separate scans).

@@ -105,31 +105,24 @@ object MergeSink {
 
   /** How long a claimed-but-uncommitted version may block writers
     * before it is treated as WEDGED (crashed peer) and the merge fails
-    * loudly. Freshness is the claim marker's mtime: while the blocking
-    * claim is younger than this, conflicting writers WAIT and re-read
-    * (a healthy peer's snapshot write simply takes time — seconds here,
-    * minutes at 100 TB; raise accordingly); once it is older with no
-    * commit, waiting longer cannot help and writing around it could
-    * lose a version, so the failure is immediate and names the claim.
+    * loudly. Freshness is the newest mtime among the blocker's markers
+    * (claim file AND its partial snapshot dir — so deleting only one
+    * of them cannot strand waiters in an un-ageable limbo): while the
+    * blocker is younger than this, conflicting writers WAIT and
+    * re-read (a healthy peer's snapshot write simply takes time —
+    * seconds here, minutes at 100 TB; raise accordingly); once it is
+    * older with no commit, waiting longer cannot help and writing
+    * around it could lose a version, so the failure is immediate and
+    * names everything to remove. Caveat for multi-HOST deployments:
+    * the age compares this driver's clock against the store's mtime —
+    * skew between them shifts the horizon, so keep it generously above
+    * the worst clock skew + snapshot write time (a store-side
+    * coordination primitive replaces this heuristic where one exists).
     */
   val StaleClaimMs: Long = 60000L
 
   /** Poll interval while waiting on a fresh in-flight claim. */
   private val ClaimPollMs = 200L
-
-  /** Version numbers with an outstanding claim marker under basePath —
-    * the atomically-created `vN.claim` files. A claim blocks its number
-    * from reuse whether or not the snapshot write behind it ever
-    * finished.
-    */
-  private def claimedVersions(spark: SparkSession, basePath: String): Seq[Long] = {
-    val (fs, base) = fsFor(spark, basePath)
-    if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).toSeq
-      .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.claim"))
-      .flatMap(_.getPath.getName.stripPrefix("v").stripSuffix(".claim").toLongOption)
-      .sorted
-  }
 
   /** Atomically claim the right to write version `v`: create-fails-if-
     * exists on the claim marker. Exactly one concurrent writer wins.
@@ -150,9 +143,13 @@ object MergeSink {
     if (!fs.exists(base)) fs.mkdirs(base)
     val claim = new org.apache.hadoop.fs.Path(base, s"v$v.claim")
     if (Option(fs.getUri.getScheme).forall(_ == "file"))
-      new java.io.File(
+      // Same lost-claim semantics as the HDFS branch: a transient IO
+      // failure (deleted base dir racing a reset, EACCES) reads as
+      // "didn't win", and the caller's wait/stale machinery decides.
+      try new java.io.File(
         org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
           fs.makeQualified(claim)).toString).createNewFile()
+      catch { case _: java.io.IOException => false }
     else
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
@@ -203,15 +200,39 @@ object MergeSink {
     * in-flight gap waits-fresh / re-reads / retries; a stale blocking
     * claim throws.
     */
+  /** Every set the commit loop needs from ONE base-dir listing
+    * (committed versions, all snapshot-dir versions, claimed versions)
+    * — the loop polls while blocked, and on object stores each listing
+    * is a paid round-trip, so it lists once per iteration instead of
+    * three times. Committed still costs one `_SUCCESS` probe per
+    * version dir (the marker lives inside the dir).
+    */
+  private def listState(spark: SparkSession, basePath: String)
+      : (Seq[Long], Seq[Long], Seq[Long]) = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) (Seq.empty, Seq.empty, Seq.empty)
+    else {
+      val entries = fs.listStatus(base).toSeq
+      val dirs = entries
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      val claims = entries
+        .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.claim"))
+        .flatMap(_.getPath.getName.stripPrefix("v").stripSuffix(".claim").toLongOption)
+      val committed = dirs.filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }.map(_._1)
+      (committed.sorted, dirs.map(_._1).sorted, claims.sorted)
+    }
+  }
+
   def merge(spark: SparkSession, table: String, basePath: String,
       changes: DataFrame, retainLast: Int = 2): Unit = lockFor(table).synchronized {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     var committed = false
     while (!committed) {
-      val committedVs = versionsOnDisk(spark, basePath, committedOnly = true)
-      val occupied = versionsOnDisk(spark, basePath, committedOnly = false) ++
-        claimedVersions(spark, basePath)
-      val next = (occupied :+ 0L).max + 1
+      val (committedVs, dirVs, claimVs) = listState(spark, basePath)
+      val next = ((dirVs ++ claimVs) :+ 0L).max + 1
       val base = committedVs.lastOption.getOrElse(0L)
       // Serializability gate: the version we'd write must DIRECTLY
       // succeed the committed state we read. A gap means another
@@ -240,29 +261,37 @@ object MergeSink {
       }
       if (!committed) {
         // Blocked by the OLDEST claimed-but-uncommitted version
-        // (serialization reaches it first). Wait while its claim is
+        // (serialization reaches it first). Wait while the blocker is
         // FRESH — a healthy peer's snapshot write just takes time —
-        // and fail loudly once it is STALE: a claim past
-        // [[StaleClaimMs]] with no commit is a crashed/wedged peer,
-        // and writing around it could lose a version. Progress is
-        // monotone: every wait ends in the blocker's commit (the gate
-        // re-reads it) or in this loud failure.
+        // and fail loudly once it is STALE: no commit past
+        // [[StaleClaimMs]] is a crashed/wedged peer, and writing
+        // around it could lose a version. Freshness is the NEWEST
+        // mtime across the blocker's claim file and partial snapshot
+        // dir, so a half-done operator cleanup (claim deleted, partial
+        // dir left — or vice versa) still ages out and reaches this
+        // loud failure instead of stranding every writer in an
+        // un-ageable poll loop. Progress is monotone: every wait ends
+        // in the blocker's commit (the gate re-reads it), its markers
+        // vanishing (immediate retry), or this loud failure.
         val blocker = base + 1
-        val claimPath =
-          new org.apache.hadoop.fs.Path(basePath, s"v$blocker.claim")
         val (fs, _) = fsFor(spark, basePath)
-        val age =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(claimPath).getModificationTime
-          catch { case _: java.io.IOException => 0L } // resolved under us: retry
-        if (age > StaleClaimMs)
-          throw new IllegalStateException(
-            s"merge into $basePath blocked: version v$blocker is claimed " +
-              s"but not committed for ${age / 1000}s (> ${StaleClaimMs / 1000}s) " +
-              "— a crashed or wedged writer. Resolve (delete its " +
-              s"v$blocker.claim) before retrying; committing around it " +
-              "could lose a version.")
-        Thread.sleep(ClaimPollMs)
+        val stamps = Seq(
+          new org.apache.hadoop.fs.Path(basePath, s"v$blocker.claim"),
+          new org.apache.hadoop.fs.Path(basePath, s"v$blocker")).flatMap { p =>
+          try Some(fs.getFileStatus(p).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        }
+        if (stamps.nonEmpty) {
+          val age = System.currentTimeMillis() - stamps.max
+          if (age > StaleClaimMs)
+            throw new IllegalStateException(
+              s"merge into $basePath blocked: version v$blocker is claimed " +
+                s"but not committed for ${age / 1000}s (> ${StaleClaimMs / 1000}s) " +
+                "— a crashed or wedged writer. Resolve (delete its " +
+                s"v$blocker.claim AND any partial v$blocker directory) " +
+                "before retrying; committing around it could lose a version.")
+          Thread.sleep(ClaimPollMs)
+        } // else: the blocker resolved under us — retry immediately.
       }
     }
   }
@@ -338,23 +367,31 @@ object MergeSink {
   }
 
   /** Drop the table and all snapshot versions (and claim markers) — a
-    * clean slate for a deterministic end-to-end replay.
+    * clean slate for a deterministic end-to-end replay. The ONLY path
+    * that removes claim markers.
     */
   def reset(spark: SparkSession, table: String, basePath: String): Unit =
     lockFor(table).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      pruneOldVersions(spark, basePath, keepFloor = Long.MaxValue)
+      pruneOldVersions(spark, basePath, keepFloor = Long.MaxValue,
+        includeClaims = true)
     }
 
-  /** Best-effort retention: delete snapshot dirs AND claim markers for
-    * versions STRICTLY BELOW `keepFloor`. Floor-based on purpose — a
-    * concurrent writer may already have claimed/written a version
-    * NEWER than this writer's commit, and a keep-set prune would
-    * delete that in-flight work (the multi-writer hazard the OCC
-    * protocol closes); nothing above the floor is ever touched.
+  /** Best-effort retention: delete snapshot dirs for versions STRICTLY
+    * BELOW `keepFloor`. Floor-based on purpose — a concurrent writer
+    * may already have claimed/written a version NEWER than this
+    * writer's commit, and a keep-set prune would delete that in-flight
+    * work; nothing above the floor is ever touched. Claim markers are
+    * NEVER pruned by retention (`includeClaims` only for [[reset]]'s
+    * full wipe): a claim is the DURABLE record that its version number
+    * was used, and deleting it would let a writer that stalled before
+    * claiming re-claim a pruned number and fork the lineage — the
+    * zero-byte tombstones are the cost of the uniqueness guarantee
+    * (the same reason real table formats keep their version log
+    * forever).
     */
   private def pruneOldVersions(spark: SparkSession, basePath: String,
-      keepFloor: Long): Unit =
+      keepFloor: Long, includeClaims: Boolean = false): Unit =
     try {
       val (fs, base) = fsFor(spark, basePath)
       if (fs.exists(base)) {
@@ -363,7 +400,7 @@ object MergeSink {
             val n = s.getPath.getName
             val v =
               if (s.isDirectory && n.startsWith("v")) n.drop(1).toLongOption
-              else if (s.isFile && n.matches("v\\d+\\.claim"))
+              else if (includeClaims && s.isFile && n.matches("v\\d+\\.claim"))
                 n.stripPrefix("v").stripSuffix(".claim").toLongOption
               else None
             v.exists(_ < keepFloor)

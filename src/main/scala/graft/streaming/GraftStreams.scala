@@ -200,17 +200,11 @@ object GraftStreams {
     */
   def sessionWindowAgg(
       events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
-    events
-      .select(col("user_id"), col("ts"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withWatermark("ts", watermarkDelay)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        (sum("cents") / lit(100.0)).as("total_value"))
-      .select(col("user_id"),
-        col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"),
-        col("n_events"), col("total_value"))
+    // LITERALLY q37's aggregation body (one shared definition — the
+    // spec-pinned batch/stream equivalence holds by construction),
+    // with the watermark applied to the raw events ahead of it.
+    graft.operators.Relational.sessionWindowCore(
+      events.withWatermark("ts", watermarkDelay))
 
   /** stream04 (incremental): stream-stream interval join — purchase →
     * click attribution within a 1-hour lookback. Both sides carry

@@ -164,6 +164,49 @@ class MergeSinkSpec extends SparkSpec {
       Seq((1L, 1L, "I", Some(1.0)), (2L, 2L, "I", Some(2.0))))
   }
 
+  test("retention never prunes claim markers; version numbers are never reused") {
+    val (table, base) = freshTable("claimdur")
+    (1 to 3).foreach(i => MergeSink.merge(spark, table, base,
+      ops((i.toLong, i.toLong, "I", i.toDouble)), retainLast = 1))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retainLast=1 pruned the v1/v2 snapshot dirs — but every claim
+    // tombstone survives: it is the durable record that its number was
+    // used, so a writer that stalled before claiming can never re-claim
+    // a pruned number and fork the lineage.
+    (1 to 3).foreach { v =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(base, s"v$v.claim")),
+        s"claim v$v must survive retention")
+    }
+    assert(MergeSink.versions(spark, base) == Seq(3L))
+    MergeSink.merge(spark, table, base, ops((9L, 9L, "I", 9.0)), retainLast = 1)
+    assert(MergeSink.versions(spark, base) == Seq(4L),
+      "the next commit must take a FRESH number, never a pruned one")
+  }
+
+  test("a half-cleaned wedged writer (partial dir, no claim) still ages out loudly") {
+    val (table, base) = freshTable("halfclean")
+    MergeSink.merge(spark, table, base, ops((1L, 1L, "I", 1.0)))
+    // A crashed peer's partial v2 snapshot whose claim was already
+    // removed: without dir-mtime aging this state would strand every
+    // writer in an un-ageable poll loop (the review's finding).
+    val dir = new java.io.File(s"$base/v2")
+    assert(dir.mkdirs())
+    assert(dir.setLastModified(
+      System.currentTimeMillis() - MergeSink.StaleClaimMs - 60000L))
+    val e = intercept[IllegalStateException](
+      MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0))))
+    assert(e.getMessage.contains("partial v2 directory"),
+      s"failure must name the partial dir too: ${e.getMessage}")
+    // Full cleanup unblocks; the number is reused safely because the
+    // partial dir (the only marker) is gone.
+    assert(dir.delete())
+    MergeSink.merge(spark, table, base, ops((2L, 2L, "I", 2.0)))
+    assert(MergeSink.versions(spark, base).last == 2L)
+    assert(snapshot(spark.table(table)) ==
+      Seq((1L, 1L, "I", Some(1.0)), (2L, 2L, "I", Some(2.0))))
+  }
+
   test("etl19 equals the one-shot CDC reduction (etl16)") {
     val viaSink = Etl.etl19MergeSink(spark, sf)
       .collect().map(_.toSeq).toSeq
