@@ -29,6 +29,16 @@ object GrowthProbe {
   val SynthDocs = 50000
   val SynthVecs = 20000
 
+  /** Third-decade tier (sf10-synth — two decades past the driver's
+    * sf0.1): measured via [[measureLinear]] only, because the
+    * deliberately-quadratic reference shapes (dedup04 narrow, dedup05's
+    * adversarial cell join) would cost ~100× the second decade for a
+    * shape already measured twice; the LINEAR claims are the 100 TB
+    * path, and three decades of measurement is what they rest on.
+    */
+  val Synth10Docs = 500000
+  val Synth10Vecs = 100000
+
   /** Version token of the synthetic GENERATOR itself, folded into the
     * build-once stamp (round-11 ADVICE): the staged decade must be
     * invalidated when the generator's code changes, not only when the
@@ -134,23 +144,24 @@ object GrowthProbe {
     * synthetic one. Generation is distributed: each executor derives
     * its rows from the id alone.
     */
-  def buildSynth(spark: SparkSession, baseDir: String, synthDir: String): Unit = {
+  def buildSynth(spark: SparkSession, baseDir: String, synthDir: String,
+      nDocs: Long = SynthDocs.toLong, nVecs: Long = SynthVecs.toLong): Unit = {
     import spark.implicits._
     TableBuild.ensurePath(spark, synthDir,
-        s"${TableBuild.dirFingerprint(spark, s"$baseDir/documents.parquet")}:gen$SynthGenVersion") {
+        s"${TableBuild.dirFingerprint(spark, s"$baseDir/documents.parquet")}:gen$SynthGenVersion:$nDocs:$nVecs") {
       val vocab = Tables.documents(spark, baseDir)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
         .collect().map(_.getString(0)).sorted
       val vocabB = spark.sparkContext.broadcast(vocab)
-      spark.range(SynthDocs.toLong).as[Long]
+      spark.range(nDocs).as[Long]
         .map { id =>
           val text = synthText(id, vocabB.value)
           SynthDoc(id, text, Langs((id % 5).toInt), s"src${id % 20}",
             text.length.toLong)
         }
         .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
-      spark.range(SynthVecs.toLong).as[Long]
+      spark.range(nVecs).as[Long]
         .map(id => SynthVec(id, synthVec(id), (id % 10).toInt))
         .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
       // The root dir is committed manually (the table writers mark only
@@ -217,15 +228,70 @@ object GrowthProbe {
         .filter(col("vec_id") =!= col("q_id")).count())
   }
 
+  /** The LINEAR-claim subset of [[measure]], for the third decade —
+    * the same operator-machinery counts, minus the shapes the first
+    * two decades already measured as deliberately quadratic (dedup04
+    * narrow/wide at fixed config, dedup05's adversarial near-uniform
+    * cell join, sim07's fixed-K intra-cell pairs), which would cost
+    * ~100× the second decade to re-confirm a shape the knob — not the
+    * join — is documented to fix.
+    */
+  def measureLinear(spark: SparkSession, tag: String, dir: String): Unit = {
+    def p(k: String, v: Long): Unit = println(s"growth [$tag] $k=$v")
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    p("docs", nDocs)
+    p("dedup03_lsh_candidates",
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.shingleArrays(spark, dir))).count())
+    val spans = Dedup.spanHashRows(docs)
+    p("dedup08_spans", spans.count())
+    p("dedup08_crossdoc_dup_spans", spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("df")).filter(col("df") > 1).count())
+    import graft.functions.GraftFunctions.tokens
+    p("dedup10_window_rows", docs
+      .select(greatest(lit(0),
+        size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
+      .agg(sum("w")).head.getLong(0))
+    p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
+    locally {
+      import spark.implicits._
+      val hashes = spark.range(nDocs).as[Long]
+        .map(id => (id, synthPhash(id))).toDF("img_id", "phash")
+      p("mm07_blocked_candidates",
+        Dedup.pigeonholeCandidatePairs(
+          hashes, "img_id", "phash", PhotoBlocking, "img_a", "img_b").count())
+    }
+    val nVecs = Tables.embeddings(spark, dir).count()
+    p("vectors", nVecs)
+    val e = Dedup.vectors(spark, dir)
+    val cb = Similarity.trainedCodebook(spark, dir)
+    p("sim15_probed_members",
+      Similarity.ivfAssigned(e, cb)
+        .join(broadcast(Similarity.ivfProbes(e, cb)),
+          col("cell") === col("probe_cell"))
+        .filter(col("vec_id") =!= col("q_id")).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val synthDir = args.lift(1).getOrElse("/tmp/graft_sf1_synth")
+    // `deep` appends the THIRD decade (sf10-synth, linear claims only).
+    val deep = args.contains("deep")
     val spark = graft.GraftSession.build(
       graft.GraftSession.cpusFromEnv, "graft-growth")
     try {
       buildSynth(spark, baseDir, synthDir)
       measure(spark, "sf0.1", baseDir)
       measure(spark, "sf1-synth", synthDir)
+      if (deep) {
+        val deepDir = s"${synthDir}10"
+        buildSynth(spark, baseDir, deepDir, Synth10Docs.toLong, Synth10Vecs.toLong)
+        // The per-(session, dir) caches keep sf1-synth frames pinned;
+        // release so the third decade starts from a clean registry.
+        graft.GraftCache.release()
+        measureLinear(spark, "sf10-synth", deepDir)
+      }
     } finally {
       graft.GraftCache.release()
       spark.stop()
