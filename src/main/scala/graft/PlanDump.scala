@@ -246,7 +246,7 @@ object PlanDump {
       |mass plus band-collision residue, both linear-bounded). At this
       |rate the extrapolation to 10^9+ documents is two more decades of
       |the same measured shape, not a leap of faith.
-      |      |
+      |
       |## Measured round-8-operator growth (sf 0.01 -> 0.1, 10x docs)
       |
       || op | measure | sf0.01 | sf0.1 | shape |

@@ -174,8 +174,12 @@ object SparkEntry {
     * `w0` the zero weight table, and each round r computes per-doc
     * margins against w(r−1), the algebraic fixed-point sigmoid, the
     * per-bucket integer gradient, and the truncating-division weight
-    * update into `w<r>`. Every intermediate is integer (HUGEINT where
-    * products of corpus-scale counts appear), every CTE MATERIALIZED
+    * update into `w<r>`. Every intermediate is integer — and the
+    * margins/weights ride HUGEINT through the WHOLE chain (round-12
+    * ADVICE: the Spark side deliberately carries DECIMAL(38,0)/BigInt,
+    * so a BIGINT leg here would error-or-diverge at magnitudes the
+    * Spark comments defend against; both twins now share the no-wrap
+    * posture, narrowing only at presentation), every CTE MATERIALIZED
     * (each round references the previous weights twice — the bpe
     * lesson: default inlining recomputes the chain exponentially).
     * Generated, not hand-written, so the unroll depth and all
@@ -199,10 +203,10 @@ object SparkEntry {
              CASE WHEN source = 'src0' THEN 1 ELSE 0 END
            FROM documents),
          nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
-         w0 AS MATERIALIZED (SELECT DISTINCT bkt, CAST(0 AS BIGINT) AS wgt FROM feat)"""
+         w0 AS MATERIALIZED (SELECT DISTINCT bkt, CAST(0 AS HUGEINT) AS wgt FROM feat)"""
     val rounds = (1 to iters).map { r =>
       s"""m$r AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
-             CAST(sum(f.x * w.wgt) AS BIGINT) AS m
+             CAST(sum(f.x * w.wgt) AS HUGEINT) AS m
            FROM feat f JOIN w${r - 1} w USING (bkt) GROUP BY f.doc_id),
          p$r AS MATERIALIZED (SELECT doc_id, y,
              CAST(($s::HUGEINT * ($s + abs(m) + m)) // (2::HUGEINT * ($s + abs(m))) AS BIGINT) AS p
@@ -211,7 +215,7 @@ object SparkEntry {
              sum((p.p - p.y * $s)::HUGEINT * f.x) AS g
            FROM feat f JOIN p$r p USING (doc_id) GROUP BY f.bkt),
          w$r AS MATERIALIZED (SELECT w.bkt,
-             CAST(w.wgt - (g.g // ($Cur15Rate::HUGEINT * nn.n)) AS BIGINT) AS wgt
+             CAST(w.wgt - (g.g // ($Cur15Rate::HUGEINT * nn.n)) AS HUGEINT) AS wgt
            FROM w${r - 1} w JOIN g$r g USING (bkt), nn)"""
     }
     (init +: rounds).mkString(",\n         ")
@@ -226,7 +230,7 @@ object SparkEntry {
     val s = Cur15Scale
     s"""WITH ${cur15CteSql(Cur15Iters)},
          sm AS MATERIALIZED (SELECT f.doc_id, f.source,
-             CAST(sum(f.x * w.wgt) AS BIGINT) AS m
+             CAST(sum(f.x * w.wgt) AS HUGEINT) AS m
            FROM feat f JOIN w$Cur15Iters w USING (bkt)
            WHERE f.source <> 'src0' GROUP BY f.doc_id, f.source),
          scored AS MATERIALIZED (SELECT doc_id, source,

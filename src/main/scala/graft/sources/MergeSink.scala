@@ -291,7 +291,16 @@ object MergeSink {
                 s"v$blocker.claim AND any partial v$blocker directory) " +
                 "before retrying; committing around it could lose a version.")
           Thread.sleep(ClaimPollMs)
-        } // else: the blocker resolved under us — retry immediately.
+        } else {
+          // Both markers vanished between the listing and the mtime
+          // probe — usually the blocker just committed and the retry
+          // will see it. But if the race repeats, each iteration costs
+          // a full base-dir listing plus per-version _SUCCESS probes
+          // (a hot spin on object stores), so poll-sleep here too: a
+          // resolved blocker pays one ClaimPollMs, an adversarial race
+          // stays bounded to one listing per poll interval.
+          Thread.sleep(ClaimPollMs)
+        }
       }
     }
   }

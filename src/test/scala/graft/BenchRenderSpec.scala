@@ -129,10 +129,10 @@ class BenchRenderSpec extends AnyFunSuite {
   test("outliersVsPrior: prior record judges known queries; family median only new ones") {
     val prior = Map("q01" -> 0.3, "q02" -> 2.0)
     val results = Seq(
-      "q01_known" -> 1.2,  // >3x its own prior 0.3 -> flagged
-      "q02_known" -> 1.0,  // heavy query, under 3x its prior 2.0 -> NOT flagged
+      "q01_known" -> 1.2,  // >2x its own prior 0.3 -> flagged
+      "q02_known" -> 1.0,  // heavy query, under 2x its prior 2.0 -> NOT flagged
       // new queries (no prior): family median (sorted times 0.4/1.0/1.2/5.0
-      // -> 1.2) governs; 5.0 > 3x median and > floor -> flagged
+      // -> 1.2) governs at its own 3x; 5.0 > 3x median and > floor -> flagged
       "q03_new" -> 5.0,
       "q04_new" -> 0.4)
     val out = Bench.outliersVsPrior(results, Set.empty, prior)
@@ -141,7 +141,7 @@ class BenchRenderSpec extends AnyFunSuite {
 
   test("outliersVsPrior: the uniform-slowdown shape r11 shipped IS caught") {
     // Everything ~1.8x its prior: the within-run family median moves with
-    // the run and flags nothing; the prior record flags the >3x entries.
+    // the run and flags nothing; the prior record flags the >2x entries.
     val prior = Map("a01" -> 1.0, "a02" -> 1.1, "a03" -> 1.0, "a04" -> 1.2)
     val results = Seq("a01_x" -> 1.8, "a02_x" -> 2.0, "a03_x" -> 4.6, "a04_x" -> 2.1)
     assert(Bench.outliers(results, Set.empty).isEmpty,
@@ -149,7 +149,19 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.outliersVsPrior(results, Set.empty, prior) == Seq("a03_x"))
   }
 
-  test("suspects: post-retry times still >3x prior are named, errored excluded") {
+  test("outliersVsPrior: the 2x band rounds 9-12 shipped unflagged IS now caught") {
+    // r12 shipped dedup04 at 2.11 s against a 0.56 s clean floor (3.8x)
+    // but also a band of 2-3x entries that the 3x trigger let through;
+    // with the clean-seeded floor the threshold is 2x (round-12
+    // directive item 4a), so that band is flagged — while a reading
+    // under 2x its honest floor still is not.
+    val prior = Map("d04" -> 0.56, "d05" -> 0.72)
+    val results = Seq("d04_x" -> 1.45, "d05_x" -> 1.30)
+    assert(Bench.outliersVsPrior(results, Set.empty, prior) == Seq("d04_x"),
+      "1.45 > 2x0.56 flagged; 1.30 < 2x0.72 not")
+  }
+
+  test("suspects: post-retry times still >2x prior are named, errored excluded") {
     val prior = Map("q01" -> 0.3, "q02" -> 0.4)
     val results = Seq("q01_a" -> 1.2, "q02_b" -> 3.0)
     assert(Bench.suspects(results, Set("q02_b"), prior) == Seq("q01"))
