@@ -53,7 +53,10 @@ object Etl {
     * append, re-read). Here: anti-join for novelty + dense_rank offset by
     * the current max key — one shuffle of the (tiny) dimension, and the
     * fact table is never re-scanned. The single-partition window is safe
-    * because it only ever sees the dimension's distinct values.
+    * because it only ever sees the dimension's distinct values — a
+    * contract PlanAuditSpec pins mechanically (every global window in
+    * this plan must consume the post-distinct frame), so a refactor
+    * cannot silently move the sort onto the fact table.
     */
   def etl03MasterUpsert(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)

@@ -388,6 +388,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("etl03: the global surrogate-key windows consume only the dim-sized distinct frame") {
+    // etl03's dense_rank runs over Window.orderBy(event_type) — a
+    // single-partition sort, accepted ONLY because its input is the
+    // post-distinct dimension-value frame (dim-sized by the master-table
+    // contract, matching the reference's update_master_table semantics).
+    // This pin promotes that comment to a spec (round-12 directive
+    // item 7): every unpartitioned window in the plan must sit above a
+    // distinct aggregate on event_type, so a refactor can never silently
+    // move the single-partition sort onto the raw fact/event stream.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = Etl.etl03MasterUpsert(spark, sf).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "etl03 must assign surrogates via windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.isEmpty,
+        "the surrogate windows are globally ordered by contract")
+      val distinctBelow = w.child.collect {
+        case a: Aggregate if a.aggregateExpressions.forall(_.references
+            .subsetOf(a.child.outputSet)) &&
+          a.groupingExpressions.exists(_.references.exists(_.name == "event_type")) => a
+      }
+      assert(distinctBelow.nonEmpty,
+        s"the global dense_rank window must consume the post-distinct " +
+          s"NEW-values frame (dim-sized), not the raw events scan:\n$w")
+    }
+  }
+
   test("text16: PMI pair stream shuffles on hash keys, never on strings") {
     // Every hash exchange is keyed on the token columns p/t only — the
     // pair aggregate and the two frequency joins. The pair strings ARE
