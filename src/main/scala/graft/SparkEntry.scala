@@ -146,6 +146,7 @@ object SparkEntry {
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
+    "mm03_feature_real" -> Multimodal.mm03FeatureReal _,
     "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
     "mm05_binary_ingest" -> Multimodal.mm05BinaryIngest _,
     "mm06_phash_dedup" -> Multimodal.mm06PhashDedup _,
@@ -2148,6 +2149,28 @@ object SparkEntry {
            coalesce(max(CASE WHEN dim = 7 THEN fv END), 0.0) AS f7
          FROM n LEFT JOIN f ON n.doc_id = f.doc_id
          GROUP BY n.doc_id, n.n_bytes ORDER BY n.doc_id""",
+    "mm03_feature_real" ->
+      // The REAL featurizer (ImageIO decode -> per-channel stats) closed
+      // over arithmetic: the staged test cards put channel value
+      // c + offset + x + y (c = id%249, all < 256) at pixel (x,y), so
+      // the 8 red values are c + s for s in the x+y multiset
+      // {0,1,1,2,2,3,3,4} and every feature — channel means,
+      // bright-pixel count, red histogram — is an exact integer
+      // function of the id. Any corruption in encode -> land -> scan ->
+      // decode -> featurize breaks equality.
+      """WITH d AS (SELECT doc_id AS img_id, doc_id % 249 AS c
+           FROM documents WHERE doc_id < 256),
+         px AS (SELECT img_id, c, c + unnest([0,1,1,2,2,3,3,4]) AS r FROM d)
+         SELECT img_id, 8 AS n_px,
+           CAST(max(c) + 2 AS DOUBLE) AS f0,
+           CAST(max(c) + 3 AS DOUBLE) AS f1,
+           CAST(max(c) + 4 AS DOUBLE) AS f2,
+           CAST(sum(CASE WHEN r >= 128 THEN 1 ELSE 0 END) AS DOUBLE) AS f3,
+           CAST(sum(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS f4,
+           CAST(sum(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS f5,
+           CAST(sum(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS f6,
+           CAST(sum(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS f7
+         FROM px GROUP BY img_id ORDER BY img_id""",
     "mm04_resize_stub" ->
       // The fake resize kernel (nearest-neighbor sample a 16x9 grid of
       // byte positions, sum) replayed via the same hex-decode trick as

@@ -188,6 +188,23 @@ object Multimodal {
   def mm04ResizeReal(spark: SparkSession, dir: String): DataFrame =
     resizeMeta(mm05Files(spark, dir))
 
+  /** mm03's REAL sibling (round-12 directive: the last fake kernel) —
+    * the same batched-mapPartitions featurizer plumbing with the kernel
+    * swapped for [[MultimodalStub.realFeatures]]: per-channel statistics
+    * (means, bright-pixel count, red histogram) over the ImageIO-decoded
+    * raster, driven end-to-end over the staged mm05 PNG landing dir.
+    * Unlike mm04's real leg this one IS a `queries` entry: the
+    * test-card pixel law (channel value = id%249 + offset + x + y, all
+    * < 256) makes every emitted feature an exact integer function of
+    * the id, so the DuckDB oracle replays the whole encode → land →
+    * binaryFile scan → decode → featurize chain with pure arithmetic on
+    * the documents table. The fake-kernel mm03 entry stays for the
+    * driver tables that carry no media; a GPU featurizer swaps in
+    * behind the identical schema/batch shape.
+    */
+  def mm03FeatureReal(spark: SparkSession, dir: String): DataFrame =
+    featureMeta(mm05Files(spark, dir))
+
   /** mm06's hamming radius for perceptual near-duplicate pairs. */
   val Mm06MaxHamming = 1
 
@@ -509,6 +526,34 @@ object Multimodal {
     }(enc).orderBy("img_id")
   }
 
+  private val featureMetaSchema = StructType(
+    StructField("img_id", LongType) +:
+      StructField("n_px", IntegerType) +:
+      (0 until MultimodalStub.FeatureDim).map(i =>
+        StructField(s"f$i", DoubleType)))
+
+  /** REAL featurizer leg of the mm03 plumbing: rows of (img_id, media)
+    * holding ENCODED images flow through the same batched mapPartitions
+    * path as the fake kernel, but the kernel decodes with ImageIO and
+    * emits [[MultimodalStub.realFeatures]]'s per-channel statistics.
+    * Same seam contract as [[decodeMeta]]/[[resizeMeta]]: an embedding
+    * model swaps in behind an unchanged schema, batch shape, and
+    * partitioning.
+    */
+  def featureMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureMetaSchema)
+    media.select(col("img_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = MultimodalStub.decodeImage(r.getAs[Array[Byte]]("media"))
+          Row.fromSeq(r.getAs[Long]("img_id") +: (w * h) +:
+            MultimodalStub.realFeatures(w, h, rgb).toSeq)
+        }
+      }
+    }(enc).orderBy("img_id")
+  }
+
   private val decodeMetaSchema = StructType(Seq(
     StructField("img_id", LongType),
     StructField("width", IntegerType),
@@ -710,6 +755,37 @@ object MultimodalStub {
       i += 1
     }
     (src.getWidth, src.getHeight, rgb)
+  }
+
+  /** REAL featurizer kernel (round-12 directive: the LAST fake kernel —
+    * mm04's resize went real in round 12, decode in round 9): per-channel
+    * statistics over the ImageIO-DECODED raster, exactly the
+    * [[FeatureDim]]-wide vector shape the fake emits. Features:
+    * f0–f2 = channel means (R, G, B, 4 dp), f3 = bright-pixel count
+    * (red ≥ 128), f4–f7 = red histogram in four 64-wide buckets. Counts
+    * are exact integers-as-doubles and the means of integer pixel sums,
+    * so for the staged test-card PNGs every feature is an exact integer
+    * function of the image id — which is what lets the real kernel be
+    * ORACLED, not just spec'd. JDK-only; runs on executors as-is.
+    */
+  def realFeatures(w: Int, h: Int, rgb: Array[Byte]): Array[Double] = {
+    val n = w * h
+    val sums = new Array[Long](3)
+    var bright = 0L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < n) {
+      val r = rgb(i * 3) & 0xFF
+      sums(0) += r
+      sums(1) += rgb(i * 3 + 1) & 0xFF
+      sums(2) += rgb(i * 3 + 2) & 0xFF
+      if (r >= 128) bright += 1
+      hist(r >> 6) += 1
+      i += 1
+    }
+    def mean(c: Int): Double = math.round(sums(c).toDouble / n * 10000.0) / 10000.0
+    Array(mean(0), mean(1), mean(2), bright.toDouble,
+      hist(0).toDouble, hist(1).toDouble, hist(2).toDouble, hist(3).toDouble)
   }
 
   /** Deterministic fake "resize": nearest-neighbor-sample OutW×OutH

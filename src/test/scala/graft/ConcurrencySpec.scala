@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("55 mixed queries submitted concurrently produce sequential results") {
+  test("56 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -52,8 +52,11 @@ class ConcurrencySpec extends SparkSpec {
       // through the racing session) and the cur15Features pin.
       "cur14_epoch_schedule", "cur15_quality_classifier",
       "mm01_binary_meta", "mm04_resize_stub",
-      // mm08 races its own TableBuild staged-frame ensure; q37 rides
-      // along as the native session-window shape in the mix.
+      // mm03_feature_real races the mm05 staged-PNG TableBuild ensure
+      // against the rest of the mm family's staging; mm08 races its own
+      // TableBuild staged-frame ensure; q37 rides along as the native
+      // session-window shape in the mix.
+      "mm03_feature_real",
       "mm06_phash_dedup", "mm07_phash_blocked", "mm08_video_keyframes",
       "q37_session_window")
     val sequential = names.map(n =>

@@ -189,6 +189,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("realFeatures computes exact per-channel statistics over a decoded raster") {
+    // A 4x2 test card at c = 126 puts red values {126,127,127,128,128,
+    // 129,129,130}: the means are exact integers, the bright count
+    // (red >= 128) is 5, and the red histogram straddles buckets 1/2
+    // (64..127 vs 128..191) at 3/5 — every boundary in the kernel is
+    // live.
+    val c = 126
+    val bytes = png(4, 2)((x, y) => (c + x + y, c + 1 + x + y, c + 2 + x + y))
+    val (w, h, rgb) = MultimodalStub.decodeImage(bytes)
+    val f = MultimodalStub.realFeatures(w, h, rgb)
+    assert(f.length == MultimodalStub.FeatureDim)
+    assert((f(0), f(1), f(2)) == ((c + 2).toDouble, (c + 3).toDouble, (c + 4).toDouble))
+    assert(f(3) == 5.0, "bright pixels: the five reds >= 128")
+    assert((f(4), f(5), f(6), f(7)) == (0.0, 3.0, 5.0, 0.0),
+      "red histogram must straddle the 128 bucket boundary")
+    assert(f(4) + f(5) + f(6) + f(7) == (w * h).toDouble,
+      "histogram buckets must partition the pixels")
+    // Solid color: everything lands in one bucket, means are the color.
+    val solid = MultimodalStub.realFeatures(4, 2,
+      Array.fill(4 * 2 * 3)(200.toByte))
+    assert((solid(0), solid(3), solid(7)) == (200.0, 8.0, 8.0))
+  }
+
+  test("mm03FeatureReal earns the analytic feature law over the staged PNGs") {
+    val got = Multimodal.mm03FeatureReal(spark, sf).collect()
+    assert(got.length == Multimodal.Mm05Images)
+    val sVals = Seq(0, 1, 1, 2, 2, 3, 3, 4) // x+y multiset of the 4x2 card
+    got.foreach { r =>
+      val c = (r.getLong(0) % 249).toInt
+      assert(r.getInt(1) == 8, "test cards are 4x2 = 8 pixels")
+      val f = (0 until MultimodalStub.FeatureDim).map(i => r.getDouble(2 + i))
+      assert((f(0), f(1), f(2)) ==
+        ((c + 2).toDouble, (c + 3).toDouble, (c + 4).toDouble),
+        s"img ${r.getLong(0)} channel means")
+      assert(f(3) == sVals.count(s => c + s >= 128).toDouble,
+        s"img ${r.getLong(0)} bright count")
+      (0 until 4).foreach { b =>
+        assert(f(4 + b) == sVals.count(s => (c + s) / 64 == b).toDouble,
+          s"img ${r.getLong(0)} histogram bucket $b")
+      }
+    }
+    // Deterministic across runs (same staged files, same kernel).
+    val again = Multimodal.mm03FeatureReal(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("mm06 perceptual hashes recover the barcode bits through real decode") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 7L, 128L, 170L, 255L, 300L)
