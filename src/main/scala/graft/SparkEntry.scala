@@ -143,6 +143,7 @@ object SparkEntry {
     "cur13_importance" -> Curation.cur13ImportanceWeights _,
     "cur14_epoch_schedule" -> Curation.cur14EpochSchedule _,
     "cur15_quality_classifier" -> Curation.cur15QualityClassifier _,
+    "cur16_substring_contamination" -> Curation.cur16SubstringContamination _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -563,6 +564,64 @@ object SparkEntry {
        SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM r
        WHERE rk <= 10 ORDER BY q_id, rk"""
   }
+
+  /** Shared window grammar of the dedup10/cur16 oracles: stride-1
+    * [[graft.operators.Dedup.SubstringWindow]]-token windows over the
+    * split-by-space token stream — generated from the SAME constant
+    * the operators chunk with (the etl27 shared-constant discipline),
+    * so a window-size change can never silently hash-mismatch. DuckDB
+    * groups/joins the window STRINGS where Spark shuffles xxhash64 of
+    * them — identical results modulo 64-bit collisions (the dedup08
+    * set-semantics argument).
+    */
+  private def strideWindowSql(withSource: Boolean): String = {
+    val k = graft.operators.Dedup.SubstringWindow
+    val src = if (withSource) ", source" else ""
+    s"""toks AS (SELECT doc_id$src, string_split(text, ' ') AS t FROM documents),
+         w AS (SELECT doc_id$src, CAST(i AS INTEGER) AS pos,
+             array_to_string(t[CAST(i+1 AS INT):CAST(i+$k AS INT)], ' ') AS s
+           FROM toks, UNNEST(range(0, greatest(len(t) - ${k - 1}, 0))) AS u(i))"""
+  }
+
+  /** The lag/cumsum island merge both span oracles end with: flagged
+    * window starts (doc_id, pos in `flaggedCte`) → maximal spans.
+    */
+  private def islandMergeSql(flaggedCte: String): String = {
+    val k = graft.operators.Dedup.SubstringWindow
+    s"""g AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+                  THEN 1 ELSE 0 END AS is_new
+           FROM $flaggedCte),
+         gi AS (SELECT doc_id, pos, sum(is_new) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           FROM g)
+         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           CAST(max(pos) + ${k - 1} AS INTEGER) AS end_pos,
+           count(*) AS n_windows
+         FROM gi GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
+  }
+
+  /** dedup10's oracle: within-corpus window df > 1, island-merged. */
+  private val Dedup10OracleSql: String =
+    s"""WITH ${strideWindowSql(withSource = false)},
+         df AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+         fl AS (SELECT w.doc_id, w.pos FROM w JOIN df USING (s)),
+         ${islandMergeSql("fl")}"""
+
+  /** cur16's oracle: the SAME grammar crossed against the held-out
+    * split (src0) — a train window is contaminated iff its string
+    * appears anywhere in the held-out side, regardless of alignment;
+    * train-train repeats must NOT flag (that is dedup10's business).
+    */
+  private val Cur16OracleSql: String =
+    s"""WITH ${strideWindowSql(withSource = true)},
+         held AS (SELECT DISTINCT s FROM w WHERE source = 'src0'),
+         fl AS (SELECT w.doc_id, w.pos FROM w JOIN held USING (s)
+                WHERE w.source <> 'src0'),
+         ${islandMergeSql("fl")}"""
 
   /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
     * per bit over the engine-portable md5-derived 60-bit token hash —
@@ -1310,30 +1369,8 @@ object SparkEntry {
          SELECT doc_id, n_chunks, dup_chunks,
            CAST((2*10000*(dup_chunks) + (n_chunks)) // (2*(n_chunks)) AS BIGINT) / 10000.0 AS dup_frac
          FROM per_doc WHERE dup_chunks > 0 ORDER BY doc_id""",
-    "dedup10_substring" ->
-      // Stride-1 window strings where Spark hashes them (same
-      // df-count-modulo-collisions argument as dedup08), then the same
-      // lag/running-sum island merge into maximal spans.
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         w AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
-             array_to_string(t[CAST(i+1 AS INT):CAST(i+15 AS INT)], ' ') AS s
-           FROM toks, UNNEST(range(0, greatest(len(t) - 14, 0))) AS u(i)),
-         df AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) > 1),
-         fl AS (SELECT w.doc_id, w.pos FROM w JOIN df USING (s)),
-         g AS (SELECT doc_id, pos,
-             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 15
-                  THEN 1 ELSE 0 END AS is_new
-           FROM fl),
-         gi AS (SELECT doc_id, pos, sum(is_new) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-           FROM g)
-         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
-           CAST(min(pos) AS INTEGER) AS start_pos,
-           CAST(max(pos) + 14 AS INTEGER) AS end_pos,
-           count(*) AS n_windows
-         FROM gi GROUP BY doc_id, span_id ORDER BY doc_id, span_id""",
+    "dedup10_substring" -> Dedup10OracleSql,
+    "cur16_substring_contamination" -> Cur16OracleSql,
     "dedup11_incremental" ->
       // The split, the fingerprint leg, and the exact pairwise near leg
       // replayed in full (no LSH — a Spark-side recall miss would

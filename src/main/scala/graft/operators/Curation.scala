@@ -74,6 +74,30 @@ object Curation {
       .orderBy("train_id")
   }
 
+  /** cur16: SUBSTRING-level train/eval decontamination — the ExactSubstr
+    * check (Lee et al. 2022, arXiv:2107.06499) every frontier pipeline
+    * runs before eval: cur03's 8-gram shingle overlap scores
+    * set-similarity, but verbatim benchmark text at an ARBITRARY
+    * alignment inside a longer training document can sit below any
+    * shingle-overlap threshold while still leaking the eval set.
+    * dedup10 already builds exactly the machinery this needs (stride-1
+    * window hashes, flag-back, island merge); here the corpus side
+    * crosses against the HELD-OUT split (cur03's convention: source
+    * `src0` is the benchmark/eval corpus) instead of against itself,
+    * and the output is each training document's MAXIMAL contaminated
+    * spans — the exact token ranges a span-removal rewrite would drop.
+    *
+    * Plan shape: hash-keyed equi-joins only (plan-audited) — the
+    * held-out window-hash set is a semi-join build side, never an
+    * all-pairs or threshold scan. See
+    * [[graft.operators.Dedup.substringContamination]] for the scale
+    * argument.
+    */
+  def cur16SubstringContamination(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringContamination(
+      documents(spark, dir), col("source") === "src0",
+      Some(s"cur16.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
+
   /** cur04: threshold filtering — the C4-style keep/drop decision from
     * per-document quality signals, reported as per-source keep rates.
     * Single pass: the flag is computed inline, no second scan for the

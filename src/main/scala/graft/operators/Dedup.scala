@@ -912,18 +912,7 @@ object Dedup {
     */
   private[graft] def substringSpans(
       docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = SubstringWindow
-    val t = col("t")
-    // One window hash per token position (docs shorter than one window
-    // yield none — the spanHashRows guard).
-    val chunked = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), posexplode(
-        when(size(t) >= k,
-          transform(sequence(lit(0), (size(t) - k).cast("int"), lit(1)),
-            i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(k))))))
-          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val chunked = strideWindowRows(docs)
     // Both the df build and the flag-back join consume the window rows;
     // pinning them (20 bytes/row) saves the second corpus-wide
     // tokenize + k-token hash pass — the dedup08 discipline.
@@ -934,9 +923,39 @@ object Dedup {
       .filter(col("nd") > 1)
       .select("h")
     val flagged = windows.join(df, Seq("h")).select("doc_id", "pos")
-    // Island merge: two windows belong to one span iff their starts
-    // are within k tokens (overlap OR exact adjacency); a running sum
-    // of the "new island" flag numbers the spans per document.
+    mergeWindowIslands(flagged)
+  }
+
+  /** Stride-1 [[SubstringWindow]]-token window hashes: ONE row per
+    * token position of every document — (doc_id, carried cols…, pos,
+    * h). The shared derivation behind dedup10's within-corpus span
+    * dedup and cur16's cross-split decontamination (one definition, so
+    * the window grammar can never drift between them). Docs shorter
+    * than one window yield no rows (the spanHashRows guard).
+    */
+  private[graft] def strideWindowRows(
+      docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val k = SubstringWindow
+    val t = col("t")
+    docs
+      .select(col("doc_id") +: carry.map(col) :+ tokens(col("text")).as("t"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ posexplode(
+        when(size(t) >= k,
+          transform(sequence(lit(0), (size(t) - k).cast("int"), lit(1)),
+            i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")): _*)
+  }
+
+  /** Island merge of flagged (doc_id, pos) window starts into MAXIMAL
+    * spans: two windows belong to one span iff their starts are within
+    * [[SubstringWindow]] tokens (overlap OR exact adjacency); a running
+    * sum of the "new island" flag numbers the spans per document. ONE
+    * per-doc window pass (lag + cumsum — no self-join), shared by
+    * dedup10 and cur16.
+    */
+  private[graft] def mergeWindowIslands(flagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstringWindow
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged
@@ -952,6 +971,41 @@ object Dedup {
       .select(col("doc_id"), col("span_id"), col("start_pos"),
         col("end_pos"), col("n_windows"))
       .orderBy("doc_id", "span_id")
+  }
+
+  /** Core of cur16 over any (doc_id, `splitCol`, text) frame: maximal
+    * token spans of each NON-held-out document whose text appears
+    * verbatim (at any alignment) in the HELD-OUT split — Lee et al.
+    * 2022's ExactSubstr check run ACROSS the train/eval boundary
+    * instead of within the corpus. Exactly dedup10's machinery
+    * ([[strideWindowRows]] + [[mergeWindowIslands]]) with the
+    * document-frequency aggregate replaced by a membership semi-join
+    * against the held-out side's distinct window hashes: train-train
+    * duplication is dedup10's business, NOT contamination — only a
+    * window the held-out set also contains flags here.
+    *
+    * Scale shape (all dedup10's): one row per token position, windows
+    * shuffle as 8-byte hashes, the held-out hash set is a hash-keyed
+    * semi-join build side (at 100 TB the held-out/benchmark corpus is
+    * the small side by construction — eval sets are curated, not
+    * crawled), and span merging is ONE per-doc window pass. A 64-bit
+    * collision can only ADD a spurious window to a span (same ±1
+    * tolerance as dedup08/10).
+    */
+  private[graft] def substringContamination(
+      docs: DataFrame, heldOut: Column,
+      cacheKey: Option[String] = None): DataFrame = {
+    val chunked = strideWindowRows(docs, carry = Seq("source"))
+    // Held-out probe and train side both consume the window rows — pin
+    // them once (the dedup10 discipline; separate key because this
+    // frame carries the split column).
+    val windows = cacheKey.fold(chunked)(key =>
+      graft.GraftCache.getOrPersist(key)(chunked))
+    val held = windows.filter(heldOut).select("h").distinct()
+    val flagged = windows.filter(!heldOut)
+      .join(held, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    mergeWindowIslands(flagged)
   }
 
   private[operators] def paragraphDupStats(

@@ -4,6 +4,77 @@ import graft.SparkSpec
 
 class CurationTextSpec extends SparkSpec {
 
+  test("cur16 flags exact contaminated span boundaries on a hand-built corpus") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val k = Dedup.SubstringWindow // 15
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val cBlock = toks("c", 20)
+    val docs = Seq(
+      (100L, "src0", cBlock), // held-out/benchmark side
+      // P1 embedded at token offset 5: windows 5..10 match the held-out
+      // doc's windows 0..5 -> ONE maximal span [5, 24].
+      (1L, "src1", toks("a", 5) + " " + cBlock + " " + toks("b", 5)),
+      (2L, "src1", toks("d", 30)), // clean
+      // Train-train verbatim duplication (3 == 4) is dedup10's business,
+      // NOT contamination: neither may flag.
+      (3L, "src1", toks("e", 20)),
+      (4L, "src2", toks("e", 20)),
+      // Two contaminated windows 30 tokens apart -> two separate spans.
+      (5L, "src1", toks("c", 15) + " " + toks("x", 15) + " " + toks("c", 15)),
+      // Exactly-adjacent contaminated windows (gap == k) -> ONE span.
+      (6L, "src1", toks("c", 15) + " " + toks("c", 15)))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.substringContamination(docs, col("source") === "src0")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val expected = Set(
+      (1L, 1L, 5, 24, 6L),
+      (5L, 1L, 0, k - 1, 1L), (5L, 2L, 30, 30 + k - 1, 1L),
+      (6L, 1L, 0, 2 * k - 1, 2L))
+    assert(got == expected, s"got $got")
+    // The contrast that makes cur16 its own operator: dedup10 over the
+    // SAME corpus DOES flag the train-train pair (3, 4).
+    val within = Dedup.substringSpans(docs).collect().map(_.getLong(0)).toSet
+    assert(within.contains(3L) && within.contains(4L),
+      "within-corpus span dedup must still see the train-train repeat")
+  }
+
+  test("cur16 equals a driver-side ExactSubstr replay over the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val k = Dedup.SubstringWindow
+    def windows(text: String): Seq[(Int, String)] = {
+      val t = text.split(" ", -1)
+      if (t.length < k) Seq.empty
+      else (0 to t.length - k).map(i => i -> t.slice(i, i + k).mkString(" "))
+    }
+    val held = docs.filter(_._2 == "src0").flatMap(d => windows(d._3)).map(_._2).toSet
+    val expected = docs.filter(_._2 != "src0").flatMap { case (id, _, text) =>
+      val flagged = windows(text).collect { case (p, w) if held(w) => p }
+      // Island merge: consecutive flagged starts within k tokens.
+      val spans = flagged.foldLeft(List.empty[(Int, Int, Long)]) {
+        case (acc, p) if acc.nonEmpty && p - acc.head._2 <= k =>
+          (acc.head._1, p, acc.head._3 + 1) :: acc.tail
+        case (acc, p) => (p, p, 1L) :: acc
+      }.reverse
+      spans.zipWithIndex.map { case ((s, e, n), i) =>
+        (id, (i + 1).toLong, s, e + k - 1, n)
+      }
+    }.toSet
+    val got = Curation.cur16SubstringContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(got == expected,
+      s"got ${got.size} spans, expected ${expected.size}")
+    // Live check: the replay itself must have found some contamination
+    // at this sf or the test proves nothing.
+    assert(expected.nonEmpty, "corpus must carry cross-split overlap")
+  }
+
   test("cur05 mix weights: shares sum to 1, uniform target inverts shares") {
     val rows = Curation.cur05MixWeights(spark, sf).collect()
     assert(rows.nonEmpty)

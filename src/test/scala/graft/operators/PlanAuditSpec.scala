@@ -388,6 +388,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("cur16: contamination probe is hash-keyed equi-joins only") {
+    // The cross-split check must stay the dedup10 shape: the held-out
+    // membership probe is a semi-join on the 8-byte window hash, span
+    // merging a per-doc window — every exchange keyed on h/doc_id, no
+    // window STRING in any partitioning, no pair-space join anywhere.
+    val plan = finalPlan(Curation.cur16SubstringContamination(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"held-out probe must stay an equi-join:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    val keyRef = "([A-Za-z_][A-Za-z0-9_]*)#\\d+".r
+    exchanges.foreach { e =>
+      val keys = keyRef.findAllMatchIn(
+        e.substring(e.indexOf("hashpartitioning"))).map(_.group(1)).toSet
+      assert(keys.subsetOf(Set("h", "doc_id")),
+        s"unexpected shuffle keys $keys (expected only h/doc_id): $e")
+    }
+  }
+
   test("etl03: the global surrogate-key windows consume only the dim-sized distinct frame") {
     // etl03's dense_rank runs over Window.orderBy(event_type) — a
     // single-partition sort, accepted ONLY because its input is the
