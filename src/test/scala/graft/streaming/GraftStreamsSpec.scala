@@ -790,6 +790,84 @@ class GraftStreamsSpec extends SparkSpec {
       s"cross-batch session must merge and emit ONCE, got ${rows.toSeq}")
   }
 
+  test("stream13 under RocksDB state: batch equality holds on the deployment provider") {
+    import spark.implicits._
+    // The default HDFS-backed state store keeps open sessions on the
+    // JVM heap — at 100x open-session cardinality it is the first
+    // thing to fall over, so the deployment posture (SURVEY §5) is the
+    // RocksDB provider (native memory + local SST files, ships with
+    // Spark 4). This leg re-runs the full-corpus equivalence AND the
+    // cross-micro-batch merge under that provider: the session-window
+    // semantics must not depend on which state store holds the state.
+    val providerCls =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val available =
+      try { Class.forName(providerCls); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(available,
+      s"SKIPPING LOUDLY: $providerCls not on this Spark classpath — " +
+        "the RocksDB deployment-posture leg cannot run here")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, providerCls)
+      // Leg 1: full-corpus closed-prefix equality with batch q37.
+      val batchSet = graft.operators.Relational.q37SessionWindow(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val input = Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, Timestamp, Double)].collect()
+      val wm = input.map(_._2.getTime).max - 2L * 3600 * 1000
+      val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+      val q = GraftStreams.sessionWindowAgg(
+          stream.toDF().toDF("user_id", "ts", "value"))
+        .writeStream.format("memory").queryName("session_window_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(input.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("session_window_rocks").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed.subsetOf(batchSet),
+        s"RocksDB leg emitted a non-batch session: ${streamed -- batchSet}")
+      val closed = batchSet.filter(_._3.getTime < wm)
+      assert(closed.subsetOf(streamed),
+        s"RocksDB leg dropped closed sessions: ${(closed -- streamed).take(3)}")
+      assert(closed.nonEmpty)
+      // Leg 2: the cross-micro-batch merge really exercises RocksDB
+      // state across batches (one session, two batches, one emission).
+      val stream2 = MemoryStream[(Long, Timestamp, Double)](spark)
+      val q2 = GraftStreams.sessionWindowAgg(
+          stream2.toDF().toDF("user_id", "ts", "value"),
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("session_merge_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream2.addData((9L, new Timestamp(0L), 1.0))
+        q2.processAllAvailable()
+        stream2.addData((9L, new Timestamp(1000L * 1000), 2.0))
+        q2.processAllAvailable()
+        stream2.addData((8L, new Timestamp(50000L * 1000), 0.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val merged = spark.table("session_merge_rocks").collect()
+        .filter(_.getLong(0) == 9L)
+        .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4)))
+      assert(merged.toSeq == Seq((0L, (1000L + 1800) * 1000, 2L, 3.0)),
+        s"cross-batch merge under RocksDB, got ${merged.toSeq}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("q37/stream13 merge law: boundary-inclusive merge at exactly the 30-min gap") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
