@@ -128,6 +128,7 @@ object SparkEntry {
     "sim14_sq_ann" -> Similarity.sim14SqAnn _,
     "sim15_ivfpq" -> Similarity.sim15IvfPq _,
     "sim16_nprobe_sweep" -> Similarity.sim16NprobeSweep _,
+    "sim17_staleness_monitor" -> Similarity.sim17StalenessMonitor _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -524,6 +525,61 @@ object SparkEntry {
          round(CAST(sum(CASE WHEN probe_rank <= nprobe THEN 1 ELSE 0 END) AS DOUBLE)
            / count(*), 4) AS recall_at_k
        FROM h, sweep GROUP BY q_id, nprobe ORDER BY q_id, nprobe"""
+  }
+
+  /** Generated DuckDB replay of sim17's staleness monitor: trained
+    * codebook (the sim03 kmeansCteSql chain), the drift-synthesized
+    * append batches (the reversal blend at t = b·StaleDriftStep —
+    * identical IEEE ops on both engines), per-level exact top-k via the
+    * level explode (a row tagged batch b exists at levels b..B),
+    * literal-codebook assignment, probe ranking, and the hit
+    * aggregation — all constants shared with
+    * [[graft.operators.Similarity]] (the etl27 discipline).
+    */
+  private val Sim17OracleSql: String = {
+    import graft.operators.Similarity.{KmeansIters, NProbe, NumQueryVectors,
+      StaleBatches, StaleDriftStep, StaleIdBase, TopK}
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ${kmeansCteSql(16, KmeansIters, cosine = true)},
+       c AS (SELECT cid, cv FROM kc$KmeansIters),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueryVectors),
+       ap AS (SELECT $StaleIdBase + b*100 + q_id AS vec_id,
+           list_transform(range(1, 65), i ->
+             (1.0 - b*$StaleDriftStep)*qv[CAST(i AS INT)] +
+               (b*$StaleDriftStep)*qv[CAST(65 - i AS INT)]) AS v,
+           CAST(b AS INT) AS batch
+         FROM q, unnest(range(1, ${StaleBatches + 1})) AS t(b)),
+       fc AS (SELECT vec_id, v, 0 AS batch FROM e
+              UNION ALL SELECT vec_id, v, batch FROM ap),
+       assign AS (SELECT vec_id, v, batch, cell FROM (
+           SELECT f.vec_id, f.v, f.batch, c.cid AS cell, row_number() OVER (
+               PARTITION BY f.vec_id
+               ORDER BY list_cosine_similarity(f.v, c.cv) DESC, c.cid) AS crk
+           FROM fc f, c) WHERE crk = 1),
+       s AS (SELECT q.q_id, a.vec_id, a.batch, a.cell,
+               round(list_cosine_similarity(q.qv, a.v), 4) AS cos
+             FROM q, assign a WHERE a.vec_id <> q.q_id),
+       lv AS (SELECT q_id, vec_id, cell, cos,
+                unnest(range(batch, ${StaleBatches + 1})) AS staleness
+              FROM s),
+       tk AS (SELECT q_id, staleness, vec_id, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id, staleness
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM lv) WHERE rk <= $TopK),
+       pr AS (SELECT q_id, cell, CAST(crk AS INT) AS probe_rank FROM (
+           SELECT q.q_id, c.cid AS cell, row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS crk
+           FROM q, c)),
+       h AS (SELECT tk.staleness, pr.probe_rank
+             FROM tk JOIN pr ON pr.q_id = tk.q_id AND pr.cell = tk.cell)
+       SELECT CAST(staleness AS INT) AS staleness,
+         CAST(staleness * $NumQueryVectors AS BIGINT) AS n_appended,
+         count(*) AS n_exact,
+         CAST(sum(CASE WHEN probe_rank <= $NProbe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         round(CAST(sum(CASE WHEN probe_rank <= $NProbe THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 4) AS recall_at_k
+       FROM h GROUP BY staleness ORDER BY staleness"""
   }
 
   /** Generated DuckDB replay of sim02's hyperplane LSH search. The ±1
@@ -1624,6 +1680,7 @@ object SparkEntry {
            FROM exact) WHERE rk <= 10
          ORDER BY q_id, rk""",
     "sim16_nprobe_sweep" -> Sim16OracleSql,
+    "sim17_staleness_monitor" -> Sim17OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

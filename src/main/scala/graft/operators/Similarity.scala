@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Similarity {
 
   val TopK = 10
-  private val NumQueryVectors = 5
+  private[graft] val NumQueryVectors = 5
 
   /** sim01: exact brute-force top-k cosine neighbors for each query
     * vector. Ranking is done on the 4-dp-rounded score (with the vec id
@@ -936,6 +936,125 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 4)
           .as("recall_at_k"))
       .orderBy("q_id", "nprobe")
+  }
+
+  /** sim17's staleness grid: append batches 1..[[StaleBatches]], each
+    * drifting further from the training distribution. Batch b's
+    * appended vector for query q blends the query toward its own
+    * element-REVERSED vector at fraction t = b·[[StaleDriftStep]]:
+    * same magnitude scale (so the append stays a genuine near
+    * neighbor — the hard case for a stale index) while the direction
+    * rotates away from anything the codebook was trained on.
+    * Engine-portable by construction: the blend is two IEEE ops per
+    * element on corpus doubles, replayed verbatim in the oracle.
+    */
+  val StaleBatches = 3
+  val StaleDriftStep = 0.2
+  val StaleIdBase = 1000000L
+
+  /** sim17: INDEX-STALENESS monitor for the streamed IVF appends —
+    * stream11 maintains the cell layout between re-trains, but nothing
+    * measures WHEN re-training is due: appended vectors that drift
+    * from the training distribution land in cells their true queries
+    * do not probe, and recall decays silently. This operator reports
+    * recall@k of the DEPLOYED config (trained codebook, NProbe probes)
+    * over the post-append corpus at every staleness level s (= append
+    * batches applied, 0..[[StaleBatches]]) against the exact baseline
+    * over the same corpus — the re-train trigger a production ANN
+    * deployment thresholds on.
+    *
+    * One-pass shape (sim16's candidate-recall identity): with exact
+    * rescoring a true neighbor is retrieved iff its cell is probed, so
+    * no per-level search runs — score the merged corpus ONCE against
+    * the broadcast queries, explode each row into the staleness levels
+    * that include it (batch..B — ×(B+1) of one corpus scan, the whole
+    * evaluation), bounded-heap top-k per (query, level), then join
+    * each exact neighbor's cell against the query's probe RANK and
+    * aggregate hits per level. Appends are assigned by the SAME
+    * literal-argmax rule as stream11's landings (one definition —
+    * the monitor can never drift from the index it monitors).
+    *
+    * The monitor REPORTS the recall trajectory; decay is the alarm
+    * condition, not a guaranteed shape — on this corpus at these drift
+    * levels the curve is flat-to-rising (appends near old queries land
+    * in probed cells), which is itself the answer "no re-train due".
+    * The DuckDB oracle replays training → drift synthesis → per-level
+    * exact ranking → assignment → probe ranking → hit aggregation; the
+    * spec pins recall-monotone-nonincreasing (with strict decay) on a
+    * drift-injected synthetic corpus where the cell flip is analytic —
+    * when staleness DOES cost recall, the monitor provably shows it.
+    */
+  def sim17StalenessMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val centroids = trainedCodebook(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    stalenessCurve(e.select("vec_id", "v"), driftedAppends(queries),
+        centroids, NProbe, queries, StaleBatches)
+      .select(col("staleness"),
+        (col("staleness").cast("long") * NumQueryVectors).as("n_appended"),
+        col("n_exact"), col("n_hit"), col("recall_at_k"))
+  }
+
+  /** One drifted append per (query, batch): vec_id =
+    * [[StaleIdBase]] + batch·100 + q_id, vector = the reversal blend at
+    * t = batch·[[StaleDriftStep]].
+    */
+  private[graft] def driftedAppends(queries: DataFrame): DataFrame =
+    queries
+      .select(col("q_id"), col("qv"),
+        explode(sequence(lit(1), lit(StaleBatches))).as("batch"))
+      .withColumn("t", col("batch").cast("double") * lit(StaleDriftStep))
+      .select(
+        (lit(StaleIdBase) + col("batch") * 100L + col("q_id")).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (lit(1.0) - col("t")) * element_at(col("qv"), i) +
+            col("t") * element_at(col("qv"), lit(65) - i)).as("v"),
+        col("batch").cast("int").as("batch"))
+
+  /** Core of sim17 over any (base corpus, appends, codebook, probe
+    * config, query set) — separable so the spec can drive hand-built
+    * centroids and analytically-placed appends.
+    */
+  private[graft] def stalenessCurve(
+      base: DataFrame, appends: DataFrame,
+      centroids: Array[(Long, Array[Double])],
+      nprobe: Int, queries: DataFrame, maxBatch: Int): DataFrame = {
+    val full = base.select(col("vec_id"), col("v"), lit(0).as("batch"))
+      .unionByName(appends.select(col("vec_id"), col("v"),
+        col("batch").cast("int").as("batch")))
+    // Literal-argmax assignment (sim03/stream11's rule) with the batch
+    // tag carried through — scan stage, zero Exchange.
+    val best = array_max(centroidScores(col("v"), centroids))
+    val assigned = full.select(col("vec_id"), col("v"), col("batch"),
+      (-best.getField("negcid")).as("cell"))
+    val scored = assigned.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("batch"), col("cell"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      // A vector tagged batch b exists at levels b..maxBatch — the
+      // per-level corpora share one scan.
+      .withColumn("staleness",
+        explode(sequence(col("batch"), lit(maxBatch))))
+    val topk = graft.plans.TopKPerKey(scored,
+      keyCols = Seq("q_id", "staleness"),
+      orderCols = Seq(("cos", true), ("vec_id", false)),
+      k = TopK)
+    // Each query's rank over ALL cells (sim16's un-truncated probe
+    // ordering): hit ⇔ the neighbor's cell ranks ≤ nprobe.
+    val probeRank = queries
+      .select(col("q_id"),
+        posexplode(reverse(array_sort(centroidScores(col("qv"), centroids))))
+          .as(Seq("pos", "pc")))
+      .select(col("q_id"), (-col("pc.negcid")).as("cell"),
+        (col("pos") + 1).cast("int").as("probe_rank"))
+    topk
+      .join(broadcast(probeRank), Seq("q_id", "cell"))
+      .groupBy("staleness")
+      .agg(count(lit(1)).as("n_exact"),
+        sum((col("probe_rank") <= nprobe).cast("long")).as("n_hit"))
+      .withColumn("recall_at_k",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy("staleness")
   }
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {

@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("57 mixed queries submitted concurrently produce sequential results") {
+  test("58 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -44,7 +44,9 @@ class ConcurrencySpec extends SparkSpec {
       "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
       "sim09_kmeans", "sim12_filtered_ann", "sim14_sq_ann",
-      "sim16_nprobe_sweep",
+      // sim17 races the trained-codebook computeIfAbsent alongside
+      // sim08/sim16 and drives the level-exploded TopKPerKey shape.
+      "sim16_nprobe_sweep", "sim17_staleness_monitor",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       // cur15 twice-invoked shape rides the mix too: it races its own

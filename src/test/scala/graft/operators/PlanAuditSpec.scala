@@ -105,7 +105,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim11_mmr_diversify",  // fixed probe set
       "sim13_hybrid_rrf",     // fixed probe set (vector leg = sim01 shape)
       "sim14_sq_ann",         // fixed probe set (sim08's refine shape)
-      "sim16_nprobe_sweep")   // fixed probe set (exact leg = sim01's shape)
+      "sim16_nprobe_sweep",   // fixed probe set (exact leg = sim01's shape)
+      "sim17_staleness_monitor") // fixed probe set (sim01's scan, level-exploded)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (!boundedBuild(name)) {
@@ -385,6 +386,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "cur15's keep cut is a scalar threshold — no rank window, no " +
         "global sort may appear at any corpus size")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sim17: per-level top-k prunes map-side; probe join broadcasts") {
+    // The level explode multiplies the scored stream ×(B+1) — the
+    // bounded heap must still prune each partition before the one
+    // (q_id, staleness) shuffle, and the probe-rank frame (a
+    // |queries|×|cells| scalar grid) must join as a broadcast, never
+    // shuffle the exploded stream a second time.
+    val plan = finalPlan(Similarity.sim17StalenessMonitor(spark, sf))
+    assert(plan.contains("TopKPerKeyPartial"),
+      "per-(query, level) top-k must prune map-side before the shuffle")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe-rank grid must broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
 

@@ -468,4 +468,66 @@ class SimilaritySpec extends SparkSpec {
           s"(${rows((q, Similarity.NProbe))._3}) != deployed sim03 recall ($measured)")
     }
   }
+
+  test("sim17 staleness: recall decays monotonically on a drift-injected corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    // Hand-built geometry where the cell flip is analytic: 4 centroids
+    // on axes e1..e4, one query on e1 probing ONLY its own cell
+    // (nprobe = 1), fillers on axes e5..e9 (centroid-orthogonal — the
+    // all-zero score ties to cell 0, which IS probed). Append batch b
+    // blends the query toward e2 at t = 0.3b: batch 1 stays in cell 0
+    // (hit), batches 2 and 3 cross into cell 1 (miss) while remaining
+    // genuine top-k neighbors — exactly the silent-decay shape the
+    // monitor exists to expose.
+    def axis(d: Int): Array[Double] = {
+      val a = new Array[Double](64); a(d) = 1.0; a
+    }
+    val centroids = (0 until 4).map(c => c.toLong -> axis(c)).toArray
+    val queries = Seq((0L, axis(0).toSeq)).toDF("q_id", "qv")
+    val base = ((0L, axis(0).toSeq) +:
+      (10L to 14L).map(i => i -> axis(i.toInt - 5).toSeq)).toDF("vec_id", "v")
+    val appends = (1 to 3).map { b =>
+      val t = 0.3 * b
+      val v = new Array[Double](64); v(0) = 1.0 - t; v(1) = t
+      (100L + b, v.toSeq, b)
+    }.toDF("vec_id", "v", "batch")
+    val got = Similarity.stalenessCurve(
+        base, appends, centroids, nprobe = 1, queries, maxBatch = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (0, 5L, 5L, 1.0), (1, 6L, 6L, 1.0),
+      (2, 7L, 6L, 0.8571), (3, 8L, 6L, 0.75)),
+      s"analytic decay curve violated: $got")
+    // The property the operator exists for, stated directly.
+    val curve = got.map(_._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a },
+      s"recall must be monotone non-increasing in staleness: $curve")
+    assert(curve.last < curve.head, "drift must produce strict decay")
+  }
+
+  test("sim17 staleness 0 equals sim16's aggregated recall at the deployed NProbe") {
+    // With zero appends the monitor measures exactly what sim16's curve
+    // reports at the production probe count — the two operators must
+    // agree on the deployed index, not be parallel implementations.
+    val s17 = Similarity.sim17StalenessMonitor(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(s17.map(_._1).toSeq == (0 to Similarity.StaleBatches).toSeq)
+    s17.foreach { case (s, nApp, nEx, nHit, rec) =>
+      assert(nApp == s.toLong * 5, "one append per query per batch")
+      assert(nHit <= nEx && rec == math.round(nHit.toDouble / nEx * 1e4) / 1e4)
+    }
+    val s16 = Similarity.sim16NprobeSweep(spark, sf).collect()
+      .filter(_.getInt(1) == Similarity.NProbe)
+      .map(r => (r.getLong(2), r.getLong(3)))
+    val (nEx16, nHit16) = s16.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val level0 = s17.find(_._1 == 0).get
+    assert((level0._3, level0._4) == (nEx16, nHit16),
+      s"staleness-0 hits must equal sim16 at NProbe=${Similarity.NProbe}: " +
+        s"got (${level0._3}, ${level0._4}) vs ($nEx16, $nHit16)")
+  }
 }
