@@ -651,6 +651,109 @@ object GraftStreams {
         coalesce(col("keeper"), lit(-1L)).as("keeper_id"))
   }
 
+  /** One encoded frame arriving on the stream14 keyframe stream. `ts`
+    * is the arrival's event time (drives the watermark + the per-video
+    * state TTL); `frame_idx` orders frames within their video.
+    */
+  case class FrameArrival(
+      video_id: Long, frame_idx: Long, media: Array[Byte], ts: java.sql.Timestamp)
+
+  /** A decoded+fingerprinted frame (the executor-side ImageIO pass). */
+  case class HashedFrame(
+      video_id: Long, frame_idx: Long, phash: Long, ts: java.sql.Timestamp)
+
+  /** Per-video keyframe state: where the last processed frame left off. */
+  case class FrameState(lastIdx: Long, lastHash: Long)
+
+  /** Streaming keyframe verdict — mm08's output shape: `hamming_prev`
+    * is −1 for the first frame of a video within the retention horizon,
+    * else the fingerprint distance to the predecessor (emitted only
+    * when it exceeds the perceptual-noise band).
+    */
+  case class KeyframeOut(video_id: Long, frame_idx: Long, hamming_prev: Long)
+
+  /** stream14 (incremental): streaming VIDEO KEYFRAME extraction — the
+    * streaming twin of [[graft.operators.Multimodal.mm08VideoKeyframes]]
+    * and the one multimodal batch operator that genuinely needs
+    * cross-batch state: the "did this frame change scenes?" decision
+    * compares against the video's LAST frame, which usually arrived in
+    * an earlier micro-batch. Arriving encoded frames are decoded +
+    * fingerprinted on executors per micro-batch (the mm05/mm06 batched
+    * ImageIO path — [[MultimodalStub.decodeImage]] + `aHash64`), then
+    * `flatMapGroupsWithState` keyed by video holds each video's last
+    * (frame_idx, phash) under stream03's sighting-refreshed event-time
+    * TTL: state is O(videos active in the retention horizon) — 16
+    * bytes per video however long the streams run — and a video idle
+    * past the horizon restarts with a fresh `-1` first-frame row (the
+    * documented horizon contract).
+    *
+    * Ordering contract: frames within a video arrive in frame order
+    * (the natural contract of a frame extractor feeding a stream);
+    * within a micro-batch the group sorts by frame_idx, and a frame at
+    * or behind the video's processed frontier is DROPPED (a duplicate
+    * delivery or an out-of-contract late frame — the watermark governs
+    * how late a batch may be, the frontier governs order within the
+    * video). Under that contract the emitted keyframe set equals batch
+    * mm08 over the same frames, invariant under re-batching —
+    * spec-pinned over the REAL staged mm08 PNG corpus.
+    */
+  def streamingKeyframes(
+      frames: Dataset[FrameArrival],
+      watermarkDelay: String = DedupWatermarkDelay,
+      retentionMs: Long = DedupRetentionMs): Dataset[KeyframeOut] = {
+    import graft.operators.{Multimodal, MultimodalStub}
+    implicit val hashedEnc: Encoder[HashedFrame] = ExpressionEncoder()
+    implicit val stateEnc: Encoder[FrameState] = ExpressionEncoder()
+    implicit val outEnc: Encoder[KeyframeOut] = ExpressionEncoder()
+    implicit val longEnc: Encoder[Long] = ExpressionEncoder()
+    val hashed = frames.mapPartitions { it =>
+      // Batched decode — the multimodal executor contract (no per-row
+      // codec setup, no driver involvement).
+      it.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { f =>
+          val (w, h, rgb) = MultimodalStub.decodeImage(f.media)
+          HashedFrame(f.video_id, f.frame_idx,
+            MultimodalStub.aHash64(w, h, rgb), f.ts)
+        }
+      }
+    }
+    hashed
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.video_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (video: Long, arrivals: Iterator[HashedFrame], state: GroupState[FrameState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed last sighting + retention: forget the
+            // video. Its next frame starts a fresh sequence.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = arrivals.toSeq.sortBy(_.frame_idx)
+            var st = state.getOption
+            val out = Seq.newBuilder[KeyframeOut]
+            sorted.foreach { f =>
+              st match {
+                case None =>
+                  out += KeyframeOut(video, f.frame_idx, -1L)
+                  st = Some(FrameState(f.frame_idx, f.phash))
+                case Some(s) if f.frame_idx > s.lastIdx =>
+                  val d = java.lang.Long.bitCount(f.phash ^ s.lastHash).toLong
+                  if (d > Multimodal.Mm06MaxHamming)
+                    out += KeyframeOut(video, f.frame_idx, d)
+                  st = Some(FrameState(f.frame_idx, f.phash))
+                case _ => // at/behind the frontier: duplicate or
+                  // out-of-contract late frame — dropped.
+              }
+            }
+            st.foreach(state.update)
+            val maxTs = sorted.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMs)
+            out.result().iterator
+          }
+      }
+  }
+
   def upsertBatchToJdbc(batch: DataFrame, url: String,
       driver: String, master: String, keyCol: String): Unit = {
     val staging = s"${master}_staging"

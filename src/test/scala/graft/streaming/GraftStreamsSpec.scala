@@ -868,6 +868,83 @@ class GraftStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream14: streaming keyframes equal batch mm08 over the staged frames, re-batching-invariant") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val expected = Multimodal.mm08VideoKeyframes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // The REAL staged PNG corpus, as arrivals in frame order (ts =
+    // epoch + frame_idx seconds — the extractor-feed contract).
+    val frames = Multimodal.mm08FrameFiles(spark, sf).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        // ts strictly above the initial watermark (0): an event AT the
+        // watermark is filtered from the stateful function's input.
+        GraftStreams.FrameArrival(id / 1000L, id % 1000L,
+          r.getAs[Array[Byte]]("media"),
+          new Timestamp((3600L + id % 1000L) * 1000L))
+      }
+      .sortBy(f => (f.frame_idx, f.video_id))
+    def run(batches: Seq[Seq[GraftStreams.FrameArrival]], name: String): Set[(Long, Long, Long)] = {
+      val stream = MemoryStream[GraftStreams.FrameArrival](spark)
+      val q = GraftStreams.streamingKeyframes(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // Three micro-batches split mid-video: every scene-cut comparison
+    // at the split boundary must come out of the state store.
+    val threeBatches = run(Seq(
+      frames.filter(_.frame_idx < 10).toSeq,
+      frames.filter(f => f.frame_idx >= 10 && f.frame_idx < 21).toSeq,
+      frames.filter(_.frame_idx >= 21).toSeq), "keyframes_3b")
+    assert(threeBatches == expected,
+      s"streamed keyframes != batch mm08: extra=${(threeBatches -- expected).take(3)} " +
+        s"missing=${(expected -- threeBatches).take(3)}")
+    // Re-batching invariance: one batch lands the identical set.
+    assert(run(Seq(frames.toSeq), "keyframes_1b") == expected)
+  }
+
+  test("stream14 TTL: idle video evicts and restarts fresh; frontier drops late frames") {
+    import graft.operators.MultimodalStub
+    import spark.implicits._
+    def arrival(v: Long, f: Long, hash: Long, sec: Long) =
+      GraftStreams.FrameArrival(v, f, MultimodalStub.barcodePng(hash),
+        new Timestamp(sec * 1000))
+    val stream = MemoryStream[GraftStreams.FrameArrival](spark)
+    val q = GraftStreams.streamingKeyframes(stream.toDS(),
+        watermarkDelay = "0 seconds", retentionMs = 10000L)
+      .writeStream.format("memory").queryName("keyframes_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Video 5 frame 0: first frame emits -1, state armed to +10 s.
+      // (ts strictly above the initial watermark 0, or it is filtered.)
+      stream.addData(arrival(5L, 0L, 0xAAL, 10L))
+      q.processAllAvailable()
+      // An unrelated video drives the watermark far past the TTL:
+      // video 5's state must evict.
+      stream.addData(arrival(6L, 0L, 0x01L, 100L))
+      q.processAllAvailable()
+      // Video 5 frame 1 with the IDENTICAL fingerprint: with live
+      // state it would be suppressed (hamming 0); after eviction it is
+      // a fresh first frame -> the -1 row proves the eviction.
+      stream.addData(arrival(5L, 1L, 0xAAL, 200L))
+      q.processAllAvailable()
+      // Behind-the-frontier frame (idx 0 again, different hash): must
+      // be dropped, not compared.
+      stream.addData(arrival(5L, 0L, 0x55L, 201L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("keyframes_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 0L, -1L), (6L, 0L, -1L), (5L, 1L, -1L)),
+      s"TTL/frontier contract violated: $got")
+  }
+
   test("q37/stream13 merge law: boundary-inclusive merge at exactly the 30-min gap") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
