@@ -26,11 +26,15 @@ object Bench {
 
   /** Render the final summary line. Degrades in steps until it fits
     * [[MaxLineChars]]: full errors (≤8 class-name tokens + overflow
-    * count) → errors as bare count → 2-dp timings → no per-query
-    * timings at all (total + counts only). The last step guarantees
-    * the line fits REGARDLESS of how large the query surface grows;
-    * full-precision per-query numbers always live in
-    * /tmp/graft_bench_full.json and on stderr.
+    * count) → errors as bare count → 2-dp timings → ~2-significant-
+    * figure timings (trailing zeros trimmed: "0.32", "1.2", "12" — the
+    * step that keeps per-query numbers alive past ~140 queries, where
+    * even 2 dp overflows the window; 2 sig figs is ample for the 2×
+    * floor comparisons the record feeds) → no per-query timings at all
+    * (total + counts only). The last step guarantees the line fits
+    * REGARDLESS of how large the query surface grows; full-precision
+    * per-query numbers always live in /tmp/graft_bench_full.json and
+    * on stderr.
     *
     * `suspect` self-identifies contamination (round-11 directive): the
     * queries whose FINAL time is still >[[PriorRatio]]× their best
@@ -45,9 +49,20 @@ object Bench {
       sfDir: String,
       suspect: Seq[String] = Nil): String = {
     val total = results.map(_._2).sum
+    // Trailing zeros trimmed ("0.300" → "0.3") — free chars at every
+    // degradation step; toPlainString keeps integers out of E-notation.
+    def trim(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
     def qJson(scale: Int): String = results.map { case (k, v) =>
-      "\"" + shortId(k) + "\":" +
-        BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      "\"" + shortId(k) + "\":" + trim(v, scale)
+    }.mkString("{", ",", "}")
+    val qShort = results.map { case (k, v) =>
+      val s =
+        if (v >= 9.995) trim(v, 0)
+        else if (v >= 0.995) trim(v, 1)
+        else trim(v, 2)
+      "\"" + shortId(k) + "\":" + s
     }.mkString("{", ",", "}")
     // Errors are one short token each (exception class, truncated BEFORE
     // escaping so a split escape can't orphan a backslash), at most 8
@@ -69,7 +84,8 @@ object Bench {
     def line(qs: String, es: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"suspect":$suspectJson,"sf":"$sfDir"}"""
     val noTimings = line("{\"_count\":" + results.size + "}", countOnly)
-    Seq(line(qJson(3), errJson), line(qJson(3), countOnly), line(qJson(2), countOnly), noTimings)
+    Seq(line(qJson(3), errJson), line(qJson(3), countOnly),
+        line(qJson(2), countOnly), line(qShort, countOnly), noTimings)
       .find(_.length <= MaxLineChars)
       .getOrElse(noTimings)
   }

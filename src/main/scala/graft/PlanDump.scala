@@ -89,7 +89,13 @@ object PlanDump {
       "mm08_video_keyframes" ->
         "video keyframes: binaryFile scan + executor decode, ONE per-video lag window, no global frame sort",
       "text19_tfidf_keywords" ->
-        "TF-IDF keywords: vocab-keyed df join + 1-row N broadcast, per-doc top-5 via bounded-heap TopKPerKey")
+        "TF-IDF keywords: vocab-keyed df join + 1-row N broadcast, per-doc top-5 via bounded-heap TopKPerKey",
+      "cur16_substring_contamination" ->
+        "substring decontamination: stride-1 hash stream, held-out semi-join probe, one window pass merges islands",
+      "sim17_staleness_monitor" ->
+        "staleness monitor: one merged-corpus scan, level explode, bounded-heap per-(query,level) top-k, broadcast probe ranks",
+      "mm09_feature_real" ->
+        "real featurizer: binaryFile scan + executor decode, batched per-channel statistics kernel")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

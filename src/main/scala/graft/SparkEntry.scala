@@ -148,7 +148,7 @@ object SparkEntry {
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
-    "mm03_feature_real" -> Multimodal.mm03FeatureReal _,
+    "mm09_feature_real" -> Multimodal.mm09FeatureReal _,
     "mm04_resize_stub" -> Multimodal.mm04ResizeStub _,
     "mm05_binary_ingest" -> Multimodal.mm05BinaryIngest _,
     "mm06_phash_dedup" -> Multimodal.mm06PhashDedup _,
@@ -2243,7 +2243,7 @@ object SparkEntry {
            coalesce(max(CASE WHEN dim = 7 THEN fv END), 0.0) AS f7
          FROM n LEFT JOIN f ON n.doc_id = f.doc_id
          GROUP BY n.doc_id, n.n_bytes ORDER BY n.doc_id""",
-    "mm03_feature_real" ->
+    "mm09_feature_real" ->
       // The REAL featurizer (ImageIO decode -> per-channel stats) closed
       // over arithmetic: the staged test cards put channel value
       // c + offset + x + y (c = id%249, all < 256) at pixel (x,y), so

@@ -202,7 +202,7 @@ object Multimodal {
     * driver tables that carry no media; a GPU featurizer swaps in
     * behind the identical schema/batch shape.
     */
-  def mm03FeatureReal(spark: SparkSession, dir: String): DataFrame =
+  def mm09FeatureReal(spark: SparkSession, dir: String): DataFrame =
     featureMeta(mm05Files(spark, dir))
 
   /** mm06's hamming radius for perceptual near-duplicate pairs. */

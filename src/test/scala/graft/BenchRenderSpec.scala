@@ -184,6 +184,32 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(ids2.size == 17)
   }
 
+  test("shortIds are unique across the query surface") {
+    // The summary line, the prior-record floor, and the suspect list
+    // all key per-query data on shortId (the prefix before the first
+    // underscore). Two queries sharing one shortId would silently
+    // collapse into a single ambiguous record entry — exactly what a
+    // first draft of round-13's mm09_feature_real did by reusing
+    // mm03's number.
+    val ids = SparkEntry.queries.keys.toSeq
+    val dup = ids.groupBy(i => i.takeWhile(_ != '_'))
+      .collect { case (s, ks) if ks.size > 1 => s -> ks.sorted }
+    assert(dup.isEmpty, s"colliding shortIds: $dup")
+  }
+
+  test("the full current surface keeps per-query timings in the line") {
+    // 140+ queries overflow even the 2-dp step; the 2-sig-fig step must
+    // keep every timing alive (the judge grades per-query ratios off
+    // this line — counts-only would blind the round's perf record).
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234)
+    val line = Bench.renderLine(results, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.MaxLineChars, s"len=${line.length}")
+    val parsed = Bench.parsePriorTimes(line, "/root/testdata/sf0.1")
+    assert(parsed.size == results.size,
+      s"per-query timings must survive at the current surface size: " +
+        s"parsed ${parsed.size} of ${results.size}")
+  }
+
   test("priorRecord: min-merges the real repo records (contamination defense)") {
     // Runs in the repo root where BENCH_r*.json live; if none parse at
     // this sf the map is empty and the family fallback governs — both

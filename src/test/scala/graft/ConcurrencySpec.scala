@@ -57,11 +57,11 @@ class ConcurrencySpec extends SparkSpec {
       "cur14_epoch_schedule", "cur15_quality_classifier",
       "cur16_substring_contamination",
       "mm01_binary_meta", "mm04_resize_stub",
-      // mm03_feature_real races the mm05 staged-PNG TableBuild ensure
+      // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own
       // TableBuild staged-frame ensure; q37 rides along as the native
       // session-window shape in the mix.
-      "mm03_feature_real",
+      "mm09_feature_real",
       "mm06_phash_dedup", "mm07_phash_blocked", "mm08_video_keyframes",
       "q37_session_window")
     val sequential = names.map(n =>

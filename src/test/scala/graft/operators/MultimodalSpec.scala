@@ -212,8 +212,8 @@ class MultimodalSpec extends SparkSpec {
     assert((solid(0), solid(3), solid(7)) == (200.0, 8.0, 8.0))
   }
 
-  test("mm03FeatureReal earns the analytic feature law over the staged PNGs") {
-    val got = Multimodal.mm03FeatureReal(spark, sf).collect()
+  test("mm09FeatureReal earns the analytic feature law over the staged PNGs") {
+    val got = Multimodal.mm09FeatureReal(spark, sf).collect()
     assert(got.length == Multimodal.Mm05Images)
     val sVals = Seq(0, 1, 1, 2, 2, 3, 3, 4) // x+y multiset of the 4x2 card
     got.foreach { r =>
@@ -231,7 +231,7 @@ class MultimodalSpec extends SparkSpec {
       }
     }
     // Deterministic across runs (same staged files, same kernel).
-    val again = Multimodal.mm03FeatureReal(spark, sf).collect()
+    val again = Multimodal.mm09FeatureReal(spark, sf).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
