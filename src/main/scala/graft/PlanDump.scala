@@ -190,16 +190,19 @@ object PlanDump {
       || dedup08 cross-doc dup spans | 1,112 | 7,677 | tracks injected dup mass |
       || dedup10 stride-1 window rows | 201,221 | 2,022,291 | 10.05x - exactly linear |
       || dedup10 spans reported | 437 | 5,860 | tracks true duplication |
+      || cur16 held-out window hashes (semi-join build side) | 9,821 | 101,498 | 10.3x - linear at 1/20 corpus mass (round-13 row) |
+      || cur16 contaminated spans reported | 24 | 733 | tracks injected cross-split dup mass (round-13 row) |
       || vector pair space | 1,999,000 | 199,990,000 | 100x |
       || dedup05 cell candidates | 1,999,000 | 199,990,000 | 100x - the documented adversarial bound (near-uniform embeddings leave no cell pair excludable) |
       || sim07 intra-cell pairs | 125,051 | 12,577,188 | 100.6x at FIXED K=16 |
       || sim15 probed-cell members | 2,536 | 24,950 | 9.8x - linear (NProbe/K of the corpus) |
       || mm07 (8,4)/64-bit blocked candidates | 202 | 2,082 | 10.3x - LINEAR (round-12 row): candidates are the injected near-dup mass itself; the 70-keys-per-image blocking's accidental-collision term is negligible until the per-key birthday bound (~2^16 images per 32-bit key) |
       |
-      |Reading: the linear claims (dedup03, dedup08, dedup10, sim15 -
-      |and now mm07's photo-scale (8,4) 64-bit blocking, measured on
-      |synthetic aHash-range fingerprints with the same injected
-      |near-dup tail) hold for a second decade. The quadratic-at-fixed-config shapes
+      |Reading: the linear claims (dedup03, dedup08, dedup10, sim15,
+      |mm07's photo-scale (8,4) 64-bit blocking - and round 13's cur16
+      |cross-split decontamination, whose held-out hash set is the
+      |semi-join build side and grows at exactly the benchmark split's
+      |1/20 corpus share) hold for a second decade. The quadratic-at-fixed-config shapes
       |did exactly what their scaling knobs predict, and the
       |measurement re-priced two of them:
       |
@@ -222,11 +225,11 @@ object PlanDump {
       |   nobody runs a 16-cell index; the knob, not the join shape, is
       |   what scales.
       |
-      |## Third measured decade (sf1-synth -> sf10-synth, 10x docs / 5x vectors, round 12)
+      |## Third measured decade (sf1-synth -> sf10-synth, 10x docs / 5x vectors, rounds 12-13)
       |
-      |The LINEAR claims are the 100 TB path, so round 12 extended them
-      |one more decade (500k docs / 100k vectors - two decades past the
-      |driver's sf0.1; `runMain graft.operators.GrowthProbe ... deep`,
+      |The LINEAR claims are the 100 TB path, so rounds 12-13 extended
+      |them one more decade (500k docs / 100k vectors - two decades past
+      |the driver's sf0.1; `runMain graft.operators.GrowthProbe ... deep`,
       |same generator v3, measureLinear counts through the operators'
       |own machinery). The deliberately-quadratic reference shapes
       |(dedup04 narrow at fixed config, dedup05's adversarial
@@ -242,6 +245,8 @@ object PlanDump {
       || dedup08 cross-doc dup spans | 7,677 | 76,980 | 10.0x - tracks injected dup mass |
       || dedup10 stride-1 window rows | 2,022,291 | 20,242,048 | 10.01x - exactly linear |
       || dedup10 spans reported | 5,860 | 58,537 | 10.0x - tracks true duplication |
+      || cur16 held-out window hashes (semi-join build side) | 101,498 | 1,013,201 | 9.98x - exactly linear at 1/20 corpus mass (round-13 row) |
+      || cur16 contaminated spans reported | 733 | 7,268 | 9.9x - tracks cross-split dup mass (round-13 row) |
       || mm07 (8,4)/64-bit blocked candidates | 2,082 | 22,556 | 10.8x - linear; accidental-collision term still negligible |
       || sim15 probed-cell members | 24,950 | 125,651 | 5.04x on 5x vectors - exactly linear in the corpus |
       |

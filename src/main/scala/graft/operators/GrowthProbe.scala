@@ -196,6 +196,7 @@ object GrowthProbe {
         size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
       .agg(sum("w")).head.getLong(0))
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
+    cur16Counts(p, docs)
 
     // mm07 photo-scale blocking (round-11 directive item 6): one
     // synthetic 64-bit photo hash per document id (near-dup tail inside
@@ -254,6 +255,7 @@ object GrowthProbe {
         size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
       .agg(sum("w")).head.getLong(0))
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
+    cur16Counts(p, docs)
     locally {
       import spark.implicits._
       val hashes = spark.range(nDocs).as[Long]
@@ -271,6 +273,22 @@ object GrowthProbe {
         .join(broadcast(Similarity.ivfProbes(e, cb)),
           col("cell") === col("probe_cell"))
         .filter(col("vec_id") =!= col("q_id")).count())
+  }
+
+  /** cur16's growth counts, via the operator's own machinery
+    * ([[Dedup.strideWindowRows]] + the semi-join/island merge inside
+    * [[Dedup.substringContamination]]): the held-out (src0) distinct
+    * window-hash set is the semi-join BUILD side (the 100 TB claim:
+    * the benchmark split is the small side — here 1/20 of the corpus
+    * by source), and the reported spans track the injected cross-split
+    * dup mass, not the corpus.
+    */
+  private def cur16Counts(p: (String, Long) => Unit, docs: DataFrame): Unit = {
+    p("cur16_heldout_hashes",
+      Dedup.strideWindowRows(docs, carry = Seq("source"))
+        .filter(col("source") === "src0").select("h").distinct().count())
+    p("cur16_spans_reported",
+      Dedup.substringContamination(docs, col("source") === "src0").count())
   }
 
   def main(args: Array[String]): Unit = {
