@@ -145,6 +145,7 @@ object SparkEntry {
     "cur14_epoch_schedule" -> Curation.cur14EpochSchedule _,
     "cur15_quality_classifier" -> Curation.cur15QualityClassifier _,
     "cur16_substring_contamination" -> Curation.cur16SubstringContamination _,
+    "cur17_contamination_scrub" -> Curation.cur17ContaminationScrub _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -639,10 +640,12 @@ object SparkEntry {
            FROM toks, UNNEST(range(0, greatest(len(t) - ${k - 1}, 0))) AS u(i))"""
   }
 
-  /** The lag/cumsum island merge both span oracles end with: flagged
-    * window starts (doc_id, pos in `flaggedCte`) → maximal spans.
+  /** The lag/cumsum island merge every span oracle runs: flagged
+    * window starts (doc_id, pos in `flaggedCte`) → a `spans` CTE of
+    * maximal spans (CTE form, so dedup10/cur16 can select it verbatim
+    * while cur17 builds the scrub on top of it).
     */
-  private def islandMergeSql(flaggedCte: String): String = {
+  private def islandCtesSql(flaggedCte: String): String = {
     val k = graft.operators.Dedup.SubstringWindow
     s"""g AS (SELECT doc_id, pos,
              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
@@ -652,20 +655,36 @@ object SparkEntry {
          gi AS (SELECT doc_id, pos, sum(is_new) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-           FROM g)
-         SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
-           CAST(min(pos) AS INTEGER) AS start_pos,
-           CAST(max(pos) + ${k - 1} AS INTEGER) AS end_pos,
-           count(*) AS n_windows
-         FROM gi GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
+           FROM g),
+         spans AS (SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+             CAST(min(pos) AS INTEGER) AS start_pos,
+             CAST(max(pos) + ${k - 1} AS INTEGER) AS end_pos,
+             count(*) AS n_windows
+           FROM gi GROUP BY doc_id, span_id)"""
   }
+
+  private val SpanSelectSql: String =
+    """SELECT doc_id, span_id, start_pos, end_pos, n_windows
+       FROM spans ORDER BY doc_id, span_id"""
+
+  /** cur16's flagged-window CTEs (held-out probe over the
+    * source-carrying grammar) — shared by the cur16 and cur17 oracles
+    * so the contamination decision cannot drift between report and
+    * rewrite.
+    */
+  private val Cur16FlaggedCtes: String =
+    s"""${strideWindowSql(withSource = true)},
+         held AS (SELECT DISTINCT s FROM w WHERE source = 'src0'),
+         fl AS (SELECT w.doc_id, w.pos FROM w JOIN held USING (s)
+                WHERE w.source <> 'src0')"""
 
   /** dedup10's oracle: within-corpus window df > 1, island-merged. */
   private val Dedup10OracleSql: String =
     s"""WITH ${strideWindowSql(withSource = false)},
          df AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) > 1),
          fl AS (SELECT w.doc_id, w.pos FROM w JOIN df USING (s)),
-         ${islandMergeSql("fl")}"""
+         ${islandCtesSql("fl")}
+         $SpanSelectSql"""
 
   /** cur16's oracle: the SAME grammar crossed against the held-out
     * split (src0) — a train window is contaminated iff its string
@@ -673,11 +692,40 @@ object SparkEntry {
     * train-train repeats must NOT flag (that is dedup10's business).
     */
   private val Cur16OracleSql: String =
-    s"""WITH ${strideWindowSql(withSource = true)},
-         held AS (SELECT DISTINCT s FROM w WHERE source = 'src0'),
-         fl AS (SELECT w.doc_id, w.pos FROM w JOIN held USING (s)
-                WHERE w.source <> 'src0'),
-         ${islandMergeSql("fl")}"""
+    s"""WITH $Cur16FlaggedCtes,
+         ${islandCtesSql("fl")}
+         $SpanSelectSql"""
+
+  /** cur17's oracle: cur16's identical flagged-window CTEs, then the
+    * scrub — covered positions are the union of [pos, pos+k−1] over
+    * flagged windows (exactly the island spans' extent, so
+    * Σ(end−start+1) is the removed count), surviving tokens rebuild in
+    * position order. Empty rebuilds (fully-covered docs) coalesce to
+    * '' on both sides.
+    */
+  private val Cur17OracleSql: String = {
+    val k = graft.operators.Dedup.SubstringWindow
+    s"""WITH $Cur16FlaggedCtes,
+         ${islandCtesSql("fl")},
+         cov AS (SELECT DISTINCT doc_id, CAST(pos + u.i AS INT) AS cp
+                 FROM fl, unnest(range(0, $k)) AS u(i)),
+         tp AS (SELECT doc_id, CAST(u.i AS INT) AS p, t[CAST(u.i + 1 AS INT)] AS tok
+                FROM toks, unnest(range(0, len(t))) AS u(i)
+                WHERE doc_id IN (SELECT DISTINCT doc_id FROM spans)),
+         kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+                  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.p
+                  WHERE cov.cp IS NULL),
+         cl AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+                FROM kept GROUP BY doc_id),
+         ag AS (SELECT doc_id, count(*) AS n_spans,
+                  CAST(sum(end_pos - start_pos + 1) AS BIGINT) AS n_removed
+                FROM spans GROUP BY doc_id),
+         nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         SELECT ag.doc_id, ag.n_spans, nt.n_tokens, ag.n_removed,
+           coalesce(cl.clean_text, '') AS clean_text
+         FROM ag JOIN nt USING (doc_id) LEFT JOIN cl USING (doc_id)
+         ORDER BY ag.doc_id"""
+  }
 
   /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
     * per bit over the engine-portable md5-derived 60-bit token hash —
@@ -1427,6 +1475,7 @@ object SparkEntry {
          FROM per_doc WHERE dup_chunks > 0 ORDER BY doc_id""",
     "dedup10_substring" -> Dedup10OracleSql,
     "cur16_substring_contamination" -> Cur16OracleSql,
+    "cur17_contamination_scrub" -> Cur17OracleSql,
     "dedup11_incremental" ->
       // The split, the fingerprint leg, and the exact pairwise near leg
       // replayed in full (no LSH — a Spark-side recall miss would

@@ -98,6 +98,53 @@ object Curation {
       documents(spark, dir), col("source") === "src0",
       Some(s"cur16.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
 
+  /** cur17: contamination SCRUB — EXECUTE cur16's decision: remove the
+    * contaminated token spans from each affected training document and
+    * emit the cleaned text plus the audit a pipeline logs (tokens
+    * before / removed / span count). cur16 reports "the exact ranges a
+    * span-removal rewrite would drop"; this is that rewrite — the step
+    * that actually protects the eval set while keeping the rest of an
+    * otherwise-good document (dropping whole documents for one leaked
+    * paragraph wastes the other 95% of the tokens).
+    *
+    * Spark shape: the span frame is TINY (contaminated docs only), so
+    * it aggregates per doc and joins back as a BROADCAST (cur06's
+    * evidence-mark posture — never a corpus-sized doc_id shuffle join,
+    * plan-audited); the rewrite itself is pure codegen higher-order
+    * functions over the token array (positions not covered by any span
+    * survive, order preserved) — one corpus scan, zero extra shuffles.
+    * Spans are maximal and disjoint by cur16's island-merge
+    * construction, so `Σ(end−start+1)` IS the removed-token count.
+    */
+  def cur17ContaminationScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubSpans(documents(spark, dir),
+      Dedup.substringContamination(
+        documents(spark, dir), col("source") === "src0",
+        Some(s"cur16.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}")))
+
+  /** The rewrite itself over any (doc_id, text) frame + span frame —
+    * separable so the spec can drive hand-built corpora with known
+    * clean-text expectations.
+    */
+  private[graft] def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy("doc_id").agg(
+      collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"),
+      count(lit(1)).as("n_spans"),
+      sum(col("end_pos") - col("start_pos") + 1).as("n_removed"))
+    val t = tokens(col("text"))
+    docs
+      .join(broadcast(perDoc), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_spans"),
+        size(t).cast("long").as("n_tokens"), col("n_removed"),
+        concat_ws(" ", transform(
+          filter(sequence(lit(0), size(t) - 1), p =>
+            !exists(col("spans"), s =>
+              p >= s.getField("start_pos") && p <= s.getField("end_pos"))),
+          p => element_at(t, p + 1))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** cur04: threshold filtering — the C4-style keep/drop decision from
     * per-document quality signals, reported as per-source keep rates.
     * Single pass: the flag is computed inline, no second scan for the

@@ -1008,6 +1008,39 @@ object Dedup {
     mergeWindowIslands(flagged)
   }
 
+  /** The held-out split's DISTINCT window-hash set for `dir` — cur16's
+    * semi-join build side as a standing PROBE INDEX, pinned per
+    * (session, dir) so the streaming decontamination gate (stream15)
+    * probes it per micro-batch without re-tokenizing the held-out
+    * corpus each time. 8 bytes per distinct held window at rest; the
+    * benchmark split is the small side by construction (eval sets are
+    * curated, not crawled), and at 100 TB this index is written once
+    * and bucketed by hash like the dedup11/12 corpus indexes.
+    */
+  private[graft] def heldOutWindowHashes(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"cur16.held:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      strideWindowRows(
+        documents(spark, dir).filter(col("source") === "src0"))
+        .select("h").distinct()
+    }
+
+  /** Contamination spans of an ARRIVING (doc_id, text) frame against
+    * `dir`'s held-out index — stream15's per-micro-batch decision
+    * core (cur16's semantics at ingest time). Per-arrival independent:
+    * each document's spans need only its own text and the index, so
+    * verdicts are invariant under re-batching, and identical to batch
+    * cur16 when the arrivals are the corpus' own training split
+    * (spec-pinned).
+    */
+  private[graft] def ingestContaminationSpans(
+      spark: SparkSession, dir: String, arrivals: DataFrame): DataFrame =
+    mergeWindowIslands(
+      strideWindowRows(arrivals)
+        .join(heldOutWindowHashes(spark, dir), Seq("h"), "left_semi")
+        .select("doc_id", "pos"))
+
   private[operators] def paragraphDupStats(
       docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
     val chunked = spanHashRows(docs)

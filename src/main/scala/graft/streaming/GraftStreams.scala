@@ -544,6 +544,24 @@ object GraftStreams {
     graft.operators.Dedup.ingestDecisions(batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream15: streaming ingest-time DECONTAMINATION gate — cur16's
+    * ExactSubstr check on the ingest cadence: each micro-batch of
+    * arriving documents is probed against the PRE-BUILT held-out
+    * window-hash index (pinned once per session/dir, refreshed when
+    * the benchmark set changes — which is how decontamination actually
+    * deploys: the eval set is nearly static, the crawl never stops),
+    * and each arrival's maximal contaminated spans land under its own
+    * `batch_id=N` partition. stream09's contracts verbatim: decisions
+    * are per-arrival independent ⇒ re-batching-invariant and equal to
+    * batch cur16 on the same docs (spec-pinned); per-partition
+    * overwrite ⇒ idempotent replay; ZERO streaming state — the
+    * held-out index IS the state.
+    */
+  def landDecontamBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Dedup.ingestContaminationSpans(batch.sparkSession, dir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** stream10: streaming count-min-sketch maintenance — the mergeable-
     * sketch shape a 100 TB streaming ingest actually runs. Each
     * micro-batch of arriving documents contributes a PARTIAL sketch

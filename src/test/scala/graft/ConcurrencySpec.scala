@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("58 mixed queries submitted concurrently produce sequential results") {
+  test("59 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -53,9 +53,11 @@ class ConcurrencySpec extends SparkSpec {
       // trainedCur15 computeIfAbsent (the multi-round driver loop runs
       // through the racing session) and the cur15Features pin.
       // cur16 races its own window-hash pin next to dedup10's separate
-      // one (same derivation, different carried columns).
+      // one (same derivation, different carried columns); cur17 SHARES
+      // cur16's pin key, so the pair also races the registry's
+      // build-once path between real consumers of one frame.
       "cur14_epoch_schedule", "cur15_quality_classifier",
-      "cur16_substring_contamination",
+      "cur16_substring_contamination", "cur17_contamination_scrub",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own

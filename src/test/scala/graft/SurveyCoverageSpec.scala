@@ -32,7 +32,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream03_exact_dedup", "stream05_cdc_apply", "stream06_quarantine",
     "stream07_span_dedup", "stream08_jdbc_merge_sink", "stream09_ingest_dedup",
     "stream10_cms_merge", "stream11_ivf_append", "stream12_image_ingest",
-    "stream13_session_window", "stream14_video_keyframes")
+    "stream13_session_window", "stream14_video_keyframes",
+    "stream15_ingest_decontam")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val ids = surveyIds.map(i => aliases.getOrElse(i, i))

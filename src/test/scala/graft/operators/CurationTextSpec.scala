@@ -42,6 +42,38 @@ class CurationTextSpec extends SparkSpec {
       "within-corpus span dedup must still see the train-train repeat")
   }
 
+  test("cur17 scrub removes exactly the contaminated spans, order preserved") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val k = Dedup.SubstringWindow
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val cBlock = toks("c", 20)
+    // The cur16 fixture: known spans -> known rewrites.
+    val docs = Seq(
+      (100L, "src0", cBlock),
+      (1L, "src1", toks("a", 5) + " " + cBlock + " " + toks("b", 5)),
+      (2L, "src1", toks("d", 30)),
+      (5L, "src1", toks("c", 15) + " " + toks("x", 15) + " " + toks("c", 15)),
+      (6L, "src1", toks("c", 15) + " " + toks("c", 15)))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.scrubSpans(docs,
+        Dedup.substringContamination(docs, col("source") === "src0"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == Map(
+      // [5, 24] removed from 30 tokens: the a/b flanks survive in order.
+      1L -> (1L, 30L, 20L, toks("a", 5) + " " + toks("b", 5)),
+      // Two spans [0,14] and [30,44]: only the middle x-block survives.
+      5L -> (2L, 45L, 30L, toks("x", 15)),
+      // One merged span covering everything: the clean text is empty.
+      6L -> (1L, 30L, 30L, "")),
+      s"got $got")
+    // Unaffected docs (2) and the held-out side (100) never appear.
+    assert(!got.contains(2L) && !got.contains(100L))
+  }
+
   test("cur16 equals a driver-side ExactSubstr replay over the corpus") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()

@@ -423,6 +423,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cur17: span marks join as a broadcast; rewrite adds no corpus shuffle") {
+    // The scrub's only corpus-wide work is the scan + codegen HOF
+    // rewrite: the per-doc span frame (contaminated docs only) must
+    // join back as a broadcast, never a corpus-sized doc_id shuffle
+    // join (cur06's evidence-mark posture).
+    val plan = finalPlan(Curation.cur17ContaminationScrub(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the span-mark join must broadcast")
+    assert(!plan.contains("SortMergeJoin [doc_id") &&
+      !plan.contains("ShuffledHashJoin [doc_id"),
+      s"corpus-sized doc_id shuffle join crept into the scrub:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("etl03: the global surrogate-key windows consume only the dim-sized distinct frame") {
     // etl03's dense_rank runs over Window.orderBy(event_type) — a
     // single-partition sort, accepted ONLY because its input is the

@@ -517,6 +517,57 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batch, "replay must be a no-op")
   }
 
+  test("stream15: streamed decontamination equals batch cur16, idempotent replay") {
+    import graft.operators.{Curation, Dedup}
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream15_${System.nanoTime()}"
+    // Arrivals = the corpus' own training split, so the gate's verdicts
+    // must equal batch cur16's spans exactly.
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0")
+      .select("doc_id", "text")
+      .as[GraftStreams.IngestArrival].collect()
+    assert(arrivals.length >= 2)
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.IngestArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landDecontamBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("doc_id", "span_id", "start_pos", "end_pos", "n_windows")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = Curation.cur16SubstringContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch.nonEmpty, "fixture must carry cross-split contamination")
+    assert(landed() == batch,
+      "streamed contamination spans diverge from batch cur16")
+    // Replay micro-batch 0 (restart recovery): partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landDecontamBatch(
+      first.toSeq.toDF("doc_id", "text"), sf, outDir, 0L)
+    assert(landed() == batch, "replay must be a no-op")
+    // And the gate really is index-probing, not corpus-rescanning: a
+    // clean arrival (no held-out overlap) lands zero spans.
+    GraftStreams.landDecontamBatch(
+      Seq((999999L, "zz1 zz2 zz3")).toDF("doc_id", "text"), sf, outDir, 7L)
+    assert(spark.read.parquet(s"$outDir/batch_id=7").count() == 0)
+    // Relies on Dedup.heldOutWindowHashes staying pinned across calls.
+    assert(Dedup.heldOutWindowHashes(spark, sf).count() > 0)
+  }
+
   test("stream10: streamed CMS partials merge to the batch sketch, idempotent replay") {
     import graft.operators.TextAnalysis
     import spark.implicits._
