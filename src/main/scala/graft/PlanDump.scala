@@ -95,7 +95,9 @@ object PlanDump {
       "sim17_staleness_monitor" ->
         "staleness monitor: one merged-corpus scan, level explode, bounded-heap per-(query,level) top-k, broadcast probe ranks",
       "mm09_feature_real" ->
-        "real featurizer: binaryFile scan + executor decode, batched per-channel statistics kernel")
+        "real featurizer: binaryFile scan + executor decode, batched per-channel statistics kernel",
+      "cur17_contamination_scrub" ->
+        "contamination scrub: broadcast span marks, codegen HOF rewrite, one corpus scan")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
