@@ -26,15 +26,16 @@ object Bench {
 
   /** Render the final summary line. Degrades in steps until it fits
     * [[MaxLineChars]]: full errors (≤8 class-name tokens + overflow
-    * count) → errors as bare count → 2-dp timings → ~2-significant-
-    * figure timings (trailing zeros trimmed: "0.32", "1.2", "12" — the
-    * step that keeps per-query numbers alive past ~140 queries, where
-    * even 2 dp overflows the window; 2 sig figs is ample for the 2×
-    * floor comparisons the record feeds) → no per-query timings at all
-    * (total + counts only). The last step guarantees the line fits
-    * REGARDLESS of how large the query surface grows; full-precision
-    * per-query numbers always live in /tmp/graft_bench_full.json and
-    * on stderr.
+    * count) → errors as bare count → 2-dp timings → 1-dp timings
+    * (trailing zeros trimmed: "0.3", "1.2", "12" — ≤3 chars per value,
+    * which keeps per-query numbers alive to ~160 queries where even
+    * 2 dp overflows the window; sub-0.1 floors coarsen to "0"/"0.1",
+    * which costs the retry trigger nothing because the absolute
+    * [[OutlierFloorSec]] = 1 s gate dominates any sub-second floor) →
+    * no per-query timings at all (total + counts only). The last step
+    * guarantees the line fits REGARDLESS of how large the query
+    * surface grows; full-precision per-query numbers always live in
+    * /tmp/graft_bench_full.json and on stderr.
     *
     * `suspect` self-identifies contamination (round-11 directive): the
     * queries whose FINAL time is still >[[PriorRatio]]× their best
@@ -58,11 +59,7 @@ object Bench {
       "\"" + shortId(k) + "\":" + trim(v, scale)
     }.mkString("{", ",", "}")
     val qShort = results.map { case (k, v) =>
-      val s =
-        if (v >= 9.995) trim(v, 0)
-        else if (v >= 0.995) trim(v, 1)
-        else trim(v, 2)
-      "\"" + shortId(k) + "\":" + s
+      "\"" + shortId(k) + "\":" + (if (v >= 9.995) trim(v, 0) else trim(v, 1))
     }.mkString("{", ",", "}")
     // Errors are one short token each (exception class, truncated BEFORE
     // escaping so a split escape can't orphan a backslash), at most 8

