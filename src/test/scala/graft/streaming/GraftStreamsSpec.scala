@@ -960,6 +960,57 @@ class GraftStreamsSpec extends SparkSpec {
     assert(run(Seq(frames.toSeq), "keyframes_1b") == expected)
   }
 
+  test("stream14 under RocksDB state: keyframes still equal batch mm08") {
+    // stream13's RocksDB pin covers the engine session store; this leg
+    // covers the EXPLICIT flatMapGroupsWithState state family
+    // (stream02/03/07/14 share the shape) on the same deployment
+    // provider — per-video FrameState must round-trip RocksDB across
+    // micro-batches without changing a verdict.
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val providerCls =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    assume(
+      try { Class.forName(providerCls); true }
+      catch { case _: ClassNotFoundException => false },
+      s"SKIPPING LOUDLY: $providerCls not on this Spark classpath")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, providerCls)
+      val expected = Multimodal.mm08VideoKeyframes(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val frames = Multimodal.mm08FrameFiles(spark, sf).collect()
+        .map { r =>
+          val id = r.getLong(0)
+          GraftStreams.FrameArrival(id / 1000L, id % 1000L,
+            r.getAs[Array[Byte]]("media"),
+            new Timestamp((3600L + id % 1000L) * 1000L))
+        }
+        .sortBy(f => (f.frame_idx, f.video_id))
+      val stream = MemoryStream[GraftStreams.FrameArrival](spark)
+      val q = GraftStreams.streamingKeyframes(stream.toDS())
+        .writeStream.format("memory").queryName("keyframes_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        Seq(frames.filter(_.frame_idx < 11).toSeq,
+          frames.filter(f => f.frame_idx >= 11 && f.frame_idx < 23).toSeq,
+          frames.filter(_.frame_idx >= 23).toSeq)
+          .foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table("keyframes_rocks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"RocksDB keyframes diverge from batch mm08: " +
+          s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream14 TTL: idle video evicts and restarts fresh; frontier drops late frames") {
     import graft.operators.MultimodalStub
     import spark.implicits._
