@@ -81,6 +81,7 @@ object SparkEntry {
     "etl25_jdbc_merge" -> Etl.etl25JdbcMerge _,
     "etl26_backfill" -> Etl.etl26Backfill _,
     "etl27_retention" -> Etl.etl27Retention _,
+    "etl28_fuzzy_link" -> Etl.etl28FuzzyLink _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -1036,6 +1037,25 @@ object SparkEntry {
          FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
          ORDER BY key""",
     "etl27_retention" -> Etl27OracleSql,
+    "etl28_fuzzy_link" ->
+      // Blocked fuzzy linkage over the distinct-name vocabulary; the
+      // edit-distance bound (and its derived length band) comes from
+      // the SAME Etl28MaxDist constant the Spark side compiles in, so
+      // retuning the threshold can't silently hash-mismatch. DuckDB's
+      // levenshtein and Spark's agree on classic unit-cost edit
+      // distance (verified empirically incl. empty-string edges).
+      s"""WITH names AS (
+           SELECT p_name, string_split(p_name, ' ')[-1] AS blk,
+             count(*) AS cnt
+           FROM part GROUP BY 1, 2)
+         SELECT a.blk AS blk, a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+         FROM names a JOIN names b
+           ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE abs(length(a.p_name) - length(b.p_name)) <= ${Etl.Etl28MaxDist}
+           AND levenshtein(a.p_name, b.p_name) <= ${Etl.Etl28MaxDist}
+         ORDER BY name_a, name_b""",
     "etl24_jdbc_roundtrip" ->
       // The JDBC write→read round-trip is lossless, so the oracle
       // aggregates the SOURCE table; a row lost or mangled through

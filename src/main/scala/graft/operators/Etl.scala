@@ -848,6 +848,62 @@ object Etl {
       .orderBy("event_date")
   }
 
+  /** etl28's protocol constant — SHARED with the generated oracle in
+    * [[graft.SparkEntry]] (the etl27/text17 discipline): the maximum
+    * edit distance for a candidate link. The length-band pre-filter is
+    * DERIVED from it (|len(a)-len(b)| <= MaxDist is implied by
+    * levenshtein(a,b) <= MaxDist, so the band is a sound cheap reject,
+    * never a semantic knob of its own).
+    */
+  val Etl28MaxDist = 3
+
+  /** etl28: fuzzy record linkage (MDM-style duplicate-listing
+    * detection) over the part-name domain — blocked edit-distance
+    * candidate pairs with occurrence counts, the human-review queue a
+    * master-data pipeline feeds.
+    *
+    * Reference: case_2/Normal.py's reconciliation joins match on exact
+    * keys only; this is the fuzzy sibling for dirty dimensions.
+    *
+    * Scale design — link the KEY DOMAIN, not the rows: one map-side-
+    * combined aggregate collapses the fact table to its distinct-name
+    * vocabulary (names <<< rows at 100 TB; here 64 names carry 20k
+    * parts at sf0.1, and a real catalog behaves the same way), so the
+    * quadratic step runs on the vocabulary, not the corpus. Within the
+    * vocabulary, a self-join BLOCKED on the name's head noun (the
+    * classic record-linkage blocking key — an equi-join, never a
+    * cartesian product) plus the derived length band prunes the pair
+    * space before the levenshtein kernel runs. Blocking is a RECALL
+    * trade-off, not a lossless prune — cross-noun matches at the
+    * distance boundary are consciously forgone (the spec measures the
+    * sacrifice rather than assuming it away); the band, by contrast,
+    * IS lossless (|len(a)-len(b)| <= d is implied by edit distance
+    * <= d). The tiny build side is
+    * explicitly broadcast so the probe never shuffles. If the
+    * vocabulary ever outgrew broadcast range, dropping the hint yields
+    * a blk-partitioned shuffle join of two vocabulary-sized frames —
+    * the plan degrades gracefully, it never touches the fact table
+    * twice.
+    */
+  def etl28FuzzyLink(spark: SparkSession, dir: String): DataFrame = {
+    val names = part(spark, dir)
+      .groupBy(col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("blk"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("cnt").as("cnt_a"))
+    val b = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"),
+      col("cnt").as("cnt_b"))
+    a.join(broadcast(b),
+        col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= Etl28MaxDist
+        && levenshtein(col("name_a"), col("name_b")) <= Etl28MaxDist)
+      .select(col("blk"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** Builds (once per (session, dir)) and returns the range-clustered
     * orders layout — separated so the spec can audit file locality on
     * the same directory etl22 reads.

@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("59 mixed queries submitted concurrently produce sequential results") {
+  test("60 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -35,6 +35,7 @@ class ConcurrencySpec extends SparkSpec {
       "q36_range_frame",
       "etl01_select_rename_cast", "etl05_incremental_merge",
       "etl16_cdc_apply", "etl22_clustered_layout", "etl26_backfill",
+      "etl28_fuzzy_link",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
       "text12_entropy", "text13_bigram_surprisal", "text15_cms_topk",
       "text16_pmi_collocations", "text17_bpe_train", "text18_bpe_encode",

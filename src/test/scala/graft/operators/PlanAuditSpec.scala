@@ -437,6 +437,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("etl28: vocabulary self-join broadcasts on the block key; fact scan reads one column") {
+    // The quadratic step must run on the distinct-name vocabulary with
+    // the build side broadcast (no shuffle past the ONE name aggregate),
+    // the join must carry the blk equi-key (a missing equi-component
+    // would silently degrade to a nested loop over the vocabulary —
+    // harmless at 64 names, a trap at a million), and the fact scan
+    // must be pruned to p_name alone: fuzzy linkage never needs the
+    // fact table's payload columns.
+    val plan = finalPlan(Etl.etl28FuzzyLink(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary join must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay a broadcast equi-join:\n${plan.take(2000)}")
+    val scanSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(_ == "p_name:string"),
+      s"part scan must be pruned to p_name, saw: $scanSchemas")
+  }
+
   test("etl03: the global surrogate-key windows consume only the dim-sized distinct frame") {
     // etl03's dense_rank runs over Window.orderBy(event_type) — a
     // single-partition sort, accepted ONLY because its input is the

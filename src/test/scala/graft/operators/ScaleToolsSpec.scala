@@ -252,6 +252,62 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("etl28 fuzzy link equals an exhaustive DP-levenshtein ground truth") {
+    // Independent oracle: a classic two-row DP edit distance (written
+    // here, not Spark's) over ALL distinct-name pairs — no blocking,
+    // no length band. The length band is a LOSSLESS prune (implied by
+    // the metric); blocking is NOT — it is record linkage's standard
+    // recall/cost trade-off, and this test MEASURES what it sacrifices
+    // instead of hand-waving it: the expected set is the exhaustive
+    // same-noun matches, and the cross-noun matches blocking forgoes
+    // (e.g. "blue ring"/"blue rod" — different entity nouns, arguably
+    // not duplicates at all) are counted and pinned non-exploding.
+    def lev(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val byName = Tables.part(spark, sf).groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = byName.keys.toSeq.sorted
+    def noun(n: String) = n.substring(n.lastIndexOf(' ') + 1)
+    val allWithin = for {
+      i <- vocab.indices; j <- (i + 1) until vocab.size
+      (na, nb) = (vocab(i), vocab(j))
+      d = lev(na, nb) if d <= Etl.Etl28MaxDist
+    } yield (na, nb, d, byName(na), byName(nb))
+    val (sameBlock, crossBlock) =
+      allWithin.partition { case (na, nb, _, _, _) => noun(na) == noun(nb) }
+    val expected = sameBlock.toSet
+    // The sacrifice stays a sliver of the match space (here: boundary
+    // dist-3 pairs between short nouns like ring/rod); a vocabulary
+    // where this exploded would be telling us the blocking key is
+    // wrong, not that blocking is.
+    assert(crossBlock.size < expected.size,
+      s"blocking forgoes ${crossBlock.size} of ${allWithin.size} matches")
+    val got = Etl.etl28FuzzyLink(spark, sf).collect().map { r =>
+      // Block agreement: both names end in the block's noun.
+      val blk = r.getString(r.fieldIndex("blk"))
+      val (na, nb) = (r.getString(r.fieldIndex("name_a")),
+        r.getString(r.fieldIndex("name_b")))
+      assert(na.endsWith(" " + blk) && nb.endsWith(" " + blk))
+      (na, nb, r.getInt(r.fieldIndex("dist")),
+        r.getLong(r.fieldIndex("cnt_a")), r.getLong(r.fieldIndex("cnt_b")))
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // Links are strictly fuzzy (exact dups are dedup01's job, and
+    // name_a < name_b already excludes the trivial self-pair).
+    got.foreach { case (_, _, d, _, _) => assert(d >= 1) }
+  }
+
   test("saltedJoin returns exactly the plain equi-join result") {
     val fact = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
