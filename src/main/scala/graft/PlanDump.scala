@@ -97,7 +97,9 @@ object PlanDump {
       "mm09_feature_real" ->
         "real featurizer: binaryFile scan + executor decode, batched per-channel statistics kernel",
       "cur17_contamination_scrub" ->
-        "contamination scrub: broadcast span marks, codegen HOF rewrite, one corpus scan")
+        "contamination scrub: broadcast span marks, codegen HOF rewrite, one corpus scan",
+      "etl28_fuzzy_link" ->
+        "fuzzy linkage: ONE pinned fact aggregate to the name vocabulary, head-noun-blocked broadcast equi-join over the cached frame, p_name-only scan")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

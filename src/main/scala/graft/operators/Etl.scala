@@ -879,17 +879,35 @@ object Etl {
     * sacrifice rather than assuming it away); the band, by contrast,
     * IS lossless (|len(a)-len(b)| <= d is implied by edit distance
     * <= d). The tiny build side is
-    * explicitly broadcast so the probe never shuffles. If the
-    * vocabulary ever outgrew broadcast range, dropping the hint yields
-    * a blk-partitioned shuffle join of two vocabulary-sized frames —
-    * the plan degrades gracefully, it never touches the fact table
-    * twice.
+    * explicitly broadcast so the probe never shuffles, and the
+    * vocabulary frame is PINNED (GraftCache, once per session/dir) so
+    * the self-join's two legs read the cached 64-row frame instead of
+    * compiling two independent fact scans. If the vocabulary ever
+    * outgrew broadcast range, dropping the hint yields a
+    * blk-partitioned shuffle join of two vocabulary-sized frames —
+    * the plan degrades gracefully, and the fact table is still
+    * scanned once.
     */
+  /** etl28's vocabulary frame (p_name, blk, cnt) — the ONE fact scan.
+    * Pinned via GraftCache because a self-join of an uncached
+    * aggregate compiles to TWO independent scan+aggregate subtrees
+    * (the broadcast side's exchange differs from the probe side's, so
+    * ReuseExchange never fires) — at 100 TB that is the fact table
+    * scanned twice for one vocabulary. Exposed `private[graft]` so
+    * the plan audit can pin its p_name-only scan separately from the
+    * join plan (the etl22 clusteredOrdersPath precedent).
+    */
+  private[graft] def etl28Names(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"etl.fuzzyNames:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      part(spark, dir)
+        .groupBy(col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
   def etl28FuzzyLink(spark: SparkSession, dir: String): DataFrame = {
-    val names = part(spark, dir)
-      .groupBy(col("p_name"),
-        element_at(split(col("p_name"), " "), -1).as("blk"))
-      .agg(count(lit(1)).as("cnt"))
+    val names = etl28Names(spark, dir)
     val a = names.select(col("blk"), col("p_name").as("name_a"),
       col("cnt").as("cnt_a"))
     val b = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"),

@@ -437,22 +437,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("etl28: vocabulary self-join broadcasts on the block key; fact scan reads one column") {
+  test("etl28: vocabulary self-join broadcasts on the block key; ONE p_name-only fact scan") {
     // The quadratic step must run on the distinct-name vocabulary with
-    // the build side broadcast (no shuffle past the ONE name aggregate),
-    // the join must carry the blk equi-key (a missing equi-component
-    // would silently degrade to a nested loop over the vocabulary —
-    // harmless at 64 names, a trap at a million), and the fact scan
-    // must be pruned to p_name alone: fuzzy linkage never needs the
-    // fact table's payload columns.
+    // the build side broadcast (no shuffle past the ONE name aggregate)
+    // and the join must carry the blk equi-key (a missing
+    // equi-component would silently degrade to a nested loop over the
+    // vocabulary — harmless at 64 names, a trap at a million).
     val plan = finalPlan(Etl.etl28FuzzyLink(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
       s"vocabulary join must broadcast:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay a broadcast equi-join:\n${plan.take(2000)}")
+    // BOTH join legs must read the PINNED vocabulary, not re-derive it
+    // from parquet: an uncached self-join compiles two independent
+    // fact scans (the broadcast leg's exchange never reuses the probe
+    // leg's), which is the fact table scanned twice at 100 TB.
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"both legs must read the cached vocabulary frame:\n${plan.take(2000)}")
+    // Any FileScan in the printed tree sits INSIDE an InMemoryRelation
+    // (the cached frame's one-time build, re-printed under each leg);
+    // a FileScan directly in the join stages would be a re-derivation.
+    assert(!plan.split("InMemoryRelation").head.contains("FileScan"),
+      s"the join plan itself must not rescan the fact table:\n${plan.take(2000)}")
+    // The single fact scan lives in the pinned frame's build plan and
+    // must be pruned to p_name alone: fuzzy linkage never needs the
+    // fact table's payload columns.
+    val namesPlan = Etl.etl28Names(spark, sf).queryExecution.executedPlan.toString
     val scanSchemas = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .findAllMatchIn(namesPlan).map(_.group(1)).toSeq
     assert(scanSchemas.nonEmpty && scanSchemas.forall(_ == "p_name:string"),
       s"part scan must be pruned to p_name, saw: $scanSchemas")
   }
