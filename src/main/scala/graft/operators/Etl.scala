@@ -922,6 +922,42 @@ object Etl {
       .orderBy("name_a", "name_b")
   }
 
+  /** stream16's decision core, separable so the spec can replay it in
+    * batch: each arriving catalog record (arrival_id, p_name) is
+    * decided against the PINNED name vocabulary ([[etl28Names]] — the
+    * corpus index IS the state, refreshed on the batch cadence) through
+    * the SAME block + band + edit-distance rule etl28 applies
+    * within-corpus. Verdicts follow dedup11's exact/near/admit shape:
+    * `exact` (the arrival's name already exists), `near` (one row PER
+    * candidate within [[Etl28MaxDist]] edits — the full review queue,
+    * not just the best match), `admit` (no candidate; match columns
+    * null). Decisions depend only on the arrival's own name and the
+    * pinned vocabulary ⇒ per-arrival independent ⇒ re-batching
+    * invariant (spec-pinned).
+    */
+  private[graft] def etl28IngestCandidates(
+      spark: SparkSession, dir: String, arrivals: DataFrame): DataFrame = {
+    val vocab = etl28Names(spark, dir)
+      .select(col("blk").as("m_blk"), col("p_name").as("match_name"),
+        col("cnt").as("match_cnt"))
+    arrivals
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .join(broadcast(vocab),
+        col("blk") === col("m_blk")
+          && abs(length(col("p_name")) - length(col("match_name"))) <= Etl28MaxDist
+          && levenshtein(col("p_name"), col("match_name")) <= Etl28MaxDist,
+        "left_outer")
+      .select(
+        col("arrival_id"), col("p_name"),
+        when(col("match_name").isNull, lit("admit"))
+          .when(col("match_name") === col("p_name"), lit("exact"))
+          .otherwise(lit("near")).as("verdict"),
+        col("match_name"),
+        when(col("match_name").isNotNull,
+          levenshtein(col("p_name"), col("match_name"))).as("dist"),
+        col("match_cnt"))
+  }
+
   /** Builds (once per (session, dir)) and returns the range-clustered
     * orders layout — separated so the spec can audit file locality on
     * the same directory etl22 reads.

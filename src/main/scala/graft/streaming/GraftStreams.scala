@@ -509,6 +509,34 @@ object GraftStreams {
     * database executes one set-based statement per micro-batch —
     * never a row-at-a-time driver loop.
     */
+  /** A catalog record entering the streaming fuzzy-linkage gate
+    * (stream16): raw (arrival_id, p_name) — block key, length band and
+    * edit distances are computed inside the decision, as they would be
+    * for genuinely new data.
+    */
+  case class PartArrival(arrival_id: Long, p_name: String)
+
+  /** stream16: streaming fuzzy-linkage gate — etl28's check on the
+    * ingest cadence, which is how MDM linkage actually deploys: the
+    * master vocabulary is nearly static (refreshed when the batch
+    * linkage pipeline re-runs), the feed of new listings never stops.
+    * Each micro-batch of arriving records is decided exact/near/admit
+    * against the PINNED vocabulary through
+    * [[graft.operators.Etl.etl28IngestCandidates]] (the shared
+    * decision core — the gate can never drift from the batch
+    * operator's rule), and each arrival's candidate queue lands under
+    * its own `batch_id=N` partition.
+    *
+    * stream09's contracts verbatim: per-arrival-independent decisions
+    * ⇒ re-batching-invariant (spec-pinned); per-partition overwrite ⇒
+    * idempotent replay; ZERO streaming state — the vocabulary IS the
+    * state.
+    */
+  def landFuzzyLinkBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Etl.etl28IngestCandidates(batch.sparkSession, dir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** A document entering the streaming ingest-dedup gate (stream09):
     * raw (doc_id, text) — fingerprint, shingles and MinHash signature
     * are computed inside the decision, as they would be for genuinely

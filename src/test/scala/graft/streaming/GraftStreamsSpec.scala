@@ -517,6 +517,79 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batch, "replay must be a no-op")
   }
 
+  test("stream16: streamed fuzzy-linkage gate equals batch etl28, admit leg, replay") {
+    import graft.operators.Etl
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream16_${System.nanoTime()}"
+    // Arrivals = the corpus' own distinct names (id = first part key)
+    // plus one clean name whose noun exists nowhere in the vocabulary,
+    // so all three verdicts are exercised.
+    val corpusArrivals = Tables.part(spark, sf)
+      .groupBy("p_name").agg(min("p_partkey").as("arrival_id"))
+      .select(col("arrival_id"), col("p_name"))
+      .as[GraftStreams.PartArrival].collect().sortBy(_.arrival_id)
+    assert(corpusArrivals.length >= 4)
+    val clean = GraftStreams.PartArrival(-1L, "zzz contraption")
+    val arrivals = clean +: corpusArrivals
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.PartArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landFuzzyLinkBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("arrival_id", "p_name", "verdict", "match_name", "dist")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.get(4)).map(_.toString.toInt)))
+      .toSet
+    val got = landed()
+    // Re-batching invariance: the two-micro-batch landing equals the
+    // shared decision core run once over ALL arrivals.
+    val oneShot = Etl.etl28IngestCandidates(spark, sf,
+        arrivals.toSeq.toDF("arrival_id", "p_name"))
+      .select("arrival_id", "p_name", "verdict", "match_name", "dist")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.get(4)).map(_.toString.toInt)))
+      .toSet
+    assert(got == oneShot, "re-batching changed the verdict set")
+    // The clean arrival admits with null match columns.
+    assert(got.filter(_._1 == -1L) ==
+      Set((-1L, "zzz contraption", "admit", None, None)))
+    // Every corpus name matches itself exactly, exactly once.
+    val exacts = got.filter(_._3 == "exact")
+    assert(exacts.size == corpusArrivals.length)
+    exacts.foreach { case (_, name, _, m, d) =>
+      assert(m.contains(name) && d.contains(0))
+    }
+    // The near queue, oriented arrival < match, IS batch etl28's pair
+    // list (same rule, same vocabulary — the gate can't drift).
+    val nearPairs = got.collect {
+      case (_, a, "near", Some(m), Some(d)) if a < m => (a, m, d)
+    }
+    val batchPairs = Etl.etl28FuzzyLink(spark, sf).collect()
+      .map(r => (r.getString(r.fieldIndex("name_a")),
+        r.getString(r.fieldIndex("name_b")),
+        r.getInt(r.fieldIndex("dist")))).toSet
+    assert(nearPairs == batchPairs,
+      "streamed near candidates diverge from batch etl28")
+    // Replay micro-batch 0 (restart recovery): partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landFuzzyLinkBatch(
+      first.toSeq.toDF("arrival_id", "p_name"), sf, outDir, 0L)
+    assert(landed() == got, "replay must be a no-op")
+  }
+
   test("stream15: streamed decontamination equals batch cur16, idempotent replay") {
     import graft.operators.{Curation, Dedup}
     import spark.implicits._
