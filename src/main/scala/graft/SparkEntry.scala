@@ -147,6 +147,7 @@ object SparkEntry {
     "cur15_quality_classifier" -> Curation.cur15QualityClassifier _,
     "cur16_substring_contamination" -> Curation.cur16SubstringContamination _,
     "cur17_contamination_scrub" -> Curation.cur17ContaminationScrub _,
+    "cur18_corpus_build" -> Curation.cur18CorpusBuild _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -726,6 +727,132 @@ object SparkEntry {
            coalesce(cl.clean_text, '') AS clean_text
          FROM ag JOIN nt USING (doc_id) LEFT JOIN cl USING (doc_id)
          ORDER BY ag.doc_id"""
+  }
+
+  /** Stages 1–4 of the curation funnel as CTEs (quality gate → exact
+    * dedup keepers → near-dup drop), shared VERBATIM by the cur06 and
+    * cur18 oracles so the two composed pipelines can never drift on
+    * the funnel. Leaves `t` (the non-held-out input), `s1` (quality
+    * survivors), `s2` (exact-dedup keepers) and `s3` (near-dup
+    * survivors) in scope.
+    */
+  private val CurFunnelCtes: String =
+    """t AS (SELECT doc_id, source, n_chars, text,
+             string_split(text, ' ') AS toks
+           FROM documents WHERE source <> 'src0'),
+         q AS (SELECT doc_id, source, n_chars, text,
+             (n_chars >= 100 AND len(toks) >= 20 AND
+              CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                / greatest(len(toks), 1) >= 0.02) AS q_keep
+           FROM t),
+         s1 AS (SELECT doc_id, source, n_chars, text FROM q WHERE q_keep),
+         k AS (SELECT min(doc_id) AS doc_id FROM s1
+               GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+         s2 AS (SELECT s1.doc_id, s1.source, s1.n_chars FROM s1 JOIN k USING (doc_id)),
+         shd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s FROM shd),
+         sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         prs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         nd AS (SELECT da, db FROM (
+                  SELECT da, db, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+                  FROM prs JOIN sizes ca ON prs.da = ca.doc_id
+                  JOIN sizes cb ON prs.db = cb.doc_id)
+                WHERE j >= 0.8),
+         drop3 AS (SELECT DISTINCT db AS doc_id FROM nd
+                   WHERE da IN (SELECT doc_id FROM s2)
+                     AND db IN (SELECT doc_id FROM s2)),
+         s3 AS (SELECT * FROM s2
+                WHERE doc_id NOT IN (SELECT doc_id FROM drop3))"""
+
+  /** cur18's oracle: the shared funnel CTEs, then cur16's identical
+    * flagged-window/island CTEs for the scrub (one more shared block —
+    * the contamination decision cannot drift between cur16/17 and the
+    * composed build), then the post-scrub stages replayed in integer
+    * arithmetic: per-doc removed-token sums joined to the survivors,
+    * cur07's integer threshold protocol over the clean mix, cur11's
+    * hex ranges on the SALTED split key, and cur09's window cumsum
+    * packing of the train split cut every Cur18CtxTokens POST-SCRUB
+    * tokens. Every count is integer end to end.
+    */
+  private val Cur18OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    s"""WITH $CurFunnelCtes,
+         $Cur16FlaggedCtes,
+         ${islandCtesSql("fl")},
+         ntk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks
+                 FROM toks WHERE source <> 'src0'),
+         ag AS (SELECT doc_id,
+             CAST(sum(end_pos - start_pos + 1) AS BIGINT) AS rm
+           FROM spans GROUP BY doc_id),
+         surv AS (SELECT s3.doc_id, s3.source, ntk.n_toks,
+             coalesce(ag.rm, 0) AS rm,
+             ntk.n_toks - coalesce(ag.rm, 0) AS post_toks
+           FROM s3 JOIN ntk ON ntk.doc_id = s3.doc_id
+           LEFT JOIN ag ON ag.doc_id = s3.doc_id),
+         cl18 AS (SELECT * FROM surv WHERE post_toks > 0),
+         cc18 AS (SELECT source, count(*) AS n_docs FROM cl18 GROUP BY source),
+         rt18 AS (SELECT source, n_docs,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS tot,
+             count(*) OVER () AS knum
+           FROM cc18),
+         th18 AS (SELECT source,
+             CAST(least(65536, (65536 * tot) // (knum * n_docs)) AS BIGINT) AS thr_raw,
+             printf('%04x', CAST(least(65536, (65536 * tot) // (knum * n_docs)) AS INT)) AS thr
+           FROM rt18),
+         smp AS (SELECT cl18.doc_id, cl18.source, cl18.post_toks
+           FROM cl18 JOIN th18 USING (source)
+           WHERE thr_raw >= 65536
+             OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr),
+         spl AS (SELECT *,
+             CASE WHEN substr(md5('cur18:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                  WHEN substr(md5('cur18:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM smp),
+         pk AS (SELECT source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'),
+         pka AS (SELECT source, CAST(sum(post_toks) AS BIGINT) AS train_toks,
+             CAST((max(cum_end) + ${ctx - 1}) // $ctx AS BIGINT) AS n_sequences,
+             CAST(sum(CASE WHEN (cum_end - 1) // $ctx > (cum_end - post_toks) // $ctx
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+           FROM pk GROUP BY source),
+         sc18 AS (SELECT source,
+             CAST(sum(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+             CAST(sum(rm) AS BIGINT) AS toks_removed,
+             CAST(sum(CASE WHEN post_toks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+           FROM surv GROUP BY source),
+         sm18 AS (SELECT source, count(*) AS n_sampled,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           FROM spl GROUP BY source),
+         bs18 AS (SELECT source, count(*) AS n_input,
+             CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s1) THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s2) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+             CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s3) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+           FROM t GROUP BY source)
+         SELECT b.source, b.n_input, b.n_quality, b.n_exact, b.n_neardup,
+           coalesce(sc.n_contam, 0) AS n_contam,
+           coalesce(sc.toks_removed, 0) AS toks_removed,
+           coalesce(sc.n_clean, 0) AS n_clean,
+           coalesce(sm.n_sampled, 0) AS n_sampled,
+           coalesce(sm.n_train, 0) AS n_train,
+           coalesce(sm.n_val, 0) AS n_val,
+           coalesce(sm.n_test, 0) AS n_test,
+           coalesce(p.train_toks, 0) AS train_toks,
+           coalesce(p.n_sequences, 0) AS n_sequences,
+           coalesce(p.n_split_docs, 0) AS n_split_docs
+         FROM bs18 b
+         LEFT JOIN sc18 sc USING (source)
+         LEFT JOIN sm18 sm USING (source)
+         LEFT JOIN pka p USING (source)
+         ORDER BY b.source"""
   }
 
   /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
@@ -1496,6 +1623,7 @@ object SparkEntry {
     "dedup10_substring" -> Dedup10OracleSql,
     "cur16_substring_contamination" -> Cur16OracleSql,
     "cur17_contamination_scrub" -> Cur17OracleSql,
+    "cur18_corpus_build" -> Cur18OracleSql,
     "dedup11_incremental" ->
       // The split, the fingerprint leg, and the exact pairwise near leg
       // replayed in full (no LSH — a Spark-side recall miss would
@@ -1872,39 +2000,11 @@ object SparkEntry {
            CAST((2*10000*(tot) + (k * n_docs)) // (2*(k * n_docs)) AS BIGINT) / 10000.0 AS weight
          FROM s, t ORDER BY source""",
     "cur06_curation_pipeline" ->
-      // The full funnel replayed stage by stage: quality gate -> exact
-      // dedup keepers -> near-dup pair drop (both endpoints must
-      // survive the previous stage) -> contamination mask vs src0.
-      """WITH t AS (SELECT doc_id, source, n_chars, text,
-             string_split(text, ' ') AS toks
-           FROM documents WHERE source <> 'src0'),
-         q AS (SELECT doc_id, source, n_chars, text,
-             (n_chars >= 100 AND len(toks) >= 20 AND
-              CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
-                / greatest(len(toks), 1) >= 0.02) AS q_keep
-           FROM t),
-         s1 AS (SELECT doc_id, source, n_chars, text FROM q WHERE q_keep),
-         k AS (SELECT min(doc_id) AS doc_id FROM s1
-               GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
-         s2 AS (SELECT s1.doc_id, s1.source, s1.n_chars FROM s1 JOIN k USING (doc_id)),
-         w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
-               i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w),
-         sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         prs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         nd AS (SELECT da, db FROM (
-                  SELECT da, db, CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
-                  FROM prs JOIN sizes ca ON prs.da = ca.doc_id
-                  JOIN sizes cb ON prs.db = cb.doc_id)
-                WHERE j >= 0.8),
-         drop3 AS (SELECT DISTINCT db AS doc_id FROM nd
-                   WHERE da IN (SELECT doc_id FROM s2)
-                     AND db IN (SELECT doc_id FROM s2)),
-         s3 AS (SELECT * FROM s2
-                WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      // The full funnel replayed stage by stage: the SHARED funnel CTEs
+      // (quality gate -> exact dedup keepers -> near-dup pair drop,
+      // both endpoints must survive the previous stage — one definition
+      // with cur18's oracle) -> contamination mask vs src0.
+      s"""WITH $CurFunnelCtes,
          d2 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
          sh2 AS (SELECT DISTINCT doc_id, source,
              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),

@@ -486,22 +486,26 @@ object Curation {
     * The heavy inputs (shingle frame, verified pair set) also come from
     * the registry, shared with dedup02/03/06 and cur03 in the session.
     */
-  def cur06CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's quality + exact-dedup stage frame, shared by cur06
+    * and cur18 (ONE definition, one GraftCache pin — the two composed
+    * pipelines can never disagree on stages 1–3). Exact-dup keeper
+    * election runs inline: within each normalized content fingerprint
+    * (dedup01's contract), rank quality survivors first, then by
+    * doc_id — row 1 is the min-id quality keeper iff it is itself a
+    * quality survivor. One window shuffle on fp; no groupBy +
+    * corpus-sized semi-join back. Persisted THIN (text and fp
+    * dropped): the id projections for the pair-membership checks and
+    * the final marked aggregates all branch from this one frame —
+    * without the pin, each branch would re-scan, re-tokenize and
+    * re-run the fp window (2–3 corpus shuffles where the design
+    * promises one). Carries n_toks for cur18's post-scrub packing.
+    */
+  private[graft] def cur06Flagged(spark: SparkSession, dir: String): DataFrame = {
     val toksC = tokens(col("text"))
     val stopRatio = TextAnalysis.stopRatio(toksC, langProfiles("en"))
-    // Exact-dup keeper election inline: within each normalized content
-    // fingerprint (dedup01's contract), rank quality survivors first,
-    // then by doc_id — row 1 is the min-id quality keeper iff it is
-    // itself a quality survivor. One window shuffle on fp; no
-    // groupBy + corpus-sized semi-join back.
     val wFp = Window.partitionBy("fp")
       .orderBy(col("q_keep").desc, col("doc_id"))
-    // Persisted THIN (text and fp dropped): the id projections for the
-    // pair-membership checks and the final marked aggregate all branch
-    // from this one frame — without the pin, each branch would re-scan,
-    // re-tokenize and re-run the fp window (2–3 corpus shuffles where
-    // the design promises one).
-    val flagged = graft.GraftCache.getOrPersist(
+    graft.GraftCache.getOrPersist(
       s"cur06.flagged:$dir:${graft.GraftCache.sessionTag(spark)}") {
       documents(spark, dir)
         .filter(col("source") =!= "src0")
@@ -510,20 +514,37 @@ object Curation {
         .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
         .withColumn("is_keeper",
           col("q_keep") && row_number().over(wFp) === 1)
-        .select("doc_id", "source", "n_chars", "q_keep", "is_keeper")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(toksC).cast("long").as("n_toks"),
+          col("q_keep"), col("is_keeper"))
     }
+  }
+
+  /** The funnel's near-dup drop set (stage 4), shared by cur06/cur18:
+    * the LSH-verified Jaccard≥0.8 pairs (dedup03 — candidates only ever
+    * flow through the banded equi-join) drop the larger doc of any pair
+    * whose BOTH endpoints survived the exact-dedup stage. The pair list
+    * is small: stream the thin id set against it (broadcast) twice to
+    * demand both endpoints be stage-3 members, never shuffling ids by
+    * doc_id. Endpoint membership is evaluated against the stage-3 set,
+    * so the policy is deterministic and order-independent (no
+    * transitive chaining).
+    */
+  private def nearDupDrops(spark: SparkSession, dir: String,
+      flagged: DataFrame): DataFrame = {
     val s2ids = flagged.filter(col("is_keeper")).select("doc_id")
-    // Near-dup pairs via the scale path (identical output to the exact
-    // dedup02 — spec-pinned). The pair list is small: stream the thin
-    // id set against it (broadcast) twice to demand both endpoints be
-    // stage-3 members, never shuffling ids by doc_id.
     val ndPairs = Dedup.dedup03MinhashLsh(spark, dir).select("da", "db")
     val pairsDaIn = s2ids
       .join(broadcast(ndPairs), col("doc_id") === col("da"))
       .select("da", "db")
-    val dropNd = s2ids
+    s2ids
       .join(broadcast(pairsDaIn), col("doc_id") === col("db"))
       .select(col("db").as("doc_id")).distinct()
+  }
+
+  def cur06CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = cur06Flagged(spark, dir)
+    val dropNd = nearDupDrops(spark, dir, flagged)
     val contaminated = cur03Contamination(spark, dir)
       .select(col("train_id").as("doc_id"))
     val marked = flagged
@@ -846,6 +867,151 @@ object Curation {
           .as("keep_rate"),
         intRatio(sum(col("p")), count(lit(1)) * Cur15Scale, 6).as("avg_score"))
       .orderBy("source")
+  }
+
+  /** Context window for cur18's packing stage, in POST-SCRUB tokens.
+    * Smaller than cur09's char proxy on purpose: the test corpus packs
+    * several documents per sequence at every SF, so the boundary math
+    * (split-doc detection, ceil sequence count) is genuinely exercised.
+    */
+  val Cur18CtxTokens = 128L
+
+  /** cur18: the END-TO-END pretraining-data BUILD — the full funnel a
+    * training-data team actually ships, composed from the audited
+    * stages and run as ONE flow (the LLM-side twin of the reference's
+    * composed pipeline, case_2/Normal.py:100-275, which chains
+    * coercion → master upsert → enrichment → merge the same way):
+    *
+    *  1. quality gate (cur04's C4-style predicate) and exact dedup
+    *     (dedup01's fingerprint, min-id quality keeper) — the shared
+    *     [[cur06Flagged]] frame, ONE definition with cur06;
+    *  2. near-dup drop (dedup03's LSH-verified pairs, both-endpoints
+    *     policy) — the shared [[nearDupDrops]] set;
+    *  3. decontamination SCRUB (cur16/cur17): each survivor's
+    *     contaminated token spans vs the held-out split are REMOVED
+    *     (not the document — dropping a doc for one leaked paragraph
+    *     wastes the rest), and every downstream stage sees POST-SCRUB
+    *     token counts. Documents scrubbed to zero tokens drop out;
+    *  4. stratified mix (cur07's engine-portable rate protocol), rates
+    *     derived from the CLEAN survivor distribution — the funnel
+    *     skews the per-source mix, so sampling after the scrub is what
+    *     restores the target composition;
+    *  5. train/val/test split (cur11's hex ranges) over a SALTED hash:
+    *     stage 4 keeps exactly the docs whose md5 prefix sorts below a
+    *     threshold, so splitting on the same hash would put every
+    *     sampled doc in `train` whenever a rate < 90% binds — the
+    *     composition hazard a standalone cur11 never sees. Each
+    *     decision hashes its own key domain;
+    *  6. sequence packing (cur09's concat-and-chunk) of the TRAIN
+    *     split, cut every [[Cur18CtxTokens]] POST-SCRUB tokens — the
+    *     stage-interplay contract (packing must size sequences by what
+    *     survives the scrub, not by raw lengths) is what running the
+    *     funnel end-to-end tests.
+    *
+    * Output: per-source audit counts for EVERY stage (the numbers a
+    * data-build report ships) plus the train split's packing stats.
+    *
+    * Plan shape (cur06's posture, extended): stages 1–2 read the one
+    * persisted thin frame (its fp window is the only corpus shuffle);
+    * the span frame reuses cur16's pinned window-hash key, aggregates
+    * per doc (contaminated docs only — tiny) and joins back BROADCAST;
+    * sampling thresholds broadcast (cur07's contract); the split is a
+    * per-row predicate; packing sorts only the train split within each
+    * source (cur09's honest exact-boundary cost). Plan-audited: no
+    * corpus-sized shuffle joins, broadcast evidence marks throughout.
+    */
+  def cur18CorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = cur06Flagged(spark, dir)
+    val dropNd = nearDupDrops(spark, dir, flagged)
+    val marked = flagged
+      .join(broadcast(dropNd.withColumn("nd_drop", lit(true))), Seq("doc_id"), "left")
+      .withColumn("surv",
+        col("is_keeper") && !coalesce(col("nd_drop"), lit(false)))
+    val base = marked.groupBy("source").agg(
+      count(lit(1)).as("n_input"),
+      sum(col("q_keep").cast("long")).as("n_quality"),
+      sum(col("is_keeper").cast("long")).as("n_exact"),
+      sum(col("surv").cast("long")).as("n_neardup"))
+    val spans = Dedup.substringContamination(
+      documents(spark, dir), col("source") === "src0",
+      Some(s"cur16.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
+    val stages = buildFromSurvivors(
+      marked.filter(col("surv")).select("doc_id", "source", "n_toks"), spans)
+    base.join(stages, Seq("source"), "left")
+      .select(
+        col("source") +: Seq("n_input", "n_quality", "n_exact", "n_neardup")
+          .map(col) ++:
+          Seq("n_contam", "toks_removed", "n_clean", "n_sampled", "n_train",
+            "n_val", "n_test", "train_toks", "n_sequences", "n_split_docs")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("source")
+  }
+
+  /** Stages 3–6 of cur18 over any survivor frame (doc_id, source,
+    * n_toks) + span frame — separable so the spec can drive hand-built
+    * corpora and pin the stage-interplay laws (packing sees post-scrub
+    * counts; the salted split is threshold-independent) directly.
+    */
+  private[graft] def buildFromSurvivors(
+      surv: DataFrame, spans: DataFrame): DataFrame = {
+    // Spans are maximal and disjoint by cur16's island-merge
+    // construction, so Σ(end−start+1) IS the removed-token count
+    // (cur17's contract).
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("end_pos") - col("start_pos") + 1).as("rm"))
+    val scrubbed = surv.join(broadcast(perDoc), Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), lit(0L)))
+      .withColumn("post_toks", col("n_toks") - col("rm"))
+    val scrubAgg = scrubbed.groupBy("source").agg(
+      sum((col("rm") > 0).cast("long")).as("n_contam"),
+      sum("rm").as("toks_removed"),
+      sum((col("post_toks") > 0).cast("long")).as("n_clean"))
+    val clean = scrubbed.filter(col("post_toks") > 0)
+    // cur07's integer threshold protocol, over the CLEAN survivor mix.
+    val w = Window.partitionBy()
+    val rates = clean.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("thr_raw",
+        least(lit(65536L), intDiv(lit(65536L) * sum("n_docs").over(w),
+          count(lit(1)).over(w) * col("n_docs"))))
+      .withColumn("thr", format_string("%04x", col("thr_raw").cast("int")))
+      .select("source", "thr_raw", "thr")
+    val sampled = clean.join(broadcast(rates), Seq("source"))
+      .filter(col("thr_raw") >= 65536L ||
+        substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+    // cur11's hex ranges over a SALTED key: the sampler above keeps
+    // exactly the docs whose UNSALTED md5 prefix sorts below thr, so
+    // splitting on the same hash would starve val/test whenever a
+    // rate < 90% binds. Independent decisions hash independent keys.
+    val hkSplit =
+      substring(md5(concat(lit("cur18:"), col("doc_id").cast("string"))), 1, 4)
+    val split = sampled.withColumn("split",
+      when(hkSplit < "e666", "train").when(hkSplit < "f333", "val")
+        .otherwise("test"))
+    val sampAgg = split.groupBy("source").agg(
+      count(lit(1)).as("n_sampled"),
+      sum((col("split") === "train").cast("long")).as("n_train"),
+      sum((col("split") === "val").cast("long")).as("n_val"),
+      sum((col("split") === "test").cast("long")).as("n_test"))
+    // cur09's concat-and-chunk over the train split, cut by POST-SCRUB
+    // token count — the packing stage must size sequences by what the
+    // scrub left, not by raw document lengths.
+    val k = lit(Cur18CtxTokens)
+    val wp = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = split.filter(col("split") === "train")
+      .withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .withColumn("cum_end", sum("post_toks").over(wp))
+      .groupBy("source")
+      .agg(
+        sum("post_toks").as("train_toks"),
+        floor((max("cum_end") + (Cur18CtxTokens - 1)) / k).as("n_sequences"),
+        sum((floor((col("cum_end") - 1) / k) >
+          floor((col("cum_end") - col("post_toks")) / k)).cast("long"))
+          .as("n_split_docs"))
+    scrubAgg
+      .join(sampAgg, Seq("source"), "left")
+      .join(packed, Seq("source"), "left")
   }
 
   def cur14EpochSchedule(spark: SparkSession, dir: String): DataFrame = {

@@ -59,6 +59,11 @@ class ConcurrencySpec extends SparkSpec {
       // build-once path between real consumers of one frame.
       "cur14_epoch_schedule", "cur15_quality_classifier",
       "cur16_substring_contamination", "cur17_contamination_scrub",
+      // cur18 races the cur06.flagged pin (SHARED with cur06 in this
+      // mix), cur16's window-hash pin (shared with cur16/cur17), and
+      // dedup03's verified-pair cache — the composed build exercises
+      // three registry build-once paths at once.
+      "cur18_corpus_build",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own

@@ -313,6 +313,116 @@ class CurationTextSpec extends SparkSpec {
       "stage-1 totals must match cur04 on the training split")
   }
 
+  /** Local replay of cur18's post-funnel stages (scrub → keep-all or
+    * thresholded sample → salted split → pack) for a hand corpus — the
+    * cur09 local-replay discipline applied to the COMPOSED build.
+    */
+  private def cur18Replay(
+      docs: Seq[(Long, String, Long)], // (doc_id, source, n_toks)
+      removed: Map[Long, Long],
+      ctx: Long): Map[String, (Long, Long, Long, Long, Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val post = docs.map { case (id, src, n) =>
+      (id, src, n - removed.getOrElse(id, 0L))
+    }
+    val clean = post.filter(_._3 > 0)
+    val bySrc = clean.groupBy(_._2)
+    val tot = clean.size.toLong
+    val kSrc = bySrc.size.toLong
+    val sampled = clean.filter { case (id, src, _) =>
+      val thr = math.min(65536L, 65536L * tot / (kSrc * bySrc(src).size))
+      thr >= 65536L || md5hex(id.toString).take(4) < f"$thr%04x"
+    }
+    def split(id: Long): String = {
+      val h = md5hex(s"cur18:$id").take(4)
+      if (h < "e666") "train" else if (h < "f333") "val" else "test"
+    }
+    sampled.groupBy(_._2).map { case (src, ds) =>
+      val train = ds.filter(d => split(d._1) == "train")
+        .sortBy(d => (md5hex(d._1.toString).take(8), d._1))
+      var cum = 0L
+      var splits = 0L
+      train.foreach { d =>
+        val first = cum / ctx
+        cum += d._3
+        if ((cum - 1) / ctx > first) splits += 1
+      }
+      src -> (ds.size.toLong,
+        train.size.toLong,
+        ds.count(d => split(d._1) == "val").toLong,
+        train.map(_._3).sum,
+        if (train.isEmpty) 0L else (cum + ctx - 1) / ctx,
+        splits)
+    }
+  }
+
+  test("cur18 post-funnel stages match a local replay; packing sees POST-scrub counts") {
+    import spark.implicits._
+    val ctx = Curation.Cur18CtxTokens
+    // 12 docs in one source (single source → sample rate 1, every stage
+    // decision downstream of the scrub is exercised): each doc raw
+    // ctx tokens, a span removes 1 token from every doc, and one doc
+    // is fully scrubbed (must drop out of every later stage).
+    val docs = (1L to 12L).map(id => (id, "sA", ctx))
+    val surv = docs.toDF("doc_id", "source", "n_toks")
+    val spans = ((1L to 11L).map(id => (id, 0L, 0, 0, 1L)) :+
+      (12L, 0L, 0, (ctx - 1).toInt, 1L))
+      .toDF("doc_id", "span_id", "start_pos", "end_pos", "n_windows")
+    val out = Curation.buildFromSurvivors(surv, spans).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val removed = ((1L to 11L).map(_ -> 1L) :+ (12L -> ctx)).toMap
+    val rep = cur18Replay(docs, removed, ctx)("sA")
+    assert(r.getAs[Long]("n_contam") == 12L)
+    assert(r.getAs[Long]("toks_removed") == 11L + ctx)
+    assert(r.getAs[Long]("n_clean") == 11L, "the fully-scrubbed doc must drop")
+    assert((r.getAs[Long]("n_sampled"), r.getAs[Long]("n_train"),
+      r.getAs[Long]("n_val"), r.getAs[Long]("train_toks"),
+      r.getAs[Long]("n_sequences"), r.getAs[Long]("n_split_docs")) == rep)
+    // The interplay law the composition exists to test: packing sizes
+    // by post-scrub counts. Raw counts would tile exactly (ctx tokens
+    // per doc → zero split docs, one sequence per doc); post-scrub
+    // (ctx−1) docs straddle boundaries and pack into FEWER sequences.
+    val noSpans = Seq.empty[(Long, Long, Int, Int, Long)]
+      .toDF("doc_id", "span_id", "start_pos", "end_pos", "n_windows")
+    // Raw leg over docs 1–11 only (doc 12 exists only because the scrub
+    // empties it — it must not skew the with/without comparison).
+    val raw = Curation.buildFromSurvivors(
+      surv.filter(org.apache.spark.sql.functions.col("doc_id") =!= 12L),
+      noSpans).collect().head
+    assert(raw.getAs[Long]("n_split_docs") == 0L &&
+      raw.getAs[Long]("n_sequences") == raw.getAs[Long]("n_train"))
+    assert(r.getAs[Long]("train_toks") ==
+      raw.getAs[Long]("train_toks") - r.getAs[Long]("n_train"),
+      "train token mass must be the POST-scrub sum")
+    if (r.getAs[Long]("n_train") > 1)
+      assert(r.getAs[Long]("n_split_docs") > 0L,
+        "(ctx−1)-token docs must straddle boundaries — raw-count packing would hide this")
+  }
+
+  test("cur18 funnel stage counts equal cur06's (one shared definition)") {
+    val c18 = Curation.cur18CorpusBuild(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getLong(_))).toMap
+    val c06 = Curation.cur06CurationPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getLong(_))).toMap
+    assert(c18.keySet == c06.keySet)
+    c18.foreach { case (src, counts) =>
+      assert(counts == c06(src),
+        s"funnel stages must agree with cur06 for $src: $counts vs ${c06(src)}")
+    }
+    // And the build must end monotone: every stage only shrinks.
+    Curation.cur18CorpusBuild(spark, sf).collect().foreach { r =>
+      val chain = Seq("n_input", "n_quality", "n_exact", "n_neardup",
+        "n_clean", "n_sampled").map(r.getAs[Long](_))
+      assert(chain.sliding(2).forall(p => p(0) >= p(1)),
+        s"stages must only shrink: $r")
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val") +
+        r.getAs[Long]("n_test") == r.getAs[Long]("n_sampled"))
+    }
+  }
+
   test("text10 repetition signals are fractions; dups agree doc-to-doc") {
     val rows = TextAnalysis.text10Repetition(spark, sf).collect()
     assert(rows.length > 0)

@@ -67,6 +67,7 @@ class PlanAuditSpec extends SparkSpec {
       Similarity.sim02LshAnn(spark, sf),
       Similarity.sim03IvfAnn(spark, sf),
       Curation.cur12ClusterSample(spark, sf),
+      Curation.cur18CorpusBuild(spark, sf),
       Relational.q35LateralTopn(spark, sf))
     audited.foreach { df =>
       val plan = finalPlan(df)
@@ -166,6 +167,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin"),
       s"candidate generation must be an equi-join:\n${plan.take(2000)}")
+  }
+
+  test("cur18: evidence joins broadcast, shared frames cached, no doc_id shuffle join") {
+    // cur06's posture extended to the composed build: the span frame,
+    // the near-dup drop set, and the sampling thresholds are all tiny
+    // evidence — they must join as broadcasts; the only corpus-wide
+    // exchanges are the shared fp window (inside the cached funnel
+    // frame) and the train-split packing window. The shared GraftCache
+    // frames (cur06's flagged frame, cur16's window hashes) must show
+    // as InMemoryTableScans — the stages READ the pins, they don't
+    // recompile private scans.
+    val plan = finalPlan(Curation.cur18CorpusBuild(spark, sf))
+    assert(!plan.contains("SortMergeJoin [doc_id") &&
+      !plan.contains("ShuffledHashJoin [doc_id"),
+      s"corpus-sized doc_id shuffle join crept into the build:\n${plan.take(2000)}")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4,
+      s"span/drop/threshold evidence must broadcast, saw $broadcasts")
+    assert(plan.contains("InMemoryTableScan"),
+      "the shared funnel/window-hash pins must feed the stages")
   }
 
   test("cur06: funnel joins marks as broadcasts, never a shuffle join on doc_id") {
