@@ -157,6 +157,7 @@ object SparkEntry {
     "mm06_phash_dedup" -> Multimodal.mm06PhashDedup _,
     "mm07_phash_blocked" -> Multimodal.mm07PhashBlocked _,
     "mm08_video_keyframes" -> Multimodal.mm08VideoKeyframes _,
+    "mm10_audio_ingest" -> Multimodal.mm10AudioIngest _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -288,6 +289,31 @@ object SparkEntry {
          FROM l
          WHERE prev IS NULL OR bit_count(xor(ph, prev)) > $Mm06MaxHamming
          ORDER BY video_id, frame_idx"""
+  }
+
+  /** mm10's oracle, generated from the SHARED test-tone law constants
+    * in [[graft.operators.Multimodal]] (the etl27 discipline): the
+    * staged clips are Nyquist square waves of the law, so every
+    * decoded feature is an exact integer function of the id — peak =
+    * RMS = A, checksum telescopes to −A·N/2, zero crossings = N−1 —
+    * and DuckDB checks the whole encode → land → binaryFile scan →
+    * javax.sound decode → featurize chain with plain arithmetic on the
+    * documents table. A wrong byte order, dropped frame, or sign error
+    * anywhere moves the checksum.
+    */
+  private val Mm10OracleSql: String = {
+    import graft.operators.Multimodal.{Mm10AmpMod, Mm10AmpStep,
+      Mm10BaseSamples, Mm10Clips, Mm10Rate, Mm10SampleMod, Mm10SampleStep}
+    val n = s"($Mm10BaseSamples + (doc_id % $Mm10SampleMod) * $Mm10SampleStep)"
+    val a = s"((doc_id % $Mm10AmpMod + 1) * $Mm10AmpStep)"
+    s"""SELECT doc_id AS clip_id, CAST($Mm10Rate AS INTEGER) AS sample_rate,
+         CAST($n AS BIGINT) AS n_samples,
+         CAST(($n * 1000) // $Mm10Rate AS BIGINT) AS duration_ms,
+         CAST($a AS BIGINT) AS peak,
+         CAST($a AS DOUBLE) AS rms,
+         CAST((-($a) * $n) // 2 AS BIGINT) AS checksum,
+         CAST($n - 1 AS BIGINT) AS zero_crossings
+       FROM documents WHERE doc_id < $Mm10Clips ORDER BY clip_id"""
   }
 
   /** Generated DuckDB replay of etl27's retention audit, derived from
@@ -2478,6 +2504,7 @@ object SparkEntry {
          WHERE bit_count(xor(a.phash, b.phash)) <= 4
          ORDER BY img_a, img_b""",
     "mm08_video_keyframes" -> Mm08OracleSql,
+    "mm10_audio_ingest" -> Mm10OracleSql,
     "mm05_binary_ingest" ->
       // The REAL pipeline (PNG encode -> binary files -> binaryFile
       // scan -> ImageIO decode on executors -> channel means) against

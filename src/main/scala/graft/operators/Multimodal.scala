@@ -453,6 +453,142 @@ object Multimodal {
       perceptualHashes(files)
     }
 
+  /** Number of synthetic audio clips mm10 stages — constant across
+    * scale factors (doc_id < 256 exists at every SF, the mm05 contract).
+    */
+  val Mm10Clips = 256
+  /** mm10's PCM format: mono 16-bit at this sample rate. */
+  val Mm10Rate = 8000
+  /** Test-tone law (shared with the generated oracle — the etl27
+    * discipline): clip `id` holds [[mm10Samples]] samples alternating
+    * +A, −A with A = [[mm10Amp]] — a full-swing square wave at the
+    * Nyquist rate. Every decoded feature is then an EXACT integer
+    * function of the id: peak = RMS = A (equal counts of ±A), the
+    * position-weighted checksum Σ s_t·(t+1) telescopes to −A·N/2
+    * (consecutive pairs cancel to −A), and every adjacent pair flips
+    * sign (N−1 zero crossings) — so the DuckDB oracle checks the
+    * ENTIRE encode → land → binaryFile scan → javax.sound decode →
+    * per-sample featurize chain with plain arithmetic on `documents`.
+    */
+  val Mm10BaseSamples = 800
+  val Mm10SampleStep = 160
+  val Mm10SampleMod = 7
+  val Mm10AmpStep = 250
+  val Mm10AmpMod = 120
+  private[graft] def mm10Samples(id: Long): Int =
+    Mm10BaseSamples + (id % Mm10SampleMod).toInt * Mm10SampleStep
+  private[graft] def mm10Amp(id: Long): Int =
+    ((id % Mm10AmpMod).toInt + 1) * Mm10AmpStep
+
+  /** mm10: binary-file AUDIO ingestion + real decode, end-to-end — the
+    * third modality (mm05 closed images, mm08 video): a landing
+    * directory of REAL WAV files (one per doc_id < [[Mm10Clips]],
+    * samples a pure function of the id — [[MultimodalStub.testToneWav]])
+    * is staged once per source fingerprint (the mm05 discipline; the
+    * ENCODE runs distributed via foreachPartition), read back through
+    * `binaryFile`, and decoded on executors by the real
+    * `javax.sound.sampled` path ([[audioMeta]] — in-JDK, no external
+    * jar: the ImageIO precedent exactly). Output per clip: the typed
+    * metadata + signal features an audio curation pipeline gates on
+    * (duration, peak, RMS, zero-crossing count) plus a
+    * position-weighted checksum that proves SAMPLE-EXACT decode (a
+    * wrong byte order, dropped frame, or sign error anywhere moves it).
+    *
+    * At scale this is the audio-lake shape: opaque files land, a
+    * partitioned binary scan + executor-side codec turns them into
+    * typed columns; a real featurizer (mel spectrogram, embedding
+    * model) swaps in behind the same schema, batch shape, and
+    * partitioning.
+    */
+  def mm10AudioIngest(spark: SparkSession, dir: String): DataFrame =
+    audioMeta(mm10Files(spark, dir))
+
+  /** The mm10 landing directory as a (clip_id, media) frame: real WAV
+    * files staged once per source fingerprint, read back through the
+    * `binaryFile` source (mm05Files' shape for audio).
+    */
+  private[graft] def mm10Files(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mm10_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    TableBuild.ensurePath(spark, root,
+        TableBuild.dirFingerprint(spark, s"$dir/documents.parquet")) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      documents(spark, dir)
+        .select(col("doc_id")).filter(col("doc_id") < Mm10Clips)
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(conf.value)
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(root, s"clip_$id.wav"), true)
+            try out.write(MultimodalStub.testToneWav(
+              mm10Samples(id), mm10Amp(id), Mm10Rate)) finally out.close()
+          }
+        }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(root)
+      .select(
+        regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+          .cast("long").as("clip_id"),
+        col("content").as("media"))
+  }
+
+  private val audioMetaSchema = StructType(Seq(
+    StructField("clip_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("peak", LongType),
+    StructField("rms", DoubleType),
+    StructField("checksum", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** REAL audio-decode leg: rows of (clip_id, media) holding ENCODED
+    * WAV bytes flow through the same batched mapPartitions path as the
+    * image kernels, decoded by [[MultimodalStub.decodeWav]] (the JDK's
+    * `javax.sound.sampled` — runs on executors as-is) and reduced to
+    * per-clip signal features. All integer except the 4-dp RMS (whose
+    * sum-of-squares intermediate is exact in Long). Same seam contract
+    * as [[decodeMeta]]: a DSP/embedding featurizer swaps in behind an
+    * unchanged schema, batch shape, and partitioning.
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioMetaSchema)
+    media.select(col("clip_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (rate, s) = MultimodalStub.decodeWav(r.getAs[Array[Byte]]("media"))
+          val n = s.length
+          var peak = 0L
+          var sumSq = 0L
+          var checksum = 0L
+          var zc = 0L
+          var t = 0
+          while (t < n) {
+            val v = s(t).toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+            checksum += v * (t + 1)
+            if (t > 0 && (v ^ s(t - 1).toLong) < 0 && v != 0 && s(t - 1) != 0)
+              zc += 1
+            t += 1
+          }
+          val rms =
+            if (n == 0) 0.0
+            else math.round(math.sqrt(sumSq.toDouble / n) * 10000.0) / 10000.0
+          Row(r.getAs[Long]("clip_id"), rate, n.toLong,
+            n.toLong * 1000L / rate, peak, rms, checksum, zc)
+        }
+      }
+    }(enc).orderBy("clip_id")
+  }
+
   /** Delta-neighborhood candidate keys over a hash column: each row
     * explodes into its hash plus all single-bit flips (bits+1 keys, a
     * constant), so an equi-join of `key` against raw hashes finds
@@ -647,6 +783,71 @@ object MultimodalStub {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic WAV test tone: `n` mono 16-bit PCM samples at
+    * `rate` Hz alternating +amp, −amp (a full-swing square wave at the
+    * Nyquist rate), containerized by the JDK's `javax.sound.sampled`
+    * writer — so the bytes carry a REAL RIFF/WAVE header the decode
+    * path must actually parse, not a hand-rolled shortcut. PCM is
+    * lossless: the samples round-trip bit-exactly through [[decodeWav]]
+    * (spec-pinned), which is what lets mm10's oracle predict every
+    * decoded feature analytically.
+    */
+  def testToneWav(n: Int, amp: Int, rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = if (t % 2 == 0) amp else -amp
+      pcm(2 * t) = (s & 0xFF).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    finally ais.close()
+    out.toByteArray
+  }
+
+  /** Decode encoded WAV bytes to (sample rate, 16-bit signed samples)
+    * via the JDK's `javax.sound.sampled` — in-JDK like ImageIO, so it
+    * runs on executors as-is. Scope: mono 16-bit little-endian signed
+    * PCM (the format every speech-corpus WAV carries); anything else
+    * throws rather than silently mis-decoding — the decodeImage
+    * posture: corrupt or unsupported media must surface (quarantine or
+    * fail), never rot the corpus as fake samples.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable media (${bytes.length} bytes): no registered AudioFileReader claims it", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+        s"unsupported WAV format (want mono 16-bit LE signed PCM): $fmt")
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)
+        i += 1
+      }
+      (math.round(fmt.getSampleRate), out)
+    } finally ais.close()
   }
 
   /** Decode encoded image bytes (PNG/JPEG/BMP/GIF — whatever the JDK's

@@ -71,6 +71,9 @@ class ConcurrencySpec extends SparkSpec {
       // session-window shape in the mix.
       "mm09_feature_real",
       "mm06_phash_dedup", "mm07_phash_blocked", "mm08_video_keyframes",
+      // mm10 races its own staged-WAV TableBuild ensure alongside the
+      // mm family's PNG staging.
+      "mm10_audio_ingest",
       "q37_session_window")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap

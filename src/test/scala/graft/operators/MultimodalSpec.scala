@@ -377,6 +377,47 @@ class MultimodalSpec extends SparkSpec {
       s"scene cuts missed: $perVideo")
   }
 
+  test("decodeWav round-trips the test tone SAMPLE-EXACTLY (every value, every position)") {
+    // PCM is lossless and the writer emits a real RIFF container: the
+    // decode must recover the exact alternating ±A sequence — this pin
+    // is what licenses mm10's analytic oracle.
+    Seq(0L, 3L, 119L, 255L).foreach { id =>
+      val (n, a) = (Multimodal.mm10Samples(id), Multimodal.mm10Amp(id))
+      val (rate, s) = MultimodalStub.decodeWav(
+        MultimodalStub.testToneWav(n, a, Multimodal.Mm10Rate))
+      assert(rate == Multimodal.Mm10Rate)
+      assert(s.length == n, s"clip $id: frame count")
+      (0 until n).foreach { t =>
+        val want = if (t % 2 == 0) a else -a
+        assert(s(t) == want, s"clip $id sample $t: ${s(t)} != $want")
+      }
+    }
+    // Non-audio bytes must refuse loudly (the decodeImage posture).
+    intercept[IllegalArgumentException](
+      MultimodalStub.decodeWav(Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("mm10 ingests real WAV files and decodes to the tone-law features") {
+    val rows = Multimodal.mm10AudioIngest(spark, sf).collect()
+    assert(rows.length == Multimodal.Mm10Clips)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("clip_id")
+      val (n, a) = (Multimodal.mm10Samples(id).toLong, Multimodal.mm10Amp(id).toLong)
+      assert(r.getAs[Int]("sample_rate") == Multimodal.Mm10Rate)
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("duration_ms") == n * 1000L / Multimodal.Mm10Rate)
+      assert(r.getAs[Long]("peak") == a)
+      assert(r.getAs[Double]("rms") == a.toDouble,
+        s"clip $id: square-wave RMS must be exactly the amplitude")
+      assert(r.getAs[Long]("checksum") == -a * n / 2,
+        s"clip $id: position-weighted checksum must telescope to -A*N/2")
+      assert(r.getAs[Long]("zero_crossings") == n - 1)
+    }
+    // Deterministic run-over-run (staged once, decode is pure).
+    val again = Multimodal.mm10AudioIngest(spark, sf).collect()
+    assert(rows.map(_.toSeq.toVector).toVector == again.map(_.toSeq.toVector).toVector)
+  }
+
   test("mm07 output is blocking-invariant across admissible configs") {
     import graft.operators.Dedup.SimhashBlocking
     val bits = MultimodalStub.BarcodeBits
