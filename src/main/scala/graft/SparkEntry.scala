@@ -130,6 +130,7 @@ object SparkEntry {
     "sim15_ivfpq" -> Similarity.sim15IvfPq _,
     "sim16_nprobe_sweep" -> Similarity.sim16NprobeSweep _,
     "sim17_staleness_monitor" -> Similarity.sim17StalenessMonitor _,
+    "sim18_retrain_swap" -> Similarity.sim18RetrainSwap _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -566,16 +567,16 @@ object SparkEntry {
     * [[graft.operators.Similarity]] (the etl27 discipline).
     */
   private val Sim17OracleSql: String = {
-    import graft.operators.Similarity.{KmeansIters, NProbe, NumQueryVectors,
+    import graft.operators.Similarity.{Dims, KmeansIters, NProbe, NumQueryVectors,
       StaleBatches, StaleDriftStep, StaleIdBase, TopK}
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        ${kmeansCteSql(16, KmeansIters, cosine = true)},
        c AS (SELECT cid, cv FROM kc$KmeansIters),
        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueryVectors),
        ap AS (SELECT $StaleIdBase + b*100 + q_id AS vec_id,
-           list_transform(range(1, 65), i ->
+           list_transform(range(1, ${Dims + 1}), i ->
              (1.0 - b*$StaleDriftStep)*qv[CAST(i AS INT)] +
-               (b*$StaleDriftStep)*qv[CAST(65 - i AS INT)]) AS v,
+               (b*$StaleDriftStep)*qv[CAST(${Dims + 1} - i AS INT)]) AS v,
            CAST(b AS INT) AS batch
          FROM q, unnest(range(1, ${StaleBatches + 1})) AS t(b)),
        fc AS (SELECT vec_id, v, 0 AS batch FROM e
@@ -609,6 +610,45 @@ object SparkEntry {
          round(CAST(sum(CASE WHEN probe_rank <= $NProbe THEN 1 ELSE 0 END) AS DOUBLE)
            / count(*), 4) AS recall_at_k
        FROM h GROUP BY staleness ORDER BY staleness"""
+  }
+
+  /** Generated DuckDB replay of sim18's retrain + swap: the merged
+    * corpus (base embeddings ∪ sim17's drift-synthesized appends — the
+    * identical blend arithmetic), the FULL k-means training chain
+    * re-run over it (the same generated [[kmeansCteSql]] the sim03
+    * oracle uses, here with `e` bound to the MERGED corpus — seeding
+    * by vec_id < K picks the base vectors on both engines), and the
+    * post-swap per-cell layout with append mass. The version is the
+    * deterministic v2 of the per-session store (v1 = deployed, v2 =
+    * retrained). Pinning the oracle to the fresh-training chain is
+    * exactly the "post-swap assignment == a fresh sim03 build over the
+    * merged corpus" contract: a stale or torn codebook read anywhere
+    * breaks the cell layout.
+    */
+  private val Sim18OracleSql: String = {
+    import graft.operators.Similarity.{Dims, KmeansIters, NumQueryVectors,
+      StaleBatches, StaleDriftStep, StaleIdBase}
+    s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM eb WHERE vec_id < $NumQueryVectors),
+       ap AS (SELECT $StaleIdBase + b*100 + q_id AS vec_id,
+           list_transform(range(1, ${Dims + 1}), i ->
+             (1.0 - b*$StaleDriftStep)*qv[CAST(i AS INT)] +
+               (b*$StaleDriftStep)*qv[CAST(${Dims + 1} - i AS INT)]) AS v
+         FROM q, unnest(range(1, ${StaleBatches + 1})) AS t(b)),
+       e AS (SELECT vec_id, v FROM eb UNION ALL SELECT vec_id, v FROM ap),
+       ${kmeansCteSql(16, KmeansIters, cosine = true)},
+       c AS (SELECT cid, cv FROM kc$KmeansIters),
+       assign AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+           FROM e, c) WHERE crk = 1)
+       SELECT CAST(2 AS BIGINT) AS codebook_version,
+         CAST(cell AS BIGINT) AS cell,
+         count(*) AS n_vectors,
+         CAST(sum(CASE WHEN vec_id >= $StaleIdBase THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_appends
+       FROM assign GROUP BY cell ORDER BY cell"""
   }
 
   /** Generated DuckDB replay of sim02's hyperplane LSH search. The ±1
@@ -1904,6 +1944,7 @@ object SparkEntry {
          ORDER BY q_id, rk""",
     "sim16_nprobe_sweep" -> Sim16OracleSql,
     "sim17_staleness_monitor" -> Sim17OracleSql,
+    "sim18_retrain_swap" -> Sim18OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

@@ -19,6 +19,14 @@ object Similarity {
   val TopK = 10
   private[graft] val NumQueryVectors = 5
 
+  /** Embedding dimensionality of the corpus — ONE definition for every
+    * site that unrolls over dimensions (sim02's hyperplanes, sim14's
+    * per-dim bounds, sim17/18's drift synthesis and their generated
+    * oracles), so a dimensionality change breaks loudly everywhere
+    * instead of silently skewing one hardcoded site (round-13 ADVICE).
+    */
+  val Dims = 64
+
   /** sim01: exact brute-force top-k cosine neighbors for each query
     * vector. Ranking is done on the 4-dp-rounded score (with the vec id
     * as tiebreaker) so ordering is stable across engines. Top-k runs
@@ -86,7 +94,6 @@ object Similarity {
     */
   def sim02LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val Planes = 4
-    val Dims = 64
     val e = Dedup.vectors(spark, dir)
       .withColumn("bucket", hyperplaneBucket(col("v"), Planes, Dims))
     val queries = e.filter(col("vec_id") < NumQueryVectors)
@@ -784,7 +791,6 @@ object Similarity {
     * bounds → codes → integer candidate ranking → exact refine.
     */
   def sim14SqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val Dims = 64
     val e = Dedup.vectors(spark, dir)
     val bounds = e.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
@@ -1007,9 +1013,9 @@ object Similarity {
       .withColumn("t", col("batch").cast("double") * lit(StaleDriftStep))
       .select(
         (lit(StaleIdBase) + col("batch") * 100L + col("q_id")).as("vec_id"),
-        transform(sequence(lit(1), lit(64)),
+        transform(sequence(lit(1), lit(Dims)),
           i => (lit(1.0) - col("t")) * element_at(col("qv"), i) +
-            col("t") * element_at(col("qv"), lit(65) - i)).as("v"),
+            col("t") * element_at(col("qv"), lit(Dims + 1) - i)).as("v"),
         col("batch").cast("int").as("batch"))
 
   /** Core of sim17 over any (base corpus, appends, codebook, probe
@@ -1056,6 +1062,98 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 4))
       .orderBy("staleness")
   }
+
+  /** sim18's store base — one per (session, dir), so the version
+    * sequence is deterministic in every session: v1 = the deployed
+    * codebook, v2 = the retrained one. A production deployment keeps
+    * ONE long-lived store and lets versions accrue; the per-session
+    * base is what makes the oracled output replayable.
+    */
+  private[graft] def sim18Base(spark: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sim18_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${graft.GraftCache.sessionTag(spark)}"
+
+  private val sim18Versions =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  graft.GraftCache.onRelease(() => sim18Versions.clear())
+
+  /** The (pre-swap, post-swap) committed versions, published once per
+    * (session, dir): v1 = the DEPLOYED codebook (what stream11's
+    * appends were assigned under), v2 = [[trainKmeans]] re-run over
+    * the post-append merged corpus. The training happens in-engine;
+    * the store flip is the commit point.
+    */
+  private[graft] def sim18Published(spark: SparkSession, dir: String): (Long, Long) =
+    sim18Versions.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => {
+        val base = sim18Base(spark, dir)
+        graft.sources.CodebookStore.reset(spark, base)
+        val v1 = graft.sources.CodebookStore.publish(spark, base,
+          trainedCodebook(spark, dir))
+        val retrained = trainKmeans(mergedCorpus(spark, dir),
+            NumCentroids, KmeansIters, cosine = true)
+          .zipWithIndex.map { case (cv, i) => i.toLong -> cv }
+        val v2 = graft.sources.CodebookStore.publish(spark, base, retrained)
+        (v1, v2)
+      })
+
+  /** The post-append corpus sim17 monitors and sim18 re-trains over:
+    * the base embeddings plus every drift-synthesized append batch.
+    */
+  private[graft] def mergedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.select("vec_id", "v")
+      .unionByName(driftedAppends(queries).select("vec_id", "v"))
+  }
+
+  /** sim18: codebook RE-TRAIN + versioned SWAP — act on sim17's alarm:
+    * the staleness monitor measures WHEN re-training is due; this
+    * operator EXECUTES it. The codebook is re-trained in-engine over
+    * the post-append merged corpus (sim09's Lloyd trainer — the same
+    * engine-exact protocol the original codebook came from, seeded by
+    * the same vec_id < K rule, so the result IS a fresh sim03 build
+    * over the merged corpus), published as a VERSIONED artifact
+    * through [[graft.sources.CodebookStore]] (MergeSink's OCC claim +
+    * `_SUCCESS`-commit pattern — the marker is the flip, readers never
+    * see a half-written codebook), and the merged corpus — streamed
+    * appends included — is re-assigned under the version read BACK
+    * from the store (the round-trip is part of the contract: what the
+    * operator reports is what a reader resolves, not a driver-local
+    * array). The RETAINED v1 keeps every pre-swap probe result
+    * reproducible (etl23's time-travel contract — spec-pinned).
+    *
+    * Output: the post-swap cell layout with the append mass per cell —
+    * the numbers an index rebuild reports. Plan shape: the assignment
+    * is the literal-argmax scan stage (zero joins anywhere — plan-
+    * audited); the only shuffle is the per-cell rollup.
+    */
+  def sim18RetrainSwap(spark: SparkSession, dir: String): DataFrame = {
+    val (_, v2) = sim18Published(spark, dir)
+    val cb = graft.sources.CodebookStore.codebookAt(
+      spark, sim18Base(spark, dir), v2)
+    ivfAssigned(mergedCorpus(spark, dir), cb)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum((col("vec_id") >= StaleIdBase).cast("long")).as("n_appends"))
+      .select(lit(v2).as("codebook_version"), col("cell"),
+        col("n_vectors"), col("n_appends"))
+      .orderBy("cell")
+  }
+
+  /** Arrival assignment under an EXPLICIT codebook — stream17's
+    * decision core: the same literal-argmax rule as
+    * [[ivfAssignArrivals]], with the codebook supplied by the caller
+    * (resolved per micro-batch from the CodebookStore's latest
+    * committed version, so a mid-stream re-train + swap re-routes new
+    * appends without touching already-landed batches).
+    */
+  private[graft] def ivfAssignArrivalsWith(
+      batch: DataFrame, centroids: Array[(Long, Array[Double])]): DataFrame =
+    ivfAssigned(
+      batch.select(col("vec_id"), asDoubleArray(col("embedding")).as("v")),
+      centroids)
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** VERSIONED codebook artifact — the ANN index's answer to MergeSink's
+  * snapshot protocol: a trained coarse-quantizer codebook is published
+  * as an immutable `v<N>` parquet snapshot, and the COMMIT POINT is the
+  * parquet writer's `_SUCCESS` marker, so a reader resolving "the
+  * deployed codebook" either sees the complete old version or the
+  * complete new one — never a half-written centroid table. This is the
+  * flip sim18's re-train executes: stream11-style append maintenance
+  * runs against version N while training produces N+1; the swap is one
+  * atomic marker, and the RETAINED prior version keeps every pre-swap
+  * probe result reproducible (etl23's time-travel contract, applied to
+  * the model artifact instead of the table state).
+  *
+  * Concurrency is MergeSink's OCC pattern: the right to write version
+  * N is won by atomically creating the claim marker `vN.claim`
+  * (create-fails-if-exists; on `file:` the kernel's O_EXCL create —
+  * Hadoop LocalFileSystem's overwrite=false is a TOCTOU exists+create,
+  * the race MergeSinkSpec measurably hit). A publisher that loses the
+  * claim simply retries at the next number: unlike a MERGE, a codebook
+  * publish carries its full payload (nothing is read-modify-written),
+  * so the serializability gate degenerates to version-number
+  * uniqueness — two concurrent trainers both commit, at distinct
+  * versions, and the later number wins the `latest()` resolution.
+  * Claim markers are never pruned (MergeSink's lineage-fork argument).
+  *
+  * At 100 TB scale the codebook is O(K×dims) — kilobytes — so
+  * snapshot-per-version costs nothing; what the protocol buys is the
+  * reader contract under continuous ingest: micro-batches resolve
+  * `latest()` per batch and can never observe a torn model.
+  */
+object CodebookStore {
+
+  private def fsFor(spark: SparkSession, basePath: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(basePath)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed (carrying `_SUCCESS`) snapshot versions, ascending. */
+  def versions(spark: SparkSession, basePath: String): Seq[Long] = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      .map(_._1).sorted
+  }
+
+  /** The deployed (newest committed) version, if any. */
+  def latest(spark: SparkSession, basePath: String): Option[Long] =
+    versions(spark, basePath).lastOption
+
+  /** All version numbers ever used (committed, in-flight, or claimed) —
+    * the floor for the next claim.
+    */
+  private def usedNumbers(spark: SparkSession, basePath: String): Seq[Long] = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("v")) n.drop(1).toLongOption
+      else if (s.isFile && n.matches("v\\d+\\.claim"))
+        n.stripPrefix("v").stripSuffix(".claim").toLongOption
+      else None
+    }
+  }
+
+  /** MergeSink's atomic claim, verbatim semantics: exactly one
+    * concurrent publisher wins `v`; a transient IO failure reads as
+    * "didn't win" and the caller retries at a later number.
+    */
+  private def tryClaim(spark: SparkSession, basePath: String, v: Long): Boolean = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val claim = new org.apache.hadoop.fs.Path(base, s"v$v.claim")
+    if (Option(fs.getUri.getScheme).forall(_ == "file"))
+      try new java.io.File(
+        org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          fs.makeQualified(claim)).toString).createNewFile()
+      catch { case _: java.io.IOException => false }
+    else
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Publish a codebook as the next version: claim a number, fully
+    * materialize the snapshot (the parquet `_SUCCESS` is the commit),
+    * return the committed version. Lock-free across JVMs — losers of a
+    * claim race retry at the next number; readers resolving [[latest]]
+    * flip from the old committed version to the new one atomically at
+    * the marker.
+    */
+  def publish(spark: SparkSession, basePath: String,
+      centroids: Array[(Long, Array[Double])]): Long = {
+    import scala.jdk.CollectionConverters._
+    val rows = centroids.map { case (cid, cv) =>
+      org.apache.spark.sql.Row(cid, cv.toSeq)
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    var committed = -1L
+    while (committed < 0) {
+      val next = (usedNumbers(spark, basePath) :+ 0L).max + 1
+      if (tryClaim(spark, basePath, next)) {
+        df.coalesce(1).write.mode("overwrite").parquet(s"$basePath/v$next")
+        committed = next
+      }
+      // else: lost the race — re-list and take the next number.
+    }
+    committed
+  }
+
+  /** The codebook AS OF a committed version, as the driver-side array
+    * every assignment site consumes ([[graft.operators.Similarity]]'s
+    * literal-argmax contract). An uncommitted or expired version fails
+    * LOUDLY with the retained set — resolving a torn or vanished model
+    * to an empty codebook would silently mis-assign the corpus.
+    */
+  def codebookAt(spark: SparkSession, basePath: String,
+      version: Long): Array[(Long, Array[Double])] = {
+    val (fs, base) = fsFor(spark, basePath)
+    val marker = new org.apache.hadoop.fs.Path(base, s"v$version/_SUCCESS")
+    if (!fs.exists(marker))
+      throw new NoSuchElementException(
+        s"codebook v$version is not committed under $basePath; " +
+          s"retained versions: ${versions(spark, basePath).mkString("[", ", ", "]")}")
+    spark.read.parquet(s"$basePath/v$version")
+      .select(col("cid"), col("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+  }
+
+  /** Drop every version and claim marker — a clean slate for a
+    * deterministic replay (MergeSink.reset's contract).
+    */
+  def reset(spark: SparkSession, basePath: String): Unit = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (fs.exists(base)) fs.delete(base, true)
+  }
+}

@@ -642,6 +642,40 @@ object GraftStreams {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream17: VERSIONED-codebook IVF landing — stream11's index
+    * maintenance made re-train-aware: instead of the session-pinned
+    * trained codebook, each micro-batch resolves the codebook from the
+    * [[graft.sources.CodebookStore]]'s latest COMMITTED version at
+    * batch time and stamps its landed rows with that version. This is
+    * how sim18's swap reaches the ingest path: appends landed before
+    * the re-train carry v1's cells, appends after it carry v2's — the
+    * swap re-routes NEW arrivals atomically (the store's `_SUCCESS`
+    * marker is the flip; a batch can never read a half-written
+    * codebook) without touching already-landed batches, whose v1 cell
+    * assignments remain reproducible from the retained version
+    * (etl23's time-travel contract). A compaction pass re-assigning
+    * old batches under v2 is then ordinary batch work (sim18's
+    * assignment), not a streaming concern.
+    *
+    * stream09's contracts verbatim: per-row decisions ⇒ re-batching-
+    * invariant (given the same resolved version); `batch_id=N`
+    * overwrite ⇒ idempotent replay; ZERO streaming state — the STORE
+    * is the state, and the version column makes every landed row
+    * auditable against exactly the codebook that placed it.
+    */
+  def landVersionedIvfBatch(
+      batch: DataFrame, basePath: String, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = graft.sources.CodebookStore.latest(spark, basePath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed codebook under $basePath — publish one before streaming appends"))
+    val cb = graft.sources.CodebookStore.codebookAt(spark, basePath, v)
+    graft.operators.Similarity.ivfAssignArrivalsWith(batch, cb)
+      .withColumn("codebook_version", lit(v))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/batch_id=$batchId")
+  }
+
   /** The streamed side of the live index: every append landed so far,
     * cell-pruned via partition pruning when filtered on `cell`. The
     * partition columns come back from directory names as integers;

@@ -48,6 +48,10 @@ class ConcurrencySpec extends SparkSpec {
       // sim17 races the trained-codebook computeIfAbsent alongside
       // sim08/sim16 and drives the level-exploded TopKPerKey shape.
       "sim16_nprobe_sweep", "sim17_staleness_monitor",
+      // sim18 races the trained-codebook computeIfAbsent, its own
+      // sim18Published publish-once path (two k-means trainers over
+      // different corpora in flight), and the CodebookStore's OCC claim.
+      "sim18_retrain_swap",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       // cur15 twice-invoked shape rides the mix too: it races its own

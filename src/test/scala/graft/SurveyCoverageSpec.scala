@@ -33,7 +33,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream07_span_dedup", "stream08_jdbc_merge_sink", "stream09_ingest_dedup",
     "stream10_cms_merge", "stream11_ivf_append", "stream12_image_ingest",
     "stream13_session_window", "stream14_video_keyframes",
-    "stream15_ingest_decontam", "stream16_ingest_linkage")
+    "stream15_ingest_decontam", "stream16_ingest_linkage",
+    "stream17_codebook_swap")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val ids = surveyIds.map(i => aliases.getOrElse(i, i))

@@ -189,6 +189,16 @@ class PlanAuditSpec extends SparkSpec {
       "the shared funnel/window-hash pins must feed the stages")
   }
 
+  test("sim18: post-swap assignment is pure scan-stage — zero joins in the plan") {
+    // The codebook is a driver-side literal (read back from the store),
+    // so assignment is the literal-argmax scan stage and the only
+    // shuffle is the per-cell rollup: any Join node means the codebook
+    // leaked into the plan as a frame.
+    val plan = finalPlan(Similarity.sim18RetrainSwap(spark, sf))
+    assert(!plan.contains("Join"),
+      s"sim18 must not join — the codebook is a literal:\n${plan.take(2000)}")
+  }
+
   test("cur06: funnel joins marks as broadcasts, never a shuffle join on doc_id") {
     // The only corpus-wide exchange the funnel is allowed is the
     // fingerprint window for keeper election; near-dup / contamination

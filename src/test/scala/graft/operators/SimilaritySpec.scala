@@ -530,4 +530,59 @@ class SimilaritySpec extends SparkSpec {
       s"staleness-0 hits must equal sim16 at NProbe=${Similarity.NProbe}: " +
         s"got (${level0._3}, ${level0._4}) vs ($nEx16, $nHit16)")
   }
+
+  test("sim18 post-swap assignment equals a fresh build over the merged corpus") {
+    import org.apache.spark.sql.functions._
+    val merged = Similarity.mergedCorpus(spark, sf)
+    // Fresh build: train directly over the merged corpus (no store in
+    // the loop) and assign — sim18's store round-trip must change
+    // nothing (parquet doubles are lossless; the swap reads back what
+    // training produced).
+    val fresh = Similarity.ivfAssigned(merged,
+        Similarity.trainKmeans(merged, Similarity.NumCentroids,
+            Similarity.KmeansIters, cosine = true)
+          .zipWithIndex.map { case (cv, i) => i.toLong -> cv })
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum((col("vec_id") >= Similarity.StaleIdBase).cast("long"))
+          .as("n_appends"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val swapped = Similarity.sim18RetrainSwap(spark, sf).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(swapped == fresh,
+      "post-swap layout must be exactly a fresh sim03 build over the merged corpus")
+    // Every append is in the layout.
+    assert(swapped.values.map(_._2).sum ==
+      Similarity.StaleBatches.toLong * Similarity.NumQueryVectors)
+  }
+
+  test("sim18 retains v1: pre-swap assignments stay reproducible (time travel)") {
+    import org.apache.spark.sql.functions._
+    val (v1, v2) = Similarity.sim18Published(spark, sf)
+    assert(v1 == 1L && v2 == 2L, "per-session store must be deterministic")
+    val base = Similarity.sim18Base(spark, sf)
+    // v1 read back IS the deployed codebook (byte-stable retention)...
+    val stored = graft.sources.CodebookStore.codebookAt(spark, base, v1)
+    val deployed = Similarity.trainedCodebook(spark, sf)
+    assert(stored.length == deployed.length &&
+      stored.zip(deployed).forall { case ((ci, cv), (di, dv)) =>
+        ci == di && cv.sameElements(dv)
+      }, "retained v1 must equal the deployed codebook exactly")
+    // ...so any pre-swap probe result recomputes exactly: the merged
+    // corpus assigned under v1 equals assignment under the deployed
+    // codebook (etl23's time-travel contract for the model artifact).
+    val merged = Similarity.mergedCorpus(spark, sf)
+    def layout(cb: Array[(Long, Array[Double])]) =
+      Similarity.ivfAssigned(merged, cb)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layout(stored) == layout(deployed))
+    // The swap genuinely retrained: v2 differs from v1 (drifted appends
+    // moved the centroids), so the flip is observable, not a no-op.
+    val post = graft.sources.CodebookStore.codebookAt(spark, base, v2)
+    assert(!stored.zip(post).forall { case ((_, cv), (_, dv)) =>
+      cv.sameElements(dv)
+    }, "retraining over the drifted corpus must move at least one centroid")
+  }
 }

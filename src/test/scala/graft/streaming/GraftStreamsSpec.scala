@@ -733,6 +733,79 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landedCells() == batchAssigned, "replay must be a no-op")
   }
 
+  test("stream17: mid-stream codebook swap re-routes NEW appends, old batches keep v1") {
+    import graft.operators.Similarity
+    import graft.sources.CodebookStore
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream17_${System.nanoTime()}"
+    val base = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream17_store_${System.nanoTime()}"
+    // Two hand codebooks with an ANALYTIC cell flip: v1's centroids are
+    // the ±x axis, v2's the ±y axis — a +y arrival lands in a
+    // different cell under each, so a stale (or torn) codebook read is
+    // observable, not coincidentally equal.
+    def axis(d: Int, sign: Double) =
+      Array.tabulate(4)(i => if (i == d) sign else 0.0)
+    val cbV1 = Array(0L -> axis(0, 1.0), 1L -> axis(0, -1.0))
+    val cbV2 = Array(0L -> axis(1, 1.0), 1L -> axis(1, -1.0))
+    val v1 = CodebookStore.publish(spark, base, cbV1)
+    // Arrivals near +x and −y: under v1 (x axis) they land cells 0/1;
+    // under v2 (y axis) cells 1/1... each batch carries both.
+    def arrivals(idBase: Long) = Seq(
+      GraftStreams.EmbeddingArrival(idBase, Array(1.0f, 0.1f, 0f, 0f)),
+      GraftStreams.EmbeddingArrival(idBase + 1, Array(0.1f, -1.0f, 0f, 0f)))
+    val stream = MemoryStream[GraftStreams.EmbeddingArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landVersionedIvfBatch(b.toDF(), base, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(arrivals(100L))
+      q.processAllAvailable()
+      // THE SWAP: a re-train commits v2 while the stream runs.
+      assert(CodebookStore.publish(spark, base, cbV2) == v1 + 1)
+      stream.addData(arrivals(200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.option("basePath", outDir).parquet(outDir)
+      .select(col("vec_id"), col("cell").cast("long"), col("codebook_version"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = landed()
+    // Batch 0 was assigned under v1, batch 1 under v2 — and the cells
+    // match the shared batch rule under the RESPECTIVE codebook.
+    def expect(idBase: Long, cb: Array[(Long, Array[Double])]) =
+      Similarity.ivfAssignArrivalsWith(
+          arrivals(idBase).toDS().toDF(), cb)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e1 = expect(100L, cbV1)
+    val e2 = expect(200L, cbV2)
+    assert(got == (e1.map { case (k, c) => k -> (c, 1L) } ++
+      e2.map { case (k, c) => k -> (c, 2L) }))
+    // The flip is real: the same vectors land different cells per
+    // version (the analytic geometry above guarantees a difference).
+    assert(e1(100L) != e2(200L) || e1(101L) != e2(201L),
+      "fixture must make the swap observable")
+    // Already-landed batches are untouched by the swap, and replaying
+    // batch 0 TODAY re-lands it under the CURRENT version (v2) — the
+    // recompaction semantics: a replay is a re-decision, the retained
+    // v1 keeps the original decision auditable.
+    GraftStreams.landVersionedIvfBatch(
+      arrivals(100L).toDS().toDF(), base, outDir, 0L)
+    val replayed = landed()
+    assert(replayed(100L)._2 == 2L && replayed(200L)._2 == 2L)
+    assert(replayed(100L)._1 == expect(100L, cbV2)(100L))
+    // v1 stays readable for the audit (time travel).
+    assert(CodebookStore.codebookAt(spark, base, 1L)
+      .zip(cbV1).forall { case ((ci, cv), (di, dv)) =>
+        ci == di && cv.sameElements(dv) })
+    CodebookStore.reset(spark, base)
+  }
+
   test("stream12: streamed image ingest gate equals bit-math replay, idempotent") {
     import graft.operators.{Multimodal, MultimodalStub}
     import spark.implicits._
