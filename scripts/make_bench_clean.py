@@ -5,9 +5,10 @@ item 4b — rounds 9-11's official records were contamination-inflated,
 so the retry floor they provide is too soft; this file gives every
 query an honest clean floor that Bench.priorRecord min-merges in).
 
-Usage: make_bench_clean.py <clean_line_file> [repo_dir]
+Usage: make_bench_clean.py <clean_line_file> [repo_dir] [sf_dir]
   clean_line_file: file holding the bench's final stdout JSON line
                    (short query ids), e.g. captured from a quiet run.
+  sf_dir: the sf the floor judges (default /root/testdata/sf0.1).
 """
 import json
 import re
@@ -16,7 +17,26 @@ from pathlib import Path
 
 
 def parse_times(content: str, sf: str):
+    """Per-query times from one record. The summary line is valid JSON
+    (possibly escape-wrapped inside the driver's "tail" string), so
+    parse it as JSON first; the regex path remains only for damaged
+    lines (round-13 ADVICE: regex-only parsing would silently yield an
+    empty floor if the line format ever grew nested braces)."""
     s = content.replace('\\"', '"')
+    # JSON path: decode the first summary object in place (raw_decode
+    # ignores whatever wrapper content follows it on the line).
+    start = s.find('{"metric"')
+    if start >= 0:
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(s[start:])
+            if obj.get("sf") != sf:
+                return {}
+            qs = obj.get("queries", {})
+            return {k: float(v) for k, v in qs.items()
+                    if not k.startswith("_")
+                    and isinstance(v, (int, float))}
+        except (json.JSONDecodeError, TypeError, ValueError):
+            pass  # fall through to the regex salvage path
     m = re.search(r'"sf":"([^"]+)"', s)
     if not m or m.group(1) != sf:
         return {}
@@ -33,10 +53,10 @@ def parse_times(content: str, sf: str):
 def main():
     clean_file = Path(sys.argv[1])
     repo = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(".")
-    sf = "/root/testdata/sf0.1"
+    sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     best = parse_times(clean_file.read_text(), sf)
     if not best:
-        sys.exit("clean line did not parse at sf0.1")
+        sys.exit(f"clean line did not parse at sf {sf}")
     n_fresh = len(best)
     for rec in sorted(repo.glob("BENCH_r*.json")):
         for k, v in parse_times(rec.read_text(), sf).items():

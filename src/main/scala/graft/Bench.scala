@@ -27,15 +27,18 @@ object Bench {
   /** Render the final summary line. Degrades in steps until it fits
     * [[MaxLineChars]]: full errors (≤8 class-name tokens + overflow
     * count) → errors as bare count → 2-dp timings → 1-dp timings
-    * (trailing zeros trimmed: "0.3", "1.2", "12" — ≤3 chars per value,
-    * which keeps per-query numbers alive to ~160 queries where even
-    * 2 dp overflows the window; sub-0.1 floors coarsen to "0"/"0.1",
-    * which costs the retry trigger nothing because the absolute
-    * [[OutlierFloorSec]] = 1 s gate dominates any sub-second floor) →
-    * no per-query timings at all (total + counts only). The last step
-    * guarantees the line fits REGARDLESS of how large the query
-    * surface grows; full-precision per-query numbers always live in
-    * /tmp/graft_bench_full.json and on stderr.
+    * (trailing zeros trimmed: "0.3", "1.2", "12" — ≤3 chars per value
+    * while timings stay under 100 s, which keeps per-query numbers
+    * alive to roughly 160 queries; genuinely slow queries cost more
+    * chars and pull that horizon in, which is fine — the no-timings
+    * fallback below guarantees the fit either way. Sub-0.1 floors
+    * coarsen to "0"/"0.1": a floor read from a degraded record can
+    * round a cheap query's 2× trigger by at most one 0.05 s grid step,
+    * and the [[RetryFloorSec]] absolute gate keeps that noise from
+    * churning) → no per-query timings at all (total + counts only).
+    * The last step guarantees the line fits REGARDLESS of how large
+    * the query surface grows; full-precision per-query numbers always
+    * live in /tmp/graft_bench_full.json and on stderr.
     *
     * `suspect` self-identifies contamination (round-11 directive): the
     * queries whose FINAL time is still >[[PriorRatio]]× their best
@@ -94,12 +97,24 @@ object Bench {
   private[graft] def family(name: String): String =
     if (name.startsWith("etl")) name.take(4) else name.takeWhile(_.isLetter)
 
-  /** Retry threshold: a best-of-N reading above BOTH 3× its family
-    * median AND this absolute floor is treated as a possible
-    * machine-contention artifact and re-run. The floor keeps cheap
-    * families (median ~0.1 s, where 3× is noise-level) from churning.
+  /** Absolute floor for the within-run FAMILY-MEDIAN fallback: a
+    * reading above BOTH 3× its family median AND this floor is
+    * contention-suspect. Applies only to queries with NO prior clean
+    * record (new operators, first run at an sf) — the family median is
+    * measured under the same machine load, where a tighter gate would
+    * flag healthy queries.
     */
   private[graft] val OutlierFloorSec = 1.0
+
+  /** Absolute floor for the PRIOR-RECORD gate (round-13 directive:
+    * with BENCH_clean.json seeding per-query clean floors, the old 1 s
+    * absolute gate was obsolete — a 0.12 s query reading 0.6 s is
+    * exactly as diagnostic as a 1 s one). A reading is retried /
+    * flagged suspect when it is BOTH >[[PriorRatio]]× its best clean
+    * floor AND above this floor; below 0.3 s the 2× band is inside
+    * scheduler-noise territory and retries would churn for nothing.
+    */
+  private[graft] val RetryFloorSec = 0.3
 
   /** Names whose reading looks contention-distorted: above 3× the
     * family median and above [[OutlierFloorSec]]. Errored queries are
@@ -213,17 +228,30 @@ object Bench {
     * queries with no prior record (new operators, or a first run at
     * this sf).
     */
+  /** Whether a reading is contention-suspect: floor-relative against
+    * the query's own best clean record when one exists (>[[PriorRatio]]×
+    * floor AND >[[RetryFloorSec]] absolute), else the within-run
+    * family-median fallback at its looser [[OutlierFloorSec]] gate.
+    * ONE definition drives the retry trigger, the retry STOP condition,
+    * and the suspect verdict, so a query is retried exactly until it
+    * stops being suspect (or retries run out) and the line's `suspect`
+    * field is the same test the retries ran against.
+    */
+  private def isSuspect(name: String, t: Double,
+      prior: Map[String, Double],
+      famFlagged: String => Boolean): Boolean =
+    prior.get(shortId(name)) match {
+      case Some(p) => t > RetryFloorSec && t > PriorRatio * p
+      case None => t > OutlierFloorSec && famFlagged(name)
+    }
+
   private[graft] def outliersVsPrior(
       results: Seq[(String, Double)],
       errored: Set[String],
       prior: Map[String, Double]): Seq[String] = {
     val famFlagged = outliers(results, errored).toSet
     results.collect {
-      case (n, t)
-          if !errored(n) && t > OutlierFloorSec &&
-            prior.get(shortId(n)).map(p => t > PriorRatio * p)
-              .getOrElse(famFlagged(n)) =>
-        n
+      case (n, t) if !errored(n) && isSuspect(n, t, prior, famFlagged) => n
     }
   }
 
@@ -238,7 +266,7 @@ object Bench {
       prior: Map[String, Double]): Seq[String] =
     results.collect {
       case (n, t)
-          if !errored(n) && t > OutlierFloorSec &&
+          if !errored(n) && t > RetryFloorSec &&
             prior.get(shortId(n)).exists(t > PriorRatio * _) =>
         shortId(n)
     }
@@ -316,12 +344,17 @@ object Bench {
     val prior = priorRecord(sfDir)
     val flagged = outliersVsPrior(sweep, errored, prior).toSet
     val byName = SparkEntry.queries
+    val famFlagged = outliers(sweep, errored).toSet
     val results = sweep.map { case (name, t0) =>
       if (!flagged(name)) name -> t0
       else {
         var best = t0
         var tries = 0
-        while (tries < 2 && best > OutlierFloorSec) {
+        // Stop as soon as the reading clears the SAME suspicion test
+        // that flagged it — a cheap query whose first solo re-run
+        // lands back on its floor costs one retry, not two (the
+        // round-13 directive's churn bound for the 0.3 s gate).
+        while (tries < 2 && isSuspect(name, best, prior, famFlagged)) {
           val t = System.nanoTime()
           // A retry's time only counts if the retry SUCCEEDED: flagged
           // queries succeeded in the sweep by construction, so a

@@ -99,7 +99,13 @@ object PlanDump {
       "cur17_contamination_scrub" ->
         "contamination scrub: broadcast span marks, codegen HOF rewrite, one corpus scan",
       "etl28_fuzzy_link" ->
-        "fuzzy linkage: ONE pinned fact aggregate to the name vocabulary, head-noun-blocked broadcast equi-join over the cached frame, p_name-only scan")
+        "fuzzy linkage: ONE pinned fact aggregate to the name vocabulary, head-noun-blocked broadcast equi-join over the cached frame, p_name-only scan",
+      "cur18_corpus_build" ->
+        "end-to-end corpus build: shared pinned funnel frame, broadcast span/threshold evidence, train-split-only packing window",
+      "mm10_audio_ingest" ->
+        "audio ingestion: binaryFile scan + executor-side javax.sound decode, per-clip integer feature kernel",
+      "sim18_retrain_swap" ->
+        "codebook retrain+swap: store-read literal codebook, zero-join argmax assignment, one per-cell rollup shuffle")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -253,6 +259,10 @@ object PlanDump {
       || cur16 contaminated spans reported | 733 | 7,268 | 9.9x - tracks cross-split dup mass (round-13 row) |
       || mm07 (8,4)/64-bit blocked candidates | 2,082 | 22,556 | 10.8x - linear; accidental-collision term still negligible |
       || sim15 probed-cell members | 24,950 | 125,651 | 5.04x on 5x vectors - exactly linear in the corpus |
+      || etl28 name vocabulary (the key domain) | 223 | 695 | 3.1x at 10x rows - Heaps-sublinear (sqrt law; round-14 row) |
+      || etl28 largest block | 20 | 61 | 3.05x - tracks V/16, the vocabulary, never the corpus |
+      || etl28 band-surviving candidate pairs (the levenshtein workload) | 1,280 | 12,318 | 9.6x at 10x rows - LINEAR IN THE CORPUS (see reading) |
+      || etl28 emitted links | 31 | 173 | tracks the injected near-dup name mass (~V/10 variants) |
       |
       |Reading: every sub-quadratic claim that carries the 100 TB story
       |now rests on THREE measured decades (sf0.1 -> 50k -> 500k docs),
@@ -261,6 +271,29 @@ object PlanDump {
       |mass plus band-collision residue, both linear-bounded). At this
       |rate the extrapolation to 10^9+ documents is two more decades of
       |the same measured shape, not a leap of faith.
+      |
+      |etl28 (fuzzy linkage) reading — the round-13 directive's missing
+      |decade, measured round 14 through the operator's OWN machinery
+      |(Etl.nameVocabulary for the key-domain collapse,
+      |Etl.fuzzyBlockedLinks for the blocked pair space). The real
+      |sf0.1 part table anchors the claim (20k rows -> 64 names, max
+      |block 8, 224 band pairs, 80 links); the synthetic decades use a
+      |Heaps-law name generator over the corpus vocabulary (name index
+      |= floor(sqrt(row id)) — beta = 0.5, the canonical
+      |vocabulary-growth exponent; 16 head nouns = the blocking key;
+      |every 10th name a 1-edit variant). Measured: the VOCABULARY grows
+      |as the square root of the corpus (223 -> 695 at 10x rows) and
+      |the largest block tracks V/16 (20 -> 61) — so the per-block
+      |quadratic kernel work, ~V^2/32 band pairs, grows 9.6x at 10x
+      |rows: LINEAR IN THE CORPUS. The "link the key domain, not the
+      |rows" design is thereby a measured property, not an assertion —
+      |the quadratic lives entirely inside a key space that Heaps' law
+      |keeps at sqrt(corpus), and the blocking key re-prices it from
+      |V^2 to V^2/blocks. If a real catalog's measured vocabulary ever
+      |grew FASTER than ~sqrt(rows) (beta -> 1: near-unique names),
+      |the re-pricing knob is a finer blocking key (head noun ->
+      |noun + length band as key), the same one-line change contract
+      |as dedup04's widening.
       |
       |## Measured round-8-operator growth (sf 0.01 -> 0.1, 10x docs)
       |

@@ -900,26 +900,47 @@ object Etl {
   private[graft] def etl28Names(spark: SparkSession, dir: String): DataFrame =
     graft.GraftCache.getOrPersist(
       s"etl.fuzzyNames:$dir:${graft.GraftCache.sessionTag(spark)}") {
-      part(spark, dir)
-        .groupBy(col("p_name"),
-          element_at(split(col("p_name"), " "), -1).as("blk"))
-        .agg(count(lit(1)).as("cnt"))
+      nameVocabulary(part(spark, dir))
     }
 
-  def etl28FuzzyLink(spark: SparkSession, dir: String): DataFrame = {
-    val names = etl28Names(spark, dir)
+  /** The key-domain collapse over any frame carrying `p_name` — ONE
+    * definition of the vocabulary aggregation + blocking key, shared
+    * by etl28's pinned frame and the GrowthProbe's synthetic decades.
+    */
+  private[graft] def nameVocabulary(parts: DataFrame): DataFrame =
+    parts
+      .groupBy(col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("blk"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def etl28FuzzyLink(spark: SparkSession, dir: String): DataFrame =
+    fuzzyBlockedLinks(etl28Names(spark, dir))
+      .orderBy("name_a", "name_b")
+
+  /** The blocked candidate self-join over any (p_name, blk, cnt)
+    * vocabulary frame — separable so the GrowthProbe measures etl28's
+    * pair space through the operator's OWN join (never a parallel
+    * reimplementation). `bandOnly` stops after the lossless length
+    * band (no levenshtein), which is the candidate count the kernel
+    * actually runs on — the number whose growth the blocking key must
+    * keep sub-quadratic.
+    */
+  private[graft] def fuzzyBlockedLinks(
+      names: DataFrame, bandOnly: Boolean = false): DataFrame = {
     val a = names.select(col("blk"), col("p_name").as("name_a"),
       col("cnt").as("cnt_a"))
     val b = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"),
       col("cnt").as("cnt_b"))
-    a.join(broadcast(b),
+    val banded = a.join(broadcast(b),
         col("blk") === col("blk_b") && col("name_a") < col("name_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= Etl28MaxDist
-        && levenshtein(col("name_a"), col("name_b")) <= Etl28MaxDist)
-      .select(col("blk"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"),
-        col("cnt_a"), col("cnt_b"))
-      .orderBy("name_a", "name_b")
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= Etl28MaxDist)
+    val linked =
+      if (bandOnly) banded
+      else banded.filter(
+        levenshtein(col("name_a"), col("name_b")) <= Etl28MaxDist)
+    linked.select(col("blk"), col("name_a"), col("name_b"),
+      levenshtein(col("name_a"), col("name_b")).as("dist"),
+      col("cnt_a"), col("cnt_b"))
   }
 
   /** stream16's decision core, separable so the spec can replay it in

@@ -173,7 +173,8 @@ object GrowthProbe {
     }
   }
 
-  def measure(spark: SparkSession, tag: String, dir: String): Unit = {
+  def measure(spark: SparkSession, tag: String, dir: String,
+      baseDir: String): Unit = {
     def p(k: String, v: Long): Unit = println(s"growth [$tag] $k=$v")
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
@@ -196,7 +197,8 @@ object GrowthProbe {
         size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
       .agg(sum("w")).head.getLong(0))
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
-    cur16Counts(p, docs)
+    cur16Counts(p, docs, tag)
+    etl28Counts(spark, p, dir, baseDir)
 
     // mm07 photo-scale blocking (round-11 directive item 6): one
     // synthetic 64-bit photo hash per document id (near-dup tail inside
@@ -237,7 +239,8 @@ object GrowthProbe {
     * ~100× the second decade to re-confirm a shape the knob — not the
     * join — is documented to fix.
     */
-  def measureLinear(spark: SparkSession, tag: String, dir: String): Unit = {
+  def measureLinear(spark: SparkSession, tag: String, dir: String,
+      baseDir: String): Unit = {
     def p(k: String, v: Long): Unit = println(s"growth [$tag] $k=$v")
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
@@ -255,7 +258,8 @@ object GrowthProbe {
         size(tokens(col("text"))) - lit(Dedup.SubstringWindow - 1)).as("w"))
       .agg(sum("w")).head.getLong(0))
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
-    cur16Counts(p, docs)
+    cur16Counts(p, docs, tag)
+    etl28Counts(spark, p, dir, baseDir)
     locally {
       import spark.implicits._
       val hashes = spark.range(nDocs).as[Long]
@@ -281,14 +285,93 @@ object GrowthProbe {
     * window-hash set is the semi-join BUILD side (the 100 TB claim:
     * the benchmark split is the small side — here 1/20 of the corpus
     * by source), and the reported spans track the injected cross-split
-    * dup mass, not the corpus.
+    * dup mass, not the corpus. The window frame is PINNED through the
+    * operator's own cacheKey path (round-13 ADVICE: without it the
+    * stride tokenize+hash pass ran twice per probe, unlike the pinned
+    * production shape being measured) — the span probe builds the pin,
+    * the held-out count's identical derivation reads it back through
+    * the CacheManager's plan match, and the key is released after.
     */
-  private def cur16Counts(p: (String, Long) => Unit, docs: DataFrame): Unit = {
+  private def cur16Counts(p: (String, Long) => Unit, docs: DataFrame,
+      tag: String): Unit = {
+    val key = s"growth.cur16:$tag"
+    p("cur16_spans_reported",
+      Dedup.substringContamination(docs, col("source") === "src0",
+        Some(key)).count())
     p("cur16_heldout_hashes",
       Dedup.strideWindowRows(docs, carry = Seq("source"))
         .filter(col("source") === "src0").select("h").distinct().count())
-    p("cur16_spans_reported",
-      Dedup.substringContamination(docs, col("source") === "src0").count())
+    graft.GraftCache.releaseKey(key)
+  }
+
+  /** Deterministic part-name for catalog row `id` — the synthetic law
+    * behind etl28's growth decades (round-13 directive: the
+    * Heaps-sublinear "names ≪ rows" claim and the largest-block
+    * exposure were asserted from 64 names at sf0.1). The name INDEX
+    * grows as ⌊√id⌋ — Heaps' law with β = 0.5, the canonical
+    * vocabulary-growth exponent — so 50k rows carry ~224 names and
+    * 500k carry ~707 (names ≪ rows at every decade, like a real
+    * catalog). Each index renders as 2 modifiers + a head noun drawn
+    * from a 16-noun pool (the blocking key — blocks grow as V/16);
+    * indices ending in 9 are 1-edit variants of their predecessor
+    * (append one char to a modifier: same block, inside the distance
+    * band — the near-dup mass the levenshtein kernel exists to find).
+    */
+  private[graft] def synthPartName(id: Long, vocab: Array[String]): String = {
+    val nameIdx = math.sqrt(id.toDouble).toLong
+    if (nameIdx % 10 == 9) {
+      val toks = basePartToks(nameIdx - 1, vocab)
+      toks(0) = toks(0) + "x"
+      toks.mkString(" ")
+    } else basePartToks(nameIdx, vocab).mkString(" ")
+  }
+
+  private def basePartToks(nameIdx: Long, vocab: Array[String]): Array[String] = {
+    val rnd = rngFor(nameIdx, 55L)
+    val nouns = math.min(16, vocab.length)
+    Array(vocab(rnd.nextInt(vocab.length)), vocab(rnd.nextInt(vocab.length)),
+      vocab(rnd.nextInt(nouns)))
+  }
+
+  /** etl28's growth counts, through the operator's OWN machinery
+    * ([[Etl.nameVocabulary]] for the key-domain collapse,
+    * [[Etl.fuzzyBlockedLinks]] for the blocked pair space): vocabulary
+    * size, the largest block (the quadratic exposure — per-block work
+    * is |block|²), the band-surviving candidate count (what the
+    * levenshtein kernel actually runs on), and the emitted links. At
+    * the real sf dir the vocabulary is the part table's; synthetic
+    * decades derive one part name per document id from [[synthPartName]]'s
+    * Heaps law over the base corpus vocabulary.
+    */
+  private def etl28Counts(spark: SparkSession, p: (String, Long) => Unit,
+      dir: String, baseDir: String): Unit = {
+    import spark.implicits._
+    val hasPart = {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/part.parquet")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    val names =
+      if (hasPart) Etl.etl28Names(spark, dir)
+      else {
+        val vocab = Tables.documents(spark, baseDir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct()
+          .collect().map(_.getString(0)).sorted
+        val vocabB = spark.sparkContext.broadcast(vocab)
+        val nRows = Tables.documents(spark, dir).count()
+        Etl.nameVocabulary(
+          spark.range(nRows).as[Long]
+            .map(id => synthPartName(id, vocabB.value)).toDF("p_name"))
+      }
+    val pinned = names.persist()
+    try {
+      p("etl28_vocab", pinned.count())
+      p("etl28_max_block", pinned.groupBy("blk")
+        .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0))
+      p("etl28_band_pairs",
+        Etl.fuzzyBlockedLinks(pinned, bandOnly = true).count())
+      p("etl28_links", Etl.fuzzyBlockedLinks(pinned).count())
+    } finally pinned.unpersist(blocking = false)
   }
 
   def main(args: Array[String]): Unit = {
@@ -300,15 +383,15 @@ object GrowthProbe {
       graft.GraftSession.cpusFromEnv, "graft-growth")
     try {
       buildSynth(spark, baseDir, synthDir)
-      measure(spark, "sf0.1", baseDir)
-      measure(spark, "sf1-synth", synthDir)
+      measure(spark, "sf0.1", baseDir, baseDir)
+      measure(spark, "sf1-synth", synthDir, baseDir)
       if (deep) {
         val deepDir = s"${synthDir}10"
         buildSynth(spark, baseDir, deepDir, Synth10Docs.toLong, Synth10Vecs.toLong)
         // The per-(session, dir) caches keep sf1-synth frames pinned;
         // release so the third decade starts from a clean registry.
         graft.GraftCache.release()
-        measureLinear(spark, "sf10-synth", deepDir)
+        measureLinear(spark, "sf10-synth", deepDir, baseDir)
       }
     } finally {
       graft.GraftCache.release()

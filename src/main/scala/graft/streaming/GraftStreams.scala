@@ -768,14 +768,27 @@ object GraftStreams {
     * documented horizon contract).
     *
     * Ordering contract: frames within a video arrive in frame order
-    * (the natural contract of a frame extractor feeding a stream);
-    * within a micro-batch the group sorts by frame_idx, and a frame at
-    * or behind the video's processed frontier is DROPPED (a duplicate
-    * delivery or an out-of-contract late frame — the watermark governs
-    * how late a batch may be, the frontier governs order within the
-    * video). Under that contract the emitted keyframe set equals batch
-    * mm08 over the same frames, invariant under re-batching —
-    * spec-pinned over the REAL staged mm08 PNG corpus.
+    * (the natural contract of a frame extractor feeding a stream) —
+    * but the groupBy shuffle does NOT preserve that order into the
+    * group iterator, so within a micro-batch the group re-sorts by
+    * frame_idx; a frame at or behind the video's processed frontier is
+    * DROPPED (a duplicate delivery or an out-of-contract late frame —
+    * the watermark governs how late a batch may be, the frontier
+    * governs order within the video). Under that contract the emitted
+    * keyframe set equals batch mm08 over the same frames, invariant
+    * under re-batching — spec-pinned over the REAL staged mm08 PNG
+    * corpus.
+    *
+    * Memory contract: the O(videos) figure is the cross-batch STATE;
+    * the within-batch sort additionally materializes each video's
+    * arrivals for ONE micro-batch — but of [[HashedFrame]]s (~24
+    * bytes: the decode already reduced the media), never the encoded
+    * frames, so a hot video costs 24 B × its frames-per-trigger, a
+    * knob the trigger interval / maxFilesPerTrigger bounds directly.
+    * The sort itself is the price of exactness under shuffled
+    * within-batch order: only (lastIdx, lastHash) is carried once
+    * input is ordered, and skipping the sort would mis-pair neighbors
+    * whenever one trigger carries two frames of one video.
     */
   def streamingKeyframes(
       frames: Dataset[FrameArrival],

@@ -161,6 +161,22 @@ class BenchRenderSpec extends AnyFunSuite {
       "1.45 > 2x0.56 flagged; 1.30 < 2x0.72 not")
   }
 
+  test("outliersVsPrior: sub-second floors gate at 0.3s absolute (round-13 directive)") {
+    // With clean per-query floors seeded, a 0.12 s query reading 0.6 s
+    // is exactly as diagnostic as a 1 s one — the old 1 s absolute gate
+    // let it ship. Below RetryFloorSec the 2x band is scheduler noise
+    // and must NOT churn; queries with NO floor keep the 1 s
+    // family-median gate (their medians are same-load measurements).
+    val prior = Map("a" -> 0.12, "b" -> 0.10, "c" -> 0.12)
+    val results = Seq("a_x" -> 0.6, "b_x" -> 0.25, "c_x" -> 0.2,
+      "new_x" -> 0.8)
+    assert(Bench.outliersVsPrior(results, Set.empty, prior) == Seq("a_x"),
+      "0.6 > 2x0.12 and > 0.3 flagged; 0.25/0.2 below the absolute gate; " +
+        "0.8 has no floor and sits under the family-median 1 s gate")
+    assert(Bench.suspects(results, Set.empty, prior) == Seq("a"),
+      "the suspect verdict uses the same floor-relative gate")
+  }
+
   test("suspects: post-retry times still >2x prior are named, errored excluded") {
     val prior = Map("q01" -> 0.3, "q02" -> 0.4)
     val results = Seq("q01_a" -> 1.2, "q02_b" -> 3.0)
