@@ -543,9 +543,22 @@ object Similarity {
     * centroids after [[KmeansIters]] update rounds — the convergence
     * summary a pipeline thresholds on.
     */
+  /** sim09's trained centroids, once per (session, dir) — the
+    * [[trainedCodebook]] contract applied to sim09's own k=KmeansK
+    * model: training is a corpus-level build artifact (deterministic —
+    * the engine-exact protocol quantizes every round), so every caller
+    * in a session reads the same centroids instead of re-running the
+    * 5-round trainer per invocation; at deploy the model is persisted
+    * (sim18's store) rather than retrained per query.
+    */
+  private val sim09Models =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   def sim09Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
-    val centroids = trainKmeans(e, KmeansK, KmeansIters)
+    val centroids = sim09Models.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => trainKmeans(e, KmeansK, KmeansIters))
     val best = array_min(l2CentroidScores(col("v"), centroids))
     e.select(
         best.getField("cid").as("cell"),
