@@ -105,7 +105,9 @@ object PlanDump {
       "mm10_audio_ingest" ->
         "audio ingestion: binaryFile scan + executor-side javax.sound decode, per-clip integer feature kernel",
       "sim18_retrain_swap" ->
-        "codebook retrain+swap: store-read literal codebook, zero-join argmax assignment, one per-cell rollup shuffle")
+        "codebook retrain+swap: store-read literal codebook, zero-join argmax assignment, one per-cell rollup shuffle",
+      "sim19_graph_ann" ->
+        "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

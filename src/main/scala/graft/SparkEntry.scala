@@ -131,6 +131,7 @@ object SparkEntry {
     "sim16_nprobe_sweep" -> Similarity.sim16NprobeSweep _,
     "sim17_staleness_monitor" -> Similarity.sim17StalenessMonitor _,
     "sim18_retrain_swap" -> Similarity.sim18RetrainSwap _,
+    "sim19_graph_ann" -> Similarity.sim19GraphAnn _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -610,6 +611,82 @@ object SparkEntry {
          round(CAST(sum(CASE WHEN probe_rank <= $NProbe THEN 1 ELSE 0 END) AS DOUBLE)
            / count(*), 4) AS recall_at_k
        FROM h GROUP BY staleness ORDER BY staleness"""
+  }
+
+  /** sim07's kNN-graph CTEs (seed-pivot cell assignment → cell-local
+    * self-join → per-vector ranking, leaving `e` and the ranked `r7`
+    * in scope) — shared by the sim07 oracle and sim19's beam-search
+    * replay, so the search can never navigate a different graph than
+    * the build emits.
+    */
+  private val Sim07GraphCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         assign AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cid AS cell, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
+             FROM e, c)
+           WHERE crk = 1),
+         s7 AS (SELECT a.vec_id, b.vec_id AS nb_id,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS cos
+               FROM assign a JOIN assign b
+                 ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         r7 AS (SELECT vec_id, nb_id, cos, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk FROM s7)"""
+
+  /** Generated DuckDB replay of sim19's beam search: the shared graph
+    * CTEs, the fixed entry set scored per query, then [[GraphRounds]]
+    * unrolled expansion rounds — beam = top-[[GraphBeam]] of the
+    * visited pool, frontier = the beam's UNVISITED graph neighbors
+    * (NOT EXISTS against the pool — the score-once contract), scored
+    * and unioned — and the final top-k cut. Every beam cut ranks on
+    * the 4-dp score with the vec_id tiebreak, so a divergence in any
+    * round's frontier cascades into every later round and breaks the
+    * hash. MATERIALIZED throughout (each round references the previous
+    * pool three times — the bpe/cur15 inlining lesson).
+    */
+  private val Sim19OracleSql: String = {
+    import graft.operators.Similarity.{GraphBeam, GraphEntryCount,
+      GraphRounds, KnnK, NumQueryVectors, TopK}
+    val rounds = (1 to GraphRounds).map { r =>
+      s"""b${r - 1} AS MATERIALIZED (SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS brk FROM v${r - 1})
+           WHERE brk <= $GraphBeam),
+         f$r AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS vec_id
+           FROM b${r - 1} b JOIN g ON g.src = b.vec_id
+           WHERE g.dst <> b.q_id
+             AND NOT EXISTS (SELECT 1 FROM v${r - 1} vv
+                             WHERE vv.q_id = b.q_id AND vv.vec_id = g.dst)),
+         sc$r AS MATERIALIZED (SELECT f.q_id, f.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM f$r f JOIN q ON q.q_id = f.q_id JOIN e ON e.vec_id = f.vec_id),
+         v$r AS MATERIALIZED (
+           SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r)"""
+    }.mkString(",\n         ")
+    import graft.operators.Similarity.GraphRandomDegree
+    s"""WITH $Sim07GraphCtes,
+         nn AS (SELECT count(*) AS n FROM e),
+         g AS MATERIALIZED (
+           SELECT vec_id AS src, nb_id AS dst FROM r7 WHERE rk <= $KnnK
+           UNION
+           SELECT e.vec_id AS src,
+             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+                CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n AS dst
+           FROM e, unnest(range(1, ${GraphRandomDegree + 1})) AS t(j), nn
+           WHERE ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+                CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n <> e.vec_id),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e
+               WHERE vec_id < $NumQueryVectors),
+         v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
+         $rounds
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
+         WHERE rk <= $TopK ORDER BY q_id, rk"""
   }
 
   /** Generated DuckDB replay of sim18's retrain + swap: the merged
@@ -1882,23 +1959,12 @@ object SparkEntry {
     "sim07_knn_graph" ->
       // Single-probe IVF kNN graph replayed verbatim: same cell
       // assignment CTE as sim03/sim06's oracle, then a cell-local
-      // self-join ranked per vector.
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         assign AS (SELECT vec_id, v, cell FROM (
-             SELECT e.vec_id, e.v, c.cid AS cell, row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crk
-             FROM e, c)
-           WHERE crk = 1),
-         s AS (SELECT a.vec_id, b.vec_id AS nb_id,
-                 round(list_cosine_similarity(a.v, b.v), 4) AS cos
-               FROM assign a JOIN assign b
-                 ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-         r AS (SELECT vec_id, nb_id, cos, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY cos DESC, nb_id) AS rk FROM s)
-         SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb_id, cos FROM r
-         WHERE rk <= 5 ORDER BY vec_id, rk""",
+      // self-join ranked per vector (the SHARED graph CTEs — one
+      // definition with sim19's navigation oracle).
+      s"""WITH $Sim07GraphCtes
+         SELECT vec_id, CAST(rk AS INTEGER) AS rk, nb_id, cos FROM r7
+         WHERE rk <= ${graft.operators.Similarity.KnnK}
+         ORDER BY vec_id, rk""",
     "sim08_pq_ann" ->
       // Full PQ protocol replay INCLUDING codebook training (the same
       // k=16 k-means chain as sim03/06): per-subspace nearest codeword
@@ -1945,6 +2011,7 @@ object SparkEntry {
     "sim16_nprobe_sweep" -> Sim16OracleSql,
     "sim17_staleness_monitor" -> Sim17OracleSql,
     "sim18_retrain_swap" -> Sim18OracleSql,
+    "sim19_graph_ann" -> Sim19OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

@@ -1014,6 +1014,56 @@ object Curation {
       .join(packed, Seq("source"), "left")
   }
 
+  /** stream18's decision core — cur18's funnel on the INGEST cadence,
+    * composed from the three pinned-index decision cores the streaming
+    * gates already run separately: the quality predicate (cur04's
+    * C4-style gate, a pure function of the arrival's own text),
+    * exact/near dedup against the corpus index
+    * ([[Dedup.ingestDecisions]] — dedup11/stream09's core), and
+    * decontamination spans against the held-out window-hash index
+    * ([[Dedup.ingestContaminationSpans]] — cur16/stream15's core). One
+    * verdict per arrival with cur18's stage precedence (cheapest
+    * rejection first): `drop_quality` → `dup_exact` → `dup_near` →
+    * `drop_scrubbed` (every token contaminated) → `admit`, plus the
+    * scrub audit (span count, removed and surviving token counts) an
+    * admitted document carries into packing. Per-arrival independent
+    * by construction — every leg depends only on the arrival's own
+    * text and a pinned index — so verdicts are invariant under
+    * re-batching (spec-pinned), and streaming state is ZERO: the
+    * indexes ARE the state, refreshed on the batch cadence.
+    */
+  private[graft] def ingestFunnelVerdicts(
+      spark: SparkSession, dir: String, arrivals: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val stopRatio = TextAnalysis.stopRatio(toksC, langProfiles("en"))
+    val base = arrivals.select(col("doc_id"),
+      size(toksC).cast("long").as("n_toks"),
+      ((length(col("text")) >= 100) && (size(toksC) >= 20) &&
+        (stopRatio >= 0.02)).as("q_keep"))
+    val dedup = Dedup.ingestDecisions(spark, dir, arrivals)
+      .select(col("doc_id"), col("decision"), col("keeper_id"))
+    val rm = Dedup.ingestContaminationSpans(spark, dir, arrivals)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end_pos") - col("start_pos") + 1).as("toks_removed"))
+    base
+      .join(dedup, Seq("doc_id"))
+      .join(broadcast(rm), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("q_keep"), lit("drop_quality"))
+          .when(col("decision") === "exact", lit("dup_exact"))
+          .when(col("decision") === "near", lit("dup_near"))
+          .when(col("n_toks") === coalesce(col("toks_removed"), lit(0L)),
+            lit("drop_scrubbed"))
+          .otherwise(lit("admit")).as("verdict"),
+        col("keeper_id"),
+        col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
+        (col("n_toks") - coalesce(col("toks_removed"), lit(0L)))
+          .as("post_toks"))
+  }
+
   def cur14EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
     val src = documents(spark, dir)
       .groupBy("source")

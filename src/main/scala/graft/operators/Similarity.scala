@@ -1168,6 +1168,119 @@ object Similarity {
       batch.select(col("vec_id"), asDoubleArray(col("embedding")).as("v")),
       centroids)
 
+  /** sim19 search parameters: entry fan-out, beam width, expansion
+    * rounds — per query the search scores ≤ EntryCount +
+    * Rounds·Beam·([[KnnK]] + [[GraphRandomDegree]]) candidates, a
+    * constant independent of corpus size (the graph-ANN read pattern).
+    */
+  val GraphEntryCount = 8
+  val GraphBeam = 12
+  val GraphRounds = 4
+
+  /** Long-range edges per node — the SMALL-WORLD ingredient (NSW's
+    * insight, Malkov et al.; ultimately Watts-Strogatz): sim07's kNN
+    * edges are cell-LOCAL by construction, so a graph of only local
+    * edges is disconnected across IVF cells and a beam search starting
+    * at fixed entries can never reach most of the corpus (measured:
+    * recall 0.10 with local edges only). A few deterministic
+    * hash-derived "random" edges per node make the graph navigable —
+    * long hops reach the right region, local kNN edges then refine —
+    * and recall jumps to the usable range the spec pins.
+    */
+  val GraphRandomDegree = 3
+
+  /** sim19's navigable edge frame, pinned once per (session, dir):
+    * sim07's kNN edges (ONE definition with the audited build — the
+    * search can never navigate a different local graph than sim07
+    * emits) UNION [[GraphRandomDegree]] engine-portable hash-derived
+    * long-range edges per node (`tokenHash64("src:j") mod n` — the
+    * md5 contract, so the DuckDB oracle replays the exact edge set).
+    */
+  private[graft] def knnGraphEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"sim19.graph:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val e = Dedup.vectors(spark, dir)
+      // Corpus count as a driver scalar (the codebook-scalar contract);
+      // vec_ids are dense 0..n-1, so `hash mod n` lands on a real node.
+      val n = e.count()
+      val local = sim07KnnGraph(spark, dir)
+        .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+      val longRange = e.select(col("vec_id").as("src"))
+        .select(col("src"),
+          explode(sequence(lit(1), lit(GraphRandomDegree))).as("j"))
+        .select(col("src"),
+          pmod(tokenHash64(concat_ws(":", col("src"), col("j"))), lit(n))
+            .as("dst"))
+        .filter(col("dst") =!= col("src"))
+      local.unionByName(longRange).distinct()
+    }
+
+  /** sim19: GRAPH-based ANN — beam search over the kNN graph (the
+    * HNSW/DiskANN family's read pattern, single-layer): start from a
+    * fixed entry set, repeatedly expand the current beam's graph
+    * neighbors, score only the newly-visited candidates against the
+    * query, and keep the best [[GraphBeam]] as the next beam; after
+    * [[GraphRounds]] expansions the visited pool's top-[[TopK]] is the
+    * answer. This closes the ANN design space the family built
+    * point-by-point: LSH (sim02) and IVF (sim03/06) prune WHERE to
+    * search by hashing/quantizing the query, PQ/SQ (sim08/14) compress
+    * WHAT is scored — a graph index instead NAVIGATES: each hop moves
+    * the candidate set toward the query through precomputed
+    * neighborhoods, touching a CONSTANT number of vectors per query
+    * regardless of corpus size.
+    *
+    * Spark shape: the graph is sim07's audited build (pinned edge
+    * frame); each round is two broadcast equi-joins — the tiny beam
+    * (queries×B rows) against the edge frame, then the tiny frontier
+    * against the corpus to fetch vectors — plus an anti-join against
+    * the visited pool so no candidate is ever scored twice. Every
+    * per-round frame is O(queries·B·K); the corpus is only ever probed
+    * by broadcast key lookup. At 100 TB the vector fetch becomes a
+    * point-read against the bucketed layout (sim06's file-pruning
+    * story — the equi-key is already there); the declarative
+    * broadcast-semi-join form here is the same plan with the lookup
+    * expressed as a scan-side join. Deterministic end to end: 4-dp
+    * scores with vec_id tie-breaks at every beam cut, so the DuckDB
+    * oracle replays all rounds via an unrolled CTE chain. Recall vs
+    * exact sim01 is spec-asserted.
+    */
+  def sim19GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val graph = knnGraphEdges(spark, dir)
+    def topPer(df: DataFrame, k: Int): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+    // Round 0: the fixed entry set scored against every query.
+    var visited = e.filter(col("vec_id") < GraphEntryCount)
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    for (_ <- 1 to GraphRounds) {
+      val beam = topPer(visited, GraphBeam).select("q_id", "vec_id")
+      // Frontier: the beam's unvisited graph neighbors (per query).
+      val frontier = broadcast(beam)
+        .join(graph, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst"))
+        .filter(col("dst") =!= col("q_id"))
+        .distinct()
+        .join(visited.select(col("q_id"), col("vec_id").as("dst")),
+          Seq("q_id", "dst"), "left_anti")
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val scored = broadcast(frontier)
+        .join(e, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      visited = visited.unionByName(scored)
+    }
+    topPer(visited, TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
       .withColumn("cat", col("vec_id") % FilterCats)

@@ -590,6 +590,25 @@ object GraftStreams {
     graft.operators.Dedup.ingestContaminationSpans(batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream18: streaming CORPUS-BUILD funnel gate — cur18's composed
+    * funnel on the ingest cadence, which is how a training-data build
+    * actually admits a crawl: every arriving document gets ONE verdict
+    * through the composed stages (quality gate → exact/near dedup vs
+    * the corpus index → decontamination scrub vs the held-out index —
+    * [[graft.operators.Curation.ingestFunnelVerdicts]], which composes
+    * the SAME three pinned-index decision cores stream09 and stream15
+    * run separately, so the gate can never drift from any of them),
+    * and each batch's verdicts land under `batch_id=N`. stream09's
+    * contracts verbatim: per-arrival-independent ⇒
+    * re-batching-invariant; per-partition overwrite ⇒ idempotent
+    * replay; ZERO streaming state — the three indexes are the state.
+    */
+  def landFunnelBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Curation.ingestFunnelVerdicts(
+        batch.sparkSession, dir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** stream10: streaming count-min-sketch maintenance — the mergeable-
     * sketch shape a 100 TB streaming ingest actually runs. Each
     * micro-batch of arriving documents contributes a PARTIAL sketch

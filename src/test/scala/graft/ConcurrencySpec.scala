@@ -52,6 +52,10 @@ class ConcurrencySpec extends SparkSpec {
       // sim18Published publish-once path (two k-means trainers over
       // different corpora in flight), and the CodebookStore's OCC claim.
       "sim18_retrain_swap",
+      // sim19 races the graph-edge pin (which itself builds through
+      // sim07's cell-assignment pin) and drives the iterative
+      // beam-union plan through the racing session.
+      "sim19_graph_ann",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       // cur15 twice-invoked shape rides the mix too: it races its own

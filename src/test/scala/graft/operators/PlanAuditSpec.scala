@@ -107,7 +107,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim13_hybrid_rrf",     // fixed probe set (vector leg = sim01 shape)
       "sim14_sq_ann",         // fixed probe set (sim08's refine shape)
       "sim16_nprobe_sweep",   // fixed probe set (exact leg = sim01's shape)
-      "sim17_staleness_monitor") // fixed probe set (sim01's scan, level-exploded)
+      "sim17_staleness_monitor", // fixed probe set (sim01's scan, level-exploded)
+      "sim19_graph_ann")   // fixed probe set × constant entry set (round 0)
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (!boundedBuild(name)) {

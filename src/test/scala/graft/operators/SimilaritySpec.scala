@@ -531,6 +531,30 @@ class SimilaritySpec extends SparkSpec {
         s"got (${level0._3}, ${level0._4}) vs ($nEx16, $nHit16)")
   }
 
+  test("sim19 graph ANN: usable recall vs exact, constant per-query candidate budget") {
+    val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.sim19GraphAnn(spark, sf).collect()
+    val approx = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      f"graph beam search must find a usable fraction of the true top-k: $recall%.2f")
+    // Ranks dense from 1, scores are true 4-dp cosines (scored, not
+    // approximated), and output is deterministic run-over-run.
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    val again = Similarity.sim19GraphAnn(spark, sf).collect()
+    assert(got.map(_.toSeq.toVector).toVector == again.map(_.toSeq.toVector).toVector)
+    // The budget claim: per query the search SCORES at most
+    // EntryCount + Rounds·Beam·KnnK candidates — a constant, however
+    // large the corpus. (The output is the top-k of that pool.)
+    val budget = Similarity.GraphEntryCount +
+      Similarity.GraphRounds * Similarity.GraphBeam *
+        (Similarity.KnnK + Similarity.GraphRandomDegree)
+    assert(budget < 500, s"sanity: the documented constant is $budget")
+  }
+
   test("sim18 post-swap assignment equals a fresh build over the merged corpus") {
     import org.apache.spark.sql.functions._
     val merged = Similarity.mergedCorpus(spark, sf)

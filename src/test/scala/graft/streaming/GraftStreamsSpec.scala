@@ -733,6 +733,91 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landedCells() == batchAssigned, "replay must be a no-op")
   }
 
+  test("stream18: composed ingest funnel equals its legs, precedence holds, idempotent") {
+    import graft.operators.{Curation, Dedup}
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream18_${System.nanoTime()}"
+    // Arrivals = dedup11's arrival slice (the shared corpus-index
+    // convention), so every leg has an independent batch truth.
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IngestMod === Dedup.IngestRem)
+      .select("doc_id", "text")
+      .as[GraftStreams.IngestArrival].collect()
+    assert(arrivals.length >= 2)
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.IngestArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landFunnelBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("doc_id", "verdict", "keeper_id", "n_toks", "n_spans",
+        "toks_removed", "post_toks")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val got = landed()
+    // Re-batching invariance: the one-shot decision over all arrivals.
+    val allDf = arrivals.toSeq.toDF("doc_id", "text")
+    val oneShot = Curation.ingestFunnelVerdicts(spark, sf, allDf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == oneShot, "re-batching changed the verdict set")
+    // Leg + precedence pins against independently computed truths.
+    val dedupLeg = Dedup.ingestDecisions(spark, sf, allDf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def quality(text: String): Boolean = {
+      val toks = text.split(" ", -1)
+      val stop = Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+      text.length >= 100 && toks.length >= 20 &&
+        toks.count(stop) / math.max(toks.length, 1).toDouble >= 0.02
+    }
+    val textOf = arrivals.map(a => a.doc_id -> a.text).toMap
+    got.foreach { case (doc, (verdict, keeper, nToks, nSpans, rm, post)) =>
+      assert(post == nToks - rm)
+      if (!quality(textOf(doc)))
+        assert(verdict == "drop_quality", s"doc $doc: quality rejects first")
+      else dedupLeg(doc) match {
+        case ("exact", k) =>
+          assert(verdict == "dup_exact" && keeper == k, s"doc $doc")
+        case ("near", k) =>
+          assert(verdict == "dup_near" && keeper == k, s"doc $doc")
+        case _ =>
+          assert(verdict == (if (rm == nToks) "drop_scrubbed" else "admit"),
+            s"doc $doc: $verdict with rm=$rm of $nToks")
+      }
+      // The composition catch: an arriving HELD-OUT document that
+      // reaches the scrub stage is fully self-contaminated and must
+      // never be admitted into training.
+      if (srcOf(doc) == "src0" && quality(textOf(doc)) &&
+          dedupLeg(doc)._1 == "admit" && nToks >= Dedup.SubstringWindow)
+        assert(verdict == "drop_scrubbed",
+          s"eval doc $doc leaked through the funnel as $verdict")
+    }
+    // Every verdict class a funnel exists for should occur on this
+    // fixture — otherwise the composition is untested.
+    val classes = got.values.map(_._1).toSet
+    assert(classes.contains("admit") && classes.contains("drop_quality"),
+      s"fixture too weak: only $classes")
+    // Replay micro-batch 0: partition overwrite lands identical rows.
+    GraftStreams.landFunnelBatch(
+      first.toSeq.toDF("doc_id", "text"), sf, outDir, 0L)
+    assert(landed() == got, "replay must be a no-op")
+  }
+
   test("stream17: mid-stream codebook swap re-routes NEW appends, old batches keep v1") {
     import graft.operators.Similarity
     import graft.sources.CodebookStore
