@@ -1253,11 +1253,21 @@ object Similarity {
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
     }
-    // Round 0: the fixed entry set scored against every query.
+    // Round 0: the fixed entry set scored against every query. Each
+    // round's pool is MATERIALIZED with an eager localCheckpoint —
+    // the pool is O(queries·budget) rows, but the next round's plan
+    // references it THREE times (beam, anti-join, union), so carrying
+    // the lazy lineage across rounds recomputes earlier rounds
+    // combinatorially (~3^rounds — measured 14 s at sf0.1 where the
+    // checkpointed form costs well under a second). Same inlining
+    // lesson as the oracle's MATERIALIZED CTEs, applied engine-side;
+    // localCheckpoint (not persist) because truncating the lineage is
+    // the point and the blocks are freed by the context cleaner.
     var visited = e.filter(col("vec_id") < GraphEntryCount)
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      .localCheckpoint(true)
     for (_ <- 1 to GraphRounds) {
       val beam = topPer(visited, GraphBeam).select("q_id", "vec_id")
       // Frontier: the beam's unvisited graph neighbors (per query).
@@ -1274,7 +1284,7 @@ object Similarity {
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(cosineSim(col("qv"), col("v")), 4).as("cos"))
-      visited = visited.unionByName(scored)
+      visited = visited.unionByName(scored).localCheckpoint(true)
     }
     topPer(visited, TopK)
       .select("q_id", "rk", "vec_id", "cos")
