@@ -107,7 +107,9 @@ object PlanDump {
       "sim18_retrain_swap" ->
         "codebook retrain+swap: store-read literal codebook, zero-join argmax assignment, one per-cell rollup shuffle",
       "sim19_graph_ann" ->
-        "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget")
+        "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget",
+      "dedup13_lsh_sweep" ->
+        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, single verify pass")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -209,6 +211,8 @@ object PlanDump {
       || sim07 intra-cell pairs | 125,051 | 12,577,188 | 100.6x at FIXED K=16 |
       || sim15 probed-cell members | 2,536 | 24,950 | 9.8x - linear (NProbe/K of the corpus) |
       || mm07 (8,4)/64-bit blocked candidates | 202 | 2,082 | 10.3x - LINEAR (round-12 row): candidates are the injected near-dup mass itself; the 70-keys-per-image blocking's accidental-collision term is negligible until the per-key birthday bound (~2^16 images per 32-bit key) |
+      || sim19 navigable graph edges | 15,981 | 159,982 | 10.0x on 10x vectors - linear at fixed degree (KnnK local + 3 long-range per node; round-14 row) |
+      || sim19 scored candidates, whole fixed query set | 1,165 | 1,234 | CONSTANT at 10x corpus - the graph-ANN read pattern made measurable: per query the search touches <= entry + rounds*beam*degree vectors however large the corpus grows (round-14 row) |
       |
       |Reading: the linear claims (dedup03, dedup08, dedup10, sim15,
       |mm07's photo-scale (8,4) 64-bit blocking - and round 13's cur16

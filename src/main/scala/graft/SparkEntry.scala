@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup10_substring" -> Dedup.dedup10SubstringSpans _,
     "dedup11_incremental" -> Dedup.dedup11IncrementalIngest _,
     "dedup12_bloom_ingest" -> Dedup.dedup12BloomIngest _,
+    "dedup13_lsh_sweep" -> Dedup.dedup13LshSweep _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -998,6 +999,72 @@ object SparkEntry {
          ORDER BY b.source"""
   }
 
+  /** Generated DuckDB replay of dedup13's LSH sweep — the ENTIRE curve,
+    * hashes included (the sweep's signatures are the engine-portable
+    * md5 permutation mins precisely so this is possible): per-doc
+    * signatures over the distinct 3-gram shingle strings, the loosest
+    * config's superset candidate join, per-config membership as the
+    * same boolean algebra over hash-agreement bits, exhaustive exact
+    * Jaccard as ground truth, and the per-config aggregate with the
+    * intRatio recall presentation. Configs and hash count are
+    * interpolated from the operator's constants (the etl27 discipline).
+    */
+  private val Dedup13OracleSql: String = {
+    import graft.operators.Dedup.{LshSweepConfigs, SweepHashes}
+    def candExpr(b: Int, r: Int): String =
+      (0 until b).map { band =>
+        (0 until r).map { k =>
+          val i = band * r + k + 1
+          s"siga[$i] = sigb[$i]"
+        }.mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    val arms = LshSweepConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+           CAST(sum(CASE WHEN ${candExpr(b, r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN ${candExpr(b, r)} AND ist THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+         FROM flags13"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH w13 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sh13 AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w13),
+         sl13 AS MATERIALIZED (SELECT doc_id, list(s) AS shl
+                               FROM sh13 GROUP BY doc_id),
+         sg13 AS MATERIALIZED (SELECT doc_id,
+             list_transform(range(0, $SweepHashes), j ->
+               list_min(list_transform(shl, s ->
+                 ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15))::BIGINT)))
+               AS sig
+           FROM sl13),
+         bd13 AS MATERIALIZED (SELECT doc_id, CAST(t.j AS INT) AS perm,
+             sig[CAST(t.j + 1 AS INT)] AS h
+           FROM sg13, unnest(range(0, $SweepHashes)) AS t(j)),
+         sup13 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bd13 a JOIN bd13 b
+             ON a.perm = b.perm AND a.h = b.h AND a.doc_id < b.doc_id),
+         sizes13 AS (SELECT doc_id, count(*) AS c FROM sh13 GROUP BY doc_id),
+         inter13 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+           FROM sh13 a JOIN sh13 b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth13 AS MATERIALIZED (SELECT da, db FROM inter13
+           JOIN sizes13 ca ON inter13.da = ca.doc_id
+           JOIN sizes13 cb ON inter13.db = cb.doc_id
+           WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.8),
+         ntrue13 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth13),
+         flags13 AS MATERIALIZED (SELECT p.da, p.db,
+             ga.sig AS siga, gb.sig AS sigb,
+             (t.da IS NOT NULL) AS ist
+           FROM sup13 p
+           JOIN sg13 ga ON ga.doc_id = p.da
+           JOIN sg13 gb ON gb.doc_id = p.db
+           LEFT JOIN truth13 t ON t.da = p.da AND t.db = p.db)
+         SELECT bands, rows_per_band, n_candidates, n_verified, n_true,
+           CAST((2*10000*(n_verified) + (greatest(n_true, 1)))
+                // (2*(greatest(n_true, 1))) AS BIGINT) / 10000.0 AS recall
+         FROM ($arms), ntrue13
+         ORDER BY rows_per_band"""
+  }
+
   /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
     * per bit over the engine-portable md5-derived 60-bit token hash —
     * the same contract as `GraftFunctions.tokenHash64`), then ALL-PAIRS
@@ -1694,6 +1761,7 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY keeper_id""",
     "dedup02_ngram_jaccard" -> ngramJaccardSql,
     "dedup03_minhash_lsh" -> ngramJaccardSql,
+    "dedup13_lsh_sweep" -> Dedup13OracleSql,
     "dedup06_cluster" ->
       // Connected components over the same verified pair set: min
       // reachable doc_id via a recursive min-label propagation (UNION

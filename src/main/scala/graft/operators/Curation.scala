@@ -317,6 +317,29 @@ object Curation {
     */
   private[graft] def sequencePackStats(docs: DataFrame): DataFrame = {
     val k = lit(CtxChars)
+    sequencePackPositions(docs, CtxChars)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        floor((max("cum_end") + (CtxChars - 1)) / k).as("n_sequences"),
+        sum((col("seq_last") > col("seq_first")).cast("long")).as("n_split_docs"),
+        intRatio(count(lit(1)),
+          floor((max("cum_end") + (CtxChars - 1)) / k), 4).as("docs_per_seq"))
+      .orderBy("source")
+  }
+
+  /** Per-document packing positions over any (doc_id, source, n_chars)
+    * frame: the source's window cumsum in the engine-portable md5
+    * order, each doc's first/last sequence index and the cut flag —
+    * the per-doc frame cur09's rollup aggregates, and the batch truth
+    * stream19's cursor state must reproduce (one definition of the
+    * boundary math). `unit` is the chunk size (cur09 packs by chars;
+    * the streaming twin packs post-scrub token counts — same formula).
+    */
+  private[graft] def sequencePackPositions(
+      docs: DataFrame, unit: Long): DataFrame = {
+    val k = lit(unit)
     val w = Window.partitionBy("source")
       .orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -328,15 +351,6 @@ object Curation {
       // its source's concatenated stream; it is split iff those differ.
       .withColumn("seq_first", floor((col("cum_end") - col("n_chars")) / k))
       .withColumn("seq_last", floor((col("cum_end") - 1) / k))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_chars").as("total_chars"),
-        floor((max("cum_end") + (CtxChars - 1)) / k).as("n_sequences"),
-        sum((col("seq_last") > col("seq_first")).cast("long")).as("n_split_docs"),
-        intRatio(count(lit(1)),
-          floor((max("cum_end") + (CtxChars - 1)) / k), 4).as("docs_per_seq"))
-      .orderBy("source")
   }
 
   /** Keep fraction for cur10's per-source quality selection. */

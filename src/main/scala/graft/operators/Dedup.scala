@@ -186,6 +186,117 @@ object Dedup {
     verified.orderBy("da", "db")
   }
 
+  /** dedup13's sweep grid: every (bands, rowsPerBand) factorization of
+    * [[SweepHashes]] permutations from rows=1 (loosest — a pair is a
+    * candidate if ANY single min-hash agrees) to rows=8 (tightest —
+    * P(candidate | j=0.8) per band = 0.8⁸ ≈ 0.17, so at 4 bands the
+    * miss rate is a measurable ~50%: the curve bends where the theory
+    * says it must).
+    */
+  val SweepHashes = 32
+  val LshSweepConfigs: Seq[(Int, Int)] = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+
+  /** Engine-portable sweep signatures — (doc_id, h0..h31), each h_j the
+    * MIN over the doc's distinct 3-gram shingle STRINGS of the 60-bit
+    * md5 permutation hash `md5("j:" ++ shingle)` (the tokenHash64
+    * contract). Deliberately NOT dedup03's xxhash64 signatures: the
+    * sweep's whole point is that the candidate curve itself replays in
+    * the oracle, which needs every hash to be portable. Pinned per
+    * (session, dir): the superset join and the per-pair flag
+    * projection both read it.
+    */
+  private def sweepSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"dedup.sweepSig:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val t = tokens(col("text"))
+      val shs = array_distinct(
+        when(size(t) >= ShingleSize,
+          transform(sequence(lit(0), (size(t) - ShingleSize).cast("int")),
+            i => concat_ws(" ", slice(t, i + 1, lit(ShingleSize)))))
+          .otherwise(array().cast("array<string>")))
+      documents(spark, dir)
+        .select(col("doc_id"), shs.as("shs"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id") +: (0 until SweepHashes).map(j =>
+          array_min(transform(col("shs"),
+            s => tokenHash64(concat(lit(s"$j:"), s)))).as(s"h$j")): _*)
+    }
+
+  /** dedup13: LSH band/row TUNING SWEEP — sim16's knob-curve idea
+    * applied to the dedup family's own knob: MinHash-LSH's
+    * (bands, rows-per-band) trade-off. More rows per band = fewer,
+    * higher-precision candidates but real recall loss at the match
+    * threshold; every LSH deployment picks its point on that S-curve,
+    * and this operator MEASURES the whole curve in one pass —
+    * candidate cost, verified true pairs, and recall against the exact
+    * near-dup set, per config.
+    *
+    * One-pass trick (the nested-config identity): with contiguous band
+    * layouts over one permutation set, a (b, r) candidate shares all r
+    * hashes of some band, hence shares at least one single hash — so
+    * every config's candidate set is a SUBSET of the loosest (rows=1)
+    * config's. The sweep therefore runs ONE candidate equi-join (at
+    * rows=1), attaches both signatures to the surviving pairs, and
+    * derives every config's membership as pure boolean algebra over
+    * the 32 hash-agreement bits — no per-config join, no re-scan. The
+    * exact-Jaccard verification also runs once, on the superset.
+    *
+    * At 100 TB the superset join is the loosest config's LSH join —
+    * still the banded equi-join shape, never a pair space — and a real
+    * tuning run points the sweep at a corpus SAMPLE (cur01's
+    * deterministic hash sample composes directly). Recall's
+    * denominator is the production pipeline's verified near-dup set
+    * (dedup03 — spec-pinned equal to the exhaustive exact set at its
+    * 1-5e-8 miss rate); the oracle recomputes it exhaustively.
+    */
+  def dedup13LshSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sweepSignatures(spark, dir)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until SweepHashes).map(j => col(s"h$j")): _*))
+        .as(Seq("perm", "h")))
+    val superCands = banded.as("a").join(banded.as("b"),
+        col("a.perm") === col("b.perm") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sigA = sigs.select(col("doc_id").as("da") +:
+      (0 until SweepHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("db") +:
+      (0 until SweepHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    val flags = superCands
+      .join(sigA, Seq("da"))
+      .join(sigB, Seq("db"))
+      .select(col("da") +: col("db") +: LshSweepConfigs.map { case (b, r) =>
+        (0 until b).map { band =>
+          (0 until r).map(k =>
+            col(s"a${band * r + k}") === col(s"b${band * r + k}"))
+            .reduce(_ && _)
+        }.reduce(_ || _).as(s"cand_$r")
+      }: _*)
+    val verified = exactJaccard(spark, dir, superCands)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("da"), col("db"), lit(true).as("is_true"))
+    val perPair = flags
+      .join(broadcast(verified), Seq("da", "db"), "left")
+      .withColumn("is_true", coalesce(col("is_true"), lit(false)))
+    // Denominator: the production near-dup set's size — one scalar
+    // (the codebook-scalar contract).
+    val nTrue = dedup03MinhashLsh(spark, dir).count()
+    perPair
+      .select(explode(array(LshSweepConfigs.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col(s"cand_$r").as("cand"), col("is_true").as("ist"))
+      }: _*)).as("c"))
+      .select(col("c.*"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(col("cand").cast("long")).as("n_candidates"),
+        sum((col("cand") && col("ist")).cast("long")).as("n_verified"))
+      .withColumn("n_true", lit(nTrue))
+      .withColumn("recall",
+        intRatio(col("n_verified"), greatest(col("n_true"), lit(1L)), 4))
+      .orderBy("rows_per_band")
+  }
+
   /** Per-document 64-bit SimHash as a DataFrame: tokens are exploded and
     * the per-bit majority vote runs inside ONE native aggregate
     * ([[graft.functions.SimHashAgg]], a TypedImperativeAggregate with a

@@ -229,6 +229,16 @@ object GrowthProbe {
         .join(broadcast(Similarity.ivfProbes(e, cb)),
           col("cell") === col("probe_cell"))
         .filter(col("vec_id") =!= col("q_id")).count())
+    // sim19's two growth numbers, through the operator's own machinery:
+    // the navigable edge frame (local kNN + long-range — linear in the
+    // corpus at fixed degree) and the TOTAL candidates the fixed query
+    // set actually scores (the visited pool = the search's whole read
+    // set — the constant-budget claim made measurable). Second decade
+    // only: the graph build rides sim07's fixed-K intra-cell pair
+    // space, the shape measureLinear documents as knob-priced.
+    p("sim19_graph_edges", Similarity.knnGraphEdges(spark, dir).count())
+    p("sim19_scored_candidates",
+      Similarity.sim19VisitedPool(spark, dir).count())
   }
 
   /** The LINEAR-claim subset of [[measure]], for the third decade —

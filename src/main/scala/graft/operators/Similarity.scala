@@ -1244,15 +1244,27 @@ object Similarity {
     * oracle replays all rounds via an unrolled CTE chain. Recall vs
     * exact sim01 is spec-asserted.
     */
-  def sim19GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+  def sim19GraphAnn(spark: SparkSession, dir: String): DataFrame =
+    sim19TopPer(sim19VisitedPool(spark, dir), TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
+
+  private def sim19TopPer(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** The search's full visited pool — every (query, candidate, score)
+    * the beam search ever evaluates. Separable so the GrowthProbe can
+    * measure the constant-budget claim directly: this frame IS the
+    * operator's whole read set.
+    */
+  private[graft] def sim19VisitedPool(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
     val queries = e.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val graph = knnGraphEdges(spark, dir)
-    def topPer(df: DataFrame, k: Int): DataFrame = {
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-    }
+    def topPer(df: DataFrame, k: Int): DataFrame = sim19TopPer(df, k)
     // Round 0: the fixed entry set scored against every query. Each
     // round's pool is MATERIALIZED with an eager localCheckpoint —
     // the pool is O(queries·budget) rows, but the next round's plan
@@ -1286,9 +1298,7 @@ object Similarity {
           round(cosineSim(col("qv"), col("v")), 4).as("cos"))
       visited = visited.unionByName(scored).localCheckpoint(true)
     }
-    topPer(visited, TopK)
-      .select("q_id", "rk", "vec_id", "cos")
-      .orderBy("q_id", "rk")
+    visited
   }
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {

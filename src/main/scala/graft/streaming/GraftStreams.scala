@@ -609,6 +609,80 @@ object GraftStreams {
         batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** One document arriving on the stream19 packing stream: its size in
+    * the packing unit (chars for cur09's batch twin; POST-SCRUB tokens
+    * when composed behind stream18's funnel gate) plus event time for
+    * the state TTL.
+    */
+  case class PackArrival(
+      source: String, doc_id: Long, n_units: Long, ts: java.sql.Timestamp)
+
+  /** Streaming packing verdict — the per-document row of
+    * [[graft.operators.Curation.sequencePackPositions]]: the first and
+    * last sequence index the doc occupies in its source's concatenated
+    * stream, and whether a sequence boundary cuts it.
+    */
+  case class PackOut(source: String, doc_id: Long,
+      seq_first: Long, seq_last: Long, split_doc: Boolean)
+
+  /** stream19: streaming SEQUENCE PACKING — cur09's concat-and-chunk on
+    * the ingest cadence: as documents arrive, each is assigned its
+    * sequence span from the source's RUNNING CURSOR (where the
+    * concatenated stream currently ends), so training shards fill
+    * incrementally instead of waiting for a batch re-pack. The genuine
+    * cross-batch state is ONE Long per source (the cursor) — O(sources)
+    * at any corpus size, stream14's posture — held under stream03's
+    * sighting-refreshed event-time TTL (a source idle past the horizon
+    * starts a fresh shard stream at cursor 0, the documented horizon
+    * contract).
+    *
+    * Ordering contract (stream14's shape): a source's documents feed in
+    * the packing order (cur09's engine-portable md5 key — the order the
+    * build's shard writer emits); within a micro-batch the group
+    * re-sorts by that key, because the groupBy shuffle does not
+    * preserve arrival order. Under that contract the emitted spans
+    * equal batch [[graft.operators.Curation.sequencePackPositions]]
+    * row-for-row, across any micro-batch split (the cursor carries the
+    * boundary math over batch lines) — spec-pinned.
+    */
+  def streamingSequencePack(
+      docs: Dataset[PackArrival],
+      unit: Long,
+      watermarkDelay: String = DedupWatermarkDelay,
+      retentionMs: Long = DedupRetentionMs): Dataset[PackOut] = {
+    implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
+    implicit val outEnc: Encoder[PackOut] = ExpressionEncoder()
+    implicit val strEnc: Encoder[String] = ExpressionEncoder()
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (src: String, arrivals: Iterator[PackArrival], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def hk(id: Long): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(id.toString.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString.take(8)
+            val sorted = arrivals.toSeq.sortBy(a => (hk(a.doc_id), a.doc_id))
+            var cum = state.getOption.getOrElse(0L)
+            val out = sorted.map { a =>
+              val first = cum / unit
+              cum += a.n_units
+              val last = (cum - 1) / unit
+              PackOut(src, a.doc_id, first, last, last > first)
+            }
+            state.update(cum)
+            val maxTs = sorted.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMs)
+            out.iterator
+          }
+      }
+  }
+
   /** stream10: streaming count-min-sketch maintenance — the mergeable-
     * sketch shape a 100 TB streaming ingest actually runs. Each
     * micro-batch of arriving documents contributes a PARTIAL sketch

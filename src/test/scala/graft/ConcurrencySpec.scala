@@ -43,6 +43,9 @@ class ConcurrencySpec extends SparkSpec {
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
       "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",
+      // dedup13 races its own sweep-signature pin plus dedup03's
+      // verified-pair cache (its recall denominator).
+      "dedup13_lsh_sweep",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
       "sim09_kmeans", "sim12_filtered_ann", "sim14_sq_ann",
       // sim17 races the trained-codebook computeIfAbsent alongside

@@ -34,7 +34,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream10_cms_merge", "stream11_ivf_append", "stream12_image_ingest",
     "stream13_session_window", "stream14_video_keyframes",
     "stream15_ingest_decontam", "stream16_ingest_linkage",
-    "stream17_codebook_swap", "stream18_ingest_funnel")
+    "stream17_codebook_swap", "stream18_ingest_funnel",
+    "stream19_sequence_pack")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val ids = surveyIds.map(i => aliases.getOrElse(i, i))

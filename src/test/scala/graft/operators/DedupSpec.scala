@@ -343,4 +343,33 @@ class DedupSpec extends SparkSpec {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9
     })
   }
+
+  test("dedup13 sweep: monotone cost curve, nested configs, dedup03 denominator") {
+    val rows = Dedup.dedup13LshSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Dedup.LshSweepConfigs.sortBy(_._2).map(c => (c._1, c._2)))
+    // Nested configs: tightening rows can only SHRINK the candidate
+    // set (a (b, 2r) candidate agrees on a whole 2r band, hence on
+    // both its r sub-bands) — and verified pairs shrink with it.
+    rows.sliding(2).foreach { case Array(loose, tight) =>
+      assert(loose._3 >= tight._3,
+        s"candidates must be monotone in rows: $loose vs $tight")
+      assert(loose._4 >= tight._4)
+    }
+    // The loosest config is a genuine superset (cost), the tight end a
+    // genuine collapse — the curve the knob exists to show.
+    assert(rows.head._3 > rows.last._3,
+      "the sweep must show a real cost collapse across configs")
+    rows.foreach { case (_, _, cand, ver, t, rec) =>
+      assert(ver <= cand && ver <= t)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - math.round(10000.0 * ver / math.max(t, 1)) / 10000.0) < 1e-9 ||
+        rec == math.floor(10000.0 * ver / math.max(t, 1) + 0.5) / 10000.0)
+    }
+    // Denominator = the production pipeline's verified near-dup count.
+    val nTrue = Dedup.dedup03MinhashLsh(spark, sf).count()
+    assert(rows.forall(_._5 == nTrue))
+  }
 }

@@ -733,6 +733,50 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landedCells() == batchAssigned, "replay must be a no-op")
   }
 
+  test("stream19: streamed packing equals batch positions; the cursor carries across batches") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+    val expected = Curation.sequencePackPositions(docs, Curation.CtxChars)
+      .select("source", "doc_id", "seq_first", "seq_last")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // Feed in the packing order (the shard writer's contract), split
+    // MID-STREAM so most sources' cursors must carry across the batch
+    // line for the spans to line up.
+    val ordered = docs
+      .withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .orderBy("hk", "doc_id")
+      .select("source", "doc_id", "n_chars").collect()
+      .zipWithIndex.map { case (r, i) =>
+        GraftStreams.PackArrival(r.getString(0), r.getLong(1), r.getLong(2),
+          new Timestamp((i + 1) * 1000L))
+      }
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    val qn = s"s19_${System.nanoTime()}"
+    val stream = MemoryStream[GraftStreams.PackArrival](spark)
+    val q = GraftStreams.streamingSequencePack(stream.toDS(), Curation.CtxChars)
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(qn).collect()
+    val got = rows
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, "streamed spans diverge from the batch positions")
+    rows.foreach(r => assert(r.getBoolean(4) == (r.getLong(3) > r.getLong(2))))
+    // The split genuinely crossed open cursors: at least one source has
+    // docs on both sides of the batch line.
+    val firstSrcs = first.map(_.source).toSet
+    assert(second.exists(a => firstSrcs(a.source)),
+      "fixture must carry a cursor across the batch boundary")
+  }
+
   test("stream18: composed ingest funnel equals its legs, precedence holds, idempotent") {
     import graft.operators.{Curation, Dedup}
     import spark.implicits._
