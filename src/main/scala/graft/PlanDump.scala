@@ -109,7 +109,7 @@ object PlanDump {
       "sim19_graph_ann" ->
         "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget",
       "dedup13_lsh_sweep" ->
-        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, single verify pass")
+        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

@@ -197,29 +197,39 @@ object Dedup {
   val LshSweepConfigs: Seq[(Int, Int)] = Seq((32, 1), (16, 2), (8, 4), (4, 8))
 
   /** Engine-portable sweep signatures — (doc_id, h0..h31), each h_j the
-    * MIN over the doc's distinct 3-gram shingle STRINGS of the 60-bit
-    * md5 permutation hash `md5("j:" ++ shingle)` (the tokenHash64
+    * MIN over the doc's 3-gram shingle STRINGS of the 60-bit md5
+    * permutation hash `md5("j:" ++ shingle)` (the tokenHash64
     * contract). Deliberately NOT dedup03's xxhash64 signatures: the
     * sweep's whole point is that the candidate curve itself replays in
     * the oracle, which needs every hash to be portable. Pinned per
     * (session, dir): the superset join and the per-pair flag
     * projection both read it.
+    *
+    * Shape: explode shingles, then 32 map-side-combined `min`
+    * aggregates — every expression (concat/md5/conv) is a codegen'd
+    * builtin. The per-doc-array formulation (`array_min(transform(...))`
+    * × 32 permutations) computed the same mins but each lambda was
+    * INTERPRETED per array element: ~4× slower on the cold build at
+    * sf0.1 (32M md5 evaluations either way; codegen is the difference).
+    * `min` is duplicate-insensitive, so the old `array_distinct` is
+    * dropped rather than re-expressed; shingle-less docs (< n tokens)
+    * vanish at the explode, exactly as the old size>0 filter dropped
+    * them.
     */
   private def sweepSignatures(spark: SparkSession, dir: String): DataFrame =
     graft.GraftCache.getOrPersist(
       s"dedup.sweepSig:$dir:${graft.GraftCache.sessionTag(spark)}") {
       val t = tokens(col("text"))
-      val shs = array_distinct(
-        when(size(t) >= ShingleSize,
+      val shs = when(size(t) >= ShingleSize,
           transform(sequence(lit(0), (size(t) - ShingleSize).cast("int")),
             i => concat_ws(" ", slice(t, i + 1, lit(ShingleSize)))))
-          .otherwise(array().cast("array<string>")))
+        .otherwise(array().cast("array<string>"))
+      val aggs = (0 until SweepHashes).map(j =>
+        min(tokenHash64(concat(lit(s"$j:"), col("s")))).as(s"h$j"))
       documents(spark, dir)
-        .select(col("doc_id"), shs.as("shs"))
-        .filter(size(col("shs")) > 0)
-        .select(col("doc_id") +: (0 until SweepHashes).map(j =>
-          array_min(transform(col("shs"),
-            s => tokenHash64(concat(lit(s"$j:"), s)))).as(s"h$j")): _*)
+        .select(col("doc_id"), explode(shs).as("s"))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
     }
 
   /** dedup13: LSH band/row TUNING SWEEP — sim16's knob-curve idea
@@ -238,16 +248,25 @@ object Dedup {
     * config's. The sweep therefore runs ONE candidate equi-join (at
     * rows=1), attaches both signatures to the surviving pairs, and
     * derives every config's membership as pure boolean algebra over
-    * the 32 hash-agreement bits — no per-config join, no re-scan. The
-    * exact-Jaccard verification also runs once, on the superset.
+    * the 32 hash-agreement bits — no per-config join, no re-scan.
+    *
+    * Verification is a broadcast membership probe against the
+    * production pipeline's verified near-dup set (dedup03's
+    * GraftCache-pinned frame — spec-pinned equal to the exhaustive
+    * exact set at LSH's 1-5e-8 miss rate), NOT a fresh exact-Jaccard
+    * pass over the superset: the rows=1 superset is the sweep's one
+    * large intermediate (288k pairs at sf0.1 from 5k docs), and a
+    * pair×shingle intersection join over it was measured at ~4× the
+    * cost of the entire rest of the operator. The oracle keeps the
+    * EXHAUSTIVE exact set as its truth side, so the engine/oracle
+    * match is itself a proof that the production set and the exact
+    * set agree on the corpus.
     *
     * At 100 TB the superset join is the loosest config's LSH join —
     * still the banded equi-join shape, never a pair space — and a real
     * tuning run points the sweep at a corpus SAMPLE (cur01's
     * deterministic hash sample composes directly). Recall's
-    * denominator is the production pipeline's verified near-dup set
-    * (dedup03 — spec-pinned equal to the exhaustive exact set at its
-    * 1-5e-8 miss rate); the oracle recomputes it exhaustively.
+    * denominator is the same dedup03 verified set.
     */
   def dedup13LshSweep(spark: SparkSession, dir: String): DataFrame = {
     val sigs = sweepSignatures(spark, dir)
@@ -264,8 +283,8 @@ object Dedup {
     val sigB = sigs.select(col("doc_id").as("db") +:
       (0 until SweepHashes).map(j => col(s"h$j").as(s"b$j")): _*)
     val flags = superCands
-      .join(sigA, Seq("da"))
-      .join(sigB, Seq("db"))
+      .join(broadcast(sigA), Seq("da"))
+      .join(broadcast(sigB), Seq("db"))
       .select(col("da") +: col("db") +: LshSweepConfigs.map { case (b, r) =>
         (0 until b).map { band =>
           (0 until r).map(k =>
@@ -273,8 +292,7 @@ object Dedup {
             .reduce(_ && _)
         }.reduce(_ || _).as(s"cand_$r")
       }: _*)
-    val verified = exactJaccard(spark, dir, superCands)
-      .filter(col("jaccard") >= JaccardThreshold)
+    val verified = dedup03MinhashLsh(spark, dir)
       .select(col("da"), col("db"), lit(true).as("is_true"))
     val perPair = flags
       .join(broadcast(verified), Seq("da", "db"), "left")

@@ -553,4 +553,27 @@ class PlanAuditSpec extends SparkSpec {
         s"unexpected shuffle keys $keys (expected only p/t): $e")
     }
   }
+
+  test("dedup13: superset join keeps the (perm, h) equi-key; sig legs and verification broadcast") {
+    // The sweep's only large intermediate is the rows=1 superset pair
+    // frame. Its build must stay an equi-join on the (perm, h) band
+    // key (losing the equi-component would degrade to a nested loop
+    // over the banded signatures — harmless at 5k docs, a melt at a
+    // corpus), both signature attachments and the verification probe
+    // must broadcast, and verification must be the LEFT membership
+    // probe against dedup03's pinned verified set — the round-14
+    // rewrite that removed the superset-sized pair×shingle Jaccard
+    // join (measured ~4× the rest of the operator at sf0.1).
+    val plan = finalPlan(Dedup.dedup13LshSweep(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val joinLine = plan.linesIterator.find(_.contains("Join [perm"))
+      .getOrElse(fail("superset join must carry the (perm, h) equi-key"))
+    assert(joinLine.contains(", h#"),
+      s"band key must pair perm with h: $joinLine")
+    assert(plan.contains("LeftOuter"),
+      "verification must be the broadcast LEFT membership probe")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      "sig legs + verification must broadcast")
+  }
 }
