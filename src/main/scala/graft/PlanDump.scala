@@ -109,7 +109,9 @@ object PlanDump {
       "sim19_graph_ann" ->
         "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget",
       "dedup13_lsh_sweep" ->
-        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set")
+        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set",
+      "dedup14_crossmodal" ->
+        "cross-modal dedup: full-outer algebra over two pinned evidence legs (dedup03 verified pairs broadcast-semi-joined to the image-page frame, mm06 pairs), no corpus shuffle")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -119,11 +121,11 @@ object PlanDump {
     val candidateGrowth =
     """## Measured candidate-set growth (dedup family)
       |
-      || sf | docs | total pair space | dedup02 shingle-join | dedup03 MinHash-LSH | dedup04 (4,1) narrow | dedup04 (8,5) wide | vectors | dedup05 cell join |
-      ||---|---|---|---|---|---|---|---|---|
-      || 0.001 | 500 | 124,750 | 12,025 | 28 | 2,373 | 48 | 500 | 124,750 |
-      || 0.01 | 500 | 124,750 | 11,533 | 25 | 2,061 | 54 | 500 | 124,750 |
-      || 0.1 | 5,000 | 12,497,500 | 1,130,536 | 256 | 214,123 | 3,586 | 2,000 | 1,999,000 |
+      || sf | docs | total pair space | dedup02 shingle-join | dedup03 MinHash-LSH | dedup04 (4,1) narrow | dedup04 (8,5) wide | dedup13 rows=1 superset | vectors | dedup05 cell join |
+      ||---|---|---|---|---|---|---|---|---|---|
+      || 0.001 | 500 | 124,750 | 12,025 | 28 | 2,373 | 48 | 3,063 | 500 | 124,750 |
+      || 0.01 | 500 | 124,750 | 11,533 | 25 | 2,061 | 54 | 2,965 | 500 | 124,750 |
+      || 0.1 | 5,000 | 12,497,500 | 1,130,536 | 256 | 214,123 | 3,586 | 287,751 | 2,000 | 1,999,000 |
       |
       |Reading (10x docs, 0.001 -> 0.1): the raw pair space grows 100x.
       |dedup03's LSH candidates grow 28 -> 256 (~9x) — NEAR-LINEAR in the
@@ -153,6 +155,20 @@ object PlanDump {
       |blocking, documented in Dedup.scala); on clustered real embeddings
       |the admissible cell-pair grid collapses and candidates track
       |within-cluster mass instead.
+      |
+      |dedup13 (LSH tuning sweep, round-14 column measured through the
+      |operator's own sweepSuperset join): the sweep deliberately
+      |materializes the LOOSEST config's (rows=1) candidate superset —
+      |2,965 -> 287,751 at 10x docs, ~97x, birthday-quadratic BY
+      |CONSTRUCTION (a rows=1 "band" is a single min-hash agreement, so
+      |accidental collisions dominate exactly where the S-curve's loose
+      |end must show cost). That is the measured price of asking for
+      |the WHOLE curve, not a production path: production runs dedup03's
+      |own config, the sweep's documented deployment is over a cur01
+      |hash SAMPLE of the corpus, and since the round-14 rewrite the
+      |superset feeds only the boolean flag projection plus a broadcast
+      |membership probe of dedup03's pinned verified set — never a
+      |pair-by-shingle join.
       |
       |dedup08 (span dedup) has NO pair space at all — it is a pure
       |hash aggregate over span keys. Measured span-table growth

@@ -114,6 +114,7 @@ object SparkEntry {
     "dedup11_incremental" -> Dedup.dedup11IncrementalIngest _,
     "dedup12_bloom_ingest" -> Dedup.dedup12BloomIngest _,
     "dedup13_lsh_sweep" -> Dedup.dedup13LshSweep _,
+    "dedup14_crossmodal" -> Dedup.dedup14Crossmodal _,
     "sim01_bruteforce_topk" -> Similarity.sim01BruteForceTopK _,
     "sim02_lsh_ann" -> Similarity.sim02LshAnn _,
     "sim03_ivf_ann" -> Similarity.sim03IvfAnn _,
@@ -1065,6 +1066,50 @@ object SparkEntry {
          ORDER BY rows_per_band"""
   }
 
+  /** Generated DuckDB replay of dedup14's cross-modal page dedup: the
+    * text leg is the dedup02 exhaustive shingle-Jaccard grammar
+    * restricted to image-bearing pages, the image leg is mm06's
+    * barcode bit law (hash == id % 2^BarcodeBits through the REAL
+    * encode → land → scan → decode chain on the Spark side), and the
+    * composition is the same full-outer pair algebra. Both legs'
+    * constants interpolate from the operators (the etl27 discipline).
+    */
+  private val Dedup14OracleSql: String = {
+    import graft.operators.Multimodal.{Mm05Images, Mm06MaxHamming}
+    val hashMod = 1 << graft.operators.MultimodalStub.BarcodeBits
+    s"""WITH w14 AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < $Mm05Images),
+         sh14 AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS s FROM w14),
+         sizes14 AS (SELECT doc_id, count(*) AS c FROM sh14 GROUP BY doc_id),
+         pairs14 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh14 a JOIN sh14 b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         tp14 AS (SELECT da, db,
+           CAST((2*10000*(inter) + (uni)) // (2*(uni)) AS BIGINT) / 10000.0 AS jaccard FROM (
+           SELECT da, db, inter, (ca.c + cb.c - inter) AS uni,
+             CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS j
+           FROM pairs14 JOIN sizes14 ca ON pairs14.da = ca.doc_id
+           JOIN sizes14 cb ON pairs14.db = cb.doc_id)
+           WHERE j >= 0.8),
+         h14 AS (SELECT doc_id AS img_id, doc_id % $hashMod AS phash
+             FROM documents WHERE doc_id < $Mm05Images),
+         ip14 AS (SELECT a.img_id AS da, b.img_id AS db,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+           FROM h14 a JOIN h14 b ON a.img_id < b.img_id
+           WHERE bit_count(xor(a.phash, b.phash)) <= $Mm06MaxHamming)
+       SELECT COALESCE(t.da, i.da) AS da, COALESCE(t.db, i.db) AS db,
+         (t.da IS NOT NULL) AS dup_text,
+         (i.da IS NOT NULL) AS dup_image,
+         t.jaccard AS jaccard, i.hamming AS hamming,
+         CASE WHEN t.da IS NOT NULL AND i.da IS NOT NULL THEN 'both'
+              WHEN t.da IS NOT NULL THEN 'text_only'
+              ELSE 'image_only' END AS verdict
+       FROM tp14 t FULL JOIN ip14 i ON t.da = i.da AND t.db = i.db
+       ORDER BY da, db"""
+  }
+
   /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
     * per bit over the engine-portable md5-derived 60-bit token hash —
     * the same contract as `GraftFunctions.tokenHash64`), then ALL-PAIRS
@@ -1762,6 +1807,7 @@ object SparkEntry {
     "dedup02_ngram_jaccard" -> ngramJaccardSql,
     "dedup03_minhash_lsh" -> ngramJaccardSql,
     "dedup13_lsh_sweep" -> Dedup13OracleSql,
+    "dedup14_crossmodal" -> Dedup14OracleSql,
     "dedup06_cluster" ->
       // Connected components over the same verified pair set: min
       // reachable doc_id via a recursive min-label propagation (UNION

@@ -268,16 +268,25 @@ object Dedup {
     * deterministic hash sample composes directly). Recall's
     * denominator is the same dedup03 verified set.
     */
-  def dedup13LshSweep(spark: SparkSession, dir: String): DataFrame = {
+  /** The loosest (rows=1) config's candidate superset — extracted so
+    * growth measurement counts THROUGH the operator's own join (the
+    * GrowthProbe discipline), never a parallel implementation.
+    */
+  private[graft] def sweepSuperset(spark: SparkSession, dir: String): DataFrame = {
     val sigs = sweepSignatures(spark, dir)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until SweepHashes).map(j => col(s"h$j")): _*))
         .as(Seq("perm", "h")))
-    val superCands = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.perm") === col("b.perm") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  def dedup13LshSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sweepSignatures(spark, dir)
+    val superCands = sweepSuperset(spark, dir)
     val sigA = sigs.select(col("doc_id").as("da") +:
       (0 until SweepHashes).map(j => col(s"h$j").as(s"a$j")): _*)
     val sigB = sigs.select(col("doc_id").as("db") +:
@@ -1281,6 +1290,60 @@ object Dedup {
         when(col("keeper").isNotNull, "dup").otherwise("admit").as("decision"),
         coalesce(col("keeper"), lit(-1L)).as("keeper_id"))
       .orderBy("doc_id")
+  }
+
+  /** dedup14: CROSS-MODAL page near-dup — one verdict per page pair
+    * combining BOTH modality signals, which is how a multimodal corpus
+    * actually dedups: a crawl page survives text paraphrase detection
+    * but carries the same hero image (scraped mirrors), or keeps the
+    * image but rewrites the caption — either signal alone admits the
+    * dup. Output is the UNION of the two evidence sets with per-pair
+    * flags: (dup_text, dup_image), the surviving evidence columns
+    * (jaccard from the text leg, hamming from the image leg, null on
+    * the side that didn't fire), and the composed verdict
+    * both/text_only/image_only.
+    *
+    * Composition, not reimplementation (stream18's discipline): the
+    * text leg IS dedup03's GraftCache-pinned verified set and the
+    * image leg IS mm06's delta-neighborhood pair set — the cross-modal
+    * view cannot drift from the per-modality operators because it has
+    * no decision logic of its own, only the full-outer pair algebra.
+    * The text leg is restricted to image-bearing pages via broadcast
+    * semi-joins against the image corpus' id frame (NOT a literal id
+    * cap — at 100 TB the image-bearing page set is whatever the media
+    * lake holds, and the semi-join is the same tiny-broadcast shape).
+    *
+    * Scale: both legs are already-audited near-linear pipelines whose
+    * OUTPUTS (verified near-dup pairs) are tiny by definition; the
+    * composition is a full-outer equi-join on (da, db) between two
+    * evidence frames — never a corpus-sized shuffle. The oracle
+    * replays both legs exhaustively (the dedup02 shingle grammar for
+    * text, the staged-barcode bit law for images) and the full-outer
+    * algebra in one query.
+    */
+  def dedup14Crossmodal(spark: SparkSession, dir: String): DataFrame = {
+    // The image-bearing page set is read off the DECODED image corpus
+    // (mm06's pinned hash frame), not a doc_id predicate — at 100 TB
+    // the media lake defines which pages carry images.
+    val pageIds = Multimodal.corpusImageHashes(spark, dir)
+      .select(col("img_id").as("doc_id"))
+    val textPairs = dedup03MinhashLsh(spark, dir)
+      .join(broadcast(pageIds.select(col("doc_id").as("da"))), Seq("da"),
+        "left_semi")
+      .join(broadcast(pageIds.select(col("doc_id").as("db"))), Seq("db"),
+        "left_semi")
+      .select(col("da"), col("db"), col("jaccard"))
+    val imgPairs = Multimodal.mm06PhashDedup(spark, dir)
+      .select(col("img_a").as("da"), col("img_b").as("db"), col("hamming"))
+    textPairs.join(imgPairs, Seq("da", "db"), "full_outer")
+      .select(col("da"), col("db"),
+        col("jaccard").isNotNull.as("dup_text"),
+        col("hamming").isNotNull.as("dup_image"),
+        col("jaccard"), col("hamming"),
+        when(col("jaccard").isNotNull && col("hamming").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text_only")
+          .otherwise("image_only").as("verdict"))
+      .orderBy("da", "db")
   }
 
   private def corpusFingerprints(spark: SparkSession, dir: String): DataFrame =

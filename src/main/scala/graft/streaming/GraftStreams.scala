@@ -824,6 +824,56 @@ object GraftStreams {
         coalesce(col("keeper"), lit(-1L)).as("keeper_id"))
   }
 
+  /** One arriving PAGE (document text + its encoded image) on the
+    * stream20 cross-modal ingest stream.
+    */
+  case class PageArrival(doc_id: Long, text: String, media: Array[Byte])
+
+  /** stream20: streaming CROSS-MODAL ingest dedup — dedup14's verdict
+    * algebra at the gate: each arriving page is decided against BOTH
+    * corpus indexes at once (text exact/near via stream09's core,
+    * image perceptual via stream12's core), because a mirror admits
+    * through whichever modality the per-modality gates don't watch.
+    * Output carries both legs' evidence (decision + keeper each) plus
+    * the composed verdict dup_both/dup_text/dup_image/admit.
+    *
+    * Composition, not reimplementation (stream18's discipline): the
+    * legs ARE [[graft.operators.Dedup.ingestDecisions]] and
+    * [[imageIngestDecisions]] — the gate has no decision logic of its
+    * own, so it cannot drift from stream09/stream12 (spec-pinned leg
+    * equality). Contracts are stream09's verbatim: per-arrival
+    * independent ⇒ re-batching-invariant; `batch_id=N` overwrite ⇒
+    * idempotent replay; ZERO streaming state — the two pinned corpus
+    * indexes are the state, refreshed on the batch cadence.
+    */
+  def landCrossmodalBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    crossmodalIngestDecisions(batch, dir)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Decision core, separable so the spec can pin leg equality. */
+  private[graft] def crossmodalIngestDecisions(
+      batch: DataFrame, dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val txt = graft.operators.Dedup.ingestDecisions(
+        spark, dir, batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("decision").as("text_decision"),
+        col("keeper_id").as("text_keeper"), col("jaccard"))
+    val img = imageIngestDecisions(
+        batch.select(col("doc_id").as("img_id"), col("media")), dir)
+      .select(col("img_id").as("doc_id"),
+        col("decision").as("image_decision"),
+        col("keeper_id").as("image_keeper"))
+    txt.join(img, Seq("doc_id"))
+      .select(col("doc_id"), col("text_decision"), col("text_keeper"),
+        col("jaccard"), col("image_decision"), col("image_keeper"),
+        when(col("text_decision") =!= "admit" &&
+            col("image_decision") === "dup", "dup_both")
+          .when(col("text_decision") =!= "admit", "dup_text")
+          .when(col("image_decision") === "dup", "dup_image")
+          .otherwise("admit").as("verdict"))
+  }
+
   /** One encoded frame arriving on the stream14 keyframe stream. `ts`
     * is the arrival's event time (drives the watermark + the per-video
     * state TTL); `frame_idx` orders frames within their video.

@@ -46,6 +46,9 @@ class ConcurrencySpec extends SparkSpec {
       // dedup13 races its own sweep-signature pin plus dedup03's
       // verified-pair cache (its recall denominator).
       "dedup13_lsh_sweep",
+      // dedup14 races BOTH legs' pins at once: dedup03's verified set
+      // and mm06's image-hash frame (plus its staged landing dir).
+      "dedup14_crossmodal",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
       "sim09_kmeans", "sim12_filtered_ann", "sim14_sq_ann",
       // sim17 races the trained-codebook computeIfAbsent alongside

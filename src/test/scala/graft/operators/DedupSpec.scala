@@ -372,4 +372,36 @@ class DedupSpec extends SparkSpec {
     val nTrue = Dedup.dedup03MinhashLsh(spark, sf).count()
     assert(rows.forall(_._5 == nTrue))
   }
+
+  test("dedup14: cross-modal verdict is exactly the two legs' pair algebra") {
+    val out = Dedup.dedup14Crossmodal(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Image leg == mm06 verbatim (pairs and hamming evidence).
+    val img = Multimodal.mm06PhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val outImg = out.filter(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(5))).toSet
+    assert(outImg == img, "image-flagged pairs must be mm06's set")
+    // Text leg == dedup03 restricted to image-bearing pages.
+    val pages = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val txt = Dedup.dedup03MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        a < Multimodal.Mm05Images && b < Multimodal.Mm05Images }
+      .toSet
+    val outTxt = out.filter(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outTxt == txt, "text-flagged pairs must be dedup03's page set")
+    // Verdict algebra: flags and verdict cannot disagree, every pair
+    // carries at least one modality's evidence, and evidence columns
+    // are null exactly when the modality didn't fire.
+    out.foreach { r =>
+      val (t, i, v) = (r.getBoolean(2), r.getBoolean(3), r.getString(6))
+      assert(t || i)
+      assert(v == (if (t && i) "both" else if (t) "text_only" else "image_only"))
+      assert(r.isNullAt(4) == !t, s"jaccard null iff no text evidence: $r")
+      assert(r.isNullAt(5) == !i, s"hamming null iff no image evidence: $r")
+    }
+    assert(pages.forall(_ < Multimodal.Mm05Images))
+  }
 }

@@ -63,6 +63,7 @@ class PlanAuditSpec extends SparkSpec {
       Dedup.dedup02NgramJaccard(spark, sf),
       Dedup.dedup03MinhashLsh(spark, sf),
       Dedup.dedup04Simhash(spark, sf),
+      Dedup.dedup14Crossmodal(spark, sf),
       Dedup.dedup10SubstringSpans(spark, sf),
       Similarity.sim02LshAnn(spark, sf),
       Similarity.sim03IvfAnn(spark, sf),
@@ -575,5 +576,20 @@ class PlanAuditSpec extends SparkSpec {
       "verification must be the broadcast LEFT membership probe")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
       "sig legs + verification must broadcast")
+  }
+
+  test("dedup14: page restriction is broadcast semi-joins; evidence composition is the full-outer pair join") {
+    // The cross-modal view's own work is tiny: two broadcast LeftSemi
+    // probes restricting dedup03's pairs to image-bearing pages, then
+    // the full-outer algebra between two verified-evidence frames.
+    // Any corpus-sized shuffle or nested loop here means a leg was
+    // recomputed instead of composed.
+    val plan = finalPlan(Dedup.dedup14Crossmodal(spark, sf))
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      "both page-id restrictions must be semi-joins")
+    assert(plan.contains("FullOuter"),
+      "evidence frames must compose via the full-outer pair join")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 }

@@ -980,6 +980,75 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == expected, "replay must be a no-op")
   }
 
+  test("stream20: cross-modal gate composes stream09/stream12 legs exactly, replay") {
+    import graft.operators.{Dedup, MultimodalStub}
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream20_${System.nanoTime()}"
+    val corpusArrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IngestMod === Dedup.IngestRem)
+      .select("doc_id", "text").collect()
+      .map(r => GraftStreams.PageArrival(r.getLong(0), r.getString(1),
+        MultimodalStub.barcodePng(r.getLong(0))))
+    assert(corpusArrivals.length >= 2)
+    // One page whose text matches nothing, so the image leg alone
+    // fires. With the full 0..255 staged image corpus every decoded
+    // hash is within hamming ≤ 1 of some corpus image, so image-admit
+    // (and with it the dup_text / admit arms) is unreachable by
+    // construction here — the verdict algebra is pinned per-row
+    // against the legs instead of per-arm.
+    val unique = GraftStreams.PageArrival(99991L,
+      "zzyzx qwrk vlmp unique gibberish page", MultimodalStub.barcodePng(99991L))
+    val arrivals = unique +: corpusArrivals
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.PageArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landCrossmodalBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("doc_id", "text_decision", "text_keeper", "jaccard",
+        "image_decision", "image_keeper", "verdict").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getLong(5), r.getString(6))))
+      .toMap
+    val got = landed()
+    assert(got.keySet == arrivals.map(_.doc_id).toSet)
+    // Leg equality: the composed gate IS the two cores run separately.
+    val pages = arrivals.toSeq.toDS().toDF()
+    val txt = Dedup.ingestDecisions(spark, sf,
+        pages.select(col("doc_id"), col("text"))).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val img = GraftStreams.imageIngestDecisions(
+        pages.select(col("doc_id").as("img_id"), col("media")), sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    got.foreach { case (id, (td, tk, j, idec, ik, v)) =>
+      assert((td, tk, j) == txt(id), s"text leg diverges for $id")
+      assert((idec, ik) == img(id), s"image leg diverges for $id")
+      val expV =
+        if (td != "admit" && idec == "dup") "dup_both"
+        else if (td != "admit") "dup_text"
+        else if (idec == "dup") "dup_image" else "admit"
+      assert(v == expV, s"verdict algebra broken for $id: $v vs $expV")
+    }
+    // The unique page is image-evidence-only; both modalities fire on
+    // at least one corpus arrival iff its text leg fires (the algebra
+    // check above already pinned every realized arm).
+    assert(got(99991L)._6 == "dup_image")
+    // Replay micro-batch 0: the partition overwrite is a no-op.
+    GraftStreams.landCrossmodalBatch(first.toSeq.toDS().toDF(), sf, outDir, 0L)
+    assert(landed() == got, "replay must be a no-op")
+  }
+
   test("stream08: foreachBatch MERGE sink lands upserts, idempotent under replay") {
     import spark.implicits._
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
