@@ -58,7 +58,11 @@ def main():
     if not best:
         sys.exit(f"clean line did not parse at sf {sf}")
     n_fresh = len(best)
-    for rec in sorted(repo.glob("BENCH_r*.json")):
+    # Min-merge official records AND the previous clean file: a floor
+    # captured by an earlier clean run (never matched by an official
+    # record) must survive regeneration, or the gate softens each round.
+    prior = sorted(repo.glob("BENCH_r*.json")) + list(repo.glob("BENCH_clean.json"))
+    for rec in prior:
         for k, v in parse_times(rec.read_text(), sf).items():
             if k in best:
                 best[k] = min(best[k], v)

@@ -17,12 +17,30 @@ object Bench {
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
   private def shortId(name: String): String = name.takeWhile(_ != '_')
 
-  /** Width of the harness's stdout tail window, minus margin. The entire
-    * summary line must fit inside it or the leading `{"metric":...` is
-    * cut off and the round's timings are unparseable (round 9 lost all
-    * 86 good timings this way to 28 verbose error strings).
+  /** Width of the harness's stdout tail window (2000 chars), minus
+    * margin. The entire summary line must fit inside it or the leading
+    * `{"metric":...` is cut off and the round's timings are
+    * unparseable (round 9 lost all 86 good timings this way to 28
+    * verbose error strings). Margin trimmed 100 → 50 in round 14: at
+    * 148 queries the 1-dp step measures 1865 chars, so a
+    * contention-run suspect list (~11 chars/id) pushed past 1900 and
+    * silently degraded the record to counts-only — 50 chars still
+    * covers the trailing newline (nothing else prints after the line:
+    * StdoutOutput + showSuccess:=false).
     */
-  private[graft] val MaxLineChars = 1900
+  private[graft] val MaxLineChars = 1950
+
+  /** Sub-floor for the second-to-last degradation step: entries under
+    * this are dropped from the LINE (collapsed to a `"_sub":n` marker)
+    * before per-query timings are abandoned wholesale. Chosen just
+    * below [[RetryFloorSec]]: a query under it can never trip the
+    * suspect gate, and its honest clean floor lives in
+    * BENCH_clean.json (built from the full-precision
+    * /tmp/graft_bench_full.json, not this line) — so the only loss is
+    * line visibility of sub-quarter-second readings, in runs already
+    * degraded enough to need the step.
+    */
+  private[graft] val SubEntryFloorSec = 0.25
 
   /** Render the final summary line. Degrades in steps until it fits
     * [[MaxLineChars]]: full errors (≤8 class-name tokens + overflow
@@ -35,7 +53,11 @@ object Bench {
     * coarsen to "0"/"0.1": a floor read from a degraded record can
     * round a cheap query's 2× trigger by at most one 0.05 s grid step,
     * and the [[RetryFloorSec]] absolute gate keeps that noise from
-    * churning) → no per-query timings at all (total + counts only).
+    * churning) → 1-dp timings with sub-[[SubEntryFloorSec]] entries
+    * dropped to a `"_sub":n` marker (round 14: a long suspect list
+    * must cost the cheapest, gate-irrelevant readings first, never
+    * the whole per-query record) → no per-query timings at all
+    * (total + counts only).
     * The last step guarantees the line fits REGARDLESS of how large
     * the query surface grows; full-precision per-query numbers always
     * live in /tmp/graft_bench_full.json and on stderr.
@@ -61,9 +83,15 @@ object Bench {
     def qJson(scale: Int): String = results.map { case (k, v) =>
       "\"" + shortId(k) + "\":" + trim(v, scale)
     }.mkString("{", ",", "}")
-    val qShort = results.map { case (k, v) =>
+    def q1dp(k: String, v: Double): String =
       "\"" + shortId(k) + "\":" + (if (v >= 9.995) trim(v, 0) else trim(v, 1))
-    }.mkString("{", ",", "}")
+    val qShort = results.map((q1dp _).tupled).mkString("{", ",", "}")
+    val qFloor = {
+      val (kept, dropped) = results.partition(_._2 >= SubEntryFloorSec)
+      (kept.map((q1dp _).tupled) ++
+        (if (dropped.nonEmpty) List("\"_sub\":" + dropped.size) else Nil))
+        .mkString("{", ",", "}")
+    }
     // Errors are one short token each (exception class, truncated BEFORE
     // escaping so a split escape can't orphan a backslash), at most 8
     // entries — any overflow collapses to a count.
@@ -85,7 +113,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"suspect":$suspectJson,"sf":"$sfDir"}"""
     val noTimings = line("{\"_count\":" + results.size + "}", countOnly)
     Seq(line(qJson(3), errJson), line(qJson(3), countOnly),
-        line(qJson(2), countOnly), line(qShort, countOnly), noTimings)
+        line(qJson(2), countOnly), line(qShort, countOnly),
+        line(qFloor, countOnly), noTimings)
       .find(_.length <= MaxLineChars)
       .getOrElse(noTimings)
   }

@@ -233,6 +233,28 @@ class BenchRenderSpec extends AnyFunSuite {
     }
   }
 
+  test("contended full surface: a long suspect list costs sub-floor entries, not the record") {
+    // Round 14's clean run measured the 1-dp step at 1865 chars on 148
+    // queries — a 7-id suspect list pushed past the old 1900 budget and
+    // silently degraded the OFFICIAL record to counts-only. The
+    // sub-floor step must keep every gate-relevant timing (≥
+    // SubEntryFloorSec) alive under a full 16-id suspect list, and the
+    // dropped count must be visible in-band.
+    val suspect = (1 to 16).map(i => f"zzsuspect$i%02d")
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val results = keys.zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 2 == 0) 1.234 else 0.2)
+    }
+    val line = Bench.renderLine(results, Nil, "/root/testdata/sf0.1", suspect)
+    assert(line.length <= Bench.MaxLineChars, s"len=${line.length}")
+    val parsed = Bench.parsePriorTimes(line, "/root/testdata/sf0.1")
+    val expectedKept = results.count(_._2 >= Bench.SubEntryFloorSec)
+    assert(parsed.size == expectedKept,
+      s"all ${expectedKept} gate-relevant timings must survive, got ${parsed.size}")
+    val org.json4s.JInt(sub) = (parse(line) \ "queries" \ "_sub"): @unchecked
+    assert(sub == results.size - expectedKept, "dropped count must be in-band")
+  }
+
   test("priorRecord: min-merges the real repo records (contamination defense)") {
     // Runs in the repo root where BENCH_r*.json live; if none parse at
     // this sf the map is empty and the family fallback governs — both
