@@ -111,7 +111,9 @@ object PlanDump {
       "dedup13_lsh_sweep" ->
         "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set",
       "dedup14_crossmodal" ->
-        "cross-modal dedup: full-outer algebra over two pinned evidence legs (dedup03 verified pairs broadcast-semi-joined to the image-page frame, mm06 pairs), no corpus shuffle")
+        "cross-modal dedup: full-outer algebra over two pinned evidence legs (dedup03 verified pairs broadcast-semi-joined to the image-page frame, mm06 pairs), no corpus shuffle",
+      "text20_boilerplate_scrub" ->
+        "boilerplate scrub: shared span-hash pin, 8-byte frequency aggregate, broadcast affected-doc marks, codegen HOF rewrite keyed on chunk index")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -222,6 +224,8 @@ object PlanDump {
       || dedup10 spans reported | 437 | 5,860 | tracks true duplication |
       || cur16 held-out window hashes (semi-join build side) | 9,821 | 101,498 | 10.3x - linear at 1/20 corpus mass (round-13 row) |
       || cur16 contaminated spans reported | 24 | 733 | tracks injected cross-split dup mass (round-13 row) |
+      || text20 boilerplate hash index (the pinned ingest index) | 45 | 88 | 2.0x at 10x docs - tracks TEMPLATE mass, never the corpus (round-14 row) |
+      || text20 affected docs (the broadcast mark frame) | 31 | 57 | 1.8x - same bound (round-14 row) |
       || vector pair space | 1,999,000 | 199,990,000 | 100x |
       || dedup05 cell candidates | 1,999,000 | 199,990,000 | 100x - the documented adversarial bound (near-uniform embeddings leave no cell pair excludable) |
       || sim07 intra-cell pairs | 125,051 | 12,577,188 | 100.6x at FIXED K=16 |
@@ -279,6 +283,8 @@ object PlanDump {
       || dedup10 spans reported | 5,860 | 58,537 | 10.0x - tracks true duplication |
       || cur16 held-out window hashes (semi-join build side) | 101,498 | 1,013,201 | 9.98x - exactly linear at 1/20 corpus mass (round-13 row) |
       || cur16 contaminated spans reported | 733 | 7,268 | 9.9x - tracks cross-split dup mass (round-13 row) |
+      || text20 boilerplate hash index | 88 | 820 | 9.3x - the injected dup-cluster mass, ~2e-3 of the chunk space at BOTH decades: the pinned ingest index stays broadcast-trivial at any corpus (round-14 row) |
+      || text20 affected docs (broadcast marks) | 57 | 597 | 10.5x - same bound (round-14 row) |
       || mm07 (8,4)/64-bit blocked candidates | 2,082 | 22,556 | 10.8x - linear; accidental-collision term still negligible |
       || sim15 probed-cell members | 24,950 | 125,651 | 5.04x on 5x vectors - exactly linear in the corpus |
       || etl28 name vocabulary (the key domain) | 223 | 695 | 3.1x at 10x rows - Heaps-sublinear (sqrt law; round-14 row) |

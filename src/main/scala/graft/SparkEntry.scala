@@ -101,6 +101,7 @@ object SparkEntry {
     "text17_bpe_train" -> TextAnalysis.text17BpeTrain _,
     "text18_bpe_encode" -> TextAnalysis.text18BpeEncode _,
     "text19_tfidf_keywords" -> TextAnalysis.text19TfidfKeywords _,
+    "text20_boilerplate_scrub" -> TextAnalysis.text20BoilerplateScrub _,
     "dedup01_exact" -> Dedup.dedup01Exact _,
     "dedup02_ngram_jaccard" -> Dedup.dedup02NgramJaccard _,
     "dedup03_minhash_lsh" -> Dedup.dedup03MinhashLsh _,
@@ -1110,6 +1111,41 @@ object SparkEntry {
        ORDER BY da, db"""
   }
 
+  /** Generated DuckDB replay of text20's boilerplate scrub: dedup08's
+    * chunk grammar on chunk STRINGS (the hash↔string bijection premise
+    * dedup08's oracle rests on), the distinct-doc frequency threshold,
+    * and the rewrite rebuilt from kept chunks + the sub-chunk tail —
+    * value-equal to the engine's token-level HOF filter. Constants
+    * interpolate from the operators (the etl27 discipline).
+    */
+  private val Text20OracleSql: String = {
+    val k = graft.operators.Dedup.ParagraphTokens
+    val minDocs = graft.operators.TextAnalysis.BoilerplateMinDocs
+    s"""WITH w20 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ch20 AS (SELECT doc_id, CAST(t.i AS INTEGER) AS idx,
+             array_to_string(toks[CAST(t.i*$k+1 AS BIGINT):CAST(t.i*$k+$k AS BIGINT)], ' ') AS s
+           FROM w20, unnest(range(0, len(toks)//$k)) AS t(i)),
+         bo20 AS (SELECT s FROM ch20 GROUP BY s
+           HAVING count(DISTINCT doc_id) >= $minDocs),
+         chf20 AS (SELECT ch20.*, (s IN (SELECT s FROM bo20)) AS boil FROM ch20),
+         mk20 AS (SELECT doc_id,
+             CAST(sum(CASE WHEN boil THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+             array_to_string(list(s ORDER BY idx) FILTER (WHERE NOT boil), ' ')
+               AS kept_chunks
+           FROM chf20 GROUP BY doc_id
+           HAVING sum(CASE WHEN boil THEN 1 ELSE 0 END) > 0)
+       SELECT w.doc_id,
+         CAST(len(toks)//$k AS INTEGER) AS n_chunks,
+         m.n_boiler,
+         CAST(len(toks) AS INTEGER) AS tokens_before,
+         CAST(len(toks) - m.n_boiler*$k AS INTEGER) AS tokens_after,
+         concat_ws(' ', NULLIF(m.kept_chunks, ''),
+           NULLIF(array_to_string(toks[CAST((len(toks)//$k)*$k+1 AS BIGINT):], ' '), ''))
+           AS text_clean
+       FROM w20 w JOIN mk20 m USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
   /** Generated DuckDB replay of dedup04: per-doc SimHash (majority vote
     * per bit over the engine-portable md5-derived 60-bit token hash —
     * the same contract as `GraftFunctions.tokenHash64`), then ALL-PAIRS
@@ -1808,6 +1844,7 @@ object SparkEntry {
     "dedup03_minhash_lsh" -> ngramJaccardSql,
     "dedup13_lsh_sweep" -> Dedup13OracleSql,
     "dedup14_crossmodal" -> Dedup14OracleSql,
+    "text20_boilerplate_scrub" -> Text20OracleSql,
     "dedup06_cluster" ->
       // Connected components over the same verified pair set: min
       // reachable doc_id via a recursive min-label propagation (UNION

@@ -880,9 +880,12 @@ object Dedup {
   /** Core of dedup08 over any (doc_id, text) frame — separable so the
     * spec can drive a corpus with known span structure.
     */
-  /** (doc_id, h) rows: one 64-bit hash per non-overlapping
-    * [[ParagraphTokens]]-token span — the shared chunking contract of
-    * batch dedup08 and the streaming span dedup (stream07).
+  /** (doc_id, idx, h) rows: one 64-bit hash per non-overlapping
+    * [[ParagraphTokens]]-token span, with its 0-based chunk index — the
+    * shared chunking contract of batch dedup08, the streaming span
+    * dedup (stream07), and text20's boilerplate scrub (which keys its
+    * rewrite on `idx`, so the scrub cannot chunk differently than the
+    * detector by construction).
     */
   private[graft] def spanHashRows(docs: DataFrame): DataFrame = {
     val k = ParagraphTokens
@@ -891,11 +894,11 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       // Docs shorter than one span yield sequence(0,-1,1), which Spark
       // rejects — guard to an empty array (mirrors shinglesFromTokens).
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), posexplode(
         when(size(t) >= k,
           transform(sequence(lit(0), (size(t) / k).cast("int") - 1, lit(1)),
             i => xxhash64(concat_ws(" ", slice(t, i * k + 1, lit(k))))))
-          .otherwise(array().cast("array<bigint>"))).as("h"))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("idx", "h")))
   }
 
   /** Window width (tokens) for dedup10's exact substring spans. The

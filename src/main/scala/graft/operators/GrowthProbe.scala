@@ -199,6 +199,7 @@ object GrowthProbe {
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
     cur16Counts(p, docs, tag)
     etl28Counts(spark, p, dir, baseDir)
+    text20Counts(p, docs)
 
     // mm07 photo-scale blocking (round-11 directive item 6): one
     // synthetic 64-bit photo hash per document id (near-dup tail inside
@@ -270,6 +271,7 @@ object GrowthProbe {
     p("dedup10_spans_reported", Dedup.dedup10SubstringSpans(spark, dir).count())
     cur16Counts(p, docs, tag)
     etl28Counts(spark, p, dir, baseDir)
+    text20Counts(p, docs)
     locally {
       import spark.implicits._
       val hashes = spark.range(nDocs).as[Long]
@@ -302,6 +304,23 @@ object GrowthProbe {
     * the held-out count's identical derivation reads it back through
     * the CacheManager's plan match, and the key is released after.
     */
+  /** text20's two growth numbers, through the operator's own chunk
+    * grammar and threshold: the boilerplate hash-set size (the pinned
+    * ingest index — bounded by template mass, never the corpus) and
+    * the affected-doc count (the scrub's broadcast mark frame).
+    */
+  private[graft] def text20Counts(
+      p: (String, Long) => Unit, docs: DataFrame): Unit = {
+    val chunks = Dedup.spanHashRows(docs)
+    val boiler = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= TextAnalysis.BoilerplateMinDocs)
+      .select(col("h"))
+    p("text20_boiler_hashes", boiler.count())
+    p("text20_affected_docs", chunks.join(boiler, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct().count())
+  }
+
   private def cur16Counts(p: (String, Long) => Unit, docs: DataFrame,
       tag: String): Unit = {
     val key = s"growth.cur16:$tag"

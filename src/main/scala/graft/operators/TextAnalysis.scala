@@ -748,4 +748,99 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Distinct-document threshold above which a span is BOILERPLATE
+    * (text20): nd ≥ 3 separates template mass (headers, footers, nav —
+    * the thing every crawl pipeline strips) from pairwise near-dup
+    * structure (nd = 2 spans belong to dedup08/dedup03's pair space,
+    * which dedup — not boilerplate removal — owns). Measured on the
+    * driver corpus: nd ≥ 3 spans exist at every sf (9 / 7 / 45 hashes
+    * at sf0.001/0.01/0.1), so the threshold is exercised, while nd = 2
+    * would misclassify ~1,000 near-dup spans at sf0.1 as template.
+    */
+  val BoilerplateMinDocs = 3
+
+  /** text20: BOILERPLATE removal — the CCNet/RefinedWeb-style scrub
+    * every crawl pipeline runs before training: spans repeated across
+    * ≥ [[BoilerplateMinDocs]] DISTINCT documents are template mass
+    * (headers, footers, navigation), and affected documents are
+    * REWRITTEN with those spans dropped. The detection sibling of
+    * dedup08 (which reports per-doc duplication stats) with cur17's
+    * rewrite discipline (span-granularity scrub, document kept).
+    *
+    * Composition, not reimplementation: the chunk grammar IS
+    * dedup08's [[Dedup.spanHashRows]] (one non-overlapping
+    * ParagraphTokens-token span per chunk index, shared GraftCache
+    * pin), and the rewrite keys on the chunk INDEX carried by that
+    * frame — the scrub cannot chunk differently than the detector.
+    * Scale shape: the span frame is linear (one row per K tokens), the
+    * frequency aggregate shuffles 8-byte hashes with map-side combine,
+    * flagged marks aggregate to a tiny affected-docs frame that joins
+    * back BROADCAST (cur17's evidence-mark posture), and the rewrite
+    * is codegen HOFs over the token array in the scan stage — no
+    * corpus doc_id shuffle anywhere.
+    *
+    * The oracle replays chunking, frequency, and the rewrite on chunk
+    * STRINGS (the hash↔string bijection premise dedup08's oracle
+    * already rests on) and rebuilds the cleaned text from kept chunks
+    * plus the sub-chunk tail, value-equal to the engine's token-level
+    * filter.
+    */
+  def text20BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    boilerplateScrub(documents(spark, dir), boilerplateHashes(spark, dir),
+        chunks = Some(corpusChunkRows(spark, dir)))
+      .orderBy("doc_id")
+
+  /** The corpus chunk frame under dedup08's shared GraftCache pin —
+    * one definition of "the corpus, chunked" for dedup08, text20, and
+    * the boilerplate hash build.
+    */
+  private def corpusChunkRows(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"dedup.spanHashes:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      Dedup.spanHashRows(documents(spark, dir))
+    }
+
+  /** The corpus' boilerplate span-hash set — spans in ≥
+    * [[BoilerplateMinDocs]] distinct documents, pinned per (dir,
+    * session). Tiny by the threshold (45 hashes at sf0.1); shared by
+    * batch text20 and the stream21 ingest gate, so the two cannot
+    * disagree on what counts as template mass.
+    */
+  private[graft] def boilerplateHashes(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"text20.boiler:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      corpusChunkRows(spark, dir).groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= BoilerplateMinDocs)
+        .select(col("h"))
+    }
+
+  /** Scrub core over ANY (doc_id, text) frame against a given
+    * boilerplate hash set — separable so stream21 runs the IDENTICAL
+    * decision + rewrite per micro-batch (the stream15 posture) and the
+    * spec can drive fixture corpora. `chunks` lets the batch caller
+    * hand in the PINNED corpus chunk frame instead of re-chunking.
+    */
+  private[graft] def boilerplateScrub(
+      docs: DataFrame, boiler: DataFrame,
+      chunks: Option[DataFrame] = None): DataFrame = {
+    val k = Dedup.ParagraphTokens
+    val marks = chunks.getOrElse(Dedup.spanHashRows(docs))
+      .join(broadcast(boiler.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("idx")).as("drop_idx"))
+    val t = tokens(col("text"))
+    val kept = filter(t, (tok, i) =>
+      (i >= (size(t) / k).cast("int") * k) ||
+        !array_contains(col("drop_idx"), (i / k).cast("int")))
+    docs
+      .join(broadcast(marks), Seq("doc_id"))
+      .select(col("doc_id"),
+        (size(t) / k).cast("int").as("n_chunks"),
+        size(col("drop_idx")).as("n_boiler"),
+        size(t).as("tokens_before"),
+        size(kept).as("tokens_after"),
+        concat_ws(" ", kept).as("text_clean"))
+  }
 }

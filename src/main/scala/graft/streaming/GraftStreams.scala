@@ -824,6 +824,26 @@ object GraftStreams {
         coalesce(col("keeper"), lit(-1L)).as("keeper_id"))
   }
 
+  /** stream21: streaming BOILERPLATE scrub — text20's template-mass
+    * removal on the ingest cadence, which is how a crawl pipeline
+    * actually deploys it: the boilerplate index (spans in ≥
+    * BoilerplateMinDocs distinct corpus documents) is nearly static
+    * and refreshes on the batch cadence, while every arriving document
+    * is scrubbed against it before admission. stream15's posture
+    * verbatim: per-arrival independent ⇒ re-batching-invariant;
+    * `batch_id=N` overwrite ⇒ idempotent replay; ZERO streaming
+    * state — the pinned boilerplate hash set IS the state. The
+    * decision + rewrite core is
+    * [[graft.operators.TextAnalysis.boilerplateScrub]] — literally the
+    * batch operator's, so the gate cannot chunk or scrub differently
+    * than text20 (spec-pinned equality on the same docs).
+    */
+  def landBoilerplateBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.boilerplateScrub(batch,
+        graft.operators.TextAnalysis.boilerplateHashes(batch.sparkSession, dir))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** One arriving PAGE (document text + its encoded image) on the
     * stream20 cross-modal ingest stream.
     */

@@ -38,6 +38,9 @@ class ConcurrencySpec extends SparkSpec {
       "etl28_fuzzy_link",
       "text01_tokenize_count", "text04_fingerprint", "text10_repetition",
       "text12_entropy", "text13_bigram_surprisal", "text15_cms_topk",
+      // text20 races the dedup.spanHashes pin against dedup08's build
+      // of the same frame (the shared chunk-grammar cache).
+      "text20_boilerplate_scrub",
       "text16_pmi_collocations", "text17_bpe_train", "text18_bpe_encode",
       "text19_tfidf_keywords",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",

@@ -35,7 +35,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream13_session_window", "stream14_video_keyframes",
     "stream15_ingest_decontam", "stream16_ingest_linkage",
     "stream17_codebook_swap", "stream18_ingest_funnel",
-    "stream19_sequence_pack", "stream20_crossmodal_gate")
+    "stream19_sequence_pack", "stream20_crossmodal_gate",
+    "stream21_boilerplate_gate")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val ids = surveyIds.map(i => aliases.getOrElse(i, i))

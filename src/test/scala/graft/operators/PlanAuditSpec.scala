@@ -578,6 +578,20 @@ class PlanAuditSpec extends SparkSpec {
       "sig legs + verification must broadcast")
   }
 
+  test("text20: boilerplate marks join broadcast; rewrite adds no corpus shuffle") {
+    // cur17's evidence-mark posture: the affected-docs mark frame
+    // (tiny by the boilerplate threshold) joins back broadcast, and
+    // the token-level rewrite is codegen HOFs in the scan stage —
+    // never a corpus-sized doc_id shuffle join.
+    val plan = finalPlan(TextAnalysis.text20BoilerplateScrub(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the boilerplate-marks join must broadcast")
+    assert(!plan.contains("SortMergeJoin [doc_id") &&
+      !plan.contains("ShuffledHashJoin [doc_id"),
+      s"corpus-sized doc_id shuffle join crept into the scrub:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup14: page restriction is broadcast semi-joins; evidence composition is the full-outer pair join") {
     // The cross-modal view's own work is tiny: two broadcast LeftSemi
     // probes restricting dedup03's pairs to image-bearing pages, then

@@ -374,4 +374,50 @@ class TextAnalysisSpec extends SparkSpec {
     val (nw, nb) = got.values.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
     assert(nb > nw, "subword count must exceed word count")
   }
+
+  test("text20 boilerplate scrub equals a driver-side chunk replay") {
+    import graft.sources.Tables
+    val k = Dedup.ParagraphTokens
+    // Driver replay on chunk STRINGS (the oracle's grammar): Spark's
+    // split(text, " ") keeps trailing empties, so the replay must use
+    // split(" ", -1), not Scala's empties-dropping default.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(text: String) = text.split(" ", -1)
+    def chunkStr(t: Array[String], i: Int) = t.slice(i * k, i * k + k).mkString(" ")
+    val boiler = docs.toSeq
+      .flatMap { case (id, text) =>
+        val t = toks(text)
+        (0 until t.length / k).map(i => (chunkStr(t, i), id))
+      }
+      .groupBy(_._1).collect {
+        case (s, occ) if occ.map(_._2).distinct.size >=
+          TextAnalysis.BoilerplateMinDocs => s
+      }.toSet
+    val expected = docs.flatMap { case (id, text) =>
+      val t = toks(text)
+      val nChunks = t.length / k
+      val dropIdx = (0 until nChunks).filter(i => boiler(chunkStr(t, i))).toSet
+      if (dropIdx.isEmpty) None
+      else {
+        val kept = t.zipWithIndex.collect {
+          case (tok, p) if p >= nChunks * k || !dropIdx(p / k) => tok
+        }
+        Some(id -> ((nChunks, dropIdx.size, t.length, kept.length,
+          kept.mkString(" "))))
+      }
+    }
+    val got = TextAnalysis.text20BoilerplateScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    assert(got.nonEmpty, "the corpus must exercise the scrub")
+    assert(got == expected, "scrub diverges from the chunk-string replay")
+    // Structural laws: each dropped chunk is exactly k tokens, the
+    // sub-chunk tail is never dropped, and a doc never loses all its
+    // chunks' worth of identity (n_boiler bounded by n_chunks).
+    got.foreach { case (_, (nc, nb, before, after, _)) =>
+      assert(after == before - nb * k)
+      assert(nb >= 1 && nb <= nc)
+    }
+  }
 }

@@ -980,6 +980,49 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == expected, "replay must be a no-op")
   }
 
+  test("stream21: streamed boilerplate scrub equals batch text20, replay") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream21_${System.nanoTime()}"
+    // Arrivals: every doc batch text20 scrubs, plus clean ones that
+    // must pass silently (no row landed).
+    val batch = TextAnalysis.text20BoilerplateScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    assert(batch.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cleanIds = texts.keySet.diff(batch.keySet).toSeq.sorted.take(3)
+    val arrivals = (batch.keySet.toSeq.sorted ++ cleanIds)
+      .map(id => GraftStreams.IngestArrival(id, texts(id)))
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.IngestArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landBoilerplateBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("doc_id", "n_chunks", "n_boiler", "tokens_before",
+        "tokens_after", "text_clean").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))).toMap
+    assert(landed() == batch,
+      "streamed scrub diverges from batch text20 (clean docs must land nothing)")
+    // Replay micro-batch 0: the partition overwrite is a no-op.
+    GraftStreams.landBoilerplateBatch(
+      first.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"), sf, outDir, 0L)
+    assert(landed() == batch, "replay must be a no-op")
+  }
+
   test("stream20: cross-modal gate composes stream09/stream12 legs exactly, replay") {
     import graft.operators.{Dedup, MultimodalStub}
     import spark.implicits._
