@@ -1343,11 +1343,23 @@ object Dedup {
         col("jaccard").isNotNull.as("dup_text"),
         col("hamming").isNotNull.as("dup_image"),
         col("jaccard"), col("hamming"),
-        when(col("jaccard").isNotNull && col("hamming").isNotNull, "both")
-          .when(col("jaccard").isNotNull, "text_only")
-          .otherwise("image_only").as("verdict"))
+        crossmodalVerdict(col("jaccard"), col("hamming")).as("verdict"))
       .orderBy("da", "db")
   }
+
+  /** dedup14's verdict algebra over the two evidence columns —
+    * extracted so the spec can pin ALL arms directly: the staged
+    * corpus realizes only image_only/text_only (its text dups and
+    * image dups are injected independently, so no pair carries both),
+    * and an arm the data never reaches must still be proven, not
+    * assumed. The full-outer join guarantees at least one side
+    * non-null, so there is deliberately no fourth arm.
+    */
+  private[graft] def crossmodalVerdict(
+      jaccard: Column, hamming: Column): Column =
+    when(jaccard.isNotNull && hamming.isNotNull, "both")
+      .when(jaccard.isNotNull, "text_only")
+      .otherwise("image_only")
 
   private def corpusFingerprints(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)

@@ -403,5 +403,15 @@ class DedupSpec extends SparkSpec {
       assert(r.isNullAt(5) == !i, s"hamming null iff no image evidence: $r")
     }
     assert(pages.forall(_ < Multimodal.Mm05Images))
+    // The staged corpus realizes only image_only/text_only (text and
+    // image dups are injected independently) — the 'both' arm must be
+    // proven on the extracted algebra, not assumed.
+    import spark.implicits._
+    val arms = Seq[(Option[Double], Option[Int])](
+      (Some(0.9), Some(1)), (Some(0.9), None), (None, Some(0)))
+      .toDF("jaccard", "hamming")
+      .select(Dedup.crossmodalVerdict(col("jaccard"), col("hamming")))
+      .collect().map(_.getString(0)).toSeq
+    assert(arms == Seq("both", "text_only", "image_only"))
   }
 }
