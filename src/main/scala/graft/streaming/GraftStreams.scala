@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 
 /** Structured Streaming surface (SURVEY.md §2 stream01/stream02).
   *
@@ -887,12 +887,23 @@ object GraftStreams {
     txt.join(img, Seq("doc_id"))
       .select(col("doc_id"), col("text_decision"), col("text_keeper"),
         col("jaccard"), col("image_decision"), col("image_keeper"),
-        when(col("text_decision") =!= "admit" &&
-            col("image_decision") === "dup", "dup_both")
-          .when(col("text_decision") =!= "admit", "dup_text")
-          .when(col("image_decision") === "dup", "dup_image")
-          .otherwise("admit").as("verdict"))
+        crossmodalGateVerdict(col("text_decision"), col("image_decision"))
+          .as("verdict"))
   }
+
+  /** stream20's verdict algebra over the two legs' decisions —
+    * extracted so the spec can pin ALL four arms directly: with the
+    * full 0..255 staged image corpus every decoded hash is within
+    * hamming ≤ 1 of some corpus image, so the image leg never admits
+    * and the dup_text / admit arms are data-unreachable (dedup14's
+    * 'both'-arm situation exactly).
+    */
+  private[graft] def crossmodalGateVerdict(
+      textDecision: Column, imageDecision: Column): Column =
+    when(textDecision =!= "admit" && imageDecision === "dup", "dup_both")
+      .when(textDecision =!= "admit", "dup_text")
+      .when(imageDecision === "dup", "dup_image")
+      .otherwise("admit")
 
   /** One encoded frame arriving on the stream14 keyframe stream. `ts`
     * is the arrival's event time (drives the watermark + the per-video

@@ -1087,6 +1087,15 @@ class GraftStreamsSpec extends SparkSpec {
     // at least one corpus arrival iff its text leg fires (the algebra
     // check above already pinned every realized arm).
     assert(got(99991L)._6 == "dup_image")
+    // dup_text and admit are data-unreachable here (every decoded hash
+    // is within hamming ≤ 1 of the full 0..255 corpus), so ALL four
+    // arms are pinned on the extracted algebra over literal decisions.
+    val arms = Seq(("exact", "dup"), ("near", "admit"),
+      ("admit", "dup"), ("admit", "admit"))
+      .toDF("td", "id")
+      .select(GraftStreams.crossmodalGateVerdict(col("td"), col("id")))
+      .collect().map(_.getString(0)).toSeq
+    assert(arms == Seq("dup_both", "dup_text", "dup_image", "admit"))
     // Replay micro-batch 0: the partition overwrite is a no-op.
     GraftStreams.landCrossmodalBatch(first.toSeq.toDS().toDF(), sf, outDir, 0L)
     assert(landed() == got, "replay must be a no-op")
