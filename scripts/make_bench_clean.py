@@ -62,12 +62,24 @@ def main():
     # captured by an earlier clean run (never matched by an official
     # record) must survive regeneration, or the gate softens each round.
     prior = sorted(repo.glob("BENCH_r*.json")) + list(repo.glob("BENCH_clean.json"))
+    carried = set()
     for rec in prior:
         for k, v in parse_times(rec.read_text(), sf).items():
+            # UNION of keys, min where both exist: a query that errored
+            # or was absent in the fresh run must not silently lose its
+            # historical floor — that is exactly the "gate softens each
+            # round" failure this merge exists to prevent (round-14
+            # ADVICE). A key for a since-removed query is harmless
+            # clutter: the gate only ever looks floors up by LIVE query
+            # id, so a stale entry is never consulted.
             if k in best:
                 best[k] = min(best[k], v)
-            # Queries that no longer exist are NOT carried: the floor
-            # must only ever judge live queries.
+            else:
+                best[k] = v
+                carried.add(k)
+    if carried:
+        print("WARNING: floors carried from prior records only (absent "
+              "from the fresh clean run): " + ", ".join(sorted(carried)))
     line = (
         '{"metric":"total","value":%.3f,"unit":"sec","queries":{%s},'
         '"errors":{},"suspect":[],"sf":"%s"}'

@@ -257,10 +257,25 @@ object Bench {
     * queries with no prior record (new operators, or a first run at
     * this sf).
     */
+  /** The timing as the suspect gate judges it: the MAX of the measured
+    * value and its 1-dp recorded form. The summary line records 1-dp
+    * timings, so a 0.46 s reading over a 0.24 s floor ships as "0.5" —
+    * a >2× breach to anyone auditing the line — while the raw value
+    * (1.9×) cleared the gate unnamed (round 14's etl16). Judging the
+    * recorded form too means nothing the LINE shows as a breach can go
+    * unnamed; taking the max keeps a true unrounded breach that
+    * happens to round DOWN (0.44 over 0.21 recording as "0.4") named
+    * as well. A sub-second 2× can no longer hide behind the decimal.
+    */
+  private def gateTime(t: Double): Double =
+    math.max(t, math.round(t * 10) / 10.0)
+
   /** Whether a reading is contention-suspect: floor-relative against
     * the query's own best clean record when one exists (>[[PriorRatio]]×
-    * floor AND >[[RetryFloorSec]] absolute), else the within-run
-    * family-median fallback at its looser [[OutlierFloorSec]] gate.
+    * floor AND >[[RetryFloorSec]] absolute, both judged on
+    * [[gateTime]] so the verdict matches what the line records), else
+    * the within-run family-median fallback at its looser
+    * [[OutlierFloorSec]] gate.
     * ONE definition drives the retry trigger, the retry STOP condition,
     * and the suspect verdict, so a query is retried exactly until it
     * stops being suspect (or retries run out) and the line's `suspect`
@@ -270,7 +285,8 @@ object Bench {
       prior: Map[String, Double],
       famFlagged: String => Boolean): Boolean =
     prior.get(shortId(name)) match {
-      case Some(p) => t > RetryFloorSec && t > PriorRatio * p
+      case Some(p) =>
+        gateTime(t) > RetryFloorSec && gateTime(t) > PriorRatio * p
       case None => t > OutlierFloorSec && famFlagged(name)
     }
 
@@ -295,8 +311,8 @@ object Bench {
       prior: Map[String, Double]): Seq[String] =
     results.collect {
       case (n, t)
-          if !errored(n) && t > RetryFloorSec &&
-            prior.get(shortId(n)).exists(t > PriorRatio * _) =>
+          if !errored(n) && gateTime(t) > RetryFloorSec &&
+            prior.get(shortId(n)).exists(gateTime(t) > PriorRatio * _) =>
         shortId(n)
     }
 

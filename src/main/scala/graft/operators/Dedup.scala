@@ -267,6 +267,20 @@ object Dedup {
     * tuning run points the sweep at a corpus SAMPLE (cur01's
     * deterministic hash sample composes directly). Recall's
     * denominator is the same dedup03 verified set.
+    *
+    * The signature frame is the ONE corpus-sized frame here (264 B/doc:
+    * 32 longs + id), so whether it may ride a broadcast is a MEASURED
+    * decision (dedup06's dispatch discipline), never a standing hint:
+    * at ≤ [[SweepSigBroadcastMaxDocs]] docs both legs broadcast (~50 MB
+    * ceiling — the sf0.1/sample-deployment path); above it the legs
+    * attach through an explicit SHUFFLED hash join on da/db — the
+    * superset pair frame and the signatures co-partition on the doc
+    * key, executors build per-partition maps of corpus/partitions
+    * signature rows, and nothing corpus-sized is ever collected to one
+    * place. Round 14 shipped unconditional `broadcast(sigA/sigB)` —
+    * the one broadcast in the tree whose payload grew with the corpus,
+    * exactly the ceiling this operator's sample-deployment paragraph
+    * promises away (round-14 VERDICT item 3).
     */
   /** The loosest (rows=1) config's candidate superset — extracted so
     * growth measurement counts THROUGH the operator's own join (the
@@ -284,16 +298,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Document-count bound under which the sweep's signature legs may
+    * broadcast: 264 B/doc ⇒ ~50 MB at 200k docs, a sane executor
+    * budget. Above it [[dedup13Curve]] switches both attachments to
+    * the explicit shuffled hash join on da/db.
+    */
+  val SweepSigBroadcastMaxDocs = 200000L
+
   def dedup13LshSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sweepSignatures(spark, dir)
+    // Measured dispatch (dedup06's discipline): count the pinned
+    // signature frame — O(1) against the cache — and only broadcast
+    // under the documented bound. The count is an eager build-time
+    // scalar, like every other measured-dispatch operator here.
+    dedup13Curve(spark, dir,
+      broadcastSigs = sigs.count() <= SweepSigBroadcastMaxDocs)
+  }
+
+  /** The sweep's curve with the signature-attachment strategy explicit
+    * — separable so the plan audit can pin BOTH arms' physical shape
+    * (broadcast under the bound, shuffled hash join on da/db above it)
+    * without staging a 200k-doc corpus.
+    */
+  private[graft] def dedup13Curve(spark: SparkSession, dir: String,
+      broadcastSigs: Boolean): DataFrame = {
     val sigs = sweepSignatures(spark, dir)
     val superCands = sweepSuperset(spark, dir)
     val sigA = sigs.select(col("doc_id").as("da") +:
       (0 until SweepHashes).map(j => col(s"h$j").as(s"a$j")): _*)
     val sigB = sigs.select(col("doc_id").as("db") +:
       (0 until SweepHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    // Above the bound: SHUFFLE_HASH, not stats-driven — the optimizer
+    // must never re-promote a corpus-sized leg to a broadcast, and a
+    // sort of either side buys nothing (the probe is an equi-lookup).
+    def leg(df: DataFrame) =
+      if (broadcastSigs) broadcast(df) else df.hint("shuffle_hash")
     val flags = superCands
-      .join(broadcast(sigA), Seq("da"))
-      .join(broadcast(sigB), Seq("db"))
+      .join(leg(sigA), Seq("da"))
+      .join(leg(sigB), Seq("db"))
       .select(col("da") +: col("db") +: LshSweepConfigs.map { case (b, r) =>
         (0 until b).map { band =>
           (0 until r).map(k =>

@@ -553,6 +553,11 @@ object Similarity {
     */
   private val sim09Models =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  // Cleared with the registry (the sim18Versions precedent): without
+  // the hook, entries accumulate for the JVM lifetime and a dir whose
+  // corpus is re-staged after a cache release would be served STALE
+  // centroids while every pinned frame rebuilds (round-14 ADVICE).
+  graft.GraftCache.onRelease(() => sim09Models.clear())
 
   def sim09Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
@@ -1275,6 +1280,13 @@ object Similarity {
     // lesson as the oracle's MATERIALIZED CTEs, applied engine-side;
     // localCheckpoint (not persist) because truncating the lineage is
     // the point and the blocks are freed by the context cleaner.
+    // Fault-tolerance trade-off (round-14 ADVICE): localCheckpoint
+    // blocks are NOT recoverable — on a real cluster an executor loss
+    // mid-search fails the job (truncated lineage cannot recompute).
+    // That is the right trade HERE: the pool is O(queries·budget) rows
+    // and the whole search re-runs in seconds, so re-submitting beats
+    // paying reliable-checkpoint I/O per round; a long-lived deployment
+    // would swap in checkpoint() against the cluster FS in this loop.
     var visited = e.filter(col("vec_id") < GraphEntryCount)
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

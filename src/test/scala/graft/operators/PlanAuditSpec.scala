@@ -578,6 +578,29 @@ class PlanAuditSpec extends SparkSpec {
       "sig legs + verification must broadcast")
   }
 
+  test("dedup13: above the size bound the sig legs plan the shuffled da/db join, never a broadcast") {
+    // The signature frame is the sweep's one corpus-sized frame, and
+    // round 14 shipped it behind an unconditional broadcast hint — a
+    // payload that grows with the corpus, the exact scale ceiling the
+    // operator's own doc paragraph promises away. The dispatch is now
+    // MEASURED (SweepSigBroadcastMaxDocs); this pins the above-bound
+    // arm: both signature attachments must plan as shuffled hash joins
+    // co-partitioned on da/db, with no stats-driven re-promotion of a
+    // corpus-sized leg to a broadcast. The only broadcasts left are
+    // the tiny verified-set probe (and whatever the banded superset's
+    // own sub-plan legitimately broadcasts below the auto threshold —
+    // none of which carry the 32-hash signature payload).
+    val plan = finalPlan(
+      Dedup.dedup13Curve(spark, sf, broadcastSigs = false))
+    assert("ShuffledHashJoin \\[d[ab]".r.findAllIn(plan).size >= 2,
+      s"both sig legs must attach via the shuffled da/db join:\n${plan.take(2000)}")
+    // No broadcast may carry the signature payload (a0../b0.. cols).
+    val bcast = plan.linesIterator.filter(_.contains("BroadcastExchange")).toSeq
+    assert(!bcast.exists(l => l.contains("a0#") || l.contains("b0#")),
+      s"a signature leg was re-promoted to broadcast:\n${bcast.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("text20: boilerplate marks join broadcast; rewrite adds no corpus shuffle") {
     // cur17's evidence-mark posture: the affected-docs mark frame
     // (tiny by the boilerplate threshold) joins back broadcast, and
