@@ -101,7 +101,7 @@ object PlanDump {
       "etl28_fuzzy_link" ->
         "fuzzy linkage: ONE pinned fact aggregate to the name vocabulary, head-noun-blocked broadcast equi-join over the cached frame, p_name-only scan",
       "cur18_corpus_build" ->
-        "end-to-end corpus build: shared pinned funnel frame, broadcast span/threshold evidence, train-split-only packing window",
+        "end-to-end corpus build: shared pinned funnel frame, shared text20 boiler scrub, post-boiler window rebuild over AFFECTED docs only (raw window pin reused for the rest), broadcast span/threshold evidence, train-split-only packing window",
       "mm10_audio_ingest" ->
         "audio ingestion: binaryFile scan + executor-side javax.sound decode, per-clip integer feature kernel",
       "sim18_retrain_swap" ->
@@ -109,7 +109,7 @@ object PlanDump {
       "sim19_graph_ann" ->
         "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget",
       "dedup13_lsh_sweep" ->
-        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set",
+        "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set; signature legs attach by MEASURED dispatch (broadcast under SweepSigBroadcastMaxDocs, shuffled da/db hash join above — plan-audited both arms)",
       "dedup14_crossmodal" ->
         "cross-modal dedup: full-outer algebra over two pinned evidence legs (dedup03 verified pairs broadcast-semi-joined to the image-page frame, mm06 pairs), no corpus shuffle",
       "text20_boilerplate_scrub" ->
@@ -170,7 +170,12 @@ object PlanDump {
       |hash SAMPLE of the corpus, and since the round-14 rewrite the
       |superset feeds only the boolean flag projection plus a broadcast
       |membership probe of dedup03's pinned verified set — never a
-      |pair-by-shingle join.
+      |pair-by-shingle join. Round 15 removed the last scale ceiling:
+      |the corpus-sized signature legs no longer ride an unconditional
+      |broadcast — the attach strategy is a measured dispatch
+      |(broadcast under SweepSigBroadcastMaxDocs=200k docs / ~50 MB,
+      |an explicit shuffled hash join co-partitioned on da/db above),
+      |with both physical arms plan-audited.
       |
       |dedup08 (span dedup) has NO pair space at all — it is a pure
       |hash aggregate over span keys. Measured span-table growth

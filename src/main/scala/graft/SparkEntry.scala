@@ -815,14 +815,22 @@ object SparkEntry {
     """SELECT doc_id, span_id, start_pos, end_pos, n_windows
        FROM spans ORDER BY doc_id, span_id"""
 
+  /** cur16's window GRAMMAR CTEs (source-carrying stride windows +
+    * the held-out distinct-window index) — the block cur16/cur17's
+    * flagged stream and cur18's post-boilerplate flagged stream both
+    * build on, so the grammar and the held index have ONE definition.
+    */
+  private val Cur16GrammarCtes: String =
+    s"""${strideWindowSql(withSource = true)},
+         held AS (SELECT DISTINCT s FROM w WHERE source = 'src0')"""
+
   /** cur16's flagged-window CTEs (held-out probe over the
     * source-carrying grammar) — shared by the cur16 and cur17 oracles
     * so the contamination decision cannot drift between report and
     * rewrite.
     */
   private val Cur16FlaggedCtes: String =
-    s"""${strideWindowSql(withSource = true)},
-         held AS (SELECT DISTINCT s FROM w WHERE source = 'src0'),
+    s"""$Cur16GrammarCtes,
          fl AS (SELECT w.doc_id, w.pos FROM w JOIN held USING (s)
                 WHERE w.source <> 'src0')"""
 
@@ -914,20 +922,60 @@ object SparkEntry {
          s3 AS (SELECT * FROM s2
                 WHERE doc_id NOT IN (SELECT doc_id FROM drop3))"""
 
-  /** cur18's oracle: the shared funnel CTEs, then cur16's identical
-    * flagged-window/island CTEs for the scrub (one more shared block —
-    * the contamination decision cannot drift between cur16/17 and the
+  /** cur18's oracle: the shared funnel CTEs, then the text20
+    * boilerplate stage replayed on chunk STRINGS (text20's oracle
+    * grammar — same `ParagraphTokens`/`BoilerplateMinDocs` constants),
+    * then cur16's window grammar re-run over the POST-BOILER corpus:
+    * unaffected docs keep their raw windows (byte-identical text),
+    * affected docs' windows are rebuilt from the scrubbed token list
+    * — junction windows included — and probed against the SAME `held`
+    * index with the SAME island merge (one more shared block — the
+    * contamination decision cannot drift between cur16/17 and the
     * composed build), then the post-scrub stages replayed in integer
-    * arithmetic: per-doc removed-token sums joined to the survivors,
-    * cur07's integer threshold protocol over the clean mix, cur11's
-    * hex ranges on the SALTED split key, and cur09's window cumsum
-    * packing of the train split cut every Cur18CtxTokens POST-SCRUB
-    * tokens. Every count is integer end to end.
+    * arithmetic: per-doc removed-token sums (boiler in raw tokens,
+    * contamination in post-boiler tokens — sequential coordinates, so
+    * the subtraction is disjoint by construction) joined to the
+    * survivors, cur07's integer threshold protocol over the clean
+    * mix, cur11's hex ranges on the SALTED split key, and cur09's
+    * window cumsum packing of the train split cut every
+    * Cur18CtxTokens POST-BOTH-SCRUBS tokens. Every count is integer
+    * end to end.
     */
   private val Cur18OracleSql: String = {
     val ctx = graft.operators.Curation.Cur18CtxTokens
+    val bk = graft.operators.Dedup.ParagraphTokens
+    val minDocs = graft.operators.TextAnalysis.BoilerplateMinDocs
+    val wk = graft.operators.Dedup.SubstringWindow
     s"""WITH $CurFunnelCtes,
-         $Cur16FlaggedCtes,
+         $Cur16GrammarCtes,
+         ch AS (SELECT doc_id, CAST(u.i AS INTEGER) AS idx,
+             array_to_string(t[CAST(u.i*$bk+1 AS BIGINT):CAST(u.i*$bk+$bk AS BIGINT)], ' ') AS s
+           FROM toks, unnest(range(0, len(t)//$bk)) AS u(i)),
+         bh AS (SELECT s FROM ch GROUP BY s
+           HAVING count(DISTINCT doc_id) >= $minDocs),
+         bfl AS (SELECT ch.doc_id, ch.idx FROM ch
+           WHERE ch.s IN (SELECT s FROM bh)),
+         aff AS (SELECT DISTINCT doc_id FROM bfl),
+         brm AS (SELECT doc_id, CAST(count(*) * $bk AS BIGINT) AS brm
+           FROM bfl GROUP BY doc_id),
+         atp AS (SELECT tk.doc_id, CAST(u.i AS INTEGER) AS p,
+             t[CAST(u.i+1 AS BIGINT)] AS tok
+           FROM toks tk JOIN aff USING (doc_id),
+             unnest(range(0, len(t))) AS u(i)
+           WHERE tk.source <> 'src0'),
+         akept AS (SELECT a.doc_id, a.p, a.tok FROM atp a
+           LEFT JOIN bfl b ON b.doc_id = a.doc_id AND b.idx = a.p // $bk
+           WHERE b.idx IS NULL),
+         atoks AS (SELECT doc_id, list(tok ORDER BY p) AS t
+           FROM akept GROUP BY doc_id),
+         aw AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+             array_to_string(t[CAST(u.i+1 AS BIGINT):CAST(u.i+$wk AS BIGINT)], ' ') AS s
+           FROM atoks, unnest(range(0, greatest(len(t) - ${wk - 1}, 0))) AS u(i)),
+         tw AS (SELECT w.doc_id, w.pos, w.s FROM w
+           WHERE w.source <> 'src0'
+             AND w.doc_id NOT IN (SELECT doc_id FROM aff)
+           UNION ALL SELECT doc_id, pos, s FROM aw),
+         fl AS (SELECT tw.doc_id, tw.pos FROM tw JOIN held USING (s)),
          ${islandCtesSql("fl")},
          ntk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks
                  FROM toks WHERE source <> 'src0'),
@@ -935,9 +983,12 @@ object SparkEntry {
              CAST(sum(end_pos - start_pos + 1) AS BIGINT) AS rm
            FROM spans GROUP BY doc_id),
          surv AS (SELECT s3.doc_id, s3.source, ntk.n_toks,
+             coalesce(brm.brm, 0) AS brm,
              coalesce(ag.rm, 0) AS rm,
-             ntk.n_toks - coalesce(ag.rm, 0) AS post_toks
+             ntk.n_toks - coalesce(brm.brm, 0) - coalesce(ag.rm, 0)
+               AS post_toks
            FROM s3 JOIN ntk ON ntk.doc_id = s3.doc_id
+           LEFT JOIN brm ON brm.doc_id = s3.doc_id
            LEFT JOIN ag ON ag.doc_id = s3.doc_id),
          cl18 AS (SELECT * FROM surv WHERE post_toks > 0),
          cc18 AS (SELECT source, count(*) AS n_docs FROM cl18 GROUP BY source),
@@ -969,6 +1020,8 @@ object SparkEntry {
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
            FROM pk GROUP BY source),
          sc18 AS (SELECT source,
+             CAST(sum(CASE WHEN brm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             CAST(sum(brm) AS BIGINT) AS boiler_toks,
              CAST(sum(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
              CAST(sum(rm) AS BIGINT) AS toks_removed,
              CAST(sum(CASE WHEN post_toks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
@@ -984,6 +1037,8 @@ object SparkEntry {
              CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM s3) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
            FROM t GROUP BY source)
          SELECT b.source, b.n_input, b.n_quality, b.n_exact, b.n_neardup,
+           coalesce(sc.n_boiler, 0) AS n_boiler,
+           coalesce(sc.boiler_toks, 0) AS boiler_toks,
            coalesce(sc.n_contam, 0) AS n_contam,
            coalesce(sc.toks_removed, 0) AS toks_removed,
            coalesce(sc.n_clean, 0) AS n_clean,

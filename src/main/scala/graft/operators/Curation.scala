@@ -883,6 +883,61 @@ object Curation {
       .orderBy("source")
   }
 
+  /** cur18's decontamination window stream: cur16's grammar run over
+    * the POST-BOILERPLATE corpus (the round-15 composition — template
+    * mass must come out BEFORE decontamination, so the held-out probe
+    * sees the text as it will be packed). The position-remapping
+    * surgery this demands is paid only where text actually changed:
+    * the boilerplate scrub rewrites ONLY the affected docs (tiny by
+    * the nd ≥ [[TextAnalysis.BoilerplateMinDocs]] threshold), so the
+    * "extra corpus tokenize" collapses to reusing the pinned RAW
+    * window frame for every unaffected doc — byte-identical text ⇒
+    * identical windows — and rebuilding windows over the affected
+    * docs' cleaned text alone. JUNCTION windows (token runs that
+    * become adjacent when a template chunk drops out) exist only in
+    * the rebuilt leg, which is the point: a held-out span that
+    * materializes at a chunk junction is real contamination of the
+    * packed corpus, invisible to any raw-coordinate check.
+    *
+    * No token can be double-subtracted BY CONSTRUCTION: the
+    * boilerplate family removes raw tokens, the contamination family
+    * removes POST-boiler tokens — the two live in sequential
+    * coordinate systems and are disjoint (a template token no longer
+    * exists when the held-out probe runs), so
+    * `post = n_toks − boiler_rm − contam_rm` is exact with no
+    * interval merge — stronger than merging raw-coordinate span
+    * families, which can only deduplicate overlaps it can see and
+    * still misses junction spans entirely. Spec-pinned on a corpus
+    * whose held-out text overlaps its template mass.
+    */
+  private def postBoilerSpans(
+      spark: SparkSession, dir: String, scrub: DataFrame): DataFrame =
+    postBoilerFlaggedSpans(
+      Dedup.cur16WindowRows(spark, dir), scrub,
+      Dedup.heldOutWindowHashes(spark, dir))
+
+  /** The span core over explicit frames — separable so the spec can
+    * drive hand corpora: `rawWindows` = the corpus' raw window rows
+    * (doc_id, source, pos, h), `scrub` = the boilerplate-AFFECTED
+    * non-held docs with their cleaned text, `held` = the held-out
+    * window-hash index.
+    */
+  private[graft] def postBoilerFlaggedSpans(
+      rawWindows: DataFrame, scrub: DataFrame,
+      held: DataFrame): DataFrame = {
+    val affectedIds = scrub.select("doc_id")
+    val unaff = rawWindows.filter(col("source") =!= "src0")
+      .join(broadcast(affectedIds), Seq("doc_id"), "left_anti")
+      .select("doc_id", "pos", "h")
+    val affW = Dedup.strideWindowRows(
+        scrub.select(col("doc_id"), col("text_clean").as("text")))
+      .select("doc_id", "pos", "h")
+    Dedup.mergeWindowIslands(
+      unaff.unionByName(affW)
+        .join(held.select("h"), Seq("h"), "left_semi")
+        .select("doc_id", "pos"))
+  }
+
   /** Context window for cur18's packing stage, in POST-SCRUB tokens.
     * Smaller than cur09's char proxy on purpose: the test corpus packs
     * several documents per sequence at every SF, so the boundary math
@@ -901,34 +956,48 @@ object Curation {
     *     [[cur06Flagged]] frame, ONE definition with cur06;
     *  2. near-dup drop (dedup03's LSH-verified pairs, both-endpoints
     *     policy) — the shared [[nearDupDrops]] set;
-    *  3. decontamination SCRUB (cur16/cur17): each survivor's
-    *     contaminated token spans vs the held-out split are REMOVED
-    *     (not the document — dropping a doc for one leaked paragraph
-    *     wastes the rest), and every downstream stage sees POST-SCRUB
-    *     token counts. Documents scrubbed to zero tokens drop out;
-    *  4. stratified mix (cur07's engine-portable rate protocol), rates
+    *  3. BOILERPLATE scrub (text20): template spans (in ≥3 distinct
+    *     corpus docs) are removed from every affected doc — the
+    *     CCNet/RefinedWeb stage a real build runs BEFORE
+    *     decontamination, because template mass inflates every
+    *     downstream count and can mask (or fragment) a leaked span.
+    *     The shared [[TextAnalysis.corpusBoilerplateScrub]] frame —
+    *     ONE definition with the text20 entry;
+    *  4. decontamination SCRUB (cur16/cur17) over the POST-BOILER
+    *     text: each survivor's contaminated token spans vs the
+    *     held-out split are REMOVED (not the document — dropping a doc
+    *     for one leaked paragraph wastes the rest). The window hashes
+    *     are REBUILT over the scrubbed text ([[postBoilerSpans]] — the
+    *     position-remapping surgery), so junction spans flag and no
+    *     token can be double-subtracted; every downstream stage sees
+    *     POST-BOTH-SCRUBS token counts. Documents scrubbed to zero
+    *     tokens drop out;
+    *  5. stratified mix (cur07's engine-portable rate protocol), rates
     *     derived from the CLEAN survivor distribution — the funnel
     *     skews the per-source mix, so sampling after the scrub is what
     *     restores the target composition;
-    *  5. train/val/test split (cur11's hex ranges) over a SALTED hash:
-    *     stage 4 keeps exactly the docs whose md5 prefix sorts below a
+    *  6. train/val/test split (cur11's hex ranges) over a SALTED hash:
+    *     stage 5 keeps exactly the docs whose md5 prefix sorts below a
     *     threshold, so splitting on the same hash would put every
     *     sampled doc in `train` whenever a rate < 90% binds — the
     *     composition hazard a standalone cur11 never sees. Each
     *     decision hashes its own key domain;
-    *  6. sequence packing (cur09's concat-and-chunk) of the TRAIN
-    *     split, cut every [[Cur18CtxTokens]] POST-SCRUB tokens — the
-    *     stage-interplay contract (packing must size sequences by what
-    *     survives the scrub, not by raw lengths) is what running the
-    *     funnel end-to-end tests.
+    *  7. sequence packing (cur09's concat-and-chunk) of the TRAIN
+    *     split, cut every [[Cur18CtxTokens]] POST-BOTH-SCRUBS tokens —
+    *     the stage-interplay contract (packing must size sequences by
+    *     what survives BOTH scrubs, not by raw lengths) is what
+    *     running the funnel end-to-end tests.
     *
     * Output: per-source audit counts for EVERY stage (the numbers a
     * data-build report ships) plus the train split's packing stats.
     *
     * Plan shape (cur06's posture, extended): stages 1–2 read the one
     * persisted thin frame (its fp window is the only corpus shuffle);
-    * the span frame reuses cur16's pinned window-hash key, aggregates
-    * per doc (contaminated docs only — tiny) and joins back BROADCAST;
+    * the boilerplate frame is tiny (affected docs only) and its
+    * removed-token audit joins back BROADCAST; the contamination span
+    * frame reuses cur16's pinned window frame for unaffected docs and
+    * rebuilds only the affected docs' windows, aggregates per doc
+    * (contaminated docs only — tiny) and joins back BROADCAST;
     * sampling thresholds broadcast (cur07's contract); the split is a
     * per-row predicate; packing sorts only the train split within each
     * source (cur09's honest exact-boundary cost). Plan-audited: no
@@ -946,37 +1015,52 @@ object Curation {
       sum(col("q_keep").cast("long")).as("n_quality"),
       sum(col("is_keeper").cast("long")).as("n_exact"),
       sum(col("surv").cast("long")).as("n_neardup"))
-    val spans = Dedup.substringContamination(
-      documents(spark, dir), col("source") === "src0",
-      Some(s"cur16.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}"))
+    val scrub = TextAnalysis.corpusBoilerplateScrub(spark, dir)
+      .filter(col("source") =!= "src0")
+    val boilerRm = scrub.select(col("doc_id"),
+      (col("tokens_before") - col("tokens_after")).cast("long").as("brm"))
+    val spans = postBoilerSpans(spark, dir, scrub)
     val stages = buildFromSurvivors(
-      marked.filter(col("surv")).select("doc_id", "source", "n_toks"), spans)
+      marked.filter(col("surv")).select("doc_id", "source", "n_toks"),
+      boilerRm, spans)
     base.join(stages, Seq("source"), "left")
       .select(
         col("source") +: Seq("n_input", "n_quality", "n_exact", "n_neardup")
           .map(col) ++:
-          Seq("n_contam", "toks_removed", "n_clean", "n_sampled", "n_train",
-            "n_val", "n_test", "train_toks", "n_sequences", "n_split_docs")
+          Seq("n_boiler", "boiler_toks", "n_contam", "toks_removed",
+            "n_clean", "n_sampled", "n_train", "n_val", "n_test",
+            "train_toks", "n_sequences", "n_split_docs")
             .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy("source")
   }
 
-  /** Stages 3–6 of cur18 over any survivor frame (doc_id, source,
-    * n_toks) + span frame — separable so the spec can drive hand-built
-    * corpora and pin the stage-interplay laws (packing sees post-scrub
-    * counts; the salted split is threshold-independent) directly.
+  /** Stages 3–7 of cur18 over any survivor frame (doc_id, source,
+    * n_toks) + the two scrub frames — separable so the spec can drive
+    * hand-built corpora and pin the stage-interplay laws (packing sees
+    * post-BOTH-scrubs counts; the salted split is
+    * threshold-independent) directly. `boilerRm` = per affected doc
+    * the template tokens removed (raw coordinates); `spans` = the
+    * contamination spans in POST-BOILER coordinates — sequential
+    * coordinate systems, so the subtraction is disjoint by
+    * construction (see [[postBoilerSpans]]).
     */
   private[graft] def buildFromSurvivors(
-      surv: DataFrame, spans: DataFrame): DataFrame = {
+      surv: DataFrame, boilerRm: DataFrame, spans: DataFrame): DataFrame = {
     // Spans are maximal and disjoint by cur16's island-merge
     // construction, so Σ(end−start+1) IS the removed-token count
-    // (cur17's contract).
+    // (cur17's contract) — counted in post-boiler tokens, which the
+    // boilerplate stage by definition left in place.
     val perDoc = spans.groupBy("doc_id")
       .agg(sum(col("end_pos") - col("start_pos") + 1).as("rm"))
-    val scrubbed = surv.join(broadcast(perDoc), Seq("doc_id"), "left")
+    val scrubbed = surv
+      .join(broadcast(boilerRm), Seq("doc_id"), "left")
+      .join(broadcast(perDoc), Seq("doc_id"), "left")
+      .withColumn("brm", coalesce(col("brm"), lit(0L)))
       .withColumn("rm", coalesce(col("rm"), lit(0L)))
-      .withColumn("post_toks", col("n_toks") - col("rm"))
+      .withColumn("post_toks", col("n_toks") - col("brm") - col("rm"))
     val scrubAgg = scrubbed.groupBy("source").agg(
+      sum((col("brm") > 0).cast("long")).as("n_boiler"),
+      sum("brm").as("boiler_toks"),
       sum((col("rm") > 0).cast("long")).as("n_contam"),
       sum("rm").as("toks_removed"),
       sum((col("post_toks") > 0).cast("long")).as("n_clean"))
@@ -1029,52 +1113,85 @@ object Curation {
   }
 
   /** stream18's decision core — cur18's funnel on the INGEST cadence,
-    * composed from the three pinned-index decision cores the streaming
+    * composed from the pinned-index decision cores the streaming
     * gates already run separately: the quality predicate (cur04's
     * C4-style gate, a pure function of the arrival's own text),
     * exact/near dedup against the corpus index
-    * ([[Dedup.ingestDecisions]] — dedup11/stream09's core), and
-    * decontamination spans against the held-out window-hash index
-    * ([[Dedup.ingestContaminationSpans]] — cur16/stream15's core). One
-    * verdict per arrival with cur18's stage precedence (cheapest
-    * rejection first): `drop_quality` → `dup_exact` → `dup_near` →
-    * `drop_scrubbed` (every token contaminated) → `admit`, plus the
-    * scrub audit (span count, removed and surviving token counts) an
-    * admitted document carries into packing. Per-arrival independent
-    * by construction — every leg depends only on the arrival's own
-    * text and a pinned index — so verdicts are invariant under
-    * re-batching (spec-pinned), and streaming state is ZERO: the
-    * indexes ARE the state, refreshed on the batch cadence.
+    * ([[Dedup.ingestDecisions]] — dedup11/stream09's core), the
+    * boilerplate scrub against the corpus template index
+    * ([[TextAnalysis.boilerplateScrub]] — text20/stream21's core,
+    * round 15's leg), and decontamination spans against the held-out
+    * window-hash index ([[Dedup.ingestContaminationSpans]] —
+    * cur16/stream15's core) run over the arrival's POST-BOILER text —
+    * cur18's stage order, so junction spans flag at the gate exactly
+    * as in the batch build. One verdict per arrival with cur18's
+    * stage precedence (cheapest rejection first): `drop_quality` →
+    * `dup_exact` → `dup_near` → `drop_scrubbed` (the two scrubs
+    * removed every token) → `admit`, plus the scrub audit (boiler
+    * chunk/token counts, span count, removed and surviving token
+    * counts) an admitted document carries into packing.
+    *
+    * The precedence is also the EVALUATION order, not only the
+    * verdict order (round-14 ADVICE): the dedup, boilerplate, and
+    * contamination legs are computed ONLY for arrivals that pass the
+    * quality gate — a drop_quality arrival costs one predicate, never
+    * an index probe. Per-arrival independent by construction — every
+    * leg depends only on the arrival's own text and a pinned index —
+    * so verdicts are invariant under re-batching (spec-pinned), and
+    * streaming state is ZERO: the indexes ARE the state, refreshed on
+    * the batch cadence.
     */
   private[graft] def ingestFunnelVerdicts(
       spark: SparkSession, dir: String, arrivals: DataFrame): DataFrame = {
     val toksC = tokens(col("text"))
     val stopRatio = TextAnalysis.stopRatio(toksC, langProfiles("en"))
-    val base = arrivals.select(col("doc_id"),
+    val base = arrivals.select(col("doc_id"), col("text"),
       size(toksC).cast("long").as("n_toks"),
       ((length(col("text")) >= 100) && (size(toksC) >= 20) &&
         (stopRatio >= 0.02)).as("q_keep"))
-    val dedup = Dedup.ingestDecisions(spark, dir, arrivals)
+    // Short-circuit: only quality survivors reach the paid legs.
+    val qual = base.filter(col("q_keep")).select("doc_id", "text")
+    val dedup = Dedup.ingestDecisions(spark, dir, qual)
       .select(col("doc_id"), col("decision"), col("keeper_id"))
-    val rm = Dedup.ingestContaminationSpans(spark, dir, arrivals)
+    val scrub = TextAnalysis.boilerplateScrub(
+        qual, TextAnalysis.boilerplateHashes(spark, dir))
+      .select(col("doc_id"), col("n_boiler"),
+        (col("tokens_before") - col("tokens_after")).cast("long")
+          .as("boiler_toks"),
+        col("text_clean"))
+    // The held-out probe runs over the text the boiler scrub LEFT —
+    // unaffected arrivals keep their raw text (byte-identical).
+    val postText = qual
+      .join(broadcast(scrub.select(col("doc_id"), col("text_clean"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), col("text")).as("text"))
+    val rm = Dedup.ingestContaminationSpans(spark, dir, postText)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("end_pos") - col("start_pos") + 1).as("toks_removed"))
     base
-      .join(dedup, Seq("doc_id"))
+      .join(dedup, Seq("doc_id"), "left")
+      .join(broadcast(scrub.drop("text_clean")), Seq("doc_id"), "left")
       .join(broadcast(rm), Seq("doc_id"), "left")
+      .withColumn("n_boiler",
+        coalesce(col("n_boiler"), lit(0)).cast("long"))
+      .withColumn("boiler_toks", coalesce(col("boiler_toks"), lit(0L)))
+      .withColumn("toks_removed", coalesce(col("toks_removed"), lit(0L)))
       .select(col("doc_id"),
         when(!col("q_keep"), lit("drop_quality"))
           .when(col("decision") === "exact", lit("dup_exact"))
           .when(col("decision") === "near", lit("dup_near"))
-          .when(col("n_toks") === coalesce(col("toks_removed"), lit(0L)),
+          .when(col("n_toks") === col("boiler_toks") + col("toks_removed"),
             lit("drop_scrubbed"))
           .otherwise(lit("admit")).as("verdict"),
-        col("keeper_id"),
+        coalesce(col("keeper_id"), lit(-1L)).as("keeper_id"),
         col("n_toks"),
+        col("n_boiler"),
+        col("boiler_toks"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
-        (col("n_toks") - coalesce(col("toks_removed"), lit(0L)))
+        col("toks_removed"),
+        (col("n_toks") - col("boiler_toks") - col("toks_removed"))
           .as("post_toks"))
   }
 

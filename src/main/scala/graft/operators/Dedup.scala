@@ -1191,6 +1191,23 @@ object Dedup {
     mergeWindowIslands(flagged)
   }
 
+  /** The corpus' RAW stride-1 window frame (source carried), under
+    * cur16's cache key — the SAME pinned frame
+    * [[graft.operators.Curation.cur16SubstringContamination]] builds
+    * through [[substringContamination]]'s cacheKey (identical builder
+    * expression + identical key, so whichever runs first materializes
+    * it and the other reads it). cur18's post-boilerplate window
+    * rebuild reads it for every UNAFFECTED doc: a doc with no template
+    * chunk has byte-identical text after the scrub, so its raw windows
+    * ARE its post-scrub windows.
+    */
+  private[graft] def cur16WindowRows(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"cur16.windowHashes:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      strideWindowRows(documents(spark, dir), carry = Seq("source"))
+    }
+
   /** The held-out split's DISTINCT window-hash set for `dir` — cur16's
     * semi-join build side as a standing PROBE INDEX, pinned per
     * (session, dir) so the streaming decontamination gate (stream15)

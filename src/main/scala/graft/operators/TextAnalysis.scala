@@ -787,9 +787,26 @@ object TextAnalysis {
     * filter.
     */
   def text20BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
-    boilerplateScrub(documents(spark, dir), boilerplateHashes(spark, dir),
-        chunks = Some(corpusChunkRows(spark, dir)))
+    corpusBoilerplateScrub(spark, dir)
+      .select("doc_id", "n_chunks", "n_boiler", "tokens_before",
+        "tokens_after", "text_clean")
       .orderBy("doc_id")
+
+  /** The corpus' boilerplate-AFFECTED docs + their rewrites (source
+    * carried), pinned per (dir, session) — ONE definition of "the
+    * corpus, boilerplate-scrubbed" shared by the text20 entry and
+    * cur18's funnel (which consumes it twice: the removed-token audit
+    * and the post-scrub window rebuild), so the composed build cannot
+    * scrub differently than the standalone operator. Tiny at rest:
+    * only docs with ≥1 template chunk appear.
+    */
+  private[graft] def corpusBoilerplateScrub(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"text20.scrub:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      boilerplateScrub(documents(spark, dir), boilerplateHashes(spark, dir),
+        chunks = Some(corpusChunkRows(spark, dir)), carry = Seq("source"))
+    }
 
   /** The corpus chunk frame under dedup08's shared GraftCache pin —
     * one definition of "the corpus, chunked" for dedup08, text20, and
@@ -825,7 +842,8 @@ object TextAnalysis {
     */
   private[graft] def boilerplateScrub(
       docs: DataFrame, boiler: DataFrame,
-      chunks: Option[DataFrame] = None): DataFrame = {
+      chunks: Option[DataFrame] = None,
+      carry: Seq[String] = Nil): DataFrame = {
     val k = Dedup.ParagraphTokens
     val marks = chunks.getOrElse(Dedup.spanHashRows(docs))
       .join(broadcast(boiler.select(col("h"))), Seq("h"), "left_semi")
@@ -836,11 +854,11 @@ object TextAnalysis {
         !array_contains(col("drop_idx"), (i / k).cast("int")))
     docs
       .join(broadcast(marks), Seq("doc_id"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) ++: Seq(
         (size(t) / k).cast("int").as("n_chunks"),
         size(col("drop_idx")).as("n_boiler"),
         size(t).as("tokens_before"),
         size(kept).as("tokens_after"),
-        concat_ws(" ", kept).as("text_clean"))
+        concat_ws(" ", kept).as("text_clean")): _*)
   }
 }

@@ -594,14 +594,17 @@ object GraftStreams {
     * funnel on the ingest cadence, which is how a training-data build
     * actually admits a crawl: every arriving document gets ONE verdict
     * through the composed stages (quality gate → exact/near dedup vs
-    * the corpus index → decontamination scrub vs the held-out index —
+    * the corpus index → BOILERPLATE scrub vs the corpus template index
+    * → decontamination scrub vs the held-out index, run over the
+    * arrival's POST-BOILER text — cur18's round-15 stage order, so
+    * junction spans flag at the gate exactly as in the batch build —
     * [[graft.operators.Curation.ingestFunnelVerdicts]], which composes
-    * the SAME three pinned-index decision cores stream09 and stream15
-    * run separately, so the gate can never drift from any of them),
-    * and each batch's verdicts land under `batch_id=N`. stream09's
-    * contracts verbatim: per-arrival-independent ⇒
+    * the SAME pinned-index decision cores stream09, stream21 and
+    * stream15 run separately, so the gate can never drift from any of
+    * them), and each batch's verdicts land under `batch_id=N`.
+    * stream09's contracts verbatim: per-arrival-independent ⇒
     * re-batching-invariant; per-partition overwrite ⇒ idempotent
-    * replay; ZERO streaming state — the three indexes are the state.
+    * replay; ZERO streaming state — the four indexes are the state.
     */
   def landFunnelBatch(
       batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =

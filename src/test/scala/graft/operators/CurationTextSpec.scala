@@ -370,7 +370,8 @@ class CurationTextSpec extends SparkSpec {
     val spans = ((1L to 11L).map(id => (id, 0L, 0, 0, 1L)) :+
       (12L, 0L, 0, (ctx - 1).toInt, 1L))
       .toDF("doc_id", "span_id", "start_pos", "end_pos", "n_windows")
-    val out = Curation.buildFromSurvivors(surv, spans).collect()
+    val noBoiler = Seq.empty[(Long, Long)].toDF("doc_id", "brm")
+    val out = Curation.buildFromSurvivors(surv, noBoiler, spans).collect()
     assert(out.length == 1)
     val r = out.head
     val removed = ((1L to 11L).map(_ -> 1L) :+ (12L -> ctx)).toMap
@@ -391,7 +392,7 @@ class CurationTextSpec extends SparkSpec {
     // empties it — it must not skew the with/without comparison).
     val raw = Curation.buildFromSurvivors(
       surv.filter(org.apache.spark.sql.functions.col("doc_id") =!= 12L),
-      noSpans).collect().head
+      noBoiler, noSpans).collect().head
     assert(raw.getAs[Long]("n_split_docs") == 0L &&
       raw.getAs[Long]("n_sequences") == raw.getAs[Long]("n_train"))
     assert(r.getAs[Long]("train_toks") ==
@@ -400,6 +401,77 @@ class CurationTextSpec extends SparkSpec {
     if (r.getAs[Long]("n_train") > 1)
       assert(r.getAs[Long]("n_split_docs") > 0L,
         "(ctx−1)-token docs must straddle boundaries — raw-count packing would hide this")
+  }
+
+  test("cur18 boiler×contamination interplay: junction spans flag, no token double-subtracted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, size, split}
+    // ParagraphTokens=10, SubstringWindow=15, BoilerplateMinDocs=3.
+    val B = (1 to 10).map(i => s"b$i")          // the template chunk
+    def toks(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i")
+    val E = toks("e", 1, 20)                     // held-out content
+    val G = toks("g", 1, 20)
+    val docs = Seq(
+      // A: held-out text SPLIT by a template chunk — 10 held tokens on
+      // each side. No raw 15-window of A is contiguous held text, so
+      // contamination exists ONLY at the post-scrub junction.
+      1L -> ("srcA", (E.take(10) ++ B ++ E.drop(10)).mkString(" ")),
+      // C, D: template carriers (bring the chunk to nd ≥ 3), clean.
+      2L -> ("srcA", (B ++ toks("c", 1, 20)).mkString(" ")),
+      3L -> ("srcA", (B ++ toks("d", 1, 20)).mkString(" ")),
+      // F: template + text whose held-out twin H2 ALSO contains the
+      // template tail — a raw-coordinate union would subtract the
+      // overlapping template tokens TWICE (25-token raw contamination
+      // span + 10 boiler tokens = 35 > the doc's 30).
+      4L -> ("srcA", (B ++ G).mkString(" ")),
+      // E5: neither template nor contamination (the raw-window leg).
+      5L -> ("srcA", toks("u", 1, 20).mkString(" ")),
+      100L -> ("src0", E.mkString(" ")),
+      101L -> ("src0", (B.drop(5) ++ G).mkString(" ")))
+      .map { case (id, (src, text)) => (id, src, text) }
+      .toDF("doc_id", "source", "text")
+    val rawW = Dedup.strideWindowRows(docs, carry = Seq("source"))
+    val held = rawW.filter(col("source") === "src0").select("h").distinct()
+    val boilerIdx = Dedup.spanHashRows(docs).groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= TextAnalysis.BoilerplateMinDocs).select("h")
+    val scrub = TextAnalysis.boilerplateScrub(
+      docs.filter(col("source") =!= "src0").select("doc_id", "text"),
+      boilerIdx)
+    assert(scrub.collect().map(r => r.getAs[Long]("doc_id")).toSet ==
+      Set(1L, 2L, 3L, 4L), "exactly the template carriers are affected")
+    // The junction law: A has ZERO raw contaminated windows …
+    assert(rawW.filter(col("doc_id") === 1L)
+      .join(held, Seq("h"), "left_semi").count() == 0L,
+      "fixture broken: A must be invisible to a raw-coordinate check")
+    // … yet post-scrub its reunited held text flags end to end.
+    val spans = Curation.postBoilerFlaggedSpans(rawW, scrub, held)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("start_pos"), r.getAs[Int]("end_pos")))
+    assert(spans.toSet == Set(1L -> (0, 19), 4L -> (0, 19)),
+      s"junction + overlap spans must flag in post-boiler coordinates: ${spans.toSeq}")
+    // No double subtraction: both scrubs together remove EXACTLY the
+    // doc — post_toks lands on 0, never negative (the raw-union
+    // failure mode), and the audit counts both families separately.
+    val surv = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val boilerRm = scrub.select(col("doc_id"),
+      (col("tokens_before") - col("tokens_after")).cast("long").as("brm"))
+    val out = Curation.buildFromSurvivors(surv, boilerRm,
+      spans.map { case (id, (s, e)) => (id, 0L, s, e, 1L) }.toSeq
+        .toDF("doc_id", "span_id", "start_pos", "end_pos", "n_windows"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_boiler") == 4L)
+    assert(r.getAs[Long]("boiler_toks") == 40L)
+    assert(r.getAs[Long]("n_contam") == 2L)
+    assert(r.getAs[Long]("toks_removed") == 40L,
+      "contamination must count POST-boiler tokens only (20 per doc), " +
+        "never re-count the removed template")
+    assert(r.getAs[Long]("n_clean") == 3L,
+      "A and F scrub to zero and drop; C, D, E5 survive")
   }
 
   test("cur18 funnel stage counts equal cur06's (one shared definition)") {

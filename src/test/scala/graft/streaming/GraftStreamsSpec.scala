@@ -804,18 +804,21 @@ class GraftStreamsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     def landed() = spark.read.parquet(outDir)
-      .select("doc_id", "verdict", "keeper_id", "n_toks", "n_spans",
-        "toks_removed", "post_toks")
+      .select("doc_id", "verdict", "keeper_id", "n_toks", "n_boiler",
+        "boiler_toks", "n_spans", "toks_removed", "post_toks")
       .collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
       .toMap
     val got = landed()
     // Re-batching invariance: the one-shot decision over all arrivals.
     val allDf = arrivals.toSeq.toDF("doc_id", "text")
-    val oneShot = Curation.ingestFunnelVerdicts(spark, sf, allDf).collect()
+    val oneShot = Curation.ingestFunnelVerdicts(spark, sf, allDf)
+      .select("doc_id", "verdict", "keeper_id", "n_toks", "n_boiler",
+        "boiler_toks", "n_spans", "toks_removed", "post_toks")
+      .collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
       .toMap
     assert(got == oneShot, "re-batching changed the verdict set")
     // Leg + precedence pins against independently computed truths.
@@ -830,8 +833,12 @@ class GraftStreamsSpec extends SparkSpec {
         toks.count(stop) / math.max(toks.length, 1).toDouble >= 0.02
     }
     val textOf = arrivals.map(a => a.doc_id -> a.text).toMap
-    got.foreach { case (doc, (verdict, keeper, nToks, nSpans, rm, post)) =>
-      assert(post == nToks - rm)
+    got.foreach { case (doc, (verdict, keeper, nToks, nBoiler, brm, nSpans,
+        rm, post)) =>
+      assert(post == nToks - brm - rm,
+        s"doc $doc: post must subtract BOTH scrub families exactly once")
+      assert(brm == nBoiler * Dedup.ParagraphTokens.toLong,
+        s"doc $doc: template chunks remove whole chunks")
       if (!quality(textOf(doc)))
         assert(verdict == "drop_quality", s"doc $doc: quality rejects first")
       else dedupLeg(doc) match {
@@ -840,14 +847,19 @@ class GraftStreamsSpec extends SparkSpec {
         case ("near", k) =>
           assert(verdict == "dup_near" && keeper == k, s"doc $doc")
         case _ =>
-          assert(verdict == (if (rm == nToks) "drop_scrubbed" else "admit"),
-            s"doc $doc: $verdict with rm=$rm of $nToks")
+          assert(verdict == (if (post == 0L) "drop_scrubbed" else "admit"),
+            s"doc $doc: $verdict with brm=$brm rm=$rm of $nToks")
       }
       // The composition catch: an arriving HELD-OUT document that
       // reaches the scrub stage is fully self-contaminated and must
-      // never be admitted into training.
+      // never be admitted into training. (Guarded to template-free
+      // arrivals: a boiler chunk leaves sub-window fragments that are
+      // below cur16's detection granularity BY CONTRACT — the window
+      // defines the minimum span that counts on both the batch and
+      // streaming sides.)
       if (srcOf(doc) == "src0" && quality(textOf(doc)) &&
-          dedupLeg(doc)._1 == "admit" && nToks >= Dedup.SubstringWindow)
+          dedupLeg(doc)._1 == "admit" && brm == 0L &&
+          nToks >= Dedup.SubstringWindow)
         assert(verdict == "drop_scrubbed",
           s"eval doc $doc leaked through the funnel as $verdict")
     }
