@@ -104,10 +104,14 @@ object PlanDump {
         "end-to-end corpus build: shared pinned funnel frame, shared text20 boiler scrub, post-boiler window rebuild over AFFECTED docs only (raw window pin reused for the rest), broadcast span/threshold evidence, train-split-only packing window",
       "mm10_audio_ingest" ->
         "audio ingestion: binaryFile scan + executor-side javax.sound decode, per-clip integer feature kernel",
+      "mm11_audio_windows" ->
+        "windowed audio decode: bounded 256-sample windows streamed off the codec per clip (no whole-clip materialization), per-window integer profile",
       "sim18_retrain_swap" ->
         "codebook retrain+swap: store-read literal codebook, zero-join argmax assignment, one per-cell rollup shuffle",
       "sim19_graph_ann" ->
         "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget",
+      "sim20_graph_sweep" ->
+        "graph-ANN knob sweep: ALL (entries, beam) trajectories in ONE 4-round loop (config columns + one ranked beam window), rounds axis read from per-row entering round, exact leg joined broadcast",
       "dedup13_lsh_sweep" ->
         "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set; signature legs attach by MEASURED dispatch (broadcast under SweepSigBroadcastMaxDocs, shuffled da/db hash join above — plan-audited both arms)",
       "dedup14_crossmodal" ->
@@ -238,6 +242,36 @@ object PlanDump {
       || mm07 (8,4)/64-bit blocked candidates | 202 | 2,082 | 10.3x - LINEAR (round-12 row): candidates are the injected near-dup mass itself; the 70-keys-per-image blocking's accidental-collision term is negligible until the per-key birthday bound (~2^16 images per 32-bit key) |
       || sim19 navigable graph edges | 15,981 | 159,982 | 10.0x on 10x vectors - linear at fixed degree (KnnK local + 3 long-range per node; round-14 row) |
       || sim19 scored candidates, whole fixed query set | 1,165 | 1,234 | CONSTANT at 10x corpus - the graph-ANN read pattern made measurable: per query the search touches <= entry + rounds*beam*degree vectors however large the corpus grows (round-14 row) |
+      |
+      |sim20 knob curve (round 15, measured at sf0.1 through the sweep
+      |operator itself - candidates are pool rows for ALL 5 queries,
+      |recall@10 vs exact; production config = entries 8, beam 12,
+      |rounds 4):
+      |
+      || entries | beam | rounds | candidates | recall@10 |
+      ||---|---|---|---|---|
+      || 8 | 12 | 1 | 311 | 0.02 |
+      || 8 | 12 | 2 | 665 | 0.10 |
+      || 8 | 12 | 3 | 955 | 0.32 |
+      || 8 | 12 | 4 | 1,165 | 0.56 |
+      || 8 | 8 | 4 | 845 | 0.40 |
+      || 8 | 4 | 4 | 427 | 0.14 |
+      || 2 | 12 | 4 | 982 | 0.36 |
+      |
+      |Reading the curve: ROUNDS buy the most recall per candidate on
+      |this graph (the 3->4 step adds 210 candidates for +0.24 recall);
+      |halving the beam (12->8) saves 320 candidates for -0.16; beam 4
+      |collapses recall to 0.14 - the beam must exceed the local-minima
+      |width of the small-world graph. Fewer entries (8->2) costs
+      |almost nothing in budget (982 vs 1,165) but -0.20 recall: entry
+      |DIVERSITY, not entry count, is what seeds the right regions -
+      |exactly HNSW's argument for a layered entry hierarchy. The
+      |rounds axis is read from ONE pool per (entries, beam) trajectory
+      |(a candidate counts from the round it ENTERED - exact because
+      |round r is a strict prefix of round r+1); the trajectories
+      |themselves genuinely diverge per beam width (beam search has no
+      |cross-beam nesting), so the sweep runs all four in ONE 4-round
+      |loop with config carried as columns.
       |
       |Reading: the linear claims (dedup03, dedup08, dedup10, sim15,
       |mm07's photo-scale (8,4) 64-bit blocking - and round 13's cur16

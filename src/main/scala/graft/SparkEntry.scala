@@ -135,6 +135,7 @@ object SparkEntry {
     "sim17_staleness_monitor" -> Similarity.sim17StalenessMonitor _,
     "sim18_retrain_swap" -> Similarity.sim18RetrainSwap _,
     "sim19_graph_ann" -> Similarity.sim19GraphAnn _,
+    "sim20_graph_sweep" -> Similarity.sim20GraphSweep _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -163,6 +164,7 @@ object SparkEntry {
     "mm07_phash_blocked" -> Multimodal.mm07PhashBlocked _,
     "mm08_video_keyframes" -> Multimodal.mm08VideoKeyframes _,
     "mm10_audio_ingest" -> Multimodal.mm10AudioIngest _,
+    "mm11_audio_windows" -> Multimodal.mm11AudioWindows _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -319,6 +321,36 @@ object SparkEntry {
          CAST((-($a) * $n) // 2 AS BIGINT) AS checksum,
          CAST($n - 1 AS BIGINT) AS zero_crossings
        FROM documents WHERE doc_id < $Mm10Clips ORDER BY clip_id"""
+  }
+
+  /** Generated DuckDB replay of mm11's windowed audio profile — the
+    * tone law per WINDOW: window starts are even global positions and
+    * every window length is even (clip lengths are even by
+    * construction), so within a window of length L the ±A square wave
+    * gives RMS = A exactly, checksum = −A·L/2 (the per-pair telescope,
+    * independent of where the window starts), and L−1 within-window
+    * sign flips. The Spark side decodes REAL RIFF bytes in bounded
+    * windows off the codec stream; a dropped frame, mis-tiled window,
+    * or off-by-one at any boundary moves a checksum.
+    */
+  private val Mm11OracleSql: String = {
+    import graft.operators.Multimodal.{Mm10AmpMod, Mm10AmpStep,
+      Mm10BaseSamples, Mm10Clips, Mm10SampleMod, Mm10SampleStep,
+      Mm10WindowSamples}
+    val w = Mm10WindowSamples
+    s"""WITH d11 AS (SELECT doc_id AS clip_id,
+           ($Mm10BaseSamples + (doc_id % $Mm10SampleMod) * $Mm10SampleStep) AS n,
+           ((doc_id % $Mm10AmpMod + 1) * $Mm10AmpStep) AS amp
+         FROM documents WHERE doc_id < $Mm10Clips),
+       w11 AS (SELECT clip_id, CAST(t.i AS INTEGER) AS window_idx,
+           CAST(least(n - t.i * $w, $w) AS BIGINT) AS nw, amp
+         FROM d11, unnest(range(0, (n + ${w - 1}) // $w)) AS t(i))
+       SELECT clip_id, window_idx,
+         nw AS n_samples,
+         CAST(amp AS DOUBLE) AS rms,
+         CAST((-amp * nw) // 2 AS BIGINT) AS checksum,
+         CAST(nw - 1 AS BIGINT) AS zero_crossings
+       FROM w11 ORDER BY clip_id, window_idx"""
   }
 
   /** Generated DuckDB replay of etl27's retention audit, derived from
@@ -649,9 +681,68 @@ object SparkEntry {
     * hash. MATERIALIZED throughout (each round references the previous
     * pool three times — the bpe/cur15 inlining lesson).
     */
+  /** The graph-navigation preamble shared by the sim19 and sim20
+    * oracles: sim07's graph CTEs, the long-range-augmented edge frame
+    * `g`, and the query set `q` — one definition, so the sweep can
+    * never navigate a different graph than the deployed search.
+    */
+  private val Sim19NavCtes: String = {
+    import graft.operators.Similarity.{GraphRandomDegree, KnnK,
+      NumQueryVectors}
+    s"""$Sim07GraphCtes,
+         nn AS (SELECT count(*) AS n FROM e),
+         g AS MATERIALIZED (
+           SELECT vec_id AS src, nb_id AS dst FROM r7 WHERE rk <= $KnnK
+           UNION
+           SELECT e.vec_id AS src,
+             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+                CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n AS dst
+           FROM e, unnest(range(1, ${GraphRandomDegree + 1})) AS t(j), nn
+           WHERE ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+                CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n <> e.vec_id),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e
+               WHERE vec_id < $NumQueryVectors)"""
+  }
+
+  /** One unrolled beam-search trajectory at (`ent` entries, `beam`
+    * width), CTE-tagged `_c<ent>_<beam>` — sim19's round chain
+    * parameterized, ending in the pool `p_c<ent>_<beam>` that tags
+    * every candidate with the round it ENTERED (the rounds-axis
+    * identity sim20's curve reads).
+    */
+  private def sim20ChainSql(ent: Int, beam: Int): String = {
+    import graft.operators.Similarity.GraphRounds
+    val t = s"c${ent}_$beam"
+    val rounds = (1 to GraphRounds).map { r =>
+      s"""b${r - 1}_$t AS MATERIALIZED (SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS brk FROM v${r - 1}_$t)
+           WHERE brk <= $beam),
+         f${r}_$t AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS vec_id
+           FROM b${r - 1}_$t b JOIN g ON g.src = b.vec_id
+           WHERE g.dst <> b.q_id
+             AND NOT EXISTS (SELECT 1 FROM v${r - 1}_$t vv
+                             WHERE vv.q_id = b.q_id AND vv.vec_id = g.dst)),
+         sc${r}_$t AS MATERIALIZED (SELECT f.q_id, f.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM f${r}_$t f JOIN q ON q.q_id = f.q_id JOIN e ON e.vec_id = f.vec_id),
+         v${r}_$t AS MATERIALIZED (
+           SELECT * FROM v${r - 1}_$t UNION ALL SELECT * FROM sc${r}_$t)"""
+    }.mkString(",\n         ")
+    val poolUnion = (1 to GraphRounds)
+      .map(r => s"UNION ALL SELECT q_id, vec_id, $r AS er FROM sc${r}_$t")
+      .mkString("\n           ")
+    s"""v0_$t AS MATERIALIZED (SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM q, e WHERE e.vec_id < $ent AND e.vec_id <> q.q_id),
+         $rounds,
+         p_$t AS (SELECT q_id, vec_id, 0 AS er FROM v0_$t
+           $poolUnion)"""
+  }
+
   private val Sim19OracleSql: String = {
     import graft.operators.Similarity.{GraphBeam, GraphEntryCount,
-      GraphRounds, KnnK, NumQueryVectors, TopK}
+      GraphRounds, TopK}
     val rounds = (1 to GraphRounds).map { r =>
       s"""b${r - 1} AS MATERIALIZED (SELECT q_id, vec_id FROM (
              SELECT *, row_number() OVER (PARTITION BY q_id
@@ -668,20 +759,7 @@ object SparkEntry {
          v$r AS MATERIALIZED (
            SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r)"""
     }.mkString(",\n         ")
-    import graft.operators.Similarity.GraphRandomDegree
-    s"""WITH $Sim07GraphCtes,
-         nn AS (SELECT count(*) AS n FROM e),
-         g AS MATERIALIZED (
-           SELECT vec_id AS src, nb_id AS dst FROM r7 WHERE rk <= $KnnK
-           UNION
-           SELECT e.vec_id AS src,
-             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
-                CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n AS dst
-           FROM e, unnest(range(1, ${GraphRandomDegree + 1})) AS t(j), nn
-           WHERE ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
-                CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n <> e.vec_id),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM e
-               WHERE vec_id < $NumQueryVectors),
+    s"""WITH $Sim19NavCtes,
          v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
              round(list_cosine_similarity(q.qv, e.v), 4) AS cos
            FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
@@ -690,6 +768,51 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
          WHERE rk <= $TopK ORDER BY q_id, rk"""
+  }
+
+  /** Generated DuckDB replay of sim20's knob sweep: the shared
+    * navigation preamble, ONE unrolled trajectory chain per
+    * (entries, beam) config ([[sim20ChainSql]] — sim19's chain
+    * parameterized, every pool row tagged with its entering round),
+    * the exact top-k truth side, and the curve aggregated per
+    * (entries, beam, rounds) with the intRatio recall presentation.
+    * Every constant interpolates from the operator (etl27 discipline).
+    */
+  private val Sim20OracleSql: String = {
+    import graft.operators.Similarity.{GraphRounds, GraphSweepConfigs,
+      NumQueryVectors, TopK}
+    val nTrue = NumQueryVectors * TopK
+    val chains = GraphSweepConfigs.map { case (ent, b) =>
+      sim20ChainSql(ent, b)
+    }.mkString(",\n         ")
+    val poolUnion = GraphSweepConfigs.map { case (ent, b) =>
+      s"SELECT $ent AS entries, $b AS beam, q_id, vec_id, er FROM p_c${ent}_$b"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH $Sim19NavCtes,
+         ex20 AS MATERIALIZED (SELECT q_id, vec_id FROM (
+             SELECT s.q_id, s.vec_id, row_number() OVER (
+                 PARTITION BY s.q_id ORDER BY s.cos DESC, s.vec_id) AS rk
+             FROM (SELECT q.q_id, e.vec_id,
+                 round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+               FROM q, e WHERE e.vec_id <> q.q_id) s)
+           WHERE rk <= $TopK),
+         $chains,
+         pools20 AS ($poolUnion),
+         lv20 AS (SELECT p.entries, p.beam, CAST(t.r AS INTEGER) AS rounds,
+             (ex.vec_id IS NOT NULL) AS hit
+           FROM pools20 p
+           LEFT JOIN ex20 ex ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id,
+           unnest(range(p.er, ${GraphRounds + 1})) AS t(r))
+         SELECT CAST(entries AS INTEGER) AS entries,
+           CAST(beam AS INTEGER) AS beam, rounds,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST($nTrue AS BIGINT) AS n_true,
+           CAST((2*10000*sum(CASE WHEN hit THEN 1 ELSE 0 END) + $nTrue)
+                // (2*$nTrue) AS BIGINT) / 10000.0 AS recall
+         FROM lv20
+         GROUP BY entries, beam, rounds
+         ORDER BY entries, beam, rounds"""
   }
 
   /** Generated DuckDB replay of sim18's retrain + swap: the merged
@@ -2218,6 +2341,7 @@ object SparkEntry {
     "sim17_staleness_monitor" -> Sim17OracleSql,
     "sim18_retrain_swap" -> Sim18OracleSql,
     "sim19_graph_ann" -> Sim19OracleSql,
+    "sim20_graph_sweep" -> Sim20OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +
@@ -2819,6 +2943,7 @@ object SparkEntry {
          ORDER BY img_a, img_b""",
     "mm08_video_keyframes" -> Mm08OracleSql,
     "mm10_audio_ingest" -> Mm10OracleSql,
+    "mm11_audio_windows" -> Mm11OracleSql,
     "mm05_binary_ingest" ->
       // The REAL pipeline (PNG encode -> binary files -> binaryFile
       // scan -> ImageIO decode on executors -> channel means) against

@@ -589,6 +589,92 @@ object Multimodal {
     }(enc).orderBy("clip_id")
   }
 
+  /** Samples per analysis window for mm11 — 32 ms at [[Mm10Rate]], the
+    * frame grain a VAD / segmentation / diarization pass works at. The
+    * staged clips span 800–1,760 samples, so every clip yields several
+    * full windows plus a genuine remainder window at most sizes (the
+    * boundary math is exercised, not decorative).
+    */
+  val Mm10WindowSamples = 256
+
+  /** mm11: frame-WINDOWED audio decode + per-window signal profile —
+    * the long-form answer to mm10's whole-clip decode (round-15
+    * directive): mm10's `decodeWav` materializes every sample of a
+    * clip before featurizing (fine for test tones; an hour of 16 kHz
+    * mono is ~115 MB per clip — the shape an audio lake actually
+    * holds), while this path streams [[Mm10WindowSamples]]-sample
+    * windows off the codec ([[MultimodalStub.decodeWavWindowed]] —
+    * decode memory bounded at window size however long the clip runs)
+    * and emits the per-window profile a segmentation/VAD pipeline
+    * gates on: sample count, RMS, position-weighted checksum (global
+    * positions — proving the windows tile the stream exactly), and
+    * within-window zero crossings.
+    *
+    * Same seam contract as [[audioMeta]]: batched mapPartitions over
+    * binary rows, explicit schema, executor-side decode — a mel/
+    * embedding featurizer swaps in per window behind an unchanged
+    * shape. (The `binaryFile` source still hands each file's bytes as
+    * one column value — the demo-source surface; at lake scale the
+    * same windowed decoder consumes a streamed/chunked source behind
+    * this identical seam, which is exactly what windowing buys.)
+    *
+    * The tone law oracles every window EXACTLY: within any window of
+    * the ±A Nyquist square wave, RMS = A (every |sample| = A); window
+    * starts are even global positions and window lengths even, so the
+    * position-weighted checksum telescopes to −A·L/2 per window; signs
+    * alternate every sample, so zero crossings = L−1. The DuckDB twin
+    * is pure arithmetic over `documents` + a window generate.
+    */
+  def mm11AudioWindows(spark: SparkSession, dir: String): DataFrame =
+    audioWindowMeta(mm10Files(spark, dir), Mm10WindowSamples)
+
+  private val audioWindowSchema = StructType(Seq(
+    StructField("clip_id", LongType),
+    StructField("window_idx", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", DoubleType),
+    StructField("checksum", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** Per-window featurize over any (clip_id, media) frame — separable
+    * so the spec can drive synthetic long clips through the windowed
+    * seam directly.
+    */
+  private[graft] def audioWindowMeta(
+      media: DataFrame, windowSamples: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioWindowSchema)
+    media.select(col("clip_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getAs[Long]("clip_id")
+          val (_, wins) = MultimodalStub.decodeWavWindowed(
+            r.getAs[Array[Byte]]("media"), windowSamples)
+          wins.zipWithIndex.map { case (s, wi) =>
+            val base = wi.toLong * windowSamples
+            val n = s.length
+            var sumSq = 0L
+            var checksum = 0L
+            var zc = 0L
+            var t = 0
+            while (t < n) {
+              val v = s(t).toLong
+              sumSq += v * v
+              checksum += v * (base + t + 1)
+              if (t > 0 && (v ^ s(t - 1).toLong) < 0 && v != 0 && s(t - 1) != 0)
+                zc += 1
+              t += 1
+            }
+            val rms =
+              if (n == 0) 0.0
+              else math.round(math.sqrt(sumSq.toDouble / n) * 10000.0) / 10000.0
+            Row(id, wi, n.toLong, rms, checksum, zc)
+          }
+        }
+      }
+    }(enc).orderBy("clip_id", "window_idx")
+  }
+
   /** Delta-neighborhood candidate keys over a hash column: each row
     * explodes into its hash plus all single-bit flips (bits+1 keys, a
     * constant), so an equi-join of `key` against raw hashes finds
@@ -822,7 +908,12 @@ object MultimodalStub {
     * posture: corrupt or unsupported media must surface (quarantine or
     * fail), never rot the corpus as fake samples.
     */
-  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+  /** Open + format-gate the audio stream (mono 16-bit LE signed PCM) —
+    * ONE definition of the decode scope shared by the whole-clip and
+    * windowed paths, so the two can never accept different formats.
+    */
+  private def openPcmMono16(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -831,13 +922,19 @@ object MultimodalStub {
           throw new IllegalArgumentException(
             s"undecodable media (${bytes.length} bytes): no registered AudioFileReader claims it", e)
       }
+    val fmt = ais.getFormat
+    try require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+      s"unsupported WAV format (want mono 16-bit LE signed PCM): $fmt")
+    catch { case t: Throwable => ais.close(); throw t }
+    ais
+  }
+
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val ais = openPcmMono16(bytes)
     try {
-      val fmt = ais.getFormat
-      require(fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          !fmt.isBigEndian,
-        s"unsupported WAV format (want mono 16-bit LE signed PCM): $fmt")
       val raw = ais.readAllBytes()
       val n = raw.length / 2
       val out = new Array[Int](n)
@@ -846,8 +943,60 @@ object MultimodalStub {
         out(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)
         i += 1
       }
-      (math.round(fmt.getSampleRate), out)
+      (math.round(ais.getFormat.getSampleRate), out)
     } finally ais.close()
+  }
+
+  /** Frame-WINDOWED decode: stream `windowSamples`-sample windows off
+    * the audio stream WITHOUT materializing the clip — [[decodeWav]]'s
+    * `readAllBytes` is the whole-clip ceiling (an hour of 16 kHz mono
+    * is ~115 MB of samples per clip; a contact-center or podcast lake
+    * holds many such), and this path bounds the decode working set at
+    * `windowSamples`×2 bytes however long the clip runs: each `next()`
+    * drains exactly one window's bytes from the codec stream. Same
+    * format scope and loud-failure posture as [[decodeWav]] (shared
+    * [[openPcmMono16]] gate). The final window is the remainder —
+    * shorter, never padded (padding would fake signal mass into the
+    * last window's features).
+    */
+  def decodeWavWindowed(bytes: Array[Byte],
+      windowSamples: Int): (Int, Iterator[Array[Int]]) = {
+    require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
+    val ais = openPcmMono16(bytes)
+    val rate = math.round(ais.getFormat.getSampleRate)
+    val it = new Iterator[Array[Int]] {
+      private val buf = new Array[Byte](windowSamples * 2)
+      private var pending: Array[Int] = null
+      private var eof = false
+      private def fill(): Unit = {
+        if (pending != null || eof) return
+        var off = 0
+        var n = 0
+        while (off < buf.length &&
+            { n = ais.read(buf, off, buf.length - off); n >= 0 })
+          off += n
+        if (n < 0) { eof = true; ais.close() }
+        if (off > 0) {
+          require(off % 2 == 0,
+            s"torn 16-bit frame at stream end ($off bytes in window)")
+          val m = off / 2
+          val w = new Array[Int](m)
+          var i = 0
+          while (i < m) {
+            w(i) = (buf(2 * i + 1).toInt << 8) | (buf(2 * i) & 0xFF)
+            i += 1
+          }
+          pending = w
+        }
+      }
+      def hasNext: Boolean = { fill(); pending != null }
+      def next(): Array[Int] = {
+        fill()
+        if (pending == null) throw new NoSuchElementException("audio stream drained")
+        val w = pending; pending = null; w
+      }
+    }
+    (rate, it)
   }
 
   /** Decode encoded image bytes (PNG/JPEG/BMP/GIF — whatever the JDK's

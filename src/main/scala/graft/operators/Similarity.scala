@@ -1313,6 +1313,125 @@ object Similarity {
     visited
   }
 
+  /** Knob grid for sim20's graph-ANN sweep: (entries, beam)
+    * trajectories, axes varied one at a time around the deployed
+    * ([[GraphEntryCount]], [[GraphBeam]]) config — the ablation every
+    * graph-index deployment tunes. The ROUNDS axis 0..[[GraphRounds]]
+    * needs no grid entry: it is read out of each trajectory's pool via
+    * the entered-round identity (below).
+    */
+  val GraphSweepConfigs: Seq[(Int, Int)] = Seq(
+    (2, GraphBeam), (GraphEntryCount, 4), (GraphEntryCount, 8),
+    (GraphEntryCount, GraphBeam))
+
+  /** sim20: recall-vs-budget TUNING SWEEP for the graph index —
+    * sim16's (NProbe) and dedup13's (bands/rows) knob-curve discipline
+    * applied to sim19's knobs: entry count, beam width, and search
+    * rounds. Per config: the candidate budget actually spent (pool
+    * rows — the graph family's cost unit, what sim19's constant-read
+    * claim is ABOUT) and recall@[[TopK]] against the exact baseline.
+    *
+    * The identity that makes the sweep cheap differs by axis, and the
+    * difference is the honest structure of beam search:
+    *  - ROUNDS nest EXACTLY within one trajectory: round r's search is
+    *    a strict prefix of round r+1's (the beam is a deterministic
+    *    function of the pool, and the pool only grows), so ONE search
+    *    per (entries, beam) yields the whole rounds curve by tagging
+    *    every pool row with the round it ENTERED — a neighbor is found
+    *    at budget r iff its entered-round ≤ r (with exact rescoring,
+    *    pool membership IS retrieval — sim16's candidate-recall
+    *    identity).
+    *  - ENTRY COUNT and BEAM WIDTH do NOT nest: a narrower beam takes
+    *    a genuinely different path through the graph (its round-r beam
+    *    is the top-B of ITS OWN pool, not a subset of the wider
+    *    search's), so each (entries, beam) point is its own
+    *    trajectory. The sweep runs all of [[GraphSweepConfigs]] in ONE
+    *    4-round loop — config carried as columns, per-config beam cut
+    *    as one ranked window, per-round frames still
+    *    O(configs·queries·beam·degree) — so the multi-config sweep
+    *    costs the same number of rounds (and localCheckpoint
+    *    materializations) as a single sim19 search.
+    *
+    * Monotone-in-rounds is exact BY CONSTRUCTION (pools only grow);
+    * cross-trajectory monotonicity is NOT asserted anywhere — beam
+    * search gives no such guarantee, and the curve measuring where it
+    * fails to hold is precisely the operator's value. Spec pins the
+    * production-config trajectory equal to sim19's own pool row-for-
+    * row, rounds-monotonicity, and the exhaustive anchor
+    * (entries = corpus ⇒ recall 1.0 at round 0).
+    */
+  def sim20GraphSweep(spark: SparkSession, dir: String): DataFrame = {
+    val nTrue = (NumQueryVectors * TopK).toLong
+    val ex = sim01BruteForceTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(true).as("hit"))
+    sim20Pools(spark, dir)
+      .join(broadcast(ex), Seq("q_id", "vec_id"), "left")
+      .select(col("entries"), col("beam"),
+        explode(sequence(col("er"), lit(GraphRounds))).as("rounds"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+      .groupBy("entries", "beam", "rounds")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("hit").cast("long")).as("n_hits"))
+      .withColumn("n_true", lit(nTrue))
+      .withColumn("recall", intRatio(col("n_hits"), col("n_true"), 4))
+      .orderBy("entries", "beam", "rounds")
+  }
+
+  /** All configured trajectories' visited pools in ONE beam-search
+    * loop, every row tagged (entries, beam, er) where `er` is the
+    * round the candidate entered the pool. Separable so the spec can
+    * pin the production config against [[sim19VisitedPool]] and drive
+    * the exhaustive anchor with entries = corpus size.
+    */
+  private[graft] def sim20Pools(spark: SparkSession, dir: String,
+      configs: Seq[(Int, Int)] = GraphSweepConfigs): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val graph = knnGraphEdges(spark, dir)
+    val maxEnt = configs.map(_._1).max
+    // Entry superset scored once; each config's round-0 pool is a
+    // static filter of it (no config×corpus nested loop).
+    val entryScores = e.filter(col("vec_id") < maxEnt)
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    var visited = configs.map { case (ent, b) =>
+      entryScores.filter(col("vec_id") < ent)
+        .select(lit(ent).as("entries"), lit(b).as("beam"),
+          col("q_id"), col("vec_id"), col("cos"))
+    }.reduce(_.unionByName(_))
+      .withColumn("er", lit(0))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("entries", "beam", "q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    for (r <- 1 to GraphRounds) {
+      // Per-config beam cut: ONE ranked window, the width read from
+      // the row's own beam column.
+      val beamDf = visited.withColumn("brk", row_number().over(w))
+        .filter(col("brk") <= col("beam"))
+        .select("entries", "beam", "q_id", "vec_id")
+      val frontier = broadcast(beamDf)
+        .join(graph, col("vec_id") === col("src"))
+        .select(col("entries"), col("beam"), col("q_id"), col("dst"))
+        .filter(col("dst") =!= col("q_id"))
+        .distinct()
+        .join(visited.select(col("entries"), col("beam"), col("q_id"),
+            col("vec_id").as("dst")),
+          Seq("entries", "beam", "q_id", "dst"), "left_anti")
+        .select(col("entries"), col("beam"), col("q_id"),
+          col("dst").as("vec_id"))
+      val scored = broadcast(frontier)
+        .join(e, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("entries"), col("beam"), col("q_id"), col("vec_id"),
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+        .withColumn("er", lit(r))
+      visited = visited.unionByName(scored).localCheckpoint(true)
+    }
+    visited
+  }
+
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)
       .withColumn("cat", col("vec_id") % FilterCats)

@@ -109,7 +109,20 @@ object CodebookStore {
       org.apache.spark.sql.types.StructField("cv",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
-    val df = spark.createDataFrame(rows.asJava, schema)
+    publishFrame(spark, basePath, spark.createDataFrame(rows.asJava, schema))
+  }
+
+  /** The claim/_SUCCESS protocol over an ARBITRARY tiny artifact
+    * frame — the versioning was never codebook-specific: any
+    * pinned-index artifact a streaming gate resolves per batch (the
+    * boilerplate hash index stream21 scrubs against, a held-out
+    * window-hash set, a fingerprint corpus summary) gets the same
+    * atomic-flip reader contract by publishing through here. The
+    * payload must be a build ARTIFACT (small, fully materialized per
+    * version), not a data table — MergeSink owns incremental state.
+    */
+  def publishFrame(spark: SparkSession, basePath: String,
+      df: DataFrame): Long = {
     var committed = -1L
     while (committed < 0) {
       val next = (usedNumbers(spark, basePath) :+ 0L).max + 1
@@ -122,6 +135,20 @@ object CodebookStore {
     committed
   }
 
+  /** The artifact frame AS OF a committed version — [[codebookAt]]'s
+    * loud-failure contract for [[publishFrame]] payloads.
+    */
+  def frameAt(spark: SparkSession, basePath: String,
+      version: Long): DataFrame = {
+    val (fs, base) = fsFor(spark, basePath)
+    val marker = new org.apache.hadoop.fs.Path(base, s"v$version/_SUCCESS")
+    if (!fs.exists(marker))
+      throw new NoSuchElementException(
+        s"artifact v$version is not committed under $basePath; " +
+          s"retained versions: ${versions(spark, basePath).mkString("[", ", ", "]")}")
+    spark.read.parquet(s"$basePath/v$version")
+  }
+
   /** The codebook AS OF a committed version, as the driver-side array
     * every assignment site consumes ([[graft.operators.Similarity]]'s
     * literal-argmax contract). An uncommitted or expired version fails
@@ -129,19 +156,12 @@ object CodebookStore {
     * to an empty codebook would silently mis-assign the corpus.
     */
   def codebookAt(spark: SparkSession, basePath: String,
-      version: Long): Array[(Long, Array[Double])] = {
-    val (fs, base) = fsFor(spark, basePath)
-    val marker = new org.apache.hadoop.fs.Path(base, s"v$version/_SUCCESS")
-    if (!fs.exists(marker))
-      throw new NoSuchElementException(
-        s"codebook v$version is not committed under $basePath; " +
-          s"retained versions: ${versions(spark, basePath).mkString("[", ", ", "]")}")
-    spark.read.parquet(s"$basePath/v$version")
+      version: Long): Array[(Long, Array[Double])] =
+    frameAt(spark, basePath, version)
       .select(col("cid"), col("cv"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
-  }
 
   /** Drop every version and claim marker — a clean slate for a
     * deterministic replay (MergeSink.reset's contract).

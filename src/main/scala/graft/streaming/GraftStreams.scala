@@ -847,6 +847,47 @@ object GraftStreams {
         graft.operators.TextAnalysis.boilerplateHashes(batch.sparkSession, dir))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** Publish `dir`'s current boilerplate hash index as the next
+    * committed store version — the corpus-refresh half of the
+    * versioned stream21 deployment, run on the batch cadence (the
+    * crawl's template mass drifts; the index must follow without
+    * stopping the stream). The artifact is tiny by the nd≥3 threshold
+    * (88 hashes at the measured second decade), so snapshot-per-
+    * version costs nothing.
+    */
+  def publishBoilerplateIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      store: String): Long =
+    graft.sources.CodebookStore.publishFrame(spark, store,
+      graft.operators.TextAnalysis.boilerplateHashes(spark, dir))
+
+  /** stream21's VERSIONED landing path — the index-refresh story the
+    * pinned form above lacks (round-15 directive): each micro-batch
+    * resolves the boilerplate index from the store's latest COMMITTED
+    * version at batch time (stream17's pattern on text20's artifact —
+    * the parquet `_SUCCESS` is the flip, so a batch can never scrub
+    * against a torn index) and stamps landed rows with it. A
+    * mid-stream publish re-routes NEW batches atomically; batches
+    * landed before the publish keep their version's verdicts
+    * (auditable via the stamp), and a replay re-decides under the
+    * CURRENT version — stream17's replay-as-re-decision contract. The
+    * scrub core is still literally [[graft.operators.TextAnalysis
+    * .boilerplateScrub]]: versioning changes WHICH index is read,
+    * never how it is applied.
+    */
+  def landBoilerplateVersionedBatch(
+      batch: DataFrame, store: String, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = graft.sources.CodebookStore.latest(spark, store).getOrElse(
+      throw new NoSuchElementException(
+        s"no committed boilerplate index under $store — publish one " +
+          "before starting the gate"))
+    graft.operators.TextAnalysis.boilerplateScrub(batch,
+        graft.sources.CodebookStore.frameAt(spark, store, v).select(col("h")))
+      .withColumn("index_version", lit(v))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
   /** One arriving PAGE (document text + its encoded image) on the
     * stream20 cross-modal ingest stream.
     */

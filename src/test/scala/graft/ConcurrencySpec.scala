@@ -54,6 +54,9 @@ class ConcurrencySpec extends SparkSpec {
       "dedup14_crossmodal",
       "sim01_bruteforce_topk", "sim05_radius_search", "sim08_pq_ann",
       "sim09_kmeans", "sim12_filtered_ann", "sim14_sq_ann",
+      // sim20 races sim19's graph-edge pin (sim07's build inside it)
+      // while its own 4-trajectory loop checkpoints per round.
+      "sim20_graph_sweep",
       // sim17 races the trained-codebook computeIfAbsent alongside
       // sim08/sim16 and drives the level-exploded TopKPerKey shape.
       "sim16_nprobe_sweep", "sim17_staleness_monitor",
@@ -91,6 +94,9 @@ class ConcurrencySpec extends SparkSpec {
       // mm10 races its own staged-WAV TableBuild ensure alongside the
       // mm family's PNG staging.
       "mm10_audio_ingest",
+      // mm11 races mm10's staged-WAV ensurePath while its own windowed
+      // decode streams the same files.
+      "mm11_audio_windows",
       "q37_session_window")
     val sequential = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).count()).toMap

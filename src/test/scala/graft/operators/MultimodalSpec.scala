@@ -418,6 +418,62 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toSeq.toVector).toVector == again.map(_.toSeq.toVector).toVector)
   }
 
+  test("decodeWavWindowed tiles the stream exactly; bounded windows on a long clip") {
+    // Reassembly law: the concatenated windows must be BIT-IDENTICAL
+    // to the whole-clip decode — the windowed path may never drop,
+    // pad, or re-order a frame across a window boundary.
+    Seq(0L, 3L, 119L).foreach { id =>
+      val bytes = MultimodalStub.testToneWav(
+        Multimodal.mm10Samples(id), Multimodal.mm10Amp(id), Multimodal.Mm10Rate)
+      val (_, whole) = MultimodalStub.decodeWav(bytes)
+      val (rate, wins) = MultimodalStub.decodeWavWindowed(
+        bytes, Multimodal.Mm10WindowSamples)
+      assert(rate == Multimodal.Mm10Rate)
+      val ws = wins.toVector
+      assert(ws.init.forall(_.length == Multimodal.Mm10WindowSamples),
+        "every non-final window is exactly the window size")
+      assert(ws.last.length <= Multimodal.Mm10WindowSamples &&
+        ws.last.length > 0, "the final window is the unpadded remainder")
+      assert(ws.flatten == whole.toVector, s"clip $id: reassembly must be bit-exact")
+    }
+    // Long-form posture: a clip far past the window size streams
+    // through without the whole-clip materialization (the iterator
+    // only ever holds one window's samples).
+    val longN = 200000 // 25 s at 8 kHz — ~781 windows
+    val (_, wins) = MultimodalStub.decodeWavWindowed(
+      MultimodalStub.testToneWav(longN, 100, Multimodal.Mm10Rate), 256)
+    var count = 0
+    var samples = 0L
+    wins.foreach { w => count += 1; samples += w.length }
+    assert(samples == longN.toLong && count == (longN + 255) / 256)
+    // Same loud-refusal posture as the whole-clip path (shared gate).
+    intercept[IllegalArgumentException](
+      MultimodalStub.decodeWavWindowed(Array[Byte](1, 2, 3, 4), 256))
+  }
+
+  test("mm11 windowed profile obeys the per-window tone law end-to-end") {
+    val rows = Multimodal.mm11AudioWindows(spark, sf).collect()
+    val byClip = rows.groupBy(_.getAs[Long]("clip_id"))
+    assert(byClip.size == Multimodal.Mm10Clips)
+    val w = Multimodal.Mm10WindowSamples
+    byClip.foreach { case (id, ws) =>
+      val (n, a) = (Multimodal.mm10Samples(id), Multimodal.mm10Amp(id).toLong)
+      assert(ws.length == (n + w - 1) / w, s"clip $id: window count")
+      ws.sortBy(_.getAs[Int]("window_idx")).zipWithIndex.foreach { case (r, i) =>
+        val L = math.min(n - i * w, w).toLong
+        assert(r.getAs[Long]("n_samples") == L)
+        assert(r.getAs[Double]("rms") == a.toDouble)
+        assert(r.getAs[Long]("checksum") == -a * L / 2,
+          s"clip $id window $i: the telescope is position-exact")
+        assert(r.getAs[Long]("zero_crossings") == L - 1)
+      }
+      // The windows' checksums SUM to the whole-clip checksum — the
+      // tiling proof at the feature level (global positions, no
+      // double-counted or skipped sample anywhere).
+      assert(ws.map(_.getAs[Long]("checksum")).sum == -a * n / 2)
+    }
+  }
+
   test("mm07 output is blocking-invariant across admissible configs") {
     import graft.operators.Dedup.SimhashBlocking
     val bits = MultimodalStub.BarcodeBits

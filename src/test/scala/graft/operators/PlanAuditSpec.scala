@@ -67,6 +67,7 @@ class PlanAuditSpec extends SparkSpec {
       Dedup.dedup10SubstringSpans(spark, sf),
       Similarity.sim02LshAnn(spark, sf),
       Similarity.sim03IvfAnn(spark, sf),
+      Similarity.sim20GraphSweep(spark, sf),
       Curation.cur12ClusterSample(spark, sf),
       Curation.cur18CorpusBuild(spark, sf),
       Relational.q35LateralTopn(spark, sf))
@@ -109,7 +110,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim14_sq_ann",         // fixed probe set (sim08's refine shape)
       "sim16_nprobe_sweep",   // fixed probe set (exact leg = sim01's shape)
       "sim17_staleness_monitor", // fixed probe set (sim01's scan, level-exploded)
-      "sim19_graph_ann")   // fixed probe set × constant entry set (round 0)
+      "sim19_graph_ann",   // fixed probe set × constant entry set (round 0)
+      "sim20_graph_sweep") // sim19's round-0 shape over the entry SUPERSET
+                           // (max of the configured constants) + the
+                           // exact leg's fixed probe set
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       if (!boundedBuild(name)) {

@@ -555,6 +555,67 @@ class SimilaritySpec extends SparkSpec {
     assert(budget < 500, s"sanity: the documented constant is $budget")
   }
 
+  test("sim20: production trajectory IS sim19's pool; rounds curve monotone by construction") {
+    import org.apache.spark.sql.functions.col
+    // The sweep's (GraphEntryCount, GraphBeam) trajectory must equal
+    // sim19's own visited pool row-for-row — the sweep measures the
+    // DEPLOYED search, not a lookalike.
+    val prod = Similarity.sim20Pools(spark, sf)
+      .filter(col("entries") === Similarity.GraphEntryCount &&
+        col("beam") === Similarity.GraphBeam)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(_.toSeq.toVector).toSet
+    val s19 = Similarity.sim19VisitedPool(spark, sf)
+      .select("q_id", "vec_id", "cos").collect()
+      .map(_.toSeq.toVector).toSet
+    assert(prod == s19, "sweep trajectory diverged from the deployed search")
+    val rows = Similarity.sim20GraphSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(6)))
+      .toMap
+    assert(rows.size == Similarity.GraphSweepConfigs.size *
+      (Similarity.GraphRounds + 1), "every (config, rounds) level present")
+    // Within a trajectory the pool only grows, so candidates AND
+    // recall are non-decreasing in rounds — exact, not statistical.
+    Similarity.GraphSweepConfigs.foreach { case (ent, b) =>
+      val curve = (0 to Similarity.GraphRounds).map(r => rows((ent, b, r)))
+      curve.sliding(2).foreach { case Seq(a, c) =>
+        assert(a._1 <= c._1 && a._2 <= c._2 && a._3 <= c._3,
+          s"rounds curve must be monotone for ($ent, $b): $curve")
+      }
+      // Rounds-0 pool = the scored entry set: entries−1 candidates for
+      // entry queries (self excluded), entries for the rest.
+      val q = Similarity.NumQueryVectors
+      val selfHits = math.min(ent, q)
+      assert(curve.head._1 == ent.toLong * q - selfHits,
+        s"round-0 budget must be the entry set for ($ent, $b)")
+    }
+    // The deployed config's final recall matches sim19's output recall
+    // (pool membership IS retrieval under exact rescoring).
+    val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s19Top = Similarity.sim19GraphAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows((Similarity.GraphEntryCount, Similarity.GraphBeam,
+      Similarity.GraphRounds))._2
+    assert(hits == (exact intersect s19Top).size.toLong,
+      "sweep hits at the deployed config must equal sim19's measured recall")
+  }
+
+  test("sim20 exhaustive anchor: entries = corpus reaches recall 1.0 at round 0") {
+    import org.apache.spark.sql.functions.col
+    val n = graft.operators.Dedup.vectors(spark, sf).count().toInt
+    val pool0 = Similarity.sim20Pools(spark, sf,
+        configs = Seq((n, Similarity.GraphBeam)))
+      .filter(col("er") === 0)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.subsetOf(pool0),
+      "an all-corpus entry set must contain every true neighbor at round 0")
+  }
+
   test("sim18 post-swap assignment equals a fresh build over the merged corpus") {
     import org.apache.spark.sql.functions._
     val merged = Similarity.mergedCorpus(spark, sf)

@@ -1035,6 +1035,83 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batch, "replay must be a no-op")
   }
 
+  test("stream21 versioned index: mid-stream publish re-routes NEW batches; per-version leg equality") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.sources.CodebookStore
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream21v_${System.nanoTime()}"
+    val store = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream21v_store_${System.nanoTime()}"
+    // Two ANALYTIC template chunks (stream17's provable-flip
+    // discipline): every arrival carries X at chunk 0 and Y at chunk
+    // 1, so which chunk the scrub drops is a pure function of the
+    // index version the batch resolved — a stale (or torn) index read
+    // is observable, not coincidentally equal.
+    def chunk(p: String) = (1 to 10).map(i => s"$p$i")
+    val (tx, ty) = (chunk("x"), chunk("y"))
+    def idxOf(toks: Seq[String]) = Dedup.spanHashRows(
+      Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")).select("h")
+    def arrivals(ids: Range) = ids.map(i => GraftStreams.IngestArrival(
+      i.toLong, (tx ++ ty ++ Seq(s"tail$i")).mkString(" ")))
+    val v1 = CodebookStore.publishFrame(spark, store, idxOf(tx))
+    val (first, second) = (arrivals(1 to 3), arrivals(4 to 6))
+    val stream = MemoryStream[GraftStreams.IngestArrival](spark)
+    var published = false
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landBoilerplateVersionedBatch(b.toDF(), store, outDir, id)
+      }
+      .start()
+    val v2 = try {
+      stream.addData(first)
+      q.processAllAvailable()
+      // MID-STREAM publish: the store flip must re-route only batches
+      // that resolve AFTER the _SUCCESS marker lands.
+      val v = CodebookStore.publishFrame(spark, store, idxOf(ty))
+      published = true
+      stream.addData(second)
+      q.processAllAvailable()
+      v
+    } finally q.stop()
+    assert(published && v1 == 1L && v2 == 2L)
+    def landed() = spark.read.parquet(outDir)
+      .select("doc_id", "index_version", "n_boiler", "text_clean").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3))))
+      .toMap
+    val got = landed()
+    // Per-version leg equality: each batch's rows ARE the batch scrub
+    // core against that version's index — X dropped under v1, Y under
+    // v2, the sub-chunk tail always kept.
+    def leg(as: Seq[GraftStreams.IngestArrival],
+        idx: org.apache.spark.sql.DataFrame, v: Long) =
+      TextAnalysis.boilerplateScrub(
+          as.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"), idx)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((v, r.getAs[Int]("n_boiler"), r.getAs[String]("text_clean"))))
+        .toMap
+    assert(got == leg(first, idxOf(tx), v1) ++ leg(second, idxOf(ty), v2),
+      s"per-version legs diverged: $got")
+    first.foreach { a =>
+      assert(got(a.doc_id)._3.startsWith("y1 "),
+        "v1 batches must have dropped X (kept Y + tail)")
+    }
+    second.foreach { a =>
+      assert(got(a.doc_id)._3.startsWith("x1 "),
+        "post-publish batches must have dropped Y (kept X + tail)")
+    }
+    // Replay-as-re-decision (stream17's contract): replaying batch 0
+    // NOW re-resolves the CURRENT version — its rows flip to v2's
+    // verdicts, stamped with the version that actually decided them.
+    GraftStreams.landBoilerplateVersionedBatch(
+      first.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"),
+      store, outDir, 0L)
+    assert(landed() == leg(first ++ second, idxOf(ty), v2),
+      "replay must re-decide under the current committed version")
+  }
+
   test("stream20: cross-modal gate composes stream09/stream12 legs exactly, replay") {
     import graft.operators.{Dedup, MultimodalStub}
     import spark.implicits._
