@@ -69,12 +69,15 @@ def main():
             # or was absent in the fresh run must not silently lose its
             # historical floor — that is exactly the "gate softens each
             # round" failure this merge exists to prevent (round-14
-            # ADVICE). A key for a since-removed query is harmless
-            # clutter: the gate only ever looks floors up by LIVE query
-            # id, so a stale entry is never consulted.
+            # ADVICE). Carried keys are restricted to the SHORT-id
+            # naming the gate actually looks up ('_'-free — rounds 1-7
+            # recorded full query names, which would otherwise union in
+            # as 40+ stale aliases of live queries and inflate the
+            # floor total); a short key for a since-removed query is
+            # harmless clutter, never consulted.
             if k in best:
                 best[k] = min(best[k], v)
-            else:
+            elif "_" not in k:
                 best[k] = v
                 carried.add(k)
     if carried:
