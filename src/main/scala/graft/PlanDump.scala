@@ -242,6 +242,8 @@ object PlanDump {
       || mm07 (8,4)/64-bit blocked candidates | 202 | 2,082 | 10.3x - LINEAR (round-12 row): candidates are the injected near-dup mass itself; the 70-keys-per-image blocking's accidental-collision term is negligible until the per-key birthday bound (~2^16 images per 32-bit key) |
       || sim19 navigable graph edges | 15,981 | 159,982 | 10.0x on 10x vectors - linear at fixed degree (KnnK local + 3 long-range per node; round-14 row) |
       || sim19 scored candidates, whole fixed query set | 1,165 | 1,234 | CONSTANT at 10x corpus - the graph-ANN read pattern made measurable: per query the search touches <= entry + rounds*beam*degree vectors however large the corpus grows (round-14 row) |
+      || sim20 whole sweep pool (all four trajectories summed) | 3,419 | 3,569 | CONSTANT at 10x corpus - the knob curve costs a fixed multiple of one search at any scale (round-15 row) |
+      || dedup13 rows=1 superset (second decade, through sweepSuperset) | 287,751 | 28,937,884 | ~100.6x at 10x docs - birthday-quadratic BY CONSTRUCTION, now MEASURED a second decade: the loose end of the S-curve is the price of asking for the whole curve, and the documented deployment points the sweep at a cur01 hash sample (round-15 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,

@@ -154,6 +154,7 @@ object SparkEntry {
     "cur16_substring_contamination" -> Curation.cur16SubstringContamination _,
     "cur17_contamination_scrub" -> Curation.cur17ContaminationScrub _,
     "cur18_corpus_build" -> Curation.cur18CorpusBuild _,
+    "cur19_leak_report" -> Curation.cur19LeakReport _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1044,6 +1045,44 @@ object SparkEntry {
                      AND db IN (SELECT doc_id FROM s2)),
          s3 AS (SELECT * FROM s2
                 WHERE doc_id NOT IN (SELECT doc_id FROM drop3))"""
+
+  /** cur19's oracle: the SAME window grammar (shared
+    * [[Cur16GrammarCtes]] block — the report cannot use a different
+    * chunking than the scrub), transposed to the held-out axis: held
+    * windows carry their doc + position, train windows deduplicate to
+    * (train_id, s), the hash-keyed join becomes a string join, and
+    * the per-held aggregates + top-offender ranking replay verbatim.
+    */
+  private val Cur19OracleSql: String =
+    s"""WITH $Cur16GrammarCtes,
+         hw AS (SELECT doc_id AS held_id, pos, s FROM w WHERE source = 'src0'),
+         tw AS (SELECT DISTINCT doc_id AS train_id, s FROM w
+                WHERE source <> 'src0'),
+         pr AS (SELECT hw.held_id, hw.pos, hw.s, tw.train_id
+                FROM hw JOIN tw USING (s)),
+         per AS (SELECT held_id,
+             CAST(count(DISTINCT pos) AS BIGINT) AS n_leaked,
+             CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs
+           FROM pr GROUP BY held_id),
+         sh AS (SELECT held_id, train_id,
+             CAST(count(DISTINCT s) AS BIGINT) AS shared
+           FROM pr GROUP BY held_id, train_id),
+         tp AS (SELECT held_id, train_id AS top_train_id,
+             shared AS top_shared
+           FROM (SELECT *, row_number() OVER (PARTITION BY held_id
+               ORDER BY shared DESC, train_id) AS rk FROM sh)
+           WHERE rk = 1),
+         tot AS (SELECT doc_id AS held_id, count(*) AS n_windows
+           FROM w WHERE source = 'src0' GROUP BY doc_id)
+         SELECT t.held_id, t.n_windows,
+           coalesce(per.n_leaked, 0) AS n_leaked,
+           coalesce(per.n_train_docs, 0) AS n_train_docs,
+           coalesce(tp.top_train_id, -1) AS top_train_id,
+           coalesce(tp.top_shared, 0) AS top_shared
+         FROM tot t
+         LEFT JOIN per USING (held_id)
+         LEFT JOIN tp USING (held_id)
+         ORDER BY t.held_id"""
 
   /** cur18's oracle: the shared funnel CTEs, then the text20
     * boilerplate stage replayed on chunk STRINGS (text20's oracle
@@ -2096,6 +2135,7 @@ object SparkEntry {
     "cur16_substring_contamination" -> Cur16OracleSql,
     "cur17_contamination_scrub" -> Cur17OracleSql,
     "cur18_corpus_build" -> Cur18OracleSql,
+    "cur19_leak_report" -> Cur19OracleSql,
     "dedup11_incremental" ->
       // The split, the fingerprint leg, and the exact pairwise near leg
       // replayed in full (no LSH — a Spark-side recall miss would

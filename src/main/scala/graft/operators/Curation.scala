@@ -883,6 +883,58 @@ object Curation {
       .orderBy("source")
   }
 
+  /** cur19: contamination LEAK REPORT by BENCHMARK doc — the reverse
+    * axis of cur16: cur16/17 answer "which TRAINING docs carry eval
+    * text, and what do we scrub"; the eval-set OWNER asks the
+    * transposed question — "which of MY benchmark documents leaked
+    * into the corpus, how much of each is compromised, and who is the
+    * worst offender?" — the audit behind every "benchmark X is n%
+    * contaminated in corpus Y" report (Lee et al. 2022 §6's analysis
+    * axis). Per held-out document: its total window count, the number
+    * of its OWN window positions found verbatim anywhere in training
+    * (the coverage numerator — n_leaked/n_windows IS the doc's
+    * compromised fraction), the count of distinct offending training
+    * docs, and the top offender (most shared distinct windows,
+    * min-id tiebreak). Clean benchmark docs report zeros — absence of
+    * evidence is part of the audit.
+    *
+    * Composition: BOTH sides read the ONE pinned cur16 window frame
+    * (zero new tokenize — the grammar literally cannot drift from the
+    * scrub's); the cross-split join is hash-keyed (8-byte windows,
+    * never strings — dedup08's posture) and its output is
+    * contamination-sized (leaked pairs only), so the per-held
+    * aggregates and the top-offender window run on a tiny frame. At
+    * 100 TB the held side is the small curated side by construction
+    * and the train window stream is the same scan cur16 already pays.
+    */
+  def cur19LeakReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Dedup.cur16WindowRows(spark, dir)
+    val held = w.filter(col("source") === "src0")
+      .select(col("doc_id").as("held_id"), col("pos"), col("h"))
+    val trainH = w.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("h")).distinct()
+    val pairs = held.join(trainH, Seq("h"))
+    val per = pairs.groupBy("held_id").agg(
+      countDistinct(col("pos")).as("n_leaked"),
+      countDistinct(col("train_id")).as("n_train_docs"))
+    val wTop = Window.partitionBy("held_id")
+      .orderBy(col("shared").desc, col("train_id"))
+    val top = pairs.groupBy("held_id", "train_id")
+      .agg(countDistinct(col("h")).as("shared"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .select(col("held_id"), col("train_id").as("top_train_id"),
+        col("shared").as("top_shared"))
+    held.groupBy("held_id").agg(count(lit(1)).as("n_windows"))
+      .join(broadcast(per), Seq("held_id"), "left")
+      .join(broadcast(top), Seq("held_id"), "left")
+      .select(col("held_id"), col("n_windows"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("top_train_id"), lit(-1L)).as("top_train_id"),
+        coalesce(col("top_shared"), lit(0L)).as("top_shared"))
+      .orderBy("held_id")
+  }
+
   /** cur18's decontamination window stream: cur16's grammar run over
     * the POST-BOILERPLATE corpus (the round-15 composition — template
     * mass must come out BEFORE decontamination, so the held-out probe

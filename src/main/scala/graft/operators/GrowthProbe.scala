@@ -240,6 +240,16 @@ object GrowthProbe {
     p("sim19_graph_edges", Similarity.knnGraphEdges(spark, dir).count())
     p("sim19_scored_candidates",
       Similarity.sim19VisitedPool(spark, dir).count())
+    // sim20's whole read set — the SUM of all four trajectories'
+    // visited pools, counted through the sweep's own one-loop search:
+    // constant at any corpus size by sim19's argument, per config.
+    p("sim20_sweep_pool", Similarity.sim20Pools(spark, dir).count())
+    // dedup13's signature attach moved to the measured broadcast/
+    // shuffle dispatch this round; the superset pair column (the
+    // operator's one large intermediate) flows through the SAME
+    // sweepSuperset join either way — counted here so the PLANS table
+    // is measured through the shipping code path, not remembered.
+    p("dedup13_superset_pairs", Dedup.sweepSuperset(spark, dir).count())
   }
 
   /** The LINEAR-claim subset of [[measure]], for the third decade —

@@ -1292,7 +1292,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(cosineSim(col("qv"), col("v")), 4).as("cos"))
       .localCheckpoint(true)
-    for (_ <- 1 to GraphRounds) {
+    for (r <- 1 to GraphRounds) {
       val beam = topPer(visited, GraphBeam).select("q_id", "vec_id")
       // Frontier: the beam's unvisited graph neighbors (per query).
       val frontier = broadcast(beam)
@@ -1308,7 +1308,12 @@ object Similarity {
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(cosineSim(col("qv"), col("v")), 4).as("cos"))
-      visited = visited.unionByName(scored).localCheckpoint(true)
+      // The final round's pool is consumed ONCE downstream — the
+      // 3-references blowup only exists while a NEXT round re-reads
+      // the pool, so the last materialization is pure waste (one
+      // whole job at this frame's scheduling-bound size).
+      visited = visited.unionByName(scored)
+      if (r < GraphRounds) visited = visited.localCheckpoint(true)
     }
     visited
   }
@@ -1427,7 +1432,10 @@ object Similarity {
         .select(col("entries"), col("beam"), col("q_id"), col("vec_id"),
           round(cosineSim(col("qv"), col("v")), 4).as("cos"))
         .withColumn("er", lit(r))
-      visited = visited.unionByName(scored).localCheckpoint(true)
+      // Last round: consumed once downstream — skip the checkpoint
+      // (sim19's argument; one whole scheduling-bound job saved).
+      visited = visited.unionByName(scored)
+      if (r < GraphRounds) visited = visited.localCheckpoint(true)
     }
     visited
   }

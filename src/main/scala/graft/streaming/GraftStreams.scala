@@ -888,6 +888,31 @@ object GraftStreams {
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
   }
 
+  /** One arriving encoded AUDIO clip on the stream22 ingest stream. */
+  case class AudioArrival(clip_id: Long, media: Array[Byte])
+
+  /** stream22: streaming AUDIO ingest — mm10/mm11's streaming twin,
+    * closing the modality × streaming matrix (images: stream12, video:
+    * stream14, audio: here): each micro-batch of arriving encoded
+    * clips is decoded on executors through the SAME windowed seam as
+    * batch mm11 ([[graft.operators.Multimodal.audioWindowMeta]] — the
+    * gate cannot decode or featurize differently than the batch
+    * operator), and the per-window signal profile lands under
+    * `batch_id=N`. stream09's contracts verbatim: per-arrival
+    * independent (a clip's windows depend only on its own bytes) ⇒
+    * re-batching-invariant; per-partition overwrite ⇒ idempotent
+    * replay; ZERO streaming state — unlike stream14's video extractor
+    * there is no cross-batch frame to compare against, because a clip
+    * arrives WHOLE and its windows tile it deterministically.
+    * Undecodable media throws (the decodeImage posture) — the etl20
+    * quarantine pattern composes in front when a crawl feed is dirty.
+    */
+  def landAudioBatch(
+      batch: DataFrame, outDir: String, batchId: Long): Unit =
+    graft.operators.Multimodal.audioWindowMeta(batch,
+        graft.operators.Multimodal.Mm10WindowSamples)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** One arriving PAGE (document text + its encoded image) on the
     * stream20 cross-modal ingest stream.
     */

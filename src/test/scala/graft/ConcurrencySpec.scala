@@ -84,6 +84,8 @@ class ConcurrencySpec extends SparkSpec {
       // dedup03's verified-pair cache — the composed build exercises
       // three registry build-once paths at once.
       "cur18_corpus_build",
+      // cur19 races the cur16.windowHashes pin from the transposed axis.
+      "cur19_leak_report",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own

@@ -474,6 +474,55 @@ class CurationTextSpec extends SparkSpec {
       "A and F scrub to zero and drop; C, D, E5 survive")
   }
 
+  test("cur19 leak report: transposed axis agrees with cur16; top offender exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.cur19LeakReport(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    // Every held doc reports; coverage is a fraction; evidence columns
+    // are jointly present or jointly absent.
+    rows.foreach { case (id, (nw, leaked, nTrain, topId, topSh)) =>
+      assert(nw > 0 && leaked <= nw, s"held $id: coverage bound")
+      assert((leaked > 0) == (nTrain > 0) && (nTrain > 0) == (topId >= 0) &&
+        (topId >= 0) == (topSh > 0), s"held $id: evidence must be coherent")
+    }
+    // Transpose-consistency: cur16 flags ≥1 contaminated train span
+    // IFF ≥1 held doc reports a leak (the two reports read the SAME
+    // window frame from opposite axes).
+    val cur16Docs = Curation.cur16SubstringContamination(spark, sf)
+      .select("doc_id").distinct().count()
+    assert((cur16Docs > 0) == rows.values.exists(_._2 > 0),
+      "the two contamination axes must agree on whether leaks exist")
+    // The fixture corpus genuinely exercises both arms.
+    assert(rows.values.exists(_._2 > 0) && rows.values.exists(_._2 == 0),
+      "fixture must contain leaked AND clean benchmark docs")
+    // Hand corpus: held H leaks into T1 (1 window) and T2 (6 windows —
+    // the offender); held H2 is clean.
+    import spark.implicits._
+    def toks(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i")
+    val hand = Seq(
+      (100L, "src0", toks("c", 1, 20).mkString(" ")),
+      (101L, "src0", toks("z", 1, 20).mkString(" ")),
+      (1L, "srcA", (toks("a", 1, 5) ++ toks("c", 1, 15)).mkString(" ")),
+      (2L, "srcA", toks("c", 1, 20).mkString(" ")),
+      (3L, "srcA", toks("u", 1, 30).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val w = graft.operators.Dedup.strideWindowRows(hand, carry = Seq("source"))
+    val held = w.filter(col("source") === "src0")
+      .select(col("doc_id").as("held_id"), col("pos"), col("h"))
+    val trainH = w.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("h")).distinct()
+    val pairs = held.join(trainH, Seq("h"))
+      .select("held_id", "pos", "train_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // Doc 1 contains c1..c15 = H's window at pos 0 only; doc 2 is H
+    // verbatim = all 6 windows; H2 shares nothing.
+    assert(pairs.count(p => p._1 == 100L && p._3 == 1L) == 1)
+    assert(pairs.count(p => p._1 == 100L && p._3 == 2L) == 6)
+    assert(!pairs.exists(_._1 == 101L))
+  }
+
   test("cur18 funnel stage counts equal cur06's (one shared definition)") {
     val c18 = Curation.cur18CorpusBuild(spark, sf).collect()
       .map(r => r.getString(0) -> (1 to 4).map(r.getLong(_))).toMap

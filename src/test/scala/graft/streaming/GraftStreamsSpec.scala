@@ -1112,6 +1112,52 @@ class GraftStreamsSpec extends SparkSpec {
       "replay must re-decide under the current committed version")
   }
 
+  test("stream22: streamed audio windows equal batch mm11, re-batching-invariant, replay") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream22_${System.nanoTime()}"
+    // Arrivals: the REAL staged WAV corpus (mm10's landing dir), so the
+    // equality below covers encode → bytes-on-stream → windowed decode
+    // → features against the oracled batch operator.
+    val arrivals = Multimodal.mm10Files(spark, sf).collect()
+      .map(r => GraftStreams.AudioArrival(r.getLong(0),
+        r.getAs[Array[Byte]]("media")))
+      .sortBy(_.clip_id)
+    assert(arrivals.length == Multimodal.Mm10Clips)
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.AudioArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landAudioBatch(b.toDF(), outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("clip_id", "window_idx", "n_samples", "rms", "checksum",
+        "zero_crossings").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val got = landed()
+    val batch = Multimodal.mm11AudioWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == batch,
+      "streamed windowed decode diverges from the oracled batch mm11")
+    // Replay micro-batch 0: partition overwrite lands identical rows.
+    GraftStreams.landAudioBatch(
+      first.toSeq.toDF("clip_id", "media"), outDir, 0L)
+    assert(landed() == batch, "replay must be a no-op")
+  }
+
   test("stream20: cross-modal gate composes stream09/stream12 legs exactly, replay") {
     import graft.operators.{Dedup, MultimodalStub}
     import spark.implicits._
