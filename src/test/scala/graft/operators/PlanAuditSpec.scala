@@ -195,6 +195,22 @@ class PlanAuditSpec extends SparkSpec {
       "the shared funnel/window-hash pins must feed the stages")
   }
 
+  test("cur19: cross-split join is hash-keyed; evidence joins back broadcast") {
+    // The held×train join must ride the 8-byte window hash `h` (never
+    // doc_id, never strings) — the same posture as cur16's semi-join,
+    // with train_id carried. The per-held evidence frames are
+    // contamination-sized and join back as broadcasts.
+    val plan = finalPlan(Curation.cur19LeakReport(spark, sf))
+    assert(!plan.contains("SortMergeJoin [doc_id") &&
+      !plan.contains("ShuffledHashJoin [doc_id") &&
+      !plan.contains("SortMergeJoin [held_id") &&
+      !plan.contains("ShuffledHashJoin [held_id"),
+      s"cross-split join must key on h, not ids:\n${plan.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "per-held evidence must join back broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("sim18: post-swap assignment is pure scan-stage — zero joins in the plan") {
     // The codebook is a driver-side literal (read back from the store),
     // so assignment is the literal-argmax scan stage and the only
