@@ -155,6 +155,8 @@ object SparkEntry {
     "cur17_contamination_scrub" -> Curation.cur17ContaminationScrub _,
     "cur18_corpus_build" -> Curation.cur18CorpusBuild _,
     "cur19_leak_report" -> Curation.cur19LeakReport _,
+    "cur20_sequence_sink" -> Curation.cur20SequenceSink _,
+    "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1103,12 +1105,16 @@ object SparkEntry {
     * Cur18CtxTokens POST-BOTH-SCRUBS tokens. Every count is integer
     * end to end.
     */
-  private val Cur18OracleSql: String = {
-    val ctx = graft.operators.Curation.Cur18CtxTokens
+  /** The shared funnel CTE chain through the per-doc sampled+split
+    * frame (`spl`) — ONE SQL definition of stages 1–6 for the cur18
+    * report and cur20's emitted-manifest audit, mirroring the shared
+    * `funnelInputs → funnelScrubbed → funnelSplit` Scala seam.
+    */
+  private lazy val Cur18SplCtes: String = {
     val bk = graft.operators.Dedup.ParagraphTokens
     val minDocs = graft.operators.TextAnalysis.BoilerplateMinDocs
     val wk = graft.operators.Dedup.SubstringWindow
-    s"""WITH $CurFunnelCtes,
+    s"""$CurFunnelCtes,
          $Cur16GrammarCtes,
          ch AS (SELECT doc_id, CAST(u.i AS INTEGER) AS idx,
              array_to_string(t[CAST(u.i*$bk+1 AS BIGINT):CAST(u.i*$bk+$bk AS BIGINT)], ' ') AS s
@@ -1170,7 +1176,12 @@ object SparkEntry {
              CASE WHEN substr(md5('cur18:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
                   WHEN substr(md5('cur18:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
                   ELSE 'test' END AS split
-           FROM smp),
+           FROM smp)"""
+  }
+
+  private val Cur18OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    s"""WITH $Cur18SplCtes,
          pk AS (SELECT source, post_toks,
              sum(post_toks) OVER (PARTITION BY source
                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
@@ -1216,6 +1227,73 @@ object SparkEntry {
          LEFT JOIN sm18 sm USING (source)
          LEFT JOIN pka p USING (source)
          ORDER BY b.source"""
+  }
+
+  /** Generated DuckDB replay of cur20's emitted-manifest audit: the
+    * SAME funnel CTEs through the sampled+split frame, then cur09's
+    * window-cumsum packing positions per train doc and the
+    * (source, shard) rollup. The Spark side computes this FROM THE
+    * EMITTED FILES, so the match proves the partitioned
+    * write→read-back round-trip lossless (etl10's discipline) on top
+    * of the funnel replay.
+    */
+  private val Cur20OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    val sps = graft.operators.Curation.Cur20SeqsPerShard
+    s"""WITH $Cur18SplCtes,
+         pk20 AS (SELECT source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'),
+         ps20 AS (SELECT source, post_toks,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
+           FROM pk20)
+         SELECT source,
+           CAST(seq_first // $sps AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(post_toks) AS BIGINT) AS shard_toks,
+           CAST(min(seq_first) AS BIGINT) AS seq_lo,
+           CAST(max(seq_last) AS BIGINT) AS seq_hi,
+           CAST(sum(CASE WHEN seq_last // $sps > seq_first // $sps
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+         FROM ps20
+         GROUP BY source, shard
+         ORDER BY source, shard"""
+  }
+
+  /** Generated DuckDB replay of cur21's sort-free budget: the same
+    * 256-bucket histogram over the md5 prefix, the bucket-prefix cut
+    * as a window over the histogram (≤256 rows per source), and the
+    * half-up integer utilization — budget interpolated from the
+    * operator's constant (the etl27 discipline).
+    */
+  private val Cur21OracleSql: String = {
+    val b = graft.operators.Curation.SourceCharBudget
+    s"""WITH d21 AS (SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS INT) AS bucket
+           FROM documents),
+         h21 AS (SELECT source, bucket, CAST(sum(n_chars) AS BIGINT) AS bchars
+           FROM d21 GROUP BY source, bucket),
+         c21 AS (SELECT source, bucket,
+             sum(bchars) OVER (PARTITION BY source ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h21),
+         cut21 AS (SELECT source, max(bucket) AS bucket_cut FROM c21
+           WHERE cum <= $b GROUP BY source)
+         SELECT d.source,
+           CAST(coalesce(c.bucket_cut, -1) AS INT) AS bucket_cut,
+           CAST(sum(CASE WHEN d.bucket <= coalesce(c.bucket_cut, -1)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN d.bucket <= coalesce(c.bucket_cut, -1)
+               THEN n_chars END), 0) AS BIGINT) AS chars_kept,
+           CAST((2*10000*(coalesce(sum(CASE WHEN d.bucket <= coalesce(c.bucket_cut, -1)
+               THEN n_chars END), 0)) + $b) // (2*$b) AS BIGINT) / 10000.0
+             AS utilization
+         FROM d21 d LEFT JOIN cut21 c ON d.source = c.source
+         GROUP BY d.source, c.bucket_cut
+         ORDER BY d.source"""
   }
 
   /** Generated DuckDB replay of dedup13's LSH sweep — the ENTIRE curve,
@@ -2136,6 +2214,8 @@ object SparkEntry {
     "cur17_contamination_scrub" -> Cur17OracleSql,
     "cur18_corpus_build" -> Cur18OracleSql,
     "cur19_leak_report" -> Cur19OracleSql,
+    "cur20_sequence_sink" -> Cur20OracleSql,
+    "cur21_histogram_budget" -> Cur21OracleSql,
     "dedup11_incremental" ->
       // The split, the fingerprint leg, and the exact pairwise near leg
       // replayed in full (no LSH — a Spark-side recall miss would

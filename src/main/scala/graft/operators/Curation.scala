@@ -284,6 +284,52 @@ object Curation {
       .orderBy("source")
   }
 
+  /** cur21: SORT-FREE budgeted assembly — the refinement cur08's own
+    * doc paragraph prices: when approximate budgets suffice, the
+    * per-source window sort drops away. Docs bucket by the first two
+    * hex chars of the SAME md5 key cur08 orders by (256 buckets — a
+    * coarse prefix of the exact order), the per-(source, bucket) char
+    * histogram is ONE partial-aggregated groupBy (the only corpus-wide
+    * op), the cut is the largest bucket prefix whose cumulative chars
+    * fit the budget (a window over the ≤256-row histogram — dim-sized,
+    * etl03's contract, never the corpus), and selection is a
+    * broadcast-joined per-row predicate. Sources where not even the
+    * first bucket fits report `bucket_cut = -1` and keep nothing.
+    *
+    * The trade, exactly priced: the kept set is a PREFIX of cur08's
+    * exact kept set truncated at a bucket boundary (same hash, coarser
+    * granularity), so `chars_kept(cur21) ≤ chars_kept(cur08) ≤ budget`
+    * with undershoot bounded by one bucket's mass — ~1/256 of a
+    * source under the uniform hash. Spec-pinned against cur08
+    * side-by-side; the exact window form IS this operator's oracle of
+    * record for the protocol. At 100 TB: histogram rows = sources ×
+    * 256 regardless of corpus size; no corpus sort anywhere.
+    */
+  def cur21HistogramBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int").as("bucket"))
+    val wb = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = docs.groupBy("source", "bucket")
+      .agg(sum("n_chars").as("bchars"))
+      .withColumn("cum", sum("bchars").over(wb))
+      .filter(col("cum") <= SourceCharBudget)
+      .groupBy("source")
+      .agg(max("bucket").as("bucket_cut"))
+    val keep = col("bucket") <= col("bc")
+    docs.join(broadcast(cuts), Seq("source"), "left")
+      .withColumn("bc", coalesce(col("bucket_cut"), lit(-1)))
+      .groupBy("source")
+      .agg(first("bc").as("bucket_cut"),
+        sum(keep.cast("long")).as("n_kept"),
+        coalesce(sum(when(keep, col("n_chars"))), lit(0L)).as("chars_kept"),
+        intRatio(coalesce(sum(when(keep, col("n_chars"))), lit(0L)),
+          lit(SourceCharBudget), 4).as("utilization"))
+      .orderBy("source")
+  }
+
   /** Context window for cur09's packing, in characters — the proxy the
     * synthetic corpus supports; a deployment swaps in a token count
     * (text08's BPE counter) without changing the protocol.
@@ -1056,22 +1102,12 @@ object Curation {
     * corpus-sized shuffle joins, broadcast evidence marks throughout.
     */
   def cur18CorpusBuild(spark: SparkSession, dir: String): DataFrame = {
-    val flagged = cur06Flagged(spark, dir)
-    val dropNd = nearDupDrops(spark, dir, flagged)
-    val marked = flagged
-      .join(broadcast(dropNd.withColumn("nd_drop", lit(true))), Seq("doc_id"), "left")
-      .withColumn("surv",
-        col("is_keeper") && !coalesce(col("nd_drop"), lit(false)))
+    val (marked, boilerRm, spans) = funnelInputs(spark, dir)
     val base = marked.groupBy("source").agg(
       count(lit(1)).as("n_input"),
       sum(col("q_keep").cast("long")).as("n_quality"),
       sum(col("is_keeper").cast("long")).as("n_exact"),
       sum(col("surv").cast("long")).as("n_neardup"))
-    val scrub = TextAnalysis.corpusBoilerplateScrub(spark, dir)
-      .filter(col("source") =!= "src0")
-    val boilerRm = scrub.select(col("doc_id"),
-      (col("tokens_before") - col("tokens_after")).cast("long").as("brm"))
-    val spans = postBoilerSpans(spark, dir, scrub)
     val stages = buildFromSurvivors(
       marked.filter(col("surv")).select("doc_id", "source", "n_toks"),
       boilerRm, spans)
@@ -1086,38 +1122,56 @@ object Curation {
       .orderBy("source")
   }
 
-  /** Stages 3–7 of cur18 over any survivor frame (doc_id, source,
-    * n_toks) + the two scrub frames — separable so the spec can drive
-    * hand-built corpora and pin the stage-interplay laws (packing sees
-    * post-BOTH-scrubs counts; the salted split is
-    * threshold-independent) directly. `boilerRm` = per affected doc
-    * the template tokens removed (raw coordinates); `spans` = the
-    * contamination spans in POST-BOILER coordinates — sequential
-    * coordinate systems, so the subtraction is disjoint by
-    * construction (see [[postBoilerSpans]]).
+  /** The funnel's shared per-doc inputs, ONE assembly for
+    * cur18/cur20: `marked` = [[cur06Flagged]] with the near-dup drop
+    * verdict (`surv` = survived stages 1–2), `boilerRm` = per
+    * boilerplate-affected doc the template tokens removed (raw
+    * coordinates), `spans` = contamination spans in POST-BOILER
+    * coordinates ([[postBoilerSpans]]).
     */
-  private[graft] def buildFromSurvivors(
+  private[graft] def funnelInputs(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val flagged = cur06Flagged(spark, dir)
+    val dropNd = nearDupDrops(spark, dir, flagged)
+    val marked = flagged
+      .join(broadcast(dropNd.withColumn("nd_drop", lit(true))), Seq("doc_id"), "left")
+      .withColumn("surv",
+        col("is_keeper") && !coalesce(col("nd_drop"), lit(false)))
+    val scrub = TextAnalysis.corpusBoilerplateScrub(spark, dir)
+      .filter(col("source") =!= "src0")
+    val boilerRm = scrub.select(col("doc_id"),
+      (col("tokens_before") - col("tokens_after")).cast("long").as("brm"))
+    val spans = postBoilerSpans(spark, dir, scrub)
+    (marked, boilerRm, spans)
+  }
+
+  /** Stages 3–4 per doc: both scrub subtractions joined back BROADCAST
+    * onto the survivor frame. Spans are maximal and disjoint by cur16's
+    * island-merge construction, so Σ(end−start+1) IS the removed-token
+    * count (cur17's contract) — counted in post-boiler tokens, which
+    * the boilerplate stage by definition left in place.
+    */
+  private[graft] def funnelScrubbed(
       surv: DataFrame, boilerRm: DataFrame, spans: DataFrame): DataFrame = {
-    // Spans are maximal and disjoint by cur16's island-merge
-    // construction, so Σ(end−start+1) IS the removed-token count
-    // (cur17's contract) — counted in post-boiler tokens, which the
-    // boilerplate stage by definition left in place.
     val perDoc = spans.groupBy("doc_id")
       .agg(sum(col("end_pos") - col("start_pos") + 1).as("rm"))
-    val scrubbed = surv
+    surv
       .join(broadcast(boilerRm), Seq("doc_id"), "left")
       .join(broadcast(perDoc), Seq("doc_id"), "left")
       .withColumn("brm", coalesce(col("brm"), lit(0L)))
       .withColumn("rm", coalesce(col("rm"), lit(0L)))
       .withColumn("post_toks", col("n_toks") - col("brm") - col("rm"))
-    val scrubAgg = scrubbed.groupBy("source").agg(
-      sum((col("brm") > 0).cast("long")).as("n_boiler"),
-      sum("brm").as("boiler_toks"),
-      sum((col("rm") > 0).cast("long")).as("n_contam"),
-      sum("rm").as("toks_removed"),
-      sum((col("post_toks") > 0).cast("long")).as("n_clean"))
+  }
+
+  /** Stages 5–6 per doc over the scrubbed frame: clean filter, cur07's
+    * integer-threshold stratified sample, cur11's hex split over a
+    * SALTED key — the sampler keeps exactly the docs whose UNSALTED
+    * md5 prefix sorts below thr, so splitting on the same hash would
+    * starve val/test whenever a rate < 90% binds. Independent
+    * decisions hash independent keys.
+    */
+  private[graft] def funnelSplit(scrubbed: DataFrame): DataFrame = {
     val clean = scrubbed.filter(col("post_toks") > 0)
-    // cur07's integer threshold protocol, over the CLEAN survivor mix.
     val w = Window.partitionBy()
     val rates = clean.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("thr_raw",
@@ -1128,15 +1182,32 @@ object Curation {
     val sampled = clean.join(broadcast(rates), Seq("source"))
       .filter(col("thr_raw") >= 65536L ||
         substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
-    // cur11's hex ranges over a SALTED key: the sampler above keeps
-    // exactly the docs whose UNSALTED md5 prefix sorts below thr, so
-    // splitting on the same hash would starve val/test whenever a
-    // rate < 90% binds. Independent decisions hash independent keys.
     val hkSplit =
       substring(md5(concat(lit("cur18:"), col("doc_id").cast("string"))), 1, 4)
-    val split = sampled.withColumn("split",
+    sampled.withColumn("split",
       when(hkSplit < "e666", "train").when(hkSplit < "f333", "val")
         .otherwise("test"))
+  }
+
+  /** Stages 3–7 of cur18 over any survivor frame (doc_id, source,
+    * n_toks) + the two scrub frames — separable so the spec can drive
+    * hand-built corpora and pin the stage-interplay laws (packing sees
+    * post-BOTH-scrubs counts; the salted split is
+    * threshold-independent) directly. Composed from the per-doc stage
+    * functions ([[funnelScrubbed]] → [[funnelSplit]] →
+    * [[sequencePackPositions]]) that cur20's emit leg shares — the
+    * report and the emitted corpus cannot disagree.
+    */
+  private[graft] def buildFromSurvivors(
+      surv: DataFrame, boilerRm: DataFrame, spans: DataFrame): DataFrame = {
+    val scrubbed = funnelScrubbed(surv, boilerRm, spans)
+    val scrubAgg = scrubbed.groupBy("source").agg(
+      sum((col("brm") > 0).cast("long")).as("n_boiler"),
+      sum("brm").as("boiler_toks"),
+      sum((col("rm") > 0).cast("long")).as("n_contam"),
+      sum("rm").as("toks_removed"),
+      sum((col("post_toks") > 0).cast("long")).as("n_clean"))
+    val split = funnelSplit(scrubbed)
     val sampAgg = split.groupBy("source").agg(
       count(lit(1)).as("n_sampled"),
       sum((col("split") === "train").cast("long")).as("n_train"),
@@ -1144,24 +1215,103 @@ object Curation {
       sum((col("split") === "test").cast("long")).as("n_test"))
     // cur09's concat-and-chunk over the train split, cut by POST-SCRUB
     // token count — the packing stage must size sequences by what the
-    // scrub left, not by raw document lengths.
+    // scrub left, not by raw document lengths. ONE boundary-math
+    // definition: the same [[sequencePackPositions]] cur09 aggregates
+    // and stream19's cursor replays.
     val k = lit(Cur18CtxTokens)
-    val wp = Window.partitionBy("source")
-      .orderBy(col("hk"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = split.filter(col("split") === "train")
-      .withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
-      .withColumn("cum_end", sum("post_toks").over(wp))
+    val packed = sequencePackPositions(
+        split.filter(col("split") === "train")
+          .select(col("doc_id"), col("source"),
+            col("post_toks").as("n_chars")),
+        Cur18CtxTokens)
       .groupBy("source")
       .agg(
-        sum("post_toks").as("train_toks"),
+        sum("n_chars").as("train_toks"),
         floor((max("cum_end") + (Cur18CtxTokens - 1)) / k).as("n_sequences"),
-        sum((floor((col("cum_end") - 1) / k) >
-          floor((col("cum_end") - col("post_toks")) / k)).cast("long"))
+        sum((col("seq_last") > col("seq_first")).cast("long"))
           .as("n_split_docs"))
     scrubAgg
       .join(sampAgg, Seq("source"), "left")
       .join(packed, Seq("source"), "left")
+  }
+
+  /** Sequences per emitted shard partition for cur20. Small on
+    * purpose: the sf0.01 corpus then emits 2–3 shards per source, so
+    * the shard math (floor grouping, boundary straddle) is genuinely
+    * exercised at every SF. A production build sizes this so a shard
+    * is one trainer-friendly file (e.g. 8k sequences ≈ 1M tokens at
+    * ctx 128).
+    */
+  val Cur20SeqsPerShard = 4L
+
+  /** cur18's TRAIN-split packing MANIFEST, one row per document: the
+    * doc's post-both-scrubs token count, its sequence span
+    * (`seq_first`..`seq_last`), its start offset within `seq_first`,
+    * and the shard (`seq_first / [[Cur20SeqsPerShard]]`) it is
+    * emitted under. This is the late-materialization deliverable of a
+    * packing stage: a loader reconstructs any sequence exactly by
+    * gathering the manifest rows whose span covers it and slicing each
+    * doc's token stream at the recorded offsets — without ever
+    * re-running the funnel. Composed from the SAME per-doc stage
+    * functions cur18's report aggregates ([[funnelInputs]] →
+    * [[funnelScrubbed]] → [[funnelSplit]] →
+    * [[sequencePackPositions]]), so the report and the emitted corpus
+    * cannot disagree.
+    */
+  private[graft] def cur18TrainManifest(
+      spark: SparkSession, dir: String): DataFrame = {
+    val (marked, boilerRm, spans) = funnelInputs(spark, dir)
+    val split = funnelSplit(funnelScrubbed(
+      marked.filter(col("surv")).select("doc_id", "source", "n_toks"),
+      boilerRm, spans))
+    sequencePackPositions(
+        split.filter(col("split") === "train")
+          .select(col("doc_id"), col("source"),
+            col("post_toks").as("n_chars")),
+        Cur18CtxTokens)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").as("post_toks"),
+        col("seq_first"), col("seq_last"),
+        ((col("cum_end") - col("n_chars")) % Cur18CtxTokens).as("off_first"),
+        floor(col("seq_first") / Cur20SeqsPerShard).as("shard"))
+  }
+
+  /** cur20: the corpus-build EMIT leg — cur18 reports the funnel;
+    * cur20 makes it produce its deliverable. The train manifest
+    * ([[cur18TrainManifest]]) is WRITTEN hive-partitioned by
+    * `(source, shard)` (etl10's layout: a trainer reading shard s of
+    * one source prunes to that directory; the straddling tail of a
+    * doc that started in an earlier shard is found via that shard's
+    * flagged straddle rows — bounded by ⌈max_doc/ctx⌉ shards back),
+    * then READ BACK and audited per (source, shard): docs, tokens,
+    * covered sequence range, straddle count. The audit is computed
+    * FROM THE EMITTED FILES, so the oracle match proves the
+    * write→read round-trip lossless (etl10/etl21's discipline), and
+    * the straddle flag is re-derived from emitted columns — the
+    * manifest carries enough for the loader contract.
+    *
+    * Scale: the write is a partitioned append of a train-split-sized
+    * thin frame (7 small columns — the corpus text never moves); the
+    * packing window is cur09's per-source sort, already priced in
+    * cur18. Same self-overwrite caveat as etl24: one output dir per
+    * (tmpdir, dir), so cur20 must not race itself.
+    */
+  def cur20SequenceSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    cur18TrainManifest(spark, dir)
+      .write.mode("overwrite")
+      .partitionBy("source", "shard").parquet(out)
+    val s = lit(Cur20SeqsPerShard)
+    spark.read.parquet(out)
+      .groupBy(col("source"), col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("post_toks").as("shard_toks"),
+        min("seq_first").as("seq_lo"),
+        max("seq_last").as("seq_hi"),
+        sum((floor(col("seq_last") / s) > floor(col("seq_first") / s))
+          .cast("long")).as("n_straddle"))
+      .orderBy("source", "shard")
   }
 
   /** stream18's decision core — cur18's funnel on the INGEST cadence,

@@ -86,6 +86,13 @@ class ConcurrencySpec extends SparkSpec {
       "cur18_corpus_build",
       // cur19 races the cur16.windowHashes pin from the transposed axis.
       "cur19_leak_report",
+      // cur20 re-runs the whole funnel pin set (cur06.flagged, cur16
+      // window hashes, text20.scrub, dedup03's verified pairs) against
+      // cur18's identical reads, plus a partitioned write mid-mix
+      // (one instance only — cur20 must not race ITSELF, etl24's
+      // documented caveat).
+      "cur20_sequence_sink",
+      "cur21_histogram_budget",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own

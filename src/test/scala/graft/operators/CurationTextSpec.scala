@@ -544,6 +544,120 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur20 emitted shards tile the train split; coverage and straddle laws hold") {
+    val audit = Curation.cur20SequenceSink(spark, sf).collect()
+    val report = Curation.cur18CorpusBuild(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_train"),
+        r.getAs[Long]("train_toks"), r.getAs[Long]("n_sequences"))).toMap
+    assert(audit.nonEmpty)
+    val bySrc = audit.groupBy(_.getString(0))
+    // Every source with train docs emits shards, and only those.
+    assert(bySrc.keySet == report.filter(_._2._1 > 0).keySet)
+    bySrc.foreach { case (src, rows) =>
+      val (nTrain, trainToks, nSeq) = report(src)
+      // The shards tile the train split exactly — no doc lost or
+      // double-emitted by the partitioned write.
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == nTrain, src)
+      assert(rows.map(_.getAs[Long]("shard_toks")).sum == trainToks, src)
+      // The emitted spans cover exactly sequences 0..n_sequences-1.
+      assert(rows.map(_.getAs[Long]("seq_lo")).min == 0L, src)
+      assert(rows.map(_.getAs[Long]("seq_hi")).max == nSeq - 1, src)
+      // Shard ids are the floor grouping of the covered range.
+      rows.foreach { r =>
+        val shard = r.getAs[Long]("shard")
+        assert(r.getAs[Long]("seq_lo") / Curation.Cur20SeqsPerShard == shard,
+          s"$src shard $shard")
+      }
+    }
+    // Straddle law, independently from the manifest: a doc straddles
+    // iff its sequence span crosses a shard boundary.
+    val man = Curation.cur18TrainManifest(spark, sf).collect()
+    val sps = Curation.Cur20SeqsPerShard
+    val expStraddle = man.groupBy(r => (r.getString(1), r.getAs[Long]("shard")))
+      .map { case (k, rs) => k -> rs.count(r =>
+        r.getAs[Long]("seq_last") / sps > r.getAs[Long]("seq_first") / sps).toLong }
+    audit.foreach { r =>
+      val k = (r.getString(0), r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_straddle") == expStraddle.getOrElse(k, 0L), k)
+    }
+  }
+
+  test("cur20 emit layout: hive partitions on disk; offsets reconstruct the concatenation") {
+    Curation.cur20SequenceSink(spark, sf).collect()
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val srcDirs = out.listFiles().filter(d =>
+      d.isDirectory && d.getName.startsWith("source="))
+    assert(srcDirs.nonEmpty, s"no source= partitions under $out")
+    srcDirs.foreach { d =>
+      assert(d.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("shard=")),
+        s"no shard= partitions under ${d.getName}")
+    }
+    // The loader contract: doc i starts at seq_first*ctx + off_first in
+    // its source's token stream; sorted by start, consecutive docs abut
+    // exactly (the manifest IS the concatenation, no gaps or overlaps),
+    // and seq_last re-derives from start + post_toks.
+    val ctx = Curation.Cur18CtxTokens
+    Curation.cur18TrainManifest(spark, sf).collect()
+      .groupBy(_.getString(1)).foreach { case (src, rows) =>
+        val spans = rows.map { r =>
+          val start = r.getAs[Long]("seq_first") * ctx + r.getAs[Long]("off_first")
+          val end = start + r.getAs[Long]("post_toks") - 1
+          assert(r.getAs[Long]("seq_last") == end / ctx, s"$src seq_last")
+          (start, end)
+        }.sortBy(_._1)
+        assert(spans.head._1 == 0L, s"$src must start at offset 0")
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) =>
+            assert(s2 == e1 + 1, s"$src gap/overlap at $s2")
+          case _ =>
+        }
+      }
+  }
+
+  test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
+    val rows = Curation.cur21HistogramBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => r.getString(0) ->
+      (r.getInt(1), r.getAs[Long]("n_kept"), r.getAs[Long]("chars_kept"))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val budget = Curation.SourceCharBudget
+    val bySrc = docs.groupBy(_._2)
+    assert(got.keySet == bySrc.keySet)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    bySrc.foreach { case (src, ds) =>
+      def bucket(id: Long) = Integer.parseInt(md5hex(id.toString).take(2), 16)
+      // Replay the whole protocol locally: histogram, cumulative cut,
+      // bucket-granular selection.
+      val hist = ds.groupBy(d => bucket(d._1))
+        .map { case (b, rows) => b -> rows.map(_._3).sum }
+      var cum = 0L; var cut = -1
+      hist.keys.toSeq.sorted.foreach { b =>
+        cum += hist(b); if (cum <= budget) cut = b
+      }
+      val kept = ds.filter(d => bucket(d._1) <= cut)
+      assert(got(src)._1 == cut, s"$src bucket_cut")
+      assert(got(src)._2 == kept.length, s"$src n_kept")
+      assert(got(src)._3 == kept.map(_._3).sum, s"$src chars_kept")
+      assert(kept.map(_._3).sum <= budget, s"$src budget respected")
+      // The trade priced: the approx kept set is a subset of cur08's
+      // exact greedy prefix (same hash order, bucket-truncated), so
+      // approx utilization can only undershoot the exact one.
+      val ordered = ds.sortBy(d => (md5hex(d._1.toString).take(8), d._1))(
+        Ordering.Tuple2(Ordering.String, Ordering.Long))
+      var c2 = 0L
+      val exactIds = ordered.takeWhile { d =>
+        c2 += d._3; c2 <= budget
+      }.map(_._1).toSet
+      assert(kept.map(_._1).toSet.subsetOf(exactIds), s"$src approx ⊄ exact")
+    }
+  }
+
   test("text10 repetition signals are fractions; dups agree doc-to-doc") {
     val rows = TextAnalysis.text10Repetition(spark, sf).collect()
     assert(rows.length > 0)

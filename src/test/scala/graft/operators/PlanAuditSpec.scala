@@ -195,6 +195,46 @@ class PlanAuditSpec extends SparkSpec {
       "the shared funnel/window-hash pins must feed the stages")
   }
 
+  test("cur20: manifest keeps the funnel posture; shard read-back prunes partitions") {
+    // The manifest plan is cur18's funnel through the packing window —
+    // same no-doc_id-shuffle contract, evidence broadcast.
+    val plan = finalPlan(Curation.cur18TrainManifest(spark, sf))
+    assert(!plan.contains("SortMergeJoin [doc_id") &&
+      !plan.contains("ShuffledHashJoin [doc_id"),
+      s"corpus-sized doc_id shuffle join in the manifest:\n${plan.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "scrub/drop/threshold evidence must broadcast")
+    // A trainer reading one (source, shard) must prune to that
+    // directory — the layout's whole point at 100 TB.
+    Curation.cur20SequenceSink(spark, sf).collect()
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val pruned = finalPlan(spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("source") === "src1" &&
+        org.apache.spark.sql.functions.col("shard") === 0))
+    assert(pruned.contains("PartitionFilters: [") &&
+      pruned.contains("isnotnull(source") && pruned.contains("isnotnull(shard"),
+      s"shard read must hit PartitionFilters:\n${pruned.take(2000)}")
+  }
+
+  test("cur21: no corpus sort — the cut window rides the histogram; thresholds broadcast") {
+    val plan = finalPlan(Curation.cur21HistogramBudget(spark, sf))
+    // The whole point vs cur08: selection must NOT pay a per-source
+    // corpus sort. The only Sort allowed feeds the ≤256-row histogram
+    // window, which sits ABOVE the (source, bucket) aggregate — so a
+    // corpus-row Window would show the scan directly under a Sort
+    // with no intervening HashAggregate.
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, "the histogram cut is a window")
+    assert(plan.substring(windowIdx).contains("HashAggregate"),
+      s"cut window must run over the aggregated histogram, not the corpus:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket cuts must join back broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-sized shuffle join:\n${plan.take(2000)}")
+    assert(plan.contains("partial_sum"),
+      "histogram must partial-aggregate map-side")
+  }
+
   test("cur19: cross-split join is hash-keyed; evidence joins back broadcast") {
     // The held×train join must ride the 8-byte window hash `h` (never
     // doc_id, never strings) — the same posture as cur16's semi-join,
