@@ -117,7 +117,13 @@ object PlanDump {
       "dedup14_crossmodal" ->
         "cross-modal dedup: full-outer algebra over two pinned evidence legs (dedup03 verified pairs broadcast-semi-joined to the image-page frame, mm06 pairs), no corpus shuffle",
       "text20_boilerplate_scrub" ->
-        "boilerplate scrub: shared span-hash pin, 8-byte frequency aggregate, broadcast affected-doc marks, codegen HOF rewrite keyed on chunk index")
+        "boilerplate scrub: shared span-hash pin, 8-byte frequency aggregate, broadcast affected-doc marks, codegen HOF rewrite keyed on chunk index",
+      "cur19_leak_report" ->
+        "leak report: both sides read the ONE pinned cur16 window frame, cross-split join hash-keyed (8-byte windows), contamination-sized per-held aggregates broadcast back",
+      "cur20_sequence_sink" ->
+        "corpus emit: the dumped plan is the READ-BACK audit over the hive-partitioned (source, shard) manifest the operator just wrote — partition columns in the scan, tiny rollup; the manifest plan itself is cur18's audited funnel",
+      "cur21_histogram_budget" ->
+        "sort-free budget: ONE partial-aggregated (source, bucket) histogram, cut window over the dim-sized histogram (never the corpus), broadcast thresholds back over the scan")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
