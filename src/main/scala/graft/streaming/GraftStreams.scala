@@ -628,6 +628,46 @@ object GraftStreams {
   case class PackOut(source: String, doc_id: Long,
       seq_first: Long, seq_last: Long, split_doc: Boolean)
 
+  /** The FULL per-doc packing row — cur20's manifest columns computed
+    * from the running cursor (stream23's emit shape; stream19 projects
+    * the span verdict from the same fold).
+    */
+  case class ManifestOut(source: String, doc_id: Long, n_units: Long,
+      seq_first: Long, seq_last: Long, off_first: Long, shard: Long)
+
+  /** ONE definition of the streaming cursor fold shared by
+    * stream19/stream23: the group's arrivals re-sorted by the packing
+    * key, each doc's manifest row computed from the carried cursor,
+    * the cursor advanced and the TTL refreshed.
+    */
+  private def packGroupFn(unit: Long, seqsPerShard: Long, retentionMs: Long)(
+      src: String, arrivals: Iterator[PackArrival],
+      state: GroupState[Long]): Iterator[ManifestOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      def hk(id: Long): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+      val sorted = arrivals.toSeq.sortBy(a => (hk(a.doc_id), a.doc_id))
+      var cum = state.getOption.getOrElse(0L)
+      val out = sorted.map { a =>
+        val first = cum / unit
+        val off = cum % unit
+        cum += a.n_units
+        val last = (cum - 1) / unit
+        ManifestOut(src, a.doc_id, a.n_units, first, last, off,
+          first / seqsPerShard)
+      }
+      state.update(cum)
+      val maxTs = sorted.iterator.map(_.ts.getTime).max
+      state.setTimeoutTimestamp(
+        math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMs)
+      out.iterator
+    }
+
   /** stream19: streaming SEQUENCE PACKING — cur09's concat-and-chunk on
     * the ingest cadence: as documents arrive, each is assigned its
     * sequence span from the source's RUNNING CURSOR (where the
@@ -653,37 +693,41 @@ object GraftStreams {
       unit: Long,
       watermarkDelay: String = DedupWatermarkDelay,
       retentionMs: Long = DedupRetentionMs): Dataset[PackOut] = {
-    implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
     implicit val outEnc: Encoder[PackOut] = ExpressionEncoder()
+    streamingManifestPack(docs, unit, watermarkDelay = watermarkDelay,
+        retentionMs = retentionMs)
+      .map(m => PackOut(m.source, m.doc_id, m.seq_first, m.seq_last,
+        m.seq_last > m.seq_first))
+  }
+
+  /** stream23: streaming MANIFEST EMIT — cur20's deliverable on the
+    * ingest cadence. The same cursor fold as stream19 emits the FULL
+    * manifest row (tokens, span, start offset, shard), which the spec
+    * pipes through Spark's TRANSACTIONAL parquet file sink
+    * (`writeStream.format("parquet").partitionBy("source", "shard")`):
+    * the sink's `_spark_metadata` commit log is what makes the emitted
+    * shard files exactly-once under micro-batch replay — readers see
+    * only committed files, so a restarted batch can never double-land
+    * rows (the file-sink complement of the `batch_id=N` overwrite
+    * contract the foreachBatch gates use). Shards fill incrementally
+    * as sources stream; row-for-row equality with the batch manifest
+    * spans is spec-pinned across a mid-stream batch split.
+    */
+  def streamingManifestPack(
+      docs: Dataset[PackArrival],
+      unit: Long,
+      seqsPerShard: Long = graft.operators.Curation.Cur20SeqsPerShard,
+      watermarkDelay: String = DedupWatermarkDelay,
+      retentionMs: Long = DedupRetentionMs): Dataset[ManifestOut] = {
+    implicit val stateEnc: Encoder[Long] = ExpressionEncoder()
+    implicit val outEnc: Encoder[ManifestOut] = ExpressionEncoder()
     implicit val strEnc: Encoder[String] = ExpressionEncoder()
     docs
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.source)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (src: String, arrivals: Iterator[PackArrival], state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            def hk(id: Long): String =
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(id.toString.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString.take(8)
-            val sorted = arrivals.toSeq.sortBy(a => (hk(a.doc_id), a.doc_id))
-            var cum = state.getOption.getOrElse(0L)
-            val out = sorted.map { a =>
-              val first = cum / unit
-              cum += a.n_units
-              val last = (cum - 1) / unit
-              PackOut(src, a.doc_id, first, last, last > first)
-            }
-            state.update(cum)
-            val maxTs = sorted.iterator.map(_.ts.getTime).max
-            state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMs)
-            out.iterator
-          }
-      }
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        packGroupFn(unit, seqsPerShard, retentionMs))
   }
 
   /** stream10: streaming count-min-sketch maintenance — the mergeable-

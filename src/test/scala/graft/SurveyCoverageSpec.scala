@@ -36,7 +36,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream15_ingest_decontam", "stream16_ingest_linkage",
     "stream17_codebook_swap", "stream18_ingest_funnel",
     "stream19_sequence_pack", "stream20_crossmodal_gate",
-    "stream21_boilerplate_gate", "stream22_audio_ingest")
+    "stream21_boilerplate_gate", "stream22_audio_ingest",
+    "stream23_manifest_emit")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val ids = surveyIds.map(i => aliases.getOrElse(i, i))

@@ -777,6 +777,73 @@ class GraftStreamsSpec extends SparkSpec {
       "fixture must carry a cursor across the batch boundary")
   }
 
+  test("stream23: manifest emit through the transactional file sink equals the batch manifest") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+    val sps = Curation.Cur20SeqsPerShard
+    val expected = Curation.sequencePackPositions(docs, Curation.CtxChars)
+      .select(col("source"), col("doc_id"), col("n_chars").as("n_units"),
+        col("seq_first"), col("seq_last"),
+        ((col("cum_end") - col("n_chars")) % Curation.CtxChars).as("off_first"),
+        floor(col("seq_first") / sps).as("shard"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val ordered = docs
+      .withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .orderBy("hk", "doc_id")
+      .select("source", "doc_id", "n_chars").collect()
+      .zipWithIndex.map { case (r, i) =>
+        GraftStreams.PackArrival(r.getString(0), r.getLong(1), r.getLong(2),
+          new Timestamp((i + 1) * 1000L))
+      }
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    val base = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream23_${System.nanoTime()}"
+    val stream = MemoryStream[GraftStreams.PackArrival](spark)
+    // The REAL emit path: the transactional parquet file sink, shard
+    // layout and all — not a memory sink stand-in.
+    val q = GraftStreams.streamingManifestPack(stream.toDS(), Curation.CtxChars)
+      .writeStream.format("parquet")
+      .partitionBy("source", "shard")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // The commit log is the exactly-once contract: readers resolve
+    // files through _spark_metadata, so an uncommitted or replayed
+    // batch can never double-land rows.
+    assert(new java.io.File(s"$base/out/_spark_metadata").exists(),
+      "file sink must write its transactional commit log")
+    val outDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("source="))
+    assert(outDirs.nonEmpty &&
+      outDirs.forall(_.listFiles().exists(_.getName.startsWith("shard="))),
+      "emitted layout must be hive-partitioned by (source, shard)")
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("source"), col("doc_id"), col("n_units"),
+        col("seq_first"), col("seq_last"), col("off_first"),
+        col("shard").cast("long").as("shard"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == got.toMap.size, "no doc may land twice")
+    assert(got.toMap == expected,
+      "emitted manifest diverges from the batch packing positions")
+    // The split genuinely crossed open cursors.
+    val firstSrcs = first.map(_.source).toSet
+    assert(second.exists(a => firstSrcs(a.source)),
+      "fixture must carry a cursor across the batch boundary")
+  }
+
   test("stream18: composed ingest funnel equals its legs, precedence holds, idempotent") {
     import graft.operators.{Curation, Dedup}
     import spark.implicits._
