@@ -21,14 +21,15 @@ object Bench {
     * margin. The entire summary line must fit inside it or the leading
     * `{"metric":...` is cut off and the round's timings are
     * unparseable (round 9 lost all 86 good timings this way to 28
-    * verbose error strings). Margin trimmed 100 → 50 in round 14: at
-    * 148 queries the 1-dp step measures 1865 chars, so a
-    * contention-run suspect list (~11 chars/id) pushed past 1900 and
-    * silently degraded the record to counts-only — 50 chars still
-    * covers the trailing newline (nothing else prints after the line:
-    * StdoutOutput + showSuccess:=false).
+    * verbose error strings). Margin trimmed 100 → 50 in round 14 (148
+    * queries × 1-dp = 1865 chars; a contention-run suspect list pushed
+    * past 1900 and silently degraded the record to counts-only), then
+    * 50 → 20 in round 15 (155 queries × uniform 1-dp = 1954): the
+    * margin only has to cover the trailing newline — nothing else
+    * prints after the line (StdoutOutput + showSuccess:=false), pinned
+    * by BenchRenderSpec's full-surface fit test at every value shape.
     */
-  private[graft] val MaxLineChars = 1950
+  private[graft] val MaxLineChars = 1980
 
   /** Sub-floor for the second-to-last degradation step: entries under
     * this are dropped from the LINE (collapsed to a `"_sub":n` marker)

@@ -123,7 +123,9 @@ object PlanDump {
       "cur20_sequence_sink" ->
         "corpus emit: the dumped plan is the READ-BACK audit over the hive-partitioned (source, shard) manifest the operator just wrote — partition columns in the scan, tiny rollup; the manifest plan itself is cur18's audited funnel",
       "cur21_histogram_budget" ->
-        "sort-free budget: ONE partial-aggregated (source, bucket) histogram, cut window over the dim-sized histogram (never the corpus), broadcast thresholds back over the scan")
+        "sort-free budget: ONE partial-aggregated (source, bucket) histogram, cut window over the dim-sized histogram (never the corpus), broadcast thresholds back over the scan",
+      "cur22_histogram_select" ->
+        "sort-free percentile select: the 4-dp score grid is the histogram bucket, descending-cumulative cut window above the aggregate, broadcast score cuts — cur10's corpus rank window gone")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver

@@ -157,6 +157,7 @@ object SparkEntry {
     "cur19_leak_report" -> Curation.cur19LeakReport _,
     "cur20_sequence_sink" -> Curation.cur20SequenceSink _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
+    "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
     "mm02_frame_sample" -> Multimodal.mm02FrameSample _,
     "mm03_feature_stub" -> Multimodal.mm03FeatureStub _,
@@ -1296,6 +1297,37 @@ object SparkEntry {
          ORDER BY d.source"""
   }
 
+  /** Generated DuckDB replay of cur22's sort-free percentile select:
+    * text02's score on its integer 4-dp grid (the same CTE chain as
+    * cur10's oracle), the descending-cumulative histogram cut as a
+    * window over the histogram, and the bucket-granular selection.
+    */
+  private val Cur22OracleSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, source,
+             greatest(len(toks), 1) AS n,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS stop,
+             len(toks) AS ntok FROM t),
+         s AS (SELECT doc_id, source,
+             CAST((2*10000*(least(ntok, 50) * (n - stop)) + (50 * n)) // (2*(50 * n)) AS BIGINT) AS qi
+           FROM c),
+         h AS (SELECT source, qi, count(*) AS cnt FROM s GROUP BY source, qi),
+         ch AS (SELECT source, qi,
+             sum(cnt) OVER (PARTITION BY source ORDER BY qi DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS nsrc FROM h),
+         cut AS (SELECT source, min(qi) AS cut_qi FROM ch
+           WHERE cum <= ceil(nsrc * 0.3) GROUP BY source)
+         SELECT s.source, count(*) AS n_docs,
+           CAST(ceil(count(*) * 0.3) AS BIGINT) AS target,
+           CAST(cut.cut_qi AS DOUBLE) / 10000.0 AS cut_score,
+           CAST(sum(CASE WHEN s.qi >= coalesce(cut.cut_qi, 10001) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((2*10000*(sum(CASE WHEN s.qi >= coalesce(cut.cut_qi, 10001) THEN 1 ELSE 0 END))
+               + count(*)) // (2*count(*)) AS BIGINT) / 10000.0 AS kept_frac
+         FROM s LEFT JOIN cut ON s.source = cut.source
+         GROUP BY s.source, cut.cut_qi
+         ORDER BY s.source"""
+
   /** Generated DuckDB replay of dedup13's LSH sweep — the ENTIRE curve,
     * hashes included (the sweep's signatures are the engine-portable
     * md5 permutation mins precisely so this is possible): per-doc
@@ -2216,6 +2248,7 @@ object SparkEntry {
     "cur19_leak_report" -> Cur19OracleSql,
     "cur20_sequence_sink" -> Cur20OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
+    "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->
       // The split, the fingerprint leg, and the exact pairwise near leg
       // replayed in full (no LSH — a Spark-side recall miss would

@@ -444,6 +444,54 @@ object Curation {
       .orderBy("source")
   }
 
+  /** cur22: SORT-FREE percentile selection — the refinement cur10's
+    * doc paragraph prices, landed with cur21's discipline: the
+    * per-source rank window (a corpus sort) drops away. Scores live
+    * on text02's 4-dp grid already, so the quantized score IS the
+    * histogram bucket: one partial-aggregated (source, qi) count, the
+    * cut as a window over the ≤10⁴-row-per-source histogram (the
+    * HIGHEST score bucket prefix whose cumulative count fits
+    * ceil(keep_frac·n) — dim-sized, never the corpus), selection a
+    * broadcast-joined per-row predicate. Sources whose top bucket
+    * alone exceeds the target keep nothing (`cut_score` null).
+    *
+    * The trade, exactly priced: every kept doc scores strictly ABOVE
+    * every dropped cur10 doc, so the kept set is a subset of cur10's
+    * exact keep (rank ≤ target implies bucket-cumulative ≤ target)
+    * with undershoot bounded by one score-bucket's doc mass —
+    * spec-pinned side-by-side with cur10, whose exact window form is
+    * the oracle of record for the protocol. At 100 TB the histogram
+    * is sources × ≤10⁴ rows at any corpus size.
+    */
+  def cur22HistogramSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    // EXACTLY text02/cur10's score, on its own 4-dp integer grid.
+    val score = TextAnalysis.qualityScore(toks)
+    val scored = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(score * 10000).cast("long").as("qi"))
+    val wh = Window.partitionBy("source").orderBy(col("qi").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wsrc = Window.partitionBy("source")
+    val cuts = scored.groupBy("source", "qi")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wh))
+      .withColumn("n", sum("c").over(wsrc))
+      .filter(col("cum") <= ceil(col("n") * lit(QualityKeepFrac)))
+      .groupBy("source")
+      .agg(min("qi").as("cut_qi"))
+    val keep = col("qi") >= coalesce(col("cut_qi"), lit(10001L))
+    scored.join(broadcast(cuts), Seq("source"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        ceil(count(lit(1)) * lit(QualityKeepFrac)).cast("long").as("target"),
+        (first(col("cut_qi")) / 10000.0).as("cut_score"),
+        sum(keep.cast("long")).as("n_kept"),
+        intRatio(sum(keep.cast("long")), count(lit(1)), 4).as("kept_frac"))
+      .orderBy("source")
+  }
+
   /** cur11: deterministic TRAIN/VAL/TEST split — the assignment every
     * dataset build ships with its data: each document lands in a split
     * by its md5 hash bucket (first 4 hex chars, 90/5/5 by hex range),
@@ -1259,22 +1307,24 @@ object Curation {
     * cannot disagree.
     */
   private[graft] def cur18TrainManifest(
-      spark: SparkSession, dir: String): DataFrame = {
-    val (marked, boilerRm, spans) = funnelInputs(spark, dir)
-    val split = funnelSplit(funnelScrubbed(
-      marked.filter(col("surv")).select("doc_id", "source", "n_toks"),
-      boilerRm, spans))
-    sequencePackPositions(
-        split.filter(col("split") === "train")
-          .select(col("doc_id"), col("source"),
-            col("post_toks").as("n_chars")),
-        Cur18CtxTokens)
-      .select(col("doc_id"), col("source"),
-        col("n_chars").as("post_toks"),
-        col("seq_first"), col("seq_last"),
-        ((col("cum_end") - col("n_chars")) % Cur18CtxTokens).as("off_first"),
-        floor(col("seq_first") / Cur20SeqsPerShard).as("shard"))
-  }
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"cur18.manifest:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val (marked, boilerRm, spans) = funnelInputs(spark, dir)
+      val split = funnelSplit(funnelScrubbed(
+        marked.filter(col("surv")).select("doc_id", "source", "n_toks"),
+        boilerRm, spans))
+      sequencePackPositions(
+          split.filter(col("split") === "train")
+            .select(col("doc_id"), col("source"),
+              col("post_toks").as("n_chars")),
+          Cur18CtxTokens)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("post_toks"),
+          col("seq_first"), col("seq_last"),
+          ((col("cum_end") - col("n_chars")) % Cur18CtxTokens).as("off_first"),
+          floor(col("seq_first") / Cur20SeqsPerShard).as("shard"))
+    }
 
   /** cur20: the corpus-build EMIT leg — cur18 reports the funnel;
     * cur20 makes it produce its deliverable. The train manifest
@@ -1299,6 +1349,19 @@ object Curation {
   def cur20SequenceSink(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     cur18TrainManifest(spark, dir)
+      // Cluster rows by the hive partition key BEFORE the write, with
+      // an EXPLICIT task count: clustering means each hive partition
+      // is written by exactly one task (one file per partition — the
+      // layout a 100 TB emit needs; without it every task opens a
+      // file in every directory it holds rows for, tasks × partitions
+      // tiny files), and the explicit count keeps AQE from coalescing
+      // the tiny manifest shuffle to ONE task that would then write
+      // all ~sources×shards files sequentially (measured 9.7 s → 4.4 s
+      // at sf0.1's ~400 partitions; the pinned manifest takes the
+      // warm total to ~2.5 s).
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("source"), col("shard"))
       .write.mode("overwrite")
       .partitionBy("source", "shard").parquet(out)
     val s = lit(Cur20SeqsPerShard)

@@ -92,7 +92,7 @@ class ConcurrencySpec extends SparkSpec {
       // (one instance only — cur20 must not race ITSELF, etl24's
       // documented caveat).
       "cur20_sequence_sink",
-      "cur21_histogram_budget",
+      "cur21_histogram_budget", "cur22_histogram_select",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own

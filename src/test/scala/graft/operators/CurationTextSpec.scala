@@ -658,6 +658,56 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur22 histogram select: cut replayed from the score grid; kept set inside cur10's keep") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions.{col, round}
+    val rows = Curation.cur22HistogramSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("target"),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getAs[Long]("n_kept"))).toMap
+    // Rebuild the per-doc score grid through the SAME shared
+    // expressions the operator (and cur10) select on.
+    val scored = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(GraftFunctions.tokens(col("text"))) * 10000)
+          .cast("long").as("qi"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = scored.groupBy(_._2)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val (nDocs, target, cutScore, nKept) = got(src)
+      assert(nDocs == ds.length, s"$src n_docs")
+      assert(target == math.ceil(ds.length * Curation.QualityKeepFrac).toLong,
+        s"$src target")
+      // Replay the descending-histogram cut locally.
+      val hist = ds.groupBy(_._3).map { case (qi, rs) => qi -> rs.length.toLong }
+      var cum = 0L; var cut = Option.empty[Long]
+      hist.keys.toSeq.sorted(Ordering[Long].reverse).foreach { qi =>
+        cum += hist(qi); if (cum <= target) cut = Some(qi)
+      }
+      assert(cutScore.map(c => math.round(c * 10000)) == cut, s"$src cut")
+      val kept = cut.toSeq.flatMap(c => ds.filter(_._3 >= c))
+      assert(nKept == kept.length, s"$src n_kept")
+      assert(nKept <= target, s"$src kept within target")
+      // Subset of cur10's exact keep: kept docs all rank <= target in
+      // the (score desc, doc_id) order cur10 cuts on.
+      val exactKeep = ds.sortBy(d => (-d._3, d._1))(
+        Ordering.Tuple2(Ordering.Long, Ordering.Long))
+        .take(target.toInt).map(_._1).toSet
+      assert(kept.map(_._1).toSet.subsetOf(exactKeep), s"$src approx ⊄ exact")
+      // Maximality: the next bucket below the cut would overflow.
+      cut.foreach { c =>
+        val below = hist.keys.filter(_ < c)
+        if (below.nonEmpty) {
+          val kc = kept.length + hist(below.max)
+          assert(kc > target, s"$src cut not maximal")
+        }
+      }
+    }
+  }
+
   test("text10 repetition signals are fractions; dups agree doc-to-doc") {
     val rows = TextAnalysis.text10Repetition(spark, sf).collect()
     assert(rows.length > 0)

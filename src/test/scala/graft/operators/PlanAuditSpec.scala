@@ -235,6 +235,23 @@ class PlanAuditSpec extends SparkSpec {
       "histogram must partial-aggregate map-side")
   }
 
+  test("cur22: no corpus rank window — the cut rides the score histogram; thresholds broadcast") {
+    val plan = finalPlan(Curation.cur22HistogramSelect(spark, sf))
+    // cur10 pays a per-source corpus rank sort; cur22 must not: every
+    // Window sits above the (source, qi) aggregate.
+    var idx = plan.indexOf("Window")
+    while (idx >= 0) {
+      assert(plan.substring(idx).contains("HashAggregate"),
+        s"a Window ran below the histogram aggregate:\n${plan.take(2000)}")
+      idx = plan.indexOf("Window", idx + 1)
+    }
+    assert(plan.contains("Window"), "the histogram cut is a window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "score cuts must join back broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-sized shuffle join:\n${plan.take(2000)}")
+  }
+
   test("cur19: cross-split join is hash-keyed; evidence joins back broadcast") {
     // The held×train join must ride the 8-byte window hash `h` (never
     // doc_id, never strings) — the same posture as cur16's semi-join,
