@@ -235,6 +235,21 @@ class PlanAuditSpec extends SparkSpec {
       "histogram must partial-aggregate map-side")
   }
 
+  test("sim01 exact baseline is pinned once: consumers read the cached frame") {
+    // sim10/sim16/sim20 all consume "the exact answer" — round 15 made
+    // it ONE session artifact (Similarity.exactTopK). After sim01
+    // materializes the pin, every consumer's plan must read the
+    // InMemoryTableScan instead of recompiling the corpus scan + heap.
+    Similarity.sim01BruteForceTopK(spark, sf).collect()
+    Seq(
+      "sim10" -> Similarity.sim10RecallEval(spark, sf),
+      "sim16" -> Similarity.sim16NprobeSweep(spark, sf)).foreach {
+      case (name, df) =>
+        assert(finalPlan(df).contains("InMemoryTableScan"),
+          s"$name must read the pinned exact baseline")
+    }
+  }
+
   test("cur22: no corpus rank window — the cut rides the score histogram; thresholds broadcast") {
     val plan = finalPlan(Curation.cur22HistogramSelect(spark, sf))
     // cur10 pays a per-source corpus rank sort; cur22 must not: every
