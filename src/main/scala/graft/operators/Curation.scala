@@ -305,8 +305,18 @@ object Curation {
     * record for the protocol. At 100 TB: histogram rows = sources ×
     * 256 regardless of corpus size; no corpus sort anywhere.
     */
-  def cur21HistogramBudget(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+  def cur21HistogramBudget(spark: SparkSession, dir: String): DataFrame =
+    histogramBudget(documents(spark, dir), SourceCharBudget)
+
+  /** Core of cur21 over any (doc_id, source, n_chars) frame —
+    * separable so the spec can drive the degenerate arm (a source
+    * whose FIRST bucket alone exceeds the budget keeps nothing,
+    * `bucket_cut = -1`), which the test corpus never reaches (its
+    * per-bucket mass is far under the budget).
+    */
+  private[graft] def histogramBudget(
+      docsIn: DataFrame, budget: Long): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("source"), col("n_chars"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
           .cast("int").as("bucket"))
@@ -315,7 +325,7 @@ object Curation {
     val cuts = docs.groupBy("source", "bucket")
       .agg(sum("n_chars").as("bchars"))
       .withColumn("cum", sum("bchars").over(wb))
-      .filter(col("cum") <= SourceCharBudget)
+      .filter(col("cum") <= budget)
       .groupBy("source")
       .agg(max("bucket").as("bucket_cut"))
     val keep = col("bucket") <= col("bc")
@@ -326,7 +336,7 @@ object Curation {
         sum(keep.cast("long")).as("n_kept"),
         coalesce(sum(when(keep, col("n_chars"))), lit(0L)).as("chars_kept"),
         intRatio(coalesce(sum(when(keep, col("n_chars"))), lit(0L)),
-          lit(SourceCharBudget), 4).as("utilization"))
+          lit(budget), 4).as("utilization"))
       .orderBy("source")
   }
 
@@ -467,9 +477,17 @@ object Curation {
     val toks = tokens(col("text"))
     // EXACTLY text02/cur10's score, on its own 4-dp integer grid.
     val score = TextAnalysis.qualityScore(toks)
-    val scored = documents(spark, dir)
+    histogramSelect(documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        round(score * 10000).cast("long").as("qi"))
+        round(score * 10000).cast("long").as("qi")))
+  }
+
+  /** Core of cur22 over any (doc_id, source, qi) frame — separable so
+    * the spec can drive the degenerate arm (a source whose TOP score
+    * bucket alone exceeds the target keeps nothing, `cut_score` null),
+    * which the test corpus never reaches (its scores are near-unique).
+    */
+  private[graft] def histogramSelect(scored: DataFrame): DataFrame = {
     val wh = Window.partitionBy("source").orderBy(col("qi").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wsrc = Window.partitionBy("source")

@@ -708,6 +708,41 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur21/cur22 degenerate arms: nothing fits -> keep nothing, flagged in-band") {
+    // Both arms are data-unreachable on the test corpus (per-bucket
+    // mass far under the budget; scores near-unique), so hand corpora
+    // pin them — the dedup14 discipline for unreachable branches.
+    val spark2 = spark
+    import spark2.implicits._
+    // cur21: srcA's every doc is bigger than the whole budget — even
+    // the first bucket overflows; srcB fits entirely.
+    val big = Seq(
+      (1L, "srcA", 5000L), (2L, "srcA", 6000L),
+      (3L, "srcB", 10L), (4L, "srcB", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val b = Curation.histogramBudget(big, Curation.SourceCharBudget)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getAs[Long]("n_kept"), r.getAs[Long]("chars_kept"))).toMap
+    assert(b("srcA") == ((-1, 0L, 0L)), s"srcA must keep nothing: ${b("srcA")}")
+    assert(b("srcB")._2 == 2L && b("srcB")._3 == 30L)
+    // cur22: srcC's docs all share ONE score bucket bigger than the
+    // target (ceil(0.3*4)=2 < 4) -> null cut, keep nothing; srcD's
+    // scores are distinct and select normally.
+    val scored = Seq(
+      (1L, "srcC", 9000L), (2L, "srcC", 9000L),
+      (3L, "srcC", 9000L), (4L, "srcC", 9000L),
+      (5L, "srcD", 9500L), (6L, "srcD", 9400L),
+      (7L, "srcD", 9300L), (8L, "srcD", 9200L))
+      .toDF("doc_id", "source", "qi")
+    val s = Curation.histogramSelect(scored)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(3)), r.getAs[Long]("n_kept"))).toMap
+    assert(s("srcC") == ((None, 0L)), s"srcC must keep nothing: ${s("srcC")}")
+    // srcD: target = ceil(4·0.3) = 2, so the cut walks 9500 (cum 1)
+    // then 9400 (cum 2) and stops — keep the top two.
+    assert(s("srcD") == ((Some(0.94), 2L)), s"srcD top-2: ${s("srcD")}")
+  }
+
   test("text10 repetition signals are fractions; dups agree doc-to-doc") {
     val rows = TextAnalysis.text10Repetition(spark, sf).collect()
     assert(rows.length > 0)

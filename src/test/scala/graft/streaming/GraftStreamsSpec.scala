@@ -844,6 +844,49 @@ class GraftStreamsSpec extends SparkSpec {
       "fixture must carry a cursor across the batch boundary")
   }
 
+  test("stream23 equals cur20's funnel manifest row-for-row (post-scrub units, shard math)") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // The REAL deliverable parity: cur18's train split streamed doc by
+    // doc (post-both-scrubs token counts, cur18's ctx and shard width)
+    // must reproduce the batch manifest exactly — spans, offsets, and
+    // shard assignment, across a mid-stream batch split.
+    val man = Curation.cur18TrainManifest(spark, sf).collect()
+    assert(man.length >= 4)
+    val expected = man.map(r => (r.getString(1), r.getLong(0)) ->
+      (r.getAs[Long]("post_toks"), r.getAs[Long]("seq_first"),
+        r.getAs[Long]("seq_last"), r.getAs[Long]("off_first"),
+        r.getAs[Long]("shard"))).toMap
+    def hk(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    val ordered = man.map(r => (r.getString(1), r.getLong(0),
+        r.getAs[Long]("post_toks")))
+      .sortBy(t => (t._1, hk(t._2), t._2))
+      .zipWithIndex.map { case ((src, id, units), i) =>
+        GraftStreams.PackArrival(src, id, units, new Timestamp((i + 1) * 1000L))
+      }
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    val qn = s"s23p_${System.nanoTime()}"
+    val stream = MemoryStream[GraftStreams.PackArrival](spark)
+    val q = GraftStreams.streamingManifestPack(
+        stream.toDS(), Curation.Cur18CtxTokens)
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qn).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == expected,
+      "streamed funnel manifest diverges from cur20's batch manifest")
+  }
+
   test("stream18: composed ingest funnel equals its legs, precedence holds, idempotent") {
     import graft.operators.{Curation, Dedup}
     import spark.implicits._
