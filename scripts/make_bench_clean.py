@@ -83,11 +83,16 @@ def main():
     if carried:
         print("WARNING: floors carried from prior records only (absent "
               "from the fresh clean run): " + ", ".join(sorted(carried)))
+    # The headline total sums the LIVE surface only (keys present in the
+    # fresh run): carried floors stay in the map for per-query gate
+    # lookups, but a since-removed query's stale floor must not inflate
+    # the round-over-round total-floor comparison.
+    live_total = sum(v for k, v in best.items() if k not in carried)
     line = (
         '{"metric":"total","value":%.3f,"unit":"sec","queries":{%s},'
         '"errors":{},"suspect":[],"sf":"%s"}'
         % (
-            sum(best.values()),
+            live_total,
             ",".join('"%s":%.3f' % (k, v) for k, v in sorted(best.items())),
             sf,
         )

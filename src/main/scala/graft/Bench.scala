@@ -267,6 +267,12 @@ object Bench {
     * unnamed; taking the max keeps a true unrounded breach that
     * happens to round DOWN (0.44 over 0.21 recording as "0.4") named
     * as well. A sub-second 2× can no longer hide behind the decimal.
+    * Deliberately CONSERVATIVE about the recording step: the line only
+    * degrades to 1-dp when it overflows (at the current 155-query
+    * surface it always does), so on a hypothetical smaller surface
+    * shipping 3-dp this can name a suspect the shipped line would not
+    * show as a breach — an extra retry and at worst an extra named id,
+    * never a missed one. The safe direction for a contamination gate.
     */
   private def gateTime(t: Double): Double =
     math.max(t, math.round(t * 10) / 10.0)

@@ -1075,17 +1075,20 @@ object SparkEntry {
            FROM (SELECT *, row_number() OVER (PARTITION BY held_id
                ORDER BY shared DESC, train_id) AS rk FROM sh)
            WHERE rk = 1),
-         tot AS (SELECT doc_id AS held_id, count(*) AS n_windows
-           FROM w WHERE source = 'src0' GROUP BY doc_id)
-         SELECT t.held_id, t.n_windows,
+         tot AS (SELECT doc_id AS held_id, count(*) AS nw
+           FROM w WHERE source = 'src0' GROUP BY doc_id),
+         hd AS (SELECT doc_id AS held_id FROM documents WHERE source = 'src0')
+         SELECT hd.held_id,
+           CAST(coalesce(t.nw, 0) AS BIGINT) AS n_windows,
            coalesce(per.n_leaked, 0) AS n_leaked,
            coalesce(per.n_train_docs, 0) AS n_train_docs,
            coalesce(tp.top_train_id, -1) AS top_train_id,
            coalesce(tp.top_shared, 0) AS top_shared
-         FROM tot t
+         FROM hd
+         LEFT JOIN tot t USING (held_id)
          LEFT JOIN per USING (held_id)
          LEFT JOIN tp USING (held_id)
-         ORDER BY t.held_id"""
+         ORDER BY hd.held_id"""
 
   /** cur18's oracle: the shared funnel CTEs, then the text20
     * boilerplate stage replayed on chunk STRINGS (text20's oracle

@@ -1019,13 +1019,32 @@ object Curation {
     * 100 TB the held side is the small curated side by construction
     * and the train window stream is the same scan cur16 already pays.
     */
-  def cur19LeakReport(spark: SparkSession, dir: String): DataFrame = {
-    val w = Dedup.cur16WindowRows(spark, dir)
+  def cur19LeakReport(spark: SparkSession, dir: String): DataFrame =
+    leakReport(Dedup.cur16WindowRows(spark, dir),
+      documents(spark, dir).filter(col("source") === "src0")
+        .select(col("doc_id").as("held_id")),
+      Some(s"cur19.pairs:$dir:${graft.GraftCache.sessionTag(spark)}"))
+
+  /** Core of cur19 over explicit frames — separable so the spec can
+    * drive the short-doc arm (a held doc under the window width has
+    * zero windows and must still report a zeros row), which the test
+    * corpus never reaches. `pairsKey` pins the leaked-pair frame: it
+    * feeds BOTH the per-held aggregate and the top-offender rollup in
+    * one plan, and without the pin the held×train probe join executes
+    * once per consumer (plan-verified — two BroadcastHashJoin subtrees
+    * over the window cache). The frame is contamination-sized, so the
+    * pin is tiny at rest.
+    */
+  private[graft] def leakReport(
+      w: DataFrame, heldDocs: DataFrame,
+      pairsKey: Option[String] = None): DataFrame = {
     val held = w.filter(col("source") === "src0")
       .select(col("doc_id").as("held_id"), col("pos"), col("h"))
     val trainH = w.filter(col("source") =!= "src0")
       .select(col("doc_id").as("train_id"), col("h")).distinct()
-    val pairs = held.join(trainH, Seq("h"))
+    val pairsRaw = held.join(trainH, Seq("h"))
+    val pairs = pairsKey.fold(pairsRaw)(k =>
+      graft.GraftCache.getOrPersist(k)(pairsRaw))
     val per = pairs.groupBy("held_id").agg(
       countDistinct(col("pos")).as("n_leaked"),
       countDistinct(col("train_id")).as("n_train_docs"))
@@ -1036,10 +1055,19 @@ object Curation {
       .withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
       .select(col("held_id"), col("train_id").as("top_train_id"),
         col("shared").as("top_shared"))
-    held.groupBy("held_id").agg(count(lit(1)).as("n_windows"))
+    // Base = the held-out DOC list, not the window rows: a benchmark
+    // doc shorter than the window width has ZERO windows and would
+    // otherwise vanish from the report — but "absence of evidence is
+    // part of the audit" means every held doc gets a row (n_windows
+    // 0, zeros across — it cannot leak what it cannot window, and the
+    // report says so in-band instead of omitting the doc).
+    heldDocs
+      .join(broadcast(held.groupBy("held_id")
+        .agg(count(lit(1)).as("nw"))), Seq("held_id"), "left")
       .join(broadcast(per), Seq("held_id"), "left")
       .join(broadcast(top), Seq("held_id"), "left")
-      .select(col("held_id"), col("n_windows"),
+      .select(col("held_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
         coalesce(col("top_train_id"), lit(-1L)).as("top_train_id"),
@@ -1364,8 +1392,21 @@ object Curation {
     * cur18. Same self-overwrite caveat as etl24: one output dir per
     * (tmpdir, dir), so cur20 must not race itself.
     */
+  /** cur20's emit directory for a corpus dir. The readable sanitized
+    * name carries an md5 suffix of the FULL path: sanitization alone
+    * collides dirs differing only in non-alphanumerics ("sf0.1" vs
+    * "sf0_1"), and cur20's read-back audit must never audit another
+    * corpus's files. Shared with the specs so the layout assertions
+    * look where the operator wrote.
+    */
+  private[graft] def cur20OutDir(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$h"
+  }
+
   def cur20SequenceSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val out = cur20OutDir(dir)
     cur18TrainManifest(spark, dir)
       // Cluster rows by the hive partition key BEFORE the write, with
       // an EXPLICIT task count: clustering means each hive partition

@@ -650,7 +650,15 @@ object Multimodal {
           val id = r.getAs[Long]("clip_id")
           val (_, wins) = MultimodalStub.decodeWavWindowed(
             r.getAs[Array[Byte]]("media"), windowSamples)
-          wins.zipWithIndex.map { case (s, wi) =>
+          // A decodable clip with ZERO samples has no windows — emit a
+          // sentinel zero-row so the clip stays visible in the corpus
+          // (mm10's whole-clip row reports n_samples=0 for the same
+          // clip; a windowed view that silently dropped it would let
+          // empty media rot out of the audit). Undecodable media still
+          // throws — etl20's quarantine composes in front.
+          val winsOr =
+            if (wins.hasNext) wins else Iterator(Array.empty[Int])
+          winsOr.zipWithIndex.map { case (s, wi) =>
             val base = wi.toLong * windowSamples
             val n = s.length
             var sumSq = 0L

@@ -481,12 +481,20 @@ class CurationTextSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))).toMap
     assert(rows.nonEmpty)
     // Every held doc reports; coverage is a fraction; evidence columns
-    // are jointly present or jointly absent.
+    // are jointly present or jointly absent. nw == 0 is legal: a held
+    // doc under the window width cannot window (sf0.01's doc 480 IS
+    // such a doc — the round-15 review found it silently omitted from
+    // the report; it must appear with a zeros row).
     rows.foreach { case (id, (nw, leaked, nTrain, topId, topSh)) =>
-      assert(nw > 0 && leaked <= nw, s"held $id: coverage bound")
+      assert(nw >= 0 && leaked <= nw, s"held $id: coverage bound")
       assert((leaked > 0) == (nTrain > 0) && (nTrain > 0) == (topId >= 0) &&
         (topId >= 0) == (topSh > 0), s"held $id: evidence must be coherent")
     }
+    // Every held-out DOC is a row — windowable or not.
+    val nHeld = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source") === "src0").count()
+    assert(rows.size.toLong == nHeld,
+      s"report must cover all $nHeld held docs, got ${rows.size}")
     // Transpose-consistency: cur16 flags ≥1 contaminated train span
     // IFF ≥1 held doc reports a leak (the two reports read the SAME
     // window frame from opposite axes).
@@ -584,8 +592,7 @@ class CurationTextSpec extends SparkSpec {
 
   test("cur20 emit layout: hive partitions on disk; offsets reconstruct the concatenation") {
     Curation.cur20SequenceSink(spark, sf).collect()
-    val out = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${sf.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val out = new java.io.File(Curation.cur20OutDir(sf))
     val srcDirs = out.listFiles().filter(d =>
       d.isDirectory && d.getName.startsWith("source="))
     assert(srcDirs.nonEmpty, s"no source= partitions under $out")
@@ -706,6 +713,30 @@ class CurationTextSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("cur19 short-doc arm: a held doc under the window width still reports a zeros row") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val k = Dedup.SubstringWindow
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (100L, "src0", toks("c", k - 5)), // under the window width: 0 windows
+      (101L, "src0", toks("d", k)),     // exactly k: 1 window, fully leaked
+      (1L, "src1", toks("d", k)))       // the offender
+      .toDF("doc_id", "source", "text")
+    val w = Dedup.strideWindowRows(docs, carry = Seq("source"))
+    val rows = Curation.leakReport(w,
+      docs.filter(col("source") === "src0")
+        .select(col("doc_id").as("held_id")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // The short doc cannot leak what it cannot window — and the report
+    // says so with a zeros row instead of omitting the doc.
+    assert(rows(100L) == ((0L, 0L, 0L, -1L, 0L)), s"short doc: ${rows.get(100L)}")
+    assert(rows(101L) == ((1L, 1L, 1L, 1L, 1L)), s"leaked doc: ${rows.get(101L)}")
   }
 
   test("cur21/cur22 degenerate arms: nothing fits -> keep nothing, flagged in-band") {

@@ -451,6 +451,23 @@ class MultimodalSpec extends SparkSpec {
       MultimodalStub.decodeWavWindowed(Array[Byte](1, 2, 3, 4), 256))
   }
 
+  test("mm11 zero-sample clip stays visible: one sentinel zero-window row") {
+    // mm10's whole-clip row reports such a clip with n_samples=0; the
+    // windowed view must not silently drop it (it would otherwise
+    // produce no windows at all — the one arm where 'zero rows' and
+    // 'never rot the corpus' collide).
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = MultimodalStub.testToneWav(0, 100, Multimodal.Mm10Rate)
+    val rows = Multimodal.audioWindowMeta(
+      Seq((7L, empty)).toDF("clip_id", "media"), 256).collect()
+    assert(rows.length == 1, s"expected one sentinel row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getLong(0) == 7L && r.getInt(1) == 0 && r.getLong(2) == 0L &&
+      r.getDouble(3) == 0.0 && r.getLong(4) == 0L && r.getLong(5) == 0L,
+      s"sentinel must be all zeros: $r")
+  }
+
   test("mm11 windowed profile obeys the per-window tone law end-to-end") {
     val rows = Multimodal.mm11AudioWindows(spark, sf).collect()
     val byClip = rows.groupBy(_.getAs[Long]("clip_id"))
