@@ -335,6 +335,52 @@ class GraftStreamsSpec extends SparkSpec {
     assert(verdicts == Map(5L -> 5L, 3L -> 5L))
   }
 
+  test("stream03 native form: dropDuplicatesWithinWatermark admits exactly the keepers") {
+    // The engine-native dedup (q37/stream13's "native form" pattern):
+    // within the watermark horizon the built-in operator must admit
+    // exactly the batch keepers stream03's explicit state machine
+    // commits — fed keepers-first, the two forms coincide (the native
+    // form keeps an arbitrary first arrival per key, so the explicit
+    // machine remains the shipped gate where min-id keeper semantics
+    // matter; this leg pins that the ENGINE's state store solves the
+    // same problem under the same horizon contract).
+    import spark.implicits._
+    // The driver corpora carry near-dups but no EXACT dups, so the
+    // fixture injects them: ids 1..20 are the keepers (distinct
+    // fingerprints, fed first), ids 21..50 re-arrive on those
+    // fingerprints across the batch line.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val b1 = (1 to 20).map(i => GraftStreams.DocArrival(i.toLong, s"fp$i", ts))
+    val b2 = (21 to 50).map(i =>
+      GraftStreams.DocArrival(i.toLong, s"fp${i % 20 + 1}", ts))
+    def run(pipe: org.apache.spark.sql.Dataset[GraftStreams.DocArrival]
+        => org.apache.spark.sql.DataFrame, qn: String): Set[Long] = {
+      val stream = MemoryStream[GraftStreams.DocArrival](spark)
+      val q = pipe(stream.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(b1)
+        q.processAllAvailable()
+        stream.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qn).collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    val native = run(
+      _.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fingerprint").toDF(),
+      s"nat03_${System.nanoTime()}")
+    val explicit = run(
+      d => GraftStreams.streamingExactDedup(d).toDF()
+        .filter(col("doc_id") === col("keeper_id")),
+      s"exp03_${System.nanoTime()}")
+    assert(native == (1L to 20L).toSet,
+      s"the native form must admit exactly the keepers: $native")
+    assert(native == explicit,
+      "native and explicit forms must admit the same set")
+  }
+
   test("stream03 TTL: idle fingerprint state is evicted, re-arrival starts fresh") {
     import spark.implicits._
     def ts(sec: Long) = new Timestamp(sec * 1000L)
