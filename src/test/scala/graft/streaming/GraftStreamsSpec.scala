@@ -933,6 +933,63 @@ class GraftStreamsSpec extends SparkSpec {
       "streamed funnel manifest diverges from cur20's batch manifest")
   }
 
+  test("stream19/23 under RocksDB state: the pack cursor round-trips the deployment provider") {
+    // stream13 pins the engine session store and stream14 the
+    // FrameState family under RocksDB; this leg covers the pack-cursor
+    // family (stream19/stream23 share packGroupFn — a Long cursor per
+    // source that must survive the provider across micro-batches, or
+    // every span after the batch line shifts).
+    import graft.operators.Curation
+    import spark.implicits._
+    val providerCls =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    assume(
+      try { Class.forName(providerCls); true }
+      catch { case _: ClassNotFoundException => false },
+      s"SKIPPING LOUDLY: $providerCls not on this Spark classpath")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, providerCls)
+      val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      val expected = Curation.sequencePackPositions(docs, Curation.CtxChars)
+        .select("source", "doc_id", "seq_first", "seq_last")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val ordered = docs
+        .withColumn("hk", substring(md5(col("doc_id").cast("string")), 1, 8))
+        .orderBy("hk", "doc_id")
+        .select("source", "doc_id", "n_chars").collect()
+        .zipWithIndex.map { case (r, i) =>
+          GraftStreams.PackArrival(r.getString(0), r.getLong(1), r.getLong(2),
+            new Timestamp((i + 1) * 1000L))
+        }
+      val (first, second) = ordered.splitAt(ordered.length / 2)
+      val qn = s"pack_rocks_${System.nanoTime()}"
+      val stream = MemoryStream[GraftStreams.PackArrival](spark)
+      val q = GraftStreams.streamingManifestPack(stream.toDS(), Curation.CtxChars)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(first.toSeq)
+        q.processAllAvailable()
+        stream.addData(second.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == expected,
+        "pack spans under RocksDB diverge from the batch positions")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream18: composed ingest funnel equals its legs, precedence holds, idempotent") {
     import graft.operators.{Curation, Dedup}
     import spark.implicits._
