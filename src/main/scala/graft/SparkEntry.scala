@@ -342,18 +342,23 @@ object SparkEntry {
       Mm10BaseSamples, Mm10Clips, Mm10SampleMod, Mm10SampleStep,
       Mm10WindowSamples}
     val w = Mm10WindowSamples
+    // greatest(⌈n/w⌉, 1): a decodable ZERO-sample clip emits the Spark
+    // side's sentinel zero-row (round-15 ADVICE — range over an empty
+    // count would generate no row and break the gate on the first
+    // zero-length clip in a corpus); its nw=0 arm zeroes rms and the
+    // crossings (there is no sample to cross), matching the sentinel.
     s"""WITH d11 AS (SELECT doc_id AS clip_id,
            ($Mm10BaseSamples + (doc_id % $Mm10SampleMod) * $Mm10SampleStep) AS n,
            ((doc_id % $Mm10AmpMod + 1) * $Mm10AmpStep) AS amp
          FROM documents WHERE doc_id < $Mm10Clips),
        w11 AS (SELECT clip_id, CAST(t.i AS INTEGER) AS window_idx,
            CAST(least(n - t.i * $w, $w) AS BIGINT) AS nw, amp
-         FROM d11, unnest(range(0, (n + ${w - 1}) // $w)) AS t(i))
+         FROM d11, unnest(range(0, greatest((n + ${w - 1}) // $w, 1))) AS t(i))
        SELECT clip_id, window_idx,
          nw AS n_samples,
-         CAST(amp AS DOUBLE) AS rms,
+         CAST(CASE WHEN nw = 0 THEN 0 ELSE amp END AS DOUBLE) AS rms,
          CAST((-amp * nw) // 2 AS BIGINT) AS checksum,
-         CAST(nw - 1 AS BIGINT) AS zero_crossings
+         CAST(greatest(nw - 1, 0) AS BIGINT) AS zero_crossings
        FROM w11 ORDER BY clip_id, window_idx"""
   }
 
@@ -1306,7 +1311,7 @@ object SparkEntry {
     * window over the histogram, and the bucket-granular selection.
     */
   private val Cur22OracleSql: String =
-    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, source,
              greatest(len(toks), 1) AS n,
              len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS stop,
@@ -1320,9 +1325,10 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
              sum(cnt) OVER (PARTITION BY source) AS nsrc FROM h),
          cut AS (SELECT source, min(qi) AS cut_qi FROM ch
-           WHERE cum <= ceil(nsrc * 0.3) GROUP BY source)
+           WHERE cum <= ${graft.operators.Curation.keepTargetSql("nsrc")}
+           GROUP BY source)
          SELECT s.source, count(*) AS n_docs,
-           CAST(ceil(count(*) * 0.3) AS BIGINT) AS target,
+           CAST(${graft.operators.Curation.keepTargetSql("count(*)")} AS BIGINT) AS target,
            CAST(cut.cut_qi AS DOUBLE) / 10000.0 AS cut_score,
            CAST(sum(CASE WHEN s.qi >= coalesce(cut.cut_qi, 10001) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST((2*10000*(sum(CASE WHEN s.qi >= coalesce(cut.cut_qi, 10001) THEN 1 ELSE 0 END))
@@ -2845,8 +2851,9 @@ object SparkEntry {
     "cur10_quality_select" ->
       // text02's quality score (same stopword list, rounded to 4 dp
       // BEFORE ranking) -> per-source rank with doc_id tiebreak -> keep
-      // rank <= ceil(0.3 n).
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      // rank <= ceil(3n/10) in `//` integer arithmetic (the shared
+      // keepTargetSql interpolation — no FP threshold on either side).
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, source,
              greatest(len(toks), 1) AS n,
              len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS stop,
@@ -2857,7 +2864,8 @@ object SparkEntry {
          r AS (SELECT source, q,
              row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk,
              count(*) OVER (PARTITION BY source) AS nsrc FROM s),
-         k AS (SELECT source, q, rk <= ceil(nsrc * 0.3) AS keep FROM r)
+         k AS (SELECT source, q,
+             rk <= ${graft.operators.Curation.keepTargetSql("nsrc")} AS keep FROM r)
          SELECT source, count(*) AS n_docs,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            round(min(CASE WHEN keep THEN q END), 4) AS min_kept_score,

@@ -409,8 +409,32 @@ object Curation {
       .withColumn("seq_last", floor((col("cum_end") - 1) / k))
   }
 
-  /** Keep fraction for cur10's per-source quality selection. */
-  val QualityKeepFrac = 0.3
+  /** Keep fraction for cur10/cur22's per-source quality selection, as
+    * an EXACT RATIONAL (3/10). The keep target is derived in pure
+    * integer arithmetic — ceil(Num·n / Den) = (Num·n + Den−1) div Den,
+    * the intRatio discipline — on BOTH the engine and oracle sides
+    * (round-15 ADVICE: `ceil(n · 0.3)` agreed with the oracle only
+    * because the 0.3 double literal under-approximates 3/10 and both
+    * engines share IEEE semantics; integer-boundary counts must not
+    * depend on an FP rounding direction).
+    */
+  val QualityKeepNum = 3L
+  val QualityKeepDen = 10L
+
+  /** ceil([[QualityKeepNum]]·n / [[QualityKeepDen]]) in Long math —
+    * the ONE definition of the per-source keep target for cur10 and
+    * cur22 (and the SQL interpolation below mirrors it digit-for-digit
+    * in `//` arithmetic).
+    */
+  private[graft] def keepTarget(n: org.apache.spark.sql.Column) =
+    intDiv(n * QualityKeepNum + (QualityKeepDen - 1), lit(QualityKeepDen))
+
+  /** The target as a DuckDB expression over a count expression string —
+    * interpolated into the cur10/cur22 oracles (etl27's shared-constant
+    * discipline, so a fraction change cannot drift the two sides).
+    */
+  private[graft] def keepTargetSql(n: String): String =
+    s"(($n) * $QualityKeepNum + ${QualityKeepDen - 1}) // $QualityKeepDen"
 
   /** cur10: PERCENTILE quality selection — keep each source's top 30%
     * by quality score (FineWeb-style "take the best slice of every
@@ -436,7 +460,7 @@ object Curation {
     documents(spark, dir)
       .select(col("doc_id"), col("source"), score.as("q"))
       .withColumn("keep", row_number().over(wRank) <=
-        ceil(count(lit(1)).over(wSrc) * lit(QualityKeepFrac)))
+        keepTarget(count(lit(1)).over(wSrc)))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -495,7 +519,7 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(wh))
       .withColumn("n", sum("c").over(wsrc))
-      .filter(col("cum") <= ceil(col("n") * lit(QualityKeepFrac)))
+      .filter(col("cum") <= keepTarget(col("n")))
       .groupBy("source")
       .agg(min("qi").as("cut_qi"))
     val keep = col("qi") >= coalesce(col("cut_qi"), lit(10001L))
@@ -503,7 +527,7 @@ object Curation {
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        ceil(count(lit(1)) * lit(QualityKeepFrac)).cast("long").as("target"),
+        keepTarget(count(lit(1))).as("target"),
         (first(col("cut_qi")) / 10000.0).as("cut_score"),
         sum(keep.cast("long")).as("n_kept"),
         intRatio(sum(keep.cast("long")), count(lit(1)), 4).as("kept_frac"))
@@ -1023,6 +1047,7 @@ object Curation {
     leakReport(Dedup.cur16WindowRows(spark, dir),
       documents(spark, dir).filter(col("source") === "src0")
         .select(col("doc_id").as("held_id")),
+      col("source") === "src0",
       Some(s"cur19.pairs:$dir:${graft.GraftCache.sessionTag(spark)}"))
 
   /** Core of cur19 over explicit frames — separable so the spec can
@@ -1033,14 +1058,21 @@ object Curation {
     * one plan, and without the pin the held×train probe join executes
     * once per consumer (plan-verified — two BroadcastHashJoin subtrees
     * over the window cache). The frame is contamination-sized, so the
-    * pin is tiny at rest.
+    * pin is tiny at rest. `heldPred` is the ONE definition of "held"
+    * for BOTH sides of the window frame (round-15 ADVICE: a hardwired
+    * `source === 'src0'` next to an explicit heldDocs parameter was two
+    * definitions of held in one core — a caller whose held frame is not
+    * labeled src0 would silently get an all-zeros, looks-clean report);
+    * the caller states the partition once, and a mislabeled split now
+    * shows up as held windows on the wrong side instead of vanishing.
     */
   private[graft] def leakReport(
       w: DataFrame, heldDocs: DataFrame,
+      heldPred: org.apache.spark.sql.Column,
       pairsKey: Option[String] = None): DataFrame = {
-    val held = w.filter(col("source") === "src0")
+    val held = w.filter(heldPred)
       .select(col("doc_id").as("held_id"), col("pos"), col("h"))
-    val trainH = w.filter(col("source") =!= "src0")
+    val trainH = w.filter(!heldPred)
       .select(col("doc_id").as("train_id"), col("h")).distinct()
     val pairsRaw = held.join(trainH, Seq("h"))
     val pairs = pairsKey.fold(pairsRaw)(k =>
@@ -1390,7 +1422,9 @@ object Curation {
     * thin frame (7 small columns — the corpus text never moves); the
     * packing window is cur09's per-source sort, already priced in
     * cur18. Same self-overwrite caveat as etl24: one output dir per
-    * (tmpdir, dir), so cur20 must not race itself.
+    * (tmpdir, dir, pid, session), so cur20 must not race itself within
+    * a session — cross-process races are excluded by the pid+session
+    * path component.
     */
   /** cur20's emit directory for a corpus dir. The readable sanitized
     * name carries an md5 suffix of the FULL path: sanitization alone
@@ -1399,14 +1433,22 @@ object Curation {
     * corpus's files. Shared with the specs so the layout assertions
     * look where the operator wrote.
     */
-  private[graft] def cur20OutDir(dir: String): String = {
+  private[graft] def cur20OutDir(spark: SparkSession, dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"${System.getProperty("java.io.tmpdir")}/graft_cur20_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$h"
+    // (pid, sessionTag) in the path (round-15 ADVICE): the overwrite →
+    // read-back round-trip must never interleave with another JVM
+    // benching the same corpus on a shared host (the sessionTag counter
+    // is JVM-local, so the pid carries the cross-process separation);
+    // within one session the dir stays stable, so repeated bench calls
+    // overwrite in place instead of accreting emit dirs.
+    s"${System.getProperty("java.io.tmpdir")}/graft_cur20_" +
+      s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${h}_" +
+      s"p${ProcessHandle.current().pid()}_${graft.GraftCache.sessionTag(spark)}"
   }
 
   def cur20SequenceSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = cur20OutDir(dir)
+    val out = cur20OutDir(spark, dir)
     cur18TrainManifest(spark, dir)
       // Cluster rows by the hive partition key BEFORE the write, with
       // an EXPLICIT task count: clustering means each hive partition

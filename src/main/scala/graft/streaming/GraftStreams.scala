@@ -647,9 +647,13 @@ object GraftStreams {
       state.remove()
       Iterator.empty
     } else {
+      // ONE digest per group call (round-15 review): MessageDigest.digest
+      // resets the instance, so re-using it across the group's arrivals
+      // is safe — per-doc getInstance was the only per-row object churn
+      // in the streaming path.
+      val md = java.security.MessageDigest.getInstance("MD5")
       def hk(id: Long): String =
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(id.toString.getBytes("UTF-8"))
+        md.digest(id.toString.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(8)
       val sorted = arrivals.toSeq.sortBy(a => (hk(a.doc_id), a.doc_id))
       var cum = state.getOption.getOrElse(0L)

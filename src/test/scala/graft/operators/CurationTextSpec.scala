@@ -198,7 +198,8 @@ class CurationTextSpec extends SparkSpec {
       val src = r.getString(0)
       val n = r.getAs[Long]("n_docs")
       val kept = r.getAs[Long]("n_kept")
-      assert(kept == math.ceil(n * Curation.QualityKeepFrac).toLong,
+      assert(kept == (n * Curation.QualityKeepNum + Curation.QualityKeepDen - 1)
+          / Curation.QualityKeepDen,
         s"$src: kept $kept of $n")
       val srcScores = scored.filter(_._3 == src)
         .sortBy { case (id, q, _) => (-q, id) }
@@ -592,7 +593,7 @@ class CurationTextSpec extends SparkSpec {
 
   test("cur20 emit layout: hive partitions on disk; offsets reconstruct the concatenation") {
     Curation.cur20SequenceSink(spark, sf).collect()
-    val out = new java.io.File(Curation.cur20OutDir(sf))
+    val out = new java.io.File(Curation.cur20OutDir(spark, sf))
     val srcDirs = out.listFiles().filter(d =>
       d.isDirectory && d.getName.startsWith("source="))
     assert(srcDirs.nonEmpty, s"no source= partitions under $out")
@@ -686,7 +687,8 @@ class CurationTextSpec extends SparkSpec {
     bySrc.foreach { case (src, ds) =>
       val (nDocs, target, cutScore, nKept) = got(src)
       assert(nDocs == ds.length, s"$src n_docs")
-      assert(target == math.ceil(ds.length * Curation.QualityKeepFrac).toLong,
+      assert(target == (ds.length * Curation.QualityKeepNum +
+          Curation.QualityKeepDen - 1) / Curation.QualityKeepDen,
         s"$src target")
       // Replay the descending-histogram cut locally.
       val hist = ds.groupBy(_._3).map { case (qi, rs) => qi -> rs.length.toLong }
@@ -715,6 +717,28 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("keep target is exact integer arithmetic, pinned at fraction boundaries") {
+    // round-15 ADVICE: ceil(n * 0.3) agreed with ceil(3n/10) only
+    // because the 0.3 double under-approximates — the integer form
+    // makes boundary counts (n a multiple of the denominator, where a
+    // double product could round across the integer) exact by
+    // construction on both engine and oracle sides.
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val ns = Seq(1L, 9L, 10L, 20L, 30L, 100L, 1000000007L)
+    val got = ns.toDF("n")
+      .select(col("n"), Curation.keepTarget(col("n")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val exact = (n * Curation.QualityKeepNum + Curation.QualityKeepDen - 1) /
+        Curation.QualityKeepDen
+      assert(got(n) == exact, s"n=$n")
+    }
+    // The boundary rows specifically: 3n/10 integer ⇒ target is EXACTLY it.
+    assert(got(10L) == 3L && got(20L) == 6L && got(30L) == 9L && got(100L) == 30L)
+  }
+
   test("cur19 short-doc arm: a held doc under the window width still reports a zeros row") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
@@ -729,7 +753,8 @@ class CurationTextSpec extends SparkSpec {
     val w = Dedup.strideWindowRows(docs, carry = Seq("source"))
     val rows = Curation.leakReport(w,
       docs.filter(col("source") === "src0")
-        .select(col("doc_id").as("held_id")))
+        .select(col("doc_id").as("held_id")),
+      col("source") === "src0")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
       .toMap

@@ -207,7 +207,7 @@ class PlanAuditSpec extends SparkSpec {
     // A trainer reading one (source, shard) must prune to that
     // directory — the layout's whole point at 100 TB.
     Curation.cur20SequenceSink(spark, sf).collect()
-    val out = Curation.cur20OutDir(sf)
+    val out = Curation.cur20OutDir(spark, sf)
     val pruned = finalPlan(spark.read.parquet(out)
       .filter(org.apache.spark.sql.functions.col("source") === "src1" &&
         org.apache.spark.sql.functions.col("shard") === 0))

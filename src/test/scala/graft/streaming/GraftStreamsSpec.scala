@@ -315,6 +315,74 @@ class GraftStreamsSpec extends SparkSpec {
     assert(live == batch)
   }
 
+  test("stream05 under RocksDB state: CDC high-water marks round-trip the deployment provider") {
+    // stream13 pins the engine session store, stream14 the FrameState
+    // family, stream19/23 the pack cursor; this leg covers the LAST
+    // flatMapGroupsWithState shape without a deployment-provider pin —
+    // stream05's CDC high-water-mark state (a (seq, op, value) per key
+    // that must survive the provider across micro-batches, or a replayed
+    // stale op re-applies and the materialized view diverges). Its
+    // NoTimeout posture makes the provider pin MORE load-bearing, not
+    // less: the state lives for the query's whole lifetime.
+    import spark.implicits._
+    val providerCls =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    assume(
+      try { Class.forName(providerCls); true }
+      catch { case _: ClassNotFoundException => false },
+      s"SKIPPING LOUDLY: $providerCls not on this Spark classpath")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, providerCls)
+      val batch = graft.operators.Etl.etl16CdcApply(spark, sf).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getDouble(3))))
+        .toMap
+      val log = Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2))
+        .collect()
+        .map { r =>
+          val op = r.getString(2) match {
+            case "error" => "D"
+            case "click" => "U"
+            case _       => "I"
+          }
+          GraftStreams.CdcOp(r.getLong(0), r.getLong(1), op, r.getDouble(3))
+        }
+        .sortBy(_.seq)
+      val (b1, b2) = log.splitAt(log.length / 2)
+      val qn = s"cdc_rocks_${System.nanoTime()}"
+      val stream = MemoryStream[GraftStreams.CdcOp](spark)
+      val q = GraftStreams.streamingCdcApply(stream.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        stream.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        // The replayed slice crosses the micro-batch line: ignoring it
+        // requires the batch-1 high-water marks to come back OUT of
+        // RocksDB intact.
+        stream.addData((b1.takeRight(20) ++ b2).toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getBoolean(4)))
+        .groupBy(_._1).map { case (k, states) => k -> states.maxBy(_._2) }
+      val live = streamed.collect { case (k, (_, seq, op, v, deleted)) if !deleted =>
+        k -> ((seq, op, v))
+      }
+      assert(live == batch,
+        "CDC state under RocksDB diverges from the batch etl16 final state")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup keeper is stable when a smaller doc_id arrives late") {
     import spark.implicits._
     val stream = MemoryStream[GraftStreams.DocArrival](spark)
