@@ -50,6 +50,30 @@ def parse_times(content: str, sf: str):
     return out
 
 
+def parse_fps(content: str, sf: str):
+    """Per-query plan fingerprints from one record (only the bench full
+    JSON and regenerated clean files carry them). Same sf guard as
+    parse_times."""
+    s = content.replace('\\"', '"')
+    start = s.find('{"metric"')
+    if start >= 0:
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(s[start:])
+            if obj.get("sf") != sf:
+                return {}
+            return {k: v for k, v in obj.get("fingerprints", {}).items()
+                    if isinstance(v, str)}
+        except (json.JSONDecodeError, TypeError, ValueError):
+            pass
+    m = re.search(r'"sf":"([^"]+)"', s)
+    if not m or m.group(1) != sf:
+        return {}
+    fm = re.search(r'"fingerprints":\{([^}]*)\}', s)
+    if not fm:
+        return {}
+    return dict(re.findall(r'"([A-Za-z0-9_]+)":"([0-9a-f]+)"', fm.group(1)))
+
+
 def main():
     clean_file = Path(sys.argv[1])
     repo = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(".")
@@ -58,6 +82,22 @@ def main():
     if not best:
         sys.exit(f"clean line did not parse at sf {sf}")
     n_fresh = len(best)
+    # FLOOR RATCHET (round-16): a floor recorded under a DIFFERENT plan
+    # fingerprint judges a plan that no longer exists — min-merging a
+    # legitimately-grown plan (cur18 after the boilerplate fold) across
+    # the change would hold it permanently suspect-prone. Keys whose
+    # fresh fingerprint differs from the committed clean one are
+    # RESEEDED: the fresh clean number stands, prior records are not
+    # merged in. Conservative: reseed only when BOTH sides carry a
+    # fingerprint (a pre-fingerprint clean file ratchets nothing).
+    fresh_fps = parse_fps(clean_file.read_text(), sf)
+    old_clean = repo / "BENCH_clean.json"
+    old_fps = parse_fps(old_clean.read_text(), sf) if old_clean.is_file() else {}
+    reseed = {k for k in fresh_fps
+              if k in old_fps and old_fps[k] != fresh_fps[k] and k in best}
+    if reseed:
+        print("floor ratchet: plan fingerprint changed, floors reseeded "
+              "from the fresh run only: " + ", ".join(sorted(reseed)))
     # Min-merge official records AND the previous clean file: a floor
     # captured by an earlier clean run (never matched by an official
     # record) must survive regeneration, or the gate softens each round.
@@ -65,6 +105,8 @@ def main():
     carried = set()
     for rec in prior:
         for k, v in parse_times(rec.read_text(), sf).items():
+            if k in reseed:
+                continue
             # UNION of keys, min where both exist: a query that errored
             # or was absent in the fresh run must not silently lose its
             # historical floor — that is exactly the "gate softens each
@@ -88,18 +130,24 @@ def main():
     # lookups, but a since-removed query's stale floor must not inflate
     # the round-over-round total-floor comparison.
     live_total = sum(v for k, v in best.items() if k not in carried)
+    # Fingerprints ride the clean file so the NEXT regeneration (and the
+    # bench's in-run ratchet) can compare: fresh wins, carried-only keys
+    # keep the fingerprint their floor was recorded under.
+    out_fps = {k: v for k, v in old_fps.items() if k in best}
+    out_fps.update({k: v for k, v in fresh_fps.items() if k in best})
     line = (
         '{"metric":"total","value":%.3f,"unit":"sec","queries":{%s},'
-        '"errors":{},"suspect":[],"sf":"%s"}'
+        '"fingerprints":{%s},"errors":{},"suspect":[],"sf":"%s"}'
         % (
             live_total,
             ",".join('"%s":%.3f' % (k, v) for k, v in sorted(best.items())),
+            ",".join('"%s":"%s"' % (k, v) for k, v in sorted(out_fps.items())),
             sf,
         )
     )
     (repo / "BENCH_clean.json").write_text(line + "\n")
-    print(f"BENCH_clean.json: {len(best)} queries ({n_fresh} fresh), "
-          f"total floor {sum(best.values()):.1f}s")
+    print(f"BENCH_clean.json: {len(best)} queries ({n_fresh} fresh, "
+          f"{len(reseed)} reseeded), total floor {sum(best.values()):.1f}s")
 
 
 if __name__ == "__main__":

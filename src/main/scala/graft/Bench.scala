@@ -239,6 +239,70 @@ object Bench {
     rec
   }
 
+  /** Per-query plan fingerprints parsed out of a bench record — only
+    * the judge-clean seed (`BENCH_clean.json`) carries them (the
+    * official stdout line cannot: 155 fingerprints would blow the tail
+    * window; the committed clean file has no length budget). Same
+    * sf-guard as [[parsePriorTimes]].
+    */
+  private[graft] def parseFingerprints(
+      content: String, sfDir: String): Map[String, String] = {
+    val s = content.replace("\\\"", "\"")
+    val sfOk = "\"sf\":\"([^\"]+)\"".r
+      .findFirstMatchIn(s).exists(_.group(1) == sfDir)
+    if (!sfOk) Map.empty
+    else
+      "\"fingerprints\":\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)) match {
+        case None => Map.empty
+        case Some(body) =>
+          "\"([A-Za-z0-9_]+)\":\"([0-9a-f]+)\"".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2)).toMap
+      }
+  }
+
+  /** The committed clean record's plan fingerprints (empty when the
+    * clean file predates the fingerprint column or sits at another sf).
+    */
+  private[graft] def cleanFingerprints(sfDir: String): Map[String, String] = {
+    val dir = new java.io.File(
+      sys.props.get("graft.bench.recordDir")
+        .orElse(sys.env.get("SPARK_GRAFT_RECORD_DIR"))
+        .getOrElse("."))
+    val f = new java.io.File(dir, "BENCH_clean.json")
+    if (!f.isFile) Map.empty
+    else
+      try parseFingerprints(new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8), sfDir)
+      catch { case _: Throwable => Map.empty }
+  }
+
+  /** The FLOOR RATCHET (round-15 directive #4): a floor recorded under
+    * a DIFFERENT plan fingerprint than the query runs today judges a
+    * plan that no longer exists — min-merging across the change would
+    * hold a legitimately-grown plan (cur18 after the boilerplate fold)
+    * permanently suspect-prone. Such floors are DROPPED from the gate
+    * for this run (the query falls back to the within-run family
+    * median, exactly a new operator's posture), and make_bench_clean
+    * reseeds the committed floor from the current clean numbers.
+    * Conservative by construction: a floor is dropped only when BOTH
+    * sides recorded a fingerprint and they differ — a pre-fingerprint
+    * clean file (or a query that errored before fingerprinting) keeps
+    * every floor it has.
+    */
+  private[graft] def ratchetPrior(
+      prior: Map[String, Double],
+      cleanFps: Map[String, String],
+      currentFps: Map[String, String]): (Map[String, Double], Seq[String]) = {
+    val reseeded = prior.keys.filter { id =>
+      (cleanFps.get(id), currentFps.get(id)) match {
+        case (Some(old), Some(cur)) => old != cur
+        case _ => false
+      }
+    }.toSeq.sorted
+    (prior -- reseeded, reseeded)
+  }
+
   /** Retry/suspect threshold vs the best prior record. 2× (was 3×):
     * with BENCH_clean.json seeding the floor, the per-query minima are
     * honest clean-machine numbers, so a reading 2× above one is
@@ -331,12 +395,30 @@ object Bench {
     SparkEntry.queries.get("q06_revenue_filter")
       .foreach(fn => fn(spark, sfDir).count())
     var errors = List.empty[(String, String)]
-    // Two timed iterations per query, minimum reported: a single-shot
-    // number absorbs JIT warm-up, codegen compilation, and GC pauses
-    // from the previous query — round-3 showed 3–7× phantom outliers
-    // that vanish in a clean run. The min of two runs reflects the
-    // PLAN's cost, which is what the round-over-round comparison grades.
+    // Two timed iterations per query in the FIRST pass, minimum
+    // reported: a single-shot number absorbs JIT warm-up, codegen
+    // compilation, and GC pauses from the previous query — round-3
+    // showed 3–7× phantom outliers that vanish in a clean run. The min
+    // reflects the PLAN's cost, which is what the round-over-round
+    // comparison grades.
     val Iterations = 2
+    // The OFFICIAL record is min-merged across whole-suite passes
+    // (round-15 directive #1: two consecutive rounds shipped official
+    // lines 1.4–2× their committed clean floors because one machine-
+    // contention window outlasted every within-pass retry — the
+    // clean-floor methodology, min over independent runs, applied to
+    // the record itself). Later passes run 1 iteration each: the min
+    // across passes subsumes the within-pass min, so pass 1 pays the
+    // JIT warm-up and the rest sample fresh contention windows at
+    // whole-suite distance — a noise burst must now span EVERY pass to
+    // damage a query's official number.
+    val Passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // The pass-1 frames, kept for plan fingerprinting after the sweep
+    // (construction can carry operator side effects — cur20's emit,
+    // etl10's layout build — so fingerprints must reuse the frames the
+    // timing already built, never re-invoke the query functions).
+    val frames = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
     // Release the engine's pinned frames at every family boundary
     // (q* / etl* / dedup* / …; the sorted run order groups families).
     // Round 7 lost its perf signal to exactly this: 107 queries'
@@ -351,49 +433,88 @@ object Bench {
     // within-family pressure still distorting its tail under driver
     // contention — more release points cost nothing (etl pins no shared
     // frames) and shorten the window any accumulated state can lean on.
-    var prevFamily: String = null
-    val sweep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (prevFamily != null && family(name) != prevFamily) GraftCache.release()
-      prevFamily = family(name)
-      val attempts = (1 to Iterations).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            // Class name ONLY in the summary line: round 9 lost every
-            // timing because 28 full error messages pushed the timings
-            // out of the harness's tail window. Details go to stderr.
-            if (!errors.exists(_._1 == name)) {
-              errors ::= name -> e.getClass.getSimpleName
-              System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+    def runPass(iters: Int, capture: Boolean): Seq[(String, Double, Boolean)] = {
+      var prevFamily: String = null
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (prevFamily != null && family(name) != prevFamily) GraftCache.release()
+        prevFamily = family(name)
+        val attempts = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              val df = fn(spark, sfDir)
+              df.count()
+              if (capture) frames(name) = df
+              true
             }
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+            catch { case e: Throwable =>
+              // Class name ONLY in the summary line: round 9 lost every
+              // timing because 28 full error messages pushed the timings
+              // out of the harness's tail window. Details go to stderr.
+              if (!errors.exists(_._1 == name)) {
+                errors ::= name -> e.getClass.getSimpleName
+                System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+              }
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        // Min over SUCCESSFUL runs only — a fast failure must not stand
+        // in for the query's cost (it still surfaces under "errors").
+        val good = attempts.collect { case (t, true) => t }
+        if (good.nonEmpty) (name, good.min, true)
+        else (name, attempts.map(_._1).min, false)
       }
-      // Min over SUCCESSFUL runs only — a fast failure must not stand in
-      // for the query's cost (it still surfaces under "errors").
-      val good = attempts.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else attempts.map(_._1).min)
     }
-    // Outlier retry pass: min-of-2 could not defend the official record
-    // against a contention window longer than both runs (rounds 9 and
-    // 10 both shipped damaged perf records). Any reading that looks
-    // contention-suspect gets up to two solo re-runs, keeping the best
-    // number — the retried queries run alone, after the sweep's own
-    // load (and whatever raced it) has drained, so a clean machine
-    // yields the plan's true cost. The suspicion test compares against
-    // the query's OWN best prior official record (round-11 directive —
-    // the within-run family median inflates with machine-wide load, so
-    // r11's uniform ~1.8× slowdown sailed past it); the family median
-    // serves only queries with no prior record. Genuinely-expensive
-    // queries (dedup02's fenced O(n²) ground truth, the k-means
-    // training replays) may also match; their retries cost a few
-    // seconds total and simply confirm the number, so the pass stays
-    // bounded either way.
-    GraftCache.release()
+    val passResults = (1 to Passes).map { p =>
+      val r = runPass(if (p == 1) Iterations else 1, capture = p == 1)
+      GraftCache.release()
+      System.err.println(
+        f"[bench] pass $p/$Passes total ${r.map(_._2).sum}%.1f s")
+      r
+    }
+    // Min-merge the passes, preserving pass-1's (sorted) query order —
+    // min over passes WITH a successful run; a fast-failure time stands
+    // in only when the query succeeded in no pass at all (the per-pass
+    // rule lifted across passes).
+    val sweep = passResults.head.map(_._1).map { name =>
+      val entries = passResults.flatMap(_.collectFirst {
+        case (`name`, t, ok) => (t, ok)
+      })
+      val good = entries.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else entries.map(_._1).min)
+    }
+    // Plan fingerprints off the pass-1 frames (analysis-only — plans
+    // were already built and executed during timing).
+    val currentFps: Map[String, String] = frames.toMap.flatMap { case (n, df) =>
+      try Some(shortId(n) -> PlanFingerprint.of(df))
+      catch { case _: Throwable => None }
+    }
+    // Outlier retry pass: the multi-pass min could still be damaged by
+    // a contention window spanning the WHOLE run (rounds 9 and 10 both
+    // shipped damaged perf records from shorter windows). Any reading
+    // that looks contention-suspect gets up to two solo re-runs,
+    // keeping the best number — the retried queries run alone, after
+    // the sweep's own load (and whatever raced it) has drained, so a
+    // clean machine yields the plan's true cost. The suspicion test
+    // compares against the query's OWN best prior official record
+    // (round-11 directive — the within-run family median inflates with
+    // machine-wide load, so r11's uniform ~1.8× slowdown sailed past
+    // it); the family median serves only queries with no prior record
+    // — and, via the FLOOR RATCHET, queries whose plan fingerprint
+    // changed since the committed floor was recorded. Genuinely-
+    // expensive queries (dedup02's fenced O(n²) ground truth, the
+    // k-means training replays) may also match; their retries cost a
+    // few seconds total and simply confirm the number, so the pass
+    // stays bounded either way.
     val errored = errors.map(_._1).toSet
-    val prior = priorRecord(sfDir)
+    val (prior, reseeded) = ratchetPrior(
+      priorRecord(sfDir), cleanFingerprints(sfDir), currentFps)
+    if (reseeded.nonEmpty)
+      System.err.println(
+        s"[bench] floor ratchet: plan fingerprint changed for ${reseeded.mkString(", ")}" +
+          " — their committed floors judge a plan that no longer exists and are" +
+          " dropped for this run (make_bench_clean reseeds them)")
     val flagged = outliersVsPrior(sweep, errored, prior).toSet
     val byName = SparkEntry.queries
     val famFlagged = outliers(sweep, errored).toSet
@@ -438,7 +559,13 @@ object Bench {
     // harness contract — that is the single stdout line below).
     val fullJson = {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$full,"suspect":${suspectIds.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      // Plan fingerprints ride the FULL file (make_bench_clean keys the
+      // committed floors by them — the ratchet's other half); the stdout
+      // line cannot afford them.
+      val fps = currentFps.toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$full,"fingerprints":$fps,"suspect":${suspectIds.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     }
     try {
       java.nio.file.Files.write(

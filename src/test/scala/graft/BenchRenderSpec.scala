@@ -255,6 +255,44 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(sub == results.size - expectedKept, "dropped count must be in-band")
   }
 
+  test("parseFingerprints: reads the clean record's fingerprint column, sf-guarded") {
+    val rec = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"q01":0.5,"cur18":0.9},""" +
+      """"fingerprints":{"q01":"ab12cd34ef56","cur18":"0123456789ab"},""" +
+      """"errors":{},"suspect":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseFingerprints(rec, "/root/testdata/sf0.1") ==
+      Map("q01" -> "ab12cd34ef56", "cur18" -> "0123456789ab"))
+    // Wrong sf contributes nothing (a dev record must never ratchet the
+    // official floors).
+    assert(Bench.parseFingerprints(rec, "/root/testdata/sf0.01").isEmpty)
+    // A pre-fingerprint record contributes nothing.
+    assert(Bench.parseFingerprints(
+      """{"metric":"total","queries":{"q01":0.5},"sf":"/root/testdata/sf0.1"}""",
+      "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("floor ratchet: a changed fingerprint drops the floor; unknown fingerprints keep it") {
+    val prior = Map("q01" -> 0.5, "cur18" -> 0.9, "sim19" -> 1.8, "etl10" -> 0.7)
+    val clean = Map("q01" -> "aaaa", "cur18" -> "bbbb", "sim19" -> "cccc")
+    val current = Map("q01" -> "aaaa", "cur18" -> "CHANGED", "etl10" -> "eeee")
+    val (kept, reseeded) = Bench.ratchetPrior(prior, clean, current)
+    // cur18: both sides known, differ -> floor dropped, named.
+    assert(reseeded == Seq("cur18"))
+    assert(!kept.contains("cur18"))
+    // q01: both sides known, equal -> floor kept.
+    assert(kept("q01") == 0.5)
+    // sim19: no CURRENT fingerprint (errored before capture) -> kept.
+    assert(kept("sim19") == 1.8)
+    // etl10: no CLEAN fingerprint (pre-fingerprint file) -> kept. The
+    // conservative arm: the ratchet can only fire on recorded evidence,
+    // so fingerprint drift can soften the gate only query-by-query and
+    // only when the plan REALLY changed.
+    assert(kept("etl10") == 0.7)
+    // Empty maps ratchet nothing (round-1-of-the-feature posture).
+    assert(Bench.ratchetPrior(prior, Map.empty, current)._1 == prior)
+    assert(Bench.ratchetPrior(prior, clean, Map.empty)._1 == prior)
+  }
+
   test("priorRecord: min-merges the real repo records (contamination defense)") {
     // Runs in the repo root where BENCH_r*.json live; if none parse at
     // this sf the map is empty and the family fallback governs — both
