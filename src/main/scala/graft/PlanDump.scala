@@ -122,6 +122,8 @@ object PlanDump {
         "leak report: both sides read the ONE pinned cur16 window frame, cross-split join hash-keyed (8-byte windows), contamination-sized per-held aggregates broadcast back",
       "cur20_sequence_sink" ->
         "corpus emit: the dumped plan is the READ-BACK audit over the hive-partitioned (source, shard) manifest the operator just wrote — partition columns in the scan, tiny rollup; the manifest plan itself is cur18's audited funnel",
+      "cur23_payload_shards" ->
+        "payload shard emit: the dumped plan is the read-back reassembly audit over the emitted (source, shard) files — partition columns in the scan, one (source, seq) token shuffle for the slice reassembly; the payload frame itself joins manifest ⋈ text doc_id-equi with scrub/span evidence broadcast",
       "cur21_histogram_budget" ->
         "sort-free budget: ONE partial-aggregated (source, bucket) histogram, cut window over the dim-sized histogram (never the corpus), broadcast thresholds back over the scan",
       "cur22_histogram_select" ->

@@ -156,6 +156,7 @@ object SparkEntry {
     "cur18_corpus_build" -> Curation.cur18CorpusBuild _,
     "cur19_leak_report" -> Curation.cur19LeakReport _,
     "cur20_sequence_sink" -> Curation.cur20SequenceSink _,
+    "cur23_payload_shards" -> Curation.cur23PayloadShards _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -1272,6 +1273,72 @@ object SparkEntry {
          ORDER BY source, shard"""
   }
 
+  /** Generated DuckDB replay of cur23's payload-shard audit: the shared
+    * funnel CTEs through the sampled+split frame, the train packing
+    * window (cur20's), the post-both-scrubs TOKEN LIST per train doc
+    * (post-boiler tokens — `atoks` for affected docs, raw `toks`
+    * otherwise — minus the contamination spans' positions, cur17's
+    * grammar), and the same sequence reassembly the Spark side computes
+    * FROM THE EMITTED FILES: slices cut at cum_start offsets, joined in
+    * cum_start order per (source, seq), md5-60-bit hashed, summed per
+    * shard. A payload byte lost, re-ordered, or mis-sliced anywhere in
+    * the write→read-back→reassemble chain moves a hash sum.
+    */
+  private val Cur23OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    val sps = graft.operators.Curation.Cur20SeqsPerShard
+    s"""WITH $Cur18SplCtes,
+         trn AS (SELECT doc_id, source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'),
+         pm AS (SELECT doc_id, source, post_toks,
+             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
+           FROM trn),
+         ptoks AS (SELECT a.doc_id, a.t FROM atoks a JOIN pm USING (doc_id)
+           UNION ALL
+           SELECT tk.doc_id, tk.t FROM toks tk JOIN pm USING (doc_id)
+           WHERE tk.doc_id NOT IN (SELECT doc_id FROM aff)),
+         kept23 AS (SELECT p.doc_id, CAST(u.i AS INT) AS pos,
+             p.t[CAST(u.i + 1 AS BIGINT)] AS tok
+           FROM ptoks p, unnest(range(0, len(p.t))) AS u(i)
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+               WHERE s.doc_id = p.doc_id
+                 AND u.i >= s.start_pos AND u.i <= s.end_pos)),
+         ptl AS (SELECT doc_id, list(tok ORDER BY pos) AS ptoks
+           FROM kept23 GROUP BY doc_id),
+         dsh AS (SELECT source, CAST(seq_first // $sps AS BIGINT) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(len(ptoks)) AS BIGINT) AS payload_toks
+           FROM pm JOIN ptl USING (doc_id) GROUP BY 1, 2),
+         sl23 AS (SELECT pm.source, CAST(t.s AS BIGINT) AS seq, pm.cum_start,
+             ptl.ptoks[CAST(greatest(pm.cum_start, t.s * $ctx) - pm.cum_start + 1 AS BIGINT):
+                       CAST(least(pm.cum_start + len(ptl.ptoks), (t.s + 1) * $ctx) - pm.cum_start AS BIGINT)] AS part
+           FROM pm JOIN ptl USING (doc_id),
+             unnest(range(pm.seq_first, pm.seq_last + 1)) AS t(s)),
+         sq23 AS (SELECT source, seq,
+             array_to_string(flatten(list(part ORDER BY cum_start)), ' ') AS stext
+           FROM sl23 GROUP BY source, seq),
+         ssh AS (SELECT source, CAST(seq // $sps AS BIGINT) AS shard,
+             count(*) AS n_seqs,
+             CAST(sum(len(string_split(stext, ' '))) AS BIGINT) AS seq_toks,
+             CAST(sum(('0x' || substr(md5(stext), 1, 15))::BIGINT) AS BIGINT) AS seq_hash_sum
+           FROM sq23 GROUP BY 1, 2)
+         SELECT coalesce(d.source, s.source) AS source,
+           coalesce(d.shard, s.shard) AS shard,
+           coalesce(d.n_docs, 0) AS n_docs,
+           coalesce(d.payload_toks, 0) AS payload_toks,
+           coalesce(s.n_seqs, 0) AS n_seqs,
+           coalesce(s.seq_toks, 0) AS seq_toks,
+           coalesce(s.seq_hash_sum, 0) AS seq_hash_sum
+         FROM dsh d FULL OUTER JOIN ssh s
+           ON d.source = s.source AND d.shard = s.shard
+         ORDER BY source, shard"""
+  }
+
   /** Generated DuckDB replay of cur21's sort-free budget: the same
     * 256-bucket histogram over the md5 prefix, the bucket-prefix cut
     * as a window over the histogram (≤256 rows per source), and the
@@ -2256,6 +2323,7 @@ object SparkEntry {
     "cur18_corpus_build" -> Cur18OracleSql,
     "cur19_leak_report" -> Cur19OracleSql,
     "cur20_sequence_sink" -> Cur20OracleSql,
+    "cur23_payload_shards" -> Cur23OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

@@ -1478,6 +1478,129 @@ object Curation {
       .orderBy("source", "shard")
   }
 
+  /** The TRAIN split's post-both-scrubs token payload, one row per
+    * manifest doc: (manifest columns, toks) where `toks` is the doc's
+    * token array after the boilerplate scrub (affected docs read the
+    * pinned text20 clean text; unaffected docs keep their raw tokens —
+    * byte-identical text) with cur16's contaminated span positions
+    * removed (cur17's HOF rewrite, here keeping the ARRAY — the funnel
+    * stages' own frames, so `size(toks) = post_toks` doc-for-doc by
+    * construction, spec-pinned). The doc_id equi-join of the manifest
+    * against the corpus text is the one unavoidable corpus join of a
+    * payload emit (both sides hash-partition on doc_id); the scrub and
+    * span evidence stay broadcast (affected/contaminated docs only).
+    */
+  private[graft] def cur18TrainPayload(
+      spark: SparkSession, dir: String): DataFrame = {
+    val man = cur18TrainManifest(spark, dir)
+    val scrub = TextAnalysis.corpusBoilerplateScrub(spark, dir)
+      .filter(col("source") =!= "src0")
+    val perDocSpans = postBoilerSpans(spark, dir, scrub)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("sp"))
+    val pbt = tokens(coalesce(col("text_clean"), col("text")))
+    man
+      .join(documents(spark, dir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .join(broadcast(scrub.select(col("doc_id"), col("text_clean"))),
+        Seq("doc_id"), "left")
+      .join(broadcast(perDocSpans), Seq("doc_id"), "left")
+      .withColumn("toks",
+        when(col("sp").isNull, pbt).otherwise(
+          transform(
+            filter(sequence(lit(0), size(pbt) - 1), p =>
+              !exists(col("sp"), s =>
+                p >= s.getField("start_pos") && p <= s.getField("end_pos"))),
+            p => element_at(pbt, p + 1))))
+      .select(col("doc_id"), col("source"), col("post_toks"),
+        col("seq_first"), col("seq_last"), col("off_first"),
+        col("shard"), col("toks"))
+  }
+
+  /** cur23's emit directory — cur20's layout contract (pid + session
+    * tagged, md5-suffixed corpus key).
+    */
+  private[graft] def cur23OutDir(spark: SparkSession, dir: String): String =
+    cur20OutDir(spark, dir).replace("graft_cur20_", "graft_cur23_")
+
+  /** cur23: PAYLOAD SHARD emit — the deliverable cur20's manifest
+    * defers (SURVEY's named round-15 deferral): loader-readable
+    * training shards with the actual post-scrub token payload joined
+    * in, not just the packing coordinates. Each (source, shard) hive
+    * partition holds its filed docs' manifest rows PLUS their token
+    * arrays ([[cur18TrainPayload]]); a loader materializes sequence s
+    * of a source by gathering the covering rows and slicing at
+    * `cum_start = seq_first·ctx + off_first` — and the AUDIT below
+    * performs exactly that reconstruction FROM THE EMITTED FILES, so
+    * the oracle match proves the emitted bytes reassemble into the
+    * funnel's exact sequence stream (content, intra-sequence order,
+    * and tiling — not just counts):
+    *
+    *  - per filed shard: docs and payload tokens measured from the
+    *    emitted ARRAYS (`size(toks)`, never the manifest counts);
+    *  - per sequence (grouped to ITS shard, `seq div seqsPerShard` —
+    *    a straddling doc's tail slices count toward the shard the
+    *    sequence lives in, which may hold no filed docs at all, hence
+    *    the full-outer fuse): the slice reassembly in cum_start order,
+    *    hashed with the engine-portable [[tokenHash64]] contract and
+    *    summed per shard. Σ(per-shard hash sums) is bounded by
+    *    seqsPerShard·2⁶⁰ per row — inside BIGINT while
+    *    [[Cur20SeqsPerShard]] ≤ 8 (it is 4).
+    *
+    * Scale: the write clusters by the hive key with cur20's explicit
+    * task count; the payload join is doc_id-co-partitionable; the
+    * sequence reassembly shuffles each token exactly once on the
+    * (source, seq) key (sequence-sized groups — the trainer-side read
+    * pattern, which is the point of emitting this layout).
+    */
+  def cur23PayloadShards(spark: SparkSession, dir: String): DataFrame = {
+    val out = cur23OutDir(spark, dir)
+    cur18TrainPayload(spark, dir)
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("source"), col("shard"))
+      .write.mode("overwrite")
+      .partitionBy("source", "shard").parquet(out)
+    val ctx = lit(Cur18CtxTokens)
+    val sps = lit(Cur20SeqsPerShard)
+    val rb = spark.read.parquet(out)
+      .select(col("doc_id"), col("source"),
+        col("shard").cast("long").as("shard"),
+        col("seq_first"), col("seq_last"), col("off_first"), col("toks"))
+      .withColumn("cum_start", col("seq_first") * ctx + col("off_first"))
+    val docsPerShard = rb.groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("payload_toks"))
+    val slices = rb
+      .select(col("source"), col("cum_start"), col("toks"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .withColumn("lo", greatest(col("cum_start"), col("seq") * ctx))
+      .withColumn("hi",
+        least(col("cum_start") + size(col("toks")), (col("seq") + 1) * ctx))
+      .select(col("source"), col("seq"), col("cum_start"),
+        slice(col("toks"), (col("lo") - col("cum_start") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("part"))
+    val seqs = slices.groupBy("source", "seq")
+      .agg(collect_list(struct(col("cum_start"), col("part"))).as("parts"))
+      .select(col("source"), col("seq"),
+        array_join(
+          flatten(transform(array_sort(col("parts")),
+            p => p.getField("part"))), " ").as("stext"))
+    val seqsPerShard = seqs
+      .groupBy(col("source"), intDiv(col("seq"), sps).as("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(size(split(col("stext"), " ")).cast("long")).as("seq_toks"),
+        sum(tokenHash64(col("stext"))).as("seq_hash_sum"))
+    docsPerShard.join(seqsPerShard, Seq("source", "shard"), "full_outer")
+      .select(col("source"), col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("payload_toks"), lit(0L)).as("payload_toks"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("seq_toks"), lit(0L)).as("seq_toks"),
+        coalesce(col("seq_hash_sum"), lit(0L)).as("seq_hash_sum"))
+      .orderBy("source", "shard")
+  }
+
   /** stream18's decision core — cur18's funnel on the INGEST cadence,
     * composed from the pinned-index decision cores the streaming
     * gates already run separately: the quality predicate (cur04's

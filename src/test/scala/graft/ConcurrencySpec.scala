@@ -92,6 +92,9 @@ class ConcurrencySpec extends SparkSpec {
       // (one instance only — cur20 must not race ITSELF, etl24's
       // documented caveat).
       "cur20_sequence_sink",
+      // cur23 rides the same funnel pins plus its OWN partitioned
+      // payload write mid-mix (one instance only, cur20's contract).
+      "cur23_payload_shards",
       "cur21_histogram_budget", "cur22_histogram_select",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure

@@ -624,6 +624,66 @@ class CurationTextSpec extends SparkSpec {
       }
   }
 
+  test("cur23 payload: manifest and payload agree doc-for-doc; JVM replay of the reassembly") {
+    val ctx = Curation.Cur18CtxTokens
+    val sps = Curation.Cur20SeqsPerShard
+    val pay = Curation.cur18TrainPayload(spark, sf).collect()
+    assert(pay.nonEmpty)
+    // Doc-for-doc law (the directive's pin): the emitted token array is
+    // EXACTLY post_toks long for every manifest doc — the payload and
+    // the packing coordinates cannot disagree.
+    pay.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("toks").size.toLong ==
+        r.getAs[Long]("post_toks"),
+        s"doc ${r.getLong(0)}: payload length != post_toks")
+    }
+    // Independent ground truth: reassemble every sequence in plain
+    // Scala from the payload rows (concatenate per source at cum_start
+    // offsets, cut every ctx tokens), hash with the md5-60-bit
+    // contract, and demand the audit's per-shard rows exactly.
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(15), 16)
+    val expected = pay.groupBy(_.getString(1)).flatMap { case (src, rows) =>
+      val stream = rows
+        .map(r => (r.getAs[Long]("seq_first") * ctx + r.getAs[Long]("off_first"),
+          r.getAs[scala.collection.Seq[String]]("toks")))
+        .sortBy(_._1).flatMap(_._2)
+      val seqTexts = stream.grouped(ctx.toInt).map(_.mkString(" ")).zipWithIndex
+      val perShard = seqTexts.toSeq.groupBy(_._2 / sps.toInt).map {
+        case (shard, seqs) =>
+          (src, shard.toLong) ->
+            ((seqs.size.toLong, seqs.map(s => s._1.split(" ").length.toLong).sum,
+              seqs.map(s => h60(s._1)).sum))
+      }
+      perShard
+    }
+    val audit = Curation.cur23PayloadShards(spark, sf).collect()
+    val gotSeq = audit.map(r => (r.getString(0), r.getAs[Long]("shard")) ->
+      ((r.getAs[Long]("n_seqs"), r.getAs[Long]("seq_toks"),
+        r.getAs[Long]("seq_hash_sum")))).toMap
+    assert(gotSeq == expected,
+      "audit reassembly diverges from the JVM ground-truth reassembly")
+    // Filed-doc side: per emitted shard, docs and payload tokens.
+    val expDocs = pay.groupBy(r => (r.getString(1), r.getAs[Long]("shard")))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_.getAs[Long]("post_toks")).sum)) }
+    audit.foreach { r =>
+      val k = (r.getString(0), r.getAs[Long]("shard"))
+      val (nd, pt) = expDocs.getOrElse(k, (0L, 0L))
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("payload_toks") == pt,
+        s"$k filed-doc audit")
+    }
+    // Conservation: per source, every payload token lands in exactly
+    // one sequence slice.
+    audit.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("seq_toks")).sum ==
+        rows.map(_.getAs[Long]("payload_toks")).sum, s"$src conservation")
+    }
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)

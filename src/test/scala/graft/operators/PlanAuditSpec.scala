@@ -216,6 +216,28 @@ class PlanAuditSpec extends SparkSpec {
       s"shard read must hit PartitionFilters:\n${pruned.take(2000)}")
   }
 
+  test("cur23: payload shards prune partitions on read-back; evidence stays broadcast") {
+    // The payload frame's ONLY corpus-sized join is the unavoidable
+    // manifest ⋈ text equi-join on doc_id; the scrub/span evidence must
+    // stay broadcast (affected/contaminated docs only), or the emit
+    // would pay corpus shuffles for contamination-sized frames.
+    val plan = finalPlan(Curation.cur18TrainPayload(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "scrub + span evidence must broadcast onto the payload frame")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the payload frame:\n${plan.take(2000)}")
+    // A trainer reading one (source, shard) of the PAYLOAD must prune
+    // to that directory, same as cur20's manifest layout.
+    Curation.cur23PayloadShards(spark, sf).collect()
+    val out = Curation.cur23OutDir(spark, sf)
+    val pruned = finalPlan(spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("source") === "src1" &&
+        org.apache.spark.sql.functions.col("shard") === 0))
+    assert(pruned.contains("PartitionFilters: [") &&
+      pruned.contains("isnotnull(source") && pruned.contains("isnotnull(shard"),
+      s"payload shard read must hit PartitionFilters:\n${pruned.take(2000)}")
+  }
+
   test("cur21: no corpus sort — the cut window rides the histogram; thresholds broadcast") {
     val plan = finalPlan(Curation.cur21HistogramBudget(spark, sf))
     // The whole point vs cur08: selection must NOT pay a per-source
