@@ -112,6 +112,8 @@ object PlanDump {
         "graph ANN: pinned edge frame, per-round broadcast beam/frontier joins, constant per-query candidate budget",
       "sim20_graph_sweep" ->
         "graph-ANN knob sweep: ALL (entries, beam) trajectories in ONE 4-round loop (config columns + one ranked beam window), rounds axis read from per-row entering round, exact leg joined broadcast",
+      "sim21_graph_insert" ->
+        "graph-ANN insert: ONE beam search for the whole append batch (the batch is the query set), pinned edge frame navigated, constant per-arrival candidate budget — the streamable maintenance path",
       "dedup13_lsh_sweep" ->
         "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set; signature legs attach by MEASURED dispatch (broadcast under SweepSigBroadcastMaxDocs, shuffled da/db hash join above — plan-audited both arms)",
       "dedup14_crossmodal" ->
@@ -254,6 +256,7 @@ object PlanDump {
       || sim19 scored candidates, whole fixed query set | 1,165 | 1,234 | CONSTANT at 10x corpus - the graph-ANN read pattern made measurable: per query the search touches <= entry + rounds*beam*degree vectors however large the corpus grows (round-14 row) |
       || sim20 whole sweep pool (all four trajectories summed) | 3,419 | 3,569 | CONSTANT at 10x corpus - the knob curve costs a fixed multiple of one search at any scale (round-15 row) |
       || dedup13 rows=1 superset (second decade, through sweepSuperset) | 287,751 | 28,937,884 | ~100.6x at 10x docs - birthday-quadratic BY CONSTRUCTION, now MEASURED a second decade: the loose end of the S-curve is the price of asking for the whole curve, and the documented deployment points the sweep at a cur01 hash sample (round-15 row) |
+      || sim21 whole insert read set (15-append batch, through beamSearchPool) | 2,869 | 3,097 | CONSTANT at 10x corpus - inserting into the graph costs ONE beam search for the whole batch, so per-arrival maintenance cost never grows with the index it maintains: the property that makes graph-ANN maintenance streamable (stream24; round-16 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,

@@ -136,6 +136,7 @@ object SparkEntry {
     "sim18_retrain_swap" -> Similarity.sim18RetrainSwap _,
     "sim19_graph_ann" -> Similarity.sim19GraphAnn _,
     "sim20_graph_sweep" -> Similarity.sim20GraphSweep _,
+    "sim21_graph_insert" -> Similarity.sim21GraphInsert _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -696,9 +697,8 @@ object SparkEntry {
     * `g`, and the query set `q` — one definition, so the sweep can
     * never navigate a different graph than the deployed search.
     */
-  private val Sim19NavCtes: String = {
-    import graft.operators.Similarity.{GraphRandomDegree, KnnK,
-      NumQueryVectors}
+  private def sim19NavCtes(qBody: String): String = {
+    import graft.operators.Similarity.{GraphRandomDegree, KnnK}
     s"""$Sim07GraphCtes,
          nn AS (SELECT count(*) AS n FROM e),
          g AS MATERIALIZED (
@@ -710,8 +710,36 @@ object SparkEntry {
            FROM e, unnest(range(1, ${GraphRandomDegree + 1})) AS t(j), nn
            WHERE ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
                 CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % nn.n <> e.vec_id),
-         q AS (SELECT vec_id AS q_id, v AS qv FROM e
-               WHERE vec_id < $NumQueryVectors)"""
+         q AS ($qBody)"""
+  }
+
+  private val Sim19NavCtes: String = sim19NavCtes(
+    s"""SELECT vec_id AS q_id, v AS qv FROM e
+               WHERE vec_id < ${graft.operators.Similarity.NumQueryVectors}""")
+
+  /** sim19's unrolled expansion rounds at `beam` width over whatever
+    * `q` the nav preamble bound — shared by the sim19 oracle (corpus
+    * queries) and sim21's insert oracle (drift-blend appends as
+    * queries: the insert IS one search).
+    */
+  private def sim19RoundsSql(beam: Int): String = {
+    import graft.operators.Similarity.GraphRounds
+    (1 to GraphRounds).map { r =>
+      s"""b${r - 1} AS MATERIALIZED (SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS brk FROM v${r - 1})
+           WHERE brk <= $beam),
+         f$r AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS vec_id
+           FROM b${r - 1} b JOIN g ON g.src = b.vec_id
+           WHERE g.dst <> b.q_id
+             AND NOT EXISTS (SELECT 1 FROM v${r - 1} vv
+                             WHERE vv.q_id = b.q_id AND vv.vec_id = g.dst)),
+         sc$r AS MATERIALIZED (SELECT f.q_id, f.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM f$r f JOIN q ON q.q_id = f.q_id JOIN e ON e.vec_id = f.vec_id),
+         v$r AS MATERIALIZED (
+           SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r)"""
+    }.mkString(",\n         ")
   }
 
   /** One unrolled beam-search trajectory at (`ent` entries, `beam`
@@ -753,31 +781,47 @@ object SparkEntry {
   private val Sim19OracleSql: String = {
     import graft.operators.Similarity.{GraphBeam, GraphEntryCount,
       GraphRounds, TopK}
-    val rounds = (1 to GraphRounds).map { r =>
-      s"""b${r - 1} AS MATERIALIZED (SELECT q_id, vec_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, vec_id) AS brk FROM v${r - 1})
-           WHERE brk <= $GraphBeam),
-         f$r AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS vec_id
-           FROM b${r - 1} b JOIN g ON g.src = b.vec_id
-           WHERE g.dst <> b.q_id
-             AND NOT EXISTS (SELECT 1 FROM v${r - 1} vv
-                             WHERE vv.q_id = b.q_id AND vv.vec_id = g.dst)),
-         sc$r AS MATERIALIZED (SELECT f.q_id, f.vec_id,
-             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
-           FROM f$r f JOIN q ON q.q_id = f.q_id JOIN e ON e.vec_id = f.vec_id),
-         v$r AS MATERIALIZED (
-           SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r)"""
-    }.mkString(",\n         ")
     s"""WITH $Sim19NavCtes,
          v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
              round(list_cosine_similarity(q.qv, e.v), 4) AS cos
            FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
-         $rounds
+         ${sim19RoundsSql(GraphBeam)}
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
          WHERE rk <= $TopK ORDER BY q_id, rk"""
+  }
+
+  /** Generated DuckDB replay of sim21's graph insert: the shared nav
+    * preamble with `q` bound to the DRIFT-BLEND append batches (the
+    * sim17 oracle's `ap` law — identical IEEE ops on both engines),
+    * then sim19's unrolled round chain verbatim — the insert is
+    * exactly one beam search — and the top-[[graft.operators.Similarity.GraphInsertDegree]]
+    * cut re-labeled to the edge shape (vec_id = the inserted node,
+    * nb_id = its chosen neighbor).
+    */
+  private val Sim21OracleSql: String = {
+    import graft.operators.Similarity.{Dims, GraphBeam, GraphEntryCount,
+      GraphInsertDegree, GraphRounds, NumQueryVectors, StaleBatches,
+      StaleDriftStep, StaleIdBase}
+    val qBody =
+      s"""SELECT CAST($StaleIdBase + b*100 + qq.q_id AS BIGINT) AS q_id,
+             list_transform(range(1, ${Dims + 1}), i ->
+               (1.0 - b*$StaleDriftStep)*qq.qv[CAST(i AS INT)] +
+                 (b*$StaleDriftStep)*qq.qv[CAST(${Dims + 1} - i AS INT)]) AS qv
+           FROM (SELECT vec_id AS q_id, v AS qv FROM e
+                 WHERE vec_id < $NumQueryVectors) qq,
+             unnest(range(1, ${StaleBatches + 1})) AS t(b)"""
+    s"""WITH ${sim19NavCtes(qBody)},
+         v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
+         ${sim19RoundsSql(GraphBeam)}
+         SELECT q_id AS vec_id, CAST(rk AS INTEGER) AS rk,
+           vec_id AS nb_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
+         WHERE rk <= $GraphInsertDegree ORDER BY 1, 2"""
   }
 
   /** Generated DuckDB replay of sim20's knob sweep: the shared
@@ -2572,6 +2616,7 @@ object SparkEntry {
     "sim18_retrain_swap" -> Sim18OracleSql,
     "sim19_graph_ann" -> Sim19OracleSql,
     "sim20_graph_sweep" -> Sim20OracleSql,
+    "sim21_graph_insert" -> Sim21OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

@@ -244,6 +244,20 @@ object GrowthProbe {
     // visited pools, counted through the sweep's own one-loop search:
     // constant at any corpus size by sim19's argument, per config.
     p("sim20_sweep_pool", Similarity.sim20Pools(spark, dir).count())
+    // sim21's whole insert read set: the ONE beam search the entire
+    // append batch costs (15 arrivals through beamSearchPool — the
+    // operator's own machinery). Constant at any corpus size by the
+    // same per-query budget argument: that is what makes graph-ANN
+    // maintenance streamable (stream24) — insert cost never grows with
+    // the index it maintains.
+    p("sim21_insert_pool", {
+      val queries = e.filter(col("vec_id") < Similarity.NumQueryVectors)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      Similarity.beamSearchPool(
+        e.select("vec_id", "v"), Similarity.knnGraphEdges(spark, dir),
+        Similarity.driftedAppends(queries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))).count()
+    })
     // dedup13's signature attach moved to the measured broadcast/
     // shuffle dispatch this round; the superset pair column (the
     // operator's one large intermediate) flows through the SAME

@@ -1282,7 +1282,21 @@ object Similarity {
     val e = Dedup.vectors(spark, dir)
     val queries = e.filter(col("vec_id") < NumQueryVectors)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val graph = knnGraphEdges(spark, dir)
+    beamSearchPool(e.select("vec_id", "v"), knnGraphEdges(spark, dir), queries)
+  }
+
+  /** The beam search over EXPLICIT (corpus, graph, queries) frames —
+    * sim19's loop verbatim, separated (round 16) so sim21's insert can
+    * search with the APPEND vectors as queries and the recall spec can
+    * search the post-insert AUGMENTED graph; `corpus` must carry
+    * (vec_id, v) and `queries` (q_id, qv). Entry set = vec_id <
+    * [[GraphEntryCount]] of the given corpus (the fixed deployed
+    * entries — append ids sit far above, so an augmented corpus keeps
+    * the same entry set).
+    */
+  private[graft] def beamSearchPool(
+      corpus: DataFrame, graph: DataFrame, queries: DataFrame): DataFrame = {
+    val e = corpus
     def topPer(df: DataFrame, k: Int): DataFrame = sim19TopPer(df, k)
     // Round 0: the fixed entry set scored against every query. Each
     // round's pool is MATERIALIZED with an eager localCheckpoint —
@@ -1452,6 +1466,98 @@ object Similarity {
       if (r < GraphRounds) visited = visited.localCheckpoint(true)
     }
     visited
+  }
+
+  /** Local-edge degree for an inserted node — the graph family's
+    * insert budget: the new node links to its beam search's top-K
+    * (= [[KnnK]], sim07's degree, so inserted nodes look like built
+    * nodes) and each of those receives the back-edge.
+    */
+  val GraphInsertDegree: Int = KnnK
+
+  /** The insert rule's forward edges for an EXPLICIT arrival frame
+    * (q_id, qv) — the decision core sim21 and stream24 share: one beam
+    * search over the DEPLOYED graph with the arrivals as queries
+    * ([[beamSearchPool]] — the same machinery, so an insert costs
+    * exactly one search: ≤ entry + rounds·beam·degree scored
+    * candidates per arrival, a constant in the corpus size), the
+    * top-[[GraphInsertDegree]] cut as the new node's neighbors.
+    * Batch-insert semantics: every arrival in a batch links against
+    * the PRE-BATCH graph — arrivals never see each other, which is
+    * what makes the rule deterministic, embarrassingly parallel, and
+    * re-batching-invariant (the streamed twin's contract). Output:
+    * (vec_id = the arrival, rk, nb_id, cos) — sim07's edge shape.
+    */
+  private[graft] def insertEdgesFor(
+      spark: SparkSession, dir: String, arrivals: DataFrame): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    sim19TopPer(
+        beamSearchPool(e.select("vec_id", "v"), knnGraphEdges(spark, dir),
+          arrivals),
+        GraphInsertDegree)
+      .select(col("q_id").as("vec_id"), col("rk"),
+        col("vec_id").as("nb_id"), col("cos"))
+  }
+
+  /** stream24's per-micro-batch core: arrivals carry (vec_id,
+    * embedding) — stream11's shape — and the emitted rows are the
+    * insert rule's forward edges against the pinned deployed graph.
+    */
+  private[graft] def graphInsertArrivalEdges(
+      spark: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    insertEdgesFor(spark, dir,
+      batch.select(col("vec_id").as("q_id"),
+        asDoubleArray(col("embedding")).as("qv")))
+
+  /** sim21: GRAPH-ANN INSERT — the append path the graph family lacked
+    * (round-15 directive #3: IVF has stream11's appends, sim17's
+    * staleness monitor and sim18's retrain/swap; the graph stopped at
+    * sim19/sim20 — a vector arriving today was invisible to beam
+    * search until a full sim07 rebuild). The HNSW/DiskANN insert rule
+    * (Malkov & Yashunin 2018, arXiv:1603.09320 §4): a new node's
+    * neighbors are its OWN beam-search results over the existing
+    * graph, and each neighbor receives the reciprocal back-edge — the
+    * back-edges are what make the inserted node REACHABLE (forward
+    * edges alone would let the new node search but never be found).
+    * Arrivals are sim17/sim18's drift-synthesized append batches (the
+    * shared [[driftedAppends]] law, so the ANN maintenance family
+    * exercises one append story end to end: stream11 lands them in
+    * IVF cells, sim17 alarms on them, sim18 retrains over them, sim21
+    * wires them into the graph).
+    *
+    * Spark shape: ONE beam search for the whole append batch (config
+    * columns were sim20's trick; here the batch IS the query set), so
+    * the insert cost per arrival is the search's constant candidate
+    * budget — corpus-size-independent, the property that makes
+    * graph-ANN maintenance streamable at 100 TB. Deterministic end to
+    * end (4-dp scores, vec_id tie-breaks), so the DuckDB oracle
+    * replays the insert as sim19's unrolled round chain with the
+    * drift-blend appends as the query CTE. Output: the forward edges
+    * (back-edges are the transpose — pinned in the spec together with
+    * the reachability recall floor).
+    */
+  def sim21GraphInsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    insertEdgesFor(spark, dir,
+        driftedAppends(queries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+      .orderBy("vec_id", "rk")
+  }
+
+  /** The post-insert AUGMENTED graph: deployed edges ∪ forward insert
+    * edges ∪ back-edges — what the recall spec searches to pin that
+    * inserted vectors are actually REACHABLE (the whole point of the
+    * back-edge half of the rule).
+    */
+  private[graft] def augmentedGraphEdges(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ins = sim21GraphInsert(spark, dir)
+    knnGraphEdges(spark, dir)
+      .unionByName(ins.select(col("vec_id").as("src"), col("nb_id").as("dst")))
+      .unionByName(ins.select(col("nb_id").as("src"), col("vec_id").as("dst")))
+      .distinct()
   }
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {

@@ -68,6 +68,9 @@ class ConcurrencySpec extends SparkSpec {
       // sim07's cell-assignment pin) and drives the iterative
       // beam-union plan through the racing session.
       "sim19_graph_ann",
+      // sim21 races the SAME graph-edge pin from the insert axis (its
+      // beam search navigates the pinned graph while sim19 reads it).
+      "sim21_graph_insert",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       // cur15 twice-invoked shape rides the mix too: it races its own

@@ -555,6 +555,83 @@ class SimilaritySpec extends SparkSpec {
     assert(budget < 500, s"sanity: the documented constant is $budget")
   }
 
+  test("sim21 insert: edge shape, determinism, and the back-edge transpose law") {
+    val got = Similarity.sim21GraphInsert(spark, sf).collect()
+    val nAppends = Similarity.NumQueryVectors * Similarity.StaleBatches
+    // Every append gets exactly the insert degree of forward edges,
+    // ranks dense from 1, scores descending on the 4-dp grid.
+    assert(got.map(_.getLong(0)).distinct.length == nAppends)
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length == Similarity.GraphInsertDegree)
+      assert(rows.sortBy(_.getInt(1)).map(_.getInt(1)).toSeq ==
+        (1 to Similarity.GraphInsertDegree))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "edge scores must descend with rank")
+    }
+    // Neighbors are CORPUS nodes (the pre-batch graph — never a
+    // batch-mate: batch-insert semantics).
+    assert(got.forall(_.getLong(2) < Similarity.StaleIdBase),
+      "an insert edge must never point at another arrival")
+    // Deterministic run-over-run (the oracle's premise).
+    val again = Similarity.sim21GraphInsert(spark, sf).collect()
+    assert(got.map(_.toSeq.toVector).toVector ==
+      again.map(_.toSeq.toVector).toVector)
+    // Transpose law: the augmented graph carries BOTH directions of
+    // every insert edge.
+    val aug = Similarity.augmentedGraphEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(2))
+      assert(aug((a, b)) && aug((b, a)), s"edge ($a,$b) must be bidirectional")
+    }
+  }
+
+  test("sim21 reachability: inserted vectors are invisible before, found after (recall floor)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val e = Dedup.vectors(spark, sf)
+    val queries = e.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val appends = Similarity.driftedAppends(queries)
+    val corpus = e.select("vec_id", "v")
+      .unionByName(appends.select("vec_id", "v"))
+    def topIds(graph: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      Similarity.beamSearchPool(corpus, graph, queries)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= Similarity.TopK)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
+    // BEFORE: the deployed graph has no edge touching an append, so the
+    // search cannot even SCORE one — the exact blindness the insert
+    // path exists to cure (round-15 directive #3).
+    val before = topIds(Similarity.knnGraphEdges(spark, sf))
+    assert(before.values.flatten.forall(_ < Similarity.StaleIdBase),
+      "an append must be unreachable before the insert")
+    // AFTER: with the insert's forward+back edges the appends are
+    // found. The floor is the strongest statement TRUE of the
+    // deterministic fixture (beam recall on this near-uniform corpus
+    // is ~0.56 overall, so 100% own-append would over-claim): every
+    // query's top-k contains at least one appended vector, and at
+    // least 4 of the 5 queries retrieve their OWN batch-1 append (the
+    // t=0.2 blend — measured: q3's beam path reaches other appends
+    // but narrowly misses its own).
+    val after = topIds(Similarity.augmentedGraphEdges(spark, sf))
+    val qids = queries.collect().map(_.getLong(0)).toSeq
+    qids.foreach { qid =>
+      assert(after(qid).exists(_ >= Similarity.StaleIdBase),
+        s"query $qid must retrieve at least one append post-insert")
+    }
+    val ownHits = qids.count { qid =>
+      after(qid).contains(Similarity.StaleIdBase + 100L + qid)
+    }
+    assert(ownHits >= qids.size - 1,
+      s"only $ownHits/${qids.size} queries retrieved their own batch-1 append")
+  }
+
   test("sim20: production trajectory IS sim19's pool; rounds curve monotone by construction") {
     import org.apache.spark.sql.functions.col
     // The sweep's (GraphEntryCount, GraphBeam) trajectory must equal

@@ -847,6 +847,61 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landedCells() == batchAssigned, "replay must be a no-op")
   }
 
+  test("stream24: streamed graph inserts equal the batch rule, re-batching invariant, replay no-op") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream24_${System.nanoTime()}"
+    // Arrivals: a float-native slice of the embeddings table (ids 100+,
+    // clear of the query/entry ids), stream11's arrival shape — the
+    // batch truth runs the SAME shared core on the same floats, so the
+    // equality tests the streaming plumbing + landing, and the
+    // two-batch split tests sim21's batch-insert contract (every
+    // arrival links against the PRE-BATCH graph, never its batch-mates
+    // — so re-batching cannot move an edge).
+    val arrivals = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 130)
+      .select("vec_id", "embedding")
+      .as[GraftStreams.EmbeddingArrival].collect()
+    assert(arrivals.length >= 10)
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val stream = MemoryStream[GraftStreams.EmbeddingArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landGraphInsertBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("vec_id", "rk", "nb_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val batchEdges = Similarity.graphInsertArrivalEdges(spark, sf,
+        spark.createDataFrame(arrivals.toSeq))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(landed() == batchEdges,
+      "streamed insert edges diverge from the shared batch insert rule")
+    // Every arrival got exactly the insert degree of forward edges.
+    assert(landed().keySet.map(_._1) == arrivals.map(_.vec_id).toSet)
+    arrivals.foreach { a =>
+      assert(landed().keySet.count(_._1 == a.vec_id) ==
+        Similarity.GraphInsertDegree, s"arrival ${a.vec_id} edge count")
+    }
+    // Replay micro-batch 0 (restart recovery): per-partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landGraphInsertBatch(
+      spark.createDataFrame(first.toSeq), sf, outDir, 0L)
+    assert(landed() == batchEdges, "replay must be a no-op")
+  }
+
   test("stream19: streamed packing equals batch positions; the cursor carries across batches") {
     import graft.operators.Curation
     import spark.implicits._
