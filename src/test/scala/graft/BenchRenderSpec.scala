@@ -293,6 +293,27 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.ratchetPrior(prior, clean, Map.empty)._1 == prior)
   }
 
+  test("recordRatio: names uniform inflation per-query retries cannot catch") {
+    // 30 queries, every one at 1.4x its floor — zero are suspect (the
+    // per-query gate fires at 2x), but the RECORD is damaged: exactly
+    // the rounds-14/15 failure shape the extra-pass loop exists for.
+    val prior = (1 to 30).map(i => f"zz$i%02d" -> 1.0).toMap
+    val uniform = (1 to 30).map(i => f"zz$i%02d_q" -> 1.4)
+    assert(Bench.outliersVsPrior(uniform, Set.empty, prior).isEmpty,
+      "uniform 1.4x must not trip the per-query gate (by design)")
+    val r = Bench.recordRatio(uniform, Set.empty, prior)
+    assert(r.exists(v => math.abs(v - 1.4) < 1e-9))
+    assert(r.get > Bench.RecordDamagedRatio, "1.4x record must read damaged")
+    // A healthy record sits under the threshold.
+    val healthy = (1 to 30).map(i => f"zz$i%02d_q" -> 1.1)
+    assert(Bench.recordRatio(healthy, Set.empty, prior)
+      .exists(_ <= Bench.RecordDamagedRatio))
+    // Errored queries are excluded; thin floor coverage yields None.
+    assert(Bench.recordRatio(uniform, uniform.map(_._1).toSet, prior).isEmpty)
+    assert(Bench.recordRatio(uniform.take(5), Set.empty, prior).isEmpty,
+      "under RecordCoverMin floor-covered queries the ratio is not meaningful")
+  }
+
   test("priorRecord: min-merges the real repo records (contamination defense)") {
     // Runs in the repo root where BENCH_r*.json live; if none parse at
     // this sf the map is empty and the family fallback governs — both
