@@ -81,6 +81,12 @@ def main():
     best = parse_times(clean_file.read_text(), sf)
     if not best:
         sys.exit(f"clean line did not parse at sf {sf}")
+    # The fresh input may be the bench's FULL-name json
+    # (/tmp/graft_bench_full.json) or a short-id summary line; floors
+    # are keyed by SHORT id (what Bench.priorRecord looks up), so
+    # normalize here (short-id uniqueness across the surface is
+    # spec-pinned by BenchRenderSpec).
+    best = {k.split("_")[0]: v for k, v in best.items()}
     n_fresh = len(best)
     # FLOOR RATCHET (round-16): a floor recorded under a DIFFERENT plan
     # fingerprint judges a plan that no longer exists — min-merging a

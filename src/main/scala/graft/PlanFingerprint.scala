@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Canonical fingerprint of a query's OPTIMIZED plan, for the bench
   * floor ratchet (round-15 directive #4): a query whose plan
@@ -11,36 +13,102 @@ import org.apache.spark.sql.DataFrame
   * floor) apart from "the plan changed" (reseed the floor from the
   * current clean run instead of min-merging across the change).
   *
-  * The fingerprint must be STABLE across JVMs and sessions for an
-  * unchanged plan — that is the whole load-bearing property, because a
-  * fingerprint that drifted run-to-run would silently reseed every
-  * floor each round and soften the contamination gate to nothing. Three
-  * run-varying surfaces are normalized out of the canonicalized plan
-  * string (Catalyst's `canonicalized` already zeroes expression ids):
-  * filesystem paths (scan locations under session/pid-tagged tmp dirs),
-  * all digit runs (localCheckpoint RDD ids, shuffle/statistics ids —
-  * this also erases LITERAL values, a deliberate trade: the ratchet
-  * targets plan SHAPE, and keeping a literal-only change on the old
-  * floor errs in the gate-stays-tight direction), and whitespace.
+  * The fingerprint must be STABLE across JVMs, sessions, and cache
+  * regimes for an unchanged plan — a fingerprint that drifted
+  * run-to-run would silently reseed floors and soften the
+  * contamination gate. The plan STRING is not stable enough, even
+  * canonicalized and digit-normalized (both measured in round 16):
+  * trained float literals drift in their low bits run-to-run
+  * (sim08/sim15's PQ codebooks — partial-agg order), and Catalyst
+  * renders commutative conjuncts and comparison direction
+  * nondeterministically (`isnotnull(x) AND (len > 5)` one run,
+  * `(5 < len) AND isnotnull(x)` the next — constraint-set iteration
+  * order), and the OPTIMIZED plan additionally depends on the cache
+  * regime at analysis time (the CacheManager substitutes
+  * InMemoryRelation into any subtree matching a live pin, so the same
+  * query fingerprints differently inside and outside the bench's
+  * release cadence — measured: 36/157 moved between regimes). So the
+  * fingerprint hashes a STRUCTURAL SIGNATURE of the ANALYZED plan —
+  * the stage BEFORE cache substitution and optimizer constraint
+  * inference, i.e. the plan as the operator code wrote it: the
+  * operator tree (node names, child order) with, per node, the SORTED
+  * multiset of its expressions' class names (comparison directions
+  * collapsed — a flipped `<` is the same constraint). Conjunct order,
+  * expression ids, literal values, file paths, RDD ids, and cache
+  * state are invisible by construction; added/removed operators or
+  * expression kinds — the ratchet's target, which lives in the
+  * operator code — move it. Two deliberate trades, both erring in the
+  * gate-stays-tight direction: literal-only retunes (a threshold
+  * constant) and engine-side optimizer-rule changes keep their old
+  * floor.
   */
 object PlanFingerprint {
 
-  /** Normalize one plan string: strip path-like tokens, digit runs,
-    * and whitespace runs. Exposed for the spec's pure cases.
+  /** Comparison direction is renderer's choice, not plan shape. */
+  private def normCls(c: String): String = c match {
+    case "LessThan" | "GreaterThan" => "Cmp"
+    case "LessThanOrEqual" | "GreaterThanOrEqual" => "CmpEq"
+    case s => s
+  }
+
+  private def exprClasses(e: Expression): Seq[String] =
+    normCls(e.getClass.getSimpleName) +: e.children.flatMap(exprClasses)
+
+  /** The structural signature: nodeName[sorted expr-class multiset]
+    * (child;child;…). Exposed for the spec and the forensic dump.
     */
-  private[graft] def normalize(plan: String): String = plan
-    .replaceAll("(?:file:)?/[A-Za-z0-9_.\\-/=*@]+", "<path>")
-    .replaceAll("\\d+", "#")
-    .replaceAll("\\s+", " ")
+  private[graft] def signature(n: LogicalPlan): String = {
+    val cls = n.expressions.flatMap(exprClasses).sorted.mkString(",")
+    s"${n.nodeName}[$cls](${n.children.map(signature).mkString(";")})"
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** 12-hex-char fingerprint of the frame's canonicalized optimized
-    * plan. Forces analysis+optimization but never execution.
+  /** 12-hex-char fingerprint of the frame's ANALYZED plan structure.
+    * Forces analysis but never optimization or execution.
     */
   def of(df: DataFrame): String =
-    md5Hex(normalize(df.queryExecution.optimizedPlan.canonicalized.toString))
-      .take(12)
+    md5Hex(signature(df.queryExecution.analyzed)).take(12)
+}
+
+/** Dev utility for ratchet debugging: print the plan fingerprint of
+  * named queries (all when none named). Run it twice in separate JVMs
+  * to check cross-session stability — the fingerprint's load-bearing
+  * property. Usage: `runMain graft.FingerprintDump <sfDir> [q1,q2,…]`.
+  * Set GRAFT_FP_DUMPDIR to also write each query's signature text for
+  * diffing two runs. The analyzed-plan signature is cache-regime
+  * independent, so a plain build-and-fingerprint sweep matches
+  * bench-recorded values exactly; family-boundary releases only bound
+  * memory (construction still stages/pins for side-effect operators).
+  */
+object FingerprintDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    val spark = GraftSession.build(GraftSession.cpusFromEnv, "graft-fp")
+    var prevFamily: String = null
+    names.foreach { n =>
+      if (prevFamily != null && Bench.family(n) != prevFamily)
+        GraftCache.release()
+      prevFamily = Bench.family(n)
+      val fp =
+        try {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          sys.env.get("GRAFT_FP_DUMPDIR").foreach { d =>
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(d, s"$n.txt"),
+              PlanFingerprint.signature(df.queryExecution.analyzed))
+          }
+          PlanFingerprint.of(df)
+        }
+        catch { case e: Throwable => s"ERR:${e.getClass.getSimpleName}" }
+      println(s"fp $n $fp")
+    }
+    GraftCache.release()
+    spark.stop()
+  }
 }

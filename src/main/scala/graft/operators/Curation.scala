@@ -1136,9 +1136,17 @@ object Curation {
     */
   private def postBoilerSpans(
       spark: SparkSession, dir: String, scrub: DataFrame): DataFrame =
-    postBoilerFlaggedSpans(
-      Dedup.cur16WindowRows(spark, dir), scrub,
-      Dedup.heldOutWindowHashes(spark, dir))
+    // Pinned per (session, dir): the frame is contamination-sized
+    // (tiny at rest) but its derivation pays the affected-doc window
+    // rebuild + held probe — and cur18's report, cur20/cur23's emits
+    // each re-derive it otherwise (round 16: cur23's payload leg made
+    // it a third consumer).
+    graft.GraftCache.getOrPersist(
+      s"cur18.pbSpans:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      postBoilerFlaggedSpans(
+        Dedup.cur16WindowRows(spark, dir), scrub,
+        Dedup.heldOutWindowHashes(spark, dir))
+    }
 
   /** The span core over explicit frames — separable so the spec can
     * drive hand corpora: `rawWindows` = the corpus' raw window rows
