@@ -427,6 +427,7 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(GraftSession.cpusFromEnv, "graft-bench")
     // Warm the JVM/codegen paths once so the first timed query doesn't
@@ -567,13 +568,21 @@ object Bench {
           " dropped for this run (make_bench_clean reseeds them)")
     // RECORD-level contamination defense: keep sampling whole passes
     // while the min-merged record still reads uniformly damaged vs the
-    // committed floors (see [[RecordDamagedRatio]]). Bounded; each
-    // extra pass can only improve the min-merge.
+    // committed floors (see [[RecordDamagedRatio]]). Bounded two ways:
+    // by pass count, and by a WALL-CLOCK budget — a fully-contended
+    // machine makes every pass slow, so unbounded resampling could
+    // push a driver-side run into timeout territory exactly when the
+    // samples are least useful.
     val MaxExtraPasses = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(3)
+    // Measured from the run's START (base passes included): what the
+    // budget protects is the WHOLE run's wall clock.
+    val BudgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1200)
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     var merged = sweep
     var extra = 0
-    while (extra < MaxExtraPasses &&
+    while (extra < MaxExtraPasses && elapsedSec < BudgetSec &&
         recordRatio(merged, errored, prior).exists(_ > RecordDamagedRatio)) {
       System.err.println(
         f"[bench] record reads ${recordRatio(merged, errored, prior).get}%.2fx" +
