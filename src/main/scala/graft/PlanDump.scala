@@ -114,6 +114,8 @@ object PlanDump {
         "graph-ANN knob sweep: ALL (entries, beam) trajectories in ONE 4-round loop (config columns + one ranked beam window), rounds axis read from per-row entering round, exact leg joined broadcast",
       "sim21_graph_insert" ->
         "graph-ANN insert: ONE beam search for the whole append batch (the batch is the query set), pinned edge frame navigated, constant per-arrival candidate budget — the streamable maintenance path",
+      "sim22_graph_compact" ->
+        "graph compaction: candidate union of three already-built edge frames (build kNN + insert forward + back-edges — never a corpus pair scan), two vec_id-equi vector joins against the merged corpus, bounded-heap top-K restoring the build degree",
       "dedup13_lsh_sweep" ->
         "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set; signature legs attach by MEASURED dispatch (broadcast under SweepSigBroadcastMaxDocs, shuffled da/db hash join above — plan-audited both arms)",
       "dedup14_crossmodal" ->
@@ -128,6 +130,10 @@ object PlanDump {
         "payload shard emit: the dumped plan is the read-back reassembly audit over the emitted (source, shard) files — partition columns in the scan, one (source, seq) token shuffle for the slice reassembly; the payload frame itself joins manifest ⋈ text doc_id-equi with scrub/span evidence broadcast",
       "cur21_histogram_budget" ->
         "sort-free budget: ONE partial-aggregated (source, bucket) histogram, cut window over the dim-sized histogram (never the corpus), broadcast thresholds back over the scan",
+      "cur24_takedown" ->
+        "takedown audit: pinned train manifest + ONE survivor re-pack window per source (thin manifest frame — the corpus text never moves), doc_id-equi before/after join, per-source integer rollup",
+      "cur25_tombstone_mask" ->
+        "tombstone mask: recall-list-sized manifest rows exploded into covered sequences, pure integer span clipping — NO join, NO window, no corpus access (the cheapest takedown execution, which is its argument)",
       "cur22_histogram_select" ->
         "sort-free percentile select: the 4-dp score grid is the histogram bucket, descending-cumulative cut window above the aggregate, broadcast score cuts — cur10's corpus rank window gone")
 
@@ -257,6 +263,7 @@ object PlanDump {
       || sim20 whole sweep pool (all four trajectories summed) | 3,419 | 3,569 | CONSTANT at 10x corpus - the knob curve costs a fixed multiple of one search at any scale (round-15 row) |
       || dedup13 rows=1 superset (second decade, through sweepSuperset) | 287,751 | 28,937,884 | ~100.6x at 10x docs - birthday-quadratic BY CONSTRUCTION, now MEASURED a second decade: the loose end of the S-curve is the price of asking for the whole curve, and the documented deployment points the sweep at a cur01 hash sample (round-15 row) |
       || sim21 whole insert read set (15-append batch, through beamSearchPool) | 2,869 | 3,097 | CONSTANT at 10x corpus - inserting into the graph costs ONE beam search for the whole batch, so per-arrival maintenance cost never grows with the index it maintains: the property that makes graph-ANN maintenance streamable (stream24; round-16 row) |
+      || sim22 compaction candidate evidence (through sim22CandidateEdges) | 10,150 | 100,150 | 10x on 10x vectors - exactly 5n + 150: LINEAR in corpus + inserts at fixed degree; compaction never opens a pair space, which is what distinguishes the consolidate step from a sim07 rebuild (round-16 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,

@@ -137,6 +137,7 @@ object SparkEntry {
     "sim19_graph_ann" -> Similarity.sim19GraphAnn _,
     "sim20_graph_sweep" -> Similarity.sim20GraphSweep _,
     "sim21_graph_insert" -> Similarity.sim21GraphInsert _,
+    "sim22_graph_compact" -> Similarity.sim22GraphCompact _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -158,6 +159,8 @@ object SparkEntry {
     "cur19_leak_report" -> Curation.cur19LeakReport _,
     "cur20_sequence_sink" -> Curation.cur20SequenceSink _,
     "cur23_payload_shards" -> Curation.cur23PayloadShards _,
+    "cur24_takedown" -> Curation.cur24Takedown _,
+    "cur25_tombstone_mask" -> Curation.cur25TombstoneMask _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -800,18 +803,27 @@ object SparkEntry {
     * cut re-labeled to the edge shape (vec_id = the inserted node,
     * nb_id = its chosen neighbor).
     */
-  private val Sim21OracleSql: String = {
-    import graft.operators.Similarity.{Dims, GraphBeam, GraphEntryCount,
-      GraphInsertDegree, GraphRounds, NumQueryVectors, StaleBatches,
+  /** The drift-blend append batches as a beam-search query CTE body
+    * (sim17's `ap` law with the sim21 id scheme) — shared by the sim21
+    * insert oracle and sim22's compaction oracle, whose candidate
+    * evidence IS sim21's insert chain.
+    */
+  private val Sim21AppendQBody: String = {
+    import graft.operators.Similarity.{Dims, NumQueryVectors, StaleBatches,
       StaleDriftStep, StaleIdBase}
-    val qBody =
-      s"""SELECT CAST($StaleIdBase + b*100 + qq.q_id AS BIGINT) AS q_id,
+    s"""SELECT CAST($StaleIdBase + b*100 + qq.q_id AS BIGINT) AS q_id,
              list_transform(range(1, ${Dims + 1}), i ->
                (1.0 - b*$StaleDriftStep)*qq.qv[CAST(i AS INT)] +
                  (b*$StaleDriftStep)*qq.qv[CAST(${Dims + 1} - i AS INT)]) AS qv
            FROM (SELECT vec_id AS q_id, v AS qv FROM e
                  WHERE vec_id < $NumQueryVectors) qq,
              unnest(range(1, ${StaleBatches + 1})) AS t(b)"""
+  }
+
+  private val Sim21OracleSql: String = {
+    import graft.operators.Similarity.{GraphBeam, GraphEntryCount,
+      GraphInsertDegree, GraphRounds}
+    val qBody = Sim21AppendQBody
     s"""WITH ${sim19NavCtes(qBody)},
          v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
              round(list_cosine_similarity(q.qv, e.v), 4) AS cos
@@ -822,6 +834,43 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
          WHERE rk <= $GraphInsertDegree ORDER BY 1, 2"""
+  }
+
+  /** Generated DuckDB replay of sim22's graph compaction: sim21's
+    * insert chain verbatim (the shared nav preamble + unrolled beam
+    * rounds with the drift-blend appends as `q`, cut to the insert
+    * degree — the compaction's candidate EVIDENCE is the insert's
+    * output, one definition), the merged corpus (base ∪ appends), the
+    * candidate edge union (sim07 build edges ∪ insert forward edges ∪
+    * received back-edges), and the per-node cosine re-rank cut at the
+    * compaction degree. A divergence anywhere in the insert chain
+    * cascades into the candidate set and breaks the hash.
+    */
+  private val Sim22OracleSql: String = {
+    import graft.operators.Similarity.{GraphBeam, GraphCompactDegree,
+      GraphEntryCount, GraphInsertDegree, GraphRounds, KnnK}
+    s"""WITH ${sim19NavCtes(Sim21AppendQBody)},
+         v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
+         ${sim19RoundsSql(GraphBeam)},
+         ie AS MATERIALIZED (SELECT q_id AS src, vec_id AS dst FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
+           WHERE rk <= $GraphInsertDegree),
+         me AS MATERIALIZED (SELECT vec_id, v FROM e
+           UNION ALL SELECT q_id AS vec_id, qv AS v FROM q),
+         cand AS (SELECT vec_id AS src, nb_id AS dst FROM r7 WHERE rk <= $KnnK
+           UNION SELECT src, dst FROM ie
+           UNION SELECT dst AS src, src AS dst FROM ie),
+         sc22 AS (SELECT c.src, c.dst,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos
+           FROM cand c JOIN me a ON a.vec_id = c.src
+             JOIN me b ON b.vec_id = c.dst)
+         SELECT src AS vec_id, CAST(rk AS INTEGER) AS rk, dst AS nb_id, cos
+         FROM (SELECT *, row_number() OVER (PARTITION BY src
+             ORDER BY cos DESC, dst) AS rk FROM sc22)
+         WHERE rk <= $GraphCompactDegree ORDER BY 1, 2"""
   }
 
   /** Generated DuckDB replay of sim20's knob sweep: the shared
@@ -1381,6 +1430,104 @@ object SparkEntry {
          FROM dsh d FULL OUTER JOIN ssh s
            ON d.source = s.source AND d.shard = s.shard
          ORDER BY source, shard"""
+  }
+
+  /** Generated DuckDB replay of cur24's takedown audit: the shared
+    * funnel CTEs through the sampled+split frame, the BEFORE packing
+    * window (cur20's, with the salted takedown flag), the AFTER window
+    * re-run over the survivors only, and the per-source integer
+    * rollup — removal mass, the stable/moved split (a survivor moves
+    * iff its (seq_first, off_first) pair changed), ceil sequence
+    * counts, first dirty sequence (−1 in-band when the source is
+    * clean), and the dirty-shard suffix bill.
+    */
+  private val Cur24OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    val sps = graft.operators.Curation.Cur20SeqsPerShard
+    val thr = graft.operators.Curation.TakedownHexThr
+    s"""WITH $Cur18SplCtes,
+         pk24 AS (SELECT doc_id, source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'),
+         bm24 AS (SELECT doc_id, source, post_toks,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - post_toks) % $ctx AS BIGINT) AS off_first,
+             (substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < '$thr') AS takedown
+           FROM pk24),
+         ak24 AS (SELECT doc_id, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM bm24 WHERE NOT takedown),
+         af24 AS (SELECT doc_id,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS nsf,
+             CAST((cum_end - post_toks) % $ctx AS BIGINT) AS nof
+           FROM ak24)
+         SELECT b.source,
+           count(*) AS n_before,
+           CAST(sum(CASE WHEN b.takedown THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN b.takedown THEN b.post_toks ELSE 0 END)
+             AS BIGINT) AS toks_removed,
+           CAST(sum(CASE WHEN NOT b.takedown AND a.nsf = b.seq_first
+               AND a.nof = b.off_first THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stable,
+           CAST(sum(CASE WHEN NOT b.takedown AND (a.nsf <> b.seq_first
+               OR a.nof <> b.off_first) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST((sum(b.post_toks) + ${ctx - 1}) // $ctx AS BIGINT)
+             AS seqs_before,
+           CAST((sum(b.post_toks)
+               - sum(CASE WHEN b.takedown THEN b.post_toks ELSE 0 END)
+               + ${ctx - 1}) // $ctx AS BIGINT) AS seqs_after,
+           CAST(coalesce(min(CASE WHEN b.takedown THEN b.seq_first END), -1)
+             AS BIGINT) AS first_dirty_seq,
+           CAST(CASE WHEN min(CASE WHEN b.takedown THEN b.seq_first END)
+               IS NULL THEN 0
+             ELSE ((sum(b.post_toks) + ${ctx - 1}) // $ctx - 1) // $sps
+               - min(CASE WHEN b.takedown THEN b.seq_first END) // $sps + 1
+             END AS BIGINT) AS shards_dirty
+         FROM bm24 b LEFT JOIN af24 a USING (doc_id)
+         GROUP BY b.source
+         ORDER BY b.source"""
+  }
+
+  /** Generated DuckDB replay of cur25's tombstone mask: the shared
+    * funnel CTEs, cur24's BEFORE packing window with the salted
+    * takedown flag, and the removed rows exploded into their covered
+    * sequences with the span clipped to each sequence's boundary —
+    * pure integer arithmetic on the manifest coordinates.
+    */
+  private val Cur25OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    val sps = graft.operators.Curation.Cur20SeqsPerShard
+    val thr = graft.operators.Curation.TakedownHexThr
+    s"""WITH $Cur18SplCtes,
+         pk25 AS (SELECT doc_id, source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'),
+         rm25 AS (SELECT doc_id, source, post_toks,
+             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
+           FROM pk25
+           WHERE substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             < '$thr'),
+         ex25 AS (SELECT source, CAST(t.s AS BIGINT) AS seq, doc_id,
+             greatest(cum_start, t.s * $ctx) AS lo,
+             least(cum_start + post_toks, (t.s + 1) * $ctx) AS hi
+           FROM rm25, unnest(range(seq_first, seq_last + 1)) AS t(s))
+         SELECT source, seq, CAST(seq // $sps AS BIGINT) AS shard, doc_id,
+           CAST(lo - seq * $ctx AS BIGINT) AS mask_start,
+           CAST(hi - 1 - seq * $ctx AS BIGINT) AS mask_end,
+           CAST(hi - lo AS BIGINT) AS masked_toks
+         FROM ex25
+         ORDER BY source, seq, mask_start, doc_id"""
   }
 
   /** Generated DuckDB replay of cur21's sort-free budget: the same
@@ -2368,6 +2515,8 @@ object SparkEntry {
     "cur19_leak_report" -> Cur19OracleSql,
     "cur20_sequence_sink" -> Cur20OracleSql,
     "cur23_payload_shards" -> Cur23OracleSql,
+    "cur24_takedown" -> Cur24OracleSql,
+    "cur25_tombstone_mask" -> Cur25OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->
@@ -2617,6 +2766,7 @@ object SparkEntry {
     "sim19_graph_ann" -> Sim19OracleSql,
     "sim20_graph_sweep" -> Sim20OracleSql,
     "sim21_graph_insert" -> Sim21OracleSql,
+    "sim22_graph_compact" -> Sim22OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

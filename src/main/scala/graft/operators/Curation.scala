@@ -1609,6 +1609,137 @@ object Curation {
       .orderBy("source", "shard")
   }
 
+  /** Takedown selection threshold (first two hex chars of a SALTED
+    * md5 — ~16/256 ≈ 6% of the train split). The salt makes the
+    * takedown set independent of every other hash decision in the
+    * funnel (sampling, split, packing order), the way a real recall
+    * list is: arbitrary with respect to the layout it hits.
+    */
+  val TakedownHexThr = "10"
+
+  /** The takedown predicate over a manifest frame's doc_id —
+    * deterministic and engine-portable (cur01's md5-prefix protocol),
+    * standing in for the external recall list (opt-out requests,
+    * copyright claims, PII findings) a production pipeline receives.
+    */
+  private[graft] def takedownFlag =
+    substring(md5(concat(lit("takedown:"), col("doc_id").cast("string"))),
+      1, 2) < TakedownHexThr
+
+  /** cur24: TAKEDOWN — execute a removal list against the PACKED
+    * corpus and price what it costs. Opt-out/copyright/PII recalls
+    * arrive after the shards are built, so "delete these documents"
+    * is an operation against cur20/cur23's emitted layout, not
+    * against the raw corpus — and because cur09's packing is a
+    * per-source running concatenation, removing one document shifts
+    * every doc packed AFTER it in its source's md5 order and leaves
+    * every doc BEFORE it byte-identical (the prefix-stability law
+    * this operator measures, spec-pinned). Output per source: the
+    * removal mass (docs, tokens), the stable/moved survivor split,
+    * sequence counts before/after, the first dirty sequence, and the
+    * shard rewrite bill (every shard from the first dirty one to the
+    * source's last — the suffix a full repack must rewrite). This is
+    * the audit that decides between the two execution strategies: a
+    * low shards_dirty bill executes as a repack (this operator's
+    * "after" positions ARE the new manifest); a high one argues for
+    * cur25's mask-style tombstoning instead.
+    *
+    * Spark shape: the BEFORE positions are the pinned
+    * [[cur18TrainManifest]] (no re-derivation); the AFTER positions
+    * re-run the same [[sequencePackPositions]] window over the
+    * survivors (one per-source window over the thin manifest frame —
+    * cur20's already-priced cost); the before↔after join is
+    * doc_id-equi on two manifest-sized frames; everything else is one
+    * per-source rollup in pure integer arithmetic. The corpus text
+    * never moves — a takedown DECISION is manifest-sized even when
+    * its execution rewrites shards.
+    */
+  /** cur25: TOMBSTONE MASK — the other way to execute cur24's recall
+    * list, and the one production pipelines usually take first: leave
+    * the emitted shards byte-identical and publish a MASK side file
+    * the loader applies (skip these token offsets of these
+    * sequences). cur24 prices the repack (the shard-suffix rewrite
+    * bill); this emits the zero-rewrite alternative — the trade is
+    * masked tokens still occupying shard bytes until the next full
+    * repack compacts them away. One row per (removed doc × covered
+    * sequence): the in-sequence token span [mask_start, mask_end]
+    * (inclusive — cur16's span convention) the loader must skip,
+    * derived purely from the doc's manifest coordinates (cum_start =
+    * seq_first·ctx + off_first clipped to each covered sequence's
+    * boundaries).
+    *
+    * Spark shape: the recalled manifest rows are recall-list-sized;
+    * each explodes into its ≤⌈post_toks/ctx⌉+1 covered sequences —
+    * NO join, NO window, no corpus access at all: a tombstone mask is
+    * the cheapest possible takedown execution, which is exactly its
+    * argument. Conservation vs cur24 is spec-pinned: the mask rows
+    * tile each removed doc's token range exactly, so Σ masked_toks
+    * per source = cur24's toks_removed — the two executions remove
+    * the same mass.
+    */
+  def cur25TombstoneMask(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Cur18CtxTokens
+    val cumStart = col("seq_first") * ctx + col("off_first")
+    val lo = greatest(cumStart, col("seq") * ctx)
+    val hi = least(cumStart + col("post_toks"), (col("seq") + 1) * ctx)
+    cur18TrainManifest(spark, dir)
+      .filter(takedownFlag)
+      .select(col("source"), col("doc_id"), col("post_toks"),
+        col("seq_first"), col("seq_last"), col("off_first"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("source"), col("seq"),
+        intDiv(col("seq"), lit(Cur20SeqsPerShard)).as("shard"),
+        col("doc_id"),
+        (lo - col("seq") * ctx).as("mask_start"),
+        (hi - 1 - col("seq") * ctx).as("mask_end"),
+        (hi - lo).as("masked_toks"))
+      .orderBy("source", "seq", "mask_start", "doc_id")
+  }
+
+  def cur24Takedown(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Cur18CtxTokens
+    val before = cur18TrainManifest(spark, dir)
+      .withColumn("takedown", takedownFlag)
+    val after = sequencePackPositions(
+        before.filter(!col("takedown"))
+          .select(col("doc_id"), col("source"),
+            col("post_toks").as("n_chars")),
+        ctx)
+      .select(col("doc_id"), col("seq_first").as("new_seq_first"),
+        ((col("cum_end") - col("n_chars")) % ctx).as("new_off_first"))
+    val moved = !col("takedown") &&
+      (col("new_seq_first") =!= col("seq_first") ||
+        col("new_off_first") =!= col("off_first"))
+    val stable = !col("takedown") &&
+      col("new_seq_first") === col("seq_first") &&
+      col("new_off_first") === col("off_first")
+    before.join(after, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(col("takedown").cast("long")).as("n_removed"),
+        sum(when(col("takedown"), col("post_toks")).otherwise(0L))
+          .as("toks_removed"),
+        sum(stable.cast("long")).as("n_stable"),
+        sum(moved.cast("long")).as("n_moved"),
+        sum("post_toks").as("toks_before"),
+        min(when(col("takedown"), col("seq_first"))).as("fd"))
+      .select(col("source"), col("n_before"), col("n_removed"),
+        col("toks_removed"), col("n_stable"), col("n_moved"),
+        intDiv(col("toks_before") + (ctx - 1), lit(ctx)).as("seqs_before"),
+        intDiv(col("toks_before") - col("toks_removed") + (ctx - 1),
+          lit(ctx)).as("seqs_after"),
+        // -1 = nothing recalled in this source (cur19's in-band zeros
+        // discipline: a clean source is a row, not an absence).
+        coalesce(col("fd"), lit(-1L)).as("first_dirty_seq"),
+        when(col("fd").isNull, lit(0L)).otherwise(
+          intDiv(intDiv(col("toks_before") + (ctx - 1), lit(ctx)) - 1,
+            lit(Cur20SeqsPerShard)) -
+            intDiv(col("fd"), lit(Cur20SeqsPerShard)) + 1)
+          .as("shards_dirty"))
+      .orderBy("source")
+  }
+
   /** stream18's decision core — cur18's funnel on the INGEST cadence,
     * composed from the pinned-index decision cores the streaming
     * gates already run separately: the quality predicate (cur04's

@@ -258,6 +258,14 @@ object GrowthProbe {
         Similarity.driftedAppends(queries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))).count()
     })
+    // sim22's whole candidate evidence: the union of three
+    // already-built edge frames (build kNN + insert forward +
+    // back-edges), through the operator's own machinery — LINEAR in
+    // corpus + inserts at fixed degree (compaction never opens a pair
+    // space; the bound it RESTORES is exactly this frame's per-node
+    // degree).
+    p("sim22_candidate_edges",
+      Similarity.sim22CandidateEdges(spark, dir).count())
     // dedup13's signature attach moved to the measured broadcast/
     // shuffle dispatch this round; the superset pair column (the
     // operator's one large intermediate) flows through the SAME

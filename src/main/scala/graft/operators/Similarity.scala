@@ -1509,6 +1509,26 @@ object Similarity {
       batch.select(col("vec_id").as("q_id"),
         asDoubleArray(col("embedding")).as("qv")))
 
+  /** The insert rule's forward edges for the sim17/sim18/sim21 append
+    * batches, pinned once per (session, dir) — sim21's oracled entry,
+    * its recall spec's augmented graph, and sim22's compaction all
+    * read this ONE frame (the trainedCodebook discipline applied to
+    * the edge deltas: "the inserts" is a single artifact, never three
+    * separately-searched ones — and the pin saves two redundant beam
+    * searches per session).
+    */
+  private[graft] def pinnedInsertEdges(
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"sim21.insertEdges:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val e = Dedup.vectors(spark, dir)
+      val queries = e.filter(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      insertEdgesFor(spark, dir,
+        driftedAppends(queries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    }
+
   /** sim21: GRAPH-ANN INSERT — the append path the graph family lacked
     * (round-15 directive #3: IVF has stream11's appends, sim17's
     * staleness monitor and sim18's retrain/swap; the graph stopped at
@@ -1536,15 +1556,8 @@ object Similarity {
     * (back-edges are the transpose — pinned in the spec together with
     * the reachability recall floor).
     */
-  def sim21GraphInsert(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.vectors(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    insertEdgesFor(spark, dir,
-        driftedAppends(queries)
-          .select(col("vec_id").as("q_id"), col("v").as("qv")))
-      .orderBy("vec_id", "rk")
-  }
+  def sim21GraphInsert(spark: SparkSession, dir: String): DataFrame =
+    pinnedInsertEdges(spark, dir).orderBy("vec_id", "rk")
 
   /** The post-insert AUGMENTED graph: deployed edges ∪ forward insert
     * edges ∪ back-edges — what the recall spec searches to pin that
@@ -1553,11 +1566,128 @@ object Similarity {
     */
   private[graft] def augmentedGraphEdges(
       spark: SparkSession, dir: String): DataFrame = {
-    val ins = sim21GraphInsert(spark, dir)
+    val ins = pinnedInsertEdges(spark, dir)
     knnGraphEdges(spark, dir)
       .unionByName(ins.select(col("vec_id").as("src"), col("nb_id").as("dst")))
       .unionByName(ins.select(col("nb_id").as("src"), col("vec_id").as("dst")))
       .distinct()
+  }
+
+  /** Compaction degree — the post-consolidate bound on a node's
+    * cosine-ranked adjacency (= [[KnnK]], sim07's build degree:
+    * compaction restores the build-time invariant the insert deltas
+    * stretched).
+    */
+  val GraphCompactDegree: Int = KnnK
+
+  /** sim22: GRAPH-ANN COMPACTION — fold the insert deltas back into a
+    * degree-bounded graph (the DiskANN consolidate / HNSW
+    * neighbor-re-selection step, run as the periodic batch maintenance
+    * leg; Malkov & Yashunin 2018 §4's SELECT-NEIGHBORS applied at
+    * rest). sim21's back-edges are what make an inserted node
+    * reachable, but they are APPENDED degree: a popular neighbor's
+    * adjacency grows by one per arrival that chose it, and after
+    * enough append batches the per-hop fan-out — the constant that
+    * prices sim19's whole read-budget claim — drifts upward unbounded.
+    * Compaction rebuilds every node's cosine-ranked adjacency from the
+    * accumulated EVIDENCE (its build edges ∪ insert forward edges ∪
+    * received back-edges), keeping the best [[GraphCompactDegree]] —
+    * so the node set is the merged corpus, the degree bound is
+    * restored, and NOTHING rescans the corpus pair space: candidates
+    * are exactly the edge lists already materialized (linear in
+    * corpus + inserts at fixed degree). The long-range band
+    * ([[knnGraphEdges]]'s small-world ingredient) is deliberately NOT
+    * re-ranked — it exists to be cosine-BAD (that is what makes it
+    * long-range) and regenerates by the same hash rule over the merged
+    * id space at read time ([[compactedNavigableEdges]]).
+    *
+    * Spark shape: the candidate frame is a union of three
+    * already-built edge frames (never a corpus join); scoring joins it
+    * vec_id-equi to the merged corpus twice (co-partitionable on the
+    * id at 100 TB — the rebuild's natural cost, paid per maintenance
+    * cycle, not per query); the cut is the bounded-heap
+    * [[graft.plans.TopKPerKey]]. A node untouched by inserts re-ranks
+    * exactly its sim07 top-K and reproduces its build rows verbatim
+    * (spec-pinned identity — compaction is a no-op where nothing
+    * changed); an appended node keeps its [[GraphInsertDegree]] search
+    * results. Deterministic end to end (4-dp scores, nb_id
+    * tie-breaks), so the DuckDB oracle replays build + insert chain +
+    * re-rank verbatim. Output: sim07's edge shape over the merged node
+    * set — the drop-in replacement for the local band of the next
+    * deployment's [[knnGraphEdges]].
+    */
+  /** sim22's candidate evidence — the union of three already-built
+    * edge frames, the operator's WHOLE read set beyond the two vector
+    * lookups (the GrowthProbe measures this frame directly: linear in
+    * corpus + inserts at fixed degree, never a pair space).
+    */
+  private[graft] def sim22CandidateEdges(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ins = pinnedInsertEdges(spark, dir)
+    sim07KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+      .unionByName(ins.select(col("vec_id").as("src"), col("nb_id").as("dst")))
+      .unionByName(ins.select(col("nb_id").as("src"), col("vec_id").as("dst")))
+      .distinct()
+  }
+
+  def sim22GraphCompact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val merged = e.select("vec_id", "v")
+      .unionByName(driftedAppends(queries).select("vec_id", "v"))
+    val scored = sim22CandidateEdges(spark, dir)
+      .join(merged.select(col("vec_id").as("src"), col("v").as("sv")),
+        Seq("src"))
+      .join(merged.select(col("vec_id").as("dst"), col("v").as("dv")),
+        Seq("dst"))
+      .select(col("src").as("vec_id"), col("dst").as("nb_id"),
+        round(cosineSim(col("sv"), col("dv")), 4).as("cos"))
+    graft.plans.TopKPerKey(scored,
+        keyCols = Seq("vec_id"),
+        orderCols = Seq(("cos", true), ("nb_id", false)),
+        k = GraphCompactDegree)
+      .select("vec_id", "rk", "nb_id", "cos")
+      .orderBy("vec_id", "rk")
+  }
+
+  /** The navigable graph a post-compaction deployment searches:
+    * sim22's compacted local band ∪ the long-range band regenerated by
+    * [[knnGraphEdges]]'s hash rule over the MERGED id space — what the
+    * reachability spec beam-searches to pin that compaction kept the
+    * inserted nodes findable (the degree cut must not sever the
+    * back-edges that reach them) at the restored per-hop budget.
+    * Appended ids are not dense in 0..n−1, so `hash mod n` maps
+    * through a POSITION: base ids keep pos = vec_id (they ARE dense),
+    * appends take positions nBase.. in vec_id order (the append frame
+    * is arrival-batch-sized, so its ranking window sorts a handful of
+    * rows — never the corpus).
+    */
+  private[graft] def compactedNavigableEdges(
+      spark: SparkSession, dir: String): DataFrame = {
+    val local = sim22GraphCompact(spark, dir)
+      .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+    val e = Dedup.vectors(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nBase = e.count()
+    val appendRanked = driftedAppends(queries).select("vec_id")
+      .select(col("vec_id"),
+        (lit(nBase) + row_number().over(Window.orderBy("vec_id")) - 1)
+          .as("pos"))
+    val ranked = e.select(col("vec_id"), col("vec_id").as("pos"))
+      .unionByName(appendRanked)
+    val n = nBase + appendRanked.count()
+    val longRange = ranked.select(col("vec_id").as("src"),
+        explode(sequence(lit(1), lit(GraphRandomDegree))).as("j"))
+      .select(col("src"),
+        pmod(tokenHash64(concat_ws(":", col("src"), col("j"))), lit(n))
+          .as("pos"))
+      .join(ranked.select(col("vec_id").as("dst"), col("pos")), Seq("pos"))
+      .select("src", "dst")
+      .filter(col("dst") =!= col("src"))
+    local.unionByName(longRange).distinct()
   }
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {

@@ -71,6 +71,10 @@ class ConcurrencySpec extends SparkSpec {
       // sim21 races the SAME graph-edge pin from the insert axis (its
       // beam search navigates the pinned graph while sim19 reads it).
       "sim21_graph_insert",
+      // sim22 races the insert-edge pin (sim21's computeIfAbsent, a
+      // whole beam search inside a builder) AND the graph/cell pins
+      // its sim07 candidate leg reads.
+      "sim22_graph_compact",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       // cur15 twice-invoked shape rides the mix too: it races its own

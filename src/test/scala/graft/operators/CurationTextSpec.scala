@@ -684,6 +684,124 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur24 takedown: prefix-stability and shift laws; JVM ground-truth replay of the audit") {
+    val ctx = Curation.Cur18CtxTokens
+    val sps = Curation.Cur20SeqsPerShard
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    case class D(id: Long, toks: Long, seqF: Long, off: Long, rm: Boolean)
+    val bySrc = Curation.cur18TrainManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("post_toks"), r.getAs[Long]("seq_first"),
+        r.getAs[Long]("off_first")))
+      .groupBy(_._2).map { case (src, rows) =>
+        // The packing order: (md5-8 of doc_id, doc_id) per source.
+        src -> rows.sortBy(r => (md5hex(r._1.toString).take(8), r._1))
+          .map(r => D(r._1, r._3, r._4, r._5,
+            md5hex("takedown:" + r._1).take(2) < Curation.TakedownHexThr))
+      }
+    val got = Curation.cur24Takedown(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val survivors = ds.filterNot(_.rm)
+      // JVM replay of the AFTER positions: re-pack the survivors in
+      // the same order.
+      var cum = 0L
+      val after = survivors.map { d =>
+        val start = cum; cum += d.toks
+        d.id -> ((start / ctx, start % ctx))
+      }.toMap
+      val (stable, moved) =
+        survivors.partition(d => after(d.id) == ((d.seqF, d.off)))
+      // PREFIX-STABILITY LAW: a survivor is stable iff it packs BEFORE
+      // the source's first removed doc (removal shifts every later
+      // cum_start by a positive mass, so (seq, off) cannot survive).
+      val firstRm = ds.indexWhere(_.rm)
+      if (firstRm >= 0)
+        assert(stable.map(_.id).toSet == ds.take(firstRm).map(_.id).toSet,
+          s"$src: stable set must be exactly the pre-removal prefix")
+      else assert(moved.isEmpty, s"$src: no removal, nothing may move")
+      val r = got(src)
+      val toksBefore = ds.map(_.toks).sum
+      val toksRm = ds.filter(_.rm).map(_.toks).sum
+      assert(r.getAs[Long]("n_before") == ds.size.toLong)
+      assert(r.getAs[Long]("n_removed") == ds.count(_.rm).toLong)
+      assert(r.getAs[Long]("toks_removed") == toksRm)
+      assert(r.getAs[Long]("n_stable") == stable.size.toLong, s"$src stable")
+      assert(r.getAs[Long]("n_moved") == moved.size.toLong, s"$src moved")
+      assert(r.getAs[Long]("seqs_before") == (toksBefore + ctx - 1) / ctx)
+      assert(r.getAs[Long]("seqs_after") ==
+        (toksBefore - toksRm + ctx - 1) / ctx)
+      if (firstRm >= 0) {
+        val fd = ds.filter(_.rm).map(_.seqF).min
+        assert(r.getAs[Long]("first_dirty_seq") == fd)
+        // The rewrite bill is the shard SUFFIX from the first dirty one.
+        assert(r.getAs[Long]("shards_dirty") ==
+          ((toksBefore + ctx - 1) / ctx - 1) / sps - fd / sps + 1)
+      } else {
+        assert(r.getAs[Long]("first_dirty_seq") == -1L)
+        assert(r.getAs[Long]("shards_dirty") == 0L)
+      }
+    }
+    // Both arms are REAL at this sf — a clean source (zeros row) and a
+    // recalled one — so the spec never passes vacuously.
+    assert(got.values.exists(_.getAs[Long]("n_removed") == 0L))
+    assert(got.values.exists(_.getAs[Long]("n_removed") > 0L))
+  }
+
+  test("cur25 tombstone mask: tiles each removed doc exactly; conserves cur24's removal mass") {
+    val ctx = Curation.Cur18CtxTokens
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Curation.cur25TombstoneMask(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Every mask span sits inside its sequence, inclusive-end, with
+    // the per-row mass law and the shard derivation.
+    rows.foreach { r =>
+      val (s0, e0) = (r.getAs[Long]("mask_start"), r.getAs[Long]("mask_end"))
+      assert(s0 >= 0 && e0 < ctx && s0 <= e0, s"span [$s0,$e0] out of sequence")
+      assert(r.getAs[Long]("masked_toks") == e0 - s0 + 1)
+      assert(r.getAs[Long]("shard") ==
+        r.getAs[Long]("seq") / Curation.Cur20SeqsPerShard)
+    }
+    // TILING: per removed doc, the mask rows abut gaplessly in global
+    // stream coordinates and cover exactly [cum_start, cum_end).
+    val recalled = Curation.cur18TrainManifest(spark, sf).collect()
+      .filter(r => md5hex("takedown:" + r.getAs[Long]("doc_id")).take(2)
+        < Curation.TakedownHexThr)
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("seq_first") * ctx + r.getAs[Long]("off_first"),
+          r.getAs[Long]("post_toks"))))
+      .toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == recalled.keySet,
+      "every recalled doc (and only those) must carry mask rows")
+    byDoc.foreach { case (id, rs) =>
+      val spans = rs.map(r =>
+        (r.getAs[Long]("seq") * ctx + r.getAs[Long]("mask_start"),
+          r.getAs[Long]("seq") * ctx + r.getAs[Long]("mask_end")))
+        .sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 == e1 + 1, s"doc $id gap")
+        case _ => ()
+      }
+      val (cumStart, toks) = recalled(id)
+      assert(spans.head._1 == cumStart && spans.last._2 == cumStart + toks - 1,
+        s"doc $id mask must tile its exact token range")
+    }
+    // CONSERVATION: the two takedown executions remove the same mass —
+    // per source, Σ masked_toks == cur24's toks_removed.
+    val t24 = Curation.cur24Takedown(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("toks_removed"))
+      .toMap
+    val masked = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("masked_toks")).sum).toMap
+    t24.foreach { case (src, tr) =>
+      assert(masked.getOrElse(src, 0L) == tr, s"$src conservation vs cur24")
+    }
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -632,6 +632,83 @@ class SimilaritySpec extends SparkSpec {
       s"only $ownHits/${qids.size} queries retrieved their own batch-1 append")
   }
 
+  test("sim22 compaction: degree restored, untouched nodes byte-identical to the build, appends keep their search evidence") {
+    val got = Similarity.sim22GraphCompact(spark, sf).collect()
+    val ins = Similarity.sim21GraphInsert(spark, sf).collect()
+    val appendIds = ins.map(_.getLong(0)).distinct.toSet
+    // Node set = the merged corpus; every node's adjacency is cut back
+    // to EXACTLY the compaction degree (every node has >= degree
+    // candidates here: base nodes carry their build-K, appends their
+    // insert-K), ranks dense, scores descending on the 4-dp grid.
+    val base = Dedup.vectors(spark, sf).count()
+    assert(got.map(_.getLong(0)).distinct.length == base + appendIds.size)
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length == Similarity.GraphCompactDegree)
+      assert(rows.sortBy(_.getInt(1)).map(_.getInt(1)).toSeq ==
+        (1 to Similarity.GraphCompactDegree))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // An appended node's compacted adjacency IS its insert search
+    // result (its only evidence — batch-insert semantics gave it no
+    // other candidates).
+    appendIds.foreach { a =>
+      assert(got.filter(_.getLong(0) == a).map(_.getLong(2)).toSet ==
+        ins.filter(_.getLong(0) == a).map(_.getLong(2)).toSet,
+        s"append $a must keep exactly its insert neighbors")
+    }
+    // A base node that received NO back-edge re-ranks exactly its
+    // build-K candidates — compaction reproduces its sim07 rows
+    // verbatim (rank, neighbor, 4-dp score): the no-op-where-nothing-
+    // changed identity.
+    val touched = ins.map(_.getLong(2)).toSet
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val build = Similarity.sim07KnnGraph(spark, sf).collect()
+      .map(rowKey).filterNot(r => touched(r._1)).toSet
+    val gotUntouched = got.map(rowKey)
+      .filterNot(r => touched(r._1) || appendIds(r._1)).toSet
+    assert(build == gotUntouched,
+      "an untouched node's compacted adjacency must equal its build rows")
+    // And at least one node WAS touched (the identity above is not
+    // vacuous) — some back-edge survived or lost the re-rank, either
+    // way the node was re-decided.
+    assert(touched.nonEmpty)
+  }
+
+  test("sim22 reachability: inserted nodes stay findable AFTER the degree cut") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val e = Dedup.vectors(spark, sf)
+    val queries = e.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.select("vec_id", "v")
+      .unionByName(Similarity.driftedAppends(queries).select("vec_id", "v"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val after = Similarity.beamSearchPool(
+        corpus, Similarity.compactedNavigableEdges(spark, sf), queries)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Similarity.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // The compaction's degree cut severs back-edges that lost their
+    // node's re-rank, so reachability CAN only shrink vs the raw
+    // augmented graph — the spec pins that it does not collapse:
+    // every query still retrieves at least one appended vector, and
+    // at least 4/5 still retrieve their OWN batch-1 append (sim21's
+    // floor, held through the cut).
+    val qids = queries.collect().map(_.getLong(0)).toSeq
+    qids.foreach { qid =>
+      assert(after(qid).exists(_ >= Similarity.StaleIdBase),
+        s"query $qid must still retrieve an append post-compaction")
+    }
+    val ownHits = qids.count { qid =>
+      after(qid).contains(Similarity.StaleIdBase + 100L + qid)
+    }
+    assert(ownHits >= qids.size - 1,
+      s"only $ownHits/${qids.size} queries retrieved their own batch-1 append post-compaction")
+  }
+
   test("sim20: production trajectory IS sim19's pool; rounds curve monotone by construction") {
     import org.apache.spark.sql.functions.col
     // The sweep's (GraphEntryCount, GraphBeam) trajectory must equal
