@@ -495,9 +495,19 @@ object Bench {
     // within-family pressure still distorting its tail under driver
     // contention — more release points cost nothing (etl pins no shared
     // frames) and shorten the window any accumulated state can lean on.
+    // Dev-only isolation filter (the SKILL gotcha's "probe the query in
+    // isolation" now has a mechanism): comma-separated short or full
+    // ids. Never set by the driver — the official record always runs
+    // the full surface (and the record-level defense guards itself:
+    // under RecordCoverMin covered queries the extra-pass loop is off).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def runPass(iters: Int, capture: Boolean): Seq[(String, Double, Boolean)] = {
       var prevFamily: String = null
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) =>
+          only.forall(o => o.contains(shortId(name)) || o.contains(name)) }
+        .sortBy(_._1).map { case (name, fn) =>
         if (prevFamily != null && family(name) != prevFamily) GraftCache.release()
         prevFamily = family(name)
         val attempts = (1 to iters).map { _ =>
