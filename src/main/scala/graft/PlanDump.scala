@@ -116,6 +116,8 @@ object PlanDump {
         "graph-ANN insert: ONE beam search for the whole append batch (the batch is the query set), pinned edge frame navigated, constant per-arrival candidate budget — the streamable maintenance path",
       "sim22_graph_compact" ->
         "graph compaction: candidate union of three already-built edge frames (build kNN + insert forward + back-edges — never a corpus pair scan), two vec_id-equi vector joins against the merged corpus, bounded-heap top-K restoring the build degree",
+      "sim23_graph_delete" ->
+        "tombstoned search: sim19's pinned visited pool (route-through — one search per session serves both operators), one codegen'd scan-stage tombstone predicate, same bounded window cut",
       "dedup13_lsh_sweep" ->
         "LSH tuning sweep: ONE superset banded equi-join, per-config membership as scan-stage boolean algebra, verification a broadcast probe of dedup03's pinned set; signature legs attach by MEASURED dispatch (broadcast under SweepSigBroadcastMaxDocs, shuffled da/db hash join above — plan-audited both arms)",
       "dedup14_crossmodal" ->

@@ -138,6 +138,7 @@ object SparkEntry {
     "sim20_graph_sweep" -> Similarity.sim20GraphSweep _,
     "sim21_graph_insert" -> Similarity.sim21GraphInsert _,
     "sim22_graph_compact" -> Similarity.sim22GraphCompact _,
+    "sim23_graph_delete" -> Similarity.sim23GraphDelete _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -834,6 +835,28 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
          WHERE rk <= $GraphInsertDegree ORDER BY 1, 2"""
+  }
+
+  /** Generated DuckDB replay of sim23's tombstoned search: sim19's
+    * chain VERBATIM (route-through semantics — the tombstone set
+    * cannot change where the beam goes), with the salted tombstone
+    * predicate applied on the final cut BEFORE the re-rank, so live
+    * candidates fill the top-k densely.
+    */
+  private val Sim23OracleSql: String = {
+    import graft.operators.Similarity.{GraphBeam, GraphEntryCount,
+      GraphRounds, TombstoneHexThr, TopK}
+    s"""WITH $Sim19NavCtes,
+         v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+           FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
+         ${sim19RoundsSql(GraphBeam)}
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds
+           WHERE substr(md5('tombstone:' || CAST(vec_id AS VARCHAR)), 1, 2)
+             >= '$TombstoneHexThr')
+         WHERE rk <= $TopK ORDER BY q_id, rk"""
   }
 
   /** Generated DuckDB replay of sim22's graph compaction: sim21's
@@ -2767,6 +2790,7 @@ object SparkEntry {
     "sim20_graph_sweep" -> Sim20OracleSql,
     "sim21_graph_insert" -> Sim21OracleSql,
     "sim22_graph_compact" -> Sim22OracleSql,
+    "sim23_graph_delete" -> Sim23OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

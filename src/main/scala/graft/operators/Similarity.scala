@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions._
 import graft.sources.Tables._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search sim01–sim04 over `embeddings` (SURVEY.md §2).
   *
@@ -1276,14 +1276,21 @@ object Similarity {
   /** The search's full visited pool — every (query, candidate, score)
     * the beam search ever evaluates. Separable so the GrowthProbe can
     * measure the constant-budget claim directly: this frame IS the
-    * operator's whole read set.
+    * operator's whole read set. Pinned once per (session, dir) since
+    * round 16: sim23's tombstoned search navigates THE SAME pool by
+    * construction (route-through semantics — the tombstone set cannot
+    * change where the beam goes, only what is returned), so the two
+    * operators and the sim20 production-trajectory spec all read one
+    * artifact instead of re-searching.
     */
-  private[graft] def sim19VisitedPool(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.vectors(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    beamSearchPool(e.select("vec_id", "v"), knnGraphEdges(spark, dir), queries)
-  }
+  private[graft] def sim19VisitedPool(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"sim19.pool:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val e = Dedup.vectors(spark, dir)
+      val queries = e.filter(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      beamSearchPool(e.select("vec_id", "v"), knnGraphEdges(spark, dir), queries)
+    }
 
   /** The beam search over EXPLICIT (corpus, graph, queries) frames —
     * sim19's loop verbatim, separated (round 16) so sim21's insert can
@@ -1689,6 +1696,53 @@ object Similarity {
       .filter(col("dst") =!= col("src"))
     local.unionByName(longRange).distinct()
   }
+
+  /** Tombstone selection threshold (first two hex chars of a SALTED
+    * md5 — ~16/256 ≈ 6% of the corpus): cur24's takedown protocol on
+    * the vector side, standing in for the external delete list
+    * (expired documents, opt-outs, GDPR erasure) an ANN deployment
+    * receives. Salted, so the set is independent of every other hash
+    * decision (entries, long-range edges, LSH).
+    */
+  val TombstoneHexThr = "10"
+
+  /** The tombstone predicate over a vec_id column — deterministic and
+    * engine-portable (the md5-prefix protocol).
+    */
+  private[graft] def tombstoneFlag(id: Column): Column =
+    substring(md5(concat(lit("tombstone:"), id.cast("string"))), 1, 2) <
+      TombstoneHexThr
+
+  /** sim23: GRAPH-ANN DELETE — tombstoned search, completing the graph
+    * index's CRUD story (sim19 reads, sim21 inserts, sim22 compacts,
+    * this deletes): deleted vectors must stop appearing in results
+    * IMMEDIATELY, but physically unlinking them between compactions
+    * would tear the navigable structure apart (a deleted hub's edges
+    * are how the search crosses its region — DiskANN's delete
+    * semantics, Singh et al. 2021, arXiv:2105.09613 §4: tombstoned
+    * nodes are routed THROUGH but never returned; the next sim22-style
+    * consolidate physically drops them). So the search runs sim19's
+    * navigation UNCHANGED — the tombstone set cannot change where the
+    * beam goes, only what is returned — and the final top-k cut
+    * re-ranks over live candidates only.
+    *
+    * Spark shape: the visited pool IS sim19's pinned frame (one
+    * search per session serves both operators — by construction, not
+    * coincidence); the delete adds one codegen'd scan-stage predicate
+    * and the same bounded window cut. The route-through-vs-hard-filter
+    * trade is spec-MEASURED: pre-filtering the graph and corpus to
+    * live nodes (what a naive delete would do) loses recall against
+    * the exact-over-live baseline, while route-through holds sim19's
+    * floor. Deterministic end to end, so the DuckDB oracle replays
+    * sim19's unrolled round chain with the tombstone predicate on the
+    * final cut.
+    */
+  def sim23GraphDelete(spark: SparkSession, dir: String): DataFrame =
+    sim19TopPer(
+        sim19VisitedPool(spark, dir).filter(!tombstoneFlag(col("vec_id"))),
+        TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)

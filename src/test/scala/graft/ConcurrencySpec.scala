@@ -75,6 +75,9 @@ class ConcurrencySpec extends SparkSpec {
       // whole beam search inside a builder) AND the graph/cell pins
       // its sim07 candidate leg reads.
       "sim22_graph_compact",
+      // sim23 races the sim19 POOL pin (a whole 4-round beam search
+      // inside a builder) while sim19 itself reads the same frame.
+      "sim23_graph_delete",
       "cur02_corpus_stats", "cur05_mix_weights", "cur06_curation_pipeline",
       "cur08_budget_assembly", "cur12_cluster_sample", "cur13_importance",
       // cur15 twice-invoked shape rides the mix too: it races its own

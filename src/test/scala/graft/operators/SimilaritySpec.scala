@@ -709,6 +709,69 @@ class SimilaritySpec extends SparkSpec {
       s"only $ownHits/${qids.size} queries retrieved their own batch-1 append post-compaction")
   }
 
+  test("sim23 delete: tombstoned nodes routed through, never returned; route-through beats the naive hard filter") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dead(id: Long) =
+      md5hex("tombstone:" + id).take(2) < Similarity.TombstoneHexThr
+    val got = Similarity.sim23GraphDelete(spark, sf).collect()
+    assert(got.nonEmpty)
+    // Deleted vectors are GONE from results immediately, and live
+    // candidates re-fill the top-k densely.
+    got.foreach(r => assert(!dead(r.getLong(2)),
+      s"tombstoned ${r.getLong(2)} returned"))
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.sortBy(_.getInt(1)).map(_.getInt(1)).toSeq ==
+        (1 to Similarity.TopK))
+    }
+    // Route-through witnessed: the navigation still SCORES tombstoned
+    // nodes (the filter is on the result cut, not the search — a
+    // pre-filtered search would show none here).
+    val pool = Similarity.sim19VisitedPool(spark, sf).collect()
+    assert(pool.exists(r => dead(r.getLong(1))),
+      "the search must still navigate tombstoned nodes")
+    // The trade MEASURED: recall@k vs the exact-over-live baseline,
+    // route-through vs the naive hard filter (graph and corpus
+    // pre-filtered to live nodes — what physically unlinking deletes
+    // between compactions would do).
+    val e = Dedup.vectors(spark, sf)
+    val queries = e.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val live = e.filter(!Similarity.tombstoneFlag(col("vec_id")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Similarity.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topIds(live
+      .join(org.apache.spark.sql.functions.broadcast(queries),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("v")), 4)
+          .as("cos")))
+    def recall(res: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, ex) =>
+        res.getOrElse(q, Set.empty).count(ex) }.sum
+      hits.toDouble / (exact.size * Similarity.TopK)
+    }
+    val routeRecall = recall(got.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val hardGraph = Similarity.knnGraphEdges(spark, sf)
+      .filter(!Similarity.tombstoneFlag(col("src")) &&
+        !Similarity.tombstoneFlag(col("dst")))
+    val hardRecall = recall(topIds(
+      Similarity.beamSearchPool(live.select("vec_id", "v"), hardGraph, queries)
+        .filter(!Similarity.tombstoneFlag(col("vec_id")))))
+    info(s"route-through recall $routeRecall vs hard-filter $hardRecall")
+    assert(routeRecall >= hardRecall,
+      s"route-through ($routeRecall) must not lose to the naive filter ($hardRecall)")
+    assert(routeRecall >= 0.5,
+      s"route-through must hold sim19's recall floor, got $routeRecall")
+  }
+
   test("sim20: production trajectory IS sim19's pool; rounds curve monotone by construction") {
     import org.apache.spark.sql.functions.col
     // The sweep's (GraphEntryCount, GraphBeam) trajectory must equal
