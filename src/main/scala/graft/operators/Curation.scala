@@ -1677,13 +1677,22 @@ object Curation {
     * per source = cur24's toks_removed — the two executions remove
     * the same mass.
     */
-  def cur25TombstoneMask(spark: SparkSession, dir: String): DataFrame = {
+  def cur25TombstoneMask(spark: SparkSession, dir: String): DataFrame =
+    recalledMaskRows(cur18TrainManifest(spark, dir).filter(takedownFlag))
+      .orderBy("source", "seq", "mask_start", "doc_id")
+
+  /** The mask-row derivation over an already-RECALLED manifest slice —
+    * the ONE span-clipping definition cur25 and stream25's feed gate
+    * share (the streamed twin cannot clip differently than the batch
+    * emit). Input must carry the manifest coordinates (source, doc_id,
+    * post_toks, seq_first, seq_last, off_first).
+    */
+  private[graft] def recalledMaskRows(recalled: DataFrame): DataFrame = {
     val ctx = Cur18CtxTokens
     val cumStart = col("seq_first") * ctx + col("off_first")
     val lo = greatest(cumStart, col("seq") * ctx)
     val hi = least(cumStart + col("post_toks"), (col("seq") + 1) * ctx)
-    cur18TrainManifest(spark, dir)
-      .filter(takedownFlag)
+    recalled
       .select(col("source"), col("doc_id"), col("post_toks"),
         col("seq_first"), col("seq_last"), col("off_first"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
@@ -1693,8 +1702,23 @@ object Curation {
         (lo - col("seq") * ctx).as("mask_start"),
         (hi - 1 - col("seq") * ctx).as("mask_end"),
         (hi - lo).as("masked_toks"))
-      .orderBy("source", "seq", "mask_start", "doc_id")
   }
+
+  /** stream25's per-micro-batch core: arriving recall requests carry
+    * doc_ids; the mask rows for those of them that are PACKED train
+    * docs emit through the shared clipping rule. A recalled id outside
+    * the train manifest (a val/test doc, an id the funnel dropped, or
+    * junk) masks nothing — there is nothing in the shards to skip,
+    * which is the correct verdict, not an error. The broadcast is the
+    * ARRIVAL batch (recall-list-sized); the manifest is the pinned
+    * session frame.
+    */
+  private[graft] def takedownMaskArrivals(
+      spark: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    recalledMaskRows(
+      cur18TrainManifest(spark, dir)
+        .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"),
+          "left_semi"))
 
   def cur24Takedown(spark: SparkSession, dir: String): DataFrame = {
     val ctx = Cur18CtxTokens

@@ -630,6 +630,35 @@ object GraftStreams {
     * streamed edges carrying reachability in between (sim18's
     * retrain-vs-append division of labor, on the graph axis).
     */
+  /** stream25's arrival shape: a takedown/recall request, one doc id
+    * per row (the external feed — opt-outs, copyright claims, PII
+    * findings — every training-data pipeline receives continuously).
+    */
+  case class RecallArrival(doc_id: Long)
+
+  /** stream25: streaming TAKEDOWN MASK — cur25's tombstone-mask emit
+    * on the recall-feed cadence, which is how takedowns actually
+    * deploy: the packed corpus is nearly static between repacks, the
+    * recall feed never stops, and a request must take effect at the
+    * next loader read — NOT at the next full repack. Each micro-batch
+    * of arriving doc_ids joins (broadcast, recall-list-sized) against
+    * the PINNED train manifest and its mask rows land under
+    * `batch_id=N` ([[graft.operators.Curation.takedownMaskArrivals]] —
+    * the ONE span-clipping rule shared with batch cur25, so the gate
+    * cannot clip differently than the batch emit; a recalled id
+    * outside the manifest masks nothing, which is the correct verdict).
+    * stream09's contracts verbatim: per-arrival independent ⇒
+    * re-batching-invariant and equal to batch cur25 on the same ids
+    * (spec-pinned); per-partition overwrite ⇒ idempotent replay; ZERO
+    * streaming state — the manifest is the state, refreshed on the
+    * repack cadence.
+    */
+  def landTakedownMaskBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Curation.takedownMaskArrivals(
+        batch.sparkSession, dir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   def landGraphInsertBatch(
       batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
     graft.operators.Similarity.graphInsertArrivalEdges(

@@ -37,7 +37,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream17_codebook_swap", "stream18_ingest_funnel",
     "stream19_sequence_pack", "stream20_crossmodal_gate",
     "stream21_boilerplate_gate", "stream22_audio_ingest",
-    "stream23_manifest_emit", "stream24_graph_insert")
+    "stream23_manifest_emit", "stream24_graph_insert",
+    "stream25_takedown_mask")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val ids = surveyIds.map(i => aliases.getOrElse(i, i))

@@ -902,6 +902,56 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batchEdges, "replay must be a no-op")
   }
 
+  test("stream25: streamed takedown masks equal batch cur25, off-manifest ids mask nothing, replay no-op") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream25_${System.nanoTime()}"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // The recall feed: exactly cur25's takedown set (so the streamed
+    // union must equal the batch emit row-for-row), split mid-stream,
+    // PLUS one id that is NOT in the train manifest — a recall for an
+    // unpacked doc masks nothing (the clean arm, not an error).
+    val recalled = Curation.cur18TrainManifest(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id"))
+      .filter(id => md5hex("takedown:" + id).take(2) < Curation.TakedownHexThr)
+    assert(recalled.length >= 2)
+    val offManifest = 999999L
+    val (first, second) = recalled.splitAt(recalled.length / 2)
+    val stream = MemoryStream[GraftStreams.RecallArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landTakedownMaskBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.map(GraftStreams.RecallArrival).toSeq)
+      q.processAllAvailable()
+      stream.addData(
+        (second.map(GraftStreams.RecallArrival) :+
+          GraftStreams.RecallArrival(offManifest)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("source", "seq", "shard", "doc_id", "mask_start", "mask_end",
+        "masked_toks")
+      .collect().map(_.toSeq.toVector).toSet
+    val batchRows = Curation.cur25TombstoneMask(spark, sf)
+      .collect().map(_.toSeq.toVector).toSet
+    assert(landed() == batchRows,
+      "streamed mask rows diverge from the shared batch clipping rule")
+    assert(!landed().exists(_(3) == offManifest),
+      "an off-manifest recall must mask nothing")
+    // Replay micro-batch 0 (restart recovery): per-partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landTakedownMaskBatch(
+      spark.createDataFrame(first.map(GraftStreams.RecallArrival).toSeq),
+      sf, outDir, 0L)
+    assert(landed() == batchRows, "replay must be a no-op")
+  }
+
   test("stream19: streamed packing equals batch positions; the cursor carries across batches") {
     import graft.operators.Curation
     import spark.implicits._
