@@ -107,7 +107,25 @@ def main():
     # Min-merge official records AND the previous clean file: a floor
     # captured by an earlier clean run (never matched by an official
     # record) must survive regeneration, or the gate softens each round.
-    prior = sorted(repo.glob("BENCH_r*.json")) + list(repo.glob("BENCH_clean.json"))
+    #
+    # WATERMARK (round-16 review): each official record is merged
+    # exactly ONCE — at the regeneration following it, when the plan it
+    # measured still matches the current fingerprints. Official lines
+    # carry no fingerprints, so re-merging history would resurrect a
+    # reseeded (plan-changed) floor at the very next regeneration and
+    # revert the ratchet. The previous clean file subsumes everything
+    # merged before the watermark, so nothing is lost.
+    old_clean_text = old_clean.read_text() if old_clean.is_file() else ""
+    wm = re.search(r'"merged_through":(\d+)', old_clean_text)
+    merged_through = int(wm.group(1)) if wm else -1
+    def round_no(p: Path) -> int:
+        m = re.match(r"BENCH_r(\d+)\.json", p.name)
+        return int(m.group(1)) if m else -1
+    officials = [p for p in sorted(repo.glob("BENCH_r*.json"))
+                 if round_no(p) > merged_through]
+    new_watermark = max([merged_through] +
+                        [round_no(p) for p in repo.glob("BENCH_r*.json")])
+    prior = officials + list(repo.glob("BENCH_clean.json"))
     carried = set()
     for rec in prior:
         for k, v in parse_times(rec.read_text(), sf).items():
@@ -143,11 +161,12 @@ def main():
     out_fps.update({k: v for k, v in fresh_fps.items() if k in best})
     line = (
         '{"metric":"total","value":%.3f,"unit":"sec","queries":{%s},'
-        '"fingerprints":{%s},"errors":{},"suspect":[],"sf":"%s"}'
+        '"fingerprints":{%s},"merged_through":%d,"errors":{},"suspect":[],"sf":"%s"}'
         % (
             live_total,
             ",".join('"%s":%.3f' % (k, v) for k, v in sorted(best.items())),
             ",".join('"%s":"%s"' % (k, v) for k, v in sorted(out_fps.items())),
+            new_watermark,
             sf,
         )
     )

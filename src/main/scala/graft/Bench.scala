@@ -239,24 +239,71 @@ object Bench {
     * would silently find zero records and degrade to family medians —
     * now that degradation is also LOGGED).
     */
-  private[graft] def priorRecord(sfDir: String): Map[String, Double] = {
-    val dir = new java.io.File(
+  private def recordDirFile: java.io.File =
+    new java.io.File(
       sys.props.get("graft.bench.recordDir")
         .orElse(sys.env.get("SPARK_GRAFT_RECORD_DIR"))
         .getOrElse("."))
-    val rec = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
-        f.getName == "BENCH_clean.json")
+
+  private def readRecord(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Per-query minima across the OFFICIAL round records only
+    * (`BENCH_r*.json` — never the clean seed file; see [[mergePrior]]
+    * for why the two merge asymmetrically).
+    */
+  private[graft] def officialMins(sfDir: String): Map[String, Double] =
+    Option(recordDirFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       .flatMap { f =>
-        try parsePriorTimes(new String(
-          java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8), sfDir).toSeq
+        try parsePriorTimes(readRecord(f), sfDir).toSeq
         catch { case _: Throwable => Nil }
       }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+
+  /** The committed clean seed's own per-query floors. */
+  private[graft] def cleanTimes(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File(recordDirFile, "BENCH_clean.json")
+    if (!f.isFile) Map.empty
+    else try parsePriorTimes(readRecord(f), sfDir)
+    catch { case _: Throwable => Map.empty }
+  }
+
+  /** Merge official history with the clean seed — ASYMMETRICALLY
+    * (round-16 review): official stdout lines carry no plan
+    * fingerprints, so once a query's plan has legitimately changed,
+    * its pre-change official times are stale-plan measurements that
+    * would resurrect the dropped floor every round — the exact
+    * permanent-suspect failure the ratchet exists to fix, reintroduced
+    * through the record glob. The clean file is regenerated each round
+    * WITH fingerprint knowledge (make_bench_clean applies the ratchet
+    * and min-merges fresh officials at that point), so for any key it
+    * fingerprints, the clean floor is the AUTHORITY and official
+    * history is ignored here; keys it does not fingerprint (or does
+    * not carry) keep the defensive min over everything.
+    */
+  private[graft] def mergePrior(
+      official: Map[String, Double],
+      clean: Map[String, Double],
+      cleanFps: Map[String, String]): Map[String, Double] =
+    (official.keySet ++ clean.keySet).iterator.map { k =>
+      val v = (official.get(k), clean.get(k)) match {
+        case (_, Some(c)) if cleanFps.contains(k) => c
+        case (Some(o), Some(c)) => math.min(o, c)
+        case (Some(o), None) => o
+        case (None, c) => c.get
+      }
+      k -> v
+    }.toMap
+
+  private[graft] def priorRecord(sfDir: String): Map[String, Double] = {
+    val rec = mergePrior(
+      officialMins(sfDir), cleanTimes(sfDir), cleanFingerprints(sfDir))
     if (rec.isEmpty)
       System.err.println(
-        s"[bench] no prior records for sf=$sfDir under ${dir.getAbsolutePath}" +
+        s"[bench] no prior records for sf=$sfDir under " +
+          s"${recordDirFile.getAbsolutePath}" +
           " — the contamination defense degrades to within-run family medians")
     rec
   }
@@ -286,16 +333,10 @@ object Bench {
     * clean file predates the fingerprint column or sits at another sf).
     */
   private[graft] def cleanFingerprints(sfDir: String): Map[String, String] = {
-    val dir = new java.io.File(
-      sys.props.get("graft.bench.recordDir")
-        .orElse(sys.env.get("SPARK_GRAFT_RECORD_DIR"))
-        .getOrElse("."))
-    val f = new java.io.File(dir, "BENCH_clean.json")
+    val f = new java.io.File(recordDirFile, "BENCH_clean.json")
     if (!f.isFile) Map.empty
     else
-      try parseFingerprints(new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8), sfDir)
+      try parseFingerprints(readRecord(f), sfDir)
       catch { case _: Throwable => Map.empty }
   }
 

@@ -1134,17 +1134,33 @@ object Curation {
     * still misses junction spans entirely. Spec-pinned on a corpus
     * whose held-out text overlaps its template mass.
     */
-  private def postBoilerSpans(
-      spark: SparkSession, dir: String, scrub: DataFrame): DataFrame =
+  /** The corpus boilerplate-scrub frame restricted to non-held docs —
+    * the ONE definition of "the funnel's scrub evidence" that
+    * [[funnelInputs]], [[cur18TrainPayload]] and the pinned span frame
+    * below all read. Derived here rather than passed in (round-16
+    * review): the span pin is keyed by (session, dir) only, so a
+    * scrub PARAMETER would be exactly the explicit-argument-shadowed-
+    * by-a-pin trap the leakReport fix removed — a caller passing a
+    * different frame would silently receive whichever was built first.
+    */
+  private[graft] def funnelScrubFrame(
+      spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusBoilerplateScrub(spark, dir)
+      .filter(col("source") =!= "src0")
+
+  private def postBoilerSpans(spark: SparkSession, dir: String): DataFrame =
     // Pinned per (session, dir): the frame is contamination-sized
     // (tiny at rest) but its derivation pays the affected-doc window
     // rebuild + held probe — and cur18's report, cur20/cur23's emits
     // each re-derive it otherwise (round 16: cur23's payload leg made
-    // it a third consumer).
+    // it a third consumer). The scrub side is [[funnelScrubFrame]] BY
+    // DEFINITION — no parameter, so the pin cannot shadow a caller's
+    // differing frame; the spec's hand-corpus arm drives
+    // [[postBoilerFlaggedSpans]] directly.
     graft.GraftCache.getOrPersist(
       s"cur18.pbSpans:$dir:${graft.GraftCache.sessionTag(spark)}") {
       postBoilerFlaggedSpans(
-        Dedup.cur16WindowRows(spark, dir), scrub,
+        Dedup.cur16WindowRows(spark, dir), funnelScrubFrame(spark, dir),
         Dedup.heldOutWindowHashes(spark, dir))
     }
 
@@ -1271,11 +1287,9 @@ object Curation {
       .join(broadcast(dropNd.withColumn("nd_drop", lit(true))), Seq("doc_id"), "left")
       .withColumn("surv",
         col("is_keeper") && !coalesce(col("nd_drop"), lit(false)))
-    val scrub = TextAnalysis.corpusBoilerplateScrub(spark, dir)
-      .filter(col("source") =!= "src0")
-    val boilerRm = scrub.select(col("doc_id"),
+    val boilerRm = funnelScrubFrame(spark, dir).select(col("doc_id"),
       (col("tokens_before") - col("tokens_after")).cast("long").as("brm"))
-    val spans = postBoilerSpans(spark, dir, scrub)
+    val spans = postBoilerSpans(spark, dir)
     (marked, boilerRm, spans)
   }
 
@@ -1441,6 +1455,33 @@ object Curation {
     * corpus's files. Shared with the specs so the layout assertions
     * look where the operator wrote.
     */
+  /** Emit dirs registered for JVM-exit cleanup: the (pid, session)
+    * path component that makes cross-process overwrite/read-back races
+    * impossible also means every JVM writes a FRESH tree — without the
+    * hook each sbt/bench invocation would leave one manifest + payload
+    * copy in the tmpdir forever (cur23's payload is the largest
+    * artifact the repo emits). Registered once per distinct dir;
+    * best-effort (a killed -9 JVM still leaks, as any tmp writer does).
+    */
+  private val emitDirsToClean =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val emitCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      emitDirsToClean.forEach { d =>
+        try {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(del))
+            f.delete(); ()
+          }
+          del(new java.io.File(d))
+        } catch { case _: Throwable => () }
+      }
+    }))
+  private[graft] def registerEmitDirCleanup(path: String): Unit = {
+    emitCleanupHook
+    emitDirsToClean.add(path); ()
+  }
+
   private[graft] def cur20OutDir(spark: SparkSession, dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
@@ -1449,10 +1490,14 @@ object Curation {
     // benching the same corpus on a shared host (the sessionTag counter
     // is JVM-local, so the pid carries the cross-process separation);
     // within one session the dir stays stable, so repeated bench calls
-    // overwrite in place instead of accreting emit dirs.
-    s"${System.getProperty("java.io.tmpdir")}/graft_cur20_" +
+    // overwrite in place instead of accreting emit dirs — and the
+    // JVM-exit hook removes the tree, so invocations don't accrete
+    // either (round-16 review).
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_cur20_" +
       s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_${h}_" +
       s"p${ProcessHandle.current().pid()}_${graft.GraftCache.sessionTag(spark)}"
+    registerEmitDirCleanup(path)
+    path
   }
 
   def cur20SequenceSink(spark: SparkSession, dir: String): DataFrame = {
@@ -1501,9 +1546,8 @@ object Curation {
   private[graft] def cur18TrainPayload(
       spark: SparkSession, dir: String): DataFrame = {
     val man = cur18TrainManifest(spark, dir)
-    val scrub = TextAnalysis.corpusBoilerplateScrub(spark, dir)
-      .filter(col("source") =!= "src0")
-    val perDocSpans = postBoilerSpans(spark, dir, scrub)
+    val scrub = funnelScrubFrame(spark, dir)
+    val perDocSpans = postBoilerSpans(spark, dir)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("sp"))
     val pbt = tokens(coalesce(col("text_clean"), col("text")))
@@ -1528,8 +1572,11 @@ object Curation {
   /** cur23's emit directory — cur20's layout contract (pid + session
     * tagged, md5-suffixed corpus key).
     */
-  private[graft] def cur23OutDir(spark: SparkSession, dir: String): String =
-    cur20OutDir(spark, dir).replace("graft_cur20_", "graft_cur23_")
+  private[graft] def cur23OutDir(spark: SparkSession, dir: String): String = {
+    val path = cur20OutDir(spark, dir).replace("graft_cur20_", "graft_cur23_")
+    registerEmitDirCleanup(path)
+    path
+  }
 
   /** cur23: PAYLOAD SHARD emit — the deliverable cur20's manifest
     * defers (SURVEY's named round-15 deferral): loader-readable

@@ -612,24 +612,6 @@ object GraftStreams {
         batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
-  /** stream24: streaming GRAPH-ANN INSERT — sim21's insert rule on the
-    * ingest cadence, closing the ANN maintenance matrix (stream11 lands
-    * arrivals in IVF cells; this lands them in the navigable graph):
-    * each micro-batch of arriving embeddings ([[EmbeddingArrival]] —
-    * stream11's shape) runs ONE beam search over the PINNED deployed
-    * graph ([[graft.operators.Similarity.graphInsertArrivalEdges]] —
-    * sim21's shared decision core) and its forward edges land under
-    * `batch_id=N`; the back-edge transpose is derived at read time
-    * (it is a projection, not state). stream09's contracts verbatim:
-    * every arrival links against the PRE-BATCH graph and never against
-    * its batch-mates (sim21's batch-insert semantics), so verdicts are
-    * per-arrival independent ⇒ re-batching-invariant and equal to
-    * batch sim21 on the same arrivals (spec-pinned); per-partition
-    * overwrite ⇒ idempotent replay; ZERO streaming state — the graph
-    * index IS the state, rebuilt on sim07's batch cadence with the
-    * streamed edges carrying reachability in between (sim18's
-    * retrain-vs-append division of labor, on the graph axis).
-    */
   /** stream25's arrival shape: a takedown/recall request, one doc id
     * per row (the external feed — opt-outs, copyright claims, PII
     * findings — every training-data pipeline receives continuously).
@@ -659,6 +641,24 @@ object GraftStreams {
         batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream24: streaming GRAPH-ANN INSERT — sim21's insert rule on the
+    * ingest cadence, closing the ANN maintenance matrix (stream11 lands
+    * arrivals in IVF cells; this lands them in the navigable graph):
+    * each micro-batch of arriving embeddings ([[EmbeddingArrival]] —
+    * stream11's shape) runs ONE beam search over the PINNED deployed
+    * graph ([[graft.operators.Similarity.graphInsertArrivalEdges]] —
+    * sim21's shared decision core) and its forward edges land under
+    * `batch_id=N`; the back-edge transpose is derived at read time
+    * (it is a projection, not state). stream09's contracts verbatim:
+    * every arrival links against the PRE-BATCH graph and never against
+    * its batch-mates (sim21's batch-insert semantics), so verdicts are
+    * per-arrival independent ⇒ re-batching-invariant and equal to
+    * batch sim21 on the same arrivals (spec-pinned); per-partition
+    * overwrite ⇒ idempotent replay; ZERO streaming state — the graph
+    * index IS the state, rebuilt on sim07's batch cadence with the
+    * streamed edges carrying reachability in between (sim18's
+    * retrain-vs-append division of labor, on the graph axis).
+    */
   def landGraphInsertBatch(
       batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
     graft.operators.Similarity.graphInsertArrivalEdges(

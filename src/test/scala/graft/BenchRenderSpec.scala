@@ -364,6 +364,24 @@ class BenchRenderSpec extends AnyFunSuite {
       "under RecordCoverMin floor-covered queries the ratio is not meaningful")
   }
 
+  test("mergePrior: the fingerprinted clean floor is the authority (a reseed survives official history)") {
+    // The reseed-reversion hole (round-16 review): officials carry no
+    // fingerprints, so after a legitimate plan change their pre-change
+    // times must NOT min-merge back under the reseeded clean floor.
+    val official = Map("cur18" -> 0.9, "q01" -> 0.3, "old" -> 0.5)
+    val clean = Map("cur18" -> 2.5, "q01" -> 0.4)
+    val fps = Map("cur18" -> "fp-of-the-grown-plan")
+    val m = Bench.mergePrior(official, clean, fps)
+    assert(m("cur18") == 2.5,
+      "a pre-change official 0.9s must not resurrect under the reseeded floor")
+    assert(m("q01") == 0.3, "unfingerprinted keys keep the defensive min")
+    assert(m("old") == 0.5, "official-only keys survive")
+    assert(Bench.mergePrior(Map.empty, Map("a" -> 1.0), Map.empty) ==
+      Map("a" -> 1.0))
+    assert(Bench.mergePrior(Map("a" -> 1.0), Map.empty, Map.empty) ==
+      Map("a" -> 1.0))
+  }
+
   test("priorRecord: min-merges the real repo records (contamination defense)") {
     // Runs in the repo root where BENCH_r*.json live; if none parse at
     // this sf the map is empty and the family fallback governs — both

@@ -54,9 +54,10 @@ class PlanFingerprintSpec extends SparkSpec {
 
   test("iterative localCheckpoint lineage fingerprints identically across searches") {
     // sim19's pool rebuilds fresh eager checkpoints on every call, so
-    // its plan string carries new RDD ids each time — exactly the
-    // digit-run surface normalize() must erase, or the graph family's
-    // floors would reseed every single round.
+    // its analyzed plan carries new LogicalRDD leaves each time —
+    // exactly the surface the structural signature must be blind to
+    // (RDD ids are not part of the node/expression-class shape), or
+    // the graph family's floors would reseed every single round.
     val build = SparkEntry.queries("sim19_graph_ann")
     val fp1 = PlanFingerprint.of(build(spark, sf))
     val fp2 = PlanFingerprint.of(build(spark, sf))
