@@ -510,11 +510,17 @@ object Bench {
     // lines 1.4–2× their committed clean floors because one machine-
     // contention window outlasted every within-pass retry — the
     // clean-floor methodology, min over independent runs, applied to
-    // the record itself). Later passes run 1 iteration each: the min
-    // across passes subsumes the within-pass min, so pass 1 pays the
-    // JIT warm-up and the rest sample fresh contention windows at
-    // whole-suite distance — a noise burst must now span EVERY pass to
-    // damage a query's official number.
+    // the record itself). EVERY base pass runs both iterations
+    // (round 16: the pin-heavy queries — cur18's manifest, sim19's
+    // pool, the trained codebooks — pay their session-frame build in
+    // iteration 1 and show the plan's warm cost only in iteration 2,
+    // so a 1-iteration pass contributes NO warm sample for them; with
+    // single-iteration later passes the whole record had exactly one
+    // warm sample per pin-heavy query, and one noise spike on it was
+    // unrecoverable below the 2× retry band — precisely the 1.1–2×
+    // band the record's median is graded in). The budget-bounded
+    // EXTRA passes stay at 1 iteration: they exist to defend against
+    // machine-wide inflation, where breadth beats depth.
     val Passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     // The pass-1 frames, kept for plan fingerprinting after the sweep
@@ -580,7 +586,7 @@ object Bench {
       }
     }
     val passResults = (1 to Passes).map { p =>
-      val r = runPass(if (p == 1) Iterations else 1, capture = p == 1)
+      val r = runPass(Iterations, capture = p == 1)
       GraftCache.release()
       System.err.println(
         f"[bench] pass $p/$Passes total ${r.map(_._2).sum}%.1f s")
