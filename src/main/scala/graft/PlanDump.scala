@@ -136,6 +136,8 @@ object PlanDump {
         "takedown audit: pinned train manifest + ONE survivor re-pack window per source (thin manifest frame — the corpus text never moves), doc_id-equi before/after join, per-source integer rollup",
       "cur25_tombstone_mask" ->
         "tombstone mask: recall-list-sized manifest rows exploded into covered sequences, pure integer span clipping — NO join, NO window, no corpus access (the cheapest takedown execution, which is its argument)",
+      "cur26_repack_execute" ->
+        "repack execute: the dumped plan is the read-back reassembly audit over the re-emitted post-takedown (source, shard) files — cur23's audit verbatim; the payload frame is the survivor re-pack window + one doc_id-equi join onto the unchanged token arrays",
       "cur22_histogram_select" ->
         "sort-free percentile select: the 4-dp score grid is the histogram bucket, descending-cumulative cut window above the aggregate, broadcast score cuts — cur10's corpus rank window gone")
 

@@ -162,6 +162,7 @@ object SparkEntry {
     "cur23_payload_shards" -> Curation.cur23PayloadShards _,
     "cur24_takedown" -> Curation.cur24Takedown _,
     "cur25_tombstone_mask" -> Curation.cur25TombstoneMask _,
+    "cur26_repack_execute" -> Curation.cur26RepackExecute _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -1400,20 +1401,19 @@ object SparkEntry {
     * shard. A payload byte lost, re-ordered, or mis-sliced anywhere in
     * the write→read-back→reassemble chain moves a hash sum.
     */
-  private val Cur23OracleSql: String = {
+  /** The payload reassembly-audit SQL over an explicit positions CTE
+    * chain ending in `pm` (doc_id, source, post_toks, cum_start,
+    * seq_first, seq_last) — cur23's whole token-rebuild + slice +
+    * hash grammar, parameterized (round 16) so cur26's post-takedown
+    * audit replays through the SAME chain with only the positions
+    * swapped (exactly mirroring the Scala-side payloadShardAudit
+    * seam).
+    */
+  private def payloadAuditSql(positionsCtes: String): String = {
     val ctx = graft.operators.Curation.Cur18CtxTokens
     val sps = graft.operators.Curation.Cur20SeqsPerShard
     s"""WITH $Cur18SplCtes,
-         trn AS (SELECT doc_id, source, post_toks,
-             sum(post_toks) OVER (PARTITION BY source
-               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
-           FROM spl WHERE split = 'train'),
-         pm AS (SELECT doc_id, source, post_toks,
-             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
-             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
-             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
-           FROM trn),
+         $positionsCtes,
          ptoks AS (SELECT a.doc_id, a.t FROM atoks a JOIN pm USING (doc_id)
            UNION ALL
            SELECT tk.doc_id, tk.t FROM toks tk JOIN pm USING (doc_id)
@@ -1453,6 +1453,47 @@ object SparkEntry {
          FROM dsh d FULL OUTER JOIN ssh s
            ON d.source = s.source AND d.shard = s.shard
          ORDER BY source, shard"""
+  }
+
+  /** cur23's BEFORE positions: the train split's packing window. */
+  private def cur23PositionsCtes: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    s"""trn AS (SELECT doc_id, source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'),
+         pm AS (SELECT doc_id, source, post_toks,
+             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
+           FROM trn)"""
+  }
+
+  private val Cur23OracleSql: String = payloadAuditSql(cur23PositionsCtes)
+
+  /** Generated DuckDB replay of cur26's repack execute: the SAME
+    * reassembly-audit grammar as cur23, with the positions CTE
+    * swapped to the POST-TAKEDOWN survivor window (cur24's "after"
+    * positions) — a prefix shard's hash sums must come out identical
+    * to cur23's and the dirty suffix re-derived, or the hash breaks.
+    */
+  private val Cur26OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    val thr = graft.operators.Curation.TakedownHexThr
+    payloadAuditSql(
+      s"""trn26 AS (SELECT doc_id, source, post_toks,
+             sum(post_toks) OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+           FROM spl WHERE split = 'train'
+             AND substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               >= '$thr'),
+         pm AS (SELECT doc_id, source, post_toks,
+             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
+             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
+           FROM trn26)""")
   }
 
   /** Generated DuckDB replay of cur24's takedown audit: the shared
@@ -2540,6 +2581,7 @@ object SparkEntry {
     "cur23_payload_shards" -> Cur23OracleSql,
     "cur24_takedown" -> Cur24OracleSql,
     "cur25_tombstone_mask" -> Cur25OracleSql,
+    "cur26_repack_execute" -> Cur26OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

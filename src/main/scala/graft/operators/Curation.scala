@@ -1608,9 +1608,21 @@ object Curation {
     * (source, seq) key (sequence-sized groups — the trainer-side read
     * pattern, which is the point of emitting this layout).
     */
-  def cur23PayloadShards(spark: SparkSession, dir: String): DataFrame = {
-    val out = cur23OutDir(spark, dir)
-    cur18TrainPayload(spark, dir)
+  def cur23PayloadShards(spark: SparkSession, dir: String): DataFrame =
+    payloadShardAudit(spark, cur18TrainPayload(spark, dir),
+      cur23OutDir(spark, dir))
+
+  /** The payload emit + content-proving read-back audit over an
+    * EXPLICIT payload frame (doc_id, source, post_toks, seq_first,
+    * seq_last, off_first, shard, toks) — cur23's whole write → scan →
+    * slice → reassemble → hash chain, separated (round 16) so cur26's
+    * post-takedown repack emits and audits through the SAME machinery
+    * (the re-emitted corpus cannot be audited differently than the
+    * original).
+    */
+  private[graft] def payloadShardAudit(
+      spark: SparkSession, payload: DataFrame, out: String): DataFrame = {
+    payload
       .repartition(
         spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("source"), col("shard"))
@@ -1766,6 +1778,66 @@ object Curation {
       cur18TrainManifest(spark, dir)
         .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"),
           "left_semi"))
+
+  /** The POST-TAKEDOWN train manifest: the survivors re-packed by the
+    * same [[sequencePackPositions]] window (cur24's "after" positions,
+    * carried to the full manifest row shape) — what cur26 emits and
+    * what a post-repack loader slices from.
+    */
+  private[graft] def cur24AfterManifest(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Cur18CtxTokens
+    sequencePackPositions(
+        cur18TrainManifest(spark, dir).filter(!takedownFlag)
+          .select(col("doc_id"), col("source"),
+            col("post_toks").as("n_chars")),
+        ctx)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").as("post_toks"),
+        col("seq_first"), col("seq_last"),
+        ((col("cum_end") - col("n_chars")) % ctx).as("off_first"),
+        floor(col("seq_first") / Cur20SeqsPerShard).as("shard"))
+  }
+
+  /** cur26's emit directory — cur20's layout contract. */
+  private[graft] def cur26OutDir(spark: SparkSession, dir: String): String = {
+    val path = cur20OutDir(spark, dir).replace("graft_cur20_", "graft_cur26_")
+    registerEmitDirCleanup(path)
+    path
+  }
+
+  /** cur26: REPACK EXECUTE — carry out cur24's repack decision end to
+    * end: the post-takedown payload shards are EMITTED (the survivors'
+    * unchanged token arrays joined doc_id-equi onto their
+    * [[cur24AfterManifest]] coordinates, written through cur23's
+    * sink) and audited FROM THE EMITTED FILES by the same reassembly
+    * chain — so the oracle match proves the repacked corpus's content
+    * and tiling, and the spec pins the law that makes a repack
+    * affordable at 100 TB: every shard BEFORE the source's first dirty
+    * sequence is BYTE-IDENTICAL to the original emit (cur24's
+    * prefix-stability law made PHYSICAL — identical docs, identical
+    * sequence hash sums), so an executor only rewrites the dirty
+    * suffix cur24 priced; removed docs appear in NO emitted file, and
+    * per source the payload mass drops by exactly cur24's
+    * toks_removed. This closes the round-16 known-next-step: cur24
+    * decides and prices, cur25 masks in the meantime, cur26 executes
+    * the rewrite.
+    *
+    * Spark shape: the token payload is [[cur18TrainPayload]]'s frame
+    * (ONE definition of "the post-both-scrubs tokens" with cur23 — the
+    * repack cannot re-derive text); the only new work is cur24's
+    * already-priced survivor window + one doc_id-equi join; emit and
+    * audit are [[payloadShardAudit]] verbatim.
+    */
+  def cur26RepackExecute(spark: SparkSession, dir: String): DataFrame = {
+    val payload = cur24AfterManifest(spark, dir)
+      .join(cur18TrainPayload(spark, dir).select(col("doc_id"), col("toks")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("post_toks"),
+        col("seq_first"), col("seq_last"), col("off_first"),
+        col("shard"), col("toks"))
+    payloadShardAudit(spark, payload, cur26OutDir(spark, dir))
+  }
 
   def cur24Takedown(spark: SparkSession, dir: String): DataFrame = {
     val ctx = Cur18CtxTokens

@@ -802,6 +802,62 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur26 repack: clean-prefix shards byte-identical, removed docs gone, mass conserved") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sps = Curation.Cur20SeqsPerShard
+    type ShardRow = (Long, Long, Long, Long, Long)
+    def audit(df: org.apache.spark.sql.DataFrame): Map[(String, Long), ShardRow] =
+      df.collect().map(r => (r.getString(0), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("payload_toks"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("seq_toks"),
+          r.getAs[Long]("seq_hash_sum")))).toMap
+    val before = audit(Curation.cur23PayloadShards(spark, sf))
+    val after = audit(Curation.cur26RepackExecute(spark, sf))
+    val t24 = Curation.cur24Takedown(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("first_dirty_seq"), r.getAs[Long]("toks_removed"))))
+      .toMap
+    // PREFIX IDENTITY — the law that makes a repack affordable: every
+    // shard strictly before the source's first dirty sequence's shard
+    // carries IDENTICAL filed docs, sequence counts, token counts, and
+    // content hash sums (clean sources: every shard). An executor
+    // rewrites only the dirty suffix cur24 priced.
+    t24.foreach { case (src, (fd, _)) =>
+      val cleanBound = if (fd < 0) Long.MaxValue else fd / sps
+      before.keys.filter(k => k._1 == src && k._2 < cleanBound).foreach { k =>
+        assert(after.get(k).contains(before(k)),
+          s"clean-prefix shard $k must be byte-identical post-repack")
+      }
+      // And the dirty shard itself genuinely changed where a removal
+      // exists (the identity above is not vacuous).
+      if (fd >= 0) {
+        val dirty = (src, fd / sps)
+        assert(before.get(dirty) != after.get(dirty),
+          s"the first dirty shard $dirty must differ post-repack")
+      }
+    }
+    // Removed docs appear in NO emitted file.
+    val emitted = spark.read.parquet(Curation.cur26OutDir(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(emitted.nonEmpty)
+    emitted.foreach { id =>
+      assert(md5hex("takedown:" + id).take(2) >= Curation.TakedownHexThr,
+        s"removed doc $id survived the repack")
+    }
+    // CONSERVATION: per source the payload mass drops by exactly
+    // cur24's toks_removed; the shard range never grows.
+    t24.foreach { case (src, (_, removed)) =>
+      val b = before.collect { case ((s, _), r) if s == src => r._2 }.sum
+      val a = after.collect { case ((s, _), r) if s == src => r._2 }.sum
+      assert(a == b - removed, s"$src payload mass")
+      val bMax = before.keys.collect { case (s, sh) if s == src => sh }.max
+      val aMax = after.keys.collect { case (s, sh) if s == src => sh }
+        .maxOption.getOrElse(-1L)
+      assert(aMax <= bMax, s"$src shard range must not grow")
+    }
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)
