@@ -114,17 +114,35 @@ def main():
     # carry no fingerprints, so re-merging history would resurrect a
     # reseeded (plan-changed) floor at the very next regeneration and
     # revert the ratchet. The previous clean file subsumes everything
-    # merged before the watermark, so nothing is lost.
+    # merged before the watermark. One DELIBERATE forfeit: a reseed
+    # key's entries in the officials consumed THIS regeneration are
+    # skipped too (we cannot tell which plan an official measured), so
+    # a same-cycle new-plan official time is lost for that key — its
+    # floor then tightens only from fresh clean runs, which every
+    # round produces; the alternative (not advancing the watermark)
+    # would re-merge old-plan times later, which is the bug itself.
     old_clean_text = old_clean.read_text() if old_clean.is_file() else ""
+    # The watermark is honored only when the old clean file judges THIS
+    # sf (the same guard every other field parse applies): an sf0.01
+    # dev regeneration must not lock official history out of the sf0.1
+    # floor merge forever.
+    old_sf = re.search(r'"sf":"([^"]+)"', old_clean_text)
     wm = re.search(r'"merged_through":(\d+)', old_clean_text)
-    merged_through = int(wm.group(1)) if wm else -1
+    merged_through = (int(wm.group(1))
+                      if wm and old_sf and old_sf.group(1) == sf else -1)
     def round_no(p: Path) -> int:
         m = re.match(r"BENCH_r(\d+)\.json", p.name)
         return int(m.group(1)) if m else -1
     officials = [p for p in sorted(repo.glob("BENCH_r*.json"))
                  if round_no(p) > merged_through]
-    new_watermark = max([merged_through] +
-                        [round_no(p) for p in repo.glob("BENCH_r*.json")])
+    # Advance the watermark only over officials that actually PARSED at
+    # this sf (a record contributing nothing must stay eligible — it
+    # may be a different-sf or degraded line today, but skipping it
+    # forever on that evidence would silently discard its floors if a
+    # parseable copy ever appears).
+    new_watermark = max([merged_through] + [
+        round_no(p) for p in officials
+        if parse_times(p.read_text(), sf)])
     prior = officials + list(repo.glob("BENCH_clean.json"))
     carried = set()
     for rec in prior:

@@ -297,9 +297,13 @@ object Bench {
       k -> v
     }.toMap
 
-  private[graft] def priorRecord(sfDir: String): Map[String, Double] = {
-    val rec = mergePrior(
-      officialMins(sfDir), cleanTimes(sfDir), cleanFingerprints(sfDir))
+  /** One-read variant for [[main]]: the clean fingerprints feed both
+    * the merge and the ratchet, so the caller parses the clean file
+    * once and passes the maps in.
+    */
+  private[graft] def priorRecord(
+      sfDir: String, cleanFps: Map[String, String]): Map[String, Double] = {
+    val rec = mergePrior(officialMins(sfDir), cleanTimes(sfDir), cleanFps)
     if (rec.isEmpty)
       System.err.println(
         s"[bench] no prior records for sf=$sfDir under " +
@@ -307,6 +311,9 @@ object Bench {
           " — the contamination defense degrades to within-run family medians")
     rec
   }
+
+  private[graft] def priorRecord(sfDir: String): Map[String, Double] =
+    priorRecord(sfDir, cleanFingerprints(sfDir))
 
   /** Per-query plan fingerprints parsed out of a bench record — only
     * the judge-clean seed (`BENCH_clean.json`) carries them (the
@@ -638,8 +645,9 @@ object Bench {
     // few seconds total and simply confirm the number, so the pass
     // stays bounded either way.
     val errored = errors.map(_._1).toSet
+    val cleanFps = cleanFingerprints(sfDir)
     val (prior, reseeded) = ratchetPrior(
-      priorRecord(sfDir), cleanFingerprints(sfDir), currentFps)
+      priorRecord(sfDir, cleanFps), cleanFps, currentFps)
     if (reseeded.nonEmpty)
       System.err.println(
         s"[bench] floor ratchet: plan fingerprint changed for ${reseeded.mkString(", ")}" +

@@ -1455,14 +1455,20 @@ object SparkEntry {
          ORDER BY source, shard"""
   }
 
-  /** cur23's BEFORE positions: the train split's packing window. */
-  private def cur23PositionsCtes: String = {
+  /** The train split's packing-window positions CTE chain (ending in
+    * `pm`), with an optional extra predicate on the packed doc set —
+    * ONE SQL definition of the md5-ordered running sum for cur23
+    * (every train doc) and cur26 (the post-takedown survivors), so
+    * the packing-order expression can never drift between the two
+    * audits (round-16 review: it was pasted twice).
+    */
+  private def packingPositionsCtes(extraWhere: String): String = {
     val ctx = graft.operators.Curation.Cur18CtxTokens
     s"""trn AS (SELECT doc_id, source, post_toks,
              sum(post_toks) OVER (PARTITION BY source
                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
-           FROM spl WHERE split = 'train'),
+           FROM spl WHERE split = 'train'$extraWhere),
          pm AS (SELECT doc_id, source, post_toks,
              CAST(cum_end - post_toks AS BIGINT) AS cum_start,
              CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
@@ -1470,30 +1476,21 @@ object SparkEntry {
            FROM trn)"""
   }
 
-  private val Cur23OracleSql: String = payloadAuditSql(cur23PositionsCtes)
+  private val Cur23OracleSql: String =
+    payloadAuditSql(packingPositionsCtes(""))
 
   /** Generated DuckDB replay of cur26's repack execute: the SAME
-    * reassembly-audit grammar as cur23, with the positions CTE
-    * swapped to the POST-TAKEDOWN survivor window (cur24's "after"
+    * reassembly-audit grammar as cur23, with the positions window
+    * restricted to the POST-TAKEDOWN survivors (cur24's "after"
     * positions) — a prefix shard's hash sums must come out identical
     * to cur23's and the dirty suffix re-derived, or the hash breaks.
     */
   private val Cur26OracleSql: String = {
-    val ctx = graft.operators.Curation.Cur18CtxTokens
     val thr = graft.operators.Curation.TakedownHexThr
-    payloadAuditSql(
-      s"""trn26 AS (SELECT doc_id, source, post_toks,
-             sum(post_toks) OVER (PARTITION BY source
-               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
-           FROM spl WHERE split = 'train'
+    payloadAuditSql(packingPositionsCtes(
+      s"""
              AND substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
-               >= '$thr'),
-         pm AS (SELECT doc_id, source, post_toks,
-             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
-             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
-             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
-           FROM trn26)""")
+               >= '$thr'"""))
   }
 
   /** Generated DuckDB replay of cur24's takedown audit: the shared
