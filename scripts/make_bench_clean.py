@@ -122,14 +122,28 @@ def main():
     # round produces; the alternative (not advancing the watermark)
     # would re-merge old-plan times later, which is the bug itself.
     old_clean_text = old_clean.read_text() if old_clean.is_file() else ""
-    # The watermark is honored only when the old clean file judges THIS
-    # sf (the same guard every other field parse applies): an sf0.01
-    # dev regeneration must not lock official history out of the sf0.1
-    # floor merge forever.
-    old_sf = re.search(r'"sf":"([^"]+)"', old_clean_text)
-    wm = re.search(r'"merged_through":(\d+)', old_clean_text)
-    merged_through = (int(wm.group(1))
-                      if wm and old_sf and old_sf.group(1) == sf else -1)
+    # The watermark is PER SF (round-16 ADVICE): a single value guarded
+    # by the old file's sf reset to -1 whenever the previous
+    # regeneration ran at a different sf, so an sf-switch-and-back
+    # regeneration re-merged ALL official records at the original sf —
+    # including the pre-reseed old-plan times the watermark exists to
+    # exclude. The map preserves every sf's watermark across
+    # regenerations at any sf. (Floors themselves remain single-sf: an
+    # sf-switch still discards the other sf's floors, and switching
+    # back rebuilds them from the fresh clean run + post-watermark
+    # officials only — the conservative direction.) Legacy single-int
+    # form is honored only when the old file judges THIS sf.
+    wm_map = {}
+    wm_m = re.search(r'"merged_through":\{([^}]*)\}', old_clean_text)
+    if wm_m:
+        wm_map = {k: int(v) for k, v in
+                  re.findall(r'"([^"]+)":(\d+)', wm_m.group(1))}
+    else:
+        old_sf = re.search(r'"sf":"([^"]+)"', old_clean_text)
+        wm = re.search(r'"merged_through":(\d+)', old_clean_text)
+        if wm and old_sf:
+            wm_map[old_sf.group(1)] = int(wm.group(1))
+    merged_through = wm_map.get(sf, -1)
     def round_no(p: Path) -> int:
         m = re.match(r"BENCH_r(\d+)\.json", p.name)
         return int(m.group(1)) if m else -1
@@ -177,14 +191,15 @@ def main():
     # keep the fingerprint their floor was recorded under.
     out_fps = {k: v for k, v in old_fps.items() if k in best}
     out_fps.update({k: v for k, v in fresh_fps.items() if k in best})
+    wm_map[sf] = new_watermark
     line = (
         '{"metric":"total","value":%.3f,"unit":"sec","queries":{%s},'
-        '"fingerprints":{%s},"merged_through":%d,"errors":{},"suspect":[],"sf":"%s"}'
+        '"fingerprints":{%s},"merged_through":{%s},"errors":{},"suspect":[],"sf":"%s"}'
         % (
             live_total,
             ",".join('"%s":%.3f' % (k, v) for k, v in sorted(best.items())),
             ",".join('"%s":"%s"' % (k, v) for k, v in sorted(out_fps.items())),
-            new_watermark,
+            ",".join('"%s":%d' % (k, v) for k, v in sorted(wm_map.items())),
             sf,
         )
     )

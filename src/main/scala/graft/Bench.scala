@@ -15,7 +15,7 @@ object Bench {
 
   private def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-  private def shortId(name: String): String = name.takeWhile(_ != '_')
+  private[graft] def shortId(name: String): String = name.takeWhile(_ != '_')
 
   /** Width of the harness's stdout tail window (2000 chars), minus
     * margin. The entire summary line must fit inside it or the leading
@@ -79,7 +79,8 @@ object Bench {
       results: Seq[(String, Double)],
       errors: List[(String, String)],
       sfDir: String,
-      suspect: Seq[String] = Nil): String = {
+      suspect: Seq[String] = Nil,
+      only: Boolean = false): String = {
     val total = results.map(_._2).sum
     // Trailing zeros trimmed ("0.300" → "0.3") — free chars at every
     // degradation step; toPlainString keeps integers out of E-notation.
@@ -109,8 +110,14 @@ object Bench {
         .mkString("[", ",", "]")
     }
     val countOnly = "{\"_count\":" + errors.size + "}"
+    // In-band partial-run marker (round-16 ADVICE): a SPARK_GRAFT_
+    // BENCH_ONLY-filtered run must never be mistakable for a full
+    // official record — its tiny total and missing keys would read as
+    // a normal degraded line. Present on EVERY degradation step (it
+    // rides the shared line builder), so no fit fallback can drop it.
+    val onlyJson = if (only) "\"only\":true," else ""
     def line(qs: String, es: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"suspect":$suspectJson,$onlyJson"sf":"$sfDir"}"""
     val noTimings = line("{\"_count\":" + results.size + "}", countOnly)
     // The top-value step: the largest n (by timing, key tie-break)
     // whose entries fit, rendered in the original order with the
@@ -251,11 +258,22 @@ object Bench {
 
   /** Per-query minima across the OFFICIAL round records only
     * (`BENCH_r*.json` — never the clean seed file; see [[mergePrior]]
-    * for why the two merge asymmetrically).
+    * for why the two merge asymmetrically). `afterRound` restricts to
+    * records STRICTLY NEWER than that round number — the post-
+    * watermark slice [[mergePrior]] may min-merge even for
+    * fingerprinted keys.
     */
-  private[graft] def officialMins(sfDir: String): Map[String, Double] =
+  private val OfficialRecordRe = "BENCH_r(\\d+)\\.json".r
+
+  private[graft] def officialMins(
+      sfDir: String, afterRound: Int = -1): Map[String, Double] =
     Option(recordDirFile.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .filter { f =>
+        f.getName match {
+          case OfficialRecordRe(n) => n.toInt > afterRound
+          case _ => false
+        }
+      }
       .flatMap { f =>
         try parsePriorTimes(readRecord(f), sfDir).toSeq
         catch { case _: Throwable => Nil }
@@ -279,17 +297,25 @@ object Bench {
     * through the record glob. The clean file is regenerated each round
     * WITH fingerprint knowledge (make_bench_clean applies the ratchet
     * and min-merges fresh officials at that point), so for any key it
-    * fingerprints, the clean floor is the AUTHORITY and official
-    * history is ignored here; keys it does not fingerprint (or does
-    * not carry) keep the defensive min over everything.
+    * fingerprints, the clean floor is the AUTHORITY over PRE-WATERMARK
+    * history; officials NEWER than the clean file's merged_through
+    * watermark (`officialNewer` — not yet consumed by any
+    * regeneration) still min-merge in (round-16 ADVICE: discarding
+    * them softened the defense by one round per key; a post-watermark
+    * official that measured a plan which has since changed again is
+    * caught by the ratchet, which drops the key entirely). Keys the
+    * clean file does not fingerprint (or does not carry) keep the
+    * defensive min over everything.
     */
   private[graft] def mergePrior(
       official: Map[String, Double],
       clean: Map[String, Double],
-      cleanFps: Map[String, String]): Map[String, Double] =
+      cleanFps: Map[String, String],
+      officialNewer: Map[String, Double] = Map.empty): Map[String, Double] =
     (official.keySet ++ clean.keySet).iterator.map { k =>
       val v = (official.get(k), clean.get(k)) match {
-        case (_, Some(c)) if cleanFps.contains(k) => c
+        case (_, Some(c)) if cleanFps.contains(k) =>
+          officialNewer.get(k).fold(c)(math.min(c, _))
         case (Some(o), Some(c)) => math.min(o, c)
         case (Some(o), None) => o
         case (None, c) => c.get
@@ -297,13 +323,49 @@ object Bench {
       k -> v
     }.toMap
 
+  /** The clean file's merged-through watermark for this sf — the round
+    * number up to which official records are already folded into (or
+    * deliberately excluded from) the committed floors. Written by
+    * make_bench_clean as a PER-SF map (round-16 ADVICE: the single
+    * value reset to −1 on an sf-switch regeneration); the legacy
+    * single-int form is honored only when the file judges this sf.
+    * None (missing/unparseable) → the clean floor stays sole authority
+    * for fingerprinted keys, the conservative legacy posture.
+    */
+  private[graft] def parseMergedThrough(
+      content: String, sfDir: String): Option[Int] = {
+    val s = content.replace("\\\"", "\"")
+    "\"merged_through\":\\{([^}]*)\\}".r.findFirstMatchIn(s).map(_.group(1)) match {
+      case Some(body) =>
+        ("\"" + java.util.regex.Pattern.quote(sfDir) + "\":(\\d+)").r
+          .findFirstMatchIn(body).map(_.group(1).toInt)
+      case None =>
+        val sfOk = "\"sf\":\"([^\"]+)\"".r
+          .findFirstMatchIn(s).exists(_.group(1) == sfDir)
+        if (!sfOk) None
+        else "\"merged_through\":(\\d+)".r
+          .findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
+
+  private[graft] def cleanMergedThrough(sfDir: String): Option[Int] = {
+    val f = new java.io.File(recordDirFile, "BENCH_clean.json")
+    if (!f.isFile) None
+    else
+      try parseMergedThrough(readRecord(f), sfDir)
+      catch { case _: Throwable => None }
+  }
+
   /** One-read variant for [[main]]: the clean fingerprints feed both
     * the merge and the ratchet, so the caller parses the clean file
     * once and passes the maps in.
     */
   private[graft] def priorRecord(
       sfDir: String, cleanFps: Map[String, String]): Map[String, Double] = {
-    val rec = mergePrior(officialMins(sfDir), cleanTimes(sfDir), cleanFps)
+    val newer = cleanMergedThrough(sfDir)
+      .map(w => officialMins(sfDir, afterRound = w))
+      .getOrElse(Map.empty)
+    val rec = mergePrior(officialMins(sfDir), cleanTimes(sfDir), cleanFps, newer)
     if (rec.isEmpty)
       System.err.println(
         s"[bench] no prior records for sf=$sfDir under " +
@@ -623,7 +685,10 @@ object Bench {
             java.nio.file.Paths.get(d, s"$n.txt"),
             PlanFingerprint.signature(df.queryExecution.analyzed))
         }
-        Some(shortId(n) -> PlanFingerprint.of(df))
+        // ofTagged folds in any write-leg signature the operator noted
+        // during pass 1 (the emit family — round-16 "what's wrong" #2);
+        // identical to the plain fingerprint everywhere else.
+        Some(shortId(n) -> PlanFingerprint.ofTagged(shortId(n), df))
       }
       catch { case _: Throwable => None }
     }
@@ -740,7 +805,7 @@ object Bench {
       val fps = currentFps.toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$full,"fingerprints":$fps,"suspect":${suspectIds.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","queries":$full,"fingerprints":$fps,"suspect":${suspectIds.map("\"" + _ + "\"").mkString("[", ",", "]")},${if (only.isDefined) "\"only\":true," else ""}"sf":"$sfDir"}"""
     }
     try {
       java.nio.file.Files.write(
@@ -751,6 +816,7 @@ object Bench {
     spark.stop()
     // Print AFTER spark.stop() so no executor/log line can land behind it:
     // this must be the process's final stdout line.
-    println(renderLine(results, errors, sfDir, suspectIds))
+    println(renderLine(results, errors, sfDir, suspectIds,
+      only = only.isDefined))
   }
 }

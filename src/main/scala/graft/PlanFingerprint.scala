@@ -71,6 +71,40 @@ object PlanFingerprint {
     */
   def of(df: DataFrame): String =
     md5Hex(signature(df.queryExecution.analyzed)).take(12)
+
+  /** WRITE-LEG registry (round-16 "what's wrong" #2): emit operators
+    * (cur20/cur23/cur26/cur27) RETURN their read-back audit, so [[of]]
+    * on the returned frame was blind to the write leg's plan — an
+    * emit-leg-only change kept its old floor and read suspect until
+    * the next clean regeneration. The operator notes the frame it
+    * WRITES under its short query id at construction time (cheap:
+    * analysis only); [[ofTagged]] folds every noted signature into
+    * that query's fingerprint, so an emit-leg change reseeds the floor
+    * like any other plan change. Multiple distinct write legs under
+    * one tag (cur27's two emits) accumulate order-insensitively; a
+    * re-noted identical signature is a no-op, so repeated query calls
+    * within a session keep the fingerprint stable.
+    */
+  private val writeLegs =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  def noteWriteLeg(tag: String, df: DataFrame): Unit = {
+    val h = md5Hex(signature(df.queryExecution.analyzed)).take(12)
+    writeLegs.merge(tag, Set(h), _ ++ _); ()
+  }
+
+  /** [[of]] plus any noted write-leg signatures for `tag` — identical
+    * to [[of]] when the tag has no write leg (the common case: no
+    * fingerprint on the 160-query surface moves).
+    */
+  def ofTagged(tag: String, df: DataFrame): String = {
+    val legs = Option(writeLegs.get(tag))
+      .filter(_.nonEmpty)
+      .map(_.toSeq.sorted.mkString("|w:", "|w:", ""))
+      .getOrElse("")
+    if (legs.isEmpty) of(df)
+    else md5Hex(signature(df.queryExecution.analyzed) + legs).take(12)
+  }
 }
 
 /** Dev utility for ratchet debugging: print the plan fingerprint of
@@ -103,7 +137,7 @@ object FingerprintDump {
               java.nio.file.Paths.get(d, s"$n.txt"),
               PlanFingerprint.signature(df.queryExecution.analyzed))
           }
-          PlanFingerprint.of(df)
+          PlanFingerprint.ofTagged(Bench.shortId(n), df)
         }
         catch { case e: Throwable => s"ERR:${e.getClass.getSimpleName}" }
       println(s"fp $n $fp")

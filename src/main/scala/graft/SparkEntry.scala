@@ -163,6 +163,7 @@ object SparkEntry {
     "cur24_takedown" -> Curation.cur24Takedown _,
     "cur25_tombstone_mask" -> Curation.cur25TombstoneMask _,
     "cur26_repack_execute" -> Curation.cur26RepackExecute _,
+    "cur27_mask_equivalence" -> Curation.cur27MaskEquivalence _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -1409,10 +1410,17 @@ object SparkEntry {
     * swapped (exactly mirroring the Scala-side payloadShardAudit
     * seam).
     */
-  private def payloadAuditSql(positionsCtes: String): String = {
+  /** The CTE chain from the shared funnel through the per-sequence
+    * reassembly (`sq23`: one row per (source, seq) with the
+    * reassembled stext) over an explicit positions chain ending in
+    * `pm` — factored (round 17) so cur27's per-sequence equivalence
+    * oracle replays the SAME token-rebuild + slice grammar as the
+    * shard audits (exactly mirroring the Scala-side
+    * reassembledSequences seam).
+    */
+  private def payloadSeqCtes(positionsCtes: String): String = {
     val ctx = graft.operators.Curation.Cur18CtxTokens
-    val sps = graft.operators.Curation.Cur20SeqsPerShard
-    s"""WITH $Cur18SplCtes,
+    s"""$Cur18SplCtes,
          $positionsCtes,
          ptoks AS (SELECT a.doc_id, a.t FROM atoks a JOIN pm USING (doc_id)
            UNION ALL
@@ -1426,10 +1434,6 @@ object SparkEntry {
                  AND u.i >= s.start_pos AND u.i <= s.end_pos)),
          ptl AS (SELECT doc_id, list(tok ORDER BY pos) AS ptoks
            FROM kept23 GROUP BY doc_id),
-         dsh AS (SELECT source, CAST(seq_first // $sps AS BIGINT) AS shard,
-             count(*) AS n_docs,
-             CAST(sum(len(ptoks)) AS BIGINT) AS payload_toks
-           FROM pm JOIN ptl USING (doc_id) GROUP BY 1, 2),
          sl23 AS (SELECT pm.source, CAST(t.s AS BIGINT) AS seq, pm.cum_start,
              ptl.ptoks[CAST(greatest(pm.cum_start, t.s * $ctx) - pm.cum_start + 1 AS BIGINT):
                        CAST(least(pm.cum_start + len(ptl.ptoks), (t.s + 1) * $ctx) - pm.cum_start AS BIGINT)] AS part
@@ -1437,7 +1441,16 @@ object SparkEntry {
              unnest(range(pm.seq_first, pm.seq_last + 1)) AS t(s)),
          sq23 AS (SELECT source, seq,
              array_to_string(flatten(list(part ORDER BY cum_start)), ' ') AS stext
-           FROM sl23 GROUP BY source, seq),
+           FROM sl23 GROUP BY source, seq)"""
+  }
+
+  private def payloadAuditSql(positionsCtes: String): String = {
+    val sps = graft.operators.Curation.Cur20SeqsPerShard
+    s"""WITH ${payloadSeqCtes(positionsCtes)},
+         dsh AS (SELECT source, CAST(seq_first // $sps AS BIGINT) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(len(ptoks)) AS BIGINT) AS payload_toks
+           FROM pm JOIN ptl USING (doc_id) GROUP BY 1, 2),
          ssh AS (SELECT source, CAST(seq // $sps AS BIGINT) AS shard,
              count(*) AS n_seqs,
              CAST(sum(len(string_split(stext, ' '))) AS BIGINT) AS seq_toks,
@@ -1485,13 +1498,36 @@ object SparkEntry {
     * positions) — a prefix shard's hash sums must come out identical
     * to cur23's and the dirty suffix re-derived, or the hash breaks.
     */
-  private val Cur26OracleSql: String = {
+  /** The survivor predicate of the post-takedown positions window —
+    * ONE SQL definition for cur26's and cur27's oracles.
+    */
+  private val TakedownSurvivorWhere: String = {
     val thr = graft.operators.Curation.TakedownHexThr
-    payloadAuditSql(packingPositionsCtes(
-      s"""
+    s"""
              AND substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
-               >= '$thr'"""))
+               >= '$thr'"""
   }
+
+  private val Cur26OracleSql: String =
+    payloadAuditSql(packingPositionsCtes(TakedownSurvivorWhere))
+
+  /** Generated DuckDB replay of cur27's mask↔repack equivalence: the
+    * REPACKED per-sequence stream computed ONCE through the shared
+    * token-rebuild + slice grammar over the survivor positions window
+    * (cur26's chain), emitted as BOTH legs' expected hash/count with
+    * `is_match = true` — the oracle states the law, so a Spark-side
+    * divergence between mask semantics (leg A) and repack semantics
+    * (leg B) lands as a row-hash mismatch on whichever leg broke.
+    */
+  private val Cur27OracleSql: String =
+    s"""WITH ${payloadSeqCtes(packingPositionsCtes(TakedownSurvivorWhere))}
+         SELECT source, seq, true AS is_match,
+           CAST(len(string_split(stext, ' ')) AS BIGINT) AS masked_toks,
+           CAST(len(string_split(stext, ' ')) AS BIGINT) AS repack_toks,
+           ('0x' || substr(md5(stext), 1, 15))::BIGINT AS masked_hash,
+           ('0x' || substr(md5(stext), 1, 15))::BIGINT AS repack_hash
+         FROM sq23
+         ORDER BY source, seq"""
 
   /** Generated DuckDB replay of cur24's takedown audit: the shared
     * funnel CTEs through the sampled+split frame, the BEFORE packing
@@ -2579,6 +2615,7 @@ object SparkEntry {
     "cur24_takedown" -> Cur24OracleSql,
     "cur25_tombstone_mask" -> Cur25OracleSql,
     "cur26_repack_execute" -> Cur26OracleSql,
+    "cur27_mask_equivalence" -> Cur27OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

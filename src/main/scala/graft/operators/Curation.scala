@@ -1423,7 +1423,7 @@ object Curation {
           col("n_chars").as("post_toks"),
           col("seq_first"), col("seq_last"),
           ((col("cum_end") - col("n_chars")) % Cur18CtxTokens).as("off_first"),
-          floor(col("seq_first") / Cur20SeqsPerShard).as("shard"))
+          intDiv(col("seq_first"), lit(Cur20SeqsPerShard)).as("shard"))
     }
 
   /** cur20: the corpus-build EMIT leg — cur18 reports the funnel;
@@ -1502,7 +1502,7 @@ object Curation {
 
   def cur20SequenceSink(spark: SparkSession, dir: String): DataFrame = {
     val out = cur20OutDir(spark, dir)
-    cur18TrainManifest(spark, dir)
+    val clustered = cur18TrainManifest(spark, dir)
       // Cluster rows by the hive partition key BEFORE the write, with
       // an EXPLICIT task count: clustering means each hive partition
       // is written by exactly one task (one file per partition — the
@@ -1516,7 +1516,10 @@ object Curation {
       .repartition(
         spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("source"), col("shard"))
-      .write.mode("overwrite")
+    // The manifest WRITE leg's plan rides the bench fingerprint (the
+    // returned frame is the read-back audit — see payloadShardEmit).
+    graft.PlanFingerprint.noteWriteLeg("cur20", clustered)
+    clustered.write.mode("overwrite")
       .partitionBy("source", "shard").parquet(out)
     val s = lit(Cur20SeqsPerShard)
     spark.read.parquet(out)
@@ -1526,7 +1529,7 @@ object Curation {
         sum("post_toks").as("shard_toks"),
         min("seq_first").as("seq_lo"),
         max("seq_last").as("seq_hi"),
-        sum((floor(col("seq_last") / s) > floor(col("seq_first") / s))
+        sum((intDiv(col("seq_last"), s) > intDiv(col("seq_first"), s))
           .cast("long")).as("n_straddle"))
       .orderBy("source", "shard")
   }
@@ -1610,7 +1613,7 @@ object Curation {
     */
   def cur23PayloadShards(spark: SparkSession, dir: String): DataFrame =
     payloadShardAudit(spark, cur18TrainPayload(spark, dir),
-      cur23OutDir(spark, dir))
+      cur23OutDir(spark, dir), "cur23")
 
   /** The payload emit + content-proving read-back audit over an
     * EXPLICIT payload frame (doc_id, source, post_toks, seq_first,
@@ -1621,38 +1624,16 @@ object Curation {
     * original).
     */
   private[graft] def payloadShardAudit(
-      spark: SparkSession, payload: DataFrame, out: String): DataFrame = {
-    payload
-      .repartition(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("source"), col("shard"))
-      .write.mode("overwrite")
-      .partitionBy("source", "shard").parquet(out)
-    val ctx = lit(Cur18CtxTokens)
+      spark: SparkSession, payload: DataFrame, out: String,
+      legTag: String): DataFrame = {
     val sps = lit(Cur20SeqsPerShard)
-    val rb = spark.read.parquet(out)
-      .select(col("doc_id"), col("source"),
-        col("shard").cast("long").as("shard"),
-        col("seq_first"), col("seq_last"), col("off_first"), col("toks"))
-      .withColumn("cum_start", col("seq_first") * ctx + col("off_first"))
+    val rb = payloadShardEmit(spark, payload, out, legTag)
     val docsPerShard = rb.groupBy("source", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("payload_toks"))
-    val slices = rb
-      .select(col("source"), col("cum_start"), col("toks"),
-        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
-      .withColumn("lo", greatest(col("cum_start"), col("seq") * ctx))
-      .withColumn("hi",
-        least(col("cum_start") + size(col("toks")), (col("seq") + 1) * ctx))
-      .select(col("source"), col("seq"), col("cum_start"),
-        slice(col("toks"), (col("lo") - col("cum_start") + 1).cast("int"),
-          (col("hi") - col("lo")).cast("int")).as("part"))
-    val seqs = slices.groupBy("source", "seq")
-      .agg(collect_list(struct(col("cum_start"), col("part"))).as("parts"))
+    val seqs = reassembledSequences(rb)
       .select(col("source"), col("seq"),
-        array_join(
-          flatten(transform(array_sort(col("parts")),
-            p => p.getField("part"))), " ").as("stext"))
+        array_join(col("stoks"), " ").as("stext"))
     val seqsPerShard = seqs
       .groupBy(col("source"), intDiv(col("seq"), sps).as("shard"))
       .agg(count(lit(1)).as("n_seqs"),
@@ -1666,6 +1647,60 @@ object Curation {
         coalesce(col("seq_toks"), lit(0L)).as("seq_toks"),
         coalesce(col("seq_hash_sum"), lit(0L)).as("seq_hash_sum"))
       .orderBy("source", "shard")
+  }
+
+  /** The payload WRITE leg + raw read-back: cluster by the hive key
+    * (cur20's explicit task count), write partitioned, read the files
+    * back with `cum_start` restored. Factored (round 17) so cur27's
+    * masked read consumes exactly the frame a loader would scan. The
+    * written frame's plan is noted as `legTag`'s WRITE-LEG fingerprint
+    * ([[graft.PlanFingerprint.noteWriteLeg]] — round-16 "what's wrong"
+    * #2: these operators RETURN their read-back audit, so the bench's
+    * fingerprint was blind to an emit-leg-only change, which kept its
+    * old floor and read suspect until the next clean regeneration).
+    */
+  private[graft] def payloadShardEmit(
+      spark: SparkSession, payload: DataFrame, out: String,
+      legTag: String): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
+    val clustered = payload
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("source"), col("shard"))
+    graft.PlanFingerprint.noteWriteLeg(legTag, clustered)
+    clustered.write.mode("overwrite")
+      .partitionBy("source", "shard").parquet(out)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("source"),
+        col("shard").cast("long").as("shard"),
+        col("seq_first"), col("seq_last"), col("off_first"), col("toks"))
+      .withColumn("cum_start", col("seq_first") * ctx + col("off_first"))
+  }
+
+  /** Sequence reassembly over an emitted-payload read-back frame
+    * (source, cum_start, toks, seq_first, seq_last): one row per
+    * (source, seq) with the sequence's token ARRAY rebuilt by cutting
+    * each covering doc's payload at the recorded offsets and joining
+    * the slices in cum_start order — cur23's loader grammar, factored
+    * (round 17) so cur27's masked read and re-tile run the EXACT
+    * slices a trainer-side loader would cut, never a re-derivation.
+    */
+  private[graft] def reassembledSequences(rb: DataFrame): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
+    val slices = rb
+      .select(col("source"), col("cum_start"), col("toks"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .withColumn("lo", greatest(col("cum_start"), col("seq") * ctx))
+      .withColumn("hi",
+        least(col("cum_start") + size(col("toks")), (col("seq") + 1) * ctx))
+      .select(col("source"), col("seq"), col("cum_start"),
+        slice(col("toks"), (col("lo") - col("cum_start") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("part"))
+    slices.groupBy("source", "seq")
+      .agg(collect_list(struct(col("cum_start"), col("part"))).as("parts"))
+      .select(col("source"), col("seq"),
+        flatten(transform(array_sort(col("parts")),
+          p => p.getField("part"))).as("stoks"))
   }
 
   /** Takedown selection threshold (first two hex chars of a SALTED
@@ -1796,7 +1831,7 @@ object Curation {
         col("n_chars").as("post_toks"),
         col("seq_first"), col("seq_last"),
         ((col("cum_end") - col("n_chars")) % ctx).as("off_first"),
-        floor(col("seq_first") / Cur20SeqsPerShard).as("shard"))
+        intDiv(col("seq_first"), lit(Cur20SeqsPerShard)).as("shard"))
   }
 
   /** cur26's emit directory — cur20's layout contract. */
@@ -1829,15 +1864,117 @@ object Curation {
     * already-priced survivor window + one doc_id-equi join; emit and
     * audit are [[payloadShardAudit]] verbatim.
     */
-  def cur26RepackExecute(spark: SparkSession, dir: String): DataFrame = {
-    val payload = cur24AfterManifest(spark, dir)
+  def cur26RepackExecute(spark: SparkSession, dir: String): DataFrame =
+    payloadShardAudit(spark, cur26Payload(spark, dir),
+      cur26OutDir(spark, dir), "cur26")
+
+  /** cur27: MASK ↔ REPACK CONTENT EQUIVALENCE — the law that makes
+    * "mask now, repack later" semantically safe (round-16 missing #1):
+    * cur25's conservation check proves the two takedown executions
+    * remove the same token MASS; this operator proves they expose the
+    * same token STREAM. A loader that applies cur25's mask rows to
+    * cur23's ORIGINAL emitted shards (skip the masked in-sequence
+    * offsets while reassembling, then read the survivor stream) must
+    * see, token for token, exactly what a loader of cur26's REPACKED
+    * shards reads — same survivor tokens, different sequence
+    * coordinates. Holds because cur09's per-source packing order is
+    * stable under deletion (survivors keep their relative md5 order),
+    * so dropping the recalled docs' tokens from the original stream IS
+    * the repacked stream; this operator carries the proof to the
+    * emitted bytes instead of leaving it an argument.
+    *
+    * Both legs run FROM THE EMITTED FILES through the ONE loader
+    * grammar ([[payloadShardEmit]] → [[reassembledSequences]]):
+    *  - leg A emits the original corpus (cur23's frame+layout),
+    *    reassembles its sequences, drops the offsets cur25's mask rows
+    *    name ([[recalledMaskRows]] — the shared clipping rule, never a
+    *    re-derivation), re-tiles the per-source survivor stream at ctx
+    *    boundaries (global offsets from ONE window over the thin
+    *    per-sequence frame, then the same slice grammar);
+    *  - leg B emits the repacked corpus (cur26's frame+layout) and
+    *    reassembles its sequences directly.
+    * Output: one row per post-takedown (source, seq) with both legs'
+    * order-preserving content hash and token count, and the equality
+    * verdict — the oracle replays the repacked stream once and expects
+    * BOTH hashes equal to it, so any divergence between mask
+    * semantics and repack semantics breaks the row hash.
+    *
+    * Scale: everything rides the already-priced emit legs; the only
+    * new work is one per-source window over SEQUENCES (manifest-sized,
+    * thin — n_seqs rows, not tokens) and one (source, seq) equi-join
+    * of two sequence-hash frames. The mask side never touches the
+    * corpus text beyond the emitted arrays it would read anyway.
+    * Same-session concurrency caveat (cur20's contract, widened): the
+    * legs overwrite cur23's and cur26's emit dirs with the identical
+    * frames, so cur27 must not race cur23/cur26 (or itself) within a
+    * session — cross-process separation stays pid+session-tagged.
+    */
+  def cur27MaskEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
+    // Leg A: the ORIGINAL emit, masked during reassembly.
+    val orig = payloadShardEmit(spark, cur18TrainPayload(spark, dir),
+      cur23OutDir(spark, dir), "cur27")
+    val masks = recalledMaskRows(
+        cur18TrainManifest(spark, dir).filter(takedownFlag))
+      .groupBy("source", "seq")
+      .agg(collect_list(struct(col("mask_start"), col("mask_end"))).as("mk"))
+    val maskedSeqs = reassembledSequences(orig)
+      // Mask rows are recall-list-sized (cur25's whole argument) —
+      // broadcast; a sequence with no mask row keeps its tokens.
+      .join(broadcast(masks), Seq("source", "seq"), "left")
+      .select(col("source"), col("seq"),
+        when(col("mk").isNull, col("stoks")).otherwise(
+          transform(
+            filter(sequence(lit(0), size(col("stoks")) - 1), p =>
+              !exists(col("mk"), m =>
+                p >= m.getField("mask_start") && p <= m.getField("mask_end"))),
+            p => element_at(col("stoks"), p + 1))).as("stoks"))
+    // Re-tile the survivor stream: cumulative survivor counts give each
+    // kept run its new global offset; the shared slice grammar cuts the
+    // runs at the new ctx boundaries (a fully-masked sequence carries
+    // no tokens and is dropped AFTER the cumsum — it shifts nothing).
+    val wSrc = Window.partitionBy("source").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val retiled = maskedSeqs
+      .withColumn("cum_end", sum(size(col("stoks")).cast("long")).over(wSrc))
+      .filter(size(col("stoks")) > 0)
+      .select(col("source"),
+        (col("cum_end") - size(col("stoks"))).as("cum_start"),
+        col("stoks").as("toks"),
+        intDiv(col("cum_end") - size(col("stoks")), ctx).as("seq_first"),
+        intDiv(col("cum_end") - 1, ctx).as("seq_last"))
+    val maskedRead = reassembledSequences(retiled)
+      .select(col("source"), col("seq"),
+        size(col("stoks")).cast("long").as("masked_toks"),
+        tokenHash64(array_join(col("stoks"), " ")).as("masked_hash"))
+    // Leg B: the REPACKED emit, reassembled directly.
+    val repackRead = reassembledSequences(
+        payloadShardEmit(spark, cur26Payload(spark, dir),
+          cur26OutDir(spark, dir), "cur27"))
+      .select(col("source"), col("seq"),
+        size(col("stoks")).cast("long").as("repack_toks"),
+        tokenHash64(array_join(col("stoks"), " ")).as("repack_hash"))
+    maskedRead.join(repackRead, Seq("source", "seq"), "full_outer")
+      .select(col("source"), col("seq"),
+        (col("masked_hash") <=> col("repack_hash")).as("is_match"),
+        coalesce(col("masked_toks"), lit(0L)).as("masked_toks"),
+        coalesce(col("repack_toks"), lit(0L)).as("repack_toks"),
+        coalesce(col("masked_hash"), lit(0L)).as("masked_hash"),
+        coalesce(col("repack_hash"), lit(0L)).as("repack_hash"))
+      .orderBy("source", "seq")
+  }
+
+  /** cur26's post-takedown payload frame (the survivors' unchanged
+    * token arrays on their re-packed coordinates) — separated so cur27
+    * emits leg B through the same frame cur26 writes.
+    */
+  private[graft] def cur26Payload(spark: SparkSession, dir: String): DataFrame =
+    cur24AfterManifest(spark, dir)
       .join(cur18TrainPayload(spark, dir).select(col("doc_id"), col("toks")),
         Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("post_toks"),
         col("seq_first"), col("seq_last"), col("off_first"),
         col("shard"), col("toks"))
-    payloadShardAudit(spark, payload, cur26OutDir(spark, dir))
-  }
 
   def cur24Takedown(spark: SparkSession, dir: String): DataFrame = {
     val ctx = Cur18CtxTokens

@@ -364,6 +364,62 @@ class BenchRenderSpec extends AnyFunSuite {
       "under RecordCoverMin floor-covered queries the ratio is not meaningful")
   }
 
+  test("only-filtered runs self-identify in-band at every degradation step") {
+    // Round-16 ADVICE: a SPARK_GRAFT_BENCH_ONLY run's line was
+    // indistinguishable from a full official record — a leftover env
+    // var would ship a partial record reading as a degraded full one.
+    val line = Bench.renderLine(fullSurface.take(3), Nil,
+      "/root/testdata/sf0.1", only = true)
+    assert((parse(line) \ "only") == org.json4s.JBool(true))
+    // The guaranteed-fit fallback keeps the marker too (it rides the
+    // shared line builder, below every degradation step).
+    val huge = (1 to 5000).map(i => f"zz$i%04d_filler" -> 1.234)
+    val fb = Bench.renderLine(huge, Nil, "/root/testdata/sf0.1", only = true)
+    assert(fb.length <= Bench.MaxLineChars)
+    assert((parse(fb) \ "only") == org.json4s.JBool(true))
+    // And a full run carries NO marker (absence is the full-record
+    // signal; an always-present only:false would be noise).
+    val full = Bench.renderLine(fullSurface.take(3), Nil, "/root/testdata/sf0.1")
+    assert((parse(full) \ "only") == org.json4s.JNothing)
+  }
+
+  test("parseMergedThrough: per-sf map form; legacy int only at the file's own sf") {
+    val mapForm = """{"metric":"total","value":1.0,"unit":"sec","queries":{},
+      "merged_through":{"/root/testdata/sf0.1":16,"/root/testdata/sf0.01":12},
+      "sf":"/root/testdata/sf0.01"}"""
+    assert(Bench.parseMergedThrough(mapForm, "/root/testdata/sf0.1")
+      .contains(16), "map form: each sf reads its OWN watermark")
+    assert(Bench.parseMergedThrough(mapForm, "/root/testdata/sf0.01")
+      .contains(12))
+    assert(Bench.parseMergedThrough(mapForm, "/tmp/other").isEmpty)
+    val legacy = """{"metric":"total","merged_through":14,"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseMergedThrough(legacy, "/root/testdata/sf0.1")
+      .contains(14))
+    assert(Bench.parseMergedThrough(legacy, "/root/testdata/sf0.01").isEmpty,
+      "legacy single-int form is honored only at the file's own sf")
+    assert(Bench.parseMergedThrough("""{"metric":"total"}""", "/x").isEmpty)
+  }
+
+  test("mergePrior: post-watermark officials min-merge even for fingerprinted keys") {
+    // Round-16 ADVICE: the clean-authority rule discarded an official
+    // record landing AFTER the last clean regeneration even when it
+    // measured the same plan lower — the defense softened for up to a
+    // round per key. Post-watermark officials (passed separately) may
+    // tighten a fingerprinted floor; pre-watermark history still never
+    // resurrects a reseeded one.
+    val official = Map("cur18" -> 0.9, "q01" -> 0.3)
+    val clean = Map("cur18" -> 2.5, "q01" -> 0.4)
+    val fps = Map("cur18" -> "fp")
+    assert(Bench.mergePrior(official, clean, fps,
+        officialNewer = Map("cur18" -> 2.0))("cur18") == 2.0,
+      "a newer official measuring the same plan lower must tighten the floor")
+    assert(Bench.mergePrior(official, clean, fps,
+        officialNewer = Map("cur18" -> 3.0))("cur18") == 2.5,
+      "a newer but slower official never loosens it")
+    assert(Bench.mergePrior(official, clean, fps)("cur18") == 2.5,
+      "no post-watermark slice → clean authority as before")
+  }
+
   test("mergePrior: the fingerprinted clean floor is the authority (a reseed survives official history)") {
     // The reseed-reversion hole (round-16 review): officials carry no
     // fingerprints, so after a legitimate plan change their pre-change

@@ -73,4 +73,41 @@ class PlanFingerprintSpec extends SparkSpec {
     val fp2 = PlanFingerprint.of(build(spark, sf))
     assert(fp1 == fp2)
   }
+
+  test("write-leg notes fold into the tagged fingerprint; a write-leg-only change rotates it") {
+    // Round-16 "what's wrong" #2: the emit family RETURNS its read-back
+    // audit, so the plain fingerprint is blind to the write leg. The
+    // tagged form must (a) equal the plain form for untagged queries —
+    // no floor on the rest of the surface may move — (b) fold a noted
+    // write leg in, and (c) ROTATE when only the write leg's plan
+    // changes while the returned audit frame is identical.
+    val df = graft.sources.Tables.documents(spark, sf).select("doc_id")
+    assert(PlanFingerprint.ofTagged("spec_untagged", df) ==
+      PlanFingerprint.of(df), "no note → tagged == plain")
+    val legA = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source")
+    PlanFingerprint.noteWriteLeg("spec_tagged", legA)
+    val withA = PlanFingerprint.ofTagged("spec_tagged", df)
+    assert(withA != PlanFingerprint.of(df), "a noted write leg must fold in")
+    // Re-noting the identical leg is a no-op (repeated calls within a
+    // session keep the fingerprint stable)...
+    PlanFingerprint.noteWriteLeg("spec_tagged", legA)
+    assert(PlanFingerprint.ofTagged("spec_tagged", df) == withA)
+    // ...and a write-leg-only plan change rotates the fingerprint even
+    // though the RETURNED frame `df` never changed — the reseed that
+    // used to wait for the next clean regeneration.
+    PlanFingerprint.noteWriteLeg("spec_tagged",
+      legA.filter(org.apache.spark.sql.functions.col("doc_id") >= 0))
+    assert(PlanFingerprint.ofTagged("spec_tagged", df) != withA,
+      "an emit-leg-only change must re-key the floor")
+    // The real emit family notes under its own short ids during
+    // construction: cur20/cur23/cur26/cur27 all carry write legs.
+    SparkEntry.queries("cur23_payload_shards")(spark, sf)
+    val audited = SparkEntry.queries("cur23_payload_shards")(spark, sf)
+    assert(PlanFingerprint.ofTagged("cur23", audited) !=
+      PlanFingerprint.of(audited),
+      "cur23 must note its payload write leg")
+    assert(PlanFingerprint.ofTagged("cur23", audited) ==
+      PlanFingerprint.ofTagged("cur23", audited), "tagged form is stable")
+  }
 }

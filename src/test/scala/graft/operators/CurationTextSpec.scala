@@ -858,6 +858,61 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur27 mask-read == repack-read token-for-token; boundary-straddling recall is real") {
+    val ctx = Curation.Cur18CtxTokens
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Curation.cur27MaskEquivalence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // THE LAW: every post-takedown sequence reads identically through
+    // the two execution paths — same token count, same order-preserving
+    // content hash, verdict true on every row (no leg may produce a
+    // sequence the other lacks: the full-outer join would surface it as
+    // a zero-hash row with is_match false).
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_match"), s"mismatch at $r")
+      assert(r.getAs[Long]("masked_toks") == r.getAs[Long]("repack_toks"))
+      assert(r.getAs[Long]("masked_hash") == r.getAs[Long]("repack_hash"))
+      assert(r.getAs[Long]("masked_toks") > 0, s"empty sequence at $r")
+    }
+    // Coordinates: per source the sequences are exactly 0..seqs_after-1
+    // (cur24's count — the repack's tiling), and the survivor mass is
+    // conserved: Σ seq tokens == toks_before − toks_removed.
+    val t24 = Curation.cur24Takedown(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("seqs_after"),
+          r.getAs[Long]("n_before"), r.getAs[Long]("toks_removed"))))
+      .toMap
+    val man = Curation.cur18TrainManifest(spark, sf).collect()
+    val toksBefore = man.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("post_toks")).sum).toMap
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == t24.keySet)
+    bySrc.foreach { case (src, rs) =>
+      val (seqsAfter, _, removed) = t24(src)
+      assert(rs.map(_.getAs[Long]("seq")).sorted.toSeq ==
+        (0L until seqsAfter), s"$src sequence tiling")
+      assert(rs.map(_.getAs[Long]("masked_toks")).sum ==
+        toksBefore(src) - removed, s"$src survivor mass")
+    }
+    // The INTERESTING arms are real at this sf, not vacuous: at least
+    // one recalled doc straddles a sequence boundary (the mask spans
+    // two sequences and the re-tile must rejoin the halves), and at
+    // least one mask covers only PART of its sequence (survivor tokens
+    // and masked tokens share a sequence).
+    val recalled = man.filter(r =>
+      md5hex("takedown:" + r.getAs[Long]("doc_id")).take(2)
+        < Curation.TakedownHexThr)
+    assert(recalled.exists(r =>
+        r.getAs[Long]("seq_first") < r.getAs[Long]("seq_last")),
+      "no recalled doc straddles a sequence boundary at this sf — " +
+        "the boundary arm would be vacuous")
+    val masks = Curation.cur25TombstoneMask(spark, sf).collect()
+    assert(masks.exists(r => r.getAs[Long]("mask_start") > 0 ||
+        r.getAs[Long]("mask_end") < ctx - 1),
+      "no partial-sequence mask at this sf")
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)
