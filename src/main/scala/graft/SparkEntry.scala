@@ -82,6 +82,7 @@ object SparkEntry {
     "etl26_backfill" -> Etl.etl26Backfill _,
     "etl27_retention" -> Etl.etl27Retention _,
     "etl28_fuzzy_link" -> Etl.etl28FuzzyLink _,
+    "etl29_snapshot_scrub" -> Etl.etl29SnapshotScrub _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -400,6 +401,40 @@ object SparkEntry {
              CASE WHEN event_type = 'error' THEN 'D'
                   WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op
            FROM events),
+         $states
+         $arms
+         ORDER BY version"""
+  }
+
+  /** Generated DuckDB replay of etl29's erasure audit, derived from
+    * the shared Etl29* constants: each retained version replays as the
+    * latest-seq-wins reduction over its absorbed batches (etl27's
+    * identity) with the salted erase predicate applied — visible
+    * survivor count and integer seq sum are computed over the
+    * NON-erased rows (what the post-scrub snapshot holds) and
+    * `n_erased` over ALL rows of an erased key, tombstones included (a
+    * scrub that left a tombstone, missed a version, or touched a
+    * survivor moves a count).
+    */
+  private val Etl29OracleSql: String = {
+    import graft.operators.Etl.{Etl29Batches, Etl29EraseHexThr}
+    val states = (1 to Etl29Batches).map { v =>
+      s"""e$v AS (SELECT key, seq, op,
+             substr(md5('erase:' || CAST(key AS VARCHAR)), 1, 2) < '$Etl29EraseHexThr' AS erased
+           FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log WHERE seq % $Etl29Batches < $v) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val arms = (1 to Etl29Batches).map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS version,
+           CAST(sum(CASE WHEN op <> 'D' AND NOT erased THEN 1 ELSE 0 END) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN op <> 'D' AND NOT erased THEN seq ELSE 0 END) AS BIGINT) AS sum_seq,
+           CAST(sum(CASE WHEN erased THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+         FROM e$v"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH log AS (SELECT user_id AS key, event_id AS seq,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op
+         FROM events),
          $states
          $arms
          ORDER BY version"""
@@ -2146,6 +2181,7 @@ object SparkEntry {
          FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
          ORDER BY key""",
     "etl27_retention" -> Etl27OracleSql,
+    "etl29_snapshot_scrub" -> Etl29OracleSql,
     "etl28_fuzzy_link" ->
       // Blocked fuzzy linkage over the distinct-name vocabulary; the
       // edit-distance bound (and its derived length band) comes from

@@ -476,6 +476,84 @@ object Etl {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** etl29's protocol constants — SHARED with the generated oracle
+    * (etl27's discipline): the landed batch count and the erase-list
+    * selection threshold (first two hex chars of a salted md5 —
+    * ~64/256 ≈ 25% of keys, the engine-portable stand-in for the
+    * erasure-request list a real deployment receives; salted so the
+    * set is independent of every other hash decision).
+    */
+  val Etl29Batches = 3
+  val Etl29EraseHexThr = "40"
+
+  /** The erasure predicate over a key column — cur24's takedown
+    * protocol on the master-table side.
+    */
+  private[graft] def etl29EraseFlag(key: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit("erase:"), key.cast("string"))), 1, 2) <
+      Etl29EraseHexThr
+
+  /** etl29: SNAPSHOT SCRUB — GDPR erasure vs the time-travel surface,
+    * resolving the one place the repo's two strongest stories
+    * contradicted each other (round-16 directive #2): cur24's takedown
+    * reaches the packed corpus, but the merge sink's retained
+    * snapshots (etl23/etl27) still SERVE removed keys at older
+    * versions by design. A real erasure request must scrub retained
+    * history too. Three incremental merges land the CDC log under
+    * retainLast = [[Etl29Batches]] (v1..v3 all retained), then
+    * [[graft.sources.MergeSink.scrubVersions]] rewrites EVERY retained
+    * snapshot minus the erase-listed keys — version numbers, commit
+    * markers, and the OCC protocol intact (an in-place content scrub
+    * of history, not a new version), tombstone rows removed too (the
+    * key itself is the personal datum).
+    *
+    * Audit: one row per retained version — its post-scrub visible key
+    * count and exact last_seq sum, plus how many raw rows (tombstones
+    * included) the scrub removed from THAT version, measured
+    * before→after from the snapshot files. The oracle replays each
+    * version as a latest-seq-wins reduction over its absorbed batches
+    * with the erase predicate applied — so a scrub that missed a
+    * version, touched a survivor, or left a tombstone moves a count.
+    * The spec pins the stronger byte-level laws: survivors
+    * byte-identical per version, erased keys absent from the RAW rows
+    * of every version, version set unchanged.
+    *
+    * Scale: the erase list is request-sized (broadcast); each retained
+    * version pays one streamed state copy — the irreducible price of
+    * erasing history, linear in retained state, never in the log.
+    */
+  def etl29SnapshotScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MergeSink
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val table = s"g_master29_$suffix"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl29_$suffix"
+    val log = cdcLog(spark, dir)
+    MergeSink.reset(spark, table, base) // deterministic end-to-end replay
+    (0 until Etl29Batches).foreach { i =>
+      MergeSink.merge(spark, table, base,
+        log.filter(col("seq") % Etl29Batches === i),
+        retainLast = Etl29Batches)
+    }
+    val versions = MergeSink.versions(spark, base)
+    // Pre-scrub raw row counts (the audit's n_erased denominators) —
+    // one count per retained version over the key-compact snapshot.
+    val preRows = versions.map { v =>
+      v -> MergeSink.snapshotRows(spark, base, v).count()
+    }.toMap
+    MergeSink.scrubVersions(spark, table, base,
+      log.select(col("key")).distinct().filter(etl29EraseFlag(col("key"))))
+    versions.map { v =>
+      MergeSink.snapshotRows(spark, base, v)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("last_op") =!= "D", 1L).otherwise(0L)).as("n_keys"),
+          sum(when(col("last_op") =!= "D", col("last_seq")).otherwise(0L))
+            .as("sum_seq"))
+        .select(lit(v).as("version"), col("n_keys"), col("sum_seq"),
+          (lit(preRows(v)) - col("n_rows")).as("n_erased"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** etl18: XML round-trip — the remaining interchange format legacy
     * upstreams emit (Spark 4 ships the XML source built in). Same
     * contract as etl09/11/12: write, re-read with an EXPLICIT schema

@@ -338,6 +338,87 @@ object MergeSink {
     }
   }
 
+  /** GDPR ERASURE across the time-travel surface (round-16 directive
+    * #2): physically remove a key set from EVERY retained committed
+    * snapshot, IN PLACE. The takedown story (cur24–27) reaches the
+    * packed corpus, but retained snapshots still SERVE removed data at
+    * older versions by design — immutability is the time-travel
+    * guarantee, and it is exactly what a real erasure request must
+    * break, deliberately and narrowly. The contract:
+    *
+    *  - version NUMBERS, the retained set, commit markers, and claim
+    *    tombstones are untouched — `stateAt(v)` after the scrub equals
+    *    `stateAt(v)` before MINUS the keys, for every retained v, and
+    *    non-erased rows stay byte-identical (this is a CONTENT scrub
+    *    of history, not a new version: appending "v4 without the keys"
+    *    would leave v1..v3 serving the data the request erases);
+    *  - ALL rows of an erased key go, tombstones included — a delete
+    *    tombstone still carries the key, and the key itself is the
+    *    personal datum;
+    *  - consequence of full erasure, documented not hidden: the
+    *    tombstone's resurrection guard goes with it, so a LATE change
+    *    for an erased key would re-insert — a deployment keeps the
+    *    erase list as an ingest-side filter (dedup12's gate shape),
+    *    which is the standard GDPR posture (suppression list, not
+    *    tombstone, because the tombstone is itself personal data).
+    *
+    * Physical protocol: per version, the survivors stream into
+    * `vN.scrub` (a full parquet write with its own `_SUCCESS`), then
+    * delete-old + rename — the snapshot is never half-rewritten in
+    * place, and a crash between the two steps leaves either the old
+    * intact dir or the complete scrubbed copy beside it (the `.scrub`
+    * name parses as no version, so recovery ignores it and a re-run
+    * converges). Same-JVM writers serialize on the table lock;
+    * CROSS-PROCESS writers must be quiesced for the swap window (the
+    * rename is not atomic against a concurrent reader's file listing
+    * on an object store) — the coordination seam is the same one
+    * tryClaim documents. The erase-key frame is request-sized →
+    * broadcast anti-join per snapshot; each rewrite streams one
+    * key-compact state copy, the price of erasing history.
+    *
+    * Returns the scrubbed (retained, committed) version numbers.
+    */
+  def scrubVersions(spark: SparkSession, table: String, basePath: String,
+      keys: DataFrame): Seq[Long] = lockFor(table).synchronized {
+    val (fs, base) = fsFor(spark, basePath)
+    val committed = versionsOnDisk(spark, basePath, committedOnly = true)
+    val k = broadcast(keys.select(col("key").cast("long").as("key")))
+    committed.foreach { v =>
+      val vPath = new org.apache.hadoop.fs.Path(base, s"v$v")
+      val tmp = new org.apache.hadoop.fs.Path(base, s"v$v.scrub")
+      spark.read.schema(schema).parquet(vPath.toString)
+        .join(k, Seq("key"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.delete(vPath, true) || !fs.rename(tmp, vPath))
+        throw new IllegalStateException(
+          s"erasure scrub of $vPath failed at the swap — the scrubbed " +
+            s"copy (if complete) is at $tmp; re-run to converge")
+    }
+    // The catalog table points at the latest version DIR (unchanged
+    // path, new files) — drop any cached file listing.
+    if (spark.catalog.tableExists(table)) spark.sql(s"REFRESH TABLE $table")
+    committed
+  }
+
+  /** RAW snapshot rows of a committed version — tombstones INCLUDED
+    * (unlike [[stateAt]]): the erasure audit must see every row that
+    * carries a key, because the key itself is the personal datum.
+    * Same loud-failure contract as [[stateAt]].
+    */
+  def snapshotRows(spark: SparkSession, basePath: String,
+      version: Long): DataFrame = {
+    val (fs, base) = fsFor(spark, basePath)
+    val committedMarker =
+      new org.apache.hadoop.fs.Path(base, s"v$version/_SUCCESS")
+    if (!fs.exists(committedMarker)) {
+      val committed = versionsOnDisk(spark, basePath, committedOnly = true)
+      throw new NoSuchElementException(
+        s"snapshot v$version is not committed under $basePath; " +
+          s"retained versions: ${committed.mkString("[", ", ", "]")}")
+    }
+    spark.read.schema(schema).parquet(s"$basePath/v$version")
+  }
+
   /** The visible table state: tombstones filtered out. */
   def state(spark: SparkSession, table: String): DataFrame =
     spark.table(table).filter(col("last_op") =!= "D")

@@ -256,6 +256,56 @@ class MergeSinkSpec extends SparkSpec {
       MergeSink.merge(spark, table, base, ops((3L, 3L, "I", 3.0)), retainLast = 0))
   }
 
+  test("snapshot scrub: erased keys vanish from every retained version; survivors byte-identical") {
+    val (table, base) = freshTable("scrub")
+    // Three merges under retainLast=3 → v1..v3 all retained. Key 2
+    // carries a DELETE tombstone from v2 on (the tombstone-removal
+    // law: a tombstone still carries the key); key 3 stays live.
+    MergeSink.merge(spark, table, base,
+      ops((1L, 10L, "I", 1.0), (2L, 11L, "I", 2.0), (3L, 12L, "I", 3.0)),
+      retainLast = 3)
+    MergeSink.merge(spark, table, base,
+      ops((1L, 20L, "U", 1.5), (4L, 21L, "I", 4.0), (2L, 22L, "D", 0.0)),
+      retainLast = 3)
+    MergeSink.merge(spark, table, base,
+      ops((5L, 30L, "I", 5.0), (3L, 31L, "U", 3.5)), retainLast = 3)
+    val vs = MergeSink.versions(spark, base)
+    assert(vs == Seq(1L, 2L, 3L))
+    val preVisible = vs.map(v =>
+      v -> snapshot(MergeSink.stateAt(spark, base, v))).toMap
+    val preRaw = vs.map(v =>
+      v -> snapshot(MergeSink.snapshotRows(spark, base, v))).toMap
+    val erase = Set(2L, 3L)
+    val scrubbed = MergeSink.scrubVersions(spark, table, base,
+      erase.toSeq.toDF("key"))
+    assert(scrubbed == vs, "every retained committed version is scrubbed")
+    // Version NUMBERS and commit markers unchanged — the time-travel
+    // surface keeps its shape, only its content loses the keys.
+    assert(MergeSink.versions(spark, base) == vs)
+    vs.foreach { v =>
+      // stateAt(v) after == stateAt(v) before MINUS the keys, with
+      // non-erased rows byte-identical (the directive's replayed-read
+      // law), and the RAW rows (tombstones included) carry no erased
+      // key anywhere in history.
+      assert(snapshot(MergeSink.stateAt(spark, base, v)) ==
+        preVisible(v).filterNot(r => erase(r._1)), s"v$v visible state")
+      assert(snapshot(MergeSink.snapshotRows(spark, base, v)) ==
+        preRaw(v).filterNot(r => erase(r._1)), s"v$v raw rows")
+    }
+    // Key 2's tombstone really existed pre-scrub (the arm is not
+    // vacuous) and is gone post-scrub.
+    assert(preRaw(3L).exists(r => r._1 == 2L && r._3 == "D"))
+    // The CURRENT catalog read reflects the scrub (file-listing cache
+    // dropped), and the OCC protocol continues: a post-scrub merge
+    // commits v4 and retention behaves normally.
+    assert(!snapshot(MergeSink.state(spark, table)).exists(r => erase(r._1)))
+    MergeSink.merge(spark, table, base, ops((6L, 40L, "I", 6.0)),
+      retainLast = 3)
+    assert(MergeSink.versions(spark, base) == Seq(2L, 3L, 4L))
+    assert(snapshot(MergeSink.state(spark, table))
+      .exists(r => r._1 == 6L), "post-scrub merge lands")
+  }
+
   test("etl27 retention audit equals the per-version reductions") {
     val rows = Etl.etl27Retention(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
