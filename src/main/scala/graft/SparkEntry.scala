@@ -140,6 +140,7 @@ object SparkEntry {
     "sim21_graph_insert" -> Similarity.sim21GraphInsert _,
     "sim22_graph_compact" -> Similarity.sim22GraphCompact _,
     "sim23_graph_delete" -> Similarity.sim23GraphDelete _,
+    "sim24_tombstoned_consolidate" -> Similarity.sim24TombstonedConsolidate _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -906,10 +907,17 @@ object SparkEntry {
     * compaction degree. A divergence anywhere in the insert chain
     * cascades into the candidate set and breaks the hash.
     */
-  private val Sim22OracleSql: String = {
-    import graft.operators.Similarity.{GraphBeam, GraphCompactDegree,
-      GraphEntryCount, GraphInsertDegree, GraphRounds, KnnK}
-    s"""WITH ${sim19NavCtes(Sim21AppendQBody)},
+  /** The consolidate oracles' shared CTE chain through the candidate
+    * evidence: sim21's insert chain (nav preamble + unrolled beam
+    * rounds over the drift-blend appends), the merged corpus `me`, and
+    * the candidate edge union `cand` (build ∪ insert forward ∪
+    * back-edges) — one definition, so sim24's tombstoned consolidate
+    * can never re-rank different evidence than sim22's.
+    */
+  private val Sim22CandCtes: String = {
+    import graft.operators.Similarity.{GraphBeam, GraphEntryCount,
+      GraphInsertDegree, GraphRounds, KnnK}
+    s"""${sim19NavCtes(Sim21AppendQBody)},
          v0 AS MATERIALIZED (SELECT q.q_id, e.vec_id,
              round(list_cosine_similarity(q.qv, e.v), 4) AS cos
            FROM q, e WHERE e.vec_id < $GraphEntryCount AND e.vec_id <> q.q_id),
@@ -922,15 +930,48 @@ object SparkEntry {
            UNION ALL SELECT q_id AS vec_id, qv AS v FROM q),
          cand AS (SELECT vec_id AS src, nb_id AS dst FROM r7 WHERE rk <= $KnnK
            UNION SELECT src, dst FROM ie
-           UNION SELECT dst AS src, src AS dst FROM ie),
-         sc22 AS (SELECT c.src, c.dst,
+           UNION SELECT dst AS src, src AS dst FROM ie)"""
+  }
+
+  /** The final re-rank + degree cut over a candidate CTE — the SQL
+    * twin of the Scala-side compactRerank seam.
+    */
+  private def compactRerankSql(candCte: String): String = {
+    val deg = graft.operators.Similarity.GraphCompactDegree
+    s"""sc_cr AS (SELECT c.src, c.dst,
              round(list_cosine_similarity(a.v, b.v), 4) AS cos
-           FROM cand c JOIN me a ON a.vec_id = c.src
+           FROM $candCte c JOIN me a ON a.vec_id = c.src
              JOIN me b ON b.vec_id = c.dst)
          SELECT src AS vec_id, CAST(rk AS INTEGER) AS rk, dst AS nb_id, cos
          FROM (SELECT *, row_number() OVER (PARTITION BY src
-             ORDER BY cos DESC, dst) AS rk FROM sc22)
-         WHERE rk <= $GraphCompactDegree ORDER BY 1, 2"""
+             ORDER BY cos DESC, dst) AS rk FROM sc_cr)
+         WHERE rk <= $deg ORDER BY 1, 2"""
+  }
+
+  private val Sim22OracleSql: String =
+    s"""WITH $Sim22CandCtes,
+         ${compactRerankSql("cand")}"""
+
+  /** Generated DuckDB replay of sim24's tombstoned consolidate: the
+    * shared evidence chain, the DiskANN re-link (live→live edges kept;
+    * a live→dead edge replaced by the dead node's own live out-edges;
+    * dead-src edges gone), and the shared re-rank cut. cand24's
+    * predicates exclude every dead endpoint, so joining the full `me`
+    * is equivalent to the Scala side's live-node fence.
+    */
+  private val Sim24OracleSql: String = {
+    val thr = graft.operators.Similarity.TombstoneHexThr
+    def tomb(c: String) =
+      s"substr(md5('tombstone:' || CAST($c AS VARCHAR)), 1, 2) < '$thr'"
+    s"""WITH $Sim22CandCtes,
+         cand24 AS (
+           SELECT src, dst FROM cand
+           WHERE NOT ${tomb("src")} AND NOT ${tomb("dst")}
+           UNION
+           SELECT c.src, c2.dst FROM cand c JOIN cand c2 ON c2.src = c.dst
+           WHERE NOT ${tomb("c.src")} AND ${tomb("c.dst")}
+             AND NOT ${tomb("c2.dst")} AND c2.dst <> c.src),
+         ${compactRerankSql("cand24")}"""
   }
 
   /** Generated DuckDB replay of sim20's knob sweep: the shared
@@ -2903,6 +2944,7 @@ object SparkEntry {
     "sim21_graph_insert" -> Sim21OracleSql,
     "sim22_graph_compact" -> Sim22OracleSql,
     "sim23_graph_delete" -> Sim23OracleSql,
+    "sim24_tombstoned_consolidate" -> Sim24OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

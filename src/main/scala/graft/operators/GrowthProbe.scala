@@ -266,6 +266,45 @@ object GrowthProbe {
     // degree).
     p("sim22_candidate_edges",
       Similarity.sim22CandidateEdges(spark, dir).count())
+    // sim24's whole candidate evidence: sim22's frame after the
+    // DiskANN re-link (live→live kept, live→dead routed through the
+    // dead node's live out-edges) — the one extra edge⋈edge equi-join
+    // must keep the frame linear at fixed degree (the re-link adds at
+    // most degree² rows per dead node, a constant).
+    p("sim24_candidate_edges",
+      Similarity.sim24CandidateEdges(spark, dir).count())
+    // The emit/takedown family (round-16 directive #6): the new
+    // heaviest queries are linear by construction — measure it anyway,
+    // through the operators' own machinery: manifest mass, shard
+    // count, boundary straddles, the bytes ACTUALLY emitted by the
+    // payload sink and the repack, and the takedown suffix bill.
+    locally {
+      import graft.functions.GraftFunctions.intDiv
+      val man = Curation.cur18TrainManifest(spark, dir)
+      p("cur23_manifest_docs", man.count())
+      p("cur23_shards", man.select("source", "shard").distinct().count())
+      p("cur23_straddle_docs", man.filter(
+        intDiv(col("seq_last"), lit(Curation.Cur20SeqsPerShard)) >
+          intDiv(col("seq_first"), lit(Curation.Cur20SeqsPerShard))).count())
+      def dirBytes(path: String): Long = {
+        val p0 = new org.apache.hadoop.fs.Path(path)
+        val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p0)) 0L
+        else {
+          val it = fs.listFiles(p0, true)
+          var total = 0L
+          while (it.hasNext) total += it.next().getLen
+          total
+        }
+      }
+      Curation.cur23PayloadShards(spark, dir).count()
+      p("cur23_emitted_bytes", dirBytes(Curation.cur23OutDir(spark, dir)))
+      Curation.cur26RepackExecute(spark, dir).count()
+      p("cur26_emitted_bytes", dirBytes(Curation.cur26OutDir(spark, dir)))
+      p("cur24_dirty_shards", Curation.cur24Takedown(spark, dir)
+        .agg(sum("shards_dirty")).head.getLong(0))
+      p("cur25_mask_rows", Curation.cur25TombstoneMask(spark, dir).count())
+    }
     // dedup13's signature attach moved to the measured broadcast/
     // shuffle dispatch this round; the superset pair column (the
     // operator's one large intermediate) flows through the SAME

