@@ -139,7 +139,13 @@ object PlanDump {
       "cur26_repack_execute" ->
         "repack execute: the dumped plan is the read-back reassembly audit over the re-emitted post-takedown (source, shard) files — cur23's audit verbatim; the payload frame is the survivor re-pack window + one doc_id-equi join onto the unchanged token arrays",
       "cur22_histogram_select" ->
-        "sort-free percentile select: the 4-dp score grid is the histogram bucket, descending-cumulative cut window above the aggregate, broadcast score cuts — cur10's corpus rank window gone")
+        "sort-free percentile select: the 4-dp score grid is the histogram bucket, descending-cumulative cut window above the aggregate, broadcast score cuts — cur10's corpus rank window gone",
+      "cur27_mask_equivalence" ->
+        "mask-vs-repack equivalence: both legs read EMITTED files through the one loader grammar; masks broadcast (recall-sized), re-tile offsets from ONE thin per-sequence window, final (source, seq) equi-join of two hash frames",
+      "etl29_snapshot_scrub" ->
+        "GDPR snapshot scrub: per retained version one broadcast anti-join + streamed state copy (write-to-.scrub then swap); erase list request-sized, cost linear in retained state, never the log",
+      "sim24_tombstoned_consolidate" ->
+        "tombstoned consolidate: sim22's evidence frames + ONE edge-to-edge equi-join on the dead endpoint (the DiskANN re-link), live-node-fenced vector joins, bounded-heap degree cut — still never a pair space")
 
     // Measured 2026-08-12 (spark-shell probe) and 2026-08-13 (dedup04
     // blocking configs, trained-codebook recall) over the driver
@@ -268,6 +274,14 @@ object PlanDump {
       || dedup13 rows=1 superset (second decade, through sweepSuperset) | 287,751 | 28,937,884 | ~100.6x at 10x docs - birthday-quadratic BY CONSTRUCTION, now MEASURED a second decade: the loose end of the S-curve is the price of asking for the whole curve, and the documented deployment points the sweep at a cur01 hash sample (round-15 row) |
       || sim21 whole insert read set (15-append batch, through beamSearchPool) | 2,869 | 3,097 | CONSTANT at 10x corpus - inserting into the graph costs ONE beam search for the whole batch, so per-arrival maintenance cost never grows with the index it maintains: the property that makes graph-ANN maintenance streamable (stream24; round-16 row) |
       || sim22 compaction candidate evidence (through sim22CandidateEdges) | 10,150 | 100,150 | 10x on 10x vectors - exactly 5n + 150: LINEAR in corpus + inserts at fixed degree; compaction never opens a pair space, which is what distinguishes the consolidate step from a sim07 rebuild (round-16 row) |
+      || sim24 tombstoned-consolidate evidence (through sim24CandidateEdges) | 11,141 | 111,053 | 10.0x on 10x vectors - LINEAR: the DiskANN re-link (live nodes inheriting a deleted neighbor's live out-edges) adds ~10% over sim22's frame at the ~6% tombstone rate and bounded degree - one edge-to-edge equi-join, never a pair space (round-17 row) |
+      || cur23 train manifest docs (the emit's thin frame) | 3,334 | 37,850 | 11.4x at 10x docs - the train-split share of the funnel survivors, linear (round-17 row) |
+      || cur23 hive partitions (source, shard) | 397 | 4,005 | 10.1x - shard count tracks packed tokens / (ctx * seqsPerShard), exactly linear (round-17 row) |
+      || cur23 boundary-straddling docs | 376 | 3,918 | 10.4x - tracks doc mass, not shard count: the loader's back-read bound stays ceil(max_doc/ctx) shards at any scale (round-17 row) |
+      || cur23 emitted payload bytes (measured from the files) | 1,097,803 | 11,197,202 | 10.2x - the payload emit is the corpus's one full copy, linear by construction and now measured (round-17 row) |
+      || cur26 repacked payload bytes (measured from the files) | 1,038,375 | 10,500,258 | 10.1x - the repack re-emits the survivor mass; the delta vs cur23 is exactly the removed tokens' share (round-17 row) |
+      || cur24 dirty-shard bill (sum of per-source suffixes) | 372 | 3,986 | 10.7x - at the fixture's deliberately-dense ~6% recall rate nearly every source dirties early, so the suffix is near-total and the bill tracks SHARD COUNT; a production recall list is orders sparser and the bill shrinks to the tail the prefix-stability law prices (round-17 row) |
+      || cur25 mask rows (the zero-rewrite alternative) | 290 | 3,360 | 11.6x - recall-list-sized, never corpus-sized: the mask stays the cheap execution at any scale (round-17 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,
