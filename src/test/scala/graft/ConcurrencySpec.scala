@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("60 mixed queries submitted concurrently produce sequential results") {
+  test("62 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -106,6 +106,16 @@ class ConcurrencySpec extends SparkSpec {
       // payload write mid-mix (one instance only, cur20's contract).
       "cur23_payload_shards",
       "cur21_histogram_budget", "cur22_histogram_select",
+      // etl29 exercises its own MergeSink table/basePath (reset +
+      // three merges + the snapshot scrub) mid-mix — one instance
+      // only, etl19/etl24's documented self-race caveat. cur27 is
+      // deliberately NOT in the mix: it overwrites cur23's and
+      // cur26's emit dirs (its scaladoc'd same-session contract).
+      "etl29_snapshot_scrub",
+      // sim24 rides the pinned insert-edge and kNN frames plus the
+      // tombstone-filtered re-rank — read-only over the sim family's
+      // shared pins.
+      "sim24_tombstoned_consolidate",
       "mm01_binary_meta", "mm04_resize_stub",
       // mm09_feature_real races the mm05 staged-PNG TableBuild ensure
       // against the rest of the mm family's staging; mm08 races its own

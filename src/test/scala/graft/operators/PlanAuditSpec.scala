@@ -238,6 +238,57 @@ class PlanAuditSpec extends SparkSpec {
       s"payload shard read must hit PartitionFilters:\n${pruned.take(2000)}")
   }
 
+  test("cur27: masks broadcast; re-tile window is per-source; no cartesian anywhere") {
+    val plan = finalPlan(Curation.cur27MaskEquivalence(spark, sf))
+    // The mask side is recall-list-sized and must never shuffle the
+    // reassembled sequence stream to meet it.
+    assert(plan.contains("BroadcastHashJoin"),
+      "mask rows must broadcast onto the reassembled sequences")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in cur27:\n${plan.take(2000)}")
+    // The re-tile offsets come from windows over per-SEQUENCE frames,
+    // every one partitioned (by source or by the reassembly keys) —
+    // a global single-partition window would be the 100 TB killer.
+    assert(!plan.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      "no unpartitioned window may appear in the re-tile")
+  }
+
+  test("etl29: per-version scrub is one broadcast anti-join over the snapshot scan") {
+    val (plan, versions) = {
+      val df = Etl.etl29SnapshotScrub(spark, sf)
+      df.collect()
+      // The audit frame itself is trivial; the contract to pin is the
+      // SCRUB leg's join shape — replay one version's scrub plan.
+      val suffix = sf.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl29_$suffix"
+      val vs = graft.sources.MergeSink.versions(spark, base)
+      val keys = Etl.cdcLog(spark, sf).select("key").distinct()
+        .filter(Etl.etl29EraseFlag(org.apache.spark.sql.functions.col("key")))
+      (finalPlan(graft.sources.MergeSink.snapshotRows(spark, base, vs.last)
+        .join(org.apache.spark.sql.functions.broadcast(keys), Seq("key"),
+          "left_anti")), vs)
+    }
+    assert(versions.nonEmpty)
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the erase set must anti-join broadcast, never shuffle the state:\n${plan.take(1500)}")
+  }
+
+  test("sim24: re-link is an equi-join of edge frames; no corpus pair space") {
+    val plan = finalPlan(Similarity.sim24TombstonedConsolidate(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in sim24:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the re-link must stay an equi-join — a non-equi join here would " +
+        "open the pair space the consolidate exists to avoid")
+    // The degree cut must be the bounded-heap operator, not a window
+    // sort over the scored candidate stream.
+    assert(plan.contains("TopKPerKey"),
+      s"degree cut must plan the bounded-heap operator:\n${plan.take(1500)}")
+  }
+
   test("cur21: no corpus sort — the cut window rides the histogram; thresholds broadcast") {
     val plan = finalPlan(Curation.cur21HistogramBudget(spark, sf))
     // The whole point vs cur08: selection must NOT pay a per-source
