@@ -641,6 +641,40 @@ object GraftStreams {
         batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream26's arrival shape: an erasure request, one master-table
+    * key per row (GDPR/right-to-be-forgotten against the versioned
+    * merge sink).
+    */
+  case class ErasureArrival(key: Long)
+
+  /** stream26: streaming ERASURE FEED — etl29's snapshot scrub on the
+    * request cadence, which is how erasure actually deploys: requests
+    * arrive continuously under a compliance deadline, and each must
+    * take effect across ALL retained history at the next scrub cycle,
+    * not at some quarterly rewrite. Each micro-batch of arriving keys
+    * scrubs EVERY retained committed snapshot in place through the one
+    * erasure seam ([[graft.sources.MergeSink.scrubVersions]] — the
+    * feed cannot scrub differently than batch etl29). A different
+    * CONTRACT FAMILY than the stateless gates: this stream MUTATES
+    * durable history, so its invariants are SET ALGEBRA, not
+    * per-arrival independence — scrub(K1) then scrub(K2) equals
+    * scrub(K1 ∪ K2) (set removal composes), so the outcome is
+    * re-batching-invariant and equal to the one-shot batch scrub on
+    * the same keys (spec-pinned across a mid-stream split); removing
+    * an already-absent key is a no-op, so a replayed micro-batch after
+    * restart recovery is idempotent (spec-pinned); ZERO streaming
+    * state — the snapshot store IS the state, which is the point.
+    * Cost per micro-batch is etl29's: one streamed state copy per
+    * retained version — a deployment batches the feed on the scrub
+    * cadence (hourly/daily), exactly what micro-batching models.
+    */
+  def landErasureBatch(
+      batch: DataFrame, table: String, basePath: String): Unit = {
+    graft.sources.MergeSink.scrubVersions(
+      batch.sparkSession, table, basePath, batch.select("key"))
+    ()
+  }
+
   /** stream24: streaming GRAPH-ANN INSERT — sim21's insert rule on the
     * ingest cadence, closing the ANN maintenance matrix (stream11 lands
     * arrivals in IVF cells; this lands them in the navigable graph):

@@ -952,6 +952,69 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batchRows, "replay must be a no-op")
   }
 
+  test("stream26: streamed erasure feed == one-shot batch scrub; survivors byte-identical; replay no-op") {
+    import graft.operators.Etl
+    import graft.sources.MergeSink
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def buildTable(tag: String): (String, String) = {
+      val table = s"g_stream26_$tag"
+      val base = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_stream26_${tag}_${System.nanoTime()}"
+      MergeSink.reset(spark, table, base)
+      val log = Etl.cdcLog(spark, sf)
+      (0 until 3).foreach { i =>
+        MergeSink.merge(spark, table, base,
+          log.filter(col("seq") % 3 === i), retainLast = 3)
+      }
+      (table, base)
+    }
+    def raw(base: String, v: Long) =
+      MergeSink.snapshotRows(spark, base, v)
+        .collect().map(_.toSeq.toVector).toSet
+    val erase = Etl.cdcLog(spark, sf).select("key").distinct()
+      .filter(Etl.etl29EraseFlag(col("key")))
+      .collect().map(_.getLong(0)).sorted
+    assert(erase.length >= 2)
+    val (k1, k2) = erase.splitAt(erase.length / 2)
+    // Streamed: the erase set split MID-STREAM over table A — each
+    // micro-batch scrubs all retained history through the one seam.
+    val (tA, bA) = buildTable("a")
+    val versions = MergeSink.versions(spark, bA)
+    val pre = versions.map(v => v -> raw(bA, v)).toMap
+    val stream = MemoryStream[GraftStreams.ErasureArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          GraftStreams.landErasureBatch(b.toDF(), tA, bA)
+      }
+      .start()
+    try {
+      stream.addData(k1.map(GraftStreams.ErasureArrival).toSeq)
+      q.processAllAvailable()
+      stream.addData(k2.map(GraftStreams.ErasureArrival).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // One-shot batch scrub over table B (re-batching invariance: two
+    // micro-batches must equal scrub(K1 ∪ K2) — set removal composes).
+    val (tB, bB) = buildTable("b")
+    MergeSink.scrubVersions(spark, tB, bB, erase.toSeq.toDF("key"))
+    assert(MergeSink.versions(spark, bA) == versions,
+      "the feed must keep the version set intact")
+    versions.foreach { v =>
+      val a = raw(bA, v)
+      assert(a == raw(bB, v), s"v$v: streamed != one-shot batch scrub")
+      // Survivors byte-identical, erased keys gone (tombstones too).
+      assert(a == pre(v).filterNot(r =>
+        erase.contains(r(0).asInstanceOf[Long])), s"v$v content")
+    }
+    // Replay micro-batch 0 (restart recovery): removing already-absent
+    // keys is a no-op.
+    GraftStreams.landErasureBatch(
+      spark.createDataFrame(k1.map(GraftStreams.ErasureArrival).toSeq), tA, bA)
+    versions.foreach(v => assert(raw(bA, v) == raw(bB, v), "replay must be a no-op"))
+  }
+
   test("stream19: streamed packing equals batch positions; the cursor carries across batches") {
     import graft.operators.Curation
     import spark.implicits._
