@@ -78,6 +78,14 @@ def main():
     clean_file = Path(sys.argv[1])
     repo = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(".")
     sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    # Refuse a BENCH_ONLY-filtered input outright (round-17, closing
+    # the loop on the in-band marker): a partial run's floors would
+    # silently reseed only its keys and carry stale floors for the
+    # rest — a full-surface clean run is the regeneration contract.
+    if re.search(r'"only":true', clean_file.read_text()):
+        sys.exit("refusing to seed floors from a BENCH_ONLY-filtered "
+                 "run (the input carries \"only\":true) — regenerate "
+                 "from a full-surface clean run")
     best = parse_times(clean_file.read_text(), sf)
     if not best:
         sys.exit(f"clean line did not parse at sf {sf}")
