@@ -304,6 +304,11 @@ object GrowthProbe {
       p("cur24_dirty_shards", Curation.cur24Takedown(spark, dir)
         .agg(sum("shards_dirty")).head.getLong(0))
       p("cur25_mask_rows", Curation.cur25TombstoneMask(spark, dir).count())
+      // cur27's whole output — one row per post-takedown sequence,
+      // through the operator itself (both emit legs + the masked
+      // re-tile run for real at this decade).
+      p("cur27_equivalence_rows",
+        Curation.cur27MaskEquivalence(spark, dir).count())
     }
     // dedup13's signature attach moved to the measured broadcast/
     // shuffle dispatch this round; the superset pair column (the
