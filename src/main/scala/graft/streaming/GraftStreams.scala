@@ -670,9 +670,16 @@ object GraftStreams {
     */
   def landErasureBatch(
       batch: DataFrame, table: String, basePath: String): Unit = {
-    graft.sources.MergeSink.scrubVersions(
-      batch.sparkSession, table, basePath, batch.select("key"))
-    ()
+    // An EMPTY micro-batch must not pay a full history rewrite —
+    // erasure feeds idle most of the time, and set-removal of ∅ is
+    // the identity. One limit-1 probe of the arrival batch gates a
+    // per-version streamed state copy (spec-pinned: the snapshot
+    // FILES are untouched, not just their content).
+    if (!batch.isEmpty) {
+      graft.sources.MergeSink.scrubVersions(
+        batch.sparkSession, table, basePath, batch.select("key"))
+      ()
+    }
   }
 
   /** stream24: streaming GRAPH-ANN INSERT — sim21's insert rule on the

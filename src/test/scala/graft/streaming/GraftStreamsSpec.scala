@@ -1013,6 +1013,19 @@ class GraftStreamsSpec extends SparkSpec {
     GraftStreams.landErasureBatch(
       spark.createDataFrame(k1.map(GraftStreams.ErasureArrival).toSeq), tA, bA)
     versions.foreach(v => assert(raw(bA, v) == raw(bB, v), "replay must be a no-op"))
+    // An EMPTY micro-batch (the feed's usual state) must not rewrite
+    // history at all — the snapshot FILES stay untouched, not just
+    // their content (a rewrite would churn file names).
+    def fileNames(v: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$bA/v$v")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName).toSet
+    }
+    val before = versions.map(v => v -> fileNames(v)).toMap
+    GraftStreams.landErasureBatch(
+      spark.createDataFrame(Seq.empty[GraftStreams.ErasureArrival]), tA, bA)
+    versions.foreach(v => assert(fileNames(v) == before(v),
+      s"v$v: an empty micro-batch must not touch the snapshot files"))
   }
 
   test("stream19: streamed packing equals batch positions; the cursor carries across batches") {
