@@ -224,4 +224,76 @@ object GraftProps extends Properties("graft") {
       (comboKeys(a, 8, 4, bits = 8) intersect
         comboKeys(b, 8, 4, bits = 8)).isEmpty
     }
+
+  // ---- The takedown algebra (cur24/cur25/cur27's laws), proved for
+  // ARBITRARY packings instead of the tested corpora: the cur27 oracle
+  // EXPECTS mask-read == repack-read on every row, so the law itself
+  // must hold universally — ctx 1, docs spanning many sequences,
+  // adjacent recalls, a recall at a source's head/tail, an
+  // all-recalled source. Docs are (length, recalled) pairs packed as a
+  // running concatenation of GLOBALLY DISTINCT tokens (distinctness
+  // makes any order/content slip visible); spans derive from the SAME
+  // integer clipping formulas recalledMaskRows ships.
+
+  private val packingGen: Gen[(Int, List[(Int, Boolean)])] = for {
+    ctx <- Gen.choose(1, 16)
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n,
+      Gen.zip(Gen.choose(1, 40), Gen.oneOf(true, false)))
+  } yield (ctx, docs)
+
+  property("mask-read == repack-read for every packing and recall set (cur27's law)") =
+    Prop.forAll(packingGen) { case (ctx, docs) =>
+      // The packed stream: doc d contributes tokens tagged (d, i).
+      val stream = docs.zipWithIndex.flatMap { case ((len, _), d) =>
+        (0 until len).map(i => (d, i))
+      }
+      def tile(s: List[(Int, Int)]): List[List[(Int, Int)]] =
+        s.grouped(ctx).toList
+      val seqs = tile(stream)
+      // Mask spans via the shipping clipping arithmetic: per recalled
+      // doc, per covered sequence, [lo - seq*ctx, hi - 1 - seq*ctx].
+      val cumStarts = docs.map(_._1).scanLeft(0)(_ + _)
+      val masksBySeq = docs.zipWithIndex.collect {
+        case ((len, true), d) =>
+          val cum = cumStarts(d)
+          val seqFirst = cum / ctx
+          val seqLast = (cum + len - 1) / ctx
+          (seqFirst to seqLast).map { s =>
+            val lo = math.max(cum, s * ctx)
+            val hi = math.min(cum + len, (s + 1) * ctx)
+            (s, lo - s * ctx, hi - 1 - s * ctx)
+          }
+      }.flatten.groupBy(_._1)
+      // Leg A: drop the masked in-sequence offsets, concat, re-tile.
+      val maskedStream = seqs.zipWithIndex.flatMap { case (toks, s) =>
+        val spans = masksBySeq.getOrElse(s, Seq.empty)
+        toks.zipWithIndex.collect {
+          case (t, p) if !spans.exists(m => p >= m._2 && p <= m._3) => t
+        }
+      }
+      // Leg B: pack the survivors only (order preserved), tile.
+      val survivorStream = docs.zipWithIndex.flatMap {
+        case ((len, false), d) => (0 until len).map(i => (d, i))
+        case _ => Nil
+      }
+      tile(maskedStream) == tile(survivorStream)
+    }
+
+  property("prefix stability: a survivor keeps its position iff it packs before the first recall (cur24's law)") =
+    Prop.forAll(packingGen) { case (ctx, docs) =>
+      val cumBefore = docs.map(_._1).scanLeft(0)(_ + _)
+      val survivors = docs.zipWithIndex.filterNot(_._1._2)
+      val cumAfter = survivors.map(_._1._1).scanLeft(0)(_ + _)
+      val firstRm = docs.indexWhere(_._2)
+      survivors.zipWithIndex.forall { case (((_, _), d), k) =>
+        val before = (cumBefore(d) / ctx, cumBefore(d) % ctx)
+        val after = (cumAfter(k) / ctx, cumAfter(k) % ctx)
+        val stable = before == after
+        if (firstRm < 0 || d < firstRm) stable
+        // After the first recall every survivor's cum_start shifted by
+        // a POSITIVE mass, so (seq, off) cannot survive.
+        else !stable
+      }
+    }
 }
