@@ -142,6 +142,8 @@ object PlanDump {
         "sort-free percentile select: the 4-dp score grid is the histogram bucket, descending-cumulative cut window above the aggregate, broadcast score cuts — cur10's corpus rank window gone",
       "cur27_mask_equivalence" ->
         "mask-vs-repack equivalence: both legs read EMITTED files through the one loader grammar; masks broadcast (recall-sized), re-tile offsets from ONE thin per-sequence window, final (source, seq) equi-join of two hash frames",
+      "cur28_span_redaction" ->
+        "span-level redaction: recall-sized manifest rows, sub-doc range through the one clipping core - NO join, NO window, no corpus access (cur25's economics at sub-document granularity)",
       "etl29_snapshot_scrub" ->
         "GDPR snapshot scrub: per retained version one broadcast anti-join + streamed state copy (write-to-.scrub then swap); erase list request-sized, cost linear in retained state, never the log",
       "sim24_tombstoned_consolidate" ->

@@ -166,6 +166,7 @@ object SparkEntry {
     "cur25_tombstone_mask" -> Curation.cur25TombstoneMask _,
     "cur26_repack_execute" -> Curation.cur26RepackExecute _,
     "cur27_mask_equivalence" -> Curation.cur27MaskEquivalence _,
+    "cur28_span_redaction" -> Curation.cur28SpanRedaction _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -1674,34 +1675,55 @@ object SparkEntry {
     * sequences with the span clipped to each sequence's boundary —
     * pure integer arithmetic on the manifest coordinates.
     */
-  private val Cur25OracleSql: String = {
+  /** The mask-row SQL over the shared funnel + packing window,
+    * parameterized by the recall predicate and the masked GLOBAL range
+    * [loG, hiG) in terms of `cum_start`/`post_toks` — ONE definition
+    * of the clipping grammar for cur25 (whole-doc range) and cur28
+    * (sub-doc span), mirroring the Scala clippedMaskRows seam.
+    */
+  private def maskRowsSql(where: String, loG: String, hiG: String): String = {
     val ctx = graft.operators.Curation.Cur18CtxTokens
     val sps = graft.operators.Curation.Cur20SeqsPerShard
-    val thr = graft.operators.Curation.TakedownHexThr
     s"""WITH $Cur18SplCtes,
-         pk25 AS (SELECT doc_id, source, post_toks,
+         pkm AS (SELECT doc_id, source, post_toks,
              sum(post_toks) OVER (PARTITION BY source
                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
            FROM spl WHERE split = 'train'),
-         rm25 AS (SELECT doc_id, source, post_toks,
-             CAST(cum_end - post_toks AS BIGINT) AS cum_start,
-             CAST((cum_end - post_toks) // $ctx AS BIGINT) AS seq_first,
-             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
-           FROM pk25
-           WHERE substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
-             < '$thr'),
-         ex25 AS (SELECT source, CAST(t.s AS BIGINT) AS seq, doc_id,
-             greatest(cum_start, t.s * $ctx) AS lo,
-             least(cum_start + post_toks, (t.s + 1) * $ctx) AS hi
-           FROM rm25, unnest(range(seq_first, seq_last + 1)) AS t(s))
+         rmm AS (SELECT doc_id, source, post_toks,
+             CAST(cum_end - post_toks AS BIGINT) AS cum_start
+           FROM pkm WHERE $where),
+         rgm AS (SELECT source, doc_id,
+             CAST($loG AS BIGINT) AS lo_g, CAST($hiG AS BIGINT) AS hi_g
+           FROM rmm),
+         exm AS (SELECT source, CAST(t.s AS BIGINT) AS seq, doc_id,
+             greatest(lo_g, t.s * $ctx) AS lo,
+             least(hi_g, (t.s + 1) * $ctx) AS hi
+           FROM rgm, unnest(range(lo_g // $ctx, (hi_g - 1) // $ctx + 1)) AS t(s))
          SELECT source, seq, CAST(seq // $sps AS BIGINT) AS shard, doc_id,
            CAST(lo - seq * $ctx AS BIGINT) AS mask_start,
            CAST(hi - 1 - seq * $ctx AS BIGINT) AS mask_end,
            CAST(hi - lo AS BIGINT) AS masked_toks
-         FROM ex25
+         FROM exm
          ORDER BY source, seq, mask_start, doc_id"""
   }
+
+  private val Cur25OracleSql: String =
+    maskRowsSql(
+      s"""substr(md5('takedown:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             < '${graft.operators.Curation.TakedownHexThr}'""",
+      "cum_start", "cum_start + post_toks")
+
+  /** Generated DuckDB replay of cur28's span-level redaction: the same
+    * parameterized clipping grammar with the masked range being the
+    * deterministic sub-doc span instead of the whole doc.
+    */
+  private val Cur28OracleSql: String =
+    maskRowsSql(
+      s"""substr(md5('redact:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             < '${graft.operators.Curation.RedactHexThr}'""",
+      "cum_start + post_toks // 4",
+      "cum_start + greatest(post_toks // 4 + 1, post_toks // 2)")
 
   /** Generated DuckDB replay of cur21's sort-free budget: the same
     * 256-bucket histogram over the md5 prefix, the bucket-prefix cut
@@ -2693,6 +2715,7 @@ object SparkEntry {
     "cur25_tombstone_mask" -> Cur25OracleSql,
     "cur26_repack_execute" -> Cur26OracleSql,
     "cur27_mask_equivalence" -> Cur27OracleSql,
+    "cur28_span_redaction" -> Cur28OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

@@ -1782,20 +1782,76 @@ object Curation {
     * post_toks, seq_first, seq_last, off_first).
     */
   private[graft] def recalledMaskRows(recalled: DataFrame): DataFrame = {
-    val ctx = Cur18CtxTokens
+    val ctx = lit(Cur18CtxTokens)
     val cumStart = col("seq_first") * ctx + col("off_first")
-    val lo = greatest(cumStart, col("seq") * ctx)
-    val hi = least(cumStart + col("post_toks"), (col("seq") + 1) * ctx)
-    recalled
-      .select(col("source"), col("doc_id"), col("post_toks"),
-        col("seq_first"), col("seq_last"), col("off_first"),
-        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+    clippedMaskRows(recalled.select(col("source"), col("doc_id"),
+      cumStart.as("lo_g"), (cumStart + col("post_toks")).as("hi_g")))
+  }
+
+  /** The ONE span-clipping core under every mask emit: an arbitrary
+    * GLOBAL token range [lo_g, hi_g) exploded into its covered
+    * sequences with the span clipped to each sequence's boundary —
+    * factored (round 17) from [[recalledMaskRows]] (which masks a
+    * recalled doc's WHOLE range) so cur28's span-level redaction masks
+    * a sub-doc range through the identical arithmetic. Input must
+    * carry (source, doc_id, lo_g, hi_g) with lo_g < hi_g.
+    */
+  private[graft] def clippedMaskRows(ranges: DataFrame): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
+    val lo = greatest(col("lo_g"), col("seq") * ctx)
+    val hi = least(col("hi_g"), (col("seq") + 1) * ctx)
+    ranges
+      .select(col("source"), col("doc_id"), col("lo_g"), col("hi_g"),
+        explode(sequence(intDiv(col("lo_g"), ctx),
+          intDiv(col("hi_g") - 1, ctx))).as("seq"))
       .select(col("source"), col("seq"),
         intDiv(col("seq"), lit(Cur20SeqsPerShard)).as("shard"),
         col("doc_id"),
         (lo - col("seq") * ctx).as("mask_start"),
         (hi - 1 - col("seq") * ctx).as("mask_end"),
         (hi - lo).as("masked_toks"))
+  }
+
+  /** cur28's span-recall selection (salted md5-prefix rule, ~24/256 ≈
+    * 9% of train docs) and the deterministic in-doc span: tokens
+    * [post_toks/4, max(post_toks/4 + 1, post_toks/2)) — the
+    * engine-portable stand-in for a span-level finding (a PII span, a
+    * quoted copyrighted passage) that names PART of a packed document
+    * rather than all of it. Integer arithmetic throughout; nonempty
+    * for every post_toks ≥ 1.
+    */
+  val RedactHexThr = "18"
+
+  private[graft] def redactFlag =
+    substring(md5(concat(lit("redact:"), col("doc_id").cast("string"))),
+      1, 2) < RedactHexThr
+
+  /** cur28: SPAN-LEVEL POST-PACK REDACTION — the takedown grammar at
+    * sub-document granularity: a span-level finding (PII inside an
+    * otherwise-fine document, one infringing quotation) must stop
+    * being served from the packed shards without removing the whole
+    * document — exactly cur25's zero-rewrite mask execution with the
+    * masked range being PART of the doc's packed token range instead
+    * of all of it. One row per (recalled doc × covered sequence): the
+    * in-sequence token span the loader must skip, derived purely from
+    * manifest coordinates through the ONE clipping core
+    * ([[clippedMaskRows]] — cur25, stream25 and cur28 cannot clip
+    * differently). Same execution economics as cur25: recall-sized,
+    * NO join, NO window, no corpus access — and the re-tile/loader
+    * algebra cur27 proves holds for ARBITRARY [mask_start, mask_end]
+    * spans, so span masks compose with whole-doc masks in the same
+    * loader pass.
+    */
+  def cur28SpanRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
+    val cumStart = col("seq_first") * ctx + col("off_first")
+    val spanLo = intDiv(col("post_toks"), lit(4L))
+    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
+    clippedMaskRows(
+        cur18TrainManifest(spark, dir).filter(redactFlag)
+          .select(col("source"), col("doc_id"),
+            (cumStart + spanLo).as("lo_g"), (cumStart + spanHi).as("hi_g")))
+      .orderBy("source", "seq", "mask_start", "doc_id")
   }
 
   /** stream25's per-micro-batch core: arriving recall requests carry

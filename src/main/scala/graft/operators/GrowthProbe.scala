@@ -309,6 +309,8 @@ object GrowthProbe {
       // re-tile run for real at this decade).
       p("cur27_equivalence_rows",
         Curation.cur27MaskEquivalence(spark, dir).count())
+      p("cur28_span_mask_rows",
+        Curation.cur28SpanRedaction(spark, dir).count())
     }
     // dedup13's signature attach moved to the measured broadcast/
     // shuffle dispatch this round; the superset pair column (the

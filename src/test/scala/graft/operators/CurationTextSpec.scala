@@ -858,6 +858,56 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  test("cur28 span redaction: mask rows tile exactly the sub-doc span; straddle arm real") {
+    val ctx = Curation.Cur18CtxTokens
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Curation.cur28SpanRedaction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s0, e0) = (r.getAs[Long]("mask_start"), r.getAs[Long]("mask_end"))
+      assert(s0 >= 0 && e0 < ctx && s0 <= e0, s"span [$s0,$e0] out of sequence")
+      assert(r.getAs[Long]("masked_toks") == e0 - s0 + 1)
+      assert(r.getAs[Long]("shard") ==
+        r.getAs[Long]("seq") / Curation.Cur20SeqsPerShard)
+    }
+    // TILING: per recalled doc the rows abut gaplessly in global stream
+    // coordinates and cover EXACTLY the deterministic sub-doc span
+    // [cum_start + T/4, cum_start + max(T/4 + 1, T/2)) — never the
+    // whole doc for any T ≥ 3 (the sub-document point of the operator).
+    val recalled = Curation.cur18TrainManifest(spark, sf).collect()
+      .filter(r => md5hex("redact:" + r.getAs[Long]("doc_id")).take(2)
+        < Curation.RedactHexThr)
+      .map { r =>
+        val cum = r.getAs[Long]("seq_first") * ctx + r.getAs[Long]("off_first")
+        val t = r.getAs[Long]("post_toks")
+        r.getAs[Long]("doc_id") ->
+          ((cum + t / 4, cum + math.max(t / 4 + 1, t / 2), t))
+      }.toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == recalled.keySet,
+      "every span-recalled doc (and only those) must carry mask rows")
+    byDoc.foreach { case (id, rs) =>
+      val spans = rs.map(r =>
+        (r.getAs[Long]("seq") * ctx + r.getAs[Long]("mask_start"),
+          r.getAs[Long]("seq") * ctx + r.getAs[Long]("mask_end")))
+        .sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 == e1 + 1, s"doc $id gap")
+        case _ => ()
+      }
+      val (lo, hi, t) = recalled(id)
+      assert(spans.head._1 == lo && spans.last._2 == hi - 1,
+        s"doc $id mask must tile its exact sub-doc span")
+      if (t >= 3)
+        assert(hi - lo < t, s"doc $id span must be strictly sub-doc")
+    }
+    // The boundary-straddling arm is REAL at this sf: at least one
+    // span crosses a sequence boundary (two rows for one doc).
+    assert(byDoc.values.exists(_.length > 1),
+      "no span straddles a sequence boundary at this sf — vacuous arm")
+  }
+
   test("cur27 mask-read == repack-read token-for-token; boundary-straddling recall is real") {
     val ctx = Curation.Cur18CtxTokens
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
