@@ -285,6 +285,7 @@ object PlanDump {
       || cur24 dirty-shard bill (sum of per-source suffixes) | 372 | 3,986 | 10.7x - at the fixture's deliberately-dense ~6% recall rate nearly every source dirties early, so the suffix is near-total and the bill tracks SHARD COUNT; a production recall list is orders sparser and the bill shrinks to the tail the prefix-stability law prices (round-17 row) |
       || cur25 mask rows (the zero-rewrite alternative) | 290 | 3,360 | 11.6x - recall-list-sized, never corpus-sized: the mask stays the cheap execution at any scale (round-17 row) |
       || cur27 equivalence rows (one per post-takedown sequence, through the operator itself - both emit legs + the masked re-tile run for real) | 1,478 | 15,000 | 10.1x - exactly linear in packed tokens/ctx; the masked-read leg adds no term beyond the emits it audits (round-17 row) |
+      || cur28 span-redaction mask rows | 356 | 4,020 | 11.3x - recall-sized like cur25; sub-document granularity changes nothing about the economics (round-17 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,
