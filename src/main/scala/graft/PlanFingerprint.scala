@@ -84,6 +84,20 @@ object PlanFingerprint {
     * one tag (cur27's two emits) accumulate order-insensitively; a
     * re-noted identical signature is a no-op, so repeated query calls
     * within a session keep the fingerprint stable.
+    *
+    * Contract limits (round-17 ADVICE, documented not papered over):
+    * the registry is process-local and populated only when the emit
+    * operator's construction actually reaches its note call in THIS
+    * JVM — [[ofTagged]] is meaningful only after the tagged operator
+    * ran in the same session (the bench and FingerprintDump both
+    * construct before fingerprinting, which is why their values
+    * agree), and a caller fingerprinting a tag whose construction
+    * aborted before the note gets the untagged form. Accumulation is
+    * append-only within a session: a leg whose plan LEGITIMATELY
+    * differs between calls (a session conf change mid-run — nothing
+    * the bench does) folds both signatures in until the JVM exits,
+    * which errs in the reseed direction, never toward keeping a stale
+    * floor silently.
     */
   private val writeLegs =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()

@@ -83,6 +83,7 @@ object SparkEntry {
     "etl27_retention" -> Etl.etl27Retention _,
     "etl28_fuzzy_link" -> Etl.etl28FuzzyLink _,
     "etl29_snapshot_scrub" -> Etl.etl29SnapshotScrub _,
+    "etl30_suppression_gate" -> Etl.etl30SuppressionGate _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -167,6 +168,7 @@ object SparkEntry {
     "cur26_repack_execute" -> Curation.cur26RepackExecute _,
     "cur27_mask_equivalence" -> Curation.cur27MaskEquivalence _,
     "cur28_span_redaction" -> Curation.cur28SpanRedaction _,
+    "cur29_composed_masks" -> Curation.cur29ComposedMasks _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -439,6 +441,51 @@ object SparkEntry {
          FROM events),
          $states
          $arms
+         ORDER BY version"""
+  }
+
+  /** Generated DuckDB replay of etl30's suppression-gate audit,
+    * derived from the shared Etl29* constants: versions 1..Batches
+    * replay as etl29's post-scrub states (latest-seq-wins over the
+    * absorbed batches, erased keys removed); the post-late-merge
+    * version replays the GATED late batch — every NON-erased key
+    * updated at seq = max(event_id) + 1 + key (the late rows win
+    * latest-seq-wins by construction, tombstoned keys included:
+    * tombstones only guard OLDER arrivals), every ERASED key absent.
+    * `n_resurrected` is pinned to ZERO on every row — a gate that
+    * leaks even one suppressed key at any version moves it.
+    */
+  private val Etl30OracleSql: String = {
+    import graft.operators.Etl.{Etl29Batches, Etl29EraseHexThr}
+    val erased =
+      s"substr(md5('erase:' || CAST(key AS VARCHAR)), 1, 2) < '$Etl29EraseHexThr'"
+    val states = (1 to Etl29Batches).map { v =>
+      s"""g$v AS (SELECT key, seq, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+             FROM log WHERE seq % $Etl29Batches < $v)
+           WHERE rn = 1 AND NOT ($erased))"""
+    }.mkString(",\n         ")
+    val arms = (1 to Etl29Batches).map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS version,
+           CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN op <> 'D' THEN seq ELSE 0 END) AS BIGINT) AS sum_seq,
+           CAST(0 AS BIGINT) AS n_resurrected
+         FROM g$v"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH log AS (SELECT user_id AS key, event_id AS seq,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op
+         FROM events),
+         mx AS (SELECT max(seq) AS maxseq FROM log),
+         lk AS (SELECT DISTINCT key FROM log WHERE NOT ($erased)),
+         $states
+         $arms
+         UNION ALL
+         SELECT CAST(${Etl29Batches + 1} AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(mx.maxseq + 1 + lk.key) AS BIGINT) AS sum_seq,
+           CAST(0 AS BIGINT) AS n_resurrected
+         FROM lk, mx
          ORDER BY version"""
   }
 
@@ -1725,6 +1772,66 @@ object SparkEntry {
       "cum_start + post_toks // 4",
       "cum_start + greatest(post_toks // 4 + 1, post_toks // 2)")
 
+  /** Generated DuckDB replay of cur29's composed loader read: the
+    * DOUBLY-repacked stream stated directly — takedown docs removed
+    * entirely, surviving redact-flagged docs minus their deterministic
+    * span (a 1-based list slice: kept = ptoks[1:lo] || ptoks[hi+1:]),
+    * the survivors concatenated per source in the UNCHANGED packing
+    * order and tiled at ctx through the same token-rebuild + slice
+    * grammar as the shard audits. A Spark-side mis-composition of the
+    * two mask families (double pass, overlap double-count, shifted
+    * span) breaks the per-sequence hash.
+    */
+  private val Cur29OracleSql: String = {
+    val ctx = graft.operators.Curation.Cur18CtxTokens
+    val rdThr = graft.operators.Curation.RedactHexThr
+    s"""WITH $Cur18SplCtes,
+         tdoc AS (SELECT doc_id, source, post_toks FROM spl
+           WHERE split = 'train'$TakedownSurvivorWhere),
+         ptoks AS (SELECT a.doc_id, a.t FROM atoks a JOIN tdoc USING (doc_id)
+           UNION ALL
+           SELECT tk.doc_id, tk.t FROM toks tk JOIN tdoc USING (doc_id)
+           WHERE tk.doc_id NOT IN (SELECT doc_id FROM aff)),
+         kept29 AS (SELECT p.doc_id, CAST(u.i AS INT) AS pos,
+             p.t[CAST(u.i + 1 AS BIGINT)] AS tok
+           FROM ptoks p, unnest(range(0, len(p.t))) AS u(i)
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+               WHERE s.doc_id = p.doc_id
+                 AND u.i >= s.start_pos AND u.i <= s.end_pos)),
+         ptl0 AS (SELECT doc_id, list(tok ORDER BY pos) AS ptoks
+           FROM kept29 GROUP BY doc_id),
+         ptl AS (SELECT p.doc_id,
+             CASE WHEN substr(md5('redact:' || CAST(p.doc_id AS VARCHAR)), 1, 2) < '$rdThr'
+               THEN p.ptoks[1:CAST(t.post_toks // 4 AS BIGINT)]
+                 || p.ptoks[CAST(greatest(t.post_toks // 4 + 1, t.post_toks // 2) + 1 AS BIGINT):CAST(len(p.ptoks) AS BIGINT)]
+               ELSE p.ptoks END AS ptoks
+           FROM ptl0 p JOIN tdoc t USING (doc_id)),
+         pos29 AS (SELECT p.doc_id, t.source,
+             sum(len(p.ptoks)) OVER (PARTITION BY t.source
+               ORDER BY substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8), p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,
+             len(p.ptoks) AS klen
+           FROM ptl p JOIN tdoc t USING (doc_id)),
+         pm29 AS (SELECT doc_id, source,
+             CAST(cum_end - klen AS BIGINT) AS cum_start,
+             CAST((cum_end - klen) // $ctx AS BIGINT) AS seq_first,
+             CAST((cum_end - 1) // $ctx AS BIGINT) AS seq_last
+           FROM pos29 WHERE klen > 0),
+         sl29 AS (SELECT pm.source, CAST(t.s AS BIGINT) AS seq, pm.cum_start,
+             ptl.ptoks[CAST(greatest(pm.cum_start, t.s * $ctx) - pm.cum_start + 1 AS BIGINT):
+                       CAST(least(pm.cum_start + len(ptl.ptoks), (t.s + 1) * $ctx) - pm.cum_start AS BIGINT)] AS part
+           FROM pm29 pm JOIN ptl USING (doc_id),
+             unnest(range(pm.seq_first, pm.seq_last + 1)) AS t(s)),
+         sq29 AS (SELECT source, seq,
+             array_to_string(flatten(list(part ORDER BY cum_start)), ' ') AS stext
+           FROM sl29 GROUP BY source, seq)
+         SELECT source, seq,
+           CAST(len(string_split(stext, ' ')) AS BIGINT) AS n_toks,
+           ('0x' || substr(md5(stext), 1, 15))::BIGINT AS content_hash
+         FROM sq29
+         ORDER BY source, seq"""
+  }
+
   /** Generated DuckDB replay of cur21's sort-free budget: the same
     * 256-bucket histogram over the md5 prefix, the bucket-prefix cut
     * as a window over the histogram (≤256 rows per source), and the
@@ -2245,6 +2352,7 @@ object SparkEntry {
          ORDER BY key""",
     "etl27_retention" -> Etl27OracleSql,
     "etl29_snapshot_scrub" -> Etl29OracleSql,
+    "etl30_suppression_gate" -> Etl30OracleSql,
     "etl28_fuzzy_link" ->
       // Blocked fuzzy linkage over the distinct-name vocabulary; the
       // edit-distance bound (and its derived length band) comes from
@@ -2716,6 +2824,7 @@ object SparkEntry {
     "cur26_repack_execute" -> Cur26OracleSql,
     "cur27_mask_equivalence" -> Cur27OracleSql,
     "cur28_span_redaction" -> Cur28OracleSql,
+    "cur29_composed_masks" -> Cur29OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

@@ -1794,13 +1794,19 @@ object Curation {
     * factored (round 17) from [[recalledMaskRows]] (which masks a
     * recalled doc's WHOLE range) so cur28's span-level redaction masks
     * a sub-doc range through the identical arithmetic. Input must
-    * carry (source, doc_id, lo_g, hi_g) with lo_g < hi_g.
+    * carry (source, doc_id, lo_g, hi_g); an EMPTY range (lo_g >= hi_g)
+    * is a no-op by construction — enforced here, not assumed (round-17
+    * ADVICE): Spark's `sequence(start, stop)` DESCENDS when start >
+    * stop, so an unguarded empty range whose lo_g sits on a ctx
+    * boundary would silently explode into sign-flipped mask rows and
+    * corrupt the loader's skip list.
     */
   private[graft] def clippedMaskRows(ranges: DataFrame): DataFrame = {
     val ctx = lit(Cur18CtxTokens)
     val lo = greatest(col("lo_g"), col("seq") * ctx)
     val hi = least(col("hi_g"), (col("seq") + 1) * ctx)
     ranges
+      .filter(col("lo_g") < col("hi_g"))
       .select(col("source"), col("doc_id"), col("lo_g"), col("hi_g"),
         explode(sequence(intDiv(col("lo_g"), ctx),
           intDiv(col("hi_g") - 1, ctx))).as("seq"))
@@ -1843,16 +1849,49 @@ object Curation {
     * loader pass.
     */
   def cur28SpanRedaction(spark: SparkSession, dir: String): DataFrame = {
-    val ctx = lit(Cur18CtxTokens)
-    val cumStart = col("seq_first") * ctx + col("off_first")
     val spanLo = intDiv(col("post_toks"), lit(4L))
     val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
-    clippedMaskRows(
+    docSpanMaskRows(
         cur18TrainManifest(spark, dir).filter(redactFlag)
-          .select(col("source"), col("doc_id"),
-            (cumStart + spanLo).as("lo_g"), (cumStart + spanHi).as("hi_g")))
+          .withColumn("span_lo", spanLo).withColumn("span_hi", spanHi))
       .orderBy("source", "seq", "mask_start", "doc_id")
   }
+
+  /** Mask rows for IN-DOC token spans over manifest-coordinate rows —
+    * the ONE span→global-range derivation cur28 and stream27's feed
+    * share (the streamed twin cannot place a span differently than the
+    * batch emit). Input carries the manifest coordinates plus the
+    * finding's span [span_lo, span_hi) in POST-SCRUB token positions;
+    * the span is clamped to the doc's packed range [0, post_toks), and
+    * a span that clamps empty (degenerate, inverted, or entirely
+    * out of range — external findings feeds produce all three) masks
+    * nothing, which is the correct verdict, not an error
+    * ([[clippedMaskRows]]'s empty-range guard enforces it).
+    */
+  private[graft] def docSpanMaskRows(spanned: DataFrame): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
+    val cumStart = col("seq_first") * ctx + col("off_first")
+    val lo = greatest(col("span_lo"), lit(0L))
+    val hi = least(col("span_hi"), col("post_toks"))
+    clippedMaskRows(spanned.select(col("source"), col("doc_id"),
+      (cumStart + lo).as("lo_g"), (cumStart + hi).as("hi_g")))
+  }
+
+  /** stream27's per-micro-batch core: arriving span-level findings
+    * (doc_id + token span) mask through the shared clipping grammar
+    * those of them that name PACKED train docs — cur28 on stream25's
+    * seam. An id outside the train manifest (a val/test doc, an id the
+    * funnel dropped, junk) masks nothing; a degenerate span masks
+    * nothing. The broadcast is the ARRIVAL batch (findings-feed-sized);
+    * the manifest is the pinned session frame.
+    */
+  private[graft] def spanRedactionArrivals(
+      spark: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    docSpanMaskRows(
+      cur18TrainManifest(spark, dir)
+        .join(broadcast(batch.select(col("doc_id"),
+          col("span_lo").cast("long"), col("span_hi").cast("long"))),
+          Seq("doc_id")))
 
   /** stream25's per-micro-batch core: arriving recall requests carry
     * doc_ids; the mask rows for those of them that are PACKED train
@@ -1966,17 +2005,53 @@ object Curation {
     * session — cross-process separation stays pid+session-tagged.
     */
   def cur27MaskEquivalence(spark: SparkSession, dir: String): DataFrame = {
-    val ctx = lit(Cur18CtxTokens)
     // Leg A: the ORIGINAL emit, masked during reassembly.
+    val maskedRead = maskedRetiledRead(spark, dir,
+        recalledMaskRows(cur18TrainManifest(spark, dir).filter(takedownFlag)),
+        "cur27")
+      .select(col("source"), col("seq"),
+        col("n_toks").as("masked_toks"),
+        col("content_hash").as("masked_hash"))
+    // Leg B: the REPACKED emit, reassembled directly.
+    val repackRead = reassembledSequences(
+        payloadShardEmit(spark, cur26Payload(spark, dir),
+          cur26OutDir(spark, dir), "cur27"))
+      .select(col("source"), col("seq"),
+        size(col("stoks")).cast("long").as("repack_toks"),
+        tokenHash64(array_join(col("stoks"), " ")).as("repack_hash"))
+    maskedRead.join(repackRead, Seq("source", "seq"), "full_outer")
+      .select(col("source"), col("seq"),
+        (col("masked_hash") <=> col("repack_hash")).as("is_match"),
+        coalesce(col("masked_toks"), lit(0L)).as("masked_toks"),
+        coalesce(col("repack_toks"), lit(0L)).as("repack_toks"),
+        coalesce(col("masked_hash"), lit(0L)).as("masked_hash"),
+        coalesce(col("repack_hash"), lit(0L)).as("repack_hash"))
+      .orderBy("source", "seq")
+  }
+
+  /** The MASKED LOADER READ over the ORIGINAL emit — cur27's leg A,
+    * factored (round 18) so cur29 runs BOTH mask families through the
+    * identical pass: emit the original corpus (cur23's frame+layout,
+    * write-leg noted under `legTag`), reassemble its sequences through
+    * the one loader grammar, drop the offsets `maskRows` names, re-tile
+    * the per-source survivor stream at ctx boundaries (global offsets
+    * from ONE window over the thin per-sequence frame, then the same
+    * slice grammar). Returns one row per post-mask (source, seq) with
+    * the sequence's token count and order-preserving content hash.
+    */
+  private[graft] def maskedRetiledRead(spark: SparkSession, dir: String,
+      maskRows: DataFrame, legTag: String): DataFrame = {
+    val ctx = lit(Cur18CtxTokens)
     val orig = payloadShardEmit(spark, cur18TrainPayload(spark, dir),
-      cur23OutDir(spark, dir), "cur27")
-    val masks = recalledMaskRows(
-        cur18TrainManifest(spark, dir).filter(takedownFlag))
+      cur23OutDir(spark, dir), legTag)
+    val masks = maskRows
       .groupBy("source", "seq")
       .agg(collect_list(struct(col("mask_start"), col("mask_end"))).as("mk"))
     val maskedSeqs = reassembledSequences(orig)
-      // Mask rows are recall-list-sized (cur25's whole argument) —
-      // broadcast; a sequence with no mask row keeps its tokens.
+      // Mask rows are recall/findings-list-sized (cur25's whole
+      // argument) — broadcast; a sequence with no mask row keeps its
+      // tokens; overlapping spans (a span finding inside a recalled
+      // doc) compose — a position is dropped if ANY span covers it.
       .join(broadcast(masks), Seq("source", "seq"), "left")
       .select(col("source"), col("seq"),
         when(col("mk").isNull, col("stoks")).otherwise(
@@ -1999,24 +2074,45 @@ object Curation {
         col("stoks").as("toks"),
         intDiv(col("cum_end") - size(col("stoks")), ctx).as("seq_first"),
         intDiv(col("cum_end") - 1, ctx).as("seq_last"))
-    val maskedRead = reassembledSequences(retiled)
+    reassembledSequences(retiled)
       .select(col("source"), col("seq"),
-        size(col("stoks")).cast("long").as("masked_toks"),
-        tokenHash64(array_join(col("stoks"), " ")).as("masked_hash"))
-    // Leg B: the REPACKED emit, reassembled directly.
-    val repackRead = reassembledSequences(
-        payloadShardEmit(spark, cur26Payload(spark, dir),
-          cur26OutDir(spark, dir), "cur27"))
-      .select(col("source"), col("seq"),
-        size(col("stoks")).cast("long").as("repack_toks"),
-        tokenHash64(array_join(col("stoks"), " ")).as("repack_hash"))
-    maskedRead.join(repackRead, Seq("source", "seq"), "full_outer")
-      .select(col("source"), col("seq"),
-        (col("masked_hash") <=> col("repack_hash")).as("is_match"),
-        coalesce(col("masked_toks"), lit(0L)).as("masked_toks"),
-        coalesce(col("repack_toks"), lit(0L)).as("repack_toks"),
-        coalesce(col("masked_hash"), lit(0L)).as("masked_hash"),
-        coalesce(col("repack_hash"), lit(0L)).as("repack_hash"))
+        size(col("stoks")).cast("long").as("n_toks"),
+        tokenHash64(array_join(col("stoks"), " ")).as("content_hash"))
+  }
+
+  /** cur29: COMPOSED LOADER READ — whole-doc takedown masks (cur25)
+    * and span-level redaction masks (cur28) applied to the ORIGINAL
+    * emitted shards in ONE pass, which is the loader's actual
+    * deployment state once both mask families have fired between
+    * repacks (round-17 directive #5). cur27 proves whole-doc mask ==
+    * repack from the bytes; GraftProps proves the re-tile algebra for
+    * ARBITRARY span packings; this operator carries the COMPOSITION to
+    * the emitted bytes: both families' mask rows union into one skip
+    * list, the one masked-read pass ([[maskedRetiledRead]] — cur27's
+    * leg A verbatim) drops every covered offset and re-tiles the
+    * survivor stream, and the output hash per post-mask (source, seq)
+    * must equal the oracle's replay of the DOUBLY-repacked stream
+    * (takedown docs removed entirely, surviving redact docs minus
+    * their spans, concatenated in the unchanged packing order and
+    * tiled at ctx). A loader that mis-composes the families — applies
+    * them in two passes with re-tiling between, double-counts an
+    * overlap, or shifts a span — breaks the row hash.
+    *
+    * Scale: one emit leg (cur23's — cur27 pays two), masks stay
+    * recall+findings-sized and broadcast, the re-tile stays ONE thin
+    * per-source window over sequences. Same-session concurrency caveat
+    * as cur27: overwrites cur23's emit dir with the identical frame —
+    * must not race cur23/cur26/cur27 within a session.
+    */
+  def cur29ComposedMasks(spark: SparkSession, dir: String): DataFrame = {
+    val man = cur18TrainManifest(spark, dir)
+    val spanLo = intDiv(col("post_toks"), lit(4L))
+    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
+    val masks = recalledMaskRows(man.filter(takedownFlag))
+      .unionByName(docSpanMaskRows(
+        man.filter(redactFlag)
+          .withColumn("span_lo", spanLo).withColumn("span_hi", spanHi)))
+    maskedRetiledRead(spark, dir, masks, "cur29")
       .orderBy("source", "seq")
   }
 

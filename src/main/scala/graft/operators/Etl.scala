@@ -542,7 +542,7 @@ object Etl {
     }.toMap
     MergeSink.scrubVersions(spark, table, base,
       log.select(col("key")).distinct().filter(etl29EraseFlag(col("key"))))
-    versions.map { v =>
+    val audit = versions.map { v =>
       MergeSink.snapshotRows(spark, base, v)
         .agg(
           count(lit(1)).as("n_rows"),
@@ -552,6 +552,97 @@ object Etl {
         .select(lit(v).as("version"), col("n_keys"), col("sum_seq"),
           (lit(preRows(v)) - col("n_rows")).as("n_erased"))
     }.reduce(_ unionByName _).orderBy("version")
+    // Returned EAGERLY materialized (round-17 ADVICE): preRows was
+    // computed before the scrub, so a lazily-returned frame re-read
+    // the snapshot files at consumption time — a same-session re-run
+    // of this operator (or stream26's scrub on the same store) before
+    // the caller consumed the frame would pair post-second-mutation
+    // files with the first run's denominators. Collecting the
+    // version-count rows (one per retained version) pins the audit to
+    // the scrub it describes.
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(audit.collect().toSeq, 1), audit.schema)
+  }
+
+  /** etl30: SUPPRESSION GATE — close the erasure loop etl29 opens
+    * (round-17 directive #1). Full erasure removes even the delete
+    * tombstone (the key itself is the personal datum), so the
+    * tombstone's resurrection guard is gone by design: a LATE or
+    * REPLAYED change batch carrying an erased key — exactly the merge
+    * the reference replays on restart (case_2/Normal.py:265-275) —
+    * would silently re-insert it. The scrub therefore publishes the
+    * erase set to a cumulative suppression-list artifact and
+    * [[graft.sources.MergeSink.merge]] drops suppressed keys at
+    * ingest, which is the standard GDPR posture (suppression list,
+    * not tombstone, because the tombstone is itself personal data).
+    *
+    * This operator drives the resurrection attempt END TO END: land
+    * the CDC log in [[Etl29Batches]] merges (all versions retained),
+    * scrub the erase-listed keys across history (which publishes the
+    * suppression list), then merge a LATE batch that re-sends EVERY
+    * key — erased ones included — at sequences above the high-water
+    * mark, so absent the gate every erased key would win
+    * latest-seq-wins and resurrect. The audit is one row per retained
+    * version (the scrubbed history v1..v3 plus the post-late-merge
+    * v4): visible key count, exact integer seq sum, and the
+    * resurrection count — rows whose key is erase-listed, which the
+    * oracle pins to ZERO everywhere while v4's n_keys/sum_seq prove
+    * the NON-suppressed late rows did land (the gate is narrow:
+    * suppression drops erased keys only, never a legitimate update).
+    * Deliberate contrast pinned by v4: a key whose last op was a
+    * TOMBSTONE takes the late update (tombstones only guard OLDER
+    * arrivals — latest-seq-wins), while an ERASED key stays gone at
+    * ANY sequence — the two guards protect different things.
+    *
+    * Scale: the suppression list is an erasure ledger (request-sized,
+    * broadcast anti-join at each merge — one existence probe when no
+    * erasure ever ran); the late merge pays a normal merge's price.
+    * The audit is returned EAGERLY materialized (etl29's round-17
+    * ADVICE fix applied here from birth): the version-count rows are
+    * collected before returning, so the audit stays pinned to the
+    * state this run produced even if the caller re-runs the operator
+    * before consuming it.
+    */
+  def etl30SuppressionGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MergeSink
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val table = s"g_master30_$suffix"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl30_$suffix"
+    val log = cdcLog(spark, dir)
+    MergeSink.reset(spark, table, base) // deterministic end-to-end replay
+    (0 until Etl29Batches).foreach { i =>
+      MergeSink.merge(spark, table, base,
+        log.filter(col("seq") % Etl29Batches === i),
+        retainLast = Etl29Batches + 1)
+    }
+    MergeSink.scrubVersions(spark, table, base,
+      log.select(col("key")).distinct().filter(etl29EraseFlag(col("key"))))
+    // The late batch: every key re-sent STRICTLY above the high-water
+    // mark (seq = maxSeq + key + 1 — unique per key, and > maxSeq even
+    // for key 0, so every ungated late row wins latest-seq-wins),
+    // value pinned to the key so the oracle replays it exactly. One
+    // scalar max over the log's seq column (documented O(1) driver
+    // value).
+    val maxSeq = log.agg(max(col("seq"))).head().getLong(0)
+    MergeSink.merge(spark, table, base,
+      log.select(col("key")).distinct()
+        .select(col("key"), (col("key") + lit(maxSeq + 1)).as("seq"),
+          lit("U").as("op"), col("key").cast("double").as("value")),
+      retainLast = Etl29Batches + 1)
+    val audit = MergeSink.versions(spark, base).map { v =>
+      MergeSink.snapshotRows(spark, base, v)
+        .agg(
+          sum(when(col("last_op") =!= "D", 1L).otherwise(0L)).as("n_keys"),
+          sum(when(col("last_op") =!= "D", col("last_seq")).otherwise(0L))
+            .as("sum_seq"),
+          sum(when(etl29EraseFlag(col("key")), 1L).otherwise(0L))
+            .as("n_resurrected"))
+        .select(lit(v).as("version"), col("n_keys"), col("sum_seq"),
+          col("n_resurrected"))
+    }.reduce(_ unionByName _).orderBy("version")
+    // Pin the audit to THIS run's state (see scaladoc).
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(audit.collect().toSeq, 1), audit.schema)
   }
 
   /** etl18: XML round-trip — the remaining interchange format legacy

@@ -302,7 +302,9 @@ object GrowthProbe {
       Curation.cur26RepackExecute(spark, dir).count()
       p("cur26_emitted_bytes", dirBytes(Curation.cur26OutDir(spark, dir)))
       p("cur24_dirty_shards", Curation.cur24Takedown(spark, dir)
-        .agg(sum("shards_dirty")).head.getLong(0))
+        // sum over an empty frame is NULL (a fixture where no doc
+        // trips the takedown flag must probe as 0, not NPE).
+        .agg(coalesce(sum("shards_dirty"), lit(0L))).head.getLong(0))
       p("cur25_mask_rows", Curation.cur25TombstoneMask(spark, dir).count())
       // cur27's whole output — one row per post-takedown sequence,
       // through the operator itself (both emit legs + the masked

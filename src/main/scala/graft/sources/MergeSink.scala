@@ -246,10 +246,27 @@ object MergeSink {
             else None)
         if (tryClaim(spark, basePath, next)) {
           val newPath = s"$basePath/v$next"
+          // SUPPRESSION GATE (round-17 directive #1): drop change rows
+          // whose key is on the published suppression list BEFORE they
+          // can touch state, so a late or replayed batch can never
+          // resurrect a scrubVersions-erased key (full erasure removes
+          // even the delete tombstone — the key itself is the personal
+          // datum — so the tombstone's resurrection guard is gone by
+          // design and THIS gate is what replaces it). Resolved after
+          // the claim is won, so a merge serialized behind a fenced
+          // scrub reads the list that scrub just published. The list
+          // is request-sized (an erasure ledger, not a data table) —
+          // broadcast anti-join; with no list ever published the gate
+          // is one existence probe.
+          val gated = suppressionKeys(spark, basePath) match {
+            case Some(s) => changes.join(broadcast(s),
+              changes("key").cast("long") === s("key"), "left_anti")
+            case None => changes
+          }
           // Materialize BEFORE touching the catalog: the write streams
           // out of the current snapshot; _SUCCESS is the cross-session
           // commit, the catalog flip the local one.
-          mergedState(cur, changes).write.mode("overwrite").parquet(newPath)
+          mergedState(cur, gated).write.mode("overwrite").parquet(newPath)
           spark.sql(s"DROP TABLE IF EXISTS $table")
           spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$newPath'")
           pruneOldVersions(spark, basePath,
@@ -273,36 +290,44 @@ object MergeSink {
         // un-ageable poll loop. Progress is monotone: every wait ends
         // in the blocker's commit (the gate re-reads it), its markers
         // vanishing (immediate retry), or this loud failure.
-        val blocker = base + 1
-        val (fs, _) = fsFor(spark, basePath)
-        val stamps = Seq(
-          new org.apache.hadoop.fs.Path(basePath, s"v$blocker.claim"),
-          new org.apache.hadoop.fs.Path(basePath, s"v$blocker")).flatMap { p =>
-          try Some(fs.getFileStatus(p).getModificationTime)
-          catch { case _: java.io.IOException => None }
-        }
-        if (stamps.nonEmpty) {
-          val age = System.currentTimeMillis() - stamps.max
-          if (age > StaleClaimMs)
-            throw new IllegalStateException(
-              s"merge into $basePath blocked: version v$blocker is claimed " +
-                s"but not committed for ${age / 1000}s (> ${StaleClaimMs / 1000}s) " +
-                "— a crashed or wedged writer. Resolve (delete its " +
-                s"v$blocker.claim AND any partial v$blocker directory) " +
-                "before retrying; committing around it could lose a version.")
-          Thread.sleep(ClaimPollMs)
-        } else {
-          // Both markers vanished between the listing and the mtime
-          // probe — usually the blocker just committed and the retry
-          // will see it. But if the race repeats, each iteration costs
-          // a full base-dir listing plus per-version _SUCCESS probes
-          // (a hot spin on object stores), so poll-sleep here too: a
-          // resolved blocker pays one ClaimPollMs, an adversarial race
-          // stays bounded to one listing per poll interval.
-          Thread.sleep(ClaimPollMs)
-        }
+        awaitBlockerOrFailStale(spark, basePath, base + 1, "merge")
       }
     }
+  }
+
+  /** One wait step against the claimed-but-uncommitted `blocker`
+    * version: sleep [[ClaimPollMs]] while the blocker is fresh, throw
+    * once it is stale — factored from the merge loop so the scrub's
+    * fence acquisition waits and fails by the identical rule.
+    * Freshness is the NEWEST mtime across the blocker's claim file and
+    * partial snapshot dir, so a half-done operator cleanup (claim
+    * deleted, partial dir left — or vice versa) still ages out and
+    * reaches the loud failure instead of stranding every writer in an
+    * un-ageable poll loop. When BOTH markers vanished between the
+    * caller's listing and the mtime probe the blocker usually just
+    * committed — poll-sleep anyway so an adversarial vanish/reappear
+    * race stays bounded to one listing per poll interval.
+    */
+  private def awaitBlockerOrFailStale(spark: SparkSession, basePath: String,
+      blocker: Long, who: String): Unit = {
+    val (fs, _) = fsFor(spark, basePath)
+    val stamps = Seq(
+      new org.apache.hadoop.fs.Path(basePath, s"v$blocker.claim"),
+      new org.apache.hadoop.fs.Path(basePath, s"v$blocker")).flatMap { p =>
+      try Some(fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.IOException => None }
+    }
+    if (stamps.nonEmpty) {
+      val age = System.currentTimeMillis() - stamps.max
+      if (age > StaleClaimMs)
+        throw new IllegalStateException(
+          s"$who into $basePath blocked: version v$blocker is claimed " +
+            s"but not committed for ${age / 1000}s (> ${StaleClaimMs / 1000}s) " +
+            "— a crashed or wedged writer. Resolve (delete its " +
+            s"v$blocker.claim AND any partial v$blocker directory) " +
+            "before retrying; committing around it could lose a version.")
+    }
+    Thread.sleep(ClaimPollMs)
   }
 
   /** VACUUM: expire all but the newest `keepLast` committed snapshot
@@ -355,50 +380,177 @@ object MergeSink {
     *  - ALL rows of an erased key go, tombstones included — a delete
     *    tombstone still carries the key, and the key itself is the
     *    personal datum;
-    *  - consequence of full erasure, documented not hidden: the
-    *    tombstone's resurrection guard goes with it, so a LATE change
-    *    for an erased key would re-insert — a deployment keeps the
-    *    erase list as an ingest-side filter (dedup12's gate shape),
-    *    which is the standard GDPR posture (suppression list, not
-    *    tombstone, because the tombstone is itself personal data).
+    *  - full erasure removes even the delete tombstone (the key itself
+    *    is the personal datum), so the tombstone's resurrection guard
+    *    goes with it — the scrub therefore PUBLISHES the erase set to
+    *    the table's cumulative SUPPRESSION LIST (a versioned artifact
+    *    under `basePath/suppress`, CodebookStore's claim/_SUCCESS
+    *    protocol) and every subsequent [[merge]] drops suppressed keys
+    *    at ingest, so a late or replayed batch can never re-insert an
+    *    erased key (round-17 directive #1 — the standard GDPR posture:
+    *    suppression list, not tombstone, because the tombstone is
+    *    itself personal data). The list is published BEFORE the first
+    *    snapshot rewrite, so even a scrub that crashes mid-history
+    *    already gates new ingest.
     *
     * Physical protocol: per version, the survivors stream into
-    * `vN.scrub` (a full parquet write with its own `_SUCCESS`), then
-    * delete-old + rename — the snapshot is never half-rewritten in
-    * place, and a crash between the two steps leaves either the old
-    * intact dir or the complete scrubbed copy beside it (the `.scrub`
-    * name parses as no version, so recovery ignores it and a re-run
-    * converges). Same-JVM writers serialize on the table lock;
-    * CROSS-PROCESS writers must be quiesced for the swap window (the
-    * rename is not atomic against a concurrent reader's file listing
-    * on an object store) — the coordination seam is the same one
-    * tryClaim documents. The erase-key frame is request-sized →
-    * broadcast anti-join per snapshot; each rewrite streams one
-    * key-compact state copy, the price of erasing history.
+    * `vN.scrub` (a full parquet write with its own `_SUCCESS`), then a
+    * three-step swap that keeps a COMPLETE copy on disk at every
+    * instant — rename `vN`→`vN.old`, rename `vN.scrub`→`vN`, delete
+    * `vN.old` (the `.scrub`/`.old` names parse as no version, so
+    * readers of the version list never see a half state). Every crash
+    * point converges on re-run via [[recoverScrubOrphans]]: an orphan
+    * `vN.scrub` beside an intact `vN` is discarded (that run re-scrubs
+    * from the original); a committed `vN.scrub` with `vN` missing is
+    * PROMOTED to `vN` (the privacy-safe direction — it is the complete
+    * scrubbed copy); a leftover `vN.old` beside an intact `vN` is
+    * deleted (the swap had completed). The old delete-then-rename
+    * protocol could strand a version forever (crash after delete,
+    * before rename — round-17 ADVICE); this one cannot.
+    *
+    * Cross-process coordination (round-17 directive #3): the scrub is
+    * OCC-FENCED, not quiesce-required — it claims the next version
+    * number exactly as a merge would (waiting on fresh in-flight
+    * claims, failing loudly on stale ones), holds that claim across
+    * every swap so no peer can commit a NEW version mid-scrub (the
+    * serializability gate blocks them on the fence), and releases the
+    * claim when done. Releasing is safe precisely because the fence
+    * never writes its version dir — the number was never used for
+    * data, so no lineage can fork on its reuse. A scrub that CRASHES
+    * holding the fence leaves a claim that ages to the same loud
+    * stale-writer failure a crashed merge does; the documented resolve
+    * (delete the claim, re-run) converges through the orphan recovery.
+    * Concurrent READERS of a version being swapped can still observe
+    * the rename window on stores without atomic rename — snapshot
+    * reads retry/fail loudly there; writers are fully fenced.
+    *
+    * The erase-key frame is request-sized → broadcast anti-join per
+    * snapshot; each rewrite streams one key-compact state copy, the
+    * price of erasing history.
     *
     * Returns the scrubbed (retained, committed) version numbers.
     */
   def scrubVersions(spark: SparkSession, table: String, basePath: String,
       keys: DataFrame): Seq[Long] = lockFor(table).synchronized {
     val (fs, base) = fsFor(spark, basePath)
-    val committed = versionsOnDisk(spark, basePath, committedOnly = true)
-    val k = broadcast(keys.select(col("key").cast("long").as("key")))
-    committed.foreach { v =>
+    val eraseKeys = keys.select(col("key").cast("long").as("key")).distinct()
+    // Recover BEFORE the fence as well as under it: a crash that left a
+    // version dir missing (promoted-or-restorable orphans) also leaves
+    // that version's claim outstanding, and the fence's serializability
+    // gate would wait on it forever (then fail stale) — the orphan
+    // itself is what un-wedges the gate. Unfenced recovery can race a
+    // peer scrub's in-flight swap only in the instants its version dir
+    // is absent; either racer then fails LOUDLY at its rename and the
+    // re-run converges — never a silent half state.
+    recoverScrubOrphans(spark, basePath)
+    // Acquire the fence: claim the next version number under the same
+    // serializability gate a merge uses, so the swap window can never
+    // overlap a peer's commit.
+    var fence = -1L
+    while (fence < 0) {
+      val (committedVs, dirVs, claimVs) = listState(spark, basePath)
+      val next = ((dirVs ++ claimVs) :+ 0L).max + 1
+      val baseV = committedVs.lastOption.getOrElse(0L)
+      if (next == baseV + 1 && tryClaim(spark, basePath, next)) fence = next
+      else awaitBlockerOrFailStale(spark, basePath, baseV + 1, "scrub")
+    }
+    try {
+      recoverScrubOrphans(spark, basePath)
+      // Publish the cumulative suppression list FIRST: if the scrub
+      // crashes mid-history, ingest is already gated while the re-run
+      // converges the snapshots.
+      val supDir = suppressDir(basePath)
+      val cumulative = suppressionKeys(spark, basePath) match {
+        case Some(prior) => prior.unionByName(eraseKeys).distinct()
+        case None => eraseKeys
+      }
+      CodebookStore.publishFrame(spark, supDir, cumulative)
+      val committed = versionsOnDisk(spark, basePath, committedOnly = true)
+      val k = broadcast(eraseKeys)
+      committed.foreach { v =>
+        val vPath = new org.apache.hadoop.fs.Path(base, s"v$v")
+        val tmp = new org.apache.hadoop.fs.Path(base, s"v$v.scrub")
+        val old = new org.apache.hadoop.fs.Path(base, s"v$v.old")
+        spark.read.schema(schema).parquet(vPath.toString)
+          .join(k, Seq("key"), "left_anti")
+          .write.mode("overwrite").parquet(tmp.toString)
+        // Three-step swap: a complete copy of the version exists under
+        // a recoverable name at every instant (vN, then vN.old+vN.scrub,
+        // then vN) — recoverScrubOrphans converges every crash point.
+        if (!fs.rename(vPath, old) || !fs.rename(tmp, vPath))
+          throw new IllegalStateException(
+            s"erasure scrub of $vPath failed at the swap — a complete " +
+              s"copy remains at $old or $tmp; re-run to converge " +
+              "(recovery promotes or discards the orphans)")
+        fs.delete(old, true)
+      }
+      // The catalog table points at the latest version DIR (unchanged
+      // path, new files) — drop any cached file listing.
+      if (spark.catalog.tableExists(table)) spark.sql(s"REFRESH TABLE $table")
+      committed
+    } finally {
+      // Release the fence. Never reached a snapshot write at vFence,
+      // so reuse of the number cannot fork lineage.
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"v$fence.claim"), false)
+      ()
+    }
+  }
+
+  /** Converge any crash state a prior scrub's swap left behind — run
+    * on scrub entry, under the fence. Per orphan:
+    *  - `vN.scrub` with `vN` INTACT → the crash hit before the first
+    *    rename; the orphan may be stale (an older erase set), so it is
+    *    discarded and this run re-scrubs from the original;
+    *  - `vN` MISSING with a COMMITTED (`_SUCCESS`) `vN.scrub` → the
+    *    crash hit between the renames; the scrubbed copy is promoted
+    *    to `vN` (privacy-safe: it is complete and already erased), and
+    *    any `vN.old` beside it is deleted;
+    *  - `vN` MISSING with only `vN.old` (no committed scrub) → the
+    *    scrub write itself was torn; the original is restored so the
+    *    version is never lost, and this run re-scrubs it;
+    *  - `vN.old` beside an INTACT `vN` → the crash hit after the
+    *    second rename; the swap had completed, the old copy (still
+    *    carrying erased keys) is deleted.
+    */
+  private def recoverScrubOrphans(spark: SparkSession, basePath: String): Unit = {
+    val (fs, base) = fsFor(spark, basePath)
+    if (!fs.exists(base)) return
+    val names = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    val orphanVs = names.collect {
+      case n if n.startsWith("v") && (n.endsWith(".scrub") || n.endsWith(".old")) =>
+        n.drop(1).takeWhile(_.isDigit).toLongOption
+    }.flatten
+    orphanVs.foreach { v =>
       val vPath = new org.apache.hadoop.fs.Path(base, s"v$v")
       val tmp = new org.apache.hadoop.fs.Path(base, s"v$v.scrub")
-      spark.read.schema(schema).parquet(vPath.toString)
-        .join(k, Seq("key"), "left_anti")
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.delete(vPath, true) || !fs.rename(tmp, vPath))
-        throw new IllegalStateException(
-          s"erasure scrub of $vPath failed at the swap — the scrubbed " +
-            s"copy (if complete) is at $tmp; re-run to converge")
+      val old = new org.apache.hadoop.fs.Path(base, s"v$v.old")
+      val scrubCommitted =
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (!fs.exists(vPath)) {
+        if (scrubCommitted) { fs.rename(tmp, vPath); fs.delete(old, true) }
+        else if (fs.exists(old)) { fs.rename(old, vPath); fs.delete(tmp, true) }
+      } else {
+        fs.delete(tmp, true); fs.delete(old, true)
+      }
     }
-    // The catalog table points at the latest version DIR (unchanged
-    // path, new files) — drop any cached file listing.
-    if (spark.catalog.tableExists(table)) spark.sql(s"REFRESH TABLE $table")
-    committed
   }
+
+  /** The table's cumulative suppression-list store (versioned artifact
+    * dir under basePath — the name parses as no snapshot version, so
+    * the version listing never sees it).
+    */
+  private def suppressDir(basePath: String): String = s"$basePath/suppress"
+
+  /** The current (newest committed) cumulative suppression list, if
+    * any erasure has ever been executed against this table — one
+    * `key: long` column. Exposed so audits can measure the gate.
+    */
+  def suppressionKeys(spark: SparkSession, basePath: String): Option[DataFrame] =
+    CodebookStore.latest(spark, suppressDir(basePath)).map { v =>
+      CodebookStore.frameAt(spark, suppressDir(basePath), v)
+        .select(col("key").cast("long").as("key"))
+    }
 
   /** RAW snapshot rows of a committed version — tombstones INCLUDED
     * (unlike [[stateAt]]): the erasure audit must see every row that
@@ -456,15 +608,28 @@ object MergeSink {
       .filter(col("last_op") =!= "D")
   }
 
-  /** Drop the table and all snapshot versions (and claim markers) — a
-    * clean slate for a deterministic end-to-end replay. The ONLY path
-    * that removes claim markers.
+  /** Drop the table and all snapshot versions (and claim markers, and
+    * the suppression-list store, and any scrub-swap orphans) — a clean
+    * slate for a deterministic end-to-end replay. The ONLY path that
+    * removes claim markers.
     */
   def reset(spark: SparkSession, table: String, basePath: String): Unit =
     lockFor(table).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       pruneOldVersions(spark, basePath, keepFloor = Long.MaxValue,
         includeClaims = true)
+      val (fs, base) = fsFor(spark, basePath)
+      if (fs.exists(base)) {
+        fs.delete(new org.apache.hadoop.fs.Path(base, "suppress"), true)
+        fs.listStatus(base)
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.startsWith("v") &&
+              (n.endsWith(".scrub") || n.endsWith(".old"))
+          }
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+      ()
     }
 
   /** Best-effort retention: delete snapshot dirs for versions STRICTLY

@@ -641,6 +641,40 @@ object GraftStreams {
         batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream27's arrival shape: a span-level finding — a PII span, one
+    * infringing quotation — naming PART of a document by its
+    * post-scrub token range [span_lo, span_hi). Findings feeds are
+    * messy by nature: ids outside the train manifest and degenerate or
+    * out-of-range spans all arrive, and all must mask nothing rather
+    * than error.
+    */
+  case class SpanFindingArrival(doc_id: Long, span_lo: Long, span_hi: Long)
+
+  /** stream27: streaming SPAN REDACTION — cur28's sub-document mask
+    * emit on the findings-feed cadence, completing the takedown ×
+    * streaming matrix (stream25 feeds WHOLE-DOC recalls through the
+    * shared clipping core; span-level findings arrive on exactly the
+    * same external cadence and must take effect at the next loader
+    * read, not the next repack). Each micro-batch of arriving findings
+    * joins (broadcast, feed-sized) against the PINNED train manifest
+    * and its mask rows land under `batch_id=N`
+    * ([[graft.operators.Curation.spanRedactionArrivals]] — the ONE
+    * span→range derivation and the ONE clipping core shared with batch
+    * cur28, so the gate cannot place or clip a span differently than
+    * the batch emit; cur27 proves the loader algebra holds for
+    * arbitrary spans, so these rows compose with stream25's whole-doc
+    * masks in the same loader pass). stream09's contracts verbatim:
+    * per-arrival independent ⇒ re-batching-invariant and equal to
+    * batch cur28 on the same findings (spec-pinned); per-partition
+    * overwrite ⇒ idempotent replay; ZERO streaming state — the
+    * manifest is the state, refreshed on the repack cadence.
+    */
+  def landSpanRedactionBatch(
+      batch: DataFrame, dir: String, outDir: String, batchId: Long): Unit =
+    graft.operators.Curation.spanRedactionArrivals(
+        batch.sparkSession, dir, batch)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** stream26's arrival shape: an erasure request, one master-table
     * key per row (GDPR/right-to-be-forgotten against the versioned
     * merge sink).

@@ -306,6 +306,144 @@ class MergeSinkSpec extends SparkSpec {
       .exists(r => r._1 == 6L), "post-scrub merge lands")
   }
 
+  private def hadoopFs(base: String) = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  test("suppression gate: a late batch can never resurrect an erased key — and the threat is real without it") {
+    val (table, base) = freshTable("suppress")
+    MergeSink.merge(spark, table, base,
+      ops((1L, 10L, "I", 1.0), (2L, 11L, "I", 2.0), (3L, 12L, "D", 0.0)))
+    // Contrast arm FIRST (no scrub yet → no suppression list): a late
+    // higher-seq update resurrects the TOMBSTONED key 3 — tombstones
+    // only guard OLDER arrivals, which is exactly why erasure needs a
+    // different guard.
+    MergeSink.merge(spark, table, base, ops((3L, 20L, "U", 3.5)))
+    assert(snapshot(MergeSink.state(spark, table)).exists(_._1 == 3L),
+      "without suppression the late update must land (the threat is real)")
+    // Erase keys 2 and 3 across history; the scrub publishes them to
+    // the suppression list.
+    MergeSink.scrubVersions(spark, table, base, ops((2L, 0L, "X", 0.0))
+      .select("key").union(ops((3L, 0L, "X", 0.0)).select("key")))
+    assert(MergeSink.suppressionKeys(spark, base).map(snapshotKeys)
+      .contains(Set(2L, 3L)))
+    // The resurrection attempt: a REPLAYED/late batch re-sends every
+    // key far above the high-water mark. Suppressed keys must be
+    // dropped at ingest; the legitimate key-1 update must land.
+    MergeSink.merge(spark, table, base,
+      ops((1L, 100L, "U", 1.5), (2L, 101L, "U", 2.5), (3L, 102L, "I", 3.9)))
+    val fin = snapshot(MergeSink.state(spark, table))
+    assert(!fin.exists(r => r._1 == 2L || r._1 == 3L),
+      s"erased keys resurrected: $fin")
+    assert(fin.contains((1L, 100L, "U", Some(1.5))),
+      "the gate must be narrow — non-suppressed late rows merge normally")
+    // Set algebra: a second scrub ACCUMULATES (K1 ∪ K2), it does not
+    // replace the list.
+    MergeSink.scrubVersions(spark, table, base, ops((1L, 0L, "X", 0.0)).select("key"))
+    assert(MergeSink.suppressionKeys(spark, base).map(snapshotKeys)
+      .contains(Set(1L, 2L, 3L)))
+    MergeSink.merge(spark, table, base, ops((1L, 200L, "U", 9.9)))
+    assert(snapshot(MergeSink.state(spark, table)).isEmpty,
+      "all three keys suppressed — the cumulative list gates them all")
+  }
+
+  private def snapshotKeys(df: DataFrame): Set[Long] =
+    df.select("key").collect().map(_.getLong(0)).toSet
+
+  test("scrub swap crash states all converge on re-run (no version is ever lost)") {
+    val (table, base) = freshTable("scrubcrash")
+    MergeSink.merge(spark, table, base,
+      ops((1L, 10L, "I", 1.0), (2L, 11L, "I", 2.0)), retainLast = 3)
+    MergeSink.merge(spark, table, base, ops((3L, 20L, "I", 3.0)), retainLast = 3)
+    val erase = ops((2L, 0L, "X", 0.0)).select("key")
+    val (fs, _) = hadoopFs(base)
+    def p(n: String) = new org.apache.hadoop.fs.Path(base, n)
+    // Crash state (b), the round-17 ADVICE hole: the old protocol's
+    // delete succeeded, the rename didn't — only a COMMITTED v1.scrub
+    // remains (manufacture: scrub-write v1's survivors to v1.scrub,
+    // then move v1 away wholesale as the "deleted" original).
+    spark.read.schema(MergeSink.schema).parquet(s"$base/v1")
+      .join(erase, Seq("key"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/v1.scrub")
+    assert(fs.rename(p("v1"), p("v1.old")), "manufacture old-dir")
+    // v1 is now missing entirely from the committed listing.
+    assert(MergeSink.versions(spark, base) == Seq(2L))
+    // Re-running the scrub must FIRST recover v1 (promote the
+    // committed scrubbed copy), then scrub everything — the version
+    // set is unchanged and stateAt(1) works again.
+    val scrubbed = MergeSink.scrubVersions(spark, table, base, erase)
+    assert(scrubbed == Seq(1L, 2L))
+    assert(MergeSink.versions(spark, base) == Seq(1L, 2L))
+    assert(snapshot(MergeSink.stateAt(spark, base, 1L)) ==
+      Seq((1L, 10L, "I", Some(1.0))), "v1 recovered, erased key gone")
+    assert(!fs.exists(p("v1.old")) && !fs.exists(p("v1.scrub")),
+      "orphans cleaned")
+    // Crash state (a): a leftover .scrub beside an INTACT version is
+    // discarded and re-derived; crash state (c): a leftover .old
+    // beside an intact version is deleted. Junk dirs exercise both
+    // paths — recovery must remove them without touching v2.
+    fs.mkdirs(p("v2.scrub"))
+    fs.mkdirs(p("v2.old"))
+    val again = MergeSink.scrubVersions(spark, table, base, erase)
+    assert(again == Seq(1L, 2L))
+    assert(!fs.exists(p("v2.scrub")) && !fs.exists(p("v2.old")))
+    assert(snapshot(MergeSink.stateAt(spark, base, 2L)) ==
+      Seq((1L, 10L, "I", Some(1.0)), (3L, 20L, "I", Some(3.0))))
+    // Torn-scrub state: version dir missing, NO committed scrub, only
+    // the .old copy — the original must be restored, never lost.
+    assert(fs.rename(p("v2"), p("v2.old")))
+    fs.mkdirs(p("v2.scrub")) // uncommitted (no _SUCCESS)
+    MergeSink.scrubVersions(spark, table, base, erase)
+    assert(snapshot(MergeSink.stateAt(spark, base, 2L)) ==
+      Seq((1L, 10L, "I", Some(1.0)), (3L, 20L, "I", Some(3.0))),
+      "torn scrub restores the original")
+  }
+
+  test("the scrub is OCC-fenced: it waits on a fresh in-flight claim, fails loudly on a stale one, and releases its fence") {
+    val (table, base) = freshTable("scrubfence")
+    MergeSink.merge(spark, table, base, ops((1L, 10L, "I", 1.0)))
+    val (fs, _) = hadoopFs(base)
+    def claim(v: Long) = new org.apache.hadoop.fs.Path(base, s"v$v.claim")
+    // A FRESH foreign claim on the next version (an in-flight peer
+    // merge): the scrub must WAIT, not run through the swap window.
+    fs.create(claim(2L), false).close()
+    val fut = Future(MergeSink.scrubVersions(spark, table, base,
+      ops((1L, 0L, "X", 0.0)).select("key")))
+    Thread.sleep(1500)
+    assert(!fut.isCompleted, "scrub must block behind a fresh in-flight claim")
+    fs.delete(claim(2L), false) // peer resolves
+    val scrubbed = Await.result(fut, 60.seconds)
+    assert(scrubbed == Seq(1L))
+    // The fence claim is RELEASED: the next merge commits v2 normally
+    // (no stale-claim failure, no skipped number).
+    MergeSink.merge(spark, table, base, ops((5L, 30L, "I", 5.0)))
+    assert(MergeSink.versions(spark, base).last == 2L)
+    // A STALE foreign claim fails the scrub loudly (crashed peer).
+    val (table2, base2) = freshTable("scrubfence2")
+    MergeSink.merge(spark, table2, base2, ops((1L, 10L, "I", 1.0)))
+    val (fs2, _) = hadoopFs(base2)
+    val c2 = new org.apache.hadoop.fs.Path(base2, "v2.claim")
+    fs2.create(c2, false).close()
+    fs2.setTimes(c2, System.currentTimeMillis() - MergeSink.StaleClaimMs - 5000, -1)
+    val ex = intercept[IllegalStateException](
+      MergeSink.scrubVersions(spark, table2, base2,
+        ops((1L, 0L, "X", 0.0)).select("key")))
+    assert(ex.getMessage.contains("scrub") && ex.getMessage.contains("v2"))
+  }
+
+  test("etl30: the gated late merge audit — zero resurrection, legitimate updates land") {
+    val rows = Etl.etl30SuppressionGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(_._4 == 0L), s"resurrected keys in $rows")
+    // v4 (post-late-merge) must hold MORE visible keys than the
+    // scrubbed v3 (the non-suppressed late updates landed, including
+    // formerly tombstoned keys) — the gate is narrow, not a freeze.
+    assert(rows(3)._2 >= rows(2)._2)
+    assert(rows(3)._2 > 0)
+  }
+
   test("etl27 retention audit equals the per-version reductions") {
     val rows = Etl.etl27Retention(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq

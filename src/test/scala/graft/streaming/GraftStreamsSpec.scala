@@ -952,6 +952,67 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batchRows, "replay must be a no-op")
   }
 
+  test("stream27: streamed span redactions equal batch cur28; junk findings mask nothing; replay no-op") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream27_${System.nanoTime()}"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // The findings feed: exactly cur28's redaction set with its
+    // deterministic spans (so the streamed union must equal the batch
+    // emit row-for-row), split mid-stream, PLUS the junk a real feed
+    // carries — an off-manifest id, a DEGENERATE span (lo >= hi), and
+    // an entirely out-of-range span. All three must mask nothing.
+    val spanned = Curation.cur18TrainManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("post_toks")))
+      .filter { case (id, _) =>
+        md5hex("redact:" + id).take(2) < Curation.RedactHexThr }
+      .map { case (id, post) =>
+        val lo = post / 4
+        GraftStreams.SpanFindingArrival(id, lo, math.max(lo + 1, post / 2)) }
+    assert(spanned.length >= 2)
+    val inManifest = spanned.head.doc_id
+    val junk = Seq(
+      GraftStreams.SpanFindingArrival(999999L, 0L, 5L), // off-manifest
+      GraftStreams.SpanFindingArrival(inManifest, 7L, 7L), // degenerate
+      GraftStreams.SpanFindingArrival(inManifest, 1000000L, 1000005L)) // out of range
+    val (first, second) = spanned.splitAt(spanned.length / 2)
+    val stream = MemoryStream[GraftStreams.SpanFindingArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landSpanRedactionBatch(b.toDF(), sf, outDir, id)
+      }
+      .start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData((second ++ junk).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed() = spark.read.parquet(outDir)
+      .select("source", "seq", "shard", "doc_id", "mask_start", "mask_end",
+        "masked_toks")
+      .collect().map(_.toSeq.toVector).toSet
+    val batchRows = Curation.cur28SpanRedaction(spark, sf)
+      .collect().map(_.toSeq.toVector).toSet
+    assert(landed() == batchRows,
+      "streamed span masks diverge from the shared batch span/clipping rule")
+    assert(!landed().exists(_(3) == 999999L),
+      "an off-manifest finding must mask nothing")
+    // The junk spans on the in-manifest doc contributed nothing beyond
+    // its batch rows (already implied by set equality — asserted
+    // directly so a future masked_toks<=0 explosion names itself).
+    assert(landed().forall(_(6).asInstanceOf[Long] > 0L),
+      "every landed mask row must carry a positive masked_toks")
+    // Replay micro-batch 0 (restart recovery): per-partition overwrite
+    // lands identical rows instead of duplicating them.
+    GraftStreams.landSpanRedactionBatch(
+      spark.createDataFrame(first.toSeq), sf, outDir, 0L)
+    assert(landed() == batchRows, "replay must be a no-op")
+  }
+
   test("stream26: streamed erasure feed == one-shot batch scrub; survivors byte-identical; replay no-op") {
     import graft.operators.Etl
     import graft.sources.MergeSink
