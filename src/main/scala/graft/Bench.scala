@@ -725,12 +725,16 @@ object Bench {
     // machine makes every pass slow, so unbounded resampling could
     // push a driver-side run into timeout territory exactly when the
     // samples are least useful.
+    // Raised 3→6 / 1200→1500 (round-17 verdict: the official landed at
+    // 1.23× on a warm window because the defense exhausted its passes
+    // — more samples on a loaded host beat a ridden record; the
+    // wall-clock bound still caps the fully-contended worst case).
     val MaxExtraPasses = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
-      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(3)
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(6)
     // Measured from the run's START (base passes included): what the
     // budget protects is the WHOLE run's wall clock.
     val BudgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1200)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1500)
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     var merged = sweep
     var extra = 0

@@ -313,6 +313,11 @@ object GrowthProbe {
         Curation.cur27MaskEquivalence(spark, dir).count())
       p("cur28_span_mask_rows",
         Curation.cur28SpanRedaction(spark, dir).count())
+      // cur29's whole output — one row per post-composed-mask
+      // sequence, through the operator itself (the emit leg + the
+      // doubly-masked re-tile run for real at this decade).
+      p("cur29_composed_rows",
+        Curation.cur29ComposedMasks(spark, dir).count())
     }
     // dedup13's signature attach moved to the measured broadcast/
     // shuffle dispatch this round; the superset pair column (the

@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("62 mixed queries submitted concurrently produce sequential results") {
+  test("80 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -112,6 +112,12 @@ class ConcurrencySpec extends SparkSpec {
       // deliberately NOT in the mix: it overwrites cur23's and
       // cur26's emit dirs (its scaladoc'd same-session contract).
       "etl29_snapshot_scrub",
+      // etl30 exercises its own table/basePath (reset + merges + the
+      // OCC-fenced scrub + suppression publish + the gated late
+      // merge) mid-mix — one instance only, same caveat family.
+      // cur29 is deliberately NOT in the mix: like cur27 it
+      // overwrites cur23's emit dir (its scaladoc'd contract).
+      "etl30_suppression_gate",
       // sim24 rides the pinned insert-edge and kNN frames plus the
       // tombstone-filtered re-rank — read-only over the sim family's
       // shared pins.

@@ -276,6 +276,39 @@ class PlanAuditSpec extends SparkSpec {
       s"the erase set must anti-join broadcast, never shuffle the state:\n${plan.take(1500)}")
   }
 
+  test("cur29: composed masks broadcast; re-tile windows partitioned; no cartesian") {
+    val plan = finalPlan(Curation.cur29ComposedMasks(spark, sf))
+    // Both mask families union into one recall+findings-sized frame —
+    // it must broadcast onto the reassembled sequences, never shuffle
+    // the token stream to meet it.
+    assert(plan.contains("BroadcastHashJoin"),
+      "the composed mask list must broadcast onto the reassembled sequences")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in cur29:\n${plan.take(2000)}")
+    assert(!plan.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      "no unpartitioned window may appear in the re-tile")
+  }
+
+  test("etl30: the suppression gate is one broadcast anti-join on the change batch") {
+    import org.apache.spark.sql.functions.broadcast
+    // Run the operator (it publishes the suppression list), then
+    // replay the GATE's join shape: the list is request-sized and must
+    // anti-join broadcast against the incoming changes — the audit
+    // frame itself is eagerly materialized and trivial.
+    Etl.etl30SuppressionGate(spark, sf).collect()
+    val suffix = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl30_$suffix"
+    val sup = graft.sources.MergeSink.suppressionKeys(spark, base)
+    assert(sup.nonEmpty, "the scrub must have published a suppression list")
+    val changes = Etl.cdcLog(spark, sf)
+    val plan = finalPlan(changes.join(broadcast(sup.get),
+      changes("key").cast("long") === sup.get("key"), "left_anti"))
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+      s"the suppression gate must anti-join broadcast, never shuffle " +
+        s"the change batch:\n${plan.take(1500)}")
+  }
+
   test("sim24: re-link is an equi-join of edge frames; no corpus pair space") {
     val plan = finalPlan(Similarity.sim24TombstonedConsolidate(spark, sf))
     assert(!plan.contains("CartesianProduct"),
