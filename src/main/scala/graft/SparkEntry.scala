@@ -84,6 +84,7 @@ object SparkEntry {
     "etl28_fuzzy_link" -> Etl.etl28FuzzyLink _,
     "etl29_snapshot_scrub" -> Etl.etl29SnapshotScrub _,
     "etl30_suppression_gate" -> Etl.etl30SuppressionGate _,
+    "etl31_jdbc_erasure" -> Etl.etl31JdbcErasure _,
     "text01_tokenize_count" -> TextAnalysis.text01TokenizeCount _,
     "text02_quality_score" -> TextAnalysis.text02QualityScore _,
     "text03_langid" -> TextAnalysis.text03LangId _,
@@ -487,6 +488,40 @@ object SparkEntry {
            CAST(0 AS BIGINT) AS n_resurrected
          FROM lk, mx
          ORDER BY version"""
+  }
+
+  /** Generated DuckDB replay of etl31's JDBC erasure: etl25's merge
+    * algebra (staged +100 updates win, master remainder survives),
+    * then the erase-listed keys (the shared Etl29EraseHexThr salted
+    * predicate) deleted and the GATED replay a no-op — so the final
+    * per-segment counts/sums carry only non-erased keys, and n_erased
+    * is exactly the erased share of the MERGED state. A DELETE that
+    * missed a key, a gate that leaked one into the replayed MERGE, or
+    * a replay that double-applied the update moves a count or the
+    * 2-dp sum.
+    */
+  private val Etl31OracleSql: String = {
+    import graft.operators.Etl.Etl29EraseHexThr
+    s"""WITH m0 AS (SELECT c_custkey, c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 3 <> 0),
+         u AS (SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 2 = 0),
+         merged AS (
+           SELECT * FROM u
+           UNION ALL
+           SELECT * FROM m0
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM u)),
+         mf AS (SELECT *,
+             substr(md5('erase:' || CAST(c_custkey AS VARCHAR)), 1, 2)
+               < '$Etl29EraseHexThr' AS er
+           FROM merged)
+         SELECT c_mktsegment,
+           CAST(sum(CASE WHEN NOT er THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           round(CAST(sum(CASE WHEN NOT er THEN c_acctbal ELSE 0 END)
+             AS DOUBLE), 2) AS total_acctbal,
+           CAST(sum(CASE WHEN er THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+         FROM mf GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   }
 
   /** Generated DuckDB replay of sim11's greedy MMR: top-MmrCand
@@ -2353,6 +2388,7 @@ object SparkEntry {
     "etl27_retention" -> Etl27OracleSql,
     "etl29_snapshot_scrub" -> Etl29OracleSql,
     "etl30_suppression_gate" -> Etl30OracleSql,
+    "etl31_jdbc_erasure" -> Etl31OracleSql,
     "etl28_fuzzy_link" ->
       // Blocked fuzzy linkage over the distinct-name vocabulary; the
       // edit-distance bound (and its derived length band) comes from

@@ -955,6 +955,111 @@ object Etl {
       .orderBy("c_mktsegment")
   }
 
+  /** etl31: JDBC ERASURE + SUPPRESSION — the erasure loop closed on
+    * the sink the reference ACTUALLY runs (an RDBMS master table with
+    * completed-batch bookkeeping whose restart path literally REPLAYS
+    * the staged MERGE, case_2/Normal.py:265-327): etl29/etl30 build
+    * the story for the lake sink; a deployment with a database master
+    * faces the identical pair — erase the keys from served state, and
+    * gate the replayed batch so it cannot re-insert them. Scenario:
+    * etl25's master+staging land via parallel JDBC writes and the
+    * normal MERGE runs; then the erasure request (the salted
+    * [[etl29EraseFlag]] predicate, ~25% of keys — ONE definition with
+    * etl29/etl30) lands as a SUPPRESSION TABLE in the same engine, and
+    * one TRANSACTION executes the whole compliance action set-based:
+    * DELETE the erased keys from the master, DELETE them from the
+    * staged batch (the ingest-side gate, applied in the engine), and
+    * REPLAY the reference's MERGE. The transaction is the strengthening
+    * the lake sink cannot give: the gate is ATOMIC with the data it
+    * protects — no window where the replay sees an ungated staging.
+    *
+    * Audit: one row per market segment — post-erasure customer count,
+    * 2-dp balance sum, and n_erased measured pre→post FROM THE
+    * DATABASE (not from the predicate); the oracle replays the
+    * merge→erase→gated-replay algebra directly on the source table,
+    * so a DELETE that missed a key, a gate that leaked one into the
+    * replay, or a replay that double-applied the update moves a
+    * count or the sum. Returned eagerly materialized (etl29's
+    * discipline). The spec drives the THREAT arm: the same replay
+    * WITHOUT the gate resurrects every erased staged key.
+    *
+    * Scale: division of labor as etl25 — Spark moves data in
+    * parallel; the erasure control plane is three set-based
+    * statements the engine executes (the suppression list is
+    * request-sized); the read-back is key-partitioned. Same
+    * self-overwrite caveat as etl24/etl25: must not race itself.
+    */
+  def etl31JdbcErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (url, props) = derbyConnection(dir)
+    val master = "g_erase_master"
+    val staging = "g_erase_staging"
+    val suppress = "g_erase_suppress"
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val src = customer(spark, dir).select(cols.map(col): _*)
+    src.filter(col("c_custkey") % 3 =!= 0)
+      .write.mode("overwrite").jdbc(url, master, props)
+    src.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .write.mode("overwrite").jdbc(url, staging, props)
+    // The erasure request, landed as a table beside the data it
+    // governs (the ledger is transactional with the master).
+    src.filter(etl29EraseFlag(col("c_custkey")))
+      .select(col("c_custkey"))
+      .write.mode("overwrite").jdbc(url, suppress, props)
+    val q = cols.map(c => s""""$c"""")
+    val mergeSql =
+      s"""MERGE INTO $master m USING $staging s
+          ON m."c_custkey" = s."c_custkey"
+          WHEN MATCHED THEN UPDATE SET "c_acctbal" = s."c_acctbal"
+          WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
+            VALUES (${q.map(c => s"s.$c").mkString(", ")})"""
+    val maxKey = src.agg(max("c_custkey")).collect()(0).getLong(0)
+    def masterBack = spark.read.jdbc(url, master,
+      columnName = "c_custkey", lowerBound = 0L, upperBound = maxKey + 1,
+      numPartitions = 4, connectionProperties = props)
+    def segCounts: Map[String, Long] = masterBack
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val conn = java.sql.DriverManager.getConnection(url)
+    val pre =
+      try {
+        val st = conn.createStatement()
+        try {
+          // The normal load (the reference's first pass), then the
+          // pre-erasure per-segment counts MEASURED from the database
+          // (the audit's n_erased denominators must not trust the
+          // predicate — etl29's preRows discipline).
+          st.executeUpdate(mergeSql)
+          val p = segCounts
+          conn.setAutoCommit(false)
+          // The compliance action, one transaction: erase served
+          // state, gate the staged batch, replay the merge (the
+          // reference's restart path).
+          st.executeUpdate(s"""DELETE FROM $master WHERE "c_custkey" IN
+              (SELECT "c_custkey" FROM $suppress)""")
+          st.executeUpdate(s"""DELETE FROM $staging WHERE "c_custkey" IN
+              (SELECT "c_custkey" FROM $suppress)""")
+          st.executeUpdate(mergeSql)
+          conn.commit()
+          conn.setAutoCommit(true)
+          p
+        } finally st.close()
+      } finally conn.close()
+    val preDf = pre.toSeq.toDF("c_mktsegment", "n_pre")
+    val audit = masterBack
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .join(broadcast(preDf), Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"), col("n_customers"), col("total_acctbal"),
+        (coalesce(col("n_pre"), lit(0L)) - col("n_customers")).as("n_erased"))
+      .orderBy("c_mktsegment")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(audit.collect().toSeq, 1), audit.schema)
+  }
+
   /** Embedded-Derby connection contract shared by etl24/etl25: one DB
     * per (tmpdir, dir), lock/log files kept out of the working
     * directory.

@@ -73,6 +73,67 @@ class ScaleToolsSpec extends SparkSpec {
       "the database-side MERGE must apply exactly the upsert semantics")
   }
 
+  test("etl31 JDBC erasure: erased keys gone, gated replay a no-op, UNGATED replay resurrects (the threat is real)") {
+    val rows = Etl.etl31JdbcErasure(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) > 0L),
+      "the fixture's ~25% erase rate must hit every segment at spec sf")
+    // Read the final master straight from Derby: zero erased keys.
+    val suffix = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val home = s"${System.getProperty("java.io.tmpdir")}/graft_derby"
+    val url = s"jdbc:derby:$home/db_$suffix"
+    def masterKeys(): Set[Long] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery("""SELECT "c_custkey" FROM g_erase_master""")
+          val b = Set.newBuilder[Long]
+          while (rs.next()) b += rs.getLong(1)
+          b.result()
+        } finally st.close()
+      } finally conn.close()
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def erased(k: Long) = md5hex("erase:" + k).take(2) < Etl.Etl29EraseHexThr
+    val post = masterKeys()
+    assert(post.nonEmpty && !post.exists(erased),
+      "an erased key survived the DELETE or leaked through the gated replay")
+    // THREAT arm: re-stage the FULL batch (the reference's restart path
+    // with no suppression gate) and replay the MERGE ungated — the
+    // erased staged keys resurrect, which is exactly what the gate
+    // exists to stop.
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    src.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .write.mode("overwrite").jdbc(url, "g_erase_staging", props)
+    val q = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment").map(c => s""""$c"""")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""MERGE INTO g_erase_master m USING g_erase_staging s
+            ON m."c_custkey" = s."c_custkey"
+            WHEN MATCHED THEN UPDATE SET "c_acctbal" = s."c_acctbal"
+            WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
+              VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
+      finally st.close()
+    } finally conn.close()
+    val resurrected = masterKeys().filter(erased)
+    assert(resurrected.nonEmpty,
+      "the ungated replay must resurrect erased staged keys — otherwise " +
+        "the suppression gate guards against nothing")
+    // Re-running the operator converges back to the erased state
+    // (overwrite-everything entry), so later runs are unaffected.
+    assert(!Etl.etl31JdbcErasure(spark, sf).collect().isEmpty)
+    assert(!masterKeys().exists(erased))
+  }
+
   test("etl22 layout rebuilds when the source data is regenerated in place") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // A private source dir we can regenerate: the _SUCCESS-marker guard

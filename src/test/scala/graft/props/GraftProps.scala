@@ -280,6 +280,73 @@ object GraftProps extends Properties("graft") {
       tile(maskedStream) == tile(survivorStream)
     }
 
+  // ---- The COMPOSED mask algebra (cur29's law): whole-doc takedown
+  // masks and span-level redaction masks applied in ONE pass over the
+  // original tiling must equal the doubly-repacked stream (takedown
+  // docs removed entirely, surviving docs minus their CLAMPED spans,
+  // survivors re-tiled). Spans are arbitrary — negative, inverted,
+  // out-of-range, overlapping a takedown — exercising exactly the
+  // clamp + empty-range guard docSpanMaskRows/clippedMaskRows ship.
+
+  private val composedGen: Gen[(Int, List[(Int, Boolean, Option[(Int, Int)])])] =
+    for {
+      ctx <- Gen.choose(1, 16)
+      n <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 40)
+        td <- Gen.oneOf(true, false)
+        span <- Gen.option(
+          Gen.zip(Gen.choose(-5, 45), Gen.choose(-5, 45)))
+      } yield (len, td, span))
+    } yield (ctx, docs)
+
+  property("composed whole-doc + span masks == doubly-repacked stream (cur29's law)") =
+    Prop.forAll(composedGen) { case (ctx, docs) =>
+      val cumStarts = docs.map(_._1).scanLeft(0)(_ + _)
+      // The shipping clipping arithmetic, empty-range guard included.
+      def clip(cumLo: Int, cumHi: Int): Seq[(Int, Int, Int)] =
+        if (cumLo >= cumHi) Nil
+        else (cumLo / ctx to (cumHi - 1) / ctx).map { s =>
+          val lo = math.max(cumLo, s * ctx)
+          val hi = math.min(cumHi, (s + 1) * ctx)
+          (s, lo - s * ctx, hi - 1 - s * ctx)
+        }
+      val masks = docs.zipWithIndex.flatMap { case ((len, td, span), d) =>
+        val cum = cumStarts(d)
+        val whole = if (td) clip(cum, cum + len) else Nil
+        // docSpanMaskRows' clamp to [0, len) before clipping.
+        val spanRows = span.toSeq.flatMap { case (a, b) =>
+          clip(cum + math.max(a, 0), cum + math.min(b, len))
+        }
+        whole ++ spanRows
+      }.groupBy(_._1)
+      val stream = docs.zipWithIndex.flatMap { case ((len, _, _), d) =>
+        (0 until len).map(i => (d, i))
+      }
+      def tile(s: List[(Int, Int)]): List[List[(Int, Int)]] =
+        s.grouped(ctx).toList
+      // One composed pass over the ORIGINAL tiling: a position is
+      // dropped if ANY mask row of either family covers it.
+      val maskedStream = tile(stream).zipWithIndex.flatMap { case (toks, s) =>
+        val spans = masks.getOrElse(s, Seq.empty)
+        toks.zipWithIndex.collect {
+          case (t, p) if !spans.exists(m => p >= m._2 && p <= m._3) => t
+        }
+      }
+      // The doubly-scrubbed survivor stream, packed directly.
+      val survivorStream = docs.zipWithIndex.flatMap {
+        case ((len, false, span), d) =>
+          val (lo, hi) = span
+            .map { case (a, b) => (math.max(a, 0), math.min(b, len)) }
+            .getOrElse((0, 0))
+          (0 until len).collect {
+            case i if !(lo < hi && i >= lo && i < hi) => (d, i)
+          }
+        case _ => Nil
+      }
+      tile(maskedStream) == tile(survivorStream)
+    }
+
   property("prefix stability: a survivor keeps its position iff it packs before the first recall (cur24's law)") =
     Prop.forAll(packingGen) { case (ctx, docs) =>
       val cumBefore = docs.map(_._1).scanLeft(0)(_ + _)
