@@ -144,8 +144,13 @@ object PlanDump {
         "mask-vs-repack equivalence: both legs read EMITTED files through the one loader grammar; masks broadcast (recall-sized), re-tile offsets from ONE thin per-sequence window, final (source, seq) equi-join of two hash frames",
       "cur28_span_redaction" ->
         "span-level redaction: recall-sized manifest rows, sub-doc range through the one clipping core - NO join, NO window, no corpus access (cur25's economics at sub-document granularity)",
-      "etl29_snapshot_scrub" ->
-        "GDPR snapshot scrub: per retained version one broadcast anti-join + streamed state copy (write-to-.scrub then swap); erase list request-sized, cost linear in retained state, never the log",
+      "cur29_composed_masks" ->
+        "composed loader read: BOTH mask families union into one broadcast skip list over ONE emit leg's reassembly; the re-tile stays one thin per-source sequence window — composing adds no plan term beyond cur27's leg A",
+      // etl29/etl30/etl31 return EAGERLY materialized audits (their
+      // returned plans are trivial LocalRelation scans by design);
+      // their load-bearing join shapes — the per-version broadcast
+      // anti-join scrub and the broadcast anti-join suppression gate —
+      // are replayed and pinned by PlanAuditSpec instead.
       "sim24_tombstoned_consolidate" ->
         "tombstoned consolidate: sim22's evidence frames + ONE edge-to-edge equi-join on the dead endpoint (the DiskANN re-link), live-node-fenced vector joins, bounded-heap degree cut — still never a pair space")
 
@@ -280,12 +285,13 @@ object PlanDump {
       || cur23 train manifest docs (the emit's thin frame) | 3,334 | 37,850 | 11.4x at 10x docs - the train-split share of the funnel survivors, linear (round-17 row) |
       || cur23 hive partitions (source, shard) | 397 | 4,005 | 10.1x - shard count tracks packed tokens / (ctx * seqsPerShard), exactly linear (round-17 row) |
       || cur23 boundary-straddling docs | 376 | 3,918 | 10.4x - tracks doc mass, not shard count: the loader's back-read bound stays ceil(max_doc/ctx) shards at any scale (round-17 row) |
-      || cur23 emitted payload bytes (measured from the files) | 1,097,803 | 11,197,202 | 10.2x - the payload emit is the corpus's one full copy, linear by construction and now measured (round-17 row) |
-      || cur26 repacked payload bytes (measured from the files) | 1,038,375 | 10,500,258 | 10.1x - the repack re-emits the survivor mass; the delta vs cur23 is exactly the removed tokens' share (round-17 row) |
+      || cur23 emitted payload bytes (measured from the files) | 1,097,829 | 11,197,228 | 10.2x - the payload emit is the corpus's one full copy, linear by construction and now measured (round-17 row; +26 bytes per dir in round 18 = the build-once _GRAFT_STAMP marker) |
+      || cur26 repacked payload bytes (measured from the files) | 1,038,401 | 10,500,284 | 10.1x - the repack re-emits the survivor mass; the delta vs cur23 is exactly the removed tokens' share (round-17 row; +26-byte stamp as above) |
       || cur24 dirty-shard bill (sum of per-source suffixes) | 372 | 3,986 | 10.7x - at the fixture's deliberately-dense ~6% recall rate nearly every source dirties early, so the suffix is near-total and the bill tracks SHARD COUNT; a production recall list is orders sparser and the bill shrinks to the tail the prefix-stability law prices (round-17 row) |
       || cur25 mask rows (the zero-rewrite alternative) | 290 | 3,360 | 11.6x - recall-list-sized, never corpus-sized: the mask stays the cheap execution at any scale (round-17 row) |
       || cur27 equivalence rows (one per post-takedown sequence, through the operator itself - both emit legs + the masked re-tile run for real) | 1,478 | 15,000 | 10.1x - exactly linear in packed tokens/ctx; the masked-read leg adds no term beyond the emits it audits (round-17 row) |
       || cur28 span-redaction mask rows | 356 | 4,020 | 11.3x - recall-sized like cur25; sub-document granularity changes nothing about the economics (round-17 row) |
+      || cur29 composed-mask rows (one per post-composed-mask sequence, through the operator itself - the emit leg + the doubly-masked re-tile run for real) | 1,442 | 14,632 | 10.1x - exactly linear in surviving packed tokens/ctx: composing the two mask families in one loader pass adds no term beyond the single emit it reads (round-18 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,
