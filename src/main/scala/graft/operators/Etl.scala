@@ -994,7 +994,10 @@ object Etl {
     val (url, props) = derbyConnection(dir)
     val master = "g_erase_master"
     val staging = "g_erase_staging"
-    val suppress = "g_erase_suppress"
+    // `${master}_suppress` is the CONVENTION the streaming seam
+    // (GraftStreams.upsertBatchToJdbc) auto-detects: an erasure
+    // executed here gates every later streamed merge into this master.
+    val suppress = s"${master}_suppress"
     val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
       "c_mktsegment")
     val src = customer(spark, dir).select(cols.map(col): _*)

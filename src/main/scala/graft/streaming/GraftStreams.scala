@@ -1281,14 +1281,30 @@ object GraftStreams {
     try {
       // First batch bootstraps the master as an empty copy of the
       // staging shape (CREATE via the same JDBC metadata Spark wrote).
-      val meta = conn.getMetaData.getTables(null, null,
-        master.toUpperCase, null)
-      val exists = try meta.next() finally meta.close()
+      def tableExists(name: String): Boolean = {
+        val meta = conn.getMetaData.getTables(null, null,
+          name.toUpperCase, null)
+        try meta.next() finally meta.close()
+      }
+      val exists = tableExists(master)
+      // SUPPRESSION GATE (etl31's convention, on the streaming seam —
+      // round-17 directive #1's feed half): if an erasure ledger
+      // exists beside the master (table `${master}_suppress`, one
+      // keyCol column), suppressed keys are DELETED from the staged
+      // batch in the SAME transaction as the merge — a replayed or
+      // late micro-batch can never resurrect an erased key, and there
+      // is no window where the merge sees ungated staging. With no
+      // ledger the gate is one metadata probe.
+      val gated = tableExists(s"${master}_suppress")
       val st = conn.createStatement()
       try {
         if (!exists)
           st.executeUpdate(
             s"CREATE TABLE $master AS SELECT * FROM $staging WITH NO DATA")
+        if (gated) conn.setAutoCommit(false)
+        if (gated)
+          st.executeUpdate(s"""DELETE FROM $staging WHERE "$keyCol" IN
+              (SELECT "$keyCol" FROM ${master}_suppress)""")
         // A key-only batch (distinct-keys stream) has nothing to
         // update — the merge degrades to insert-only instead of
         // emitting a syntactically empty SET list.
@@ -1300,6 +1316,7 @@ object GraftStreams {
               $matchedArm
               WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
                 VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
+        if (gated) { conn.commit(); conn.setAutoCommit(true) }
       } finally st.close()
     } finally conn.close()
   }

@@ -1796,6 +1796,27 @@ class GraftStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       assert(readMaster() ==
         Map(1L -> (2L, 12.5), 2L -> (2L, 6.0), 3L -> (1L, 7.0)))
+      // SUPPRESSION GATE on the streaming seam (etl31's convention):
+      // erase key 2 (engine-side DELETE + the `${master}_suppress`
+      // ledger), then replay a batch carrying it — the erased key must
+      // NOT resurrect, while the batch's other rows merge normally.
+      Seq(2L).toDF("user_id").write.mode("overwrite")
+        .format("jdbc").option("url", url).option("driver", driver)
+        .option("dbtable", s"${master}_suppress").save()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""DELETE FROM $master WHERE "user_id" IN
+              (SELECT "user_id" FROM ${master}_suppress)""")
+        finally st.close()
+      } finally conn.close()
+      val late = Seq((2L, 9L, 99.0), (4L, 1L, 4.0)).toDF("user_id", "n", "total")
+      GraftStreams.upsertBatchToJdbc(late, url, driver, master, "user_id")
+      assert(readMaster() ==
+        Map(1L -> (2L, 12.5), 3L -> (1L, 7.0), 4L -> (1L, 4.0)),
+        "an erased key resurrected through the streamed merge, or the " +
+          "gate dropped a legitimate row")
     } finally q.stop()
   }
 
