@@ -963,6 +963,58 @@ class CurationTextSpec extends SparkSpec {
       "no partial-sequence mask at this sf")
   }
 
+  test("cur29 composed masks: conservation of doubly-scrubbed mass; span masks really fire; tiling gapless") {
+    val ctx = Curation.Cur18CtxTokens
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Curation.cur29ComposedMasks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Sequences tile 0..n-1 per source (the re-tile law, composed).
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val seqs = rs.map(_.getAs[Long]("seq")).sorted.toSeq
+      assert(seqs == (0L until seqs.length).toSeq, s"$src tiling gap")
+    }
+    // CONSERVATION: per source, Σ n_toks equals the manifest's
+    // doubly-scrubbed mass — non-takedown docs' post_toks minus the
+    // clamped span of redact-flagged survivors. A composition that
+    // double-counts an overlap, misses a span, or leaks a takedown
+    // token moves the per-source total.
+    val man = Curation.cur18TrainManifest(spark, sf).collect()
+    def flag(salt: String, id: Long, thr: String) =
+      md5hex(salt + id).take(2) < thr
+    val expected = man
+      .filter(r => !flag("takedown:", r.getAs[Long]("doc_id"),
+        Curation.TakedownHexThr))
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, docs) =>
+        src -> docs.map { r =>
+          val t = r.getAs[Long]("post_toks")
+          val spanLen =
+            if (flag("redact:", r.getAs[Long]("doc_id"), Curation.RedactHexThr))
+              math.min(math.max(t / 4 + 1, t / 2), t) - t / 4
+            else 0L
+          t - spanLen
+        }.sum
+      }
+    val got = rows.groupBy(_.getString(0))
+      .map { case (src, rs) => src -> rs.map(_.getAs[Long]("n_toks")).sum }
+    assert(got == expected, "doubly-scrubbed token mass not conserved")
+    // The span family REALLY fires at this sf (otherwise cur29 is a
+    // vacuous re-run of cur27's leg A): at least one surviving doc is
+    // redact-flagged, and the composed total is strictly below the
+    // takedown-only masked total. (The takedown∧redact OVERLAP case
+    // may not occur at this sf — it is property-proved for arbitrary
+    // packings in GraftProps' composed-mask law.)
+    assert(man.exists(r => !flag("takedown:", r.getAs[Long]("doc_id"),
+        Curation.TakedownHexThr) &&
+      flag("redact:", r.getAs[Long]("doc_id"), Curation.RedactHexThr)),
+      "no surviving redact doc at this sf — span arm vacuous")
+    val cur27Total = Curation.cur27MaskEquivalence(spark, sf).collect()
+      .map(_.getAs[Long]("masked_toks")).sum
+    assert(got.values.sum < cur27Total,
+      "composed masks must remove strictly more than takedown alone")
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)
