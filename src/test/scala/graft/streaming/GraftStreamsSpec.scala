@@ -1013,6 +1013,53 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batchRows, "replay must be a no-op")
   }
 
+  test("composed loader read over the LANDED stream25 + stream27 mask dirs equals batch cur29 (the deployed state, from the files)") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // The deployment state cur29 models is literally what the two
+    // feeds LAND: stream25's whole-doc mask rows and stream27's span
+    // mask rows under their batch_id=N dirs. The per-feed specs pin
+    // each feed == its batch twin; this arm closes the transitivity
+    // loop from the landed FILES — union the dirs, run the one
+    // masked-read pass, and the result must equal cur29 row-for-row.
+    val tmp = System.getProperty("java.io.tmpdir")
+    val out25 = s"$tmp/graft_comp25_${System.nanoTime()}"
+    val out27 = s"$tmp/graft_comp27_${System.nanoTime()}"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val man = Curation.cur18TrainManifest(spark, sf).collect()
+    val recalls = man.map(_.getAs[Long]("doc_id"))
+      .filter(id => md5hex("takedown:" + id).take(2) < Curation.TakedownHexThr)
+      .map(GraftStreams.RecallArrival)
+    val findings = man
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("post_toks")))
+      .filter { case (id, _) =>
+        md5hex("redact:" + id).take(2) < Curation.RedactHexThr }
+      .map { case (id, post) =>
+        val lo = post / 4
+        GraftStreams.SpanFindingArrival(id, lo, math.max(lo + 1, post / 2)) }
+    // Land each feed as two micro-batches (the landing seams are plain
+    // functions — the MemoryStream plumbing is pinned by each feed's
+    // own spec).
+    val (r1, r2) = recalls.splitAt(recalls.length / 2)
+    val (f1, f2) = findings.splitAt(findings.length / 2)
+    GraftStreams.landTakedownMaskBatch(spark.createDataFrame(r1.toSeq), sf, out25, 0L)
+    GraftStreams.landTakedownMaskBatch(spark.createDataFrame(r2.toSeq), sf, out25, 1L)
+    GraftStreams.landSpanRedactionBatch(spark.createDataFrame(f1.toSeq), sf, out27, 0L)
+    GraftStreams.landSpanRedactionBatch(spark.createDataFrame(f2.toSeq), sf, out27, 1L)
+    val maskCols = Seq("source", "seq", "shard", "doc_id", "mask_start",
+      "mask_end", "masked_toks")
+    val landedMasks = spark.read.parquet(out25).select(maskCols.head, maskCols.tail: _*)
+      .unionByName(spark.read.parquet(out27).select(maskCols.head, maskCols.tail: _*))
+    val viaLanded = Curation.maskedRetiledRead(spark, sf, landedMasks, "cur29")
+      .collect().map(_.toSeq.toVector).toSet
+    val batch = Curation.cur29ComposedMasks(spark, sf)
+      .select("source", "seq", "n_toks", "content_hash")
+      .collect().map(_.toSeq.toVector).toSet
+    assert(viaLanded == batch,
+      "the loader read over the LANDED mask dirs diverges from batch cur29")
+  }
+
   test("stream26: streamed erasure feed == one-shot batch scrub; survivors byte-identical; replay no-op") {
     import graft.operators.Etl
     import graft.sources.MergeSink
