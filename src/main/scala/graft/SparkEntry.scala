@@ -170,6 +170,7 @@ object SparkEntry {
     "cur27_mask_equivalence" -> Curation.cur27MaskEquivalence _,
     "cur28_span_redaction" -> Curation.cur28SpanRedaction _,
     "cur29_composed_masks" -> Curation.cur29ComposedMasks _,
+    "cur30_composed_repack" -> Curation.cur30ComposedRepack _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -1817,10 +1818,17 @@ object SparkEntry {
     * two mask families (double pass, overlap double-count, shifted
     * span) breaks the per-sequence hash.
     */
-  private val Cur29OracleSql: String = {
+  /** The doubly-repacked stream's CTE chain (ending in `pm29` —
+    * survivor positions with zero-length redaction-emptied docs
+    * filtered, `ptl` — the span-sliced token lists, and `sq29` — the
+    * re-tiled per-sequence stream), factored (round 19) so cur29's
+    * per-sequence read and cur30's per-shard byte-retire audit replay
+    * the IDENTICAL composition — the two oracles cannot drift.
+    */
+  private val Cur29SeqCtes: String = {
     val ctx = graft.operators.Curation.Cur18CtxTokens
     val rdThr = graft.operators.Curation.RedactHexThr
-    s"""WITH $Cur18SplCtes,
+    s"""$Cur18SplCtes,
          tdoc AS (SELECT doc_id, source, post_toks FROM spl
            WHERE split = 'train'$TakedownSurvivorWhere),
          ptoks AS (SELECT a.doc_id, a.t FROM atoks a JOIN tdoc USING (doc_id)
@@ -1859,12 +1867,49 @@ object SparkEntry {
              unnest(range(pm.seq_first, pm.seq_last + 1)) AS t(s)),
          sq29 AS (SELECT source, seq,
              array_to_string(flatten(list(part ORDER BY cum_start)), ' ') AS stext
-           FROM sl29 GROUP BY source, seq)
+           FROM sl29 GROUP BY source, seq)"""
+  }
+
+  private val Cur29OracleSql: String =
+    s"""WITH $Cur29SeqCtes
          SELECT source, seq,
            CAST(len(string_split(stext, ' ')) AS BIGINT) AS n_toks,
            ('0x' || substr(md5(stext), 1, 15))::BIGINT AS content_hash
          FROM sq29
          ORDER BY source, seq"""
+
+  /** Generated DuckDB replay of cur30's composed repack execute: the
+    * SAME doubly-repacked chain as cur29 ([[Cur29SeqCtes]] — takedowns
+    * removed, redaction spans sliced out, survivors re-packed in the
+    * unchanged order), aggregated per (source, shard) through the SAME
+    * shard-audit grammar as cur23/cur26 — doc and payload-token counts
+    * from the survivor lists, sequence counts/tokens/hash sums from
+    * the re-tiled stream. A retire that misses a span, keeps a
+    * takedown doc's bytes, or shifts the repacked tiling moves a hash
+    * sum.
+    */
+  private val Cur30OracleSql: String = {
+    val sps = graft.operators.Curation.Cur20SeqsPerShard
+    s"""WITH $Cur29SeqCtes,
+         dsh AS (SELECT source, CAST(seq_first // $sps AS BIGINT) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(len(ptoks)) AS BIGINT) AS payload_toks
+           FROM pm29 JOIN ptl USING (doc_id) GROUP BY 1, 2),
+         ssh AS (SELECT source, CAST(seq // $sps AS BIGINT) AS shard,
+             count(*) AS n_seqs,
+             CAST(sum(len(string_split(stext, ' '))) AS BIGINT) AS seq_toks,
+             CAST(sum(('0x' || substr(md5(stext), 1, 15))::BIGINT) AS BIGINT) AS seq_hash_sum
+           FROM sq29 GROUP BY 1, 2)
+         SELECT coalesce(d.source, s.source) AS source,
+           coalesce(d.shard, s.shard) AS shard,
+           coalesce(d.n_docs, 0) AS n_docs,
+           coalesce(d.payload_toks, 0) AS payload_toks,
+           coalesce(s.n_seqs, 0) AS n_seqs,
+           coalesce(s.seq_toks, 0) AS seq_toks,
+           coalesce(s.seq_hash_sum, 0) AS seq_hash_sum
+         FROM dsh d FULL OUTER JOIN ssh s
+           ON d.source = s.source AND d.shard = s.shard
+         ORDER BY source, shard"""
   }
 
   /** Generated DuckDB replay of cur21's sort-free budget: the same
@@ -2861,6 +2906,7 @@ object SparkEntry {
     "cur27_mask_equivalence" -> Cur27OracleSql,
     "cur28_span_redaction" -> Cur28OracleSql,
     "cur29_composed_masks" -> Cur29OracleSql,
+    "cur30_composed_repack" -> Cur30OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

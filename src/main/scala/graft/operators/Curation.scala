@@ -1613,7 +1613,7 @@ object Curation {
     */
   def cur23PayloadShards(spark: SparkSession, dir: String): DataFrame =
     payloadShardAudit(spark, cur18TrainPayload(spark, dir),
-      cur23OutDir(spark, dir), "cur23")
+      cur23OutDir(spark, dir), "cur23", dir)
 
   /** The payload emit + content-proving read-back audit over an
     * EXPLICIT payload frame (doc_id, source, post_toks, seq_first,
@@ -1625,9 +1625,9 @@ object Curation {
     */
   private[graft] def payloadShardAudit(
       spark: SparkSession, payload: DataFrame, out: String,
-      legTag: String): DataFrame = {
+      legTag: String, srcDir: String): DataFrame = {
     val sps = lit(Cur20SeqsPerShard)
-    val rb = payloadShardEmit(spark, payload, out, legTag)
+    val rb = payloadShardEmit(spark, payload, out, legTag, srcDir)
     val docsPerShard = rb.groupBy("source", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("payload_toks"))
@@ -1661,7 +1661,7 @@ object Curation {
     */
   private[graft] def payloadShardEmit(
       spark: SparkSession, payload: DataFrame, out: String,
-      legTag: String): DataFrame = {
+      legTag: String, srcDir: String): DataFrame = {
     val ctx = lit(Cur18CtxTokens)
     val clustered = payload
       .repartition(
@@ -1682,8 +1682,14 @@ object Curation {
     // the operator), and a literal-only retune cannot alias because a
     // constant cannot change within one JVM. The audit still reads the
     // emitted FILES — what it proves is unchanged.
+    // The SOURCE DATA fingerprint (etl22's ensurePath discipline) is
+    // folded in as defense in depth (round-18 ADVICE): a fixture dir
+    // regenerated in place within a session now rebuilds the emit
+    // instead of serving stale bytes behind an unchanged plan
+    // signature.
     val stamp = graft.PlanFingerprint.of(clustered) +
-      s":ctx=$Cur18CtxTokens:sps=$Cur20SeqsPerShard"
+      s":ctx=$Cur18CtxTokens:sps=$Cur20SeqsPerShard:" +
+      TableBuild.dirFingerprint(spark, s"$srcDir/documents.parquet")
     TableBuild.ensurePath(spark, out, stamp) {
       clustered.write.mode("overwrite")
         .partitionBy("source", "shard").parquet(out)
@@ -1979,7 +1985,7 @@ object Curation {
     */
   def cur26RepackExecute(spark: SparkSession, dir: String): DataFrame =
     payloadShardAudit(spark, cur26Payload(spark, dir),
-      cur26OutDir(spark, dir), "cur26")
+      cur26OutDir(spark, dir), "cur26", dir)
 
   /** cur27: MASK ↔ REPACK CONTENT EQUIVALENCE — the law that makes
     * "mask now, repack later" semantically safe (round-16 missing #1):
@@ -2033,7 +2039,7 @@ object Curation {
     // Leg B: the REPACKED emit, reassembled directly.
     val repackRead = reassembledSequences(
         payloadShardEmit(spark, cur26Payload(spark, dir),
-          cur26OutDir(spark, dir), "cur27"))
+          cur26OutDir(spark, dir), "cur27", dir))
       .select(col("source"), col("seq"),
         size(col("stoks")).cast("long").as("repack_toks"),
         tokenHash64(array_join(col("stoks"), " ")).as("repack_hash"))
@@ -2061,7 +2067,7 @@ object Curation {
       maskRows: DataFrame, legTag: String): DataFrame = {
     val ctx = lit(Cur18CtxTokens)
     val orig = payloadShardEmit(spark, cur18TrainPayload(spark, dir),
-      cur23OutDir(spark, dir), legTag)
+      cur23OutDir(spark, dir), legTag, dir)
     val masks = maskRows
       .groupBy("source", "seq")
       .agg(collect_list(struct(col("mask_start"), col("mask_end"))).as("mk"))
@@ -2145,6 +2151,94 @@ object Curation {
       .select(col("doc_id"), col("source"), col("post_toks"),
         col("seq_first"), col("seq_last"), col("off_first"),
         col("shard"), col("toks"))
+
+  /** cur30's emit directory — cur20's layout contract. */
+  private[graft] def cur30OutDir(spark: SparkSession, dir: String): String = {
+    val path = cur20OutDir(spark, dir).replace("graft_cur20_", "graft_cur30_")
+    registerEmitDirCleanup(path)
+    path
+  }
+
+  /** The DOUBLY-repacked payload frame: whole-doc takedowns (cur25's
+    * family) removed entirely, surviving redact-flagged docs (cur28's
+    * family) minus their span — two 1-based slices around the clamped
+    * [span_lo, span_hi) range, the redaction carried to the ARRAY —
+    * and the survivors re-packed by the ONE packing window
+    * ([[sequencePackPositions]]) in the unchanged per-source md5
+    * order. A doc a redaction empties (post_toks 1–3 can lose their
+    * only kept token) contributes nothing to the stream and is
+    * dropped BEFORE the window — a zero-length doc shifts no cumsum,
+    * so survivor positions are identical either way, and the packing
+    * grammar never sees the degenerate seq_last < seq_first a
+    * zero-length doc on a ctx boundary would produce.
+    */
+  private[graft] def cur30Payload(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Cur18CtxTokens
+    val spanLo = intDiv(col("post_toks"), lit(4L))
+    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
+    // The clamp is docSpanMaskRows' verbatim (the mask emit and the
+    // byte retire cannot place a span differently).
+    val lo = greatest(spanLo, lit(0L))
+    val hi = least(spanHi, col("post_toks"))
+    val scrubbed = cur18TrainPayload(spark, dir)
+      .filter(!takedownFlag)
+      .withColumn("toks",
+        when(redactFlag,
+          concat(slice(col("toks"), lit(1), lo.cast("int")),
+            slice(col("toks"), (hi + 1).cast("int"),
+              (col("post_toks") - hi).cast("int"))))
+          .otherwise(col("toks")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_chars"), col("toks"))
+      .filter(col("n_chars") > 0)
+    sequencePackPositions(
+        scrubbed.select(col("doc_id"), col("source"), col("n_chars")), ctx)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").as("post_toks"),
+        col("seq_first"), col("seq_last"),
+        ((col("cum_end") - col("n_chars")) % ctx).as("off_first"),
+        intDiv(col("seq_first"), lit(Cur20SeqsPerShard)).as("shard"))
+      .join(scrubbed.select(col("doc_id"), col("toks")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("post_toks"),
+        col("seq_first"), col("seq_last"), col("off_first"),
+        col("shard"), col("toks"))
+  }
+
+  /** cur30: COMPOSED REPACK EXECUTE — retire BOTH mask families into
+    * bytes (round-18 directive #1, the takedown lifecycle's last
+    * read-only law carried to the files). Between repacks, whole-doc
+    * takedown masks (cur25/stream25) and span redaction masks
+    * (cur28/stream27) accumulate on the ORIGINAL shards and every
+    * loader pass pays the composed skip list (cur29's read); this
+    * operator is the COMPACTION step that retires that mask debt: the
+    * doubly-repacked corpus — takedown docs removed entirely,
+    * surviving redact docs minus their spans, survivors re-packed in
+    * the unchanged order ([[cur30Payload]]) — is EMITTED through
+    * cur23's sink and audited FROM THE EMITTED FILES by the same
+    * reassembly chain ([[payloadShardAudit]] verbatim — the re-emitted
+    * corpus cannot be audited differently than the original). The
+    * closing law is spec-pinned: the post-repack loader read equals
+    * cur29's composed masked read hash-for-hash per (source, seq) —
+    * after the emit, the masks are RETIRED (an empty skip list over
+    * the new shards reads what the full skip list read over the old),
+    * so the accumulated mask artifacts can be dropped, exactly as
+    * cur26 retires cur25's whole-doc masks alone. cur26's
+    * prefix-stability economics carry over: every shard before a
+    * source's first dirty sequence (now min over BOTH families) is
+    * byte-identical to the original emit, also spec-pinned.
+    *
+    * Scale: the only work beyond cur26's already-priced shape is the
+    * per-survivor span slice (a map-side array op on redact-flagged
+    * docs only); masks never touch this path at all — the redaction is
+    * re-derived from the SAME finding coordinates the masks encode, so
+    * the two executions can only agree if the mask emit, the composed
+    * read, and this byte retire all place every span identically —
+    * which is what the oracle hash proves per shard and the spec per
+    * sequence.
+    */
+  def cur30ComposedRepack(spark: SparkSession, dir: String): DataFrame =
+    payloadShardAudit(spark, cur30Payload(spark, dir),
+      cur30OutDir(spark, dir), "cur30", dir)
 
   def cur24Takedown(spark: SparkSession, dir: String): DataFrame = {
     val ctx = Cur18CtxTokens

@@ -994,10 +994,12 @@ object Etl {
     val (url, props) = derbyConnection(dir)
     val master = "g_erase_master"
     val staging = "g_erase_staging"
-    // `${master}_suppress` is the CONVENTION the streaming seam
-    // (GraftStreams.upsertBatchToJdbc) auto-detects: an erasure
-    // executed here gates every later streamed merge into this master.
-    val suppress = s"${master}_suppress"
+    // The ledger name the streaming seam (GraftStreams.
+    // upsertBatchToJdbc) auto-detects — resolved through the ONE
+    // shared definition (round-18 directive #4): an erasure executed
+    // here gates every later streamed merge into this master, and a
+    // spelling drift is now a compile error, not a silent un-gating.
+    val suppress = graft.sources.JdbcErasure.suppressTableFor(master)
     val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
       "c_mktsegment")
     val src = customer(spark, dir).select(cols.map(col): _*)
@@ -1037,16 +1039,26 @@ object Etl {
           st.executeUpdate(mergeSql)
           val p = segCounts
           conn.setAutoCommit(false)
-          // The compliance action, one transaction: erase served
-          // state, gate the staged batch, replay the merge (the
-          // reference's restart path).
-          st.executeUpdate(s"""DELETE FROM $master WHERE "c_custkey" IN
-              (SELECT "c_custkey" FROM $suppress)""")
-          st.executeUpdate(s"""DELETE FROM $staging WHERE "c_custkey" IN
-              (SELECT "c_custkey" FROM $suppress)""")
-          st.executeUpdate(mergeSql)
-          conn.commit()
-          conn.setAutoCommit(true)
+          try {
+            // The compliance action, one transaction: erase served
+            // state, gate the staged batch, replay the merge (the
+            // reference's restart path).
+            st.executeUpdate(s"""DELETE FROM $master WHERE "c_custkey" IN
+                (SELECT "c_custkey" FROM $suppress)""")
+            st.executeUpdate(s"""DELETE FROM $staging WHERE "c_custkey" IN
+                (SELECT "c_custkey" FROM $suppress)""")
+            st.executeUpdate(mergeSql)
+            conn.commit()
+            conn.setAutoCommit(true)
+          } catch {
+            // Roll back and restore autoCommit BEFORE close: Derby
+            // throws 25001 on close-with-active-transaction, masking
+            // the original failure (round-18 ADVICE).
+            case e: Throwable =>
+              try { conn.rollback(); conn.setAutoCommit(true) }
+              catch { case _: java.sql.SQLException => () }
+              throw e
+          }
           p
         } finally st.close()
       } finally conn.close()

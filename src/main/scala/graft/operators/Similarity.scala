@@ -1268,7 +1268,7 @@ object Similarity {
       .select("q_id", "rk", "vec_id", "cos")
       .orderBy("q_id", "rk")
 
-  private def sim19TopPer(df: DataFrame, k: Int): DataFrame = {
+  private[graft] def sim19TopPer(df: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

@@ -163,6 +163,45 @@ object CodebookStore {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
+  /** Retention for the artifact store — MergeSink.expireVersions'
+    * contract applied to published artifacts: keep the newest
+    * `keepLast` COMMITTED versions, delete every snapshot dir strictly
+    * older than the oldest retained one, return the expired numbers.
+    * The current version can never be expired (`keepLast >= 1`,
+    * refused loudly); claim markers are never pruned (the lineage-fork
+    * argument in MergeSink.pruneOldVersions). Reads of retained
+    * versions are untouched; reads of expired versions fail loudly in
+    * [[frameAt]]/[[codebookAt]].
+    *
+    * Motivating user (round-18 directive #5): a table's cumulative
+    * SUPPRESSION ledger publishes one full version per erasure scrub
+    * forever, but its content is cumulative — every older version is a
+    * strict subset of the newest, so expired versions are redundant to
+    * the ingest gate by construction, and this floor is how the ledger
+    * stops growing one artifact per scrub without ever weakening the
+    * gate.
+    */
+  def expireVersions(spark: SparkSession, basePath: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (the current version cannot be expired), got $keepLast")
+    val committed = versions(spark, basePath)
+    val retained = committed.takeRight(keepLast)
+    if (retained.isEmpty) Seq.empty
+    else {
+      val floor = retained.head
+      val (fs, base) = fsFor(spark, basePath)
+      val expired = fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+        .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+        .filter(_ < floor).sorted
+      expired.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"v$v"), true)
+      }
+      expired
+    }
+  }
+
   /** Drop every version and claim marker — a clean slate for a
     * deterministic replay (MergeSink.reset's contract).
     */

@@ -414,12 +414,16 @@ object MergeSink {
     * claims, failing loudly on stale ones), holds that claim across
     * every swap so no peer can commit a NEW version mid-scrub (the
     * serializability gate blocks them on the fence), and releases the
-    * claim when done. Releasing is safe precisely because the fence
-    * never writes its version dir — the number was never used for
-    * data, so no lineage can fork on its reuse. A scrub that CRASHES
-    * holding the fence leaves a claim that ages to the same loud
-    * stale-writer failure a crashed merge does; the documented resolve
-    * (delete the claim, re-run) converges through the orphan recovery.
+    * claim ON SUCCESS ONLY. Releasing then is safe precisely because
+    * the fence never writes its version dir — the number was never
+    * used for data, so no lineage can fork on its reuse. A scrub that
+    * CRASHES or THROWS holding the fence leaves a claim that ages to
+    * the same loud stale-writer failure a crashed merge does — kept
+    * deliberately, because a mid-swap throw can leave the latest
+    * version dir momentarily absent and an unfenced peer merge would
+    * rebuild around it, losing a committed version; the documented
+    * resolve (delete the claim, re-run) converges through the orphan
+    * recovery.
     * Concurrent READERS of a version being swapped can still observe
     * the rename window on stores without atomic rename — snapshot
     * reads retry/fail loudly there; writers are fully fenced.
@@ -454,7 +458,7 @@ object MergeSink {
       if (next == baseV + 1 && tryClaim(spark, basePath, next)) fence = next
       else awaitBlockerOrFailStale(spark, basePath, baseV + 1, "scrub")
     }
-    try {
+    locally {
       recoverScrubOrphans(spark, basePath)
       // Publish the cumulative suppression list FIRST: if the scrub
       // crashes mid-history, ingest is already gated while the re-run
@@ -487,12 +491,20 @@ object MergeSink {
       // The catalog table points at the latest version DIR (unchanged
       // path, new files) — drop any cached file listing.
       if (spark.catalog.tableExists(table)) spark.sql(s"REFRESH TABLE $table")
-      committed
-    } finally {
-      // Release the fence. Never reached a snapshot write at vFence,
-      // so reuse of the number cannot fork lineage.
+      // Release the fence ON SUCCESS ONLY. Never reached a snapshot
+      // write at vFence, so reuse of the number cannot fork lineage.
+      // On an exception the claim is deliberately KEPT: a throw
+      // mid-swap can leave the latest version dir absent (complete
+      // copies survive under vN.old/vN.scrub), and releasing the fence
+      // there would let a peer merge pass the serializability gate,
+      // claim vFence, and rebuild state from v(N-1) WITHOUT batch N —
+      // after which orphan recovery deletes the only complete copy:
+      // silent permanent loss of a committed version (round-18
+      // ADVICE). Holding the claim makes peers block and age to the
+      // loud stale-claim failure, whose documented resolve (delete the
+      // claim, re-run) converges through recoverScrubOrphans.
       fs.delete(new org.apache.hadoop.fs.Path(base, s"v$fence.claim"), false)
-      ()
+      committed
     }
   }
 
@@ -528,8 +540,24 @@ object MergeSink {
       val scrubCommitted =
         fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
       if (!fs.exists(vPath)) {
-        if (scrubCommitted) { fs.rename(tmp, vPath); fs.delete(old, true) }
-        else if (fs.exists(old)) { fs.rename(old, vPath); fs.delete(tmp, true) }
+        // Loud-failure discipline (round-18 ADVICE): a silent failed
+        // promote/restore would leave the version missing, and the
+        // caller's committedOnly listing would then simply SKIP it —
+        // success reported with a version absent. Same contract as the
+        // swap path's rename check.
+        if (scrubCommitted) {
+          if (!fs.rename(tmp, vPath)) throw new IllegalStateException(
+            s"scrub recovery failed to promote $tmp to $vPath — the " +
+              "complete scrubbed copy remains; resolve the store error " +
+              "and re-run")
+          fs.delete(old, true)
+        } else if (fs.exists(old)) {
+          if (!fs.rename(old, vPath)) throw new IllegalStateException(
+            s"scrub recovery failed to restore $old to $vPath — the " +
+              "complete original remains; resolve the store error and " +
+              "re-run")
+          fs.delete(tmp, true)
+        }
       } else {
         fs.delete(tmp, true); fs.delete(old, true)
       }
@@ -541,6 +569,21 @@ object MergeSink {
     * the version listing never sees it).
     */
   private def suppressDir(basePath: String): String = s"$basePath/suppress"
+
+  /** Retention for the suppression ledger (round-18 directive #5):
+    * keep the newest `keepLast` committed ledger versions, expire the
+    * rest, return the expired numbers. Safe by construction — each
+    * scrub publishes the CUMULATIVE erase set (prior ∪ new,
+    * [[scrubVersions]]), so every older version is a strict subset of
+    * the newest and the ingest gate (which resolves only the latest
+    * committed version via [[suppressionKeys]]) is IDENTICAL after
+    * expiry. The current version is inexpirable (`keepLast >= 1`,
+    * refused loudly); expired reads fail loudly in
+    * CodebookStore.frameAt.
+    */
+  def expireSuppressionVersions(spark: SparkSession, basePath: String,
+      keepLast: Int): Seq[Long] =
+    CodebookStore.expireVersions(spark, suppressDir(basePath), keepLast)
 
   /** The current (newest committed) cumulative suppression list, if
     * any erasure has ever been executed against this table — one

@@ -740,6 +740,69 @@ object GraftStreams {
         batch.sparkSession, dir, batch)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** stream28: GRAPH-ANN TOMBSTONE FEED — the delete set as a FED,
+    * versioned artifact instead of sim23's salted in-query rule,
+    * closing the last cell of the ANN × streaming matrix (stream24
+    * inserts, stream11 appends, stream17 swaps the codebook; deletes
+    * arrive on exactly stream25/stream26's external recall cadence).
+    * The tombstone set is PUBLISHED through
+    * [[graft.sources.CodebookStore.publishFrame]] (stream17/stream21's
+    * artifact pattern — claim/_SUCCESS, atomic flip, retained prior
+    * versions), and each search micro-batch resolves the latest
+    * COMMITTED version at batch time: arriving queries run sim23's
+    * route-through search — the tombstone set cannot change where the
+    * beam goes, only what is returned, so the search navigates sim19's
+    * pinned pool UNCHANGED and the fed set drops candidates only at
+    * the final cut — and land their top-k under `batch_id=N`, stamped
+    * with the tombstone version that decided them.
+    *
+    * Contracts, stream17's verbatim: a mid-stream publish re-routes
+    * only NEW batches (the `_SUCCESS` marker is the flip; a batch can
+    * never read a half-written set, and already-landed batches stay
+    * reproducible from their stamped retained version); `batch_id=N`
+    * overwrite makes replay idempotent, and a replay RE-DECIDES under
+    * the current version (the version column says which law produced
+    * every row); per-row decisions ⇒ re-batching-invariant given the
+    * same resolved version; ZERO streaming state — the store is the
+    * state. Per version the results equal batch sim23 with that
+    * version's set (spec-pinned: v1 = the salted rule's set makes the
+    * equality exact against sim23GraphDelete itself).
+    *
+    * Scale: the fed set is recall-sized (an erasure/opt-out ledger) —
+    * broadcast anti-join at the cut; the pool stays the one pinned
+    * session artifact; the store artifact is O(deletes), kilobytes.
+    */
+  def landTombstonedSearchBatch(batch: DataFrame, dir: String,
+      storePath: String, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = graft.sources.CodebookStore.latest(spark, storePath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed tombstone set under $storePath — publish one " +
+          "(empty is valid: no deletes yet) before streaming searches"))
+    tombstonedSearchResults(spark, dir, batch, storePath, v)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** Decision core, separable so the spec replays it per version: the
+    * arriving q_ids' slice of sim19's pinned visited pool, the fed
+    * version's tombstones dropped at the final cut ONLY (sim23's
+    * route-through), the bounded top-k window, the version stamp.
+    */
+  private[graft] def tombstonedSearchResults(spark: SparkSession,
+      dir: String, batch: DataFrame, storePath: String,
+      version: Long): DataFrame = {
+    import graft.operators.Similarity
+    val ts = graft.sources.CodebookStore.frameAt(spark, storePath, version)
+      .select(col("vec_id").cast("long").as("vec_id"))
+    val pool = Similarity.sim19VisitedPool(spark, dir)
+      .join(broadcast(batch.select(col("q_id").cast("long").as("q_id"))),
+        Seq("q_id"), "left_semi")
+      .join(broadcast(ts), Seq("vec_id"), "left_anti")
+    Similarity.sim19TopPer(pool, Similarity.TopK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .withColumn("tombstone_version", lit(version))
+  }
+
   /** One document arriving on the stream19 packing stream: its size in
     * the packing unit (chars for cur09's batch twin; POST-SCRUB tokens
     * when composed behind stream18's funnel gate) plus event time for
@@ -1289,34 +1352,49 @@ object GraftStreams {
       val exists = tableExists(master)
       // SUPPRESSION GATE (etl31's convention, on the streaming seam —
       // round-17 directive #1's feed half): if an erasure ledger
-      // exists beside the master (table `${master}_suppress`, one
-      // keyCol column), suppressed keys are DELETED from the staged
-      // batch in the SAME transaction as the merge — a replayed or
-      // late micro-batch can never resurrect an erased key, and there
-      // is no window where the merge sees ungated staging. With no
-      // ledger the gate is one metadata probe.
-      val gated = tableExists(s"${master}_suppress")
+      // exists beside the master (the ONE shared naming seam,
+      // JdbcErasure.suppressTableFor — round-18 directive #4: a
+      // spelling drift between the writer and this probe would
+      // silently un-gate the stream), suppressed keys are DELETED from
+      // the staged batch in the SAME transaction as the merge — a
+      // replayed or late micro-batch can never resurrect an erased
+      // key, and there is no window where the merge sees ungated
+      // staging. With no ledger the gate is one metadata probe.
+      val suppress = graft.sources.JdbcErasure.suppressTableFor(master)
+      val gated = tableExists(suppress)
       val st = conn.createStatement()
       try {
         if (!exists)
           st.executeUpdate(
             s"CREATE TABLE $master AS SELECT * FROM $staging WITH NO DATA")
         if (gated) conn.setAutoCommit(false)
-        if (gated)
-          st.executeUpdate(s"""DELETE FROM $staging WHERE "$keyCol" IN
-              (SELECT "$keyCol" FROM ${master}_suppress)""")
-        // A key-only batch (distinct-keys stream) has nothing to
-        // update — the merge degrades to insert-only instead of
-        // emitting a syntactically empty SET list.
-        val matchedArm =
-          if (setList.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setList\n" else ""
-        st.executeUpdate(
-          s"""MERGE INTO $master m USING $staging s
-              ON m."$keyCol" = s."$keyCol"
-              $matchedArm
-              WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
-                VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
-        if (gated) { conn.commit(); conn.setAutoCommit(true) }
+        try {
+          if (gated)
+            st.executeUpdate(s"""DELETE FROM $staging WHERE "$keyCol" IN
+                (SELECT "$keyCol" FROM $suppress)""")
+          // A key-only batch (distinct-keys stream) has nothing to
+          // update — the merge degrades to insert-only instead of
+          // emitting a syntactically empty SET list.
+          val matchedArm =
+            if (setList.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setList\n" else ""
+          st.executeUpdate(
+            s"""MERGE INTO $master m USING $staging s
+                ON m."$keyCol" = s."$keyCol"
+                $matchedArm
+                WHEN NOT MATCHED THEN INSERT (${q.mkString(", ")})
+                  VALUES (${q.map(c => s"s.$c").mkString(", ")})""")
+          if (gated) { conn.commit(); conn.setAutoCommit(true) }
+        } catch {
+          // Roll back and restore autoCommit BEFORE close: Derby
+          // throws 25001 on close-with-active-transaction, which would
+          // mask the original failure (round-18 ADVICE).
+          case e: Throwable =>
+            if (gated) {
+              try { conn.rollback(); conn.setAutoCommit(true) }
+              catch { case _: java.sql.SQLException => () }
+            }
+            throw e
+        }
       } finally st.close()
     } finally conn.close()
   }

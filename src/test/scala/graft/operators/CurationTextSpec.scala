@@ -1015,6 +1015,89 @@ class CurationTextSpec extends SparkSpec {
       "composed masks must remove strictly more than takedown alone")
   }
 
+  test("cur30 composed repack: retired read == cur29 composed read; clean-prefix shards byte-identical; both families' bytes gone") {
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sps = Curation.Cur20SeqsPerShard
+    // THE MASKS-RETIRED LAW (the operator's whole point): a loader of
+    // the re-emitted shards with an EMPTY skip list reads, hash for
+    // hash per (source, seq), exactly what cur29's composed masked
+    // read over the ORIGINAL shards + full skip list reads — so after
+    // the emit, BOTH accumulated mask families can be dropped. This is
+    // cur27's mask↔repack law carried to the composed deployment
+    // state, and it is deliberately measured from the FILES on both
+    // sides (the emitted cur30 shards; cur23's emitted originals under
+    // cur29's masks).
+    val retired = Curation.reassembledSequences(
+        Curation.payloadShardEmit(spark, Curation.cur30Payload(spark, sf),
+          Curation.cur30OutDir(spark, sf), "cur30", sf))
+      .select(col("source"), col("seq"),
+        size(col("stoks")).cast("long").as("n_toks"),
+        graft.functions.GraftFunctions.tokenHash64(
+          array_join(col("stoks"), " ")).as("content_hash"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val composed = Curation.cur29ComposedMasks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("seq")) ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("content_hash")))).toMap
+    assert(retired == composed,
+      "post-repack loader read must equal cur29's composed masked read")
+    // PREFIX IDENTITY, composed: every shard strictly before a
+    // source's first dirty sequence — now the min over BOTH families'
+    // mask rows — is byte-identical to the original emit (identical
+    // docs, tokens, sequence hash sums), and the first dirty shard
+    // itself genuinely changed (non-vacuous).
+    type ShardRow = (Long, Long, Long, Long, Long)
+    def audit(df: org.apache.spark.sql.DataFrame): Map[(String, Long), ShardRow] =
+      df.collect().map(r => (r.getString(0), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("payload_toks"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("seq_toks"),
+          r.getAs[Long]("seq_hash_sum")))).toMap
+    val before = audit(Curation.cur23PayloadShards(spark, sf))
+    val after = audit(Curation.cur30ComposedRepack(spark, sf))
+    val firstDirty = (Curation.cur25TombstoneMask(spark, sf).collect() ++
+        Curation.cur28SpanRedaction(spark, sf).collect())
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("seq")).min).toMap
+    before.keys.foreach { case k @ (src, sh) =>
+      val bound = firstDirty.get(src).map(_ / sps).getOrElse(Long.MaxValue)
+      if (sh < bound)
+        assert(after.get(k).contains(before(k)),
+          s"clean-prefix shard $k must be byte-identical post-retire")
+    }
+    assert(firstDirty.nonEmpty)
+    firstDirty.foreach { case (src, fd) =>
+      val dirty = (src, fd / sps)
+      assert(before.get(dirty) != after.get(dirty),
+        s"the first composed-dirty shard $dirty must differ post-retire")
+    }
+    // BYTES GONE, both families: no takedown doc survives in any
+    // emitted file, and every emitted redact-flagged doc's stored
+    // token count is its manifest count MINUS its clamped span — the
+    // redaction physically left the array, not just the skip list.
+    val manToks = Curation.cur18TrainManifest(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("post_toks")).toMap
+    val emitted = spark.read.parquet(Curation.cur30OutDir(spark, sf))
+      .select(col("doc_id"), col("post_toks")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(emitted.nonEmpty)
+    var redactSeen = 0
+    emitted.foreach { case (id, stored) =>
+      assert(md5hex("takedown:" + id).take(2) >= Curation.TakedownHexThr,
+        s"takedown doc $id survived the composed retire")
+      val t = manToks(id)
+      if (md5hex("redact:" + id).take(2) < Curation.RedactHexThr) {
+        redactSeen += 1
+        val spanLen = math.min(math.max(t / 4 + 1, t / 2), t) - t / 4
+        assert(stored == t - spanLen,
+          s"redact doc $id must store its span-sliced array ($stored vs $t-$spanLen)")
+      } else assert(stored == t, s"untouched doc $id changed size")
+    }
+    assert(redactSeen > 0, "no redact-flagged survivor at this sf — span arm vacuous")
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -290,6 +290,22 @@ class PlanAuditSpec extends SparkSpec {
       "no unpartitioned window may appear in the re-tile")
   }
 
+  test("cur30: composed retire is mask-free and equi-only; packing window partitioned") {
+    val plan = finalPlan(Curation.cur30ComposedRepack(spark, sf))
+    // The retire re-derives both families from the finding coordinates
+    // map-side (a takedown filter + an in-array span slice) — the skip
+    // list never joins in, and the only joins are doc_id/(source,
+    // shard) equi-joins: no cartesian, no non-equi pair space.
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in cur30:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the composed retire must stay equi-join only")
+    // The survivor re-pack window must ride the per-source partition,
+    // never a global sort of the corpus.
+    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      "no unpartitioned window may appear in the re-pack")
+  }
+
   test("etl30: the suppression gate is one broadcast anti-join on the change batch") {
     import org.apache.spark.sql.functions.broadcast
     // Run the operator (it publishes the suppression list), then

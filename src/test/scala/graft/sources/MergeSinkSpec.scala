@@ -351,6 +351,81 @@ class MergeSinkSpec extends SparkSpec {
   private def snapshotKeys(df: DataFrame): Set[Long] =
     df.select("key").collect().map(_.getLong(0)).toSet
 
+  test("suppression-ledger retention: old versions expire, the gate is identical, expired reads fail loudly") {
+    val (table, base) = freshTable("supretain")
+    MergeSink.merge(spark, table, base,
+      ops((1L, 10L, "I", 1.0), (2L, 11L, "I", 2.0), (3L, 12L, "I", 3.0)))
+    // Two scrubs → two ledger versions, each CUMULATIVE (v2 ⊇ v1), so
+    // v1 is strictly redundant to the gate by construction.
+    MergeSink.scrubVersions(spark, table, base, ops((2L, 0L, "X", 0.0)).select("key"))
+    MergeSink.scrubVersions(spark, table, base, ops((3L, 0L, "X", 0.0)).select("key"))
+    val supDir = s"$base/suppress"
+    assert(CodebookStore.versions(spark, supDir) == Seq(1L, 2L))
+    // Retention floor (round-18 directive #5): keep the newest only.
+    assert(MergeSink.expireSuppressionVersions(spark, base, keepLast = 1)
+      == Seq(1L))
+    assert(CodebookStore.versions(spark, supDir) == Seq(2L))
+    // GATE IDENTICAL after expiry — the late replay still cannot
+    // resurrect EITHER scrub's keys (v2 carries the cumulative set).
+    MergeSink.merge(spark, table, base,
+      ops((1L, 100L, "U", 1.5), (2L, 101L, "U", 2.5), (3L, 102L, "U", 3.5)))
+    val fin = snapshot(MergeSink.state(spark, table))
+    assert(!fin.exists(r => r._1 == 2L || r._1 == 3L),
+      s"expiry weakened the gate: $fin")
+    assert(fin.contains((1L, 100L, "U", Some(1.5))))
+    // Expired reads fail loudly; the current version is inexpirable.
+    val ex = intercept[NoSuchElementException](
+      CodebookStore.frameAt(spark, supDir, 1L))
+    assert(ex.getMessage.contains("v1"))
+    intercept[IllegalArgumentException](
+      MergeSink.expireSuppressionVersions(spark, base, keepLast = 0))
+    // Idempotent: nothing left below the floor.
+    assert(MergeSink.expireSuppressionVersions(spark, base, keepLast = 1).isEmpty)
+  }
+
+  test("a scrub that throws holding the fence KEEPS its claim — peers age to the loud stale failure, never commit around a swap window") {
+    val (table, base) = freshTable("fencehold")
+    MergeSink.merge(spark, table, base, ops((1L, 10L, "I", 1.0)))
+    // Inject a failure INSIDE the fenced block: the erase-key frame
+    // evaluates during the ledger publish (the first fenced action)
+    // and throws. The round-18 ADVICE scenario this pins: if the fence
+    // were released here (the old `finally`), a mid-swap crash state
+    // with the latest version dir absent would let a peer merge pass
+    // the serializability gate, rebuild v_N from v_{N-1} without batch
+    // N, and the next orphan recovery would then delete the only
+    // complete copy — silent loss of a committed version.
+    val boom = udf((k: Long) =>
+      if (k >= 0) throw new RuntimeException("injected scrub failure")
+      else k)
+    intercept[Exception](MergeSink.scrubVersions(spark, table, base,
+      ops((1L, 0L, "X", 0.0)).select(boom(col("key")).as("key"))))
+    val (fs, _) = hadoopFs(base)
+    val fenceClaim = new org.apache.hadoop.fs.Path(base, "v2.claim")
+    assert(fs.exists(fenceClaim),
+      "the fence claim must survive a throw inside the fenced block")
+    // A peer merge BLOCKS behind the held fence and, once the claim is
+    // stale, fails loudly naming it — it must never commit v2.
+    fs.setTimes(fenceClaim,
+      System.currentTimeMillis() - MergeSink.StaleClaimMs - 5000, -1)
+    val ex = intercept[IllegalStateException](
+      MergeSink.merge(spark, table, base, ops((5L, 30L, "I", 5.0))))
+    assert(ex.getMessage.contains("v2"))
+    assert(MergeSink.versions(spark, base) == Seq(1L),
+      "no peer may commit around a crashed scrub's fence")
+    // The documented resolve: delete the claim, re-run — everything
+    // converges and normal service resumes.
+    fs.delete(fenceClaim, false)
+    val scrubbed = MergeSink.scrubVersions(spark, table, base,
+      ops((1L, 0L, "X", 0.0)).select("key"))
+    assert(scrubbed == Seq(1L))
+    MergeSink.merge(spark, table, base, ops((5L, 30L, "I", 5.0)))
+    // The re-run scrub released its fence on success, so the number is
+    // reusable (it never held data) and the merge commits v2.
+    assert(MergeSink.versions(spark, base).last == 2L)
+    assert(snapshot(MergeSink.state(spark, table))
+      .contains((5L, 30L, "I", Some(5.0))))
+  }
+
   test("scrub swap crash states all converge on re-run (no version is ever lost)") {
     val (table, base) = freshTable("scrubcrash")
     MergeSink.merge(spark, table, base,

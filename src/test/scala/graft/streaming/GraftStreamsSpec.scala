@@ -1864,6 +1864,22 @@ class GraftStreamsSpec extends SparkSpec {
         Map(1L -> (2L, 12.5), 3L -> (1L, 7.0), 4L -> (1L, 4.0)),
         "an erased key resurrected through the streamed merge, or the " +
           "gate dropped a legitimate row")
+      // NEAR-MISS NAMING arm (round-18 directive #4): the seam probes
+      // exactly ONE shared name — a ledger landed under a drifted
+      // spelling must NOT gate (the silent privacy hole the shared
+      // suppressTableFor definition exists to make impossible on the
+      // writer side; this pins the probe side). The independent
+      // literal here also pins the convention string itself.
+      assert(graft.sources.JdbcErasure.suppressTableFor(master) ==
+        s"${master}_suppress")
+      Seq(5L).toDF("user_id").write.mode("overwrite")
+        .format("jdbc").option("url", url).option("driver", driver)
+        .option("dbtable", s"${master}_suppress_typo").save()
+      val nearMiss = Seq((5L, 1L, 5.5)).toDF("user_id", "n", "total")
+      GraftStreams.upsertBatchToJdbc(nearMiss, url, driver, master, "user_id")
+      assert(readMaster().get(5L).contains((1L, 5.5)),
+        "a mis-named ledger must not gate — only the canonical " +
+          "suppressTableFor name is load-bearing")
     } finally q.stop()
   }
 
