@@ -902,6 +902,90 @@ class GraftStreamsSpec extends SparkSpec {
     assert(landed() == batchEdges, "replay must be a no-op")
   }
 
+  test("stream28: fed tombstone set — per-version equality to batch sim23; mid-stream publish re-routes only new batches; replay re-decides") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.sources.CodebookStore
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream28_${System.nanoTime()}"
+    val store = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream28_store_${System.nanoTime()}"
+    // A search before ANY published set fails loudly — resolving a
+    // missing ledger to "no deletes" would silently serve erased ids.
+    intercept[IllegalStateException](GraftStreams.landTombstonedSearchBatch(
+      Seq(0L).toDF("q_id"), sf, store, outDir, 99L))
+    // v1 IS the salted rule's set, published as a fed artifact — the
+    // per-version equality below is then EXACT against batch sim23
+    // itself, not a restatement.
+    val salted = Dedup.vectors(spark, sf).select("vec_id")
+      .filter(Similarity.tombstoneFlag(col("vec_id")))
+    assert(CodebookStore.publishFrame(spark, store, salted) == 1L)
+    val stream = MemoryStream[Long](spark)
+    val q = stream.toDF().toDF("q_id").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landTombstonedSearchBatch(b.toDF(), sf, store, outDir, id)
+      }
+      .start()
+    def batchRows(id: Long): Map[(Long, Int), (Long, Long)] =
+      spark.read.parquet(s"$outDir/batch_id=$id")
+        .select("q_id", "rk", "vec_id", "tombstone_version").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    try {
+      stream.addData(Seq(0L, 1L, 2L))
+      q.processAllAvailable()
+      val b0 = batchRows(0L)
+      assert(b0.nonEmpty && b0.values.forall(_._2 == 1L),
+        "batch 0 must be decided (and stamped) under v1")
+      val sim23 = Similarity.sim23GraphDelete(spark, sf).collect()
+        .filter(r => Set(0L, 1L, 2L)(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rk"))) ->
+          r.getAs[Long]("vec_id")).toMap
+      assert(b0.map { case (k, (v, _)) => k -> v } == sim23,
+        "v1 results must equal batch sim23 exactly (same set, fed)")
+      // MID-STREAM PUBLISH: a new recall names an id batch 0 returned
+      // (live under v1 by construction — results never contain
+      // tombstones), so the flip is observable, not coincidental.
+      val victim = b0((0L, 1))._1
+      assert(CodebookStore.publishFrame(spark, store,
+        salted.union(Seq(victim).toDF("vec_id"))) == 2L)
+      stream.addData(Seq(0L, 3L))
+      q.processAllAvailable()
+      val b1 = batchRows(1L)
+      assert(b1.values.forall(_._2 == 2L),
+        "batch 1 must resolve the newly committed version")
+      assert(!b1.values.exists(_._1 == victim),
+        "the fed delete must stop appearing immediately in new batches")
+      // Independent ground truth for v2: sim23's route-through law as
+      // a predicate (navigate the same pool, drop at the cut only).
+      val expectV2 = Similarity.sim19TopPer(
+          Similarity.sim19VisitedPool(spark, sf)
+            .filter(col("q_id").isin(0L, 3L))
+            .filter(!Similarity.tombstoneFlag(col("vec_id")))
+            .filter(col("vec_id") =!= victim),
+          Similarity.TopK)
+        .select("q_id", "rk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(b1.map { case (k, (v, _)) => k -> v } == expectV2)
+      // Already-landed batches are untouched by the publish: batch 0
+      // still serves its v1 decision (auditable against the retained
+      // v1 artifact), victim included.
+      val b0After = batchRows(0L)
+      assert(b0After == b0, "a publish must not rewrite landed batches")
+      assert(b0After.values.exists(_._1 == victim))
+      // Replay-as-re-decision (stream17's contract): re-landing batch
+      // 0 TODAY re-decides under the CURRENT version — the victim is
+      // gone and every row is stamped v2.
+      GraftStreams.landTombstonedSearchBatch(
+        Seq(0L, 1L, 2L).toDF("q_id"), sf, store, outDir, 0L)
+      val replayed = batchRows(0L)
+      assert(replayed.values.forall(_._2 == 2L))
+      assert(!replayed.values.exists(_._1 == victim))
+    } finally q.stop()
+    CodebookStore.reset(spark, store)
+  }
+
   test("stream25: streamed takedown masks equal batch cur25, off-manifest ids mask nothing, replay no-op") {
     import graft.operators.Curation
     import spark.implicits._
