@@ -76,6 +76,7 @@ object SparkEntry {
     "etl20_corrupt_quarantine" -> Etl.etl20CorruptQuarantine _,
     "etl21_compaction" -> Etl.etl21Compaction _,
     "etl22_clustered_layout" -> Etl.etl22ClusteredLayout _,
+    "etl32_zorder_layout" -> Etl.etl32ZorderLayout _,
     "etl23_snapshot_diff" -> Etl.etl23SnapshotDiff _,
     "etl24_jdbc_roundtrip" -> Etl.etl24JdbcRoundtrip _,
     "etl25_jdbc_merge" -> Etl.etl25JdbcMerge _,
@@ -3644,6 +3645,19 @@ object SparkEntry {
            round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
          FROM orders
          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+         GROUP BY 1 ORDER BY o_month""",
+    "etl32_zorder_layout" ->
+      // The Z-ordered copy is lossless, so the oracle aggregates the
+      // SOURCE table under the same TWO-AXIS predicate; the two-axis
+      // file locality and the Morton interleave arithmetic are
+      // spec-asserted over the emitted files (an oracle can only see
+      // content — etl22's split).
+      """SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+           count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+         FROM orders
+         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+           AND o_custkey BETWEEN 100 AND 800
          GROUP BY 1 ORDER BY o_month""",
     "sim09_kmeans" ->
       // The full KmeansIters-round Lloyd protocol replayed value-for-

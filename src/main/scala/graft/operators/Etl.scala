@@ -1285,4 +1285,123 @@ object Etl {
     }
     out
   }
+
+  /** Morton (Z-order) bit spread: the low 16 bits of `c` spaced out to
+    * even bit positions (bit i → bit 2i) via the classic mask ladder —
+    * five codegen'd integer ops, no UDF. Interleaving two spread
+    * values (one shifted left by 1) gives the Z-value whose range
+    * ordering preserves LOCALITY IN BOTH dimensions: nearby (x, y)
+    * points share high Z bits, so a range-clustered write on Z packs
+    * 2-D rectangles into files. 16 bits per dimension covers the graft
+    * corpus at every shipped SF (dates span <2¹² days, custkeys
+    * <2¹⁶); a production build widens the masks (or buckets the raw
+    * values first) to the dimensions' true cardinality — the ladder
+    * grammar itself is scale-free.
+    */
+  private[graft] def zSpread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val masked = c.bitwiseAND(lit(0xFFFFL))
+    val s8 = (masked.bitwiseOR(shiftleft(masked, 8)))
+      .bitwiseAND(lit(0x00FF00FFL))
+    val s4 = (s8.bitwiseOR(shiftleft(s8, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s2 = (s4.bitwiseOR(shiftleft(s4, 2))).bitwiseAND(lit(0x33333333L))
+    (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Min/max scale a dimension onto the FULL 16-bit domain before
+    * interleaving — exact integer arithmetic (IntegralDivide, the
+    * intDiv contract, replayable digit-for-digit in any engine). This
+    * is what makes the interleave MEANINGFUL regardless of the raw
+    * cardinalities: without it a dimension with fewer significant
+    * bits (custkey spans 8 bits at small SF, dates 12) contributes
+    * nothing to the high Z bits, the range partitioner splits on the
+    * wide dimension alone, and the narrow axis gets zero file
+    * locality — measured, not hypothetical (the unscaled first cut of
+    * this operator pruned no files on the custkey axis).
+    */
+  private[graft] def zScale16(c: org.apache.spark.sql.Column,
+      lo: Long, hi: Long): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.intDiv(
+      (c.cast("long") - lit(lo)) * lit(65535L),
+      lit(math.max(1L, hi - lo)))
+
+  /** The etl32 clustering key: o_orderdate (days since the corpus
+    * epoch) and o_custkey, each min/max scaled to 16 bits, bits
+    * interleaved (custkey on the odd positions).
+    */
+  private[graft] def zOrderKey(days: org.apache.spark.sql.Column,
+      dLo: Long, dHi: Long, custkey: org.apache.spark.sql.Column,
+      cLo: Long, cHi: Long): org.apache.spark.sql.Column =
+    zSpread16(zScale16(days, dLo, dHi))
+      .bitwiseOR(shiftleft(zSpread16(zScale16(custkey, cLo, cHi)), 1))
+
+  /** etl32's file-count knob, deliberately above etl22's 8: the Z
+    * trade spends partition-boundary bits on BOTH axes (16 files = 4
+    * quantile bits ≈ 2 per dimension), so each axis prunes to a
+    * subset rather than etl22's single-axis handful. At 100 TB the
+    * same knob is file size (etl21's 128 MB target), not a count.
+    */
+  val ZOrderFiles = 16
+
+  /** etl32's Z-ordered orders layout (etl22's ensurePath discipline,
+    * source-fingerprint stamped). The written copy carries the z_key
+    * column so the spec can audit the interleave arithmetic straight
+    * off the files. The per-dimension bounds are two driver scalars
+    * off one tiny source aggregate (the cur07/etl24 threshold
+    * contract), computed only on build.
+    */
+  private[graft] def zOrderedOrdersPath(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl32_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    TableBuild.ensurePath(spark, out,
+        TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
+      val src = orders(spark, dir).withColumn("z_days",
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      val b = src.agg(min("z_days"), max("z_days"),
+        min("o_custkey"), max("o_custkey")).collect()(0)
+      src
+        .withColumn("z_key", zOrderKey(col("z_days"), b.getLong(0),
+          b.getLong(1), col("o_custkey"), b.getLong(2), b.getLong(3)))
+        .drop("z_days")
+        .repartitionByRange(ZOrderFiles, col("z_key"))
+        .sortWithinPartitions(col("z_key"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** etl32: MULTI-DIMENSIONAL (Z-order) clustered layout — the 2-D
+    * completion of the layout family (etl10 partitions on one column,
+    * etl13 hash-buckets one key, etl22 range-clusters one axis; this
+    * clusters on TWO): real lake maintenance must serve BOTH
+    * `o_orderdate` range scans and `o_custkey` point/range lookups
+    * from one physical copy, and a 1-D sort can only localize one of
+    * them — etl22's date-clustered files scatter any custkey
+    * predicate across ALL files (the spec measures that contrast).
+    * The Z-value ([[zOrderKey]]: the two dimensions' bits interleaved
+    * via the Morton mask ladder) linearizes the 2-D space so a range-
+    * clustered write packs axis-aligned rectangles into files, and a
+    * narrow predicate on EITHER axis prunes to a file subset — the
+    * Z-order/liquid-clustering idea in its canonical form (Morton
+    * 1966; the same layout Delta's OPTIMIZE ZORDER BY materializes).
+    * At 100 TB this is the difference between "time-windowed scans
+    * are cheap but per-customer audits scan the lake" and both being
+    * proportional to selectivity; the trade is Z-order's: each axis
+    * prunes to ~√files rather than etl22's single-axis handful.
+    *
+    * The returned aggregate proves the Z-ordered copy LOSSLESS under
+    * a two-axis predicate (the oracle computes it straight off the
+    * source table — an oracle can only see content, etl22's split);
+    * the two-axis file-locality claim and the interleave arithmetic
+    * are spec-asserted via `_metadata.file_path` over the emitted
+    * files.
+    */
+  def etl32ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = zOrderedOrdersPath(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31") &&
+        col("o_custkey").between(100L, 800L))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_month")
+  }
 }

@@ -498,6 +498,18 @@ class PlanAuditSpec extends SparkSpec {
       s"date bounds must reach the scan:\n${plan.take(2000)}")
   }
 
+  test("etl32: both axis predicates are pushed to the Z-ordered parquet scan") {
+    val plan = finalPlan(Etl.etl32ZorderLayout(spark, sf))
+    // Pushdown on BOTH dimensions is what turns the Z-layout's file/
+    // row-group min-max bands into actual pruning at scan time.
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      plan.contains("PushedFilters: [IsNotNull(o_custkey)"),
+      s"pushed filters missing:\n${plan.take(2000)}")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") ||
+      plan.contains("GreaterThanOrEqual(o_custkey"),
+      s"axis bounds must reach the scan:\n${plan.take(2000)}")
+  }
+
   test("sim11: MMR adds no exchange past the top-k shuffle") {
     val plan = finalPlan(Similarity.sim11MmrDiversify(spark, sf))
     assert(plan.contains("TopKPerKeyPartial"),

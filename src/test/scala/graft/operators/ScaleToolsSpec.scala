@@ -250,6 +250,87 @@ class ScaleToolsSpec extends SparkSpec {
       s"a one-year predicate must touch a file subset: $touched of $all")
   }
 
+  test("etl32 Z-order layout: lossless, BOTH axes prune files, interleave arithmetic exact, 1-D contrast real") {
+    val out = Etl.etl32ZorderLayout(spark, sf).collect().map(_.toSeq).toSeq
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31") &&
+        col("o_custkey").between(100L, 800L))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_month").collect().map(_.toSeq).toSeq
+    assert(out == direct, "Z-ordered aggregate must equal the source aggregate")
+    // Full losslessness, not just the sliced view: same rows, same
+    // count, straight off the files.
+    val path = Etl.zOrderedOrdersPath(spark, sf)
+    val srcN = Tables.orders(spark, sf).count()
+    assert(spark.read.parquet(path).count() == srcN)
+    // INTERLEAVE ARITHMETIC: the emitted z_key equals a JVM Morton
+    // interleave of the min/max-SCALED (days since 1992-01-01,
+    // custkey) pair, row for row — scaling replayed in the same exact
+    // Long arithmetic (IntegralDivide's contract).
+    def spread(x: Long): Long = {
+      var v = x & 0xFFFFL
+      v = (v | (v << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    def toDays(v: Any): Long = {
+      // o_orderdate's physical flavor drifted across driver testdata
+      // generations (DATE vs timestamp NTZ) — accept either.
+      val local = v match {
+        case d: java.sql.Date => d.toLocalDate
+        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        case t: java.time.LocalDateTime => t.toLocalDate
+        case x => fail(s"unexpected o_orderdate type: ${x.getClass}")
+      }
+      java.time.temporal.ChronoUnit.DAYS.between(epoch, local)
+    }
+    val sample = spark.read.parquet(path)
+      .select("o_orderdate", "o_custkey", "z_key").collect()
+    val allDays = sample.map(r => toDays(r.get(0)))
+    val allCk = sample.map(_.getLong(1))
+    def scale(x: Long, lo: Long, hi: Long): Long =
+      (x - lo) * 65535L / math.max(1L, hi - lo)
+    sample.foreach { r =>
+      val d = scale(toDays(r.get(0)), allDays.min, allDays.max)
+      val c = scale(r.getLong(1), allCk.min, allCk.max)
+      val expect = spread(d) | (spread(c) << 1)
+      assert(r.getLong(2) == expect,
+        s"z_key mismatch at (${r.get(0)}, ${r.getLong(1)})")
+    }
+    // TWO-AXIS LOCALITY — the operator's whole point: a narrow slice
+    // on EITHER dimension touches a strict file subset of the
+    // Z-ordered copy.
+    def files(path: String)(
+        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long =
+      pred(spark.read.parquet(path))
+        .select(col("_metadata.file_path")).distinct().count()
+    val all = files(path)(identity)
+    assert(all >= 4, s"layout must spread across files, got $all")
+    val dateSlice = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+    val custSlice = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("o_custkey").between(100L, 800L))
+    val dateTouched = files(path)(dateSlice)
+    val custTouched = files(path)(custSlice)
+    assert(dateTouched < all,
+      s"a one-year date slice must prune files: $dateTouched of $all")
+    assert(custTouched < all,
+      s"a custkey slice must prune files: $custTouched of $all")
+    // THE 1-D CONTRAST (why etl22 alone is not enough): on etl22's
+    // date-clustered copy the SAME custkey slice scatters across every
+    // file — a second query axis gets zero locality from a 1-D sort.
+    val etl22Path = Etl.clusteredOrdersPath(spark, sf)
+    val etl22All = files(etl22Path)(identity)
+    val etl22Cust = files(etl22Path)(custSlice)
+    assert(etl22Cust == etl22All,
+      s"fixture drift: the custkey slice should scatter over the 1-D " +
+        s"layout ($etl22Cust of $etl22All) — the Z-order trade is then real")
+  }
+
   test("etl23 snapshot diff equals a direct two-reduction comparison") {
     val got = Etl.etl23SnapshotDiff(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1),
