@@ -146,6 +146,12 @@ object PlanDump {
         "span-level redaction: recall-sized manifest rows, sub-doc range through the one clipping core - NO join, NO window, no corpus access (cur25's economics at sub-document granularity)",
       "cur29_composed_masks" ->
         "composed loader read: BOTH mask families union into one broadcast skip list over ONE emit leg's reassembly; the re-tile stays one thin per-source sequence window — composing adds no plan term beyond cur27's leg A",
+      "cur30_composed_repack" ->
+        "composed repack execute (mask retirement): the dumped plan is the read-back reassembly audit over the re-emitted doubly-repacked files — cur23's audit verbatim; the payload frame re-derives both families map-side (takedown filter + in-array span slice on redact survivors — the mask rows never join in) over ONE survivor re-pack window + one doc_id-equi token join",
+      "etl32_zorder_layout" ->
+        "Z-order (multi-dim clustered) layout: the dumped plan is the two-axis-predicate aggregate over the z-clustered copy — both bounds pushed to the parquet scan; the write leg is a codegen'd Morton mask-ladder z_key (min/max-scaled dims) + repartitionByRange, built once per source fingerprint",
+      "text21_unigram_train" ->
+        "unigram-LM training: the rendered model frame is vocab-sized by contract (the sim09 codebook posture); each EM round's E-step is one codegen'd HOF projection over the word table (DP + backtrack as aggregate folds, costs a literal map — no join, no shuffle) and the M-step one vocab-sized aggregate",
       // etl29/etl30/etl31 return EAGERLY materialized audits (their
       // returned plans are trivial LocalRelation scans by design);
       // their load-bearing join shapes — the per-version broadcast

@@ -103,6 +103,7 @@ object SparkEntry {
     "text15_cms_topk" -> TextAnalysis.text15CmsTopk _,
     "text16_pmi_collocations" -> TextAnalysis.text16PmiCollocations _,
     "text17_bpe_train" -> TextAnalysis.text17BpeTrain _,
+    "text21_unigram_train" -> TextAnalysis.text21UnigramTrain _,
     "text18_bpe_encode" -> TextAnalysis.text18BpeEncode _,
     "text19_tfidf_keywords" -> TextAnalysis.text19TfidfKeywords _,
     "text20_boilerplate_scrub" -> TextAnalysis.text20BoilerplateScrub _,
@@ -647,6 +648,97 @@ object SparkEntry {
              FROM s${r - 1}, m$r)"""
     }
     (init +: rounds).mkString(",\n         ")
+  }
+
+  /** CTE chain replaying [[graft.operators.TextAnalysis.text21UnigramTrain]]
+    * in DuckDB — the bpeCteSql pattern for the unigram-LM trainer:
+    * `w` is text17's word-frequency table, `cnt0` the seed vocabulary
+    * (every single character + the top-K multi-char substrings by
+    * weighted occurrence count), and each EM round r quantizes the
+    * add-one-smoothed piece costs (`cost<r>`, text11's 1e-4 micro
+    * protocol), runs the Viterbi forward DP as a RECURSIVE CTE over
+    * word positions (`dp<r>` — list_min over the ≤MaxPiece candidate
+    * splits, out-of-vocab splits at the HUGE sentinel), backtracks the
+    * chosen pieces with the same argmin tie-break (struct list_sort on
+    * (cost, start) — smallest start = longest piece, matching the
+    * Spark side's ascending strict-< scan), and re-counts (`cnt<r>`).
+    * All constants interpolate from the operator (etl27's discipline).
+    * Every CTE is MATERIALIZED (bpeCteSql's inlining lesson).
+    */
+  private def unigramCteSql: String = {
+    import graft.operators.TextAnalysis._
+    val huge = UnigramHugeCost
+    val mp = UnigramMaxPiece
+    def argmin(rel: String, posExpr: String) =
+      s"""(list_sort(list_transform(range(greatest($rel.$posExpr - $mp, 0), $rel.$posExpr),
+             i -> {'c': $rel.dp[CAST(i + 1 AS BIGINT)] +
+                     coalesce(cm.m[substr($rel.w, CAST(i + 1 AS BIGINT),
+                       CAST($rel.$posExpr - i AS BIGINT))][1], $huge),
+                   'i': i}))[1]).i"""
+    val init =
+      s"""w AS MATERIALIZED (SELECT t AS w, count(*) AS freq FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+           WHERE regexp_matches(t, '^[a-z]+$$') GROUP BY t),
+         u21subs AS MATERIALIZED (SELECT substr(w, CAST(t.s AS BIGINT), CAST(u.l AS BIGINT)) AS piece,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM w, unnest(range(1, length(w) + 1)) AS t(s),
+                unnest(range(1, ${mp + 1})) AS u(l)
+           WHERE t.s + u.l <= length(w) + 1 GROUP BY 1),
+         cnt0 AS MATERIALIZED (
+           SELECT piece, cnt FROM u21subs WHERE length(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (SELECT piece, cnt FROM u21subs
+             WHERE length(piece) > 1
+             ORDER BY cnt DESC, piece LIMIT $UnigramSeedMulti))"""
+    val rounds = (1 to UnigramIters).map { r =>
+      s"""cost$r AS MATERIALIZED (
+           SELECT piece, CAST(round(-log2((cnt + 1) / (t.total + t.v)) * 10000) AS BIGINT) AS cost
+           FROM cnt${r - 1}, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             count(*) AS v FROM cnt${r - 1}) t),
+         cmap$r AS MATERIALIZED (
+           SELECT map(list(piece ORDER BY piece), list(cost ORDER BY piece)) AS m FROM cost$r),
+         dp$r AS MATERIALIZED (
+           WITH RECURSIVE rec(w, freq, j, dp) AS (
+             SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM w
+             UNION ALL
+             SELECT rec.w, rec.freq, rec.j + 1,
+               list_append(rec.dp, list_min(list_transform(
+                 range(greatest(rec.j + 1 - $mp, 0), rec.j + 1),
+                 i -> rec.dp[CAST(i + 1 AS BIGINT)] +
+                      coalesce(cm.m[substr(rec.w, CAST(i + 1 AS BIGINT),
+                        CAST(rec.j + 1 - i AS BIGINT))][1], $huge))))
+             FROM rec, cmap$r cm WHERE rec.j < length(rec.w))
+           SELECT w, freq, dp FROM rec WHERE j = length(w)),
+         bt$r AS MATERIALIZED (
+           WITH RECURSIVE walk(w, freq, dp, pos, ps) AS (
+             SELECT w, freq, dp, CAST(length(w) AS INT), CAST([] AS VARCHAR[]) FROM dp$r
+             UNION ALL
+             SELECT walk.w, walk.freq, walk.dp,
+               CAST(${argmin("walk", "pos")} AS INT),
+               list_append(walk.ps, substr(walk.w,
+                 CAST(${argmin("walk", "pos")} + 1 AS BIGINT),
+                 CAST(walk.pos - ${argmin("walk", "pos")} AS BIGINT)))
+             FROM walk, cmap$r cm WHERE walk.pos > 0)
+           SELECT w, freq, ps FROM walk WHERE pos = 0),
+         cnt$r AS MATERIALIZED (
+           SELECT v.piece, CAST(coalesce(sum(o.freq), 0) AS BIGINT) AS cnt
+           FROM (SELECT piece FROM cnt0) v
+           LEFT JOIN (SELECT unnest(ps) AS piece, freq FROM bt$r) o USING (piece)
+           GROUP BY v.piece)"""
+    }
+    (init +: rounds).mkString(",\n         ")
+  }
+
+  private val Text21OracleSql: String = {
+    val last = graft.operators.TextAnalysis.UnigramIters
+    s"""WITH RECURSIVE $unigramCteSql,
+         u21fin AS (SELECT c.piece, c.cnt,
+             CAST(round(-log2((c.cnt + 1) / (t.total + t.v)) * 10000) AS BIGINT) AS cost_micro
+           FROM cnt$last c, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             count(*) AS v FROM cnt$last) t)
+         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+                piece, cnt, cost_micro
+         FROM u21fin ORDER BY rank"""
   }
 
   /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
@@ -3414,6 +3506,13 @@ object SparkEntry {
            CROSS JOIN total)
          SELECT p || ' ' || t AS bigram, cbg AS n, micro / 10000.0 AS pmi
          FROM s ORDER BY pmi DESC, bigram LIMIT 20""",
+    "text21_unigram_train" ->
+      // All UnigramIters EM rounds replayed value-for-value: the same
+      // seed cut, the same recursive-CTE Viterbi DP + backtrack per
+      // round, the same quantized smoothed costs — a divergent
+      // segmentation of any word in any round moves a count and
+      // breaks the hash.
+      Text21OracleSql,
     "text17_bpe_train" ->
       // The full BpeMerges-round Sennrich protocol replayed round-for-
       // round via the generated training chain (adjacent-pair counts

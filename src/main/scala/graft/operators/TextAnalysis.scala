@@ -861,4 +861,184 @@ object TextAnalysis {
         size(kept).as("tokens_after"),
         concat_ws(" ", kept).as("text_clean")): _*)
   }
+
+  /** text21 protocol constants — interpolated into the generated
+    * DuckDB oracle (etl27's shared-constant discipline, so a retune
+    * cannot drift the two sides). Seed = every single character that
+    * occurs in the word table (guarantees every word segmentable) plus
+    * the top [[UnigramSeedMulti]] substrings of length
+    * 2..[[UnigramMaxPiece]] by corpus-weighted occurrence count (ties
+    * to the lexicographically smaller piece). [[UnigramIters]] hard-EM
+    * rounds re-estimate the piece distribution.
+    */
+  val UnigramSeedMulti = 48
+  val UnigramIters = 3
+  val UnigramMaxPiece = 4
+
+  /** Sentinel cost for a substring OUTSIDE the vocabulary (a Viterbi
+    * path can never afford it; single-char coverage guarantees a
+    * finite path always exists). Far below Long overflow when summed
+    * across a word: max word length × HUGE ≪ 2⁶³.
+    */
+  val UnigramHugeCost = 1000000000000000L
+
+  /** The trained unigram model per (dir, session) — text21 renders it;
+    * the [[UnigramIters]]-round EM runs ONCE per session (the
+    * bpeMergeCache pattern).
+    */
+  private val unigramModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long)]]()
+  graft.GraftCache.onRelease(() => unigramModelCache.clear())
+
+  /** The piece-cost table for one EM round: add-one-smoothed negative
+    * log-probability in 1e-4 integer micros —
+    * round(−log2((cnt+1)/(total+|V|))·10⁴). Computed through the
+    * ENGINE's log2/round (one vocab-sized local frame), never JVM
+    * math: text11 proved Spark's log2+round agree with DuckDB's
+    * digit-for-digit under this quantization; StrictMath would not.
+    */
+  private def unigramCosts(spark: SparkSession,
+      counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    import spark.implicits._
+    val total = counts.map(_._2).sum
+    val v = counts.size.toLong
+    counts.toDF("piece", "cnt")
+      .select(col("piece"),
+        round(-log2((col("cnt") + 1) / lit((total + v).toDouble)) * 10000)
+          .cast("long").as("cost"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+  }
+
+  /** Best split point for position `j` of the word under `costMap`:
+    * the (cumulative cost, start index) pair minimizing
+    * dp[i] + cost(w[i..j)), scanning candidate starts ASCENDING with a
+    * strict `<` so ties keep the SMALLEST i (the longest piece) — the
+    * same verdict DuckDB's struct list_sort on (cost, i) produces.
+    */
+  private def unigramBest(costMap: Column, dp: Column,
+      j: Column): Column =
+    aggregate(
+      sequence(greatest(j - UnigramMaxPiece, lit(0)), j - 1),
+      struct(lit(UnigramHugeCost).as("c"), lit(-1).as("i")),
+      (b, i) => {
+        val cand = element_at(dp, i + 1) +
+          coalesce(element_at(costMap, col("w").substr(i + 1, j - i)),
+            lit(UnigramHugeCost))
+        when(cand < b.getField("c"),
+          struct(cand.as("c"), i.cast("int").as("i"))).otherwise(b)
+      })
+
+  /** The trained unigram model: final-round piece counts, vocab-sized.
+    *
+    * Hard-EM (Viterbi) over the word-frequency table: the E-step
+    * segments every DISTINCT word by dynamic programming under the
+    * current piece costs — both the forward DP and the backtrack run
+    * as higher-order-function projections (aggregate over positions
+    * with the vocab-sized cost table as a literal map), so the whole
+    * E-step is ONE codegen'd map-side pass over the vocab-sized word
+    * frame: no join, no shuffle, no unrolled plan. The M-step is one
+    * vocab-sized aggregate (piece occurrences weighted by word
+    * frequency) collected at O(|V|) rows — the sim09 codebook-scalar
+    * contract — and the re-quantized cost table feeds the next round.
+    */
+  private[graft] def unigramModel(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] =
+    unigramModelCache.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => {
+        import spark.implicits._
+        val words = bpeWords(spark, dir).select("w", "freq")
+        // Seed: all substrings of length 1..UnigramMaxPiece, corpus-
+        // weighted (every start position of every word occurrence).
+        val allSubs = flatten(transform(sequence(lit(1), length(col("w"))),
+          s => transform(
+            sequence(lit(1), least(lit(UnigramMaxPiece),
+              length(col("w")) - s + 1)),
+            l => col("w").substr(s, l))))
+        val subs = words.select(col("freq"), explode(allSubs).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("cnt"))
+        val seed = subs.filter(length(col("piece")) === 1)
+          .unionByName(subs.filter(length(col("piece")) > 1)
+            .orderBy(col("cnt").desc, col("piece")).limit(UnigramSeedMulti))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          .sortBy(_._1)
+        val vocab = seed.map(_._1)
+        var counts = seed
+        for (_ <- 1 to UnigramIters) {
+          val costMap = typedlit(unigramCosts(spark, counts).toMap)
+          // Forward DP: dp[j] = min cost of segmenting w[0..j).
+          val dpCol = aggregate(
+            sequence(lit(1), length(col("w"))),
+            array(lit(0L)),
+            (acc, j) => concat(acc,
+              array(unigramBest(costMap, acc, j).getField("c"))))
+          // Backtrack: walk pos from len to 0 collecting the chosen
+          // pieces (length(w) iterations always suffice — every step
+          // consumes at least one character or is a no-op at pos 0).
+          val btCol = aggregate(
+            sequence(lit(1), length(col("w"))),
+            struct(length(col("w")).as("pos"),
+              array().cast("array<string>").as("ps")),
+            (st, _) => {
+              val pos = st.getField("pos")
+              val i = unigramBest(costMap, col("dp"), pos).getField("i")
+              when(pos <= 0, st).otherwise(
+                struct(i.as("pos"),
+                  concat(st.getField("ps"),
+                    array(col("w").substr(i + 1, pos - i))).as("ps")))
+            }).getField("ps")
+          val got = words.withColumn("dp", dpCol)
+            .select(col("freq"), explode(btCol).as("piece"))
+            .groupBy("piece").agg(sum("freq").as("cnt"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          counts = vocab.map(p => p -> got.getOrElse(p, 0L))
+        }
+        counts
+      })
+
+  /** text21: UNIGRAM-LM tokenizer TRAINING (Kudo 2018, "Subword
+    * Regularization", arXiv:1804.10959 — the SentencePiece unigram
+    * model) — the second trained tokenizer family next to text17's
+    * BPE: where BPE greedily composes the vocabulary bottom-up one
+    * merge at a time, the unigram model starts from a LARGE seed
+    * vocabulary and lets EM re-estimate each piece's probability under
+    * the best segmentations, the shape production tokenizers ship
+    * (fixed vocab here — SentencePiece's periodic pruning is the
+    * vocabulary-SIZE schedule on top of exactly this re-estimation
+    * core; pieces EM abandons land at count 0 with a finite smoothed
+    * cost, visibly dead in the output).
+    *
+    * Determinism protocol: costs are add-one-smoothed negative log2
+    * probabilities quantized to 1e-4 integer micros (text11's proven
+    * cross-engine protocol), the Viterbi tie-break is
+    * smallest-start-index (longest piece), and the DuckDB oracle
+    * replays ALL [[UnigramIters]] rounds value-for-value through a
+    * generated recursive-CTE chain (the kmeansCteSql/bpeCteSql
+    * pattern): the same seed cut, the same DP recurrence, the same
+    * backtrack, the same quantized costs — a divergence in any
+    * round's segmentation of any word moves a count and breaks the
+    * hash.
+    *
+    * Scale shape (text17's Heaps argument): the corpus is scanned
+    * once into the word-frequency table; every EM round is one
+    * map-side HOF projection over that vocab-sized frame plus one
+    * vocab-sized aggregate; driver state is O(|V|) — the codebook
+    * contract. Output: one row per vocab piece with its final count
+    * and re-quantized cost, ranked by (count desc, piece).
+    */
+  def text21UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fin = unigramModel(spark, dir)
+    val total = fin.map(_._2).sum
+    val v = fin.size.toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("piece"))
+    fin.toDF("piece", "cnt")
+      .withColumn("cost_micro",
+        round(-log2((col("cnt") + 1) / lit((total + v).toDouble)) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("piece"), col("cnt"), col("cost_micro"))
+      .orderBy("rank")
+  }
 }

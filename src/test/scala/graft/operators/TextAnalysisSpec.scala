@@ -420,4 +420,93 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nb >= 1 && nb <= nc)
     }
   }
+
+  test("text21 unigram EM equals an independent JVM Viterbi replay; mass conserved; pruning real") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val T = graft.operators.TextAnalysis
+    // Independent replay: word table + seed + 3 hard-EM rounds with a
+    // plain ARRAY dynamic program (the reference formulation — Kudo's
+    // Viterbi over positions), against the operator's HOF pipeline.
+    // Cost quantization goes through the ENGINE on both sides (the
+    // text11 protocol is about Spark↔DuckDB log agreement, not JVM
+    // transcendentals), so agreement here pins the DP + tie-break +
+    // count re-estimation, independently of the DuckDB oracle.
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (s0 <- 0 until w.length;
+           l <- 1 to math.min(T.UnigramMaxPiece, w.length - s0))
+        occ.updateWith(w.substring(s0, s0 + l))(o => Some(o.getOrElse(0L) + f))
+    }
+    val singles = occ.filter(_._1.length == 1).toSeq
+    var counts = (singles ++ occ.filter(_._1.length > 1).toSeq
+      .sortBy { case (p0, c) => (-c, p0) }.take(T.UnigramSeedMulti)).sortBy(_._1)
+    val vocab = counts.map(_._1)
+    def engineCosts(cs: Seq[(String, Long)]): Map[String, Long] = {
+      val total = cs.map(_._2).sum; val v = cs.size.toLong
+      cs.toDF("piece", "cnt")
+        .select(col("piece"),
+          round(-log2((col("cnt") + 1) / lit((total + v).toDouble)) * 10000)
+            .cast("long").as("cost"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    for (_ <- 1 to T.UnigramIters) {
+      val cm = engineCosts(counts)
+      val got = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, f) =>
+        val n = w.length
+        val dp = Array.fill(n + 1)(T.UnigramHugeCost); dp(0) = 0L
+        val prev = Array.fill(n + 1)(-1)
+        for (j <- 1 to n) {
+          var best = T.UnigramHugeCost; var bi = -1
+          // Ascending scan, strict < — ties keep the smallest start
+          // (longest piece), the operator's documented tie-break.
+          for (i <- math.max(0, j - T.UnigramMaxPiece) until j) {
+            val c = dp(i) + cm.getOrElse(w.substring(i, j), T.UnigramHugeCost)
+            if (c < best) { best = c; bi = i }
+          }
+          dp(j) = best; prev(j) = bi
+        }
+        var pos = n
+        while (pos > 0) {
+          val i = prev(pos)
+          got.updateWith(w.substring(i, pos))(o => Some(o.getOrElse(0L) + f))
+          pos = i
+        }
+      }
+      counts = vocab.map(p0 => p0 -> got.getOrElse(p0, 0L))
+    }
+    val model = T.unigramModel(spark, sf)
+    assert(model.sortBy(_._1) == counts.sortBy(_._1),
+      "HOF training diverges from the array-DP replay")
+    // MASS CONSERVATION: segmentations tile every word exactly, so the
+    // length-weighted final counts equal the corpus character mass of
+    // the word table — a dropped or double-counted piece breaks it.
+    val charMass = words.map { case (w, f) => w.length * f }.sum
+    assert(model.map { case (p0, c) => p0.length * c }.sum == charMass,
+      "piece mass must tile the corpus exactly")
+    // Coverage: every character that occurs is in the vocab (what makes
+    // every word segmentable at finite cost).
+    assert(singles.map(_._1).toSet.subsetOf(model.map(_._1).toSet))
+    // The EM pruning signal is REAL at this sf: some seed pieces end
+    // at count 0 (abandoned by every best segmentation) while others
+    // gained mass vs the raw substring count — re-estimation did
+    // something, the operator is not a frequency table.
+    assert(model.exists(_._2 == 0L), "no abandoned piece — EM arm vacuous")
+    val raw = occ.toMap
+    assert(model.exists { case (p0, c) => c > 0 && c != raw(p0) },
+      "every count equals its raw substring count — EM arm vacuous")
+    // Rendered frame matches the model and ranks deterministically.
+    val out = T.text21UnigramTrain(spark, sf).collect()
+    assert(out.length == model.size)
+    assert(out.map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toMap
+      == model.toMap)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to model.size))
+  }
 }
