@@ -152,6 +152,8 @@ object PlanDump {
         "Z-order (multi-dim clustered) layout: the dumped plan is the two-axis-predicate aggregate over the z-clustered copy — both bounds pushed to the parquet scan; the write leg is a codegen'd Morton mask-ladder z_key (min/max-scaled dims) + repartitionByRange, built once per source fingerprint",
       "text21_unigram_train" ->
         "unigram-LM training: the rendered model frame is vocab-sized by contract (the sim09 codebook posture); each EM round's E-step is one codegen'd HOF projection over the word table (DP + backtrack as aggregate folds, costs a literal map — no join, no shuffle) and the M-step one vocab-sized aggregate",
+      "text22_unigram_encode" ->
+        "unigram encode: the shipped model applies to the VOCAB in one HOF projection (same DP definition as training), the corpus word stream joins the tiny encoded vocab BROADCAST, one per-doc rollup — text18's shape for the second tokenizer family",
       // etl29/etl30/etl31 return EAGERLY materialized audits (their
       // returned plans are trivial LocalRelation scans by design);
       // their load-bearing join shapes — the per-version broadcast

@@ -104,6 +104,7 @@ object SparkEntry {
     "text16_pmi_collocations" -> TextAnalysis.text16PmiCollocations _,
     "text17_bpe_train" -> TextAnalysis.text17BpeTrain _,
     "text21_unigram_train" -> TextAnalysis.text21UnigramTrain _,
+    "text22_unigram_encode" -> TextAnalysis.text22UnigramEncode _,
     "text18_bpe_encode" -> TextAnalysis.text18BpeEncode _,
     "text19_tfidf_keywords" -> TextAnalysis.text19TfidfKeywords _,
     "text20_boilerplate_scrub" -> TextAnalysis.text20BoilerplateScrub _,
@@ -675,6 +676,42 @@ object SparkEntry {
                      coalesce(cm.m[substr($rel.w, CAST(i + 1 AS BIGINT),
                        CAST($rel.$posExpr - i AS BIGINT))][1], $huge),
                    'i': i}))[1]).i"""
+    // The cost-quantize / map / DP / backtrack CTE quartet for one
+    // Viterbi pass under the counts in `prevCnt` — shared by every EM
+    // round (tag = round number) and by text22's final encode pass
+    // (tag = "f", under the SHIPPED final counts): one SQL definition
+    // of the segmentation, as unigramDpCol/unigramPiecesCol is one
+    // Scala definition.
+    def dpPass(tag: String, prevCnt: String) =
+      s"""cost$tag AS MATERIALIZED (
+           SELECT piece, CAST(round(-log2((cnt + 1) / (t.total + t.v)) * 10000) AS BIGINT) AS cost
+           FROM $prevCnt, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             count(*) AS v FROM $prevCnt) t),
+         cmap$tag AS MATERIALIZED (
+           SELECT map(list(piece ORDER BY piece), list(cost ORDER BY piece)) AS m FROM cost$tag),
+         dp$tag AS MATERIALIZED (
+           WITH RECURSIVE rec(w, freq, j, dp) AS (
+             SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM w
+             UNION ALL
+             SELECT rec.w, rec.freq, rec.j + 1,
+               list_append(rec.dp, list_min(list_transform(
+                 range(greatest(rec.j + 1 - $mp, 0), rec.j + 1),
+                 i -> rec.dp[CAST(i + 1 AS BIGINT)] +
+                      coalesce(cm.m[substr(rec.w, CAST(i + 1 AS BIGINT),
+                        CAST(rec.j + 1 - i AS BIGINT))][1], $huge))))
+             FROM rec, cmap$tag cm WHERE rec.j < length(rec.w))
+           SELECT w, freq, dp FROM rec WHERE j = length(w)),
+         bt$tag AS MATERIALIZED (
+           WITH RECURSIVE walk(w, freq, dp, pos, ps) AS (
+             SELECT w, freq, dp, CAST(length(w) AS INT), CAST([] AS VARCHAR[]) FROM dp$tag
+             UNION ALL
+             SELECT walk.w, walk.freq, walk.dp,
+               CAST(${argmin("walk", "pos")} AS INT),
+               list_append(walk.ps, substr(walk.w,
+                 CAST(${argmin("walk", "pos")} + 1 AS BIGINT),
+                 CAST(walk.pos - ${argmin("walk", "pos")} AS BIGINT)))
+             FROM walk, cmap$tag cm WHERE walk.pos > 0)
+           SELECT w, freq, dp, ps FROM walk WHERE pos = 0)"""
     val init =
       s"""w AS MATERIALIZED (SELECT t AS w, count(*) AS freq FROM (
              SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
@@ -691,42 +728,18 @@ object SparkEntry {
              WHERE length(piece) > 1
              ORDER BY cnt DESC, piece LIMIT $UnigramSeedMulti))"""
     val rounds = (1 to UnigramIters).map { r =>
-      s"""cost$r AS MATERIALIZED (
-           SELECT piece, CAST(round(-log2((cnt + 1) / (t.total + t.v)) * 10000) AS BIGINT) AS cost
-           FROM cnt${r - 1}, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
-             count(*) AS v FROM cnt${r - 1}) t),
-         cmap$r AS MATERIALIZED (
-           SELECT map(list(piece ORDER BY piece), list(cost ORDER BY piece)) AS m FROM cost$r),
-         dp$r AS MATERIALIZED (
-           WITH RECURSIVE rec(w, freq, j, dp) AS (
-             SELECT w, freq, 0, [CAST(0 AS BIGINT)] FROM w
-             UNION ALL
-             SELECT rec.w, rec.freq, rec.j + 1,
-               list_append(rec.dp, list_min(list_transform(
-                 range(greatest(rec.j + 1 - $mp, 0), rec.j + 1),
-                 i -> rec.dp[CAST(i + 1 AS BIGINT)] +
-                      coalesce(cm.m[substr(rec.w, CAST(i + 1 AS BIGINT),
-                        CAST(rec.j + 1 - i AS BIGINT))][1], $huge))))
-             FROM rec, cmap$r cm WHERE rec.j < length(rec.w))
-           SELECT w, freq, dp FROM rec WHERE j = length(w)),
-         bt$r AS MATERIALIZED (
-           WITH RECURSIVE walk(w, freq, dp, pos, ps) AS (
-             SELECT w, freq, dp, CAST(length(w) AS INT), CAST([] AS VARCHAR[]) FROM dp$r
-             UNION ALL
-             SELECT walk.w, walk.freq, walk.dp,
-               CAST(${argmin("walk", "pos")} AS INT),
-               list_append(walk.ps, substr(walk.w,
-                 CAST(${argmin("walk", "pos")} + 1 AS BIGINT),
-                 CAST(walk.pos - ${argmin("walk", "pos")} AS BIGINT)))
-             FROM walk, cmap$r cm WHERE walk.pos > 0)
-           SELECT w, freq, ps FROM walk WHERE pos = 0),
+      s"""${dpPass(r.toString, s"cnt${r - 1}")},
          cnt$r AS MATERIALIZED (
            SELECT v.piece, CAST(coalesce(sum(o.freq), 0) AS BIGINT) AS cnt
            FROM (SELECT piece FROM cnt0) v
            LEFT JOIN (SELECT unnest(ps) AS piece, freq FROM bt$r) o USING (piece)
            GROUP BY v.piece)"""
     }
-    (init +: rounds).mkString(",\n         ")
+    // text22's encode pass: one more Viterbi quartet under the SHIPPED
+    // model (the final-round counts — costf is definitionally
+    // text21's output cost_micro).
+    val encodePass = dpPass("f", s"cnt$UnigramIters")
+    ((init +: rounds) :+ encodePass).mkString(",\n         ")
   }
 
   private val Text21OracleSql: String = {
@@ -740,6 +753,27 @@ object SparkEntry {
                 piece, cnt, cost_micro
          FROM u21fin ORDER BY rank"""
   }
+
+  /** Generated DuckDB replay of text22's unigram encode: the full
+    * training chain (text21's), then the encode pass's Viterbi
+    * quartet under the SHIPPED final counts (dpf/btf — the same
+    * generated dpPass as every EM round), each word's piece count and
+    * total path cost, joined to the corpus word stream per document.
+    * The cost sum pins the chosen PATHS, not just their lengths.
+    */
+  private val Text22OracleSql: String =
+    s"""WITH RECURSIVE $unigramCteSql,
+         encf AS (SELECT w, CAST(len(ps) AS BIGINT) AS n_pieces,
+             dp[CAST(length(w) + 1 AS BIGINT)] AS w_cost
+           FROM btf),
+         t22 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens,
+           CAST(sum(w_cost) AS BIGINT) AS cost_micro_sum
+         FROM t22 JOIN encf USING (w)
+         WHERE regexp_matches(t22.w, '^[a-z]+$$')
+         GROUP BY doc_id ORDER BY doc_id"""
 
   /** Shared DuckDB replay of the IVF search protocol (sim03 and sim06
     * emit identical rows — spec-pinned — so both map to this SQL):
@@ -3513,6 +3547,12 @@ object SparkEntry {
       // segmentation of any word in any round moves a count and
       // breaks the hash.
       Text21OracleSql,
+    "text22_unigram_encode" ->
+      // The trained unigram model APPLIED: the same generated training
+      // chain, one more Viterbi pass under the shipped final counts,
+      // per-doc word/piece/path-cost sums — a tie broken differently
+      // anywhere moves a cost sum even when piece counts agree.
+      Text22OracleSql,
     "text17_bpe_train" ->
       // The full BpeMerges-round Sennrich protocol replayed round-for-
       // round via the generated training chain (adjacent-pair counts

@@ -966,35 +966,44 @@ object TextAnalysis {
         var counts = seed
         for (_ <- 1 to UnigramIters) {
           val costMap = typedlit(unigramCosts(spark, counts).toMap)
-          // Forward DP: dp[j] = min cost of segmenting w[0..j).
-          val dpCol = aggregate(
-            sequence(lit(1), length(col("w"))),
-            array(lit(0L)),
-            (acc, j) => concat(acc,
-              array(unigramBest(costMap, acc, j).getField("c"))))
-          // Backtrack: walk pos from len to 0 collecting the chosen
-          // pieces (length(w) iterations always suffice — every step
-          // consumes at least one character or is a no-op at pos 0).
-          val btCol = aggregate(
-            sequence(lit(1), length(col("w"))),
-            struct(length(col("w")).as("pos"),
-              array().cast("array<string>").as("ps")),
-            (st, _) => {
-              val pos = st.getField("pos")
-              val i = unigramBest(costMap, col("dp"), pos).getField("i")
-              when(pos <= 0, st).otherwise(
-                struct(i.as("pos"),
-                  concat(st.getField("ps"),
-                    array(col("w").substr(i + 1, pos - i))).as("ps")))
-            }).getField("ps")
-          val got = words.withColumn("dp", dpCol)
-            .select(col("freq"), explode(btCol).as("piece"))
+          val got = words.withColumn("dp", unigramDpCol(costMap))
+            .select(col("freq"), explode(unigramPiecesCol(costMap)).as("piece"))
             .groupBy("piece").agg(sum("freq").as("cnt"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           counts = vocab.map(p => p -> got.getOrElse(p, 0L))
         }
         counts
       })
+
+  /** Forward Viterbi DP over the `w` column: dp[j] = min cost of
+    * segmenting w[0..j) under `costMap` — the ONE DP definition the
+    * training E-steps (text21) and the corpus encode (text22) share.
+    */
+  private def unigramDpCol(costMap: Column): Column =
+    aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(lit(0L)),
+      (acc, j) => concat(acc,
+        array(unigramBest(costMap, acc, j).getField("c"))))
+
+  /** The Viterbi-best piece sequence for `w` (requires the `dp` column
+    * from [[unigramDpCol]]): walk pos from len to 0 collecting the
+    * chosen pieces — length(w) fold steps always suffice (every step
+    * consumes at least one character or is a no-op at pos 0).
+    */
+  private def unigramPiecesCol(costMap: Column): Column =
+    aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(length(col("w")).as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val i = unigramBest(costMap, col("dp"), pos).getField("i")
+        when(pos <= 0, st).otherwise(
+          struct(i.as("pos"),
+            concat(st.getField("ps"),
+              array(col("w").substr(i + 1, pos - i))).as("ps")))
+      }).getField("ps")
 
   /** text21: UNIGRAM-LM tokenizer TRAINING (Kudo 2018, "Subword
     * Regularization", arXiv:1804.10959 — the SentencePiece unigram
@@ -1040,5 +1049,46 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("piece"), col("cnt"), col("cost_micro"))
       .orderBy("rank")
+  }
+
+  /** text22: ENCODE the corpus with the trained unigram model — the
+    * train/apply pair for the second tokenizer family (text17→text18
+    * is BPE's; this is text21's), which is what a pipeline ships:
+    * train once, tokenize everything, meter packing (cur09) and
+    * budgets (cur08/cur14) in the resulting token counts. Each word
+    * segments by the SAME Viterbi DP the trainer ran
+    * ([[unigramDpCol]]/[[unigramPiecesCol]] — one definition), under
+    * the SHIPPED model: the final-round counts re-quantized, exactly
+    * text21's output `cost_micro` column (a loader pairing text21's
+    * table with this encode sees consistent numbers by construction).
+    * Per document: word occurrences, total piece count, and the total
+    * Viterbi path cost in micros — the cost sum pins the chosen PATHS,
+    * not just their lengths, so the oracle catches a tie broken
+    * differently even when the piece COUNT happens to match.
+    *
+    * Scale shape (text18's): the model applies to the VOCAB (one HOF
+    * projection over distinct words — tokenize each word once, not
+    * every occurrence), and the corpus stream joins the tiny encoded
+    * vocab broadcast to aggregate per doc. Training cost is shared
+    * with text21 through the per-session model cache.
+    */
+  def text22UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val costMap = typedlit(
+      unigramCosts(spark, unigramModel(spark, dir)).toMap)
+    val encoded = bpeWords(spark, dir)
+      .select(col("w"))
+      .withColumn("dp", unigramDpCol(costMap))
+      .select(col("w"),
+        size(unigramPiecesCol(costMap)).cast("long").as("n_pieces"),
+        element_at(col("dp"), length(col("w")) + 1).as("w_cost"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .join(broadcast(encoded), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_unigram_tokens"),
+        sum("w_cost").as("cost_micro_sum"))
+      .orderBy("doc_id")
   }
 }

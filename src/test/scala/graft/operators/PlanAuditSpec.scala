@@ -498,6 +498,17 @@ class PlanAuditSpec extends SparkSpec {
       s"date bounds must reach the scan:\n${plan.take(2000)}")
   }
 
+  test("text22: the encoded vocab joins broadcast; no corpus-side shuffle join") {
+    val plan = finalPlan(TextAnalysis.text22UnigramEncode(spark, sf))
+    // The model applies to the VOCAB (one HOF projection over distinct
+    // words); the corpus word stream must meet it by BROADCAST — a
+    // shuffle join here would move the corpus to meet a ~70-row frame.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the encoded vocab must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus shuffle join in the encode:\n${plan.take(1500)}")
+  }
+
   test("etl32: both axis predicates are pushed to the Z-ordered parquet scan") {
     val plan = finalPlan(Etl.etl32ZorderLayout(spark, sf))
     // Pushdown on BOTH dimensions is what turns the Z-layout's file/

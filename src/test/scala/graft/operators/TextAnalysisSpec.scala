@@ -509,4 +509,65 @@ class TextAnalysisSpec extends SparkSpec {
       == model.toMap)
     assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to model.size))
   }
+
+  test("text22 unigram encode equals a JVM Viterbi replay under the shipped model; word grammar shared with text18") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val T = graft.operators.TextAnalysis
+    // The SHIPPED model: text21's final counts, re-quantized through
+    // the engine (the operator's own definition of cost_micro).
+    val model = T.unigramModel(spark, sf)
+    val total = model.map(_._2).sum; val v = model.size.toLong
+    val cm = model.toDF("piece", "cnt")
+      .select(col("piece"),
+        round(-log2((col("cnt") + 1) / lit((total + v).toDouble)) * 10000)
+          .cast("long").as("cost"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // JVM per-word Viterbi under the shipped costs (the array-DP
+    // reference formulation, same tie-break).
+    def encode(w: String): (Long, Long) = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(T.UnigramHugeCost); dp(0) = 0L
+      val prev = Array.fill(n + 1)(-1)
+      for (j <- 1 to n) {
+        var best = T.UnigramHugeCost; var bi = -1
+        for (i <- math.max(0, j - T.UnigramMaxPiece) until j) {
+          val c = dp(i) + cm.getOrElse(w.substring(i, j), T.UnigramHugeCost)
+          if (c < best) { best = c; bi = i }
+        }
+        dp(j) = best; prev(j) = bi
+      }
+      var pos = n; var pieces = 0L
+      while (pos > 0) { pieces += 1; pos = prev(pos) }
+      (pieces, dp(n))
+    }
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split(" ")
+          .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+          .map(w => r.getLong(0) -> encode(w))
+      }
+      .groupBy(_._1).map { case (d, ws) =>
+        d -> ((ws.length.toLong, ws.map(_._2._1).sum, ws.map(_._2._2).sum))
+      }
+    val got = T.text22UnigramEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_unigram_tokens"),
+        r.getAs[Long]("cost_micro_sum")))).toMap
+    assert(got == expected, "encode diverges from the JVM replay")
+    // Bounds: at least one piece per word, at most one per character;
+    // every path cost positive and finite (never the HUGE sentinel —
+    // single-char coverage guarantees real segmentability).
+    got.values.foreach { case (nw, np, cs) =>
+      assert(np >= nw && cs > 0 && cs < T.UnigramHugeCost)
+    }
+    // The word grammar is text18's, verbatim: per-doc word counts
+    // agree between the two tokenizer families' encodes.
+    val bpe = T.text18BpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_words")).toMap
+    assert(got.view.mapValues(_._1).toMap == bpe,
+      "the two encodes must meter the same word stream")
+  }
 }
