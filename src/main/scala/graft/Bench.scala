@@ -745,28 +745,41 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     var merged = sweep
     var extra = 0
-    // Each extra pass resamples only the queries STILL reading above
-    // the damage bar vs their own committed floor (round-19, the
-    // round-17/18 "official rides at 1.2×" directive): a warm window
-    // inflates everything a little, the first extra pass or two pulls
-    // most readings back under the bar, and whole-surface passes then
-    // spend ~90% of their time re-measuring queries that are already
-    // healthy — the damaged subset shrinks each round, so the same
-    // wall-clock budget buys several times the samples on the tail
-    // that keeps the record ratio up. Under UNIFORM contention the
-    // damaged set IS the surface and this degrades gracefully to the
-    // old whole-pass behavior.
-    def damagedSubset: Set[String] = merged.iterator.filter { case (n, t) =>
-      !errored(n) && t > RetryFloorSec &&
-        prior.get(shortId(n)).exists(t > RecordDamagedRatio * _)
-    }.map(_._1).toSet
+    // Each extra pass resamples only the FAMILIES still holding a
+    // query above the damage bar vs its own committed floor (round-19,
+    // the round-17/18 "official rides at 1.2×" directive): a warm
+    // window inflates everything a little, the first extra pass or two
+    // pulls most readings back under the bar, and whole-surface passes
+    // then spend most of their time re-measuring queries that are
+    // already healthy — the damaged set shrinks each round, so the
+    // same wall-clock budget buys several times the samples on the
+    // tail that keeps the record ratio up. Two self-review refinements
+    // (round 19): the subset expands to whole FAMILIES because the
+    // committed floors were measured with in-family predecessors warm
+    // (a pin-heavy query like sim23 reads its floor only after sim19
+    // built the shared visited pool in the same pass — resampling it
+    // alone after the cache release would rebuild the pin every pass
+    // and never cure the reading); and there is NO absolute-floor gate
+    // here (unlike the suspect verdict's RetryFloorSec) — a hundred
+    // cheap queries at 2× their 0.1 s floors move the record ratio as
+    // much as one expensive one, and resampling them costs almost
+    // nothing. Under UNIFORM contention the damaged set IS the surface
+    // and this degrades gracefully to the old whole-pass behavior.
+    def damagedSubset: Set[String] = {
+      val damagedFams = merged.iterator.filter { case (n, t) =>
+        !errored(n) &&
+          prior.get(shortId(n)).exists(t > RecordDamagedRatio * _)
+      }.map { case (n, _) => family(n) }.toSet
+      merged.iterator.map(_._1).filter(n => damagedFams(family(n))).toSet
+    }
     while (extra < MaxExtraPasses && elapsedSec < BudgetSec &&
         recordRatio(merged, errored, prior).exists(_ > RecordDamagedRatio)) {
       val dmg = damagedSubset
       System.err.println(
         f"[bench] record reads ${recordRatio(merged, errored, prior).get}%.2fx" +
           " the committed floor sum — uniform contention per-query retries" +
-          s" cannot catch; resampling the ${dmg.size} still-damaged queries")
+          s" cannot catch; resampling the ${dmg.size} queries of the" +
+          " still-damaged families")
       val r = runPass(1, capture = false,
         subset = Some(dmg).filter(_.nonEmpty))
       GraftCache.release()

@@ -196,7 +196,15 @@ object CodebookStore {
         .flatMap(s => s.getPath.getName.drop(1).toLongOption)
         .filter(_ < floor).sorted
       expired.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(base, s"v$v"), true)
+        // Loud-failure discipline (matching the scrub-swap rename
+        // checks): a silently failed delete would report the version
+        // expired while the store still lists and serves it — the
+        // caller's bookkeeping and the store must never disagree.
+        if (!fs.delete(new org.apache.hadoop.fs.Path(base, s"v$v"), true))
+          throw new IllegalStateException(
+            s"failed to delete expired artifact version v$v under " +
+              s"$basePath — the store still serves it; resolve the " +
+              "store error and re-run the expiry")
       }
       expired
     }

@@ -512,13 +512,16 @@ class PlanAuditSpec extends SparkSpec {
   test("etl32: both axis predicates are pushed to the Z-ordered parquet scan") {
     val plan = finalPlan(Etl.etl32ZorderLayout(spark, sf))
     // Pushdown on BOTH dimensions is what turns the Z-layout's file/
-    // row-group min-max bands into actual pruning at scan time.
-    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
-      plan.contains("PushedFilters: [IsNotNull(o_custkey)"),
-      s"pushed filters missing:\n${plan.take(2000)}")
-    assert(plan.contains("GreaterThanOrEqual(o_orderdate") ||
-      plan.contains("GreaterThanOrEqual(o_custkey"),
-      s"axis bounds must reach the scan:\n${plan.take(2000)}")
+    // row-group min-max bands into actual pruning at scan time — AND
+    // on both axes (round-19 self-review: an || here would let one
+    // axis's pushdown silently regress behind the other's). The
+    // IsNotNull entries lead the PushedFilters list, so they survive
+    // the toString elision the bound entries may not (etl22's caveat).
+    assert(plan.contains("IsNotNull(o_orderdate)") &&
+      plan.contains("IsNotNull(o_custkey)"),
+      s"both axes must reach the scan:\n${plan.take(2000)}")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date bounds must reach the scan:\n${plan.take(2000)}")
   }
 
   test("sim11: MMR adds no exchange past the top-k shuffle") {
