@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  test("80 mixed queries submitted concurrently produce sequential results") {
+  test("82 mixed queries submitted concurrently produce sequential results") {
     // Includes dedup02/03 deliberately: they share the GraftCache
     // shingle frame, so the mix also races the registry's
     // build-once path against real consumers (dedup08 likewise races
@@ -43,6 +43,10 @@ class ConcurrencySpec extends SparkSpec {
       "text20_boilerplate_scrub",
       "text16_pmi_collocations", "text17_bpe_train", "text18_bpe_encode",
       "text19_tfidf_keywords",
+      // text21/text22 race the unigramModelCache computeIfAbsent (a
+      // multi-round driver loop through the racing session, text17's
+      // shape) plus the shared bpeWords pin against text17/18's reads.
+      "text21_unigram_train", "text22_unigram_encode",
       "dedup01_exact", "dedup02_ngram_jaccard", "dedup03_minhash_lsh",
       "dedup05_embedding_cosine", "dedup08_paragraph", "dedup09_semdedup",
       "dedup10_substring", "dedup11_incremental", "dedup12_bloom_ingest",

@@ -363,4 +363,53 @@ object GraftProps extends Properties("graft") {
         else !stable
       }
     }
+
+
+  // ---- etl32's Morton (Z-order) mask ladder ----------------------------
+
+  /** JVM replica of Etl.zSpread16's mask ladder (the spec separately
+    * pins the emitted z_key column equal to this arithmetic row for
+    * row, so properties proven here carry to the shipped layout).
+    */
+  private def spread16(x: Long): Long = {
+    var v = x & 0xFFFFL
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    (v | (v << 1)) & 0x55555555L
+  }
+  private def morton(x: Long, y: Long): Long = spread16(x) | (spread16(y) << 1)
+  private val dim16 = Gen.choose(0L, 65535L)
+
+  property("morton spread is exactly bit i -> bit 2i (ladder = definition)") =
+    Prop.forAll(dim16) { x =>
+      val direct = (0 until 16).map(i => ((x >> i) & 1L) << (2 * i)).sum
+      spread16(x) == direct
+    }
+
+  property("morton interleave is injective (the layout loses no key pair)") =
+    Prop.forAll(dim16, dim16, dim16, dim16) { (x1, y1, x2, y2) =>
+      (morton(x1, y1) == morton(x2, y2)) == (x1 == x2 && y1 == y2)
+    }
+
+  property("morton is monotone per axis (range scans stay range scans)") =
+    // With the other dimension FIXED, increasing one dimension strictly
+    // increases the z-value — so a single-axis range predicate maps to
+    // a union of z-ranges, never a scattered set (what makes min/max
+    // file bands prunable on either axis).
+    Prop.forAll(dim16, dim16, dim16) { (x1, x2, y) =>
+      (x1 == x2) || ((x1 < x2) == (morton(x1, y) < morton(x2, y))) &&
+        ((x1 < x2) == (morton(y, x1) < morton(y, x2)))
+    }
+
+  property("morton shared high bits = shared 2-D quadrant (locality law)") =
+    // Two points agreeing on their top k bits in BOTH dimensions agree
+    // on the top 2k bits of z — nearby rectangles land in nearby
+    // z-ranges, which is the whole file-locality argument.
+    Prop.forAll(dim16, dim16, dim16, dim16, Gen.choose(1, 15)) {
+      (x1, y1, x2, y2, k) =>
+        val drop = 16 - k
+        ((x1 >> drop) != (x2 >> drop)) || ((y1 >> drop) != (y2 >> drop)) ||
+          (morton(x1, y1) >> (2 * drop)) == (morton(x2, y2) >> (2 * drop))
+    }
 }
