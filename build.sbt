@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Hermetic test reports: the judge parses target/test-reports as "the
+// live suite set", so stale XML from deleted/renamed suites must not
+// survive into the next run. Cleared at the start of every test run.
+Test / testOptions += Tests.Setup { () =>
+  val dir = file("target/test-reports")
+  if (dir.exists) IO.delete(IO.listFiles(dir).toSeq)
+}
 run / fork := true
 // Forked run output must pass through unprefixed — the bench driver
 // parses Bench's single JSON stdout line, and sbt's default logger

@@ -778,8 +778,10 @@ object Bench {
       System.err.println(
         f"[bench] record reads ${recordRatio(merged, errored, prior).get}%.2fx" +
           " the committed floor sum — uniform contention per-query retries" +
-          s" cannot catch; resampling the ${dmg.size} queries of the" +
-          " still-damaged families")
+          " cannot catch; " +
+          (if (dmg.nonEmpty)
+            s"resampling the ${dmg.size} queries of the still-damaged families"
+          else "no floored family is damaged — sampling an extra whole pass"))
       val r = runPass(1, capture = false,
         subset = Some(dmg).filter(_.nonEmpty))
       GraftCache.release()

@@ -1274,10 +1274,14 @@ object Etl {
     */
   private[graft] def clusteredOrdersPath(spark: SparkSession, dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl22_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    // Stamped with the SOURCE's metadata fingerprint: a regenerated
-    // orders.parquet rebuilds the layout instead of serving last run's.
+    // Stamped with the SOURCE's metadata fingerprint (a regenerated
+    // orders.parquet rebuilds the layout instead of serving last
+    // run's) AND the layout constant (round-19 ADVICE: the tmpdir copy
+    // persists across JVM runs, so a retuned ClusterFiles must rebuild
+    // rather than silently serve the old file count).
     TableBuild.ensurePath(spark, out,
-        TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
+        s"cf=$ClusterFiles:" +
+          TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
       orders(spark, dir)
         .repartitionByRange(ClusterFiles, col("o_orderdate"))
         .sortWithinPartitions(col("o_orderdate"))
@@ -1351,8 +1355,25 @@ object Etl {
     */
   private[graft] def zOrderedOrdersPath(spark: SparkSession, dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_etl32_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // The stamp folds the source fingerprint AND the layout's plan:
+    // the z_key arithmetic's structural fingerprint (literal-invariant,
+    // so the build-only min/max bounds don't rotate it — placeholder
+    // bounds suffice) plus the constants the fingerprint is blind to
+    // (file count, epoch). Round-19 ADVICE: the tmpdir copy persists
+    // across JVM runs, so a future change to zOrderKey/zSpread16 or a
+    // retuned ZOrderFiles must rebuild the layout rather than silently
+    // serve one built by an older binary (payloadShardEmit's
+    // discipline).
+    val keyPlanFp = graft.PlanFingerprint.of(
+      orders(spark, dir)
+        .withColumn("z_days",
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+        .withColumn("z_key",
+          zOrderKey(col("z_days"), 0L, 1L, col("o_custkey"), 0L, 1L))
+        .drop("z_days"))
     TableBuild.ensurePath(spark, out,
-        TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
+        s"zk=$keyPlanFp:zf=$ZOrderFiles:epoch=1992-01-01:" +
+          TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
       val src = orders(spark, dir).withColumn("z_days",
         datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
       val b = src.agg(min("z_days"), max("z_days"),

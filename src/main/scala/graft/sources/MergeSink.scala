@@ -503,7 +503,15 @@ object MergeSink {
       // ADVICE). Holding the claim makes peers block and age to the
       // loud stale-claim failure, whose documented resolve (delete the
       // claim, re-run) converges through recoverScrubOrphans.
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"v$fence.claim"), false)
+      // Loud-failure discipline (round-19 ADVICE): a silently failed
+      // delete would leave a stale claim that blocks every later
+      // writer until StaleClaimMs and then reads as a crashed scrub.
+      val fenceClaim = new org.apache.hadoop.fs.Path(base, s"v$fence.claim")
+      if (!fs.delete(fenceClaim, false) && fs.exists(fenceClaim))
+        throw new IllegalStateException(
+          s"scrub completed but failed to release its fence claim " +
+            s"$fenceClaim — later writers would block and misdiagnose " +
+            "a crashed scrub; delete the claim manually")
       committed
     }
   }

@@ -20,9 +20,6 @@ class SurveyCoverageSpec extends AnyFunSuite {
     finally src.close()
   }
 
-  /** SURVEY rows whose id abbreviates the queries key. */
-  private val aliases = Map("dedup05_embedding" -> "dedup05_embedding_cosine")
-
   /** Streaming rows implemented as spec-equated pipelines (no batch
     * `queries` entry BY DESIGN — their correctness surface is the
     * batch twin each is spec-equated to). Adding a streaming row means
@@ -42,14 +39,13 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream27_span_redaction", "stream28_tombstone_feed")
 
   test("every queries entry is inventoried in SURVEY §2") {
-    val ids = surveyIds.map(i => aliases.getOrElse(i, i))
-    val missing = SparkEntry.queries.keySet -- ids
+    val missing = SparkEntry.queries.keySet -- surveyIds
     assert(missing.isEmpty, s"queries with no SURVEY row: ${missing.toSeq.sorted}")
   }
 
   test("every SURVEY §2 row is a queries entry or a declared spec-only stream") {
     val backed = SparkEntry.queries.keySet ++ streamingSpecOnly
-    val orphans = surveyIds.map(i => aliases.getOrElse(i, i)) -- backed
+    val orphans = surveyIds -- backed
     assert(orphans.isEmpty, s"SURVEY rows with no implementation: ${orphans.toSeq.sorted}")
   }
 
