@@ -174,6 +174,7 @@ object SparkEntry {
     "cur28_span_redaction" -> Curation.cur28SpanRedaction _,
     "cur29_composed_masks" -> Curation.cur29ComposedMasks _,
     "cur30_composed_repack" -> Curation.cur30ComposedRepack _,
+    "cur31_mask_vacuum" -> Curation.cur31MaskVacuum _,
     "cur21_histogram_budget" -> Curation.cur21HistogramBudget _,
     "cur22_histogram_select" -> Curation.cur22HistogramSelect _,
     "mm01_binary_meta" -> Multimodal.mm01BinaryMeta _,
@@ -2039,6 +2040,36 @@ object SparkEntry {
          ORDER BY source, shard"""
   }
 
+  /** Generated DuckDB replay of cur31's mask-ledger vacuum: the
+    * lifecycle audit stated directly from the two mask families'
+    * shared clipping grammar — v1 counts cur25's whole-doc rows, v2
+    * the composed ledger (both families), v3 the post-repack empty
+    * ledger; the vacuum retires v1/v2 (n_expired = 2) and only the
+    * empty current version survives. A Spark-side drift in either
+    * family's row derivation, in the composed union, or in the
+    * retention arithmetic lands as a count/flag mismatch.
+    */
+  private val Cur31OracleSql: String =
+    s"""WITH tdm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(masked_toks), 0) AS BIGINT) AS mt
+           FROM ($Cur25OracleSql) td31),
+         spm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(masked_toks), 0) AS BIGINT) AS mt
+           FROM ($Cur28OracleSql) sp31)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, tdm.n AS n_rows,
+             tdm.n AS takedown_rows, CAST(0 AS BIGINT) AS span_rows,
+             tdm.mt AS masked_toks, false AS retained,
+             CAST(2 AS BIGINT) AS n_expired FROM tdm
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), tdm.n + spm.n, tdm.n, spm.n,
+             tdm.mt + spm.mt, false, CAST(2 AS BIGINT) FROM tdm, spm
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             true, CAST(2 AS BIGINT)
+         ) v31 ORDER BY version"""
+
   /** Generated DuckDB replay of cur21's sort-free budget: the same
     * 256-bucket histogram over the md5 prefix, the bucket-prefix cut
     * as a window over the histogram (≤256 rows per source), and the
@@ -3034,6 +3065,7 @@ object SparkEntry {
     "cur28_span_redaction" -> Cur28OracleSql,
     "cur29_composed_masks" -> Cur29OracleSql,
     "cur30_composed_repack" -> Cur30OracleSql,
+    "cur31_mask_vacuum" -> Cur31OracleSql,
     "cur21_histogram_budget" -> Cur21OracleSql,
     "cur22_histogram_select" -> Cur22OracleSql,
     "dedup11_incremental" ->

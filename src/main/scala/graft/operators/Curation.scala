@@ -2255,6 +2255,107 @@ object Curation {
     payloadShardAudit(spark, cur30Payload(spark, dir),
       cur30OutDir(spark, dir), "cur30", dir)
 
+  /** cur31's versioned mask-ledger directory (etl27's
+    * deterministic-replay contract: reset + full lifecycle per call;
+    * fixed per-dir path, so cur31 must not race ITSELF across
+    * sessions — etl27's documented caveat).
+    */
+  private[graft] def cur31LedgerDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cur31_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** The two accumulated mask families as ledger frames — cur25's
+    * whole-doc takedown rows and cur28's span-redaction rows, each
+    * tagged with its family so the vacuum audit can count them apart.
+    * ONE derivation with cur25/cur28/cur29 (the shared clipping
+    * grammar): the ledger the vacuum retires is definitionally the
+    * composed skip list cur29's loader read pays.
+    */
+  private[graft] def cur31MaskFamilies(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val man = cur18TrainManifest(spark, dir)
+    val spanLo = intDiv(col("post_toks"), lit(4L))
+    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
+    val td = recalledMaskRows(man.filter(takedownFlag))
+      .withColumn("family", lit("takedown"))
+    val sp = docSpanMaskRows(man.filter(redactFlag)
+        .withColumn("span_lo", spanLo).withColumn("span_hi", spanHi))
+      .withColumn("family", lit("span"))
+    (td, sp)
+  }
+
+  /** cur31: MASK-LEDGER RETIREMENT (vacuum) — drop the accumulated
+    * mask artifacts once the composed repack has retired them into
+    * bytes (round-19 directive #1; the batch-completion bookkeeping
+    * cleanup of the reference's pipeline — case_2/Normal.py:283-327 —
+    * carried to the takedown ledger). Between repacks the two mask
+    * families (cur25/stream25 whole-doc, cur28/stream27 span)
+    * accumulate as versioned ledger artifacts and every loader pass
+    * applies the latest composed version; after cur30's repack the
+    * masks-retired law holds (empty skip list over the NEW shards
+    * reads what the full list read over the old — spec-pinned from the
+    * bytes in cur30), so the retired versions are not merely dead
+    * weight: a loader that KEEPS applying a retired mask to the
+    * repacked shards masks the WRONG offsets and silently drops valid
+    * survivor tokens (the double-mask hazard, spec-pinned). The vacuum
+    * therefore replays the ledger lifecycle and retires it through the
+    * versioned-artifact retention contract:
+    *  - v1: the whole-doc takedown rows (the family that fires first),
+    *  - v2: the composed ledger (both families — the accumulated state
+    *    cur29's read pays, published on stream25/27's feed cadence),
+    *  - v3: the post-repack EMPTY ledger (the flip cur30 justifies:
+    *    no mask applies to the re-emitted shards),
+    * then [[graft.sources.CodebookStore.expireVersions]] with
+    * keepLast = 1 drops v1/v2 — reads of retired versions fail LOUDLY
+    * (etl27's read-after-expiry discipline; a loader can never
+    * silently resolve a stale skip list), the current version can
+    * never be expired (keepLast >= 1 refused), and the vacuum is
+    * IDEMPOTENT (the immediate replay expiring nothing is enforced
+    * here, not assumed — the retention algebra's no-op law).
+    *
+    * Returns the lifecycle audit, one row per published version
+    * (content counted BEFORE the vacuum — afterwards the retired
+    * versions are unreadable by contract): mask-row and per-family
+    * counts, masked token mass, whether the version survives, and the
+    * vacuum's expiry count. Scale: ledger artifacts are
+    * recall+findings-sized frames (never corpus data — the
+    * publishFrame artifact contract), the audit is three tiny
+    * aggregates, and the vacuum itself is O(retired versions) file
+    * deletes — a 100 TB deployment runs exactly this on the repack
+    * cadence.
+    */
+  def cur31MaskVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CodebookStore
+    val base = cur31LedgerDir(dir)
+    CodebookStore.reset(spark, base) // deterministic end-to-end replay
+    val (td, sp) = cur31MaskFamilies(spark, dir)
+    val composed = td.unionByName(sp)
+    CodebookStore.publishFrame(spark, base, td)
+    CodebookStore.publishFrame(spark, base, composed)
+    CodebookStore.publishFrame(spark, base, composed.filter(lit(false)))
+    val audits = CodebookStore.versions(spark, base).map { v =>
+      val r = CodebookStore.frameAt(spark, base, v)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("family") === "takedown", 1L)
+            .otherwise(0L)), lit(0L)).as("tn"),
+          coalesce(sum(when(col("family") === "span", 1L)
+            .otherwise(0L)), lit(0L)).as("sn"),
+          coalesce(sum("masked_toks"), lit(0L)).as("mt"))
+        .collect()(0)
+      (v, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val expired = CodebookStore.expireVersions(spark, base, keepLast = 1)
+    val replay = CodebookStore.expireVersions(spark, base, keepLast = 1)
+    require(replay.isEmpty,
+      s"mask vacuum must be idempotent — the replay expired $replay")
+    val retained = CodebookStore.versions(spark, base).toSet
+    import spark.implicits._
+    audits.map { case (v, n, tn, sn, mt) =>
+      (v, n, tn, sn, mt, retained(v), expired.size.toLong)
+    }.toDF("version", "n_rows", "takedown_rows", "span_rows",
+        "masked_toks", "retained", "n_expired")
+      .orderBy("version")
+  }
+
   def cur24Takedown(spark: SparkSession, dir: String): DataFrame = {
     val ctx = Cur18CtxTokens
     val before = cur18TrainManifest(spark, dir)

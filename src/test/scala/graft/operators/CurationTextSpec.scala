@@ -1098,6 +1098,85 @@ class CurationTextSpec extends SparkSpec {
     assert(redactSeen > 0, "no redact-flagged survivor at this sf — span arm vacuous")
   }
 
+  test("cur31 mask vacuum: lifecycle audit; loud read-after-expiry; retention algebra; double-mask hazard") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.CodebookStore
+    val rows = Curation.cur31MaskVacuum(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    val byV = rows.map(r => r.getAs[Long]("version") -> r).toMap
+    // The audit counts are the REAL mask frames' (one derivation with
+    // cur25/cur28 — the ledger the vacuum retires is the composed skip
+    // list cur29's read pays).
+    val tdRows = Curation.cur25TombstoneMask(spark, sf).collect()
+    val spRows = Curation.cur28SpanRedaction(spark, sf).collect()
+    assert(tdRows.nonEmpty && spRows.nonEmpty, "a mask family is vacuous at this sf")
+    def mt(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("masked_toks")).sum
+    assert(byV(1L).getAs[Long]("n_rows") == tdRows.length)
+    assert(byV(1L).getAs[Long]("takedown_rows") == tdRows.length)
+    assert(byV(1L).getAs[Long]("span_rows") == 0L)
+    assert(byV(1L).getAs[Long]("masked_toks") == mt(tdRows))
+    assert(byV(2L).getAs[Long]("n_rows") == tdRows.length + spRows.length)
+    assert(byV(2L).getAs[Long]("span_rows") == spRows.length)
+    assert(byV(2L).getAs[Long]("masked_toks") == mt(tdRows) + mt(spRows))
+    assert(byV(3L).getAs[Long]("n_rows") == 0L, "v3 must be the EMPTY post-repack ledger")
+    assert(rows.map(r => r.getAs[Long]("version") -> r.getAs[Boolean]("retained")).toMap
+      == Map(1L -> false, 2L -> false, 3L -> true))
+    assert(rows.forall(_.getAs[Long]("n_expired") == 2L))
+    // Loud read-after-expiry (etl27's discipline): a loader can never
+    // silently resolve a retired skip list; the surviving current
+    // version is the empty ledger — the post-repack read state.
+    val base = Curation.cur31LedgerDir(sf)
+    intercept[NoSuchElementException](CodebookStore.frameAt(spark, base, 1L))
+    intercept[NoSuchElementException](CodebookStore.frameAt(spark, base, 2L))
+    assert(CodebookStore.frameAt(spark, base, 3L).count() == 0L)
+    assert(CodebookStore.latest(spark, base).contains(3L))
+    // Retention algebra: retire(K1); retire(K2) lands the same retained
+    // set as one-shot retire(K2), and the replay is a no-op — on a
+    // scratch replay of the same 3-version lifecycle.
+    val scratch = base + "_algebra"
+    val (td, sp) = Curation.cur31MaskFamilies(spark, sf)
+    CodebookStore.reset(spark, scratch)
+    CodebookStore.publishFrame(spark, scratch, td)
+    CodebookStore.publishFrame(spark, scratch, td.unionByName(sp))
+    CodebookStore.publishFrame(spark, scratch, td.limit(0))
+    assert(CodebookStore.expireVersions(spark, scratch, keepLast = 2) == Seq(1L))
+    assert(CodebookStore.expireVersions(spark, scratch, keepLast = 1) == Seq(2L))
+    assert(CodebookStore.versions(spark, scratch) == Seq(3L),
+      "stepwise retirement must converge to the one-shot retained set")
+    assert(CodebookStore.expireVersions(spark, scratch, keepLast = 1).isEmpty)
+    CodebookStore.reset(spark, scratch)
+    // THE DOUBLE-MASK HAZARD (the vacuum's motivating law): a loader
+    // that keeps applying the RETIRED composed ledger to cur30's
+    // repacked shards masks offsets that now hold VALID survivor
+    // tokens — it reads strictly less than the pinned post-repack
+    // read (cur30's masks-retired law: repacked + empty skip list ==
+    // cur29's composed read), so the stale read can never equal it.
+    val repacked = Curation.reassembledSequences(
+      Curation.payloadShardEmit(spark, Curation.cur30Payload(spark, sf),
+        Curation.cur30OutDir(spark, sf), "cur30", sf))
+    val staleMk = td.unionByName(sp)
+      .groupBy("source", "seq")
+      .agg(collect_list(struct(col("mask_start"), col("mask_end"))).as("mk"))
+    val staleSurvivors = repacked
+      .join(broadcast(staleMk), Seq("source", "seq"), "left")
+      .select(when(col("mk").isNull, size(col("stoks"))).otherwise(
+        size(filter(sequence(lit(0), size(col("stoks")) - 1), p =>
+          !exists(col("mk"), m =>
+            p >= m.getField("mask_start") && p <= m.getField("mask_end")))))
+        .cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val pinned = Curation.cur29ComposedMasks(spark, sf)
+      .agg(sum("n_toks")).collect()(0).getLong(0)
+    val repackedTotal = repacked
+      .agg(sum(size(col("stoks")).cast("long"))).collect()(0).getLong(0)
+    assert(repackedTotal == pinned,
+      "masks-retired law: repacked + empty skip list must carry cur29's token mass")
+    assert(staleSurvivors < pinned,
+      s"stale composed ledger over the repacked shards must drop valid survivor " +
+        s"tokens ($staleSurvivors vs $pinned) — the hazard the vacuum removes")
+  }
+
   test("cur21 histogram cut: local replay; kept set is a prefix-subset of cur08's exact cut") {
     val rows = Curation.cur21HistogramBudget(spark, sf).collect()
     assert(rows.nonEmpty)
