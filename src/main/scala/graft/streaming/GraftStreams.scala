@@ -803,6 +803,88 @@ object GraftStreams {
       .withColumn("tombstone_version", lit(version))
   }
 
+  /** stream29's arrival shape: a loader READ REQUEST naming a
+    * post-mask (source, seq) slice of the packed corpus — the serving
+    * cadence's unit of work (a trainer fetching its next sequences).
+    */
+  case class ReadRequestArrival(source: String, seq: Long)
+
+  /** stream29: streaming COMPOSED-MASK READ — cur29's composed loader
+    * read on the SERVING cadence, the read-side cell of the takedown ×
+    * streaming matrix (round-19 directive #2): stream25/stream27 feed
+    * both mask families continuously and cur29 proves the composed
+    * read from the bytes, but the loader that SERVES training
+    * sequences runs per request batch, and each batch must read under
+    * the masks committed AT THAT MOMENT — not at the last repack.
+    * Each micro-batch resolves BOTH mask ledgers' latest COMMITTED
+    * versions at batch time (stream28's resolve-at-batch-time pattern
+    * — the `_SUCCESS` marker is the flip, a batch can never read a
+    * half-written ledger), runs the ONE masked-read pass
+    * ([[graft.operators.Curation.maskedRetiledRead]] — cur29's core
+    * verbatim, so the gate cannot compose, clip, or re-tile
+    * differently than the batch read), serves the arriving
+    * (source, seq) requests from the re-tiled stream, and lands them
+    * under `batch_id=N` stamped with the deciding version PAIR.
+    *
+    * Contracts, stream28's verbatim: a mid-stream publish re-routes
+    * only NEW batches (landed batches stay reproducible from their
+    * stamped retained versions); `batch_id=N` overwrite makes replay
+    * idempotent, and a replay RE-DECIDES under the current pair (the
+    * version columns say which composed law produced every row); ZERO
+    * streaming state — the two ledgers are the state. Per version
+    * pair the served rows equal batch cur29 with those versions'
+    * masks (spec-pinned: the fed v1 pair IS cur25+cur28's rows, so
+    * the equality is exact against cur29ComposedMasks itself). A
+    * request for a sequence the masks re-tiled away serves nothing —
+    * the correct verdict, not an error. A read before EITHER ledger
+    * has a committed version fails LOUDLY (resolving a missing ledger
+    * to "no masks" would serve recalled content).
+    *
+    * Scale: ledger artifacts are recall+findings-sized (broadcast
+    * into the one masked-read pass); requests are batch-sized and
+    * broadcast at the final semi-join; the read pass itself is
+    * cur29's already-priced shape, amortized across the batch's
+    * requests (a deployment caches the re-tiled read per version
+    * pair — the stamp is exactly the cache key this operator derives).
+    */
+  def landComposedMaskReadBatch(batch: DataFrame, dir: String,
+      tdStore: String, spStore: String, outDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    def resolve(p: String, fam: String): Long =
+      graft.sources.CodebookStore.latest(spark, p).getOrElse(
+        throw new IllegalStateException(
+          s"no committed $fam mask ledger under $p — publish one " +
+            "(empty is valid: no masks yet) before streaming reads"))
+    val vTd = resolve(tdStore, "takedown")
+    val vSp = resolve(spStore, "span")
+    composedMaskReadResults(spark, dir, batch, tdStore, vTd, spStore, vSp)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** Decision core, separable so the spec replays it per version pair:
+    * both resolved ledger frames union into ONE skip list, the one
+    * masked-read pass over the ORIGINAL emitted shards drops every
+    * covered offset and re-tiles the survivor stream, the arriving
+    * requests take their slices, the version pair stamps every row.
+    */
+  private[graft] def composedMaskReadResults(spark: SparkSession,
+      dir: String, batch: DataFrame, tdStore: String, vTd: Long,
+      spStore: String, vSp: Long): DataFrame = {
+    import graft.sources.CodebookStore
+    val maskCols = Seq("source", "seq", "mask_start", "mask_end")
+    val masks = CodebookStore.frameAt(spark, tdStore, vTd)
+      .selectExpr(maskCols: _*)
+      .unionByName(CodebookStore.frameAt(spark, spStore, vSp)
+        .selectExpr(maskCols: _*))
+    graft.operators.Curation.maskedRetiledRead(spark, dir, masks, "stream29")
+      .join(broadcast(batch.select(col("source"),
+          col("seq").cast("long").as("seq"))),
+        Seq("source", "seq"), "left_semi")
+      .withColumn("takedown_version", lit(vTd))
+      .withColumn("span_version", lit(vSp))
+  }
+
   /** One document arriving on the stream19 packing stream: its size in
     * the packing unit (chars for cur09's batch twin; POST-SCRUB tokens
     * when composed behind stream18's funnel gate) plus event time for

@@ -36,7 +36,8 @@ class SurveyCoverageSpec extends AnyFunSuite {
     "stream21_boilerplate_gate", "stream22_audio_ingest",
     "stream23_manifest_emit", "stream24_graph_insert",
     "stream25_takedown_mask", "stream26_erasure_feed",
-    "stream27_span_redaction", "stream28_tombstone_feed")
+    "stream27_span_redaction", "stream28_tombstone_feed",
+    "stream29_composed_read")
 
   test("every queries entry is inventoried in SURVEY §2") {
     val missing = SparkEntry.queries.keySet -- surveyIds

@@ -986,6 +986,99 @@ class GraftStreamsSpec extends SparkSpec {
     CodebookStore.reset(spark, store)
   }
 
+  test("stream29: composed-mask read — per-version-pair equality to batch cur29; mid-stream publish re-routes only new batches; replay re-decides") {
+    import graft.operators.Curation
+    import graft.sources.CodebookStore
+    import spark.implicits._
+    val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream29_${System.nanoTime()}"
+    val tdStore = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream29_td_${System.nanoTime()}"
+    val spStore = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream29_sp_${System.nanoTime()}"
+    // A read before EITHER ledger has a committed version fails loudly
+    // — resolving a missing ledger to "no masks" would serve recalled
+    // content. Both missing-arm orders checked (td absent; td present
+    // but sp absent).
+    intercept[IllegalStateException](GraftStreams.landComposedMaskReadBatch(
+      Seq(("src0", 0L)).toDF("source", "seq"), sf, tdStore, spStore, outDir, 99L))
+    val (td, sp) = Curation.cur31MaskFamilies(spark, sf)
+    assert(CodebookStore.publishFrame(spark, tdStore, td.drop("family")) == 1L)
+    intercept[IllegalStateException](GraftStreams.landComposedMaskReadBatch(
+      Seq(("src0", 0L)).toDF("source", "seq"), sf, tdStore, spStore, outDir, 99L))
+    // v1 pair IS cur25+cur28's rows, fed — the per-pair equality below
+    // is then EXACT against batch cur29 itself, not a restatement.
+    assert(CodebookStore.publishFrame(spark, spStore, sp.drop("family")) == 1L)
+    val cur29 = Curation.cur29ComposedMasks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("seq")) ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("content_hash")))).toMap
+    assert(cur29.nonEmpty)
+    val allReqs = cur29.keys.toSeq.sorted
+    val (reqA, reqB) = allReqs.splitAt(allReqs.length / 2)
+    val offStream = ("src0", 999999L)
+    val stream = MemoryStream[GraftStreams.ReadRequestArrival](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          GraftStreams.landComposedMaskReadBatch(
+            b.toDF(), sf, tdStore, spStore, outDir, id)
+      }
+      .start()
+    def batchRows(id: Long): Map[(String, Long), (Long, Long, Long, Long)] =
+      spark.read.parquet(s"$outDir/batch_id=$id")
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq")) ->
+          ((r.getAs[Long]("n_toks"), r.getAs[Long]("content_hash"),
+            r.getAs[Long]("takedown_version"), r.getAs[Long]("span_version"))))
+        .toMap
+    try {
+      stream.addData(
+        (reqA :+ offStream).map((GraftStreams.ReadRequestArrival.apply _).tupled))
+      q.processAllAvailable()
+      val b0 = batchRows(0L)
+      assert(b0.keySet == reqA.toSet,
+        "batch 0 must serve exactly its on-stream requests (the re-tiled-away " +
+          "request serves nothing — the correct verdict, not an error)")
+      assert(b0.forall { case (k, (n, h, vt, vs)) =>
+        (n, h) == cur29(k) && vt == 1L && vs == 1L },
+        "v1-pair slices must equal batch cur29 hash-for-hash, stamped (1,1)")
+      // MID-STREAM PUBLISH: the span family's masks are retired (an
+      // empty v2 — cur31's post-repack flip on ONE ledger), so new
+      // batches read under takedown masks ONLY; the flip is observable
+      // because the td-only re-tile genuinely differs from the
+      // composed one at this sf (asserted, not assumed).
+      assert(CodebookStore.publishFrame(spark, spStore, sp.drop("family").limit(0)) == 2L)
+      val tdOnly = Curation.maskedRetiledRead(spark, sf,
+          Curation.cur31MaskFamilies(spark, sf)._1, "cur27")
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Long]("seq")) ->
+          ((r.getAs[Long]("n_toks"), r.getAs[Long]("content_hash")))).toMap
+      assert(tdOnly.exists { case (k, v) => cur29.get(k) != Some(v) },
+        "span retirement must change the read — flip arm vacuous at this sf")
+      stream.addData(reqB.map((GraftStreams.ReadRequestArrival.apply _).tupled))
+      q.processAllAvailable()
+      val b1 = batchRows(1L)
+      assert(b1.keySet == reqB.toSet.intersect(tdOnly.keySet))
+      assert(b1.forall { case (k, (n, h, vt, vs)) =>
+        (n, h) == tdOnly(k) && vt == 1L && vs == 2L },
+        "batch 1 must read under the newly committed pair (1,2)")
+      // Already-landed batches are untouched by the publish.
+      assert(batchRows(0L) == b0, "a publish must not rewrite landed batches")
+      // Replay-as-re-decision: re-landing batch 0 TODAY re-decides
+      // under the CURRENT pair — same requests, td-only content,
+      // stamped (1,2).
+      GraftStreams.landComposedMaskReadBatch(
+        (reqA :+ offStream).toDF("source", "seq"), sf, tdStore, spStore,
+        outDir, 0L)
+      val replayed = batchRows(0L)
+      assert(replayed.keySet == reqA.toSet.intersect(tdOnly.keySet))
+      assert(replayed.forall { case (k, (n, h, vt, vs)) =>
+        (n, h) == tdOnly(k) && vt == 1L && vs == 2L })
+    } finally q.stop()
+    CodebookStore.reset(spark, tdStore)
+    CodebookStore.reset(spark, spStore)
+  }
+
   test("stream25: streamed takedown masks equal batch cur25, off-manifest ids mask nothing, replay no-op") {
     import graft.operators.Curation
     import spark.implicits._
