@@ -188,6 +188,7 @@ object SparkEntry {
     "mm08_video_keyframes" -> Multimodal.mm08VideoKeyframes _,
     "mm10_audio_ingest" -> Multimodal.mm10AudioIngest _,
     "mm11_audio_windows" -> Multimodal.mm11AudioWindows _,
+    "mm12_audio_spectral" -> Multimodal.mm12AudioSpectral _,
     "stream01_tumbling_agg" -> Sessions.stream01TumblingAgg _,
     "stream02_sessionize" -> Sessions.stream02Sessionize _,
     "stream04_attribution" -> Sessions.stream04Attribution _)
@@ -379,6 +380,38 @@ object SparkEntry {
          CAST((-amp * nw) // 2 AS BIGINT) AS checksum,
          CAST(greatest(nw - 1, 0) AS BIGINT) AS zero_crossings
        FROM w11 ORDER BY clip_id, window_idx"""
+  }
+
+  /** Generated DuckDB replay of mm12's windowed spectra — the tone law
+    * in the frequency domain: a window of even length L of the ±A
+    * Nyquist square wave is A·e^{iπt}, whose L-point DFT is a single
+    * spike at bin L/2 with |X| = A·L and EXACT zero everywhere else
+    * (the geometric sum cancels), DC included. The Spark side runs a
+    * REAL DFT over REAL decoded RIFF bytes; a mis-tiled window, a
+    * twiddle off-by-one, or a dropped sample moves the spike bin or
+    * leaks sideband mass. Window generation is Mm11OracleSql's
+    * verbatim (same clips, same tiling, same zero-clip sentinel arm —
+    * peak_bin −1, zero magnitudes).
+    */
+  private val Mm12OracleSql: String = {
+    import graft.operators.Multimodal.{Mm10AmpMod, Mm10AmpStep,
+      Mm10BaseSamples, Mm10Clips, Mm10SampleMod, Mm10SampleStep,
+      Mm10WindowSamples}
+    val w = Mm10WindowSamples
+    s"""WITH d12 AS (SELECT doc_id AS clip_id,
+           ($Mm10BaseSamples + (doc_id % $Mm10SampleMod) * $Mm10SampleStep) AS n,
+           ((doc_id % $Mm10AmpMod + 1) * $Mm10AmpStep) AS amp
+         FROM documents WHERE doc_id < $Mm10Clips),
+       w12 AS (SELECT clip_id, CAST(t.i AS INTEGER) AS window_idx,
+           CAST(least(n - t.i * $w, $w) AS BIGINT) AS nw, amp
+         FROM d12, unnest(range(0, greatest((n + ${w - 1}) // $w, 1))) AS t(i))
+       SELECT clip_id, window_idx,
+         nw AS n_samples,
+         CAST(CASE WHEN nw = 0 THEN -1 ELSE nw // 2 END AS INTEGER) AS peak_bin,
+         CAST(amp * nw AS DOUBLE) AS peak_mag,
+         CAST(0 AS DOUBLE) AS dc_mag,
+         CAST(0 AS DOUBLE) AS sideband_mag
+       FROM w12 ORDER BY clip_id, window_idx"""
   }
 
   /** Generated DuckDB replay of etl27's retention audit, derived from
@@ -3948,6 +3981,7 @@ object SparkEntry {
     "mm08_video_keyframes" -> Mm08OracleSql,
     "mm10_audio_ingest" -> Mm10OracleSql,
     "mm11_audio_windows" -> Mm11OracleSql,
+    "mm12_audio_spectral" -> Mm12OracleSql,
     "mm05_binary_ingest" ->
       // The REAL pipeline (PNG encode -> binary files -> binaryFile
       // scan -> ImageIO decode on executors -> channel means) against

@@ -683,6 +683,88 @@ object Multimodal {
     }(enc).orderBy("clip_id", "window_idx")
   }
 
+  /** mm12: windowed SPECTRAL audio featurizer — the frequency-domain
+    * completion of the audio story (round-19 directive #3): mm10/mm11
+    * ship REAL decode but only amplitude-domain features (RMS,
+    * crossings, checksum), while every serious audio pipeline (VAD,
+    * language-ID, mel-spectrogram features for an audio encoder) works
+    * from per-window SPECTRA. Behind mm11's exact seam
+    * ([[MultimodalStub.decodeWavWindowed]] — bounded decode, never the
+    * whole clip) each window runs a REAL one-sided DFT
+    * ([[MultimodalStub.dftMagnitudes]]) and emits the spectral profile
+    * a gating pass reads: the dominant bin and its magnitude, the DC
+    * magnitude, and the loudest non-peak bin (the spectral-purity
+    * signal).
+    *
+    * The Nyquist square-wave tone law makes every value ANALYTIC, so
+    * this entry is ORACLED like mm09, not spec-only: a window of
+    * length L (even by construction) of the ±A alternating wave is
+    * A·(−1)^t = A·e^{iπt}, whose L-point DFT is a single spike —
+    * |X(L/2)| = A·L, every other bin EXACTLY zero (the geometric sum
+    * cancels), and DC = 0 (equal ± counts). So peak_bin = L/2,
+    * peak_mag = A·L, dc_mag = 0, sideband_mag = 0, each an integer
+    * function of the id — a mis-tiled window, an off-by-one in the
+    * twiddle, or a dropped sample moves the spike or leaks sideband
+    * mass. The window-tiling law (Σ per-window peak_mag = A·N = the
+    * whole-clip spike) is spec-pinned through the same kernel.
+    */
+  def mm12AudioSpectral(spark: SparkSession, dir: String): DataFrame =
+    audioSpectralMeta(mm10Files(spark, dir), Mm10WindowSamples)
+
+  private val audioSpectralSchema = StructType(Seq(
+    StructField("clip_id", LongType),
+    StructField("window_idx", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("peak_bin", IntegerType),
+    StructField("peak_mag", DoubleType),
+    StructField("dc_mag", DoubleType),
+    StructField("sideband_mag", DoubleType)))
+
+  /** Per-window spectral profile over any (clip_id, media) frame —
+    * [[audioWindowMeta]]'s seam contract verbatim (batched
+    * mapPartitions, explicit schema, executor-side decode + DFT;
+    * zero-sample clips emit the sentinel zero-row with peak_bin = −1).
+    * Magnitudes round to the 4-dp grid (mm11's rms discipline) so the
+    * analytic tone values compare exactly across engines.
+    */
+  private[graft] def audioSpectralMeta(
+      media: DataFrame, windowSamples: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSpectralSchema)
+    media.select(col("clip_id"), col("media")).mapPartitions { rows =>
+      rows.grouped(MultimodalStub.BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getAs[Long]("clip_id")
+          val (_, wins) = MultimodalStub.decodeWavWindowed(
+            r.getAs[Array[Byte]]("media"), windowSamples)
+          val winsOr =
+            if (wins.hasNext) wins else Iterator(Array.empty[Int])
+          winsOr.zipWithIndex.map { case (s, wi) =>
+            val mags = MultimodalStub.dftMagnitudes(s)
+            def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+            if (mags.isEmpty) Row(id, wi, 0L, -1, 0.0, 0.0, 0.0)
+            else {
+              var pk = 0
+              var i = 1
+              while (i < mags.length) {
+                if (mags(i) > mags(pk)) pk = i
+                i += 1
+              }
+              var side = 0.0
+              i = 0
+              while (i < mags.length) {
+                if (i != pk && mags(i) > side) side = mags(i)
+                i += 1
+              }
+              Row(id, wi, s.length.toLong, pk, r4(mags(pk)),
+                r4(mags(0)), r4(side))
+            }
+          }
+        }
+      }
+    }(enc).orderBy("clip_id", "window_idx")
+  }
+
   /** Delta-neighborhood candidate keys over a hash column: each row
     * explodes into its hash plus all single-bit flips (bits+1 keys, a
     * constant), so an equi-join of `key` against raw hashes finds
@@ -1005,6 +1087,39 @@ object MultimodalStub {
       }
     }
     (rate, it)
+  }
+
+  /** One-sided DFT magnitude spectrum of a real PCM window: |X(k)| for
+    * bins k = 0..⌊n/2⌋ (real input — the upper half mirrors), direct
+    * O(n²/2) summation. REAL spectral math on executors (the kernel a
+    * mel/VAD featurizer starts from), sized for the windowed seam: the
+    * window bound is what makes direct DFT affordable (256-sample
+    * windows are ~33k multiply-adds each, independent of clip length —
+    * the same argument that bounds [[decodeWavWindowed]]'s memory); a
+    * production build swaps an FFT behind this exact signature. An
+    * empty window has an empty spectrum (the caller's zero-row
+    * sentinel arm, mm11's contract).
+    */
+  def dftMagnitudes(s: Array[Int]): Array[Double] = {
+    val n = s.length
+    if (n == 0) return Array.empty
+    val out = new Array[Double](n / 2 + 1)
+    var k = 0
+    while (k < out.length) {
+      val w = -2.0 * math.Pi * k / n
+      var re = 0.0
+      var im = 0.0
+      var t = 0
+      while (t < n) {
+        val ang = w * t
+        re += s(t) * math.cos(ang)
+        im += s(t) * math.sin(ang)
+        t += 1
+      }
+      out(k) = math.sqrt(re * re + im * im)
+      k += 1
+    }
+    out
   }
 
   /** Decode encoded image bytes (PNG/JPEG/BMP/GIF — whatever the JDK's

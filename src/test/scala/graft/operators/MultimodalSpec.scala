@@ -491,6 +491,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dftMagnitudes obeys the analytic single-component laws (DC, Nyquist, impulse, Parseval)") {
+    def close(a: Double, b: Double, tol: Double = 1e-6) = math.abs(a - b) <= tol
+    val n = 64
+    // Constant A: all mass at DC (A·n), every other bin cancels.
+    val const = MultimodalStub.dftMagnitudes(Array.fill(n)(500))
+    assert(const.length == n / 2 + 1)
+    assert(close(const(0), 500.0 * n))
+    assert(const.zipWithIndex.drop(1).forall { case (m, _) => close(m, 0.0) })
+    // Alternating ±A (the corpus tone): single spike at the Nyquist
+    // bin of A·n — the law mm12's oracle replays per window.
+    val alt = MultimodalStub.dftMagnitudes(
+      Array.tabulate(n)(t => if (t % 2 == 0) 700 else -700))
+    assert(close(alt(n / 2), 700.0 * n))
+    assert(alt.zipWithIndex.filter(_._2 != n / 2)
+      .forall { case (m, _) => close(m, 0.0) })
+    // Unit impulse at t=0: a FLAT spectrum (every bin = A).
+    val imp = MultimodalStub.dftMagnitudes(
+      Array.tabulate(n)(t => if (t == 0) 900 else 0))
+    assert(imp.forall(close(_, 900.0)))
+    // Parseval over a deterministic pseudo-random vector: the
+    // one-sided spectrum's folded energy equals n·Σs² — the kernel
+    // conserves signal mass, not just the tone's special cases.
+    val rnd = Array.tabulate(n)(t =>
+      (((t.toLong * 1103515245L + 12345L) % 2001L) - 1000L).toInt)
+    val mags = MultimodalStub.dftMagnitudes(rnd)
+    val folded = mags(0) * mags(0) + mags(n / 2) * mags(n / 2) +
+      2.0 * (1 until n / 2).map(k => mags(k) * mags(k)).sum
+    val mass = n.toDouble * rnd.map(v => v.toDouble * v).sum
+    assert(math.abs(folded - mass) <= 1e-9 * mass, s"Parseval: $folded vs $mass")
+    assert(MultimodalStub.dftMagnitudes(Array.empty[Int]).isEmpty)
+  }
+
+  test("mm12 spectral windows obey the frequency-domain tone law; window peaks sum to the clip spike") {
+    val rows = Multimodal.mm12AudioSpectral(spark, sf).collect()
+    val byClip = rows.groupBy(_.getAs[Long]("clip_id"))
+    assert(byClip.size == Multimodal.Mm10Clips)
+    val w = Multimodal.Mm10WindowSamples
+    byClip.foreach { case (id, ws) =>
+      val (n, a) = (Multimodal.mm10Samples(id), Multimodal.mm10Amp(id).toLong)
+      assert(ws.length == (n + w - 1) / w, s"clip $id: window count")
+      ws.sortBy(_.getAs[Int]("window_idx")).zipWithIndex.foreach { case (r, i) =>
+        val L = math.min(n - i * w, w).toLong
+        assert(r.getAs[Long]("n_samples") == L)
+        assert(r.getAs[Int]("peak_bin") == L / 2,
+          s"clip $id window $i: the spike must sit at the Nyquist bin")
+        assert(r.getAs[Double]("peak_mag") == (a * L).toDouble,
+          s"clip $id window $i: |X(L/2)| must be exactly A*L")
+        assert(r.getAs[Double]("dc_mag") == 0.0)
+        assert(r.getAs[Double]("sideband_mag") == 0.0,
+          s"clip $id window $i: a pure tone may leak NO sideband mass")
+      }
+      // WINDOW-TILING LAW: per-window spikes sum to A·n — the
+      // whole-clip spike — because |X_w(L/2)| = A·L tiles the clip's
+      // sample count exactly (mm11's checksum-tiling proof carried to
+      // the frequency domain).
+      assert(ws.map(_.getAs[Double]("peak_mag")).sum == (a * n).toDouble,
+        s"clip $id: window spikes must tile the clip spike")
+    }
+    // The whole-clip side of the tiling law through the SAME kernel:
+    // the clip-length DFT of the tone concentrates A·n at bin n/2.
+    Seq(0L, 3L, 119L).foreach { id =>
+      val (n, a) = (Multimodal.mm10Samples(id), Multimodal.mm10Amp(id).toLong)
+      val (_, whole) = MultimodalStub.decodeWav(MultimodalStub.testToneWav(
+        n, a.toInt, Multimodal.Mm10Rate))
+      val mags = MultimodalStub.dftMagnitudes(whole)
+      assert(math.round(mags(n / 2) * 10000.0) / 10000.0 == (a * n).toDouble,
+        s"clip $id: whole-clip spike")
+    }
+  }
+
+  test("mm12 zero-sample clip stays visible: one sentinel spectral row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = MultimodalStub.testToneWav(0, 100, Multimodal.Mm10Rate)
+    val rows = Multimodal.audioSpectralMeta(
+      Seq((7L, empty)).toDF("clip_id", "media"), 256).collect()
+    assert(rows.length == 1, s"expected one sentinel row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getLong(0) == 7L && r.getInt(1) == 0 && r.getLong(2) == 0L &&
+      r.getInt(3) == -1 && r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 &&
+      r.getDouble(6) == 0.0, s"sentinel must be empty-spectrum: $r")
+  }
+
   test("mm07 output is blocking-invariant across admissible configs") {
     import graft.operators.Dedup.SimhashBlocking
     val bits = MultimodalStub.BarcodeBits
