@@ -146,6 +146,7 @@ object SparkEntry {
     "sim22_graph_compact" -> Similarity.sim22GraphCompact _,
     "sim23_graph_delete" -> Similarity.sim23GraphDelete _,
     "sim24_tombstoned_consolidate" -> Similarity.sim24TombstonedConsolidate _,
+    "sim25_layered_ann" -> Similarity.sim25LayeredAnn _,
     "cur01_hash_sample" -> Curation.cur01HashSample _,
     "cur02_corpus_stats" -> Curation.cur02CorpusStats _,
     "cur03_contamination" -> Curation.cur03Contamination _,
@@ -1076,6 +1077,74 @@ object SparkEntry {
          SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id
              ORDER BY cos DESC, vec_id) AS rk FROM v$GraphRounds)
+         WHERE rk <= $TopK ORDER BY q_id, rk"""
+  }
+
+  /** sim19's expansion rounds fully parameterized — CTE tag, round
+    * count, beam width, and the graph/corpus CTE names — so sim25's
+    * layered oracle can unroll BOTH layers (coarse routing over the
+    * layer's own graph, then the base rounds over `g`/`e`) through the
+    * one grammar. `v0<tag>` must exist; the chain ends in
+    * `v<rounds><tag>`.
+    */
+  private def beamRoundsSql(tag: String, rounds: Int, beam: Int,
+      graphCte: String, corpusCte: String): String =
+    (1 to rounds).map { r =>
+      s"""b${r - 1}$tag AS MATERIALIZED (SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS brk FROM v${r - 1}$tag)
+           WHERE brk <= $beam),
+         f$r$tag AS MATERIALIZED (SELECT DISTINCT b.q_id, g.dst AS vec_id
+           FROM b${r - 1}$tag b JOIN $graphCte g ON g.src = b.vec_id
+           WHERE g.dst <> b.q_id
+             AND NOT EXISTS (SELECT 1 FROM v${r - 1}$tag vv
+                             WHERE vv.q_id = b.q_id AND vv.vec_id = g.dst)),
+         sc$r$tag AS MATERIALIZED (SELECT f.q_id, f.vec_id,
+             round(list_cosine_similarity(q.qv, ee.v), 4) AS cos
+           FROM f$r$tag f JOIN q ON q.q_id = f.q_id
+             JOIN $corpusCte ee ON ee.vec_id = f.vec_id),
+         v$r$tag AS MATERIALIZED (
+           SELECT * FROM v${r - 1}$tag UNION ALL SELECT * FROM sc$r$tag)"""
+    }.mkString(",\n         ")
+
+  /** Generated DuckDB replay of sim25's layered search: the shared nav
+    * preamble, the md5-sampled densely-ranked coarse layer `cr` with
+    * its own hash-mod edges `cg`, the coarse routing unrolled at the
+    * narrow beam, the base rounds seeded by the WHOLE routed pool
+    * (`v0_bl` = the routing's final pool — the cross-layer score-once
+    * contract stated structurally), and the final top-k cut. Every
+    * constant interpolates from the operator (etl27 discipline); a
+    * drift in the sample rule, the layer's edge hash, either layer's
+    * beam arithmetic, or the seeding breaks the hash.
+    */
+  private val Sim25OracleSql: String = {
+    import graft.operators.Similarity.{Sim25Beam, Sim25CoarseBeam,
+      Sim25CoarseDegree, Sim25CoarseEntries, Sim25CoarseMod,
+      Sim25CoarseRounds, Sim25Rounds, TopK}
+    s"""WITH $Sim19NavCtes,
+         cr AS MATERIALIZED (SELECT vec_id, v,
+             row_number() OVER (ORDER BY vec_id) - 1 AS crank
+           FROM e
+           WHERE ('0x' || substr(md5('coarse:' || CAST(vec_id AS VARCHAR)),
+               1, 15))::BIGINT % $Sim25CoarseMod = 0),
+         cm AS (SELECT count(*) AS m FROM cr),
+         cg AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           FROM cr a, unnest(range(1, ${Sim25CoarseDegree + 1})) AS t(j),
+             cm, cr b
+           WHERE b.crank = ('0x' || substr(md5('c:' ||
+               CAST(a.vec_id AS VARCHAR) || ':' ||
+               CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % cm.m
+             AND b.vec_id <> a.vec_id),
+         v0_cl AS MATERIALIZED (SELECT q.q_id, cr.vec_id,
+             round(list_cosine_similarity(q.qv, cr.v), 4) AS cos
+           FROM q, cr
+           WHERE cr.crank < $Sim25CoarseEntries AND cr.vec_id <> q.q_id),
+         ${beamRoundsSql("_cl", Sim25CoarseRounds, Sim25CoarseBeam, "cg", "cr")},
+         v0_bl AS MATERIALIZED (SELECT * FROM v${Sim25CoarseRounds}_cl),
+         ${beamRoundsSql("_bl", Sim25Rounds, Sim25Beam, "g", "e")}
+         SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, vec_id) AS rk FROM v${Sim25Rounds}_bl)
          WHERE rk <= $TopK ORDER BY q_id, rk"""
   }
 
@@ -3351,6 +3420,7 @@ object SparkEntry {
     "sim22_graph_compact" -> Sim22OracleSql,
     "sim23_graph_delete" -> Sim23OracleSql,
     "sim24_tombstoned_consolidate" -> Sim24OracleSql,
+    "sim25_layered_ann" -> Sim25OracleSql,
     "sim15_ivfpq" ->
       // IVF-PQ composite replay: ONE trained codebook (the sim03/06/08
       // k=16 chain) serves as coarse quantizer (cosine cell argmax +

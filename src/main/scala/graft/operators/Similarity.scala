@@ -1303,10 +1303,27 @@ object Similarity {
     */
   private[graft] def beamSearchPool(
       corpus: DataFrame, graph: DataFrame, queries: DataFrame): DataFrame = {
+    // Round 0: the fixed entry set scored against every query.
+    val entry = corpus.filter(col("vec_id") < GraphEntryCount)
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    beamSearchPoolFrom(corpus, graph, queries, entry, GraphRounds, GraphBeam)
+  }
+
+  /** The expansion loop over an EXPLICIT round-0 pool and explicit
+    * (rounds, beam) — [[beamSearchPool]]'s body parameterized (round
+    * 20) so sim25's layered search can seed the base-layer loop with
+    * its coarse-routed per-query entries and run a SMALLER budget;
+    * the fixed-entry wrapper produces the identical plan it always
+    * did. `entry` must carry (q_id, vec_id, cos).
+    */
+  private[graft] def beamSearchPoolFrom(
+      corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+      entry: DataFrame, rounds: Int, beam: Int): DataFrame = {
     val e = corpus
     def topPer(df: DataFrame, k: Int): DataFrame = sim19TopPer(df, k)
-    // Round 0: the fixed entry set scored against every query. Each
-    // round's pool is MATERIALIZED with an eager localCheckpoint —
+    // Each round's pool is MATERIALIZED with an eager localCheckpoint —
     // the pool is O(queries·budget) rows, but the next round's plan
     // references it THREE times (beam, anti-join, union), so carrying
     // the lazy lineage across rounds recomputes earlier rounds
@@ -1322,15 +1339,11 @@ object Similarity {
     // and the whole search re-runs in seconds, so re-submitting beats
     // paying reliable-checkpoint I/O per round; a long-lived deployment
     // would swap in checkpoint() against the cluster FS in this loop.
-    var visited = e.filter(col("vec_id") < GraphEntryCount)
-      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosineSim(col("qv"), col("v")), 4).as("cos"))
-      .localCheckpoint(true)
-    for (r <- 1 to GraphRounds) {
-      val beam = topPer(visited, GraphBeam).select("q_id", "vec_id")
+    var visited = entry.localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val beamDf = topPer(visited, beam).select("q_id", "vec_id")
       // Frontier: the beam's unvisited graph neighbors (per query).
-      val frontier = broadcast(beam)
+      val frontier = broadcast(beamDf)
         .join(graph, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst"))
         .filter(col("dst") =!= col("q_id"))
@@ -1348,7 +1361,7 @@ object Similarity {
       // the pool, so the last materialization is pure waste (one
       // whole job at this frame's scheduling-bound size).
       visited = visited.unionByName(scored)
-      if (r < GraphRounds) visited = visited.localCheckpoint(true)
+      if (r < rounds) visited = visited.localCheckpoint(true)
     }
     visited
   }
@@ -1474,6 +1487,126 @@ object Similarity {
     }
     visited
   }
+
+  /** sim25's layer knobs. The coarse layer samples ~1/[[Sim25CoarseMod]]
+    * of the corpus (HNSW's per-level sampling, Malkov & Yashunin 2018
+    * §4, collapsed to one coarse level); [[Sim25CoarseDegree]]
+    * hash-derived edges per coarse node make the layer navigable on
+    * its own (the long-range construction, applied within the layer);
+    * the routing runs [[Sim25CoarseEntries]] global entries through a
+    * narrow ([[Sim25CoarseBeam]]) beam, and the BASE search then runs
+    * a deliberately SMALLER budget than sim19's deployed config —
+    * [[Sim25Beam]] < GraphBeam, [[Sim25Rounds]] < GraphRounds — which
+    * is the operator's claim: per-query adaptive entries buy back more
+    * recall than the budget cut costs (sim20 measured entry diversity
+    * as the binding knob: 2 fixed entries cost −0.20 recall).
+    */
+  val Sim25CoarseMod = 8
+  val Sim25CoarseDegree = 4
+  val Sim25CoarseEntries = 2
+  val Sim25CoarseBeam = 4
+  val Sim25CoarseRounds = 3
+  val Sim25Beam = 8
+  val Sim25Rounds = 3
+
+  /** The coarse layer: a deterministic md5-sampled ~1/mod of the
+    * corpus, densely ranked so the layer's hash-derived edges can land
+    * on real layer nodes (`crank` is the layer's own id space — the
+    * rank window is one pass over a layer-sized THIN frame, an
+    * index-BUILD cost on the build cadence, not a query cost).
+    */
+  private[graft] def sim25CoarseNodes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.vectors(spark, dir)
+      .filter(pmod(tokenHash64(concat(lit("coarse:"),
+        col("vec_id").cast("string"))), lit(Sim25CoarseMod)) === 0)
+      .withColumn("crank",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+
+  /** The coarse layer's own navigable edges: [[Sim25CoarseDegree]]
+    * hash-derived edges per node ONTO THE LAYER (`hash mod m` over the
+    * dense crank space — sim19's long-range rule, with the layer as
+    * the id space). The base graph's kNN edges are cell-local and its
+    * long-range edges land mostly OFF the layer, so the layer needs
+    * its own edge set to be navigable — exactly HNSW's per-level edge
+    * lists.
+    */
+  private[graft] def sim25CoarseEdges(coarse: DataFrame): DataFrame = {
+    val m = coarse.count()
+    val ranks = coarse.select(col("crank"), col("vec_id").as("dst"))
+    coarse.select(col("vec_id").as("src"))
+      .select(col("src"),
+        explode(sequence(lit(1), lit(Sim25CoarseDegree))).as("j"))
+      .select(col("src"),
+        pmod(tokenHash64(concat_ws(":", lit("c"), col("src"), col("j"))),
+          lit(m)).as("crank"))
+      .join(ranks, Seq("crank"))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** sim25's full visited pool (coarse routing ∪ base expansion) —
+    * separable so the spec can measure the budget claim directly
+    * against [[sim19VisitedPool]]'s row count. Pinned per (session,
+    * dir), sim19's contract.
+    */
+  private[graft] def sim25Pool(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"sim25.pool:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val e = Dedup.vectors(spark, dir)
+      val queries = e.filter(col("vec_id") < NumQueryVectors)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val coarse = sim25CoarseNodes(spark, dir)
+      val coarseVecs = coarse.select("vec_id", "v")
+      // Coarse ROUTING: from the layer's fixed entries, a narrow beam
+      // over the layer's own edges — every candidate it scores is a
+      // real corpus vector, so the routing pool is part of the answer
+      // (and of the budget), not a throwaway.
+      val coarseEntry = coarse.filter(col("crank") < Sim25CoarseEntries)
+        .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+      val routed = beamSearchPoolFrom(coarseVecs, sim25CoarseEdges(coarse),
+        queries, coarseEntry, Sim25CoarseRounds, Sim25CoarseBeam)
+      // BASE search seeded by the ENTIRE routed pool: the first base
+      // beam cut takes each query's best coarse nodes — the per-query
+      // adaptive entry set — and the anti-join sees every routed
+      // candidate, so nothing is ever scored twice across layers.
+      beamSearchPoolFrom(e.select("vec_id", "v"), knnGraphEdges(spark, dir),
+        queries, routed, Sim25Rounds, Sim25Beam)
+    }
+
+  /** sim25: LAYERED (coarse-entry) graph search — the hierarchical
+    * half of HNSW sim19 deliberately deferred (Malkov & Yashunin 2018
+    * §4), built because sim20 MEASURED entry diversity as the binding
+    * recall knob (dropping the fixed entry set from 8 to 2 cost −0.20
+    * recall while halving the beam cost almost nothing): instead of
+    * spending budget on MORE fixed entries, route each query through a
+    * sampled COARSE LAYER first — a narrow beam over ~n/8 nodes with
+    * their own hash-derived edges — and seed the base-layer search
+    * with the query's own best coarse nodes. The base search then
+    * affords a SMALLER budget (beam 8×3 rounds vs the deployed 12×4)
+    * because it starts in the right region instead of walking there
+    * from fixed entries; the spec measures BOTH halves of the claim —
+    * recall ≥ sim19's 0.5 floor AND strictly fewer scored candidates
+    * than sim19's pool.
+    *
+    * Spark shape: the coarse layer is built by the same declarative
+    * grammar as the base graph (md5 sample, dense-rank id space,
+    * hash-mod edges — one THIN build-cadence window); both layers run
+    * the ONE expansion loop ([[beamSearchPoolFrom]] — sim19's body,
+    * parameterized) so the layered search cannot expand differently
+    * than the deployed one; the routed pool flows into the base loop
+    * as its round-0 pool, which makes the cross-layer score-once
+    * contract structural (the anti-join sees the routing's visits).
+    * Deterministic end to end (4-dp scores, vec_id tie-breaks), so
+    * the DuckDB oracle replays both layers' rounds as one unrolled
+    * CTE chain.
+    */
+  def sim25LayeredAnn(spark: SparkSession, dir: String): DataFrame =
+    sim19TopPer(sim25Pool(spark, dir), TopK)
+      .select("q_id", "rk", "vec_id", "cos")
+      .orderBy("q_id", "rk")
 
   /** Local-edge degree for an inserted node — the graph family's
     * insert budget: the new node links to its beam search's top-K

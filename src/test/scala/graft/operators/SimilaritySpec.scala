@@ -555,6 +555,50 @@ class SimilaritySpec extends SparkSpec {
     assert(budget < 500, s"sanity: the documented constant is $budget")
   }
 
+  test("sim25 layered search: recall holds sim19's floor on a strictly smaller scored budget; entries are adaptive") {
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.sim01BruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.sim25LayeredAnn(spark, sf).collect()
+    val approx = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // THE CLAIM, both halves measured (round-19 directive #4): the
+    // coarse-routed per-query entries hold the deployed config's
+    // recall floor...
+    assert(recall >= 0.5,
+      f"layered search must hold sim19's recall floor: $recall%.2f")
+    // ...on a strictly SMALLER scored budget (pool rows are the graph
+    // family's cost unit — sim20's metric; the layered pool INCLUDES
+    // its coarse routing, so the comparison hides nothing).
+    val b25 = Similarity.sim25Pool(spark, sf).count()
+    val b19 = Similarity.sim19VisitedPool(spark, sf).count()
+    info(f"sim25 recall@${Similarity.TopK} = $recall%.3f, " +
+      s"budget $b25 vs sim19 $b19 pool rows")
+    assert(b25 < b19,
+      s"layered search must score strictly fewer candidates: $b25 vs $b19")
+    // ADAPTIVITY, the mechanism: the base layer's round-1 beam (each
+    // query's top coarse nodes) must differ BETWEEN queries — sim19's
+    // fixed entry set is identical for every query by construction, so
+    // identical per-query seeds would mean the coarse routing routed
+    // nothing.
+    val routedTop = Similarity.sim25Pool(spark, sf)
+      .join(Similarity.sim25CoarseNodes(spark, sf).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val seeds = Similarity.sim19TopPer(routedTop, Similarity.Sim25Beam)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(seeds.values.toSet.size > 1,
+      "per-query coarse seeds must differ across queries — the routing is adaptive")
+    // Determinism (the oracle's premise) and dense ranks.
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    val again = Similarity.sim25LayeredAnn(spark, sf).collect()
+    assert(got.map(_.toSeq.toVector).toVector ==
+      again.map(_.toSeq.toVector).toVector)
+  }
+
   test("sim21 insert: edge shape, determinism, and the back-edge transpose law") {
     val got = Similarity.sim21GraphInsert(spark, sf).collect()
     val nAppends = Similarity.NumQueryVectors * Similarity.StaleBatches
