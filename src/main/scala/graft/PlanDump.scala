@@ -154,11 +154,19 @@ object PlanDump {
         "unigram-LM training: the rendered model frame is vocab-sized by contract (the sim09 codebook posture); each EM round's E-step is one codegen'd HOF projection over the word table (DP + backtrack as aggregate folds, costs a literal map — no join, no shuffle) and the M-step one vocab-sized aggregate",
       "text22_unigram_encode" ->
         "unigram encode: the shipped model applies to the VOCAB in one HOF projection (same DP definition as training), the corpus word stream joins the tiny encoded vocab BROADCAST, one per-doc rollup — text18's shape for the second tokenizer family",
+      "sim25_layered_ann" ->
+        "layered graph ANN: coarse routing over the sampled layer's own hash-mod edges (narrow beam), routed pool seeds the base loop as its round-0 pool (cross-layer score-once via the same anti-join), smaller base budget than the deployed config — one parameterized expansion loop for both layers",
+      "mm12_audio_spectral" ->
+        "windowed spectral audio: bounded 256-sample windows off the codec per clip, REAL one-sided DFT per window executor-side (O(n²/2) affordable exactly because of the window bound; FFT swaps in behind the signature), per-window spectral profile",
       // etl29/etl30/etl31 return EAGERLY materialized audits (their
       // returned plans are trivial LocalRelation scans by design);
       // their load-bearing join shapes — the per-version broadcast
       // anti-join scrub and the broadcast anti-join suppression gate —
       // are replayed and pinned by PlanAuditSpec instead.
+      // cur31 likewise returns an eagerly materialized lifecycle audit
+      // (the vacuum's work is artifact-store file operations, not a
+      // query plan); its mask-frame derivations are cur25/cur28's,
+      // whose plans are dumped above.
       "sim24_tombstoned_consolidate" ->
         "tombstoned consolidate: sim22's evidence frames + ONE edge-to-edge equi-join on the dead endpoint (the DiskANN re-link), live-node-fenced vector joins, bounded-heap degree cut — still never a pair space")
 
@@ -300,6 +308,14 @@ object PlanDump {
       || cur27 equivalence rows (one per post-takedown sequence, through the operator itself - both emit legs + the masked re-tile run for real) | 1,478 | 15,000 | 10.1x - exactly linear in packed tokens/ctx; the masked-read leg adds no term beyond the emits it audits (round-17 row) |
       || cur28 span-redaction mask rows | 356 | 4,020 | 11.3x - recall-sized like cur25; sub-document granularity changes nothing about the economics (round-17 row) |
       || cur29 composed-mask rows (one per post-composed-mask sequence, through the operator itself - the emit leg + the doubly-masked re-tile run for real) | 1,442 | 14,632 | 10.1x - exactly linear in surviving packed tokens/ctx: composing the two mask families in one loader pass adds no term beyond the single emit it reads (round-18 row) |
+      || cur30 repacked sequences (through the operator's own emitted-file audit) | 1,442 | 14,632 | 10.1x - the doubly-repacked tiling equals cur29's composed-read row count AT EVERY DECADE (the masks-retired law as a growth identity; round-20 row) |
+      || cur30 doubly-repacked emitted bytes (from the files) | 1,012,842 | 10,254,842 | 10.1x - linear in SURVIVING mass: the composed retire costs cur26's shape minus the span slices (round-20 row) |
+      || cur31 retained ledger bytes AFTER the vacuum | 886 | 886 | CONSTANT - one empty current version however many mask rows accumulated (pre-vacuum mass = cur25+cur28's rows above); the vacuum is what keeps the ledger from growing one artifact per recall forever (round-20 row) |
+      || sim25 coarse-layer edges (through sim25CoarseEdges) | 995 | 10,139 | 10.2x on 10x vectors - linear at fixed degree in the n/8 layer (round-20 row) |
+      || sim25 layered scored pool (coarse routing + base rounds) | 775 | 924 | CONSTANT at 10x corpus AND 33%/25% below sim19's 1,165/1,234 pool at the same decades - the layered entry buys back sim19's recall floor (0.58 >= 0.5, spec-measured) on a strictly smaller budget (round-20 row) |
+      || etl32 files touched by a 1/16 date-axis predicate (synthetic orders decade, through zOrderKey + the same range-clustered write; 16 files) | 4 of 16 | 6 of 16 | a FILE SUBSET (~sqrt(files)) at both decades - the two-axis locality claim measured, not argued (round-20 row) |
+      || etl32 files touched by a 1/16 custkey-axis predicate | 4 of 16 | 4 of 16 | same subset bound on the OTHER axis - the property a 1-D sort cannot give (etl22's contrast; round-20 row) |
+      || etl32 rows read under the 1/16 date predicate | 335 of 5,000 | 3,209 of 50,000 | tracks selectivity linearly (~1/16 of the corpus) while the file subset stays ~sqrt - selectivity-proportional I/O on BOTH axes from ONE physical copy (round-20 row) |
       |
       |sim20 knob curve (round 15, measured at sf0.1 through the sweep
       |operator itself - candidates are pool rows for ALL 5 queries,
@@ -388,6 +404,12 @@ object PlanDump {
       || etl28 largest block | 20 | 61 | 3.05x - tracks V/16, the vocabulary, never the corpus |
       || etl28 band-surviving candidate pairs (the levenshtein workload) | 1,280 | 12,318 | 9.6x at 10x rows - LINEAR IN THE CORPUS (see reading) |
       || etl28 emitted links | 31 | 173 | tracks the injected near-dup name mass (~V/10 variants) |
+      || cur25 whole-doc mask rows | 3,360 | 33,691 | 10.0x - recall-list-sized for a THIRD decade (round-20 row) |
+      || cur28 span mask rows | 4,020 | 39,023 | 9.7x - findings-sized for a third decade (round-20 row) |
+      || cur30 repacked sequences (emitted-file audit) | 14,632 | 146,092 | 9.99x - EXACTLY linear in surviving packed tokens/ctx for a third decade; still equal to the composed-read row count (the masks-retired identity holds at 500k docs; round-20 row) |
+      || cur30 doubly-repacked emitted bytes | 10,254,842 | 102,512,609 | 10.0x - the composed retire stays the one full survivor copy (round-20 row) |
+      || cur31 retained ledger bytes after the vacuum | 886 | 886 | CONSTANT at the third decade too (round-20 row) |
+      || etl32 files per 1/16 predicate, date / custkey axis (500k synthetic orders, 16 files) | 6 / 4 | 4 / 4 | the file-subset bound holds a third decade on BOTH axes; rows read 31,179 / 31,348 of 500,000 - selectivity-linear (round-20 row) |
       |
       |Reading: every sub-quadratic claim that carries the 100 TB story
       |now rests on THREE measured decades (sf0.1 -> 50k -> 500k docs),

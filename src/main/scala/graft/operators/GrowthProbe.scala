@@ -240,6 +240,17 @@ object GrowthProbe {
     p("sim19_graph_edges", Similarity.knnGraphEdges(spark, dir).count())
     p("sim19_scored_candidates",
       Similarity.sim19VisitedPool(spark, dir).count())
+    // sim25's two growth numbers (round-20 operator), through its own
+    // machinery: the coarse layer's edge frame (linear at fixed degree
+    // in the LAYER's size = corpus/8) and the layered search's whole
+    // scored pool (coarse routing + base rounds — the smaller-budget
+    // claim, constant at any corpus size by sim19's argument, must
+    // stay BELOW sim19's pool at every decade).
+    p("sim25_coarse_edges",
+      Similarity.sim25CoarseEdges(
+        Similarity.sim25CoarseNodes(spark, dir)).count())
+    p("sim25_scored_candidates",
+      Similarity.sim25Pool(spark, dir).count())
     // sim20's whole read set — the SUM of all four trajectories'
     // visited pools, counted through the sweep's own one-loop search:
     // constant at any corpus size by sim19's argument, per config.
@@ -286,21 +297,25 @@ object GrowthProbe {
       p("cur23_straddle_docs", man.filter(
         intDiv(col("seq_last"), lit(Curation.Cur20SeqsPerShard)) >
           intDiv(col("seq_first"), lit(Curation.Cur20SeqsPerShard))).count())
-      def dirBytes(path: String): Long = {
-        val p0 = new org.apache.hadoop.fs.Path(path)
-        val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p0)) 0L
-        else {
-          val it = fs.listFiles(p0, true)
-          var total = 0L
-          while (it.hasNext) total += it.next().getLen
-          total
-        }
-      }
+      def dirBytes(path: String): Long = GrowthProbe.dirBytes(spark, path)
       Curation.cur23PayloadShards(spark, dir).count()
       p("cur23_emitted_bytes", dirBytes(Curation.cur23OutDir(spark, dir)))
       Curation.cur26RepackExecute(spark, dir).count()
       p("cur26_emitted_bytes", dirBytes(Curation.cur26OutDir(spark, dir)))
+      // cur30's doubly-repacked emit (round-19 directive #8): bytes
+      // from the files plus the re-tiled sequence count from the
+      // operator's own audit — the composed retire must stay linear in
+      // SURVIVING mass (cur26's shape minus the span slices).
+      p("cur30_repacked_seqs", Curation.cur30ComposedRepack(spark, dir)
+        .agg(coalesce(sum("n_seqs"), lit(0L))).head.getLong(0))
+      p("cur30_emitted_bytes", dirBytes(Curation.cur30OutDir(spark, dir)))
+      // cur31's retained ledger AFTER the vacuum: the whole point is
+      // that it is CONSTANT (one empty current version) however many
+      // mask rows accumulated — the pre-vacuum mass is cur25+cur28's
+      // rows, measured above.
+      Curation.cur31MaskVacuum(spark, dir).count()
+      p("cur31_retained_ledger_bytes",
+        dirBytes(Curation.cur31LedgerDir(dir)))
       p("cur24_dirty_shards", Curation.cur24Takedown(spark, dir)
         // sum over an empty frame is NULL (a fixture where no doc
         // trips the takedown flag must probe as 0, not NPE).
@@ -325,6 +340,69 @@ object GrowthProbe {
     // sweepSuperset join either way — counted here so the PLANS table
     // is measured through the shipping code path, not remembered.
     p("dedup13_superset_pairs", Dedup.sweepSuperset(spark, dir).count())
+    etl32Counts(spark, p, tag, nDocs)
+  }
+
+  /** etl32's growth counts (round-19 directive #8): the Z-order
+    * two-axis pruning claim at the synthetic decades, through the
+    * operator's OWN key arithmetic ([[Etl.zOrderKey]] — the Morton
+    * mask ladder with min/max scaling) and the same
+    * repartitionByRange + sortWithinPartitions write at the same
+    * [[Etl.ZOrderFiles]] knob. The synthetic decades carry no orders
+    * table, so `nRows` orders-shaped rows derive (day, custkey)
+    * deterministically from the id (etl28's synthetic-column
+    * discipline): day uniform over the corpus' 2,557-day span, custkey
+    * uniform over nRows/10 customers. Measured: the files a
+    * 1/16-selectivity predicate on EACH axis touches (distinct
+    * file_name of matching rows — the min/max locality the clustered
+    * write buys) and the rows it reads; the claim is that BOTH axes
+    * prune to a file SUBSET (~√files, never all 16) at every decade
+    * while rows read track selectivity linearly.
+    */
+  private[graft] def etl32Counts(spark: SparkSession,
+      p: (String, Long) => Unit, tag: String, nRows: Long): Unit = {
+    import graft.functions.GraftFunctions.tokenHash64
+    val days = 2557L
+    val ncust = math.max(nRows / 10, 16L)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_growth_etl32_" +
+      s"${tag.replaceAll("[^a-zA-Z0-9]", "_")}_$nRows"
+    TableBuild.ensurePath(spark, out,
+        s"gen$SynthGenVersion:$nRows:zf=${Etl.ZOrderFiles}") {
+      spark.range(nRows)
+        .select(col("id").as("o_id"),
+          pmod(tokenHash64(concat(lit("zd:"), col("id").cast("string"))),
+            lit(days)).as("z_days"),
+          pmod(tokenHash64(concat(lit("zc:"), col("id").cast("string"))),
+            lit(ncust)).as("o_custkey"))
+        .withColumn("z_key", Etl.zOrderKey(col("z_days"), 0L, days - 1,
+          col("o_custkey"), 0L, ncust - 1))
+        .repartitionByRange(Etl.ZOrderFiles, col("z_key"))
+        .sortWithinPartitions(col("z_key"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val read = spark.read.parquet(out)
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    p("etl32_rows", nRows)
+    p("etl32_files_total", filesOf(read))
+    p("etl32_files_date_16th", filesOf(read.filter(col("z_days") < days / 16)))
+    p("etl32_rows_date_16th", read.filter(col("z_days") < days / 16).count())
+    p("etl32_files_cust_16th",
+      filesOf(read.filter(col("o_custkey") < ncust / 16)))
+    p("etl32_rows_cust_16th",
+      read.filter(col("o_custkey") < ncust / 16).count())
+  }
+
+  private[graft] def dirBytes(spark: SparkSession, path: String): Long = {
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p0)) 0L
+    else {
+      val it = fs.listFiles(p0, true)
+      var total = 0L
+      while (it.hasNext) total += it.next().getLen
+      total
+    }
   }
 
   /** The LINEAR-claim subset of [[measure]], for the third decade —
@@ -374,6 +452,23 @@ object GrowthProbe {
         .join(broadcast(Similarity.ivfProbes(e, cb)),
           col("cell") === col("probe_cell"))
         .filter(col("vec_id") =!= col("q_id")).count())
+    // The emit family's THIRD decade (round-19 directive #8): the
+    // composed-repack emit and both mask families' row counts run for
+    // real at this scale through the operators' own machinery — the
+    // retire must stay linear in SURVIVING mass, the masks
+    // recall/findings-sized, and the post-vacuum ledger CONSTANT.
+    p("cur25_mask_rows", Curation.cur25TombstoneMask(spark, dir).count())
+    p("cur28_span_mask_rows", Curation.cur28SpanRedaction(spark, dir).count())
+    p("cur30_repacked_seqs", Curation.cur30ComposedRepack(spark, dir)
+      .agg(coalesce(sum("n_seqs"), lit(0L))).head.getLong(0))
+    p("cur30_emitted_bytes", dirBytes(spark, Curation.cur30OutDir(spark, dir)))
+    Curation.cur31MaskVacuum(spark, dir).count()
+    p("cur31_retained_ledger_bytes", dirBytes(spark, Curation.cur31LedgerDir(dir)))
+    // sim19/sim25 stay second-decade-only: their graph build rides
+    // sim07's fixed-K intra-cell pair space — the deliberately-
+    // quadratic shape this tier excludes (the knob, not the join,
+    // scales it).
+    etl32Counts(spark, p, tag, nDocs)
   }
 
   /** cur16's growth counts, via the operator's own machinery
