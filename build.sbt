@@ -12,11 +12,16 @@ libraryDependencies ++= Seq(
 Test / fork := true
 // Hermetic test reports: the judge parses target/test-reports as "the
 // live suite set", so stale XML from deleted/renamed suites must not
-// survive into the next run. Cleared at the start of every test run.
-Test / testOptions += Tests.Setup { () =>
+// survive a FULL `test` run. Cleared only by the full-test task —
+// wiping in Tests.Setup would also fire on partial `testOnly` runs
+// and collapse the report dir to the subset just run (round-20
+// review), the inverse misrepresentation.
+val cleanTestReports = taskKey[Unit]("delete target/test-reports")
+cleanTestReports := {
   val dir = file("target/test-reports")
   if (dir.exists) IO.delete(IO.listFiles(dir).toSeq)
 }
+Test / test := (Test / test).dependsOn(cleanTestReports).value
 run / fork := true
 // Forked run output must pass through unprefixed — the bench driver
 // parses Bench's single JSON stdout line, and sbt's default logger

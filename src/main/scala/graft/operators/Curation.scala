@@ -1871,6 +1871,18 @@ object Curation {
     substring(md5(concat(lit("redact:"), col("doc_id").cast("string"))),
       1, 2) < RedactHexThr
 
+  /** The deterministic in-doc redaction span [lo, hi) in post-scrub
+    * token positions, over a frame carrying `post_toks` — ONE
+    * derivation for every site that places it (cur28's mask emit,
+    * cur29's composed read, cur30's byte retire, cur31's ledger;
+    * round-20 review: four copy-pastes of this arithmetic were one
+    * missed retune away from diverging the vacuumed ledger from the
+    * mask family it retires).
+    */
+  private[graft] def redactSpanLo = intDiv(col("post_toks"), lit(4L))
+  private[graft] def redactSpanHi =
+    greatest(redactSpanLo + 1, intDiv(col("post_toks"), lit(2L)))
+
   /** cur28: SPAN-LEVEL POST-PACK REDACTION — the takedown grammar at
     * sub-document granularity: a span-level finding (PII inside an
     * otherwise-fine document, one infringing quotation) must stop
@@ -1887,14 +1899,12 @@ object Curation {
     * spans, so span masks compose with whole-doc masks in the same
     * loader pass.
     */
-  def cur28SpanRedaction(spark: SparkSession, dir: String): DataFrame = {
-    val spanLo = intDiv(col("post_toks"), lit(4L))
-    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
+  def cur28SpanRedaction(spark: SparkSession, dir: String): DataFrame =
     docSpanMaskRows(
         cur18TrainManifest(spark, dir).filter(redactFlag)
-          .withColumn("span_lo", spanLo).withColumn("span_hi", spanHi))
+          .withColumn("span_lo", redactSpanLo)
+          .withColumn("span_hi", redactSpanHi))
       .orderBy("source", "seq", "mask_start", "doc_id")
-  }
 
   /** Mask rows for IN-DOC token spans over manifest-coordinate rows —
     * the ONE span→global-range derivation cur28 and stream27's feed
@@ -2144,14 +2154,8 @@ object Curation {
     * must not race cur23/cur26/cur27 within a session.
     */
   def cur29ComposedMasks(spark: SparkSession, dir: String): DataFrame = {
-    val man = cur18TrainManifest(spark, dir)
-    val spanLo = intDiv(col("post_toks"), lit(4L))
-    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
-    val masks = recalledMaskRows(man.filter(takedownFlag))
-      .unionByName(docSpanMaskRows(
-        man.filter(redactFlag)
-          .withColumn("span_lo", spanLo).withColumn("span_hi", spanHi)))
-    maskedRetiledRead(spark, dir, masks, "cur29")
+    val (td, sp) = cur31MaskFamilies(spark, dir)
+    maskedRetiledRead(spark, dir, td.unionByName(sp), "cur29")
       .orderBy("source", "seq")
   }
 
@@ -2189,12 +2193,10 @@ object Curation {
     */
   private[graft] def cur30Payload(spark: SparkSession, dir: String): DataFrame = {
     val ctx = Cur18CtxTokens
-    val spanLo = intDiv(col("post_toks"), lit(4L))
-    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
     // The clamp is docSpanMaskRows' verbatim (the mask emit and the
     // byte retire cannot place a span differently).
-    val lo = greatest(spanLo, lit(0L))
-    val hi = least(spanHi, col("post_toks"))
+    val lo = greatest(redactSpanLo, lit(0L))
+    val hi = least(redactSpanHi, col("post_toks"))
     val scrubbed = cur18TrainPayload(spark, dir)
       .filter(!takedownFlag)
       .withColumn("toks",
@@ -2263,23 +2265,20 @@ object Curation {
   private[graft] def cur31LedgerDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_cur31_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
-  /** The two accumulated mask families as ledger frames — cur25's
-    * whole-doc takedown rows and cur28's span-redaction rows, each
-    * tagged with its family so the vacuum audit can count them apart.
-    * ONE derivation with cur25/cur28/cur29 (the shared clipping
-    * grammar): the ledger the vacuum retires is definitionally the
-    * composed skip list cur29's loader read pays.
+  /** The two accumulated mask families as (whole-doc, span) frames —
+    * ONE derivation for cur29's composed read, cur31's ledger, and
+    * stream29's spec (the shared clipping grammar): the ledger the
+    * vacuum retires is definitionally the composed skip list cur29's
+    * loader read pays. Untagged (cur29's skip-list plan must not
+    * change shape); the vacuum adds its per-family audit tag itself.
     */
   private[graft] def cur31MaskFamilies(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val man = cur18TrainManifest(spark, dir)
-    val spanLo = intDiv(col("post_toks"), lit(4L))
-    val spanHi = greatest(spanLo + 1, intDiv(col("post_toks"), lit(2L)))
     val td = recalledMaskRows(man.filter(takedownFlag))
-      .withColumn("family", lit("takedown"))
     val sp = docSpanMaskRows(man.filter(redactFlag)
-        .withColumn("span_lo", spanLo).withColumn("span_hi", spanHi))
-      .withColumn("family", lit("span"))
+        .withColumn("span_lo", redactSpanLo)
+        .withColumn("span_hi", redactSpanHi))
     (td, sp)
   }
 
@@ -2327,7 +2326,9 @@ object Curation {
     import graft.sources.CodebookStore
     val base = cur31LedgerDir(dir)
     CodebookStore.reset(spark, base) // deterministic end-to-end replay
-    val (td, sp) = cur31MaskFamilies(spark, dir)
+    val (td0, sp0) = cur31MaskFamilies(spark, dir)
+    val td = td0.withColumn("family", lit("takedown"))
+    val sp = sp0.withColumn("family", lit("span"))
     val composed = td.unionByName(sp)
     CodebookStore.publishFrame(spark, base, td)
     CodebookStore.publishFrame(spark, base, composed)

@@ -1346,6 +1346,18 @@ object Etl {
     */
   val ZOrderFiles = 16
 
+  /** Version token of the Z-KEY ARITHMETIC itself ([[zSpread16]] /
+    * [[zScale16]] / [[zOrderKey]]), folded into every stamp that
+    * persists a layout built from it (etl32's orders copy AND the
+    * GrowthProbe's synthetic decades). The plan fingerprint beside it
+    * catches structural changes but is literal-blind BY DESIGN
+    * (PlanFingerprint hashes expression class names only — round-20
+    * review), so a literal-only retune (the 65535 scale constant, a
+    * Morton mask value) must bump THIS token or stale layouts survive
+    * across JVM runs.
+    */
+  val ZKeyArithVersion = 1
+
   /** etl32's Z-ordered orders layout (etl22's ensurePath discipline,
     * source-fingerprint stamped). The written copy carries the z_key
     * column so the spec can audit the interleave arithmetic straight
@@ -1358,12 +1370,12 @@ object Etl {
     // The stamp folds the source fingerprint AND the layout's plan:
     // the z_key arithmetic's structural fingerprint (literal-invariant,
     // so the build-only min/max bounds don't rotate it — placeholder
-    // bounds suffice) plus the constants the fingerprint is blind to
-    // (file count, epoch). Round-19 ADVICE: the tmpdir copy persists
-    // across JVM runs, so a future change to zOrderKey/zSpread16 or a
-    // retuned ZOrderFiles must rebuild the layout rather than silently
-    // serve one built by an older binary (payloadShardEmit's
-    // discipline).
+    // bounds suffice; a literal-only retune of the arithmetic bumps
+    // [[ZKeyArithVersion]] instead) plus the constants the fingerprint
+    // is blind to (file count, epoch). Round-19 ADVICE: the tmpdir
+    // copy persists across JVM runs, so a changed layout must rebuild
+    // rather than silently serve one built by an older binary
+    // (payloadShardEmit's discipline).
     val keyPlanFp = graft.PlanFingerprint.of(
       orders(spark, dir)
         .withColumn("z_days",
@@ -1372,7 +1384,8 @@ object Etl {
           zOrderKey(col("z_days"), 0L, 1L, col("o_custkey"), 0L, 1L))
         .drop("z_days"))
     TableBuild.ensurePath(spark, out,
-        s"zk=$keyPlanFp:zf=$ZOrderFiles:epoch=1992-01-01:" +
+        s"zk=$keyPlanFp:zv=$ZKeyArithVersion:zf=$ZOrderFiles:" +
+          "epoch=1992-01-01:" +
           TableBuild.dirFingerprint(spark, s"$dir/orders.parquet")) {
       val src = orders(spark, dir).withColumn("z_days",
         datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))

@@ -366,8 +366,13 @@ object GrowthProbe {
     val ncust = math.max(nRows / 10, 16L)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_growth_etl32_" +
       s"${tag.replaceAll("[^a-zA-Z0-9]", "_")}_$nRows"
+    // zv folds the key-arithmetic version (round-20 review: without it
+    // a changed zOrderKey would silently serve the stale synthetic
+    // layout across JVM runs — the exact hazard etl32's own stamp
+    // guards against).
     TableBuild.ensurePath(spark, out,
-        s"gen$SynthGenVersion:$nRows:zf=${Etl.ZOrderFiles}") {
+        s"gen$SynthGenVersion:$nRows:zf=${Etl.ZOrderFiles}:" +
+          s"zv=${Etl.ZKeyArithVersion}") {
       spark.range(nRows)
         .select(col("id").as("o_id"),
           pmod(tokenHash64(concat(lit("zd:"), col("id").cast("string"))),

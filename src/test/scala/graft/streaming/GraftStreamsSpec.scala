@@ -1003,12 +1003,12 @@ class GraftStreamsSpec extends SparkSpec {
     intercept[IllegalStateException](GraftStreams.landComposedMaskReadBatch(
       Seq(("src0", 0L)).toDF("source", "seq"), sf, tdStore, spStore, outDir, 99L))
     val (td, sp) = Curation.cur31MaskFamilies(spark, sf)
-    assert(CodebookStore.publishFrame(spark, tdStore, td.drop("family")) == 1L)
+    assert(CodebookStore.publishFrame(spark, tdStore, td) == 1L)
     intercept[IllegalStateException](GraftStreams.landComposedMaskReadBatch(
       Seq(("src0", 0L)).toDF("source", "seq"), sf, tdStore, spStore, outDir, 99L))
     // v1 pair IS cur25+cur28's rows, fed — the per-pair equality below
     // is then EXACT against batch cur29 itself, not a restatement.
-    assert(CodebookStore.publishFrame(spark, spStore, sp.drop("family")) == 1L)
+    assert(CodebookStore.publishFrame(spark, spStore, sp) == 1L)
     val cur29 = Curation.cur29ComposedMasks(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("seq")) ->
         ((r.getAs[Long]("n_toks"), r.getAs[Long]("content_hash")))).toMap
@@ -1047,7 +1047,7 @@ class GraftStreamsSpec extends SparkSpec {
       // batches read under takedown masks ONLY; the flip is observable
       // because the td-only re-tile genuinely differs from the
       // composed one at this sf (asserted, not assumed).
-      assert(CodebookStore.publishFrame(spark, spStore, sp.drop("family").limit(0)) == 2L)
+      assert(CodebookStore.publishFrame(spark, spStore, sp.limit(0)) == 2L)
       val tdOnly = Curation.maskedRetiledRead(spark, sf,
           Curation.cur31MaskFamilies(spark, sf)._1, "cur27")
         .collect()
