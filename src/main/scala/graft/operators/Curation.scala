@@ -2333,16 +2333,27 @@ object Curation {
     CodebookStore.publishFrame(spark, base, td)
     CodebookStore.publishFrame(spark, base, composed)
     CodebookStore.publishFrame(spark, base, composed.filter(lit(false)))
+    // ONE audit job over all committed versions (a per-version
+    // agg+collect loop paid 3 scheduling round-trips for 3 tiny
+    // frames); a version with zero rows still audits (the left frame
+    // is the version list, never the rows).
+    val byVersion = CodebookStore.versions(spark, base).map { v =>
+      CodebookStore.frameAt(spark, base, v).withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .groupBy("version")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("family") === "takedown", 1L)
+          .otherwise(0L)), lit(0L)).as("tn"),
+        coalesce(sum(when(col("family") === "span", 1L)
+          .otherwise(0L)), lit(0L)).as("sn"),
+        coalesce(sum("masked_toks"), lit(0L)).as("mt"))
+      .collect()
+      .map(r => r.getAs[Long]("version") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("tn"), r.getAs[Long]("sn"),
+          r.getAs[Long]("mt")))).toMap
     val audits = CodebookStore.versions(spark, base).map { v =>
-      val r = CodebookStore.frameAt(spark, base, v)
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(when(col("family") === "takedown", 1L)
-            .otherwise(0L)), lit(0L)).as("tn"),
-          coalesce(sum(when(col("family") === "span", 1L)
-            .otherwise(0L)), lit(0L)).as("sn"),
-          coalesce(sum("masked_toks"), lit(0L)).as("mt"))
-        .collect()(0)
-      (v, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (n, tn, sn, mt) = byVersion.getOrElse(v, (0L, 0L, 0L, 0L))
+      (v, n, tn, sn, mt)
     }
     val expired = CodebookStore.expireVersions(spark, base, keepLast = 1)
     val replay = CodebookStore.expireVersions(spark, base, keepLast = 1)

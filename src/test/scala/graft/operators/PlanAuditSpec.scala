@@ -306,6 +306,37 @@ class PlanAuditSpec extends SparkSpec {
       "no unpartitioned window may appear in the re-pack")
   }
 
+  test("stream29: request semi-join and composed ledger both broadcast; no cartesian") {
+    import graft.sources.CodebookStore
+    import spark.implicits._
+    val tdStore = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_planaudit_s29td_${System.nanoTime()}"
+    val spStore = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_planaudit_s29sp_${System.nanoTime()}"
+    val (td, sp) = Curation.cur31MaskFamilies(spark, sf)
+    CodebookStore.publishFrame(spark, tdStore, td)
+    CodebookStore.publishFrame(spark, spStore, sp)
+    try {
+      val plan = finalPlan(graft.streaming.GraftStreams
+        .composedMaskReadResults(spark, sf,
+          Seq(("src0", 0L)).toDF("source", "seq"), tdStore, 1L, spStore, 1L))
+      // The serving read's two small sides — the composed ledger (the
+      // skip list, recall+findings-sized) and the request batch — must
+      // both broadcast onto the reassembled/re-tiled stream; the
+      // request cut is a semi-join; nothing may degenerate to a
+      // cartesian.
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        "ledger skip list AND request batch must broadcast")
+      assert(plan.contains("LeftSemi"),
+        "the request cut must plan as a semi-join")
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian in stream29:\n${plan.take(2000)}")
+    } finally {
+      CodebookStore.reset(spark, tdStore)
+      CodebookStore.reset(spark, spStore)
+    }
+  }
+
   test("etl30: the suppression gate is one broadcast anti-join on the change batch") {
     import org.apache.spark.sql.functions.broadcast
     // Run the operator (it publishes the suppression list), then
