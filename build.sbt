@@ -51,3 +51,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // distorted one round's timings (the machine has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Dev hook: extra forked-JVM flags (e.g. -Dspark.* conf A/B probes,
+// GC logging) without editing the build — space-separated.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

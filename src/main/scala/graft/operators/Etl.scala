@@ -536,10 +536,15 @@ object Etl {
     }
     val versions = MergeSink.versions(spark, base)
     // Pre-scrub raw row counts (the audit's n_erased denominators) —
-    // one count per retained version over the key-compact snapshot.
+    // ALL retained versions counted in ONE job (a union of per-version
+    // count legs instead of a count job per version; round-20
+    // optimization — the cur31 all-versions-one-job pattern).
     val preRows = versions.map { v =>
-      v -> MergeSink.snapshotRows(spark, base, v).count()
-    }.toMap
+        MergeSink.snapshotRows(spark, base, v)
+          .agg(count(lit(1)).as("n"))
+          .select(lit(v).as("version"), col("n"))
+      }.reduce(_ unionByName _).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     MergeSink.scrubVersions(spark, table, base,
       log.select(col("key")).distinct().filter(etl29EraseFlag(col("key"))))
     val audit = versions.map { v =>
