@@ -995,15 +995,25 @@ object Curation {
     */
   def cur15QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val (_, w) = trainedCur15(spark, dir)
-    val wdf = weightFrame(spark, w)
-    val scored = cur15Features(spark, dir)
-      .filter(col("y") === 0)
-      .join(broadcast(wdf), Seq("bkt"), "left")
-      .groupBy("doc_id", "source")
-      .agg(sum(col("x") * coalesce(col("wgt"), lit(0L).cast("decimal(38,0)")))
-        .as("m"))
-      .withColumn("p", sigmoidFx(col("m")))
-      .select("doc_id", "source", "p")
+    // Pinned via GraftCache (round-20 optimization): the scored frame
+    // is consumed TWICE — once for the pool-mean scalar, once for the
+    // final per-source rollup — and was recomputed (join + per-doc
+    // aggregate over the whole feature frame) for each. The pin is the
+    // repo's standard shared-intermediate pattern; the frame is thin
+    // (doc_id, source, p) and deterministic per (dir, session) since
+    // the trained weights are.
+    val scored = graft.GraftCache.getOrPersist(
+      s"cur15.scored:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val wdf = weightFrame(spark, w)
+      cur15Features(spark, dir)
+        .filter(col("y") === 0)
+        .join(broadcast(wdf), Seq("bkt"), "left")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("x") * coalesce(col("wgt"), lit(0L).cast("decimal(38,0)")))
+          .as("m"))
+        .withColumn("p", sigmoidFx(col("m")))
+        .select("doc_id", "source", "p")
+    }
     // Pool-mean threshold: one exact integer scalar (sum_p div n) —
     // the codebook-scalar contract, broadcast back as a literal.
     val t = scored.agg(

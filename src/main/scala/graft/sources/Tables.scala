@@ -26,9 +26,17 @@ object Tables {
     * artifact. Operator-written tmpdir artifacts do NOT route through
     * this (they are rewritten mid-session by design).
     */
+  /** NOT cleared on [[graft.GraftCache.release]] (round-20): the memo
+    * pins no data — correctness against in-place rewrites rides the
+    * (mtime, length) freshness token in the key, not the clear — and
+    * the bench releases at every family boundary, so a release-hook
+    * clear re-paid ~16 rounds of listings per pass for nothing.
+    * Entries for rewritten files or stopped sessions linger as dead
+    * keys (a plan tree each, bounded by sessions × tables × rewrites —
+    * the GraftCache.sessionTag caveat's shape and size).
+    */
   private val planMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  graft.GraftCache.onRelease(() => planMemo.clear())
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
