@@ -55,7 +55,7 @@ object Bench {
     * round a cheap query's 2× trigger by at most one 0.05 s grid step,
     * and the [[RetryFloorSec]] absolute gate keeps that noise from
     * churning) → the TOP-VALUE step: keep the LARGEST-n entries that
-    * fit (binary-searched), the rest collapsed to a `"_sub":n` marker
+    * fit (binary-searched), the rest collapsed to a top-level `"sub":n` marker
     * (round 16, when the surface crossed the full-1-dp horizon: the
     * line must cost the cheapest readings first and keep the
     * expensive tail — the entries the suspect gate and the round's
@@ -116,22 +116,29 @@ object Bench {
     // a normal degraded line. Present on EVERY degradation step (it
     // rides the shared line builder), so no fit fallback can drop it.
     val onlyJson = if (only) "\"only\":true," else ""
-    def line(qs: String, es: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"suspect":$suspectJson,$onlyJson"sf":"$sfDir"}"""
+    def line(qs: String, es: String, sub: String = ""): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$sub"errors":$es,"suspect":$suspectJson,$onlyJson"sf":"$sfDir"}"""
     val noTimings = line("{\"_count\":" + results.size + "}", countOnly)
     // The top-value step: the largest n (by timing, key tie-break)
     // whose entries fit, rendered in the original order with the
-    // dropped count in-band. Length is monotone in n up to ±2 chars
-    // at the _sub boundary, so the binary search lands within one
-    // entry of optimal and only ever RETURNS a verified-fitting line.
+    // dropped count in-band — as a TOP-LEVEL "sub" key, OUTSIDE the
+    // queries map (round-20 verdict #4 / round-21 directive #7: the
+    // driver's PERF comparator reads every queries key as a query, so
+    // the in-map "_sub" marker showed up as a phantom 17→21 s
+    // "regressed query" and made 7 real sub-floor queries read as
+    // dropped whenever the surface grew; a sibling key is additive —
+    // the 1-line contract and every per-query key are bit-compatible).
+    // Length is monotone in n up to ±2 chars at the sub boundary, so
+    // the binary search lands within one entry of optimal and only
+    // ever RETURNS a verified-fitting line.
     def lineTop(n: Int): String = {
       val keep = results.sortBy { case (k, v) => (-v, k) }
         .take(n).map(_._1).toSet
       val (kept, dropped) = results.partition { case (k, _) => keep(k) }
-      val qs = (kept.map((q1dp _).tupled) ++
-        (if (dropped.nonEmpty) List("\"_sub\":" + dropped.size) else Nil))
-        .mkString("{", ",", "}")
-      line(qs, countOnly)
+      val qs = kept.map((q1dp _).tupled).mkString("{", ",", "}")
+      val sub =
+        if (dropped.nonEmpty) "\"sub\":" + dropped.size + "," else ""
+      line(qs, countOnly, sub)
     }
     lazy val qTop = {
       var lo = 0

@@ -2340,9 +2340,13 @@ object Curation {
     val td = td0.withColumn("family", lit("takedown"))
     val sp = sp0.withColumn("family", lit("span"))
     val composed = td.unionByName(sp)
-    CodebookStore.publishFrame(spark, base, td)
-    CodebookStore.publishFrame(spark, base, composed)
-    CodebookStore.publishFrame(spark, base, composed.filter(lit(false)))
+    // The three lifecycle publishes overlap their snapshot writes
+    // (round-21, guide §2.6 — publishFrames' batched claim+write): the
+    // replay owns the store between reset and audit, so the batch
+    // API's only caveat (non-monotone commit order mid-batch) cannot
+    // be observed; versions, contents, and the audit are identical.
+    CodebookStore.publishFrames(spark, base,
+      Seq(td, composed, composed.filter(lit(false))))
     // ONE audit job over all committed versions (a per-version
     // agg+collect loop paid 3 scheduling round-trips for 3 tiny
     // frames); a version with zero rows still audits (the left frame

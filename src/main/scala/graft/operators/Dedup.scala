@@ -611,34 +611,39 @@ object Dedup {
     */
   val PropagateMaxRounds = 50
 
-  private val propagateRunCounter = new java.util.concurrent.atomic.AtomicLong()
-
   /** Distributed min-label propagation (huge pair graphs).
     *
-    * Persist discipline: only the CURRENT round's frame stays pinned —
-    * `pinned` always refers to the frame that `.persist()` was called
-    * on (unpersisting a projection of it would be a plan-matching no-op
-    * and would leak one pinned frame per round). `edges` is released on
-    * exit, and the surviving labels frame is registered in
-    * [[graft.GraftCache]] so the session can drop it once consumed.
-    *
-    * Lineage: each round's plan references the previous round's cached
-    * frame, so after R rounds a lost cached partition would recompute
-    * through R chained joins. Every `checkpointEvery` rounds the frame
-    * is localCheckpoint'ed instead of persisted, truncating the plan —
-    * the standard iterative-algorithm hygiene at cluster scale.
+    * Lineage: each round's plan references the previous round's frame
+    * THREE times (the neighbor join, the self side of the step, and
+    * the old-label column), so carrying lazy lineage across rounds
+    * grows the LOGICAL plan ~3^r — and Catalyst re-analyzes,
+    * re-canonicalizes (for cache matching), and re-optimizes that
+    * whole tree on every round's count even when the data itself is
+    * cached. Round 21 measured the old persist-with-checkpoint-every-
+    * 10 form on the 8-round chain spec: per-round count wall 0.5 →
+    * 2.3 → 8.5 → 26.9 s (~3× per round, 110 s for 8 trivial rounds —
+    * and ~20 minutes under the round-20 driver's loaded machine, which
+    * is what killed its `sbt test` budget). Every round therefore
+    * truncates the plan with an EAGER localCheckpoint — the
+    * materialization cost is the same one the per-round convergence
+    * count already paid under persist, but downstream rounds see a
+    * flat LogicalRDD instead of the exponential tree. Fault-tolerance
+    * trade unchanged from the old every-10-rounds form (and from the
+    * sim family's per-round checkpoints): localCheckpoint blocks are
+    * not recoverable — an executor loss mid-propagation fails the job
+    * and the caller re-runs; a long-lived deployment swaps in
+    * checkpoint() against the cluster FS here. Old blocks are freed by
+    * the context cleaner as each round's RDD goes unreachable.
     */
   private[operators] def propagateClusters(
       pairs: DataFrame,
-      maxRounds: Int = PropagateMaxRounds,
-      checkpointEvery: Int = 10): DataFrame = {
+      maxRounds: Int = PropagateMaxRounds): DataFrame = {
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pinned = edges.select(col("src").as("id")).distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = pinned
+      .localCheckpoint(eager = true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -647,37 +652,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
-      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("old"))
-      val next =
-        if (round > 0 && round % checkpointEvery == 0)
-          stepped.localCheckpoint(eager = true)
-        else
-          stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       changed = next.filter(col("label") < col("old")).count()
-      pinned.unpersist(blocking = false)
-      pinned = next
       labels = next.select("id", "label")
       round += 1
     }
     edges.unpersist(blocking = false)
-    if (changed > 0) {
-      pinned.unpersist(blocking = false)
+    if (changed > 0)
       throw new IllegalStateException(
         s"propagateClusters did not converge after $maxRounds rounds " +
           s"($changed labels still changing): input is not a near-dup pair " +
           "graph (diameter should be ≲ 3)")
-    }
-    // Unique per CALL (not per session): a session-keyed register would
-    // evict-and-unpersist a previous propagate run's labels while its
-    // lazily-returned result may still be unconsumed. Every run stays
-    // registered until GraftCache.release().
-    graft.GraftCache.register(
-      s"dedup.propagate.labels:${graft.GraftCache.sessionTag(pairs.sparkSession)}" +
-        s":${propagateRunCounter.incrementAndGet()}",
-      pinned)
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

@@ -135,6 +135,52 @@ object CodebookStore {
     committed
   }
 
+  /** Publish SEVERAL artifact frames as consecutive versions with the
+    * snapshot WRITES overlapped (round-21, guide §2.6): all version
+    * numbers are claimed first — sequentially, under [[publishFrame]]'s
+    * lost-claim retry, so cross-JVM uniqueness is untouched — and the
+    * tiny coalesce(1) snapshots then write from a small driver pool,
+    * so one lifecycle's N publishes pay ~one write's wall instead of N
+    * serialized commit rounds. CAVEAT, and why this is a separate
+    * entry point instead of the default: commit ORDER across the batch
+    * is not monotone — a later version's `_SUCCESS` can land before an
+    * earlier one's — so a concurrent reader resolving [[latest]]
+    * mid-batch could briefly see v(N+2) while v(N+1) is uncommitted.
+    * Use ONLY from lifecycles that own the store while publishing
+    * (cur31's reset→publish×3→audit replay, the motivating user);
+    * continuous-ingest publishers keep [[publishFrame]].
+    * Returns the committed version numbers in frame order.
+    */
+  def publishFrames(spark: SparkSession, basePath: String,
+      dfs: Seq[DataFrame]): Seq[Long] = {
+    val claimed = dfs.map { _ =>
+      var v = -1L
+      while (v < 0) {
+        val next = (usedNumbers(spark, basePath) :+ 0L).max + 1
+        if (tryClaim(spark, basePath, next)) v = next
+      }
+      v
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(dfs.size, 4)))
+    try {
+      dfs.zip(claimed).map { case (df, v) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            df.coalesce(1).write.mode("overwrite").parquet(s"$basePath/v$v")
+            ()
+          }
+        })
+      }.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+    claimed
+  }
+
   /** The artifact frame AS OF a committed version — [[codebookAt]]'s
     * loud-failure contract for [[publishFrame]] payloads.
     */

