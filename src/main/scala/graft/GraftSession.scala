@@ -33,9 +33,19 @@ object GraftSession {
     // zstd over the default snappy for every parquet the engine writes
     // (optimization guide §6: markedly smaller at similar read speed —
     // at 100 TB that is shuffle-adjacent I/O, storage, and re-read
-    // bandwidth; measured A/B on the full sf0.1 surface: neutral-to-
-    // slightly-faster locally, round-20 OPTIMIZATION_r20.md).
-    "spark.sql.parquet.compression.codec" -> "zstd")
+    // bandwidth). Parameterized (round-21 directive #3: the round-20
+    // driver bench showed a 10–25% regression cluster on the emit/write
+    // family that coincided with the zstd switch, so the codec and its
+    // level are deployment knobs with the 100 TB default local):
+    // SPARK_GRAFT_PARQUET_CODEC overrides the codec,
+    // SPARK_GRAFT_PARQUET_ZSTD_LEVEL the parquet-writer zstd level
+    // (parquet default 3; level 1 cuts most of the compression CPU for
+    // a few % size — the right trade for session-tmpdir intermediates
+    // written once and read once).
+    "spark.sql.parquet.compression.codec" ->
+      sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+    "spark.hadoop.parquet.compression.codec.zstd.level" ->
+      sys.env.getOrElse("SPARK_GRAFT_PARQUET_ZSTD_LEVEL", "3"))
 
   /** Build (or get) the canonical local session. `cpus` sizes both the
     * local master threads and the initial shuffle partition count.

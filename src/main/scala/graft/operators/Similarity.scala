@@ -1443,66 +1443,49 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val graph = knnGraphEdges(spark, dir)
     val maxEnt = configs.map(_._1).max
-    // Entry superset scored once and MATERIALIZED once; each config's
-    // round-0 pool is a static filter of the checkpointed blocks (no
-    // config×corpus nested loop, and no per-trajectory re-scoring).
+    // Entry superset scored once; each config's round-0 pool is a
+    // static filter of it (no config×corpus nested loop).
     val entryScores = e.filter(col("vec_id") < maxEnt)
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+    var visited = configs.map { case (ent, b) =>
+      entryScores.filter(col("vec_id") < ent)
+        .select(lit(ent).as("entries"), lit(b).as("beam"),
+          col("q_id"), col("vec_id"), col("cos"))
+    }.reduce(_.unionByName(_))
+      .withColumn("er", lit(0))
       .localCheckpoint(true)
-    // Round-21 restructure (guide §2.6 — overlap independent jobs):
-    // the (entries, beam) trajectories are INDEPENDENT until the final
-    // union (beam search has no cross-config term anywhere — the old
-    // fused loop's window, frontier distinct, anti-join and scoring
-    // were all keyed per (entries, beam, q_id)), but fusing them into
-    // one loop serialized ~12 rounds' worth of driver planning and
-    // checkpoint jobs onto one thread. Each trajectory now runs
-    // sim19's own loop shape ([[sim19TopPer]] beam cut at its literal
-    // width) on a driver pool thread, so the per-round checkpoint jobs
-    // of the 4 configs overlap: config B's round r back-fills the
-    // executors freed by config A's round tail, and the driver plans
-    // the 4 small plans concurrently instead of one 4×-wide plan
-    // serially. Row-identical to the fused form by construction: the
-    // per-config cut/frontier/anti-join/score are the same expressions
-    // over the same per-config rows, and the final union carries the
-    // same (entries, beam, er) tags.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(configs.size)
-    try {
-      val futures = configs.map { case (ent, b) =>
-        pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          override def call(): DataFrame = {
-            var visited = entryScores.filter(col("vec_id") < ent)
-              .withColumn("er", lit(0))
-            for (r <- 1 to GraphRounds) {
-              val beamDf = sim19TopPer(visited, b).select("q_id", "vec_id")
-              val frontier = broadcast(beamDf)
-                .join(graph, col("vec_id") === col("src"))
-                .select(col("q_id"), col("dst"))
-                .filter(col("dst") =!= col("q_id"))
-                .distinct()
-                .join(visited.select(col("q_id"), col("vec_id").as("dst")),
-                  Seq("q_id", "dst"), "left_anti")
-                .select(col("q_id"), col("dst").as("vec_id"))
-              val scored = broadcast(frontier)
-                .join(e, Seq("vec_id"))
-                .join(broadcast(queries), Seq("q_id"))
-                .select(col("q_id"), col("vec_id"),
-                  round(cosineSim(col("qv"), col("v")), 4).as("cos"))
-                .withColumn("er", lit(r))
-              // Last round: consumed once downstream — skip the
-              // checkpoint (sim19's argument; one whole scheduling-
-              // bound job saved per trajectory).
-              visited = visited.unionByName(scored)
-              if (r < GraphRounds) visited = visited.localCheckpoint(true)
-            }
-            visited.select(lit(ent).as("entries"), lit(b).as("beam"),
-              col("q_id"), col("vec_id"), col("cos"), col("er"))
-          }
-        })
-      }
-      futures.map(_.get()).reduce(_.unionByName(_))
-    } finally pool.shutdown()
+    val w = Window.partitionBy("entries", "beam", "q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    for (r <- 1 to GraphRounds) {
+      // Per-config beam cut: ONE ranked window, the width read from
+      // the row's own beam column.
+      val beamDf = visited.withColumn("brk", row_number().over(w))
+        .filter(col("brk") <= col("beam"))
+        .select("entries", "beam", "q_id", "vec_id")
+      val frontier = broadcast(beamDf)
+        .join(graph, col("vec_id") === col("src"))
+        .select(col("entries"), col("beam"), col("q_id"), col("dst"))
+        .filter(col("dst") =!= col("q_id"))
+        .distinct()
+        .join(visited.select(col("entries"), col("beam"), col("q_id"),
+            col("vec_id").as("dst")),
+          Seq("entries", "beam", "q_id", "dst"), "left_anti")
+        .select(col("entries"), col("beam"), col("q_id"),
+          col("dst").as("vec_id"))
+      val scored = broadcast(frontier)
+        .join(e, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("entries"), col("beam"), col("q_id"), col("vec_id"),
+          round(cosineSim(col("qv"), col("v")), 4).as("cos"))
+        .withColumn("er", lit(r))
+      // Last round: consumed once downstream — skip the checkpoint
+      // (sim19's argument; one whole scheduling-bound job saved).
+      visited = visited.unionByName(scored)
+      if (r < GraphRounds) visited = visited.localCheckpoint(true)
+    }
+    visited
   }
 
   /** sim25's layer knobs. The coarse layer samples ~1/[[Sim25CoarseMod]]
