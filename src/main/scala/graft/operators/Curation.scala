@@ -1656,7 +1656,7 @@ object Curation {
     val docsPerShard = rb.groupBy("source", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("payload_toks"))
-    val seqs = reassembledSequences(rb)
+    val seqs = pinnedReassembled(spark, rb, out)
       .select(col("source"), col("seq"),
         array_join(col("stoks"), " ").as("stext"))
     val seqsPerShard = seqs
@@ -1725,6 +1725,26 @@ object Curation {
         col("seq_first"), col("seq_last"), col("off_first"), col("toks"))
       .withColumn("cum_start", col("seq_first") * ctx + col("off_first"))
   }
+
+  /** The reassembled sequence stream of one EMITTED payload dir,
+    * pinned per (emit dir, session) — round 21, cur15's shared-
+    * intermediate discipline (guide §5: cache only what is reused and
+    * expensive to recompute): cur23's audit, cur27's leg A, and
+    * cur29's composed read all reassemble the SAME cur23-emitted
+    * files (cur26's audit and cur27's leg B likewise share the
+    * repacked dir), and each call re-paid the explode + (source, seq)
+    * shuffle + slice-sort of the whole token stream. The pin is
+    * session-scoped and released at the bench's family boundaries —
+    * the same staleness contract as every (dir, session) pin: an
+    * emit dir rewritten in place mid-session requires
+    * GraftCache.release().
+    */
+  private[graft] def pinnedReassembled(
+      spark: SparkSession, rb: DataFrame, out: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"cur.reassembled:$out:${graft.GraftCache.sessionTag(spark)}") {
+      reassembledSequences(rb)
+    }
 
   /** Sequence reassembly over an emitted-payload read-back frame
     * (source, cum_start, toks, seq_first, seq_last): one row per
@@ -2071,10 +2091,12 @@ object Curation {
       .select(col("source"), col("seq"),
         col("n_toks").as("masked_toks"),
         col("content_hash").as("masked_hash"))
-    // Leg B: the REPACKED emit, reassembled directly.
-    val repackRead = reassembledSequences(
+    // Leg B: the REPACKED emit, reassembled directly (the shared
+    // (emit dir, session) pin — cur26's audit reads the same stream).
+    val cur26Out = cur26OutDir(spark, dir)
+    val repackRead = pinnedReassembled(spark,
         payloadShardEmit(spark, cur26Payload(spark, dir),
-          cur26OutDir(spark, dir), "cur27", dir))
+          cur26Out, "cur27", dir), cur26Out)
       .select(col("source"), col("seq"),
         size(col("stoks")).cast("long").as("repack_toks"),
         tokenHash64(array_join(col("stoks"), " ")).as("repack_hash"))
@@ -2101,12 +2123,13 @@ object Curation {
   private[graft] def maskedRetiledRead(spark: SparkSession, dir: String,
       maskRows: DataFrame, legTag: String): DataFrame = {
     val ctx = lit(Cur18CtxTokens)
+    val cur23Out = cur23OutDir(spark, dir)
     val orig = payloadShardEmit(spark, cur18TrainPayload(spark, dir),
-      cur23OutDir(spark, dir), legTag, dir)
+      cur23Out, legTag, dir)
     val masks = maskRows
       .groupBy("source", "seq")
       .agg(collect_list(struct(col("mask_start"), col("mask_end"))).as("mk"))
-    val maskedSeqs = reassembledSequences(orig)
+    val maskedSeqs = pinnedReassembled(spark, orig, cur23Out)
       // Mask rows are recall/findings-list-sized (cur25's whole
       // argument) — broadcast; a sequence with no mask row keeps its
       // tokens; overlapping spans (a span finding inside a recalled
