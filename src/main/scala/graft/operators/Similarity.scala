@@ -350,7 +350,20 @@ object Similarity {
     * operator: nothing materializes a per-cell pair list beyond each
     * vector's k-row heap frontier.
     */
-  def sim07KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** Pinned per (dir, session) — round 21, cur15's shared-intermediate
+    * discipline: the build-cadence kNN band is read by the sim07 query,
+    * by [[knnGraphEdges]]'s one-time pinned build, and by
+    * [[sim22CandidateEdges]] on EVERY sim22/sim24 consolidate call —
+    * the salted cell join + bounded heap was recomputed per call for a
+    * frame that is corpus×K thin and session-stable.
+    */
+  def sim07KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"sim07.knn:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      sim07KnnGraphBuild(spark, dir)
+    }
+
+  private def sim07KnnGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     val assigned = cachedCellAssignment(spark, dir)
     val Salt = 16
     val a = assigned.select(col("vec_id"), col("v"), col("cell"))
@@ -1759,17 +1772,24 @@ object Similarity {
   /** sim22's candidate evidence — the union of three already-built
     * edge frames, the operator's WHOLE read set beyond the two vector
     * lookups (the GrowthProbe measures this frame directly: linear in
-    * corpus + inserts at fixed degree, never a pair space).
+    * corpus + inserts at fixed degree, never a pair space). Pinned per
+    * (dir, session) — round 21: sim24's re-link references this frame
+    * THREE times in one plan (kept edges + both sides of the dead-dst
+    * hop join) and sim22/sim24/the navigable-edge specs each re-read
+    * it, so the union+distinct was recomputed up to three times per
+    * call for a thin session-stable edge frame.
     */
   private[graft] def sim22CandidateEdges(
-      spark: SparkSession, dir: String): DataFrame = {
-    val ins = pinnedInsertEdges(spark, dir)
-    sim07KnnGraph(spark, dir)
-      .select(col("vec_id").as("src"), col("nb_id").as("dst"))
-      .unionByName(ins.select(col("vec_id").as("src"), col("nb_id").as("dst")))
-      .unionByName(ins.select(col("nb_id").as("src"), col("vec_id").as("dst")))
-      .distinct()
-  }
+      spark: SparkSession, dir: String): DataFrame =
+    graft.GraftCache.getOrPersist(
+      s"sim22.cand:$dir:${graft.GraftCache.sessionTag(spark)}") {
+      val ins = pinnedInsertEdges(spark, dir)
+      sim07KnnGraph(spark, dir)
+        .select(col("vec_id").as("src"), col("nb_id").as("dst"))
+        .unionByName(ins.select(col("vec_id").as("src"), col("nb_id").as("dst")))
+        .unionByName(ins.select(col("nb_id").as("src"), col("vec_id").as("dst")))
+        .distinct()
+    }
 
   /** The consolidate's scoring + degree cut over an EXPLICIT candidate
     * edge frame and node universe — sim22's re-rank verbatim, factored
