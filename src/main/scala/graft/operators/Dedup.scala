@@ -305,14 +305,29 @@ object Dedup {
     */
   val SweepSigBroadcastMaxDocs = 200000L
 
+  /** dedup13's two dispatch/denominator scalars (signature count, true-
+    * pair count), memoized per (dir, session) — round 21: both counts
+    * run over GraftCache-pinned frames keyed the same way, so the memo
+    * can never outlive the frames it counted (one release clears both),
+    * and each dedup13 call stops paying two scheduling round-trips for
+    * numbers that are session-constants (the sim09/bpe driver-scalar
+    * cache pattern).
+    */
+  private val dedup13Scalars =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  graft.GraftCache.onRelease(() => dedup13Scalars.clear())
+
   def dedup13LshSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = sweepSignatures(spark, dir)
     // Measured dispatch (dedup06's discipline): count the pinned
     // signature frame — O(1) against the cache — and only broadcast
-    // under the documented bound. The count is an eager build-time
-    // scalar, like every other measured-dispatch operator here.
+    // under the documented bound. The counts are eager build-time
+    // scalars, like every other measured-dispatch operator here.
+    val (nSigs, nTrue) = dedup13Scalars.computeIfAbsent(
+      s"$dir:${graft.GraftCache.sessionTag(spark)}",
+      _ => (sweepSignatures(spark, dir).count(),
+        dedup03MinhashLsh(spark, dir).count()))
     dedup13Curve(spark, dir,
-      broadcastSigs = sigs.count() <= SweepSigBroadcastMaxDocs)
+      broadcastSigs = nSigs <= SweepSigBroadcastMaxDocs, nTrue = Some(nTrue))
   }
 
   /** The sweep's curve with the signature-attachment strategy explicit
@@ -321,7 +336,7 @@ object Dedup {
     * without staging a 200k-doc corpus.
     */
   private[graft] def dedup13Curve(spark: SparkSession, dir: String,
-      broadcastSigs: Boolean): DataFrame = {
+      broadcastSigs: Boolean, nTrue: Option[Long] = None): DataFrame = {
     val sigs = sweepSignatures(spark, dir)
     val superCands = sweepSuperset(spark, dir)
     val sigA = sigs.select(col("doc_id").as("da") +:
@@ -349,8 +364,9 @@ object Dedup {
       .join(broadcast(verified), Seq("da", "db"), "left")
       .withColumn("is_true", coalesce(col("is_true"), lit(false)))
     // Denominator: the production near-dup set's size — one scalar
-    // (the codebook-scalar contract).
-    val nTrue = dedup03MinhashLsh(spark, dir).count()
+    // (the codebook-scalar contract), taken from the caller's
+    // session memo when supplied.
+    val nTrueV = nTrue.getOrElse(dedup03MinhashLsh(spark, dir).count())
     perPair
       .select(explode(array(LshSweepConfigs.map { case (b, r) =>
         struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
@@ -360,7 +376,7 @@ object Dedup {
       .groupBy("bands", "rows_per_band")
       .agg(sum(col("cand").cast("long")).as("n_candidates"),
         sum((col("cand") && col("ist")).cast("long")).as("n_verified"))
-      .withColumn("n_true", lit(nTrue))
+      .withColumn("n_true", lit(nTrueV))
       .withColumn("recall",
         intRatio(col("n_verified"), greatest(col("n_true"), lit(1L)), 4))
       .orderBy("rows_per_band")
