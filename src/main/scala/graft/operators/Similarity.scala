@@ -1469,13 +1469,25 @@ object Similarity {
     }.reduce(_.unionByName(_))
       .withColumn("er", lit(0))
       .localCheckpoint(true)
-    val w = Window.partitionBy("entries", "beam", "q_id")
-      .orderBy(col("cos").desc, col("vec_id"))
+    // The widest beam in the grid bounds every config's cut, so the
+    // per-config rank can come from ONE bounded-heap TopKPerKey at
+    // that literal k (round 21): the column-valued bound (`brk <=
+    // beam`) kept RewriteRowNumberTopK from firing here, leaving a
+    // full Exchange+Sort+Window of the whole pool per round — the
+    // heap form prunes map-side to ≤ k rows per (entries, beam, q_id)
+    // BEFORE the shuffle and sorts nothing. Row-identical: rank order
+    // (cos desc, vec_id) is a total order per key, k ≥ every beam in
+    // `configs`, and the per-row `beam` filter then applies the
+    // config's own width exactly as the window form did.
+    val maxBeam = configs.map(_._2).max
     for (r <- 1 to GraphRounds) {
-      // Per-config beam cut: ONE ranked window, the width read from
+      // Per-config beam cut: ONE ranked heap cut, the width read from
       // the row's own beam column.
-      val beamDf = visited.withColumn("brk", row_number().over(w))
-        .filter(col("brk") <= col("beam"))
+      val beamDf = graft.plans.TopKPerKey(visited,
+          keyCols = Seq("entries", "beam", "q_id"),
+          orderCols = Seq(("cos", true), ("vec_id", false)),
+          k = maxBeam)
+        .filter(col("rk") <= col("beam"))
         .select("entries", "beam", "q_id", "vec_id")
       val frontier = broadcast(beamDf)
         .join(graph, col("vec_id") === col("src"))
