@@ -12,9 +12,13 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Deliberately narrow: exactly one window expression, it is
   * row_number (ties impossible, so rank/dense_rank gap semantics can't
-  * be silently changed), the filter condition is ONLY the rank bound,
-  * and the partition spec is non-empty (a global top-k is better served
-  * by TakeOrderedAndProject). The rewritten node reuses the window
+  * be silently changed), at least one CONJUNCT of the filter condition
+  * is a rank bound (round 21 — etl16's `rn === 1 && op =!= "D"` shape
+  * previously kept the whole sort: the non-rank conjuncts are applied
+  * in a residual Filter ABOVE the top-k, which is semantics-identical
+  * because the original filter also ran after ranking), and the
+  * partition spec is non-empty (a global top-k is better served by
+  * TakeOrderedAndProject). The rewritten node reuses the window
   * alias's exprId, so downstream references resolve unchanged.
   *
   * Registered via `GraftExtensions.injectOptimizerRule`; Spark's own
@@ -36,6 +40,11 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] =
     w match {
       case Window(
@@ -44,8 +53,13 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
           if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
             spec.partitionSpec == partitionSpec && spec.orderSpec == orderSpec =>
         val rankAttr = alias.toAttribute.asInstanceOf[AttributeReference]
-        rankBound(cond, rankAttr).filter(_ > 0).map { k =>
-          TopKPerKeyPlan(partitionSpec, orderSpec, k, rankAttr, child)
+        val (bounds, rest) = splitConjuncts(cond)
+          .partition(c => rankBound(c, rankAttr).exists(_ > 0))
+        if (bounds.isEmpty) None
+        else {
+          val k = bounds.flatMap(c => rankBound(c, rankAttr)).min
+          val topk = TopKPerKeyPlan(partitionSpec, orderSpec, k, rankAttr, child)
+          Some(if (rest.isEmpty) topk else Filter(rest.reduce(And), topk))
         }
       case _ => None
     }

@@ -68,14 +68,42 @@ class TopKPerKeySpec extends SparkSpec {
       .filter(col("rk") <= 3)
       .select("user_id", "rk", "event_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    // Bypass the rule by keeping extra predicates in the filter (the
-    // narrow match requires the rank bound to be the whole condition).
+    // Bypass the rule with rank(): event_id is unique within a user,
+    // so rank ≡ row_number here while the rule (correctly) leaves
+    // rank()'s gap semantics to a real window. (Round 21: the old
+    // bypass — an extra conjunct in the filter — now rewrites too.)
     val viaWindow = Tables.events(spark, sf)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3 && col("user_id") >= 0)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
       .select("user_id", "rk", "event_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaRule == viaWindow)
+  }
+
+  test("optimizer rule peels the rank bound out of a conjunction (etl16 shape)") {
+    // round 21: `rn === 1 && op =!= "D"` previously kept the whole
+    // window sort because the filter was not ONLY the rank bound; the
+    // rule now takes the tightest rank-bound conjunct for the top-k
+    // and leaves the rest in a residual filter above it — identical
+    // rows, no sort.
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val df = Tables.events(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2 && col("event_type") =!= "error")
+      .select("user_id", "rk", "event_id")
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(plan.contains("TopKPerKey"),
+      s"compound filter must still rewrite:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), "the window sort must be gone")
+    // Row identity vs the pure window form (rank() bypass as above).
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2 && col("event_type") =!= "error")
+      .select("user_id", "rk", "event_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == viaWindow)
+    assert(got.nonEmpty)
   }
 
   test("TopKPerKey handles k larger than any group (emits everything ranked)") {
